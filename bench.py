@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the registered query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a noop-sink write (full computation, no driver
+collect). One warmup pass on the smoke SF primes the JVM/codegen caches so the
+numbers measure the plans, not JIT warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("spookystuff-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup at the smallest SF: JIT, codegen cache, Arrow init
+    for name, fn in QUERIES.items():
+        try:
+            force(fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.monotonic()
+        try:
+            force(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record, keep benching
+            timings[name] = -1.0
+            print(f"# bench error {name}: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Engine configuration (ref: module/core/.../conf/SpookyConf.scala:38-100).
+
+Defaults mirror the reference where it publishes one (cache TTL 7 days,
+remote timeout 60 s, explore epoch/checkpoint interval 50, MEMORY_AND_DISK
+persistence); everything else is Spark-first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime as dt
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SpookyConf:
+    # --- doc cache (ref: SpookyConf.scala:44-46, caching/AbstractDocCache.scala:64-96)
+    cache_read: bool = True
+    cache_write: bool = True
+    cached_docs_lifespan: dt.timedelta = dt.timedelta(days=7)
+    ignore_cached_docs_before: Optional[dt.datetime] = None
+    dfs_cache_root: Optional[str] = None  # None → in-memory only
+
+    # --- agent execution (ref: SpookyConf.scala:52-53)
+    remote_timeout_sec: float = 60.0
+    dfs_timeout_sec: float = 40.0
+    fetch_retries: int = 3
+    retry_delay_sec: float = 1.0
+
+    # --- fetch locality (ref: SpookyConf.scala:56; dsl/DataLocality.scala)
+    # "wide" = full shuffle dedup (groupBy trace_key); "narrow" = per-partition
+    # dedup only (map-side, no exchange); "passthrough" = no dedup.
+    default_locality: str = "wide"
+
+    # --- explore (ref: SpookyConf.scala:63-68)
+    explore_epoch_interval: int = 50
+    explore_checkpoint_interval: int = 50
+    explore_max_depth: int = 20
+
+    # --- preview mode (ref: SpookyConf.scala:91-100)
+    preview_mode: bool = False
+
+    # --- blob handling: inline in the obs column up to this size, else offload
+    # to DFS and store only the path (keeps shuffle rows small at 100 TB).
+    inline_blob_max_bytes: int = 1 << 20
+
+    def copy(self, **overrides) -> "SpookyConf":
+        return dataclasses.replace(self, **overrides)

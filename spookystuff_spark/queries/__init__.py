@@ -1,0 +1,47 @@
+"""Driver-checked query inventory.
+
+Each query registers (a) a Spark DataFrame implementation and (b) an equivalent
+ANSI-SQL oracle string DuckDB runs on the same parquet tables. Column aliases
+MUST match between the two — the driver sorts columns by name and value-hashes.
+
+Determinism rules applied throughout:
+  * every floating aggregate is ``round(..., k)`` on BOTH sides;
+  * every top-k / limit has a total ordering (unique-key tiebreak);
+  * integer-ish outputs are cast to the same width on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Register a query; ``oracle=None`` marks a non-SQL-expressible operator
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all_query_modules() -> None:
+    # import for side effect: each module registers its queries
+    from spookystuff_spark.queries import (  # noqa: F401
+        engine,
+        events,
+        relational,
+        similarity,
+        text,
+    )

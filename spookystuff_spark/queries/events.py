@@ -1,0 +1,108 @@
+"""Event-stream queries (time bucketing, JSON extraction, sessionization).
+
+The events table mirrors what the reference never had (no streaming —
+SURVEY.md §2.8); batch implementations here, Structured Streaming variants in
+``spookystuff_spark/streaming/``. Sessionization is the classic lag+cumsum
+pattern: one shuffle on user_id, everything else window-local.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from spookystuff_spark.functions.rounding import round_stable
+from spookystuff_spark.queries import query
+from spookystuff_spark.tables import table
+
+SESSION_GAP_SEC = 1800
+
+
+@query(
+    "q_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(1e-6 + sum(value), 2) AS total_value,
+           round(1e-6 + avg(value), 2) AS avg_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        round_stable(F.sum("value"), 2).alias("total_value"),
+        round_stable(F.avg("value"), 2).alias("avg_value"),
+    )
+
+
+@query(
+    "q_events_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(1e-6 + avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction stays JVM-side: get_json_object is a native
+    Catalyst expression (no Python round-trip)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        round_stable(F.avg(k), 2).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q_events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle → new session).
+
+    Single shuffle on user_id; the lag window and the final per-user aggregate
+    share that partitioning, so Catalyst reuses the exchange. At 100 TB the
+    shuffle is keyed on user_id — high cardinality, no skew concern.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_SEC),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

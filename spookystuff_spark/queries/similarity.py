@@ -1,0 +1,108 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Baseline: brute-force cosine top-k — broadcast the query set, score every
+(query, candidate) pair with JVM-side higher-order functions (zip_with +
+aggregate: no Python, no UDF), rank per query. At 100 TB the same plan holds
+because the candidate scan is embarrassingly parallel and the query side is
+broadcast; the scale path (LSH bucketing to prune candidates) lives in
+``spookystuff_spark/operators/similarity.py``.
+
+Determinism: cosine is computed with the SAME explicit formula
+(sequential dot products, then divide) on both engines, rounded to 4 decimals
+before ranking, ties broken on vec_id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+
+from spookystuff_spark.functions.rounding import round_stable
+from spookystuff_spark.queries import query
+from spookystuff_spark.tables import table
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product via SQL higher-order functions (codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+@query(
+    "q_knn_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.qid, e.vec_id,
+             round(1e-6 + list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   / sqrt(list_dot_product(q.qv, q.qv))
+                   / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[]))), 4)
+               AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+)
+def q_knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            round_stable(cosine(F.col("qv"), F.col("ev")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", "cos_sim")
+    )
+
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n_vecs,
+           round(1e-6 + avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 4)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregate — checks array math parity end to end."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        round_stable(F.avg(F.sqrt(dot(F.col("ev"), F.col("ev")))), 4).alias("avg_norm"),
+    )
