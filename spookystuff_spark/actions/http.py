@@ -1,0 +1,90 @@
+"""Export actions: Wget / Wpost (ref: actions/Wget.scala:20-78,
+actions/Wpost.scala:16-102).
+
+URI templates: ``Wget("file:///data/{path}")`` interpolates row columns at plan
+time (dsl string-interpolation parity) — see plans/fetch.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from spookystuff_spark.actions.core import Action, register_action
+from spookystuff_spark.doc.observation import Doc, now_ms
+from spookystuff_spark.sources.resolvers import omni_resolve
+
+
+@register_action
+@dataclasses.dataclass(frozen=True)
+class Wget(Action):
+    """GET any supported scheme (http/https/file/data; directory → listing doc)."""
+
+    uri: str = ""
+
+    MAY_CHANGE_STATE = False  # driverless, replayable anywhere
+    HAS_EXPORT = True
+
+    def execute(self, agent) -> list:
+        r = omni_resolve(
+            self.uri, timeout_sec=agent.conf.remote_timeout_sec
+        )
+        return [
+            Doc(
+                uri=r.uri,
+                mime=r.mime,
+                status=r.status,
+                ts_ms=now_ms(),
+                content=r.content,
+            )
+        ]
+
+    def __repr__(self) -> str:
+        return f"Wget({self.uri!r})"
+
+
+@register_action
+@dataclasses.dataclass(frozen=True)
+class Wpost(Action):
+    """HTTP POST (ref: actions/Wpost.scala:16-102)."""
+
+    uri: str = ""
+    entity: str = ""
+    content_type: str = "application/x-www-form-urlencoded"
+
+    MAY_CHANGE_STATE = True  # POST mutates remote state
+    HAS_EXPORT = True
+
+    def execute(self, agent) -> list:
+        r = omni_resolve(
+            self.uri,
+            method="POST",
+            body=self.entity.encode(),
+            headers={"Content-Type": self.content_type},
+            timeout_sec=agent.conf.remote_timeout_sec,
+        )
+        return [
+            Doc(uri=r.uri, mime=r.mime, status=r.status, content=r.content)
+        ]
+
+    def __repr__(self) -> str:
+        return f"Wpost({self.uri!r})"
+
+
+@register_action
+@dataclasses.dataclass(frozen=True)
+class OAuthV2(Action):
+    """Marker wrapper that signs subsequent http requests
+    (ref: actions/OAuthV2.scala). Keys resolved agent-side; signing is a
+    per-request header computation."""
+
+    consumer_key: str = ""
+    consumer_secret: str = ""
+    token: str = ""
+    token_secret: str = ""
+
+    MAY_CHANGE_STATE = True
+
+    def execute(self, agent) -> list:
+        agent.session_state["oauth2"] = dataclasses.asdict(self)
+        return []

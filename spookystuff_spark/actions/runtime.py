@@ -1,0 +1,180 @@
+"""Agent runtime: executes traces with timeout, retry, two-level cache
+read-before-fetch and write-through.
+
+Ref parity: actions/Trace.scala:155-273 (fetch/fetchOnce protocol),
+actions/Action.scala:79-159 (timeout-in-helper-thread, error dump),
+agent/Agent.scala:20-91.
+
+Cache-idempotency is the core invariant (ref: ITBaseSpec.scala:79-96): a trace
+key fetched once is never fetched remotely again within TTL — this is what
+makes side-effectful fetches safe under Spark speculative execution and task
+retry. The runtime is deliberately SparkSession-free so it runs identically on
+the driver, in tests, and inside Arrow-batch Python workers.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import time
+from typing import Callable, Optional
+
+from spookystuff_spark.actions.core import Action, Trace
+from spookystuff_spark.caching import dfs as dfs_cache
+from spookystuff_spark.caching import memory as mem_cache
+from spookystuff_spark.conf import SpookyConf
+from spookystuff_spark.doc.observation import ErrorObservation, now_ms
+
+# one helper-thread pool per worker process (ref: Action.scala:144-147)
+_POOL: Optional[concurrent.futures.ThreadPoolExecutor] = None
+
+
+def _pool() -> concurrent.futures.ThreadPoolExecutor:
+    global _POOL
+    if _POOL is None:
+        _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=8)
+    return _POOL
+
+
+class Agent:
+    """Per-task executor of actions (ref: agent/Agent.scala:20-91)."""
+
+    def __init__(
+        self,
+        conf: SpookyConf,
+        metrics_inc: Optional[Callable[[str, int], None]] = None,
+    ):
+        self.conf = conf
+        self.session_state: dict = {}
+        self._metrics_inc = metrics_inc
+
+    def metrics_inc(self, name: str, n: int = 1) -> None:
+        if self._metrics_inc:
+            self._metrics_inc(name, n)
+
+    def run_action(self, action: Action) -> list:
+        timeout = action.TIMEOUT_SEC or self.conf.remote_timeout_sec
+        fut = _pool().submit(action.execute, self)
+        try:
+            return fut.result(timeout=timeout)
+        except concurrent.futures.TimeoutError:
+            fut.cancel()
+            raise TimeoutError(f"{action!r} timed out after {timeout}s") from None
+
+
+def _wayback_bound(trace: Trace) -> Optional[int]:
+    from spookystuff_spark.actions.control import Wayback
+
+    bounds = [a.ts_ms for a in trace.actions if isinstance(a, Wayback)]
+    return min(bounds) if bounds else None
+
+
+def _cache_window(conf: SpookyConf, trace: Trace) -> tuple[int, Optional[int]]:
+    after = now_ms() - int(conf.cached_docs_lifespan.total_seconds() * 1000)
+    if conf.ignore_cached_docs_before is not None:
+        after = max(after, int(conf.ignore_cached_docs_before.timestamp() * 1000))
+    return after, _wayback_bound(trace)
+
+
+def _cache_get(conf: SpookyConf, key: str, after: int, before: Optional[int]):
+    obs = mem_cache.get(key, after, before)
+    if obs is not None:
+        return obs
+    if conf.dfs_cache_root:
+        obs = dfs_cache.get(conf.dfs_cache_root, key, after, before)
+        if obs is not None:
+            mem_cache.put(key, obs)  # promote
+    return obs
+
+
+def _cache_put(conf: SpookyConf, key: str, obs: list, ts: int) -> None:
+    mem_cache.put(key, obs)
+    if conf.dfs_cache_root:
+        dfs_cache.put(conf.dfs_cache_root, key, obs, ts)
+
+
+def fetch_trace(
+    trace: Trace,
+    conf: SpookyConf,
+    metrics_inc: Optional[Callable[[str, int], None]] = None,
+) -> list:
+    """The fetch protocol (ref: Trace.scala:155-273).
+
+    1. dry-run the trace into per-export backtraces;
+    2. read-before-fetch: if EVERY backtrace hits cache (within TTL/wayback
+       window) return cached observations — zero remote work;
+    3. else execute the full trace once (with per-action timeout + whole-trace
+       retries), tagging each observation with its backtrace key;
+    4. write-through both cache levels, keyed per backtrace.
+
+    Failures exhaust retries then come back as ErrorObservation rows — errors
+    are data (Either-style), never task-killers.
+    """
+
+    def inc(name: str, n: int = 1) -> None:
+        if metrics_inc:
+            metrics_inc(name, n)
+
+    backtraces = trace.dry_run()
+    if not backtraces:  # nothing exports: execute for effects only
+        backtraces = []
+
+    after, before = _cache_window(conf, trace)
+
+    # --- total-hit path
+    if conf.cache_read and backtraces:
+        hits = []
+        for bt in backtraces:
+            obs = _cache_get(conf, bt.key, after, before)
+            if obs is None:
+                hits = None
+                break
+            hits.append(obs)
+        if hits is not None:
+            out = []
+            for obs in hits:
+                for o in obs:
+                    o.from_cache = True
+                out.extend(obs)
+            inc("pages_fetched", len(out))
+            inc("pages_from_cache", len(out))
+            return out
+
+    # --- remote path
+    agent = Agent(conf, metrics_inc)
+    last_err: Optional[Exception] = None
+    for attempt in range(max(1, conf.fetch_retries)):
+        try:
+            out = []
+            per_key: dict[str, list] = {}
+            prefix: list[Action] = []
+            for a in trace.actions:
+                obs = agent.run_action(a)
+                if a.HAS_EXPORT or a.children().has_export:
+                    bt_key = Trace(tuple(prefix) + (a,)).key
+                    for o in obs:
+                        o.backtrace_key = bt_key
+                    per_key.setdefault(bt_key, []).extend(obs)
+                out.extend(obs)
+                if a.MAY_CHANGE_STATE:
+                    prefix.append(a)
+            ts = now_ms()
+            if conf.cache_write:
+                for key, obs in per_key.items():
+                    _cache_put(conf, key, obs, ts)
+            inc("pages_fetched", len(out))
+            inc("pages_from_remote", len(out))
+            inc("sessions_initialized")
+            return out
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            if attempt + 1 < conf.fetch_retries and conf.retry_delay_sec:
+                time.sleep(conf.retry_delay_sec)
+
+    inc("fetch_errors")
+    return [
+        ErrorObservation(
+            uri=getattr(trace.actions[0], "uri", "") if trace.actions else "",
+            error=f"{type(last_err).__name__}: {last_err}",
+            backtrace_key=trace.key,
+        )
+    ]
