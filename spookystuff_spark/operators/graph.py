@@ -1,0 +1,67 @@
+"""Graph traversal over DataFrames — the relational twin of plans/explore.py.
+
+Same iterative skeleton as ExplorePlan (ref: execution/ExplorePlan.scala:53-228)
+but the expansion is an edge-table join instead of an agent fetch — the shape a
+100 TB pipeline uses for link graphs already landed in a table.
+
+Scale: per epoch one join frontier⋈edges (broadcast when edges fit, else
+shuffle on src) + one left_anti vs visited keyed only on the node id;
+localCheckpoint every k epochs truncates the growing lineage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    depth_field: str = "depth",
+    max_depth: int = 10,
+    broadcast_edges: bool = False,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Min-depth BFS closure: returns (node, depth) for every reachable node.
+
+    ``seeds``: DataFrame with ``node_col``. Diamond paths resolve to min depth
+    (PathPlanning_Simple.scala:24-58 reducer parity).
+    """
+    frontier = seeds.select(F.col(node_col)).distinct().withColumn(
+        depth_field, F.lit(0)
+    )
+    visited = frontier
+    edge_sel = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    )
+    if broadcast_edges:
+        edge_sel = F.broadcast(edge_sel)
+
+    depth = 0
+    while depth < max_depth:
+        children = (
+            frontier.join(edge_sel, frontier[node_col] == edge_sel["__src"])
+            .select(
+                F.col("__dst").alias(node_col),
+                (F.col(depth_field) + 1).alias(depth_field),
+            )
+            .distinct()
+        )
+        frontier = children.join(
+            visited.select(node_col), on=node_col, how="left_anti"
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+        if depth % checkpoint_interval == checkpoint_interval - 1:
+            visited = visited.localCheckpoint(eager=True)
+        depth += 1
+
+    return visited.groupBy(node_col).agg(F.min(depth_field).alias(depth_field))

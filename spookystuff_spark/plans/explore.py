@@ -1,0 +1,211 @@
+"""ExplorePlan — iterative BFS graph traversal with frontier dedup.
+
+Ref parity: execution/ExplorePlan.scala:53-228 (driver do/while epochs,
+accumulator stop condition, periodic checkpoint), ExploreRunner.scala:20-319
+(per-partition best-first execution, visited commit), Explore.scala,
+dsl/PathPlanning_Simple.scala:24-78 (min-(depth, ordinal) reducers), legacy
+golden semantics module/integration/.../explore/simple/ExploreIT.scala:23-67
+(``depth int`` + ``index array<int>`` output columns, min-depth wins on
+diamonds, each node fetched once).
+
+Spark-first rebuild (GraphFrames-BFS-style, not a port of ExploreRunner):
+  * frontier & visited are DataFrames; node identity = trace key;
+  * per epoch: ``left_anti`` join vs visited (the reference's epoch-end
+    reduceByKey dedup), min-(depth, path) winner per key (PathPlanning
+    reducer, via ``min_by``), fetch via the ordinary FetchPlan (which itself
+    dedups and reads the doc cache — the reference's ExploreLocalCache role),
+    expansion in one Arrow batch stage, ``localCheckpoint`` every k epochs
+    (ref: ExplorePlan.scala:124-134);
+  * termination: empty frontier (the reference's open-set accumulator == 0)
+    or depth cap.
+
+The reference's intra-epoch opportunistic pruning (JVM-singleton
+ExploreLocalCache sharing visited across executor threads) is replaced by
+epoch-level anti-joins + the doc cache: same fixpoint, and re-discovered nodes
+cost a cache read instead of a remote fetch (SURVEY.md §7 risk note).
+
+At scale: visited is persisted MEMORY_AND_DISK and only (key, depth, path)
+joins against the frontier — user columns and observations never enter the
+anti-join shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spookystuff_spark.actions.core import Trace, as_trace_set
+from spookystuff_spark.actions.http import Wget
+from spookystuff_spark.doc.observation import Observation
+from spookystuff_spark.functions.extractors import Expr, ExtractCtx
+from spookystuff_spark.plans.fetch import (
+    KEY_COL,
+    OBS_COL,
+    TRACE_COL,
+    attach_traces,
+    execute_fetch,
+)
+
+ExpandSpec = Union[Expr, Callable]
+
+
+def explore(
+    ctx,
+    df: DataFrame,
+    spec,
+    expand: ExpandSpec = None,
+    depth_field: str = "depth",
+    range: tuple = (0, None),
+    path_field: Optional[str] = None,
+    ordinal_field: Optional[str] = None,
+    checkpoint_interval: Optional[int] = None,
+    locality: Optional[str] = None,
+) -> DataFrame:
+    """BFS from ``spec``-seeded traces, expanding via ``expand``.
+
+    ``spec``  — seed trace spec (same forms as ``fetch``).
+    ``expand`` — an extractor Expr yielding the child URIs of a fetched row
+    (e.g. ``S("a").hrefs``), or a callable ``row_dict -> TraceSpec``.
+    Output = visited rows: user columns + ``depth`` (+ optional ``path``/
+    ``ordinal``) + the fetched observations of each node.
+    """
+    if expand is None:
+        raise ValueError("explore requires an expand extractor/callable")
+    conf = ctx.conf
+    min_depth, max_depth = range
+    if max_depth is None:
+        max_depth = conf.explore_max_depth
+    if conf.preview_mode:
+        max_depth = min(max_depth, 2)  # ref: SpookyConf.previewMode
+    if checkpoint_interval is None:
+        checkpoint_interval = max(1, conf.explore_checkpoint_interval // 10)
+
+    path_col = path_field or "__path"
+    user_fields = list(df.schema.fields)
+    user_cols = [f.name for f in user_fields]
+
+    # --- seed frontier: depth 0, empty path
+    frontier = (
+        attach_traces(df, spec, conf)
+        .withColumn(depth_field, F.lit(0))
+        .withColumn(path_col, F.array().cast(ArrayType(IntegerType())))
+    )
+
+    visited: Optional[DataFrame] = None
+    visited_keys: Optional[DataFrame] = None
+    epoch = 0
+
+    # child-row schema produced by the expansion stage
+    child_schema = StructType(
+        user_fields
+        + [
+            StructField(TRACE_COL, StringType()),
+            StructField(depth_field, IntegerType()),
+            StructField(path_col, ArrayType(IntegerType())),
+        ]
+    )
+
+    def expand_children(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in child_schema.fields]
+        is_expr = isinstance(expand, Expr)
+        for pdf in batches:
+            parse_cache: dict = {}
+            rows_out = []
+            for row in pdf.to_dict("records"):
+                docs = [Observation.from_row(r) for r in (row.get(OBS_COL) or [])]
+                ectx = ExtractCtx(row, docs, parse_cache=parse_cache)
+                if is_expr:
+                    uris = expand.eval(ectx) or []
+                    traces = [Trace((Wget(u),)) for u in uris]
+                else:
+                    traces = list(as_trace_set(expand(row) or []))
+                base = {k: row.get(k) for k in user_cols}
+                prev_path = row[path_col]
+                # arrow hands arrays back as numpy arrays — no `or []` (falsy!)
+                prev_path = list(prev_path) if prev_path is not None else []
+                for i, tr in enumerate(traces):
+                    child = dict(base)
+                    child[TRACE_COL] = tr.to_json()
+                    child[depth_field] = int(row[depth_field]) + 1
+                    child[path_col] = prev_path + [i]
+                    rows_out.append(child)
+            yield pd.DataFrame(rows_out, columns=cols) if rows_out else pd.DataFrame(
+                columns=cols
+            )
+
+    while True:
+        # --- dedup: drop nodes already visited (epoch-level reduceByKey parity)
+        if visited_keys is not None:
+            frontier = frontier.join(visited_keys, on=KEY_COL, how="left_anti")
+
+        # --- PathPlanning reducer: min (depth, path) per node key
+        frontier = (
+            frontier.groupBy(KEY_COL)
+            .agg(
+                F.min_by(
+                    F.struct(*[c for c in frontier.columns if c != KEY_COL]),
+                    F.struct(F.col(depth_field), F.col(path_col)),
+                ).alias("__best")
+            )
+            .select(KEY_COL, "__best.*")
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+
+        n = frontier.count()  # the open-set accumulator (ExplorePlan.scala:164)
+        if n == 0 or epoch > max_depth:
+            break
+
+        # --- fetch the frontier (dedup shuffle + doc cache inside)
+        fetched = execute_fetch(
+            frontier, conf, locality=locality, metrics=ctx.metrics
+        ).persist()
+        fetched.count()
+
+        visited = fetched if visited is None else visited.unionByName(fetched)
+        visited_keys = visited.select(KEY_COL).distinct()
+        if epoch % checkpoint_interval == checkpoint_interval - 1:
+            visited = visited.localCheckpoint(eager=True)  # lineage truncation
+            visited_keys = visited.select(KEY_COL).distinct()
+
+        if epoch >= max_depth:
+            break  # children would exceed the cap — don't expand
+
+        # --- expansion (induction set)
+        children = fetched.mapInPandas(expand_children, child_schema)
+        frontier = children.withColumn(KEY_COL, F.sha2(F.col(TRACE_COL), 256))
+        epoch += 1
+
+    if visited is None:
+        empty = StructType(
+            user_fields
+            + [
+                StructField(KEY_COL, StringType()),
+                StructField(TRACE_COL, StringType()),
+                StructField(depth_field, IntegerType()),
+                StructField(path_col, ArrayType(IntegerType())),
+            ]
+        )
+        return ctx.spark.createDataFrame([], empty)
+
+    out = visited.filter(F.col(depth_field) >= min_depth)
+    if ordinal_field:
+        out = out.withColumn(
+            ordinal_field,
+            F.when(
+                F.size(F.col(path_col)) > 0, F.try_element_at(F.col(path_col), F.lit(-1))
+            ),
+        )
+    if not path_field:
+        out = out.drop(path_col)
+    return out

@@ -1,0 +1,212 @@
+"""FetchPlan on DataFrames — the engine's workhorse operator.
+
+Ref parity: execution/FetchPlan.scala:25-60 (1→N flatMap + LocalityGroup
+dedup shuffle + one-agent-per-group), execution/CanFetch.scala:8-83,
+dsl/DataView.scala:178-203, dsl/DataLocality.scala (locality strategies),
+dsl/DownSampling.scala:7-57.
+
+Spark-first mapping:
+  * trace construction — **JVM-native** when the trace is a template over row
+    columns (``Wget("file:///{path}")``): the trace JSON is built with
+    ``to_json(struct(...))`` + ``format_string`` and the dedup key with
+    ``sha2`` — zero Python in the hot path, fully codegen'd. Arbitrary Python
+    ``row → TraceSet`` functions fall back to one Arrow-batched ``mapInPandas``.
+  * fetch dedup — ``groupBy(__trace_key)`` (locality "wide": exactly the
+    reference's reduceByKey shuffle, but Tungsten-native) or per-partition
+    dict dedup ("narrow": map-side only, no exchange) or none ("passthrough").
+  * agent execution — one ``applyInPandas``/``mapInPandas`` stage; one
+    ``fetch_trace`` per unique trace per group; observations attach to every
+    row of the group (the reference's SquashedRow semantics, columnar).
+
+At 100 TB: the groupBy shuffles only (user columns + one 32-char key + one
+trace JSON string) — documents are fetched *after* the exchange and never
+shuffled; blobs above the conf cap offload to DFS paths. Disable speculative
+execution for fetch stages is unnecessary — the doc cache makes re-execution
+idempotent (ref invariant ITBaseSpec.scala:79-96).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Iterator, Optional, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType, StructField, StructType
+
+from spookystuff_spark.actions.core import (
+    Action,
+    Trace,
+    TraceSet,
+    as_trace_set,
+    trace_from_json,
+)
+from spookystuff_spark.actions.runtime import fetch_trace
+from spookystuff_spark.conf import SpookyConf
+from spookystuff_spark.doc.observation import OBS_ARRAY_SCHEMA
+
+TRACE_COL = "__trace"
+KEY_COL = "__trace_key"
+OBS_COL = "__obs"
+
+_TEMPLATE_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+TraceSpec = Union[Action, Trace, TraceSet, list, Callable]
+
+
+def _uri_template_expr(template: str):
+    """``"file:///{path}/x"`` → format_string('file:///%s/x', col(path))."""
+    cols = _TEMPLATE_RE.findall(template)
+    fmt = _TEMPLATE_RE.sub("%s", template).replace("%%", "%%%%")
+    if not cols:
+        return F.lit(template)
+    return F.format_string(fmt, *[F.col(c) for c in cols])
+
+
+def _native_trace_json(spec) -> Optional[object]:
+    """Native (no-Python) trace-JSON column for simple Wget/template specs.
+
+    Field order inside the struct MUST be alphabetical to byte-match
+    ``Action.to_json`` (sort_keys=True) so cache keys and dedup keys align.
+    """
+    from spookystuff_spark.actions.http import Wget
+
+    if isinstance(spec, Action):
+        spec = Trace((spec,))
+    if isinstance(spec, Trace) and all(isinstance(a, Wget) for a in spec.actions):
+        entries = [
+            F.struct(
+                F.lit(type(a).__name__).alias("#"),
+                _uri_template_expr(a.uri).alias("uri"),
+            )
+            for a in spec.actions
+        ]
+        return F.to_json(F.array(*entries))
+    return None
+
+
+def _normalize(spec_result) -> TraceSet:
+    return as_trace_set(spec_result)
+
+
+def _sampler(downsampling):
+    """Per-group row sampler (ref: dsl/DownSampling.scala:7-57)."""
+    if downsampling is None:
+        return lambda pdf: pdf
+    kind = downsampling[0]
+    if kind == "first_n":
+        n = downsampling[1]
+        return lambda pdf: pdf.head(n)
+    if kind == "by_ratio":
+        p = downsampling[1]
+        return lambda pdf: pdf.sample(frac=p, random_state=42) if len(pdf) else pdf
+    if kind == "to_size":
+        n = downsampling[1]
+        return lambda pdf: pdf.sample(n=min(n, len(pdf)), random_state=42) if len(pdf) else pdf
+    raise ValueError(f"unknown downsampling {downsampling!r}")
+
+
+def attach_traces(
+    df: DataFrame, spec: TraceSpec, conf: SpookyConf
+) -> DataFrame:
+    """1→N flatMap adding TRACE_COL + KEY_COL (ref: FetchPlan flatMap side)."""
+    native = _native_trace_json(spec) if not callable(spec) else None
+    if native is not None:
+        out = df.withColumn(TRACE_COL, native)
+    else:
+        spec_fn = spec if callable(spec) else (lambda row, _s=spec: _s)
+        fields = df.schema.fields
+        out_schema = StructType(list(fields) + [StructField(TRACE_COL, StringType())])
+
+        def emit(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            for pdf in batches:
+                rows_out = []
+                for row in pdf.to_dict("records"):
+                    for trace in _normalize(spec_fn(row)):
+                        rows_out.append({**row, TRACE_COL: trace.to_json()})
+                yield pd.DataFrame(
+                    rows_out, columns=[f.name for f in fields] + [TRACE_COL]
+                ) if rows_out else pd.DataFrame(
+                    columns=[f.name for f in fields] + [TRACE_COL]
+                )
+
+        out = df.mapInPandas(emit, out_schema)
+    return out.withColumn(KEY_COL, F.sha2(F.col(TRACE_COL), 256))
+
+
+def execute_fetch(
+    df_with_traces: DataFrame,
+    conf: SpookyConf,
+    locality: Optional[str] = None,
+    downsampling=None,
+    metrics=None,
+) -> DataFrame:
+    """Dedup-shuffle + agent execution, appending OBS_COL."""
+    locality = locality or conf.default_locality
+    sample = _sampler(downsampling)
+    out_schema = StructType(
+        list(df_with_traces.schema.fields) + [StructField(OBS_COL, OBS_ARRAY_SCHEMA)]
+    )
+    conf_copy = conf  # SpookyConf is a plain dataclass → pickles into closure
+    acc = metrics._acc if metrics is not None else None
+
+    def inc(name: str, n: int = 1) -> None:
+        if acc is not None and name in acc:
+            acc[name].add(n)
+
+    def run_one(trace_json: str) -> list[dict]:
+        obs = fetch_trace(trace_from_json(trace_json), conf_copy, inc)
+        return [o.to_row() for o in obs]
+
+    def run_group(pdf):
+        pdf = sample(pdf)
+        if not len(pdf):
+            return pdf.assign(**{OBS_COL: []})
+        obs_rows = run_one(pdf[TRACE_COL].iloc[0])
+        return pdf.assign(**{OBS_COL: [obs_rows] * len(pdf)})
+
+    if locality == "wide":
+        # THE dedup shuffle (ref: FetchPlan.scala:44-49 gpImpl.groupByKey)
+        return df_with_traces.groupBy(KEY_COL).applyInPandas(
+            lambda pdf: run_group(pdf), out_schema
+        )
+
+    dedup = locality != "passthrough"
+
+    def run_partition(batches: Iterator) -> Iterator:
+        local: dict[str, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = sample(pdf)
+            obs_col = []
+            for tj in pdf[TRACE_COL]:
+                if dedup and tj in local:
+                    obs_col.append(local[tj])
+                else:
+                    rows = run_one(tj)
+                    if dedup:
+                        local[tj] = rows
+                    obs_col.append(rows)
+            yield pdf.assign(**{OBS_COL: obs_col})
+
+    return df_with_traces.mapInPandas(run_partition, out_schema)
+
+
+def fetch(
+    df: DataFrame,
+    spec: TraceSpec,
+    conf: SpookyConf,
+    locality: Optional[str] = None,
+    downsampling=None,
+    metrics=None,
+) -> DataFrame:
+    return execute_fetch(
+        attach_traces(df, spec, conf),
+        conf,
+        locality=locality,
+        downsampling=downsampling,
+        metrics=metrics,
+    )

@@ -1,6 +1,75 @@
-"""Queries exercising the engine's own operators (explore BFS, near-dup LSH,
-fetch) rather than plain relational algebra. Registered incrementally as the
-operators land; non-SQL-expressible ones omit the oracle (rows-only check).
+"""Queries exercising the engine's own operators (explore BFS, fetch over
+file://, doc selectors) against the driver corpus. SQL-expressible ones carry
+an oracle; agent-side ones (directory fetch) are rows-only.
 """
 
 from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.queries import query
+from spookystuff_spark.tables import table
+
+
+@query(
+    "q_explore_hierarchy_bfs",
+    oracle="""
+    SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS node, 0 AS depth FROM region
+    UNION ALL
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR), 1 FROM nation
+    UNION ALL
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 2 FROM customer
+    """,
+)
+def q_explore_hierarchy_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS closure over the region→nation→customer hierarchy using the
+    engine's iterative traversal loop (plans/explore.py skeleton). The oracle
+    is the closed-form of the same closure — verifying min-depth BFS semantics
+    relationally."""
+    from spookystuff_spark.operators.graph import bfs
+
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    customer = table(spark, sf_dir, "customer")
+
+    e1 = nation.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = customer.select(
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    seeds = region.select(
+        F.concat(F.lit("region:"), F.col("r_regionkey").cast("string")).alias("node")
+    )
+    return bfs(edges, seeds, max_depth=4).select(
+        "node", F.col("depth").cast("int").alias("depth")
+    )
+
+
+@query("q_fetch_dir_listing")  # rows-only: agent fetch isn't SQL-expressible
+def q_fetch_dir_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end agent path inside the driver gate: fetch the sf_dir directory
+    listing via the file:// resolver, extract entries with the Node selector
+    API (ref: Wget directory semantics, CompoundResolver.scala:39-90)."""
+    from spookystuff_spark.actions import Wget
+    from spookystuff_spark.context import SpookyContext
+    from spookystuff_spark.functions.extractors import S
+
+    sctx = SpookyContext(spark)
+    dv = sctx.create(spark.createDataFrame([{"root": f"file://{sf_dir}"}]))
+    return (
+        dv.fetch(Wget("{root}"))
+        .select(
+            n_entries=S("a").size,
+            parquet_files=S('a[href$=".parquet"]').hrefs,
+        )
+        .to_df()
+        .select(
+            "n_entries",
+            F.size("parquet_files").alias("n_parquet"),
+        )
+    )
