@@ -1,0 +1,84 @@
+"""Text analysis for training-data pipelines: language-ID heuristic, quality
+scoring, tokenization, fingerprinting.
+
+Everything here is expressible with native Catalyst functions (regexp_count,
+lower, md5, length) — no Python in the per-row path; the column builders
+return Spark Columns so they compose into any query and whole-stage-codegen at
+100 TB. The same formulas are mirrored in SQL by the oracle queries.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword markers (word-boundary regexes). Deliberately
+# minimal & deterministic — a heuristic signal, not a model.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|und|die|das|ist)\b",
+    "fr": r"\b(le|la|et|les|est)\b",
+    "es": r"\b(el|de la|los|es|y)\b",
+}
+
+TOKEN_RE = r"\S+"
+# BPE-ish word/punct splitter: words, numbers, or single punctuation marks
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    return {
+        lang: F.regexp_count(low, F.lit(pattern))
+        for lang, pattern in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker hits; deterministic tie-break by language code order;
+    'und' (undetermined) when nothing matches."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # deterministic tie-break: alphabetical
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + punctuation sanity + stopword
+    presence + mean word length sanity (the classic cheap pretraining filters)."""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    punct = F.regexp_count(text, F.lit(r"[.,;:!?]"))
+    stop_hits = F.regexp_count(
+        F.lower(text), F.lit(r"\b(the|and|of|to|is|a|in)\b")
+    )
+    mean_word_len = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    punct_ok = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.0)
+    stop_ok = F.when(
+        stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)) >= 0.01, 1.0
+    ).otherwise(0.0)
+    word_ok = F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + stop_ok + word_ok) / 4 + F.lit(1e-6), 2)
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical content fingerprint: md5 of lowercased, whitespace-collapsed
+    text — the exact-dedup key robust to formatting noise."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)

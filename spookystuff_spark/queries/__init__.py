@@ -41,6 +41,7 @@ def load_all_query_modules() -> None:
     from spookystuff_spark.queries import (  # noqa: F401
         engine,
         events,
+        llm_ops,
         relational,
         similarity,
         text,

@@ -1,0 +1,218 @@
+"""LLM-training-pipeline queries: language-ID, quality scoring, fingerprints,
+token stats (SQL-oracled), and MinHash/SimHash/ANN operators (rows-only:
+signature math isn't SQL-expressible; their correctness is pinned by pytest
+recall/planted-duplicate tests instead — see tests/test_llm_ops.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.operators.text import (
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from spookystuff_spark.queries import query
+from spookystuff_spark.tables import table
+
+_LANG_SCORE_SQL = """
+      length(regexp_extract_all(lower(text), '\\b(der|und|die|das|ist)\\b')) AS s_de,
+      length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b'))   AS s_en,
+      length(regexp_extract_all(lower(text), '\\b(el|de la|los|es|y)\\b'))  AS s_es,
+      length(regexp_extract_all(lower(text), '\\b(le|la|et|les|est)\\b'))   AS s_fr
+"""
+
+
+@query(
+    "q_lang_id_heuristic",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM documents)
+    SELECT lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS detected_lang,
+           count(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (confusion matrix vs the labeled lang) —
+    all regexp_count, fully codegen'd."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("detected_lang"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS stop_hits
+      FROM documents)
+    SELECT doc_id,
+           round(1e-6 + (
+             (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(stop_hits AS DOUBLE)/greatest(n_tokens,1) >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(n_chars AS DOUBLE)/greatest(n_tokens,1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END)
+           ) / 4, 2) AS quality
+    FROM f
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint groupBy — formatting-robust exact dedup."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+@query(
+    "q_token_freq_topk",
+    oracle="""
+    SELECT tok, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+    ) GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+)
+def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: explode tokens → count → deterministic top-20."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"(\S+)"), 1)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish tokenizer counts side by side."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@query(
+    "q_binary_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS blob_sha
+    FROM documents
+    """,
+)
+def q_binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing parity: utf-8 blob length + sha256 (the same
+    path operators/multimodal.py uses for media blobs)."""
+    docs = table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("blob_sha"),
+    )
+
+
+# ----------------------------------------------------- rows-only (non-SQL ops)
+
+
+@query("q_dedup_minhash")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs at jaccard ≥ 0.8 (seed-fixed, deterministic).
+
+    8-row bands: band-collision probability j^8, so same-domain corpora (high
+    baseline shingle overlap) don't explode the candidate set — at sf0.1 this
+    is the difference between ~2s and ~2min."""
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.8, n_hashes=128, bands=16
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 8 over 64-bit signatures."""
+    from spookystuff_spark.operators.dedup import simhash_near_duplicates
+
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+@query("q_ann_lsh_topk")
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 neighbors (bucketed candidate pruning
+    + exact cosine re-rank); recall vs brute force pinned in pytest."""
+    from spookystuff_spark.operators.similarity import lsh_topk_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_planes=8)
+
+
+@query("q_multimodal_meta")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-blob metadata extraction over synthetic binary columns (utf-8
+    doc payloads standing in for media bytes) — real byte-level features."""
+    from spookystuff_spark.operators.multimodal import extract_media_meta
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media")
+    )
+    out = extract_media_meta(docs, "media")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.entropy").alias("entropy"),
+        F.col("meta.media_type").alias("media_type"),
+    )

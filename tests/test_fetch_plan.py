@@ -99,7 +99,11 @@ def test_warm_cache_zero_remote(spark, site, tmp_path):
 
     mem_cache.clear()
     sctx = SpookyContext(spark, SpookyConf(dfs_cache_root=str(tmp_path / "dfs")))
-    df = spark.createDataFrame([{"page": "a.html"}])
+    # a test-unique page: worker-side memory caches persist across tests, so a
+    # shared fixture URI could already be warm in some worker
+    (tmp_path / "warm.html").write_text("<html><title>W</title></html>")
+    site = tmp_path
+    df = spark.createDataFrame([{"page": "warm.html"}])
     sctx.create(df).fetch(Wget(f"file://{site}/{{page}}")).execute()
     before = sctx.metrics.snapshot()["pages_from_remote"]
     assert before == 1

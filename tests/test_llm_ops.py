@@ -1,0 +1,164 @@
+"""LLM-pipeline operator tests: planted near-duplicates for MinHash/SimHash,
+ANN recall vs brute force, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and every good boy deserves fudge today"
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("fudge", "candy")},  # near-dup of 0
+        {"doc_id": 2, "text": base},  # exact dup of 0
+        {"doc_id": 3, "text": "completely different content about spark sql engines"},
+        {"doc_id": 4, "text": "unrelated text mentioning neither foxes nor rain"},
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_planted_dups(docs_with_dups):
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in minhash_near_duplicates(
+            docs_with_dups, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pairs[(0, 2)] == 1.0  # exact dup
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8  # near dup
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs)  # no false positives
+
+
+def test_minhash_deterministic(docs_with_dups):
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+
+    a = sorted(map(tuple, minhash_near_duplicates(docs_with_dups, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_near_duplicates(docs_with_dups, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_finds_planted_dups(docs_with_dups):
+    from spookystuff_spark.operators.dedup import simhash_near_duplicates
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_duplicates(
+            docs_with_dups, "doc_id", "text", max_hamming=6
+        ).collect()
+    }
+    assert pairs[(0, 2)] == 0  # identical text → identical signature
+    assert (0, 1) in pairs  # one-word change → small hamming distance
+    assert (0, 3) not in pairs and (0, 4) not in pairs
+
+
+def test_jaccard_function():
+    from spookystuff_spark.operators.dedup import jaccard
+
+    assert jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert 0.0 < jaccard("abcdefghij", "abcdefgxyz") < 1.0
+    assert jaccard("", "") == 0.0
+
+
+@pytest.fixture(scope="module")
+def clustered_embeddings(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.standard_normal(16) * 3
+        for _ in range(10):
+            v = center + rng.standard_normal(16) * 0.1
+            rows.append({"vec_id": vid, "embedding": [float(x) for x in v]})
+            vid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_ann_lsh_recall_vs_bruteforce(clustered_embeddings, spark):
+    """LSH top-k must recover most true neighbors on well-separated clusters."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spookystuff_spark.operators.similarity import lsh_topk_pairs
+    from spookystuff_spark.queries.similarity import cosine
+
+    emb = clustered_embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    brute = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("ev")), 4).alias("cs"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    truth = {(r.qid, r.vec_id) for r in brute.collect()}
+    approx = {
+        (r.qid, r.vec_id)
+        for r in lsh_topk_pairs(
+            clustered_embeddings, "vec_id", "embedding", dim=16, k=3, n_planes=6
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"ANN recall too low: {recall}"
+
+
+def test_multimodal_meta_and_frames(spark):
+    from spookystuff_spark.operators.multimodal import (
+        decode_image,
+        extract_media_meta,
+        frame_sample,
+    )
+
+    rows = [
+        {"mid": 0, "media": b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 8},
+        {"mid": 1, "media": b"ID3\x04" + b"\x00" * 100},
+        {"mid": 2, "media": b"plain bytes"},
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.mid: r for r in extract_media_meta(df, "media").collect()}
+    assert out[0].meta.media_type == "image"
+    assert out[0].meta.mime == "image/png"
+    assert out[1].meta.media_type == "audio"
+    assert out[2].meta.media_type == "unknown"
+    assert out[0].meta.entropy > out[1].meta.entropy  # uniform bytes > zeros
+    assert len(out[0].meta.sha256) == 64
+
+    frames = frame_sample(df, "media", every_n=1).collect()
+    assert {r.mid for r in frames} == {0, 1, 2}
+    f0 = [r for r in frames if r.mid == 0]
+    assert len(f0) == 2  # 2048-byte payload → 2 KiB-chunk frames
+    assert all(len(r.frame_sig) == 16 for r in frames)
+
+    with pytest.raises(NotImplementedError, match="decode_image"):
+        decode_image(df, "media")
+
+
+def test_lang_id_column(spark):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.text import lang_id
+
+    rows = [
+        {"t": "the cat and the dog of the house is to be"},
+        {"t": "der hund und die katze das ist gut und der rest"},
+        {"t": "le chat et la maison les arbres est grand et la"},
+        {"t": "xyzzy plugh 12345"},
+    ]
+    out = [r.l for r in spark.createDataFrame(rows).select(lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "fr", "und"]
