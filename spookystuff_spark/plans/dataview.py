@@ -127,6 +127,19 @@ class DataView:
     def with_column(self, name: str, col) -> "DataView":
         return self._with(self.df.withColumn(name, col))
 
+    def with_columns_merged(self, policy: str = "error", **cols) -> "DataView":
+        """Record-merge with linq conflict policies (ref: linq/Rec.scala:72-120;
+        error ≡ +!+, prefer_right ≡ +<+/++, prefer_left ≡ +>+)."""
+        from spookystuff_spark.functions.merge import with_columns_merged
+
+        return self._with(with_columns_merged(self.df, policy, **cols))
+
+    def explode_field(self, col: str, out_col: str = None) -> "DataView":
+        """linq RowFunctions.explode parity: unnest an array column."""
+        from spookystuff_spark.functions.merge import explode_field
+
+        return self._with(explode_field(self.df, col, out_col))
+
     def drop(self, *cols: str) -> "DataView":
         return self._with(self.df.drop(*cols))
 

@@ -43,6 +43,7 @@ def load_all_query_modules() -> None:
         events,
         llm_ops,
         relational,
+        relational2,
         similarity,
         text,
     )

@@ -1,0 +1,84 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming operators (SURVEY.md §2.8 — explore is
+batch-iterative); this module is rebuild-native: the same sessionization /
+windowed-aggregation logic as the batch queries, expressed once and runnable
+both ways (Spark's unified batch/streaming semantics make the batch run the
+correctness oracle for the streaming run — pinned in tests/test_streaming.py).
+
+Scale notes: watermark bounds state store growth; session_window merges are
+keyed on (user_id) so state partitioning follows the shuffle; file sources at
+100 TB should set maxFilesPerTrigger for back-pressure.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+SESSION_GAP = "30 minutes"
+WATERMARK = "1 hour"
+
+
+def sessionized(events: DataFrame, gap: str = SESSION_GAP, watermark: Optional[str] = None) -> DataFrame:
+    """Gap-based sessions via ``session_window`` — one expression, batch or
+    stream. Returns (user_id, session_start, session_end, n_events, total_value)."""
+    src = events
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-6), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def hourly_counts(events: DataFrame, watermark: Optional[str] = None) -> DataFrame:
+    """Tumbling 1-hour windowed counts (late data handled by watermark)."""
+    src = events
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n_events"
+        )
+    )
+
+
+def stream_events_from_dir(
+    spark: SparkSession, dir_path: str, schema, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over parquet drops (the standard landing-zone setup)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(dir_path)
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+):
+    """Drive a streaming query into an in-memory sink (test/debug harness)."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
