@@ -171,6 +171,13 @@ class DataView:
             cols = sorted(cols)
         return self.df.select(*cols)
 
+    def save_docs(self, root: str, errors_only: bool = False) -> DataFrame:
+        """Persist fetched doc payloads to ``root`` (Trajectory.save parity;
+        ``errors_only`` = the reference's error-dump). Returns the manifest."""
+        from spookystuff_spark.plans.save import save_docs
+
+        return save_docs(self.df, root, errors_only=errors_only)
+
     def docs_df(self) -> DataFrame:
         """Exploded observation table: one row per fetched doc."""
         return (
