@@ -241,6 +241,50 @@ def C(col: str, dtype: DataType = StringType()) -> Expr:
     return Expr(lambda ctx: ctx.row.get(col), dtype)
 
 
+class _Trajectory:
+    """Row-level view of the fetched docs (ref: row/AgentContext.scala:41-147:
+    ``.docs``, ``.succeeded``, ``.failed``, ``.only``, ``.head``)."""
+
+    @property
+    def n_docs(self) -> Expr:
+        return Expr(lambda c: len(c.docs), IntegerType())
+
+    @property
+    def n_succeeded(self) -> Expr:
+        return Expr(lambda c: sum(1 for o in c.docs if o.success), IntegerType())
+
+    @property
+    def n_failed(self) -> Expr:
+        return Expr(lambda c: sum(1 for o in c.docs if not o.success), IntegerType())
+
+    @property
+    def uris(self) -> Expr:
+        return Expr(
+            lambda c: [o.uri for o in c.docs if o.success], ArrayType(StringType())
+        )
+
+    @property
+    def names(self) -> Expr:
+        return Expr(
+            lambda c: [o.name for o in c.docs if o.name], ArrayType(StringType())
+        )
+
+    @property
+    def errors(self) -> Expr:
+        return Expr(
+            lambda c: [o.error for o in c.docs if o.error], ArrayType(StringType())
+        )
+
+    @property
+    def statuses(self) -> Expr:
+        return Expr(
+            lambda c: [o.status for o in c.docs], ArrayType(IntegerType())
+        )
+
+
+T = _Trajectory()
+
+
 def udf_expr(fn: Callable[[ExtractCtx], Any], dtype: DataType) -> Expr:
     """Escape hatch: arbitrary Python over the row context, with declared type."""
     return Expr(fn, dtype)

@@ -46,11 +46,13 @@ class DataView:
         spec,
         locality: Optional[str] = None,
         downsampling=None,
+        keyby=None,
     ) -> "DataView":
         """1→N fetch with trace-dedup (ref: DataView.fetch:178-203).
 
         ``spec``: Action/Trace (uri templates ``{col}`` interpolate row
         columns, JVM-side), TraceSet, or ``row_dict -> TraceSpec`` callable.
+        ``keyby``: optional ``Trace -> Any`` locality-group key override.
         """
         conf = self.ctx.conf
         if conf.preview_mode and downsampling is None:
@@ -62,8 +64,22 @@ class DataView:
             locality=locality,
             downsampling=downsampling,
             metrics=self.ctx.metrics,
+            keyby=keyby,
         )
         return self._with(out)
+
+    def rescope_by_distinct_names(self) -> "DataView":
+        """Pagination stitching (ref: AgentRow.rescope.byDistinctNames)."""
+        return self._with(fetch_mod.rescope_by_distinct_names(self.df))
+
+    def to_json_df(self) -> DataFrame:
+        """JSON-string exit (ref: DataView.asJSONDataset)."""
+        import pyspark.sql.functions as F2
+
+        clean = self.to_df()
+        return clean.select(
+            F2.to_json(F2.struct(*[F2.col(c) for c in clean.columns])).alias("json")
+        )
 
     # ------------------------------------------------------------ extract
     def select(self, **extractors) -> "DataView":

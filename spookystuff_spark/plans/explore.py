@@ -123,7 +123,11 @@ def explore(
             parse_cache: dict = {}
             rows_out = []
             for row in pdf.to_dict("records"):
-                docs = [Observation.from_row(r) for r in (row.get(OBS_COL) or [])]
+                obs_raw = row.get(OBS_COL)  # numpy array — never `or []`
+                docs = [
+                    Observation.from_row(r)
+                    for r in (list(obs_raw) if obs_raw is not None else [])
+                ]
                 ectx = ExtractCtx(row, docs, parse_cache=parse_cache)
                 if is_expr:
                     uris = expand.eval(ectx) or []

@@ -107,9 +107,12 @@ def _sampler(downsampling):
 
 
 def attach_traces(
-    df: DataFrame, spec: TraceSpec, conf: SpookyConf
+    df: DataFrame, spec: TraceSpec, conf: SpookyConf, keyby: Optional[Callable] = None
 ) -> DataFrame:
-    """1→N flatMap adding TRACE_COL + KEY_COL (ref: FetchPlan flatMap side)."""
+    """1→N flatMap adding TRACE_COL + KEY_COL (ref: FetchPlan flatMap side).
+
+    ``keyby`` (ref: FetchPlan ``keyBy: Trace => Any``) overrides the locality
+    group key — rows whose traces map to the same key share one agent run."""
     native = _native_trace_json(spec) if not callable(spec) else None
     if native is not None:
         out = df.withColumn(TRACE_COL, native)
@@ -133,7 +136,25 @@ def attach_traces(
                 )
 
         out = df.mapInPandas(emit, out_schema)
-    return out.withColumn(KEY_COL, F.sha2(F.col(TRACE_COL), 256))
+    if keyby is None:
+        return out.withColumn(KEY_COL, F.sha2(F.col(TRACE_COL), 256))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def key_of(traces):  # type: ignore[misc]
+        import hashlib
+
+        import pandas as pd
+
+        return pd.Series(
+            [
+                hashlib.sha256(repr(keyby(trace_from_json(t))).encode()).hexdigest()
+                for t in traces
+            ]
+        )
+
+    return out.withColumn(KEY_COL, key_of(F.col(TRACE_COL)))
 
 
 def execute_fetch(
@@ -202,11 +223,57 @@ def fetch(
     locality: Optional[str] = None,
     downsampling=None,
     metrics=None,
+    keyby: Optional[Callable] = None,
 ) -> DataFrame:
     return execute_fetch(
-        attach_traces(df, spec, conf),
+        attach_traces(df, spec, conf, keyby=keyby),
         conf,
         locality=locality,
         downsampling=downsampling,
         metrics=metrics,
     )
+
+
+def rescope_by_distinct_names(df: DataFrame) -> DataFrame:
+    """Re-segment each row's observations into per-name scopes — pagination
+    stitching (ref: row/AgentRow.scala:85-120 rescope.byDistinctNames): a new
+    segment starts whenever an export name repeats; emits one row per segment
+    with ``__segment`` index and that segment's obs slice."""
+    from pyspark.sql.types import IntegerType
+
+    fields = [f for f in df.schema.fields if f.name != "__segment"]
+    out_schema = StructType(list(fields) + [StructField("__segment", IntegerType())])
+    names = [f.name for f in fields]
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows_out = []
+            for row in pdf.to_dict("records"):
+                obs_raw = row.get(OBS_COL)
+                obs = list(obs_raw) if obs_raw is not None else []
+                segments: list[list] = [[]]
+                seen: set = set()
+                for o in obs:
+                    d = dict(o)
+                    name = d.get("name")
+                    if name in seen:
+                        segments.append([])
+                        seen = set()
+                    if name is not None:
+                        seen.add(name)
+                    segments[-1].append(d)
+                for i, seg in enumerate(segments):
+                    if not seg and i > 0:
+                        continue
+                    out = {k: row.get(k) for k in names}
+                    out[OBS_COL] = seg
+                    out["__segment"] = i
+                    rows_out.append(out)
+            cols = names + ["__segment"]
+            yield pd.DataFrame(rows_out, columns=cols) if rows_out else pd.DataFrame(
+                columns=cols
+            )
+
+    return df.mapInPandas(run, out_schema)

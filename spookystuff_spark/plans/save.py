@@ -61,7 +61,9 @@ def save_docs(
         for pdf in batches:
             rows = []
             for obs_list in pdf[OBS_COL]:
-                for o in obs_list or []:
+                if obs_list is None:
+                    continue
+                for o in obs_list:
                     d = dict(o)
                     failed = not d.get("success")
                     if errors_only and not failed:

@@ -28,7 +28,8 @@ SCOPE_MIME_COL = "__scope_mime"
 
 
 def _ctx_for(row: dict, parse_cache: dict) -> ExtractCtx:
-    obs_rows = row.get(OBS_COL) or []
+    obs_raw = row.get(OBS_COL)  # numpy array from Arrow — never `or []` it
+    obs_rows = list(obs_raw) if obs_raw is not None else []
     docs = [Observation.from_row(r) for r in obs_rows]
     scope = None
     frag = row.get(SCOPE_COL)

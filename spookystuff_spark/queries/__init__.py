@@ -46,4 +46,5 @@ def load_all_query_modules() -> None:
         relational2,
         similarity,
         text,
+        tpch_more,
     )
