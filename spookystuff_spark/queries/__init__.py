@@ -44,6 +44,7 @@ def load_all_query_modules() -> None:
         llm_ops,
         relational,
         relational2,
+        sessions,
         similarity,
         text,
         tpch_more,
