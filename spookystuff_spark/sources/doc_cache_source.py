@@ -1,0 +1,93 @@
+"""The DFS doc cache as a queryable DataFrame source — audit/analytics over
+everything the agents ever fetched (ref: the auditing paths of
+conf/SpookyConf.scala:38-50; the reference has no query surface over its cache,
+this is rebuild-native).
+
+Reads the ``{root}/{shard}/{key}/{ts}.json.gz`` layout written by
+caching/dfs.py in one distributed pass (binaryFiles → parse per partition).
+Scale path: the same data as a Delta/parquet doc table; this reader exists so
+local/DFS cache dirs are directly explorable without a migration.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CACHE_ENTRY_SCHEMA = StructType(
+    [
+        StructField("trace_key", StringType()),
+        StructField("fetch_ts_ms", LongType()),
+        StructField("uri", StringType()),
+        StructField("name", StringType()),
+        StructField("mime", StringType()),
+        StructField("status", IntegerType()),
+        StructField("success", BooleanType()),
+        StructField("n_bytes", LongType()),
+        StructField("error", StringType()),
+        StructField("path", StringType()),
+    ]
+)
+
+
+def read_doc_cache(
+    spark: SparkSession, root: str, latest_only: bool = False
+) -> DataFrame:
+    """One row per cached observation (payload sizes, not payloads)."""
+    paths = []
+    for shard in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        shard_dir = os.path.join(root, shard)
+        if not os.path.isdir(shard_dir):
+            continue
+        for key in os.listdir(shard_dir):
+            key_dir = os.path.join(shard_dir, key)
+            files = [
+                f for f in os.listdir(key_dir) if f.endswith(".json.gz")
+            ]
+            if latest_only and files:
+                files = [max(files, key=lambda f: int(f.split(".")[0]))]
+            paths.extend(os.path.join(key_dir, f) for f in files)
+
+    if not paths:
+        return spark.createDataFrame([], CACHE_ENTRY_SCHEMA)
+
+    def parse(it: Iterator[str]) -> Iterator[tuple]:
+        for p in it:
+            key = os.path.basename(os.path.dirname(p))
+            ts = int(os.path.basename(p).split(".")[0])
+            try:
+                with gzip.open(p, "rb") as f:
+                    entries = json.loads(f.read())
+            except (OSError, ValueError):
+                continue
+            for d in entries:
+                content = d.get("content")
+                yield (
+                    key,
+                    ts,
+                    d.get("uri"),
+                    d.get("name"),
+                    d.get("mime"),
+                    d.get("status"),
+                    bool(d.get("success")),
+                    len(content) // 2 if content else 0,  # hex-encoded
+                    d.get("error"),
+                    p,
+                )
+
+    rdd = spark.sparkContext.parallelize(
+        paths, max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    ).mapPartitions(parse)
+    return spark.createDataFrame(rdd, CACHE_ENTRY_SCHEMA)
