@@ -106,3 +106,33 @@ def test_diamond_min_depth_and_single_fetch(sctx, spark, diamond):
     assert pages["b.html"].ordinal == 1
     m = sctx.metrics.snapshot()
     assert m["pages_from_remote"] == 4  # no redundant fetch on the diamond
+
+
+def test_epoch_batched_explore_matches_default(sctx, spark, tree, diamond):
+    """epoch_depths>1 (local multi-level walk) must produce identical visited
+    sets/depths as the default one-shuffle-per-depth mode."""
+    dv = sctx.create(spark.createDataFrame([{"root": f"file://{tree}"}]))
+    base = dv.explore(Wget("{root}"), expand=S("a.dir").hrefs, range=(0, 3))
+    batched = dv.explore(
+        Wget("{root}"), expand=S("a.dir").hrefs, range=(0, 3), epoch_depths=3
+    )
+
+    def canon(df):
+        return sorted(
+            (r.uri.rsplit("/", 1)[-1], r.depth)
+            for r in df.select(uri=S.uri).to_df().collect()
+        )
+
+    assert canon(batched) == canon(base)
+
+    dv2 = sctx.create(
+        spark.createDataFrame([{"seed": f"file://{diamond}/index.html"}])
+    )
+    batched2 = dv2.explore(
+        Wget("{seed}"), expand=S("a").hrefs, range=(0, 5), epoch_depths=4
+    )
+    got = {
+        r.uri.rsplit("/", 1)[-1]: r.depth
+        for r in batched2.select(uri=S.uri).to_df().collect()
+    }
+    assert got == {"index.html": 0, "a.html": 1, "b.html": 1, "c.html": 2}

@@ -162,3 +162,40 @@ def test_lang_id_column(spark):
     ]
     out = [r.l for r in spark.createDataFrame(rows).select(lang_id(F.col("t")).alias("l")).collect()]
     assert out == ["en", "de", "fr", "und"]
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salted two-phase aggregation must equal the plain groupBy result."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.skew import salted_agg
+    from tests.conftest import SF_SMOKE
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        sums=["l_quantity"],
+        counts=True,
+        mins=["l_shipdate"],
+        maxs=["l_extendedprice"],
+        avgs=["l_discount"],
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("min_l_shipdate"),
+        F.max("l_extendedprice").alias("max_l_extendedprice"),
+        F.avg("l_discount").alias("avg_l_discount"),
+    )
+    cols = ["l_returnflag", "sum_l_quantity", "n_rows", "min_l_shipdate",
+            "max_l_extendedprice", "avg_l_discount"]
+    s = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in salted.collect()
+    )
+    p = sorted(
+        tuple(round(v, 6) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in plain.collect()
+    )
+    assert s == p
