@@ -39,6 +39,7 @@ def query(name: str, oracle: Optional[str] = None):
 def load_all_query_modules() -> None:
     # import for side effect: each module registers its queries
     from spookystuff_spark.queries import (  # noqa: F401
+        dedup_more,
         engine,
         events,
         llm_ops,
