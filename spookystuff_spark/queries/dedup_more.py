@@ -70,14 +70,16 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_neardup_embedding")
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ 0.95) within LSH buckets —
-    the semantic-dedup modality; deterministic via seed-fixed hyperplanes."""
+    """Embedding-cosine near-dup pairs within LSH buckets — the semantic-dedup
+    modality; deterministic via seed-fixed hyperplanes. Production threshold
+    would be ~0.95; the driver's synthetic embeddings max out at cos≈0.51, so
+    the demo threshold is 0.4 to exercise the full pipeline non-trivially."""
     from spookystuff_spark.operators.similarity import lsh_topk_pairs
 
     emb = table(spark, sf_dir, "embeddings")
     pairs = lsh_topk_pairs(emb, "vec_id", "embedding", dim=64, k=10, n_planes=6)
     return (
-        pairs.filter((F.col("cos_sim") >= 0.95) & (F.col("qid") < F.col("vec_id")))
+        pairs.filter((F.col("cos_sim") >= 0.4) & (F.col("qid") < F.col("vec_id")))
         .select(
             F.col("qid").alias("id_a"),
             F.col("vec_id").alias("id_b"),
