@@ -216,3 +216,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.entropy").alias("entropy"),
         F.col("meta.media_type").alias("media_type"),
     )
+
+
+@query("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 neighbors (deterministic farthest-point
+    k-means cells, single-probe, exact cosine re-rank) — the second ANN scale
+    path beside hyperplane LSH; recall pinned in pytest."""
+    from spookystuff_spark.operators.similarity import ivf_topk_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=8)

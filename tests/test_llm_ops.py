@@ -199,3 +199,38 @@ def test_salted_agg_equals_plain_agg(spark):
         for r in plain.collect()
     )
     assert s == p
+
+
+def test_ivf_recall_vs_bruteforce(clustered_embeddings, spark):
+    """IVF single-probe top-k on well-separated clusters ≈ brute force."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from spookystuff_spark.operators.similarity import ivf_topk_pairs
+    from spookystuff_spark.queries.similarity import cosine
+
+    emb = clustered_embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ev")
+    )
+    q = emb.select(F.col("vec_id").alias("qid"), F.col("ev").alias("qv"))
+    brute = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("ev")), 4).alias("cs"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    truth = {(r.qid, r.vec_id) for r in brute.collect()}
+    approx = {
+        (r.qid, r.vec_id)
+        for r in ivf_topk_pairs(
+            clustered_embeddings, "vec_id", "embedding", dim=16, k=3, n_cells=4
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
