@@ -14,7 +14,13 @@ from typing import Iterator
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def hyperplane_buckets(
@@ -107,7 +113,7 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     dim: int,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_iters: int = 5,
     seed: int = 42,
     sample_cap: int = 10_000,
@@ -119,24 +125,35 @@ def ivf_assign(
     At 100 TB the training sample stays bounded (``sample_cap``) and the
     assignment pass is embarrassingly parallel; centroids broadcast via the
     UDF closure."""
+    # Arrow-path sample transfer: row-based collect() of wide float arrays is
+    # seconds of py4j overhead; toPandas with Arrow is ~ms
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    sample_pdf = df.select(vec_col).limit(sample_cap).toPandas()
     sample = np.vstack(
-        [
-            np.asarray(r[vec_col], dtype=np.float64)
-            for r in df.select(vec_col).limit(sample_cap).collect()
-        ]
+        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
     )
+    if n_cells is None:
+        n_cells = max(4, min(256, int(len(sample) ** 0.5)))
+    def pairwise_d2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        # ||a-b||^2 = |a|^2 + |b|^2 - 2 a·b — BLAS matmul, no (n,k,d) temporaries
+        return (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+
     # deterministic farthest-point init (k-means++ flavor): immune to the
     # split-cluster pathology of random init, no RNG needed
     k_eff = min(n_cells, len(sample))
     centroids = sample[:1].copy()
+    d2min = pairwise_d2(sample, centroids).min(axis=1)
     for _ in range(k_eff - 1):
-        d2min = (
-            ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).min(axis=1)
-        )
-        centroids = np.vstack([centroids, sample[d2min.argmax()]])
+        nxt = sample[d2min.argmax()][None, :]
+        centroids = np.vstack([centroids, nxt])
+        d2min = np.minimum(d2min, pairwise_d2(sample, nxt)[:, 0])
     for _ in range(n_iters):
-        d2 = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
+        assign = pairwise_d2(sample, centroids).argmin(axis=1)
         for c in range(len(centroids)):
             members = sample[assign == c]
             if len(members):
@@ -151,7 +168,11 @@ def ivf_assign(
 
         for pdf in batches:
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                + (centroids * centroids).sum(axis=1)[None, :]
+                - 2.0 * (mat @ centroids.T)
+            )
             yield pd.DataFrame({"id": pdf[id_col], "cell": d2.argmin(axis=1)})
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema), centroids
@@ -163,39 +184,55 @@ def ivf_topk_pairs(
     vec_col: str,
     dim: int,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k cosine neighbors (single-probe):
-    candidates limited to the query's own cell, exact re-rank inside.
+    candidates limited to the query's own cell, exact re-rank inside with one
+    BLAS matmul per cell (a per-pair SQL expression would run the 64-dim dot
+    as an interpreted higher-order function millions of times — ~10× slower).
     → (qid, vec_id, cos_sim, rn)."""
     assignments, _ = ivf_assign(df, id_col, vec_col, dim, n_cells=n_cells, seed=seed)
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     b = assignments.join(vecs, on="id")
-    left = b.select("cell", F.col("id").alias("qid"), F.col("v").alias("qv"))
-    right = b.select("cell", F.col("id").alias("vec_id"), F.col("v").alias("ev"))
 
-    def dot(a, c):
-        return F.aggregate(
-            F.zip_with(a, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    scored = (
-        left.join(right, on="cell")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                dot(F.col("qv"), F.col("ev"))
-                / F.sqrt(dot(F.col("qv"), F.col("qv")))
-                / F.sqrt(dot(F.col("ev"), F.col("ev")))
-                + F.lit(1e-6),
-                4,
-            ).alias("cos_sim"),
-        )
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+            StructField("rn", IntegerType()),
+        ]
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+    def rerank(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
+            ).astype({"qid": "int64", "vec_id": "int64", "cos_sim": "float64", "rn": "int32"})
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)  # deterministic id-ordered tiebreaks
+        ids = ids[order]
+        mat = np.vstack(pdf["v"].to_numpy())[order]
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((mat @ mat.T) / norms[:, None] / norms[None, :] + 1e-6, 4)
+        np.fill_diagonal(cos, -2.0)
+        kk = min(k, n - 1)
+        rows = {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
+        for i in range(n):
+            # sort by (-cos, id): ids are ascending so stable argsort on -cos
+            top = np.argsort(-cos[i], kind="stable")[:kk]
+            for r, j in enumerate(top, start=1):
+                rows["qid"].append(ids[i])
+                rows["vec_id"].append(ids[j])
+                rows["cos_sim"].append(float(cos[i, j]))
+                rows["rn"].append(r)
+        return pd.DataFrame(rows)
+
+    return b.groupBy("cell").applyInPandas(rerank, out_schema)

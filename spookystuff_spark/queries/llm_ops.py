@@ -226,4 +226,6 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spookystuff_spark.operators.similarity import ivf_topk_pairs
 
     emb = table(spark, sf_dir, "embeddings")
-    return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=8)
+    # n_cells=None → auto ~sqrt(n) from the training sample: keeps per-cell
+    # candidate sets (and re-rank cost) flat as the corpus grows
+    return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=None)
