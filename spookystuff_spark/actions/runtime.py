@@ -171,10 +171,23 @@ def fetch_trace(
                 time.sleep(conf.retry_delay_sec)
 
     inc("fetch_errors")
-    return [
-        ErrorObservation(
-            uri=getattr(trace.actions[0], "uri", "") if trace.actions else "",
-            error=f"{type(last_err).__name__}: {last_err}",
-            backtrace_key=trace.key,
-        )
-    ]
+    err = ErrorObservation(
+        uri=getattr(trace.actions[0], "uri", "") if trace.actions else "",
+        error=f"{type(last_err).__name__}: {last_err}",
+        backtrace_key=trace.key,
+    )
+    if conf.error_dump_root:
+        # error-dump audit (ref: Action.scala:109-129): one file per failed
+        # trace, content-addressed → idempotent under task retry
+        import os
+
+        try:
+            os.makedirs(conf.error_dump_root, exist_ok=True)
+            path = os.path.join(conf.error_dump_root, f"{err.uid}.err.txt")
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(f"trace: {trace!r}\nuri: {err.uri}\nerror: {err.error}\n")
+            os.replace(tmp, path)
+        except OSError:
+            pass  # auditing must never fail the fetch path
+    return [err]

@@ -20,6 +20,9 @@ class SpookyConf:
     cached_docs_lifespan: dt.timedelta = dt.timedelta(days=7)
     ignore_cached_docs_before: Optional[dt.datetime] = None
     dfs_cache_root: Optional[str] = None  # None → in-memory only
+    # auto error-dump dir (ref: Action.scala:109-129, SpookyConf auditing):
+    # failed traces write their error evidence here as they happen
+    error_dump_root: Optional[str] = None
 
     # --- agent execution (ref: SpookyConf.scala:52-53)
     remote_timeout_sec: float = 60.0

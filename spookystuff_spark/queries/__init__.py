@@ -49,4 +49,5 @@ def load_all_query_modules() -> None:
         similarity,
         text,
         tpch_more,
+        tpch_more2,
     )

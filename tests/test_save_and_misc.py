@@ -78,3 +78,20 @@ def test_create_blank_seed(spark, site):
         .collect()
     )
     assert len(out) == 1 and out[0].success
+
+
+def test_auto_error_dump(spark, tmp_path):
+    """conf.error_dump_root: failed traces auto-dump audit files
+    (Action.scala:109-129 parity)."""
+    import os
+
+    from spookystuff_spark.actions import Trace, Wget, fetch_trace
+
+    dump = str(tmp_path / "errdump")
+    c = SpookyConf(fetch_retries=1, retry_delay_sec=0, error_dump_root=dump)
+    obs = fetch_trace(Trace((Wget(f"file://{tmp_path}/nope.bin"),)), c)
+    assert not obs[0].success
+    files = os.listdir(dump)
+    assert len(files) == 1 and files[0].endswith(".err.txt")
+    content = open(os.path.join(dump, files[0])).read()
+    assert "FileNotFoundError" in content and "nope.bin" in content
