@@ -56,6 +56,27 @@ class Wpost(Action):
     HAS_EXPORT = True
 
     def execute(self, agent) -> list:
+        from urllib.parse import urlparse
+
+        scheme = urlparse(self.uri).scheme
+        if scheme in ("", "file"):
+            # non-http schemes: POST = DFS write (ref: Wpost.scala:16-102)
+            import os
+
+            path = urlparse(self.uri).path or self.uri
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(self.entity.encode())
+            os.replace(tmp, path)
+            return [
+                Doc(
+                    uri=self.uri,
+                    mime="text/plain; charset=utf-8",
+                    status=200,
+                    content=self.entity.encode(),
+                )
+            ]
         r = omni_resolve(
             self.uri,
             method="POST",

@@ -312,6 +312,29 @@ class HtmlNode:
         return self._el.outer_html()
 
     @property
+    def formatted_code(self) -> str:
+        """Indented outer html (ref: HtmlNode formattedCode extractor)."""
+        return self._format(self._el, 0)
+
+    @staticmethod
+    def _format(el: Element, depth: int) -> str:
+        pad = "  " * depth
+        attrs = "".join(f' {k}="{v}"' for k, v in el.attrs.items())
+        if el.tag in VOID_TAGS:
+            return f"{pad}<{el.tag}{attrs}>"
+        kids = [c for c in el.children if isinstance(c, Element)]
+        text = el.own_text()
+        if not kids:
+            inner = text
+            return f"{pad}<{el.tag}{attrs}>{inner}</{el.tag}>"
+        lines = [f"{pad}<{el.tag}{attrs}>"]
+        if text:
+            lines.append(f"{pad}  {text}")
+        lines.extend(HtmlNode._format(k, depth + 1) for k in kids)
+        lines.append(f"{pad}</{el.tag}>")
+        return "\n".join(lines)
+
+    @property
     def breadcrumb(self) -> str:
         return self._el.breadcrumb()
 

@@ -199,3 +199,48 @@ def test_local_retry_eventually_raises():
     t = Trace((LocalRetry(Trace((Wget("file:///nope"),)), retries=2),))
     obs = fetch_trace(t, conf())
     assert not obs[0].success
+
+
+def test_action_timeout_is_data():
+    """Per-action timeout in helper thread (Action.scala:131-159): a slow
+    action times out and surfaces as an error row."""
+    t = Trace((Delay(5.0), Wget("file:///tmp/whatever"),))
+    c = conf(remote_timeout_sec=0.2)
+    obs = fetch_trace(t, c)
+    assert len(obs) == 1
+    assert not obs[0].success
+    assert "TimeoutError" in obs[0].error
+
+
+def test_loop_inside_fetch(tmp_path):
+    """Loop control block executes its body up to `limit` times in one trace."""
+    p = tmp_path / "x.txt"
+    p.write_text("payload")
+    t = Trace((Loop(Trace((Wget(f"file://{p}"),)), limit=3),))
+    obs = fetch_trace(t, conf())
+    assert len(obs) == 3  # 3 iterations, each exporting one doc
+    assert all(o.success for o in obs)
+
+
+def test_wpost_file_scheme_writes(tmp_path):
+    """Wpost to a file:// uri = DFS write (Wpost.scala parity)."""
+    from spookystuff_spark.actions import Wpost
+
+    target = tmp_path / "out" / "posted.txt"
+    t = Trace((Wpost(f"file://{target}", entity="hello dfs"),))
+    obs = fetch_trace(t, conf())
+    assert obs[0].success
+    assert target.read_text() == "hello dfs"
+
+
+def test_formatted_code(tmp_path):
+    from spookystuff_spark.doc.node import parse_node
+
+    n = parse_node(b"<html><body><ul><li>a</li><li>b</li></ul></body></html>")
+    fc = n.find_only("ul").formatted_code
+    assert fc.splitlines() == [
+        "<ul>",
+        "  <li>a</li>",
+        "  <li>b</li>",
+        "</ul>",
+    ]
