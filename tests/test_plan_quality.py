@@ -1,0 +1,64 @@
+"""Physical-plan quality guards: native-only stages for native queries,
+pushdown presence, broadcast joins where expected. Regression tripwires for
+the 100 TB design rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+NATIVE_ONLY = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_dedup_exact",
+    "q_doc_fingerprint",
+    "q_doc_stats",
+    "q_token_counts",
+    "q_quality_score",
+    "q_lang_id_heuristic",
+    "q_events_sessionize",
+    "q_binary_fingerprint",
+    "q_knn_cosine_bruteforce",
+    "q_session_windows",
+]
+
+
+@pytest.mark.parametrize("name", NATIVE_ONLY)
+def test_no_python_stages_in_native_queries(spark, name):
+    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    plan = _plan(QUERIES[name](spark, SF_SMOKE))
+    for marker in ("BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
+        assert marker not in plan, f"{name}: unexpected Python stage {marker}"
+
+
+def test_broadcast_in_star_joins(spark):
+    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    assert _plan(QUERIES["q5_local_supplier_volume"](spark, SF_SMOKE)).count(
+        "BroadcastHashJoin"
+    ) >= 4
+    assert "BroadcastHashJoin" in _plan(
+        QUERIES["q3_shipping_priority"](spark, SF_SMOKE)
+    )
+
+
+def test_pushdown_reaches_scan(spark):
+    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    plan = _plan(QUERIES["q6_forecast_revenue"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "l_comment" not in plan  # pruned (column doesn't even exist — sanity)
+    # projection pruning: only 4 columns read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
