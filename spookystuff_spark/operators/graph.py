@@ -65,3 +65,61 @@ def bfs(
         depth += 1
 
     return visited.groupBy(node_col).agg(F.min(depth_field).alias(depth_field))
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via iterative min-label propagation — the operator
+    that turns near-duplicate PAIRS into dedup CLUSTERS (pick min id per
+    component as the canonical representative).
+
+    Min-label propagation: each node adopts the smallest label in its
+    neighborhood until fixpoint. Per iteration: one groupBy shuffle keyed on
+    node id; converges in O(component diameter) rounds — tiny for near-dup
+    clusters (dense, star-like); lineage cut by localCheckpoint each round.
+    Works on any edge list (ids of any orderable type).
+    """
+    import pyspark.sql.functions as F2
+
+    # undirected edge list, both directions
+    fwd = edges.select(F2.col(src_col).alias("a"), F2.col(dst_col).alias("b"))
+    sym = fwd.unionByName(
+        edges.select(F2.col(dst_col).alias("a"), F2.col(src_col).alias("b"))
+    ).distinct()
+
+    # label(node) = min(node, min neighbor label); iterate to fixpoint
+    labels = (
+        sym.select(F2.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F2.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F2.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F2.least(
+                    F2.col("label"), F2.coalesce(F2.col("nbr_label"), F2.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F2.col("n.label") != F2.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select("node", F2.col("label").alias("component"))

@@ -86,3 +86,21 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+@query("q_dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline: MinHash pairs → connected components → cluster
+    sizes with canonical (min-id) representative — what a 100 TB dedup job
+    actually emits."""
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+    from spookystuff_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=128, bands=16
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return comps.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
