@@ -1,0 +1,122 @@
+"""HTTP resolver path over a localhost server: GET, POST, redirects, 404
+validation, content-type handling — the network path without any network."""
+
+from __future__ import annotations
+
+import http.server
+import threading
+
+import pytest
+
+from spookystuff_spark.actions import Accept, Trace, Wget, Wpost, fetch_trace
+from spookystuff_spark.caching import memory as mem_cache
+from spookystuff_spark.conf import SpookyConf
+
+
+class _Handler(http.server.BaseHTTPRequestHandler):
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        if self.path == "/page":
+            body = b"<html><head><title>HTTP Page</title></head><body>ok</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/old":
+            self.send_response(302)
+            self.send_header("Location", "/page")
+            self.end_headers()
+        elif self.path == "/api":
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(b'{"status": "green", "items": [1, 2, 3]}')
+        else:
+            self.send_response(404)
+            self.end_headers()
+            self.wfile.write(b"not found")
+
+    def do_POST(self):
+        n = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(n)
+        self.send_response(200)
+        self.send_header("Content-Type", "text/plain")
+        self.end_headers()
+        self.wfile.write(b"echo:" + body)
+
+
+@pytest.fixture(scope="module")
+def http_base():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def conf(**kw) -> SpookyConf:
+    return SpookyConf(fetch_retries=1, retry_delay_sec=0).copy(**kw)
+
+
+@pytest.fixture(autouse=True)
+def _clear():
+    mem_cache.clear()
+    yield
+
+
+def test_http_get(http_base):
+    obs = fetch_trace(Trace((Wget(f"{http_base}/page"),)), conf())
+    assert obs[0].success and obs[0].status == 200
+    assert obs[0].parsed().find_only("title").text == "HTTP Page"
+    assert "text/html" in obs[0].mime
+
+
+def test_http_redirect_followed(http_base):
+    obs = fetch_trace(Trace((Wget(f"{http_base}/old"),)), conf())
+    assert obs[0].success and obs[0].status == 200
+    assert obs[0].uri.endswith("/page")  # final (redirected) uri recorded
+
+
+def test_http_json_api(http_base):
+    obs = fetch_trace(Trace((Wget(f"{http_base}/api"),)), conf())
+    node = obs[0].parsed()
+    assert node.children("status").texts == ["green"]
+    assert node.find_all("items").texts == ["1", "2", "3"]
+
+
+def test_http_404_with_validation(http_base):
+    t = Trace((Accept(Trace((Wget(f"{http_base}/missing"),)), policy="status2xx"),))
+    obs = fetch_trace(t, conf())
+    assert not obs[0].success
+    assert "ValidationError" in obs[0].error and "404" in obs[0].error
+
+
+def test_http_404_without_validation_is_doc(http_base):
+    """Without Accept, a 404 is still a Doc (evidence), not an error."""
+    obs = fetch_trace(Trace((Wget(f"{http_base}/missing"),)), conf())
+    assert obs[0].success  # fetched fine; status carries the signal
+    assert obs[0].status == 404
+
+
+def test_http_post_echo(http_base):
+    obs = fetch_trace(
+        Trace((Wpost(f"{http_base}/submit", entity="k=v&x=1"),)), conf()
+    )
+    assert obs[0].success
+    assert obs[0].bytes() == b"echo:k=v&x=1"
+
+
+def test_http_cache_dedup(http_base):
+    counters: dict[str, int] = {}
+
+    def inc(name, n=1):
+        counters[name] = counters.get(name, 0) + n
+
+    c = conf()
+    t = Trace((Wget(f"{http_base}/page"),))
+    fetch_trace(t, c, inc)
+    fetch_trace(t, c, inc)
+    assert counters["pages_from_remote"] == 1
+    assert counters["pages_from_cache"] == 1
