@@ -10,9 +10,35 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import threading
+import time
+from urllib.parse import urlparse as _urlparse
+
 from spookystuff_spark.actions.core import Action, register_action
 from spookystuff_spark.doc.observation import Doc, now_ms
 from spookystuff_spark.sources.resolvers import omni_resolve
+
+# per-worker politeness throttle (ref: Delay politeness semantics, applied
+# automatically per host): host → last remote-hit monotonic time
+_HOST_LAST: dict[str, float] = {}
+_HOST_LOCK = threading.Lock()
+
+
+def _throttle_host(uri: str, min_gap_sec: float) -> None:
+    if min_gap_sec <= 0:
+        return
+    host = _urlparse(uri).netloc
+    if not host:
+        return
+    while True:
+        with _HOST_LOCK:
+            now = time.monotonic()
+            last = _HOST_LAST.get(host, 0.0)
+            wait = min_gap_sec - (now - last)
+            if wait <= 0:
+                _HOST_LAST[host] = now
+                return
+        time.sleep(min(wait, 0.05))
 
 
 @register_action
@@ -26,6 +52,7 @@ class Wget(Action):
     HAS_EXPORT = True
 
     def execute(self, agent) -> list:
+        _throttle_host(self.uri, agent.conf.politeness_delay_sec)
         r = omni_resolve(
             self.uri, timeout_sec=agent.conf.remote_timeout_sec
         )

@@ -29,6 +29,9 @@ class SpookyConf:
     dfs_timeout_sec: float = 40.0
     fetch_retries: int = 3
     retry_delay_sec: float = 1.0
+    # per-host politeness: minimum seconds between remote hits to one host
+    # (worker-local throttle; combine with Delay actions for global pacing)
+    politeness_delay_sec: float = 0.0
 
     # --- fetch locality (ref: SpookyConf.scala:56; dsl/DataLocality.scala)
     # "wide" = full shuffle dedup (groupBy trace_key); "narrow" = per-partition

@@ -120,3 +120,68 @@ def test_http_cache_dedup(http_base):
     fetch_trace(t, c, inc)
     assert counters["pages_from_remote"] == 1
     assert counters["pages_from_cache"] == 1
+
+
+def test_politeness_throttle(http_base):
+    """politeness_delay_sec enforces a minimum gap between hits to one host."""
+    import time as _time
+
+    from spookystuff_spark.actions.http import _HOST_LAST
+
+    _HOST_LAST.clear()
+    c = conf(politeness_delay_sec=0.15, cache_read=False, cache_write=False)
+    t0 = _time.monotonic()
+    for i in range(3):
+        fetch_trace(Trace((Wget(f"{http_base}/page?i={i}"),)), c)
+    elapsed = _time.monotonic() - t0
+    assert elapsed >= 0.30  # 3 hits → ≥ 2 enforced gaps
+
+
+class _SiteHandler(http.server.BaseHTTPRequestHandler):
+    PAGES = {
+        "/": '<html><body><a href="/a">A</a><a href="/b">B</a></body></html>',
+        "/a": '<html><body><a href="/c">C</a></body></html>',
+        "/b": '<html><body><a href="/c">C</a></body></html>',
+        "/c": "<html><body><h1>Leaf</h1></body></html>",
+    }
+
+    def log_message(self, *a):
+        pass
+
+    def do_GET(self):
+        body = self.PAGES.get(self.path)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.end_headers()
+        self.wfile.write(body.encode())
+
+
+def test_http_explore_crawl(spark):
+    """End-to-end HTTP crawl: explore a live linked site over localhost —
+    diamond dedup + min-depth + per-node fetch-once, through the real
+    requests resolver."""
+    import threading as _threading
+
+    from spookystuff_spark.context import SpookyContext
+    from spookystuff_spark.functions.extractors import S
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        mem_cache.clear()
+        sctx = SpookyContext(spark)
+        dv = sctx.create(spark.createDataFrame([{"seed": f"{base}/"}]))
+        out = dv.explore(
+            Wget("{seed}"), expand=S("a").hrefs, range=(0, 4), ordinal_field="ord"
+        )
+        rows = out.select(uri=S.uri).to_df().collect()
+        got = {r.uri.replace(base, "") or "/": r.depth for r in rows}
+        assert got == {"/": 0, "/a": 1, "/b": 1, "/c": 2}
+        assert sctx.metrics.snapshot()["pages_from_remote"] == 4
+    finally:
+        srv.shutdown()
