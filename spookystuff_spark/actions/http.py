@@ -54,7 +54,9 @@ class Wget(Action):
     def execute(self, agent) -> list:
         _throttle_host(self.uri, agent.conf.politeness_delay_sec)
         r = omni_resolve(
-            self.uri, timeout_sec=agent.conf.remote_timeout_sec
+            self.uri,
+            headers=_auth_headers(agent, "GET", self.uri),
+            timeout_sec=agent.conf.remote_timeout_sec,
         )
         return [
             Doc(
@@ -108,7 +110,10 @@ class Wpost(Action):
             self.uri,
             method="POST",
             body=self.entity.encode(),
-            headers={"Content-Type": self.content_type},
+            headers={
+                "Content-Type": self.content_type,
+                **(_auth_headers(agent, "POST", self.uri) or {}),
+            },
             timeout_sec=agent.conf.remote_timeout_sec,
         )
         return [
@@ -122,9 +127,9 @@ class Wpost(Action):
 @register_action
 @dataclasses.dataclass(frozen=True)
 class OAuthV2(Action):
-    """Marker wrapper that signs subsequent http requests
-    (ref: actions/OAuthV2.scala). Keys resolved agent-side; signing is a
-    per-request header computation."""
+    """Arms OAuth signing for subsequent http requests in the same trace
+    (ref: actions/OAuthV2.scala). Signing itself is RFC 5849 (OAuth 1.0a
+    HMAC-SHA1) computed per request in ``oauth_sign_header``."""
 
     consumer_key: str = ""
     consumer_secret: str = ""
@@ -134,5 +139,58 @@ class OAuthV2(Action):
     MAY_CHANGE_STATE = True
 
     def execute(self, agent) -> list:
-        agent.session_state["oauth2"] = dataclasses.asdict(self)
+        agent.session_state["oauth"] = dataclasses.asdict(self)
         return []
+
+
+def oauth_sign_header(
+    creds: dict, method: str, uri: str, nonce: str, ts: str
+) -> str:
+    """RFC 5849 HMAC-SHA1 Authorization header (deterministic given nonce/ts)."""
+    import base64
+    import hashlib
+    import hmac
+    from urllib.parse import quote, urlsplit
+
+    def enc(s: str) -> str:
+        return quote(s, safe="~")
+
+    parts = urlsplit(uri)
+    base_uri = f"{parts.scheme}://{parts.netloc}{parts.path}"
+    params = {
+        "oauth_consumer_key": creds["consumer_key"],
+        "oauth_nonce": nonce,
+        "oauth_signature_method": "HMAC-SHA1",
+        "oauth_timestamp": ts,
+        "oauth_token": creds["token"],
+        "oauth_version": "1.0",
+    }
+    if parts.query:
+        for kv in parts.query.split("&"):
+            k, _, v = kv.partition("=")
+            params[k] = v
+    norm = "&".join(f"{enc(k)}={enc(v)}" for k, v in sorted(params.items()))
+    base_string = "&".join([method.upper(), enc(base_uri), enc(norm)])
+    key = f"{enc(creds['consumer_secret'])}&{enc(creds['token_secret'])}"
+    sig = base64.b64encode(
+        hmac.new(key.encode(), base_string.encode(), hashlib.sha1).digest()
+    ).decode()
+    fields = {k: v for k, v in params.items() if k.startswith("oauth_")}
+    fields["oauth_signature"] = sig
+    inner = ", ".join(f'{enc(k)}="{enc(v)}"' for k, v in sorted(fields.items()))
+    return f"OAuth {inner}"
+
+
+def _auth_headers(agent, method: str, uri: str) -> Optional[dict]:
+    creds = agent.session_state.get("oauth")
+    if not creds:
+        return None
+    import uuid
+
+    from spookystuff_spark.doc.observation import now_ms
+
+    return {
+        "Authorization": oauth_sign_header(
+            creds, method, uri, uuid.uuid4().hex, str(now_ms() // 1000)
+        )
+    }

@@ -185,3 +185,47 @@ def test_http_explore_crawl(spark):
         assert sctx.metrics.snapshot()["pages_from_remote"] == 4
     finally:
         srv.shutdown()
+
+
+def test_oauth_signed_request(http_base):
+    """OAuthV2 in the trace → RFC 5849 Authorization header on the wire."""
+    from spookystuff_spark.actions import OAuthV2
+    from spookystuff_spark.actions.http import oauth_sign_header
+
+    # deterministic signature check against a fixed nonce/ts
+    creds = dict(
+        consumer_key="ck", consumer_secret="cs", token="tk", token_secret="ts"
+    )
+    h1 = oauth_sign_header(creds, "GET", "http://x/api?b=2&a=1", "n0", "100")
+    h2 = oauth_sign_header(creds, "GET", "http://x/api?a=1&b=2", "n0", "100")
+    assert h1 == h2  # param order canonicalized
+    assert h1.startswith("OAuth ") and "oauth_signature=" in h1
+
+    # end-to-end: the server must see the header
+    seen = {}
+
+    class _EchoAuth(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+    import threading as _t
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _EchoAuth)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = Trace(
+            (OAuthV2(**creds), Wget(f"http://127.0.0.1:{srv.server_address[1]}/api"))
+        )
+        obs = fetch_trace(t, conf(cache_read=False, cache_write=False))
+        assert obs[0].success
+        assert seen["auth"] and seen["auth"].startswith("OAuth ")
+        assert 'oauth_consumer_key="ck"' in seen["auth"]
+    finally:
+        srv.shutdown()
