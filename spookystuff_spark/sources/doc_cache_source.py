@@ -91,3 +91,78 @@ def read_doc_cache(
         paths, max(1, min(len(paths), spark.sparkContext.defaultParallelism))
     ).mapPartitions(parse)
     return spark.createDataFrame(rdd, CACHE_ENTRY_SCHEMA)
+
+
+def compact_doc_cache(
+    spark: SparkSession,
+    root: str,
+    table_dir: str,
+    include_content: bool = True,
+    latest_only: bool = True,
+) -> DataFrame:
+    """Compact the file-per-fetch DFS cache into a partitioned parquet doc
+    table — the 100 TB scale path: millions of small json.gz files become a
+    columnar table partitioned by key shard, queryable/joinable at full
+    parallelism and friendly to object stores.
+
+    Returns the compacted DataFrame (also written to ``table_dir``).
+    """
+    import pyspark.sql.functions as F
+
+    from pyspark.sql.types import BinaryType
+
+    paths = []
+    for shard in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+        shard_dir = os.path.join(root, shard)
+        if not os.path.isdir(shard_dir):
+            continue
+        for key in os.listdir(shard_dir):
+            key_dir = os.path.join(shard_dir, key)
+            files = [f for f in os.listdir(key_dir) if f.endswith(".json.gz")]
+            if latest_only and files:
+                files = [max(files, key=lambda f: int(f.split(".")[0]))]
+            paths.extend(os.path.join(key_dir, f) for f in files)
+
+    schema = StructType(
+        list(CACHE_ENTRY_SCHEMA.fields)
+        + ([StructField("content", BinaryType())] if include_content else [])
+        + [StructField("shard", StringType())]
+    )
+
+    def parse(it: Iterator[str]) -> Iterator[tuple]:
+        for p in it:
+            key = os.path.basename(os.path.dirname(p))
+            ts = int(os.path.basename(p).split(".")[0])
+            try:
+                with gzip.open(p, "rb") as f:
+                    entries = json.loads(f.read())
+            except (OSError, ValueError):
+                continue
+            for d in entries:
+                content_hex = d.get("content")
+                base = (
+                    key,
+                    ts,
+                    d.get("uri"),
+                    d.get("name"),
+                    d.get("mime"),
+                    d.get("status"),
+                    bool(d.get("success")),
+                    len(content_hex) // 2 if content_hex else 0,
+                    d.get("error"),
+                    p,
+                )
+                if include_content:
+                    base = base + (
+                        bytes.fromhex(content_hex) if content_hex else None,
+                    )
+                yield base + (key[:2],)
+
+    if not paths:
+        return spark.createDataFrame([], schema)
+    rdd = spark.sparkContext.parallelize(
+        paths, max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    ).mapPartitions(parse)
+    df = spark.createDataFrame(rdd, schema)
+    df.write.mode("overwrite").partitionBy("shard").parquet(table_dir)
+    return spark.read.parquet(table_dir)

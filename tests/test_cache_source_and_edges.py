@@ -101,3 +101,59 @@ def test_tsv_personnel_fixture(spark, tmp_path):
     rows = df.collect()
     assert [r.Name for r in rows] == ["Alice", "Bob"]
     assert df.columns == ["Name", "DOB", "SIN", "Address"]
+
+
+def test_explore_deepening_reuses_cache(spark, tmp_path):
+    """Resumable crawling: re-exploring with a larger depth range over a warm
+    DFS cache re-fetches NOTHING it already saw — only the newly reachable
+    depth costs remote fetches (the reference's warm-cache invariant applied
+    to explore)."""
+    site = tmp_path / "chain"
+    site.mkdir()
+    for i in range(4):
+        nxt = f'<a href="p{i + 1}.html">next</a>' if i < 3 else ""
+        (site / f"p{i}.html").write_text(f"<html><body>{nxt}</body></html>")
+
+    mem_cache.clear()
+    conf = SpookyConf(dfs_cache_root=str(tmp_path / "dfs"), fetch_retries=1)
+    sctx1 = SpookyContext(spark, conf)
+    dv = sctx1.create(spark.createDataFrame([{"u": f"file://{site}/p0.html"}]))
+    shallow = dv.explore(Wget("{u}"), expand=S("a").hrefs, range=(0, 1))
+    assert shallow.count() == 2  # p0, p1
+    assert sctx1.metrics.snapshot()["pages_from_remote"] == 2
+
+    mem_cache.clear()  # simulate a brand-new session (DFS cache survives)
+    sctx2 = SpookyContext(spark, conf)
+    dv2 = sctx2.create(spark.createDataFrame([{"u": f"file://{site}/p0.html"}]))
+    deep = dv2.explore(Wget("{u}"), expand=S("a").hrefs, range=(0, 3))
+    assert deep.count() == 4  # p0..p3
+    m = sctx2.metrics.snapshot()
+    assert m["pages_from_remote"] == 2  # ONLY p2, p3 — p0/p1 from cache
+    assert m["pages_from_cache"] >= 2
+
+
+def test_compact_doc_cache_to_parquet(spark, tmp_path):
+    """Small-file cache → partitioned parquet doc table with payloads intact."""
+    mem_cache.clear()
+    root = str(tmp_path / "dfs")
+    for i in range(4):
+        (tmp_path / f"c{i}.html").write_text(
+            f"<html><title>C{i}</title></html>"
+        )
+    sctx = SpookyContext(spark, SpookyConf(dfs_cache_root=root))
+    sctx.create(
+        spark.createDataFrame([{"f": f"c{i}.html"} for i in range(4)])
+    ).fetch(Wget(f"file://{tmp_path}/{{f}}")).execute()
+
+    from spookystuff_spark.sources.doc_cache_source import compact_doc_cache
+
+    table = compact_doc_cache(spark, root, str(tmp_path / "doc_table"))
+    rows = table.collect()
+    assert len(rows) == 4
+    assert all(r.success and r.content for r in rows)
+    titles = sorted(
+        bytes(r.content).decode().split("<title>")[1].split("</title>")[0]
+        for r in rows
+    )
+    assert titles == ["C0", "C1", "C2", "C3"]
+    assert "shard" in table.columns  # partition column present
