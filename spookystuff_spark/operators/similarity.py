@@ -59,44 +59,80 @@ def lsh_topk_pairs(
     k: int = 5,
     n_planes: int = 10,
     seed: int = 42,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate per-id top-k cosine neighbors within LSH buckets.
 
-    → (qid, vec_id, cos_sim, rn). Exact cosine re-rank, deterministic
-    (rounded score + id tiebreak).
+    ``probes``: 0 = single-probe; 1 = also probe every hamming-1 neighbor
+    bucket on the query side (recall ↑ at ~n_planes× candidate cost).
+    Scoring is one numpy matmul per bucket (applyInPandas) — per-pair SQL
+    higher-order functions are interpreted, not codegen'd, and dominate at
+    scale. → (qid, vec_id, cos_sim, rn); deterministic (rounded score + id
+    tiebreak).
     """
     buckets = hyperplane_buckets(df, id_col, vec_col, dim, n_planes, seed)
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    b = buckets.join(vecs, on="id")
-    left = b.select(
-        "bucket", F.col("id").alias("qid"), F.col("v").alias("qv")
-    )
-    right = b.select(
-        "bucket", F.col("id").alias("vec_id"), F.col("v").alias("ev")
+    cand = buckets.join(vecs, on="id").withColumn("is_probe", F.lit(False))
+    if probes >= 1:
+        probe_buckets = buckets.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        probe_side = probe_buckets.join(vecs, on="id").withColumn(
+            "is_probe", F.lit(True)
+        )
+        cand = cand.unionByName(probe_side)
+
+    out_schema = StructType(
+        [
+            StructField("qid", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("cos_sim", DoubleType()),
+        ]
     )
 
-    def dot(a, c):
-        return F.aggregate(
-            F.zip_with(a, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    def score_bucket(pdf):
+        import pandas as pd
+
+        real = pdf[~pdf["is_probe"]]
+        if len(real) == 0 or len(pdf) < 2:
+            return pd.DataFrame({"qid": [], "vec_id": [], "cos_sim": []}).astype(
+                {"qid": "int64", "vec_id": "int64", "cos_sim": "float64"}
+            )
+        q_ids = pdf["id"].to_numpy()  # every member (probe or not) queries
+        q_mat = np.vstack(pdf["v"].to_numpy())
+        c_ids = real["id"].to_numpy()
+        c_mat = np.vstack(real["v"].to_numpy())
+        qn = np.sqrt((q_mat * q_mat).sum(axis=1))
+        cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+        qn[qn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        cos = np.round((q_mat @ c_mat.T) / qn[:, None] / cn[None, :] + 1e-6, 4)
+        qq, cc = np.meshgrid(
+            np.arange(len(q_ids)), np.arange(len(c_ids)), indexing="ij"
+        )
+        mask = q_ids[qq] != c_ids[cc]
+        return pd.DataFrame(
+            {
+                "qid": q_ids[qq][mask],
+                "vec_id": c_ids[cc][mask],
+                "cos_sim": cos[qq, cc][mask],
+            }
         )
 
     scored = (
-        left.join(right, on="bucket")
-        .filter(F.col("qid") != F.col("vec_id"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(
-                dot(F.col("qv"), F.col("ev"))
-                / F.sqrt(dot(F.col("qv"), F.col("qv")))
-                / F.sqrt(dot(F.col("ev"), F.col("ev")))
-                + F.lit(1e-6),
-                4,
-            ).alias("cos_sim"),
-        )
-        .dropDuplicates(["qid", "vec_id"])
+        cand.groupBy("bucket")
+        .applyInPandas(score_bucket, out_schema)
+        .dropDuplicates(["qid", "vec_id"])  # multi-probe re-discoveries
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
