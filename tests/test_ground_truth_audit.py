@@ -1,0 +1,135 @@
+"""Set-level ground-truth audits: the distributed dedup operators must emit
+EXACTLY the pair set an independent single-process numpy computation produces.
+(This class of test caught a Spark self-join ambiguity bug that silently
+dropped 88% of LSH candidate pairs.)"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import duckdb
+
+    return duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).df()
+
+
+def test_simhash_exact_pair_set(spark, docs_pdf):
+    from spookystuff_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_signatures,
+    )
+
+    sdf = spark.createDataFrame(docs_pdf)
+    sigs = {r.id: r.simhash for r in simhash_signatures(sdf, "doc_id", "text").collect()}
+
+    mask16 = (1 << 16) - 1
+    buckets = defaultdict(set)
+    for i, s in sigs.items():
+        u = s & ((1 << 64) - 1)
+        for c in range(4):
+            buckets[(c, (u >> (c * 16)) & mask16)].add(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+
+    def ham(a, b):
+        return bin((a & ((1 << 64) - 1)) ^ (b & ((1 << 64) - 1))).count("1")
+
+    truth = {(a, b) for a, b in cand if ham(sigs[a], sigs[b]) <= 8}
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(sdf, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert got == truth
+    assert len(truth) > 0
+
+
+def test_minhash_exact_pair_set(spark, docs_pdf):
+    from spookystuff_spark.operators.dedup import (
+        _MERSENNE,
+        _perm_params,
+        _shingle_hashes,
+        minhash_near_duplicates,
+    )
+
+    a, b = _perm_params(128, 42)
+    bb = defaultdict(set)
+    txt = {}
+    for r in docs_pdf.itertuples():
+        did = int(r.doc_id)
+        txt[did] = r.text
+        h = _shingle_hashes(r.text, 5)
+        if not len(h):
+            continue
+        sig = ((np.outer(a, h) + b[:, None]) % _MERSENNE).min(axis=1)
+        banded = sig.reshape(16, 8)
+        for bi in range(16):
+            bb[(bi, hashlib.blake2b(banded[bi].tobytes(), digest_size=8).digest())].add(
+                did
+            )
+    cand = set()
+    for members in bb.values():
+        if len(members) > 64:
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+
+    def jac(ta, tb):
+        ha, hb = _shingle_hashes(ta, 5), _shingle_hashes(tb, 5)
+        if not len(ha) or not len(hb):
+            return 0.0
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        return round(inter / (len(ha) + len(hb) - inter), 4)
+
+    truth = {(x, y) for x, y in cand if jac(txt[x], txt[y]) >= 0.8}
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            spark.createDataFrame(docs_pdf),
+            "doc_id",
+            "text",
+            threshold=0.8,
+            n_hashes=128,
+            bands=16,
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_lsh_exact_pair_count(spark):
+    """LSH top-k row count must equal the closed-form expectation from an
+    independent bucket computation."""
+    import duckdb
+
+    from spookystuff_spark.operators.similarity import lsh_topk_pairs
+
+    emb = duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).df()
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((64, 8))
+    buckets = (((mat @ planes) > 0) * (1 << np.arange(8)).astype(np.int64)).sum(axis=1)
+    sizes = defaultdict(int)
+    for bkt in buckets.tolist():
+        sizes[bkt] += 1
+    expected_rows = sum(min(5, sizes[bkt] - 1) for bkt in buckets.tolist())
+
+    sdf = spark.createDataFrame(emb)
+    got = lsh_topk_pairs(sdf, "vec_id", "embedding", dim=64, k=5, n_planes=8).count()
+    assert got == expected_rows
