@@ -72,6 +72,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components via iterative min-label propagation — the operator
     that turns near-duplicate PAIRS into dedup CLUSTERS (pick min id per
@@ -84,6 +85,35 @@ def connected_components(
     Works on any edge list (ids of any orderable type).
     """
     import pyspark.sql.functions as F2
+
+    # hybrid: near-dup edge lists are usually tiny relative to the corpus —
+    # under the threshold, a driver-side union-find beats O(diameter) Spark
+    # rounds by seconds of fixed job overhead. Same output, same determinism.
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        pairs = [
+            (r[0], r[1]) for r in edges.select(src_col, dst_col).collect()
+        ]
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # min label wins (matches the distributed reducer)
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = sorted({x for p in pairs for x in p})
+        rows = [(n, find(n)) for n in nodes]
+        spark = edges.sparkSession
+        return spark.createDataFrame(rows, ["node", "component"])
 
     # undirected edge list, both directions
     fwd = edges.select(F2.col(src_col).alias("a"), F2.col(dst_col).alias("b"))

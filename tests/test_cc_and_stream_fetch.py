@@ -20,9 +20,12 @@ def test_connected_components_basic(spark):
         [(1, 2), (2, 3), (5, 6), (7, 7), (10, 11), (11, 12), (12, 10)],
         ["src", "dst"],
     )
-    comps = {
-        r.node: r.component for r in connected_components(edges).collect()
+    comps = {r.node: r.component for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.component
+        for r in connected_components(edges, local_threshold=0).collect()
     }
+    assert comps == dist  # local fast path ≡ distributed propagation
     assert comps[1] == comps[2] == comps[3] == 1
     assert comps[5] == comps[6] == 5
     assert comps[7] == 7
@@ -38,7 +41,8 @@ def test_connected_components_chain_converges(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], ["src", "dst"]
     )
-    comps = connected_components(edges, max_iter=20).collect()
+    # force the DISTRIBUTED path (local fast path covered by other tests)
+    comps = connected_components(edges, max_iter=20, local_threshold=0).collect()
     assert {r.component for r in comps} == {0}
     assert len(comps) == 13
 
