@@ -79,3 +79,65 @@ def test_session_window_agrees_with_lag_sessionize(spark):
     a = _rows(via_window, ["user_id", "n_sessions"])
     b = _rows(via_lag, ["user_id", "n_sessions"])
     assert a == b
+
+
+def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
+    """Append output mode emits ONLY windows the watermark has passed: with
+    max event time 02:05 and a 1h watermark, the hour-0 window finalizes and
+    the hour-2 window is withheld as still-open state. (Exact late-row
+    exclusion depends on micro-batch boundaries — availableNow may coalesce
+    file drops — so this asserts the boundary-independent contract.)"""
+    import datetime as dt
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_drops")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # drop 1: two events in hour-0, one in hour-2 (advances watermark far)
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [ts(5), ts(10), ts(125)],
+            "event_type": ["click"] * 3,
+            "value": [1.0, 1.0, 1.0],
+        }
+    ).to_parquet(src + "/d1.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+    # drop 2: a LATE row for hour-0 — watermark (max 02:05 - 1h = 01:05)
+    # has passed hour-0 entirely, so it must be dropped
+    pd.DataFrame(
+        {
+            "user_id": [1],
+            "ts": [ts(15)],
+            "event_type": ["click"],
+            "value": [100.0],
+        }
+    ).to_parquet(src + "/d2.parquet", coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    from spookystuff_spark.streaming.events import hourly_counts
+
+    q = (
+        hourly_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.hour: r.n_events for r in spark.sql("SELECT * FROM late_t").collect()}
+    assert base in rows  # hour-0 finalized (watermark 01:05 passed its end)
+    hour2 = base + dt.timedelta(hours=2)
+    assert hour2 not in rows  # hour-2 still open — withheld in append mode
