@@ -71,6 +71,7 @@ def explore(
     checkpoint_interval: Optional[int] = None,
     locality: Optional[str] = None,
     epoch_depths: int = 1,
+    expand_limit: Optional[int] = None,
 ) -> DataFrame:
     """BFS from ``spec``-seeded traces, expanding via ``expand``.
 
@@ -91,7 +92,7 @@ def explore(
     if epoch_depths > 1:
         return _explore_batched(
             ctx, df, spec, expand, depth_field, range, path_field,
-            ordinal_field, checkpoint_interval, epoch_depths,
+            ordinal_field, checkpoint_interval, epoch_depths, expand_limit,
         )
     if expand is None:
         raise ValueError("explore requires an expand extractor/callable")
@@ -149,6 +150,9 @@ def explore(
                     traces = [Trace((Wget(u),)) for u in uris]
                 else:
                     traces = list(as_trace_set(expand(row) or []))
+                if expand_limit is not None:
+                    # per-node expansion cap (DownSampling-in-explore parity)
+                    traces = traces[:expand_limit]
                 base = {k: row.get(k) for k in user_cols}
                 prev_path = row[path_col]
                 # arrow hands arrays back as numpy arrays — no `or []` (falsy!)
@@ -241,6 +245,7 @@ def _explore_batched(
     ordinal_field: Optional[str],
     checkpoint_interval: Optional[int],
     epoch_depths: int,
+    expand_limit: Optional[int] = None,
 ) -> DataFrame:
     """Epoch-batched walker: fetch+expand ``epoch_depths`` levels inside one
     Arrow stage per epoch (ExploreRunner's local walk), reconcile globally."""
@@ -329,6 +334,8 @@ def _explore_batched(
                         traces = [Trace((Wget(u),)) for u in (uris or [])]
                     else:
                         traces = list(as_trace_set(expand(ectx.row) or []))
+                    if expand_limit is not None:
+                        traces = traces[:expand_limit]
                     for i, tr in enumerate(traces):
                         tj = tr.to_json()
                         # same hex as the JVM-side sha2(trace_json, 256)

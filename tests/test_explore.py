@@ -136,3 +136,15 @@ def test_epoch_batched_explore_matches_default(sctx, spark, tree, diamond):
         for r in batched2.select(uri=S.uri).to_df().collect()
     }
     assert got == {"index.html": 0, "a.html": 1, "b.html": 1, "c.html": 2}
+
+
+def test_expand_limit_caps_children(sctx, spark, diamond):
+    """expand_limit=1 keeps only each node's first link (DownSampling parity)."""
+    dv = sctx.create(spark.createDataFrame([{"seed": f"file://{diamond}/index.html"}]))
+    out = dv.explore(
+        Wget("{seed}"), expand=S("a").hrefs, range=(0, 5), expand_limit=1
+    )
+    rows = out.select(uri=S.uri).to_df().collect()
+    names = sorted(r.uri.rsplit("/", 1)[-1] for r in rows)
+    # index → (a only, b dropped) → c
+    assert names == ["a.html", "c.html", "index.html"]
