@@ -194,6 +194,33 @@ def execute_fetch(
             lambda pdf: run_group(pdf), out_schema
         )
 
+    if locality == "wide_join" and downsampling is not None:
+        raise ValueError(
+            "downsampling requires per-group row batches — use locality='wide'"
+        )
+    if locality == "wide_join":
+        # Scale variant: only DISTINCT (key, trace) rows enter the shuffle and
+        # the agent stage; observations join back to the full rows afterwards.
+        # Strictly better than "wide" when user rows are wide or keys highly
+        # duplicated (the fetch exchange no longer carries user columns);
+        # costs one extra join when keys are mostly unique.
+        unique = df_with_traces.select(KEY_COL, TRACE_COL).distinct()
+        fetch_schema = StructType(
+            [
+                StructField(KEY_COL, StringType()),
+                StructField(OBS_COL, OBS_ARRAY_SCHEMA),
+            ]
+        )
+
+        def fetch_one_key(pdf):
+            obs_rows = run_one(pdf[TRACE_COL].iloc[0])
+            return pdf.iloc[:1][[KEY_COL]].assign(**{OBS_COL: [obs_rows]})
+
+        fetched = unique.groupBy(KEY_COL).applyInPandas(
+            fetch_one_key, fetch_schema
+        )
+        return df_with_traces.join(fetched, on=KEY_COL, how="left")
+
     dedup = locality != "passthrough"
 
     def run_partition(batches: Iterator) -> Iterator:

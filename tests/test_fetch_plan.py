@@ -193,3 +193,42 @@ def test_error_rows_are_data(sctx, spark, site):
     # select over an error row yields nulls, not exceptions
     out = fetched.select(title=S("title").text).to_df().collect()
     assert out[0].title is None
+
+
+def test_wide_join_locality_equivalent(sctx, spark, site):
+    """wide_join (dedup-then-join: user columns stay out of the fetch
+    shuffle) must produce the same rows and the same fetch counts as wide."""
+    rows = [{"page": "a.html", "payload": f"wide-user-data-{i}"} for i in range(6)]
+    rows += [{"page": "b.html", "payload": "x"}]
+    df = spark.createDataFrame(rows)
+
+    out = (
+        sctx.create(df)
+        .fetch(Wget(f"file://{site}/{{page}}"), locality="wide_join")
+        .select(title=S("title").text)
+        .to_df()
+        .collect()
+    )
+    assert len(out) == 7
+    titles = {r.page: r.title for r in out}
+    assert titles == {"a.html": "Page A", "b.html": "Page B"}
+    m = sctx.metrics.snapshot()
+    assert m["pages_fetched"] == 2  # one agent run per unique trace
+
+    # the agent stage must consume only the distinct (key, trace) projection —
+    # user columns stay out of the fetch path entirely
+    fetched = sctx.create(df).fetch(
+        Wget(f"file://{site}/{{page}}"), locality="wide_join"
+    )
+    plan = fetched.df._jdf.queryExecution().executedPlan().toString()
+    pandas_input = plan.split("FlatMapGroupsInPandas")[1]
+    assert "payload" not in pandas_input.split("Scan")[0]
+    # downsampling is a per-group-batch concept — must be rejected here
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="downsampling"):
+        sctx.create(df).fetch(
+            Wget(f"file://{site}/{{page}}"),
+            locality="wide_join",
+            downsampling=("first_n", 1),
+        )
