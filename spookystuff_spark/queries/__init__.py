@@ -45,6 +45,7 @@ def load_all_query_modules() -> None:
         llm_ops,
         relational,
         relational2,
+        relational3,
         scalar_funcs,
         sessions,
         similarity,
