@@ -82,3 +82,24 @@ def fingerprint(text: Column) -> Column:
     text — the exact-dedup key robust to formatting noise."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def chunk_expr(text: Column, chunk_tokens: int = 64, stride: int = 48) -> Column:
+    """Overlapping token-window chunks — the standard pretraining document
+    splitter, as a pure Catalyst expression (array of chunk strings).
+
+    chunk i covers tokens [i*stride, i*stride + chunk_tokens); the last
+    window starts at the final stride position that still has ≥1 token.
+    """
+    toks = F.regexp_extract_all(text, F.lit(r"(\S+)"), 1)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return F.transform(
+        idx,
+        lambda i: F.array_join(
+            F.slice(toks, i * stride + 1, chunk_tokens), " "
+        ),
+    )

@@ -229,3 +229,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_cells=None → auto ~sqrt(n) from the training sample: keeps per-cell
     # candidate sets (and re-rank cost) flat as the corpus grows
     return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=None)
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+    ), meta AS (
+      SELECT doc_id, toks,
+             CAST(greatest(ceil((len(toks) - 64) / 48.0) + 1, 1) AS INTEGER) AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS chunk_idx,
+           array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk
+    FROM meta, unnest(range(0, n_chunks)) AS u(i)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks with stride 48 — exploded one row per
+    chunk, entirely JVM-side (regexp tokenize → sequence → slice)."""
+    from spookystuff_spark.operators.text import chunk_expr
+
+    docs = table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(chunk_expr(F.col("text"), 64, 48)).alias("chunk_idx", "chunk"),
+    )
+    return chunked.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk"
+    )
