@@ -22,6 +22,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Queries whose oracle is a golden parquet precomputed by an INDEPENDENT
+# numpy/pure-python implementation (tools/gen_goldens.py) at the driver's
+# gate SF. These are deterministic seed-fixed operators whose signature math
+# isn't SQL-expressible; the golden pins the exact expected output.
+GOLDEN_SF = "sf0.01"  # the SF the driver's correctness gate runs at
+GOLDEN_QUERIES: set[str] = set()
+
+
+def golden_oracle(name: str) -> str:
+    GOLDEN_QUERIES.add(name)
+    return (
+        "SELECT * FROM read_parquet("
+        f"'/root/repo/fixtures/golden/{GOLDEN_SF}/{name}.parquet')"
+    )
+
 
 def query(name: str, oracle: Optional[str] = None):
     """Register a query; ``oracle=None`` marks a non-SQL-expressible operator

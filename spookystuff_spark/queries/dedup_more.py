@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import golden_oracle, query
 from spookystuff_spark.tables import table
 
 PAIR_CAP = 120  # doc_id bound for the O(n²) oracle-checkable pair set
@@ -68,7 +68,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_neardup_embedding")
+@query("q_neardup_embedding", oracle=golden_oracle("q_neardup_embedding"))
 def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within LSH buckets — the semantic-dedup
     modality; deterministic via seed-fixed hyperplanes. Production threshold
@@ -88,7 +88,7 @@ def q_neardup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_clusters")
+@query("q_dedup_clusters", oracle=golden_oracle("q_dedup_clusters"))
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup pipeline: MinHash pairs → connected components → cluster
     sizes with canonical (min-id) representative — what a 100 TB dedup job

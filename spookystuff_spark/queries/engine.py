@@ -8,7 +8,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import golden_oracle, query
 from spookystuff_spark.tables import table
 
 
@@ -50,11 +50,12 @@ def q_explore_hierarchy_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_fetch_dir_listing")  # rows-only: agent fetch isn't SQL-expressible
+@query("q_fetch_dir_listing", oracle=golden_oracle("q_fetch_dir_listing"))
 def q_fetch_dir_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end agent path inside the driver gate: fetch the sf_dir directory
     listing via the file:// resolver, extract entries with the Node selector
-    API (ref: Wget directory semantics, CompoundResolver.scala:39-90)."""
+    API (ref: Wget directory semantics, CompoundResolver.scala:39-90). Oracle:
+    golden parquet from an independent os.listdir recount."""
     from spookystuff_spark.actions import Wget
     from spookystuff_spark.context import SpookyContext
     from spookystuff_spark.functions.extractors import S
@@ -69,7 +70,7 @@ def q_fetch_dir_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .to_df()
         .select(
-            "n_entries",
-            F.size("parquet_files").alias("n_parquet"),
+            F.col("n_entries").cast("long").alias("n_entries"),
+            F.size("parquet_files").cast("long").alias("n_parquet"),
         )
     )

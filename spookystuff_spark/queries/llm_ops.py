@@ -15,7 +15,7 @@ from spookystuff_spark.operators.text import (
     quality_score,
     token_count,
 )
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import golden_oracle, query
 from spookystuff_spark.tables import table
 
 _LANG_SCORE_SQL = """
@@ -166,7 +166,7 @@ def q_binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- rows-only (non-SQL ops)
 
 
-@query("q_dedup_minhash")
+@query("q_dedup_minhash", oracle=golden_oracle("q_dedup_minhash"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs at jaccard ≥ 0.8 (seed-fixed, deterministic).
 
@@ -181,7 +181,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")
+@query("q_dedup_simhash", oracle=golden_oracle("q_dedup_simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at hamming ≤ 8 over 64-bit signatures."""
     from spookystuff_spark.operators.dedup import simhash_near_duplicates
@@ -190,7 +190,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
 
 
-@query("q_ann_lsh_topk")
+@query("q_ann_lsh_topk", oracle=golden_oracle("q_ann_lsh_topk"))
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 neighbors (bucketed candidate pruning
     + exact cosine re-rank); recall vs brute force pinned in pytest."""
@@ -200,7 +200,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_planes=8)
 
 
-@query("q_multimodal_meta")
+@query("q_multimodal_meta", oracle=golden_oracle("q_multimodal_meta"))
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media-blob metadata extraction over synthetic binary columns (utf-8
     doc payloads standing in for media bytes) — real byte-level features."""
@@ -218,7 +218,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ann_ivf_topk")
+@query("q_ann_ivf_topk", oracle=golden_oracle("q_ann_ivf_topk"))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-5 neighbors (deterministic farthest-point
     k-means cells, single-probe, exact cosine re-rank) — the second ANN scale

@@ -5,18 +5,23 @@ from __future__ import annotations
 
 import pytest
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 from tests.oracle_harness import compare, duck_con
 
 
 def _registry():
-    from spookystuff_spark.queries import ORACLE, QUERIES, load_all_query_modules
+    from spookystuff_spark.queries import (
+        GOLDEN_QUERIES,
+        ORACLE,
+        QUERIES,
+        load_all_query_modules,
+    )
 
     load_all_query_modules()
-    return QUERIES, ORACLE
+    return QUERIES, ORACLE, GOLDEN_QUERIES
 
 
-QUERIES, ORACLE = _registry()
+QUERIES, ORACLE, GOLDEN = _registry()
 
 
 @pytest.fixture(scope="module")
@@ -26,9 +31,18 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE))
+@pytest.mark.parametrize("name", sorted(set(ORACLE) - GOLDEN))
 def test_query_matches_oracle(spark, con, name):
     spark_df = QUERIES[name](spark, SF_SMOKE)
+    expected = con.sql(ORACLE[name]).df()
+    compare(spark_df, expected, name)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN & set(ORACLE)))
+def test_query_matches_golden_oracle(spark, con, name):
+    """Golden-parquet oracles are precomputed at the driver's gate SF
+    (sf0.01) by an independent numpy implementation — compare at that SF."""
+    spark_df = QUERIES[name](spark, SF_CORRECT)
     expected = con.sql(ORACLE[name]).df()
     compare(spark_df, expected, name)
 

@@ -1,0 +1,439 @@
+#!/usr/bin/env python3
+"""Golden-oracle generator for the deterministic non-SQL operators.
+
+The dedup/ANN/multimodal/fetch queries are seed-fixed and deterministic by
+construction, but their signature math (minhash permutations, simhash bit
+votes, hyperplane buckets, k-means cells) is not expressible in ANSI SQL. The
+driver's correctness gate still wants a DuckDB oracle — so this script
+recomputes each expected result with an INDEPENDENT single-process
+numpy/pure-python implementation (the same reference implementations as
+tests/test_ground_truth_audit.py) and writes it as a golden parquet. The
+registered ``oracle_sql`` for these queries is then a plain
+``SELECT * FROM read_parquet('<golden>')``.
+
+Run: python tools/gen_goldens.py [sf_dir]   (default /root/testdata/sf0.01 —
+the SF the driver gates at). Output: fixtures/golden/<sfname>/<query>.parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+import zlib
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = os.path.join(REPO, "fixtures", "golden", os.path.basename(SF_DIR.rstrip("/")))
+
+MERSENNE = np.uint64((1 << 61) - 1)
+_WS = re.compile(r"\s+")
+
+
+def _normalize(text: str) -> str:
+    return _WS.sub(" ", (text or "").lower()).strip()
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    t = _normalize(text)
+    if len(t) < k:
+        grams = {t} if t else set()
+    else:
+        grams = {t[i : i + k] for i in range(len(t) - k + 1)}
+    if not grams:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.uint64, count=len(grams))
+    )
+
+
+def perm_params(n_hashes: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(MERSENNE), size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, int(MERSENNE), size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def load_docs():
+    return duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF_DIR}/documents.parquet')"
+    ).df()
+
+
+def load_emb():
+    return duckdb.sql(
+        f"select vec_id, embedding from read_parquet('{SF_DIR}/embeddings.parquet')"
+    ).df()
+
+
+def write(name: str, table: pa.Table) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.parquet")
+    pq.write_table(table, path)
+    print(f"wrote {path}: {table.num_rows} rows, schema={table.schema.names}")
+
+
+# --------------------------------------------------------------- MinHash-LSH
+
+
+def minhash_pairs(docs, threshold: float, n_hashes=128, bands=16, shingle_k=5, seed=42,
+                  max_bucket=64):
+    """Reference MinHash pipeline: band buckets (blake2b digests) → candidate
+    pairs (bucket cap) → exact-jaccard verify at ``threshold``."""
+    a, b = perm_params(n_hashes, seed)
+    rows_per_band = n_hashes // bands
+    shingles: dict[int, np.ndarray] = {}
+    buckets = defaultdict(set)
+    for r in docs.itertuples():
+        did = int(r.doc_id)
+        h = shingle_hashes(r.text, shingle_k)
+        shingles[did] = h
+        if not len(h):
+            continue
+        sig = ((np.outer(a, h) + b[:, None]) % MERSENNE).min(axis=1)
+        banded = sig.reshape(bands, rows_per_band)
+        for bi in range(bands):
+            key = (bi, hashlib.blake2b(banded[bi].tobytes(), digest_size=8).digest())
+            buckets[key].add(did)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2 or len(members) > max_bucket:
+            continue
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    out = []
+    for ia, ib in sorted(cand):
+        ha, hb = shingles[ia], shingles[ib]
+        if not len(ha) or not len(hb):
+            continue
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        jac = round(inter / (len(ha) + len(hb) - inter), 4)
+        if jac >= threshold:
+            out.append((ia, ib, jac))
+    return out
+
+
+def gold_minhash(docs):
+    pairs = minhash_pairs(docs, threshold=0.8)
+    write(
+        "q_dedup_minhash",
+        pa.table(
+            {
+                "id_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "id_b": pa.array([p[1] for p in pairs], pa.int64()),
+                "jaccard_sim": pa.array([p[2] for p in pairs], pa.float64()),
+            }
+        ),
+    )
+
+
+def gold_clusters(docs):
+    """MinHash pairs at 0.5 → union-find (min-label) → cluster sizes."""
+    pairs = minhash_pairs(docs, threshold=0.5)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ia, ib, _ in pairs:
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted({x for p in pairs for x in p[:2]})
+    sizes = defaultdict(int)
+    for n in nodes:
+        sizes[find(n)] += 1
+    keep = sorted(sizes)
+    write(
+        "q_dedup_clusters",
+        pa.table(
+            {
+                "keep_id": pa.array(keep, pa.int64()),
+                "cluster_size": pa.array([sizes[k] for k in keep], pa.int64()),
+            }
+        ),
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash_sig(text: str, n_bits: int = 64) -> int:
+    tokens = _normalize(text).split()
+    if not tokens:
+        return 0
+    acc = np.zeros(n_bits, dtype=np.int64)
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    one = np.uint64(1)
+    for tok in tokens:
+        h = np.uint64(
+            int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        )
+        acc += 2 * ((h >> shifts) & one).astype(np.int64) - 1
+    out = 0
+    for i in range(n_bits):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def gold_simhash(docs, max_hamming=8, n_chunks=4):
+    sigs = {int(r.doc_id): simhash_sig(r.text) for r in docs.itertuples()}
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
+    buckets = defaultdict(set)
+    for i, s in sigs.items():
+        u = s & ((1 << 64) - 1)
+        for c in range(n_chunks):
+            buckets[(c, (u >> (c * chunk_bits)) & mask)].add(i)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+
+    def ham(a, b):
+        return bin((a & ((1 << 64) - 1)) ^ (b & ((1 << 64) - 1))).count("1")
+
+    rows = sorted(
+        (a, b, ham(sigs[a], sigs[b])) for a, b in cand if ham(sigs[a], sigs[b]) <= max_hamming
+    )
+    write(
+        "q_dedup_simhash",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in rows], pa.int64()),
+                "id_b": pa.array([r[1] for r in rows], pa.int64()),
+                "hamming": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+    )
+
+
+# ------------------------------------------------------------- LSH ANN top-k
+
+
+def lsh_scored(emb, dim=64, n_planes=8, seed=42):
+    """→ dict qid → list[(cos_sim, vec_id)] within the qid's bucket."""
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+    buckets = (((mat @ planes) > 0) * powers).sum(axis=1)
+    by_bucket = defaultdict(list)
+    for idx, bkt in enumerate(buckets.tolist()):
+        by_bucket[bkt].append(idx)
+    scored = {}
+    for members in by_bucket.values():
+        if len(members) < 2:
+            continue
+        m = np.array(members)
+        sub = mat[m]
+        n = np.sqrt((sub * sub).sum(axis=1))
+        n[n == 0] = 1.0
+        cos = np.round((sub @ sub.T) / n[:, None] / n[None, :] + 1e-6, 4)
+        for qi in range(len(m)):
+            cands = [
+                (float(cos[qi, ci]), int(ids[m[ci]]))
+                for ci in range(len(m))
+                if ids[m[ci]] != ids[m[qi]]
+            ]
+            scored[int(ids[m[qi]])] = cands
+    return scored
+
+
+def lsh_topk_rows(emb, dim=64, k=5, n_planes=8, seed=42):
+    scored = lsh_scored(emb, dim, n_planes, seed)
+    rows = []
+    for qid in sorted(scored):
+        cands = sorted(scored[qid], key=lambda t: (-t[0], t[1]))[:k]
+        for rn, (cos, vid) in enumerate(cands, start=1):
+            rows.append((qid, vid, cos, rn))
+    return rows
+
+
+def gold_lsh(emb):
+    rows = lsh_topk_rows(emb, dim=64, k=5, n_planes=8)
+    write(
+        "q_ann_lsh_topk",
+        pa.table(
+            {
+                "qid": pa.array([r[0] for r in rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+                "rn": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+    )
+
+
+def gold_neardup_embedding(emb):
+    rows = lsh_topk_rows(emb, dim=64, k=10, n_planes=6)
+    out = sorted(
+        (qid, vid, cos)
+        for qid, vid, cos, _rn in rows
+        if cos >= 0.4 and qid < vid
+    )
+    write(
+        "q_neardup_embedding",
+        pa.table(
+            {
+                "id_a": pa.array([r[0] for r in out], pa.int64()),
+                "id_b": pa.array([r[1] for r in out], pa.int64()),
+                "cos_sim": pa.array([r[2] for r in out], pa.float64()),
+            }
+        ),
+    )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def gold_ivf(emb, dim=64, k=5, n_cells=None, n_iters=5, sample_cap=10_000):
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sample = mat[:sample_cap]
+    if n_cells is None:
+        n_cells = max(4, min(256, int(len(sample) ** 0.5)))
+
+    def pairwise_d2(a, b):
+        return (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+
+    k_eff = min(n_cells, len(sample))
+    centroids = sample[:1].copy()
+    d2min = pairwise_d2(sample, centroids).min(axis=1)
+    for _ in range(k_eff - 1):
+        nxt = sample[d2min.argmax()][None, :]
+        centroids = np.vstack([centroids, nxt])
+        d2min = np.minimum(d2min, pairwise_d2(sample, nxt)[:, 0])
+    for _ in range(n_iters):
+        assign = pairwise_d2(sample, centroids).argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    cells = pairwise_d2(mat, centroids).argmin(axis=1)
+    rows = []
+    for c in sorted(set(cells.tolist())):
+        m = np.where(cells == c)[0]
+        if len(m) < 2:
+            continue
+        order = np.argsort(ids[m])
+        cids = ids[m][order]
+        sub = mat[m][order]
+        norms = np.sqrt((sub * sub).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = np.round((sub @ sub.T) / norms[:, None] / norms[None, :] + 1e-6, 4)
+        np.fill_diagonal(cos, -2.0)
+        kk = min(k, len(cids) - 1)
+        for qi in range(len(cids)):
+            top = np.argsort(-cos[qi], kind="stable")[:kk]
+            for rn, ci in enumerate(top, start=1):
+                rows.append((int(cids[qi]), int(cids[ci]), float(cos[qi, ci]), rn))
+    write(
+        "q_ann_ivf_topk",
+        pa.table(
+            {
+                "qid": pa.array([r[0] for r in rows], pa.int64()),
+                "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cos_sim": pa.array([r[2] for r in rows], pa.float64()),
+                "rn": pa.array([r[3] for r in rows], pa.int32()),
+            }
+        ),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def gold_multimodal(docs):
+    magic = [
+        (b"\x89PNG", "image"),
+        (b"\xff\xd8\xff", "image"),
+        (b"GIF8", "image"),
+        (b"RIFF", "audio"),
+        (b"ID3", "audio"),
+        (b"\x1aE\xdf\xa3", "video"),
+    ]
+    out = {"doc_id": [], "n_bytes": [], "entropy": [], "media_type": []}
+    for r in docs.itertuples():
+        blob = (r.text or "").encode("utf-8")
+        mt = "unknown"
+        for mg, m in magic:
+            if blob.startswith(mg):
+                mt = m
+                break
+        counts = np.bincount(np.frombuffer(blob, dtype=np.uint8), minlength=256)
+        p = counts[counts > 0] / max(len(blob), 1)
+        entropy = float(-(p * np.log2(p)).sum()) if len(blob) else 0.0
+        out["doc_id"].append(int(r.doc_id))
+        out["n_bytes"].append(len(blob))
+        out["entropy"].append(round(entropy, 4))
+        out["media_type"].append(mt)
+    write(
+        "q_multimodal_meta",
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
+                "entropy": pa.array(out["entropy"], pa.float64()),
+                "media_type": pa.array(out["media_type"], pa.string()),
+            }
+        ),
+    )
+
+
+# ---------------------------------------------------------- fetch dir listing
+
+
+def gold_dir_listing():
+    entries = sorted(os.listdir(SF_DIR))
+    n_parquet = sum(1 for e in entries if e.endswith(".parquet"))
+    write(
+        "q_fetch_dir_listing",
+        pa.table(
+            {
+                "n_entries": pa.array([len(entries)], pa.int64()),
+                "n_parquet": pa.array([n_parquet], pa.int64()),
+            }
+        ),
+    )
+
+
+def main():
+    docs = load_docs()
+    emb = load_emb()
+    gold_minhash(docs)
+    gold_clusters(docs)
+    gold_simhash(docs)
+    gold_lsh(emb)
+    gold_neardup_embedding(emb)
+    gold_ivf(emb)
+    gold_multimodal(docs)
+    gold_dir_listing()
+
+
+if __name__ == "__main__":
+    main()
