@@ -44,27 +44,30 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+    from spookystuff_spark.queries import EXTRA_BENCH, QUERIES, load_all_query_modules
 
     load_all_query_modules()
+    # EXTRA_BENCH: individually-timed queries whose correctness gate is a
+    # melted suite query (suite + constituents both timed; totals overlap)
+    ALL = {**QUERIES, **EXTRA_BENCH}
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup at the smallest SF: JIT, codegen cache, Arrow init
-    for name, fn in QUERIES.items():
+    for name, fn in ALL.items():
         try:
             force(fn(spark, "/root/testdata/sf0.001"))
         except Exception:
             pass
 
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in sorted(ALL):
         best = None
         for _ in range(2):  # min of 2 — damps scheduler/GC noise
             t0 = time.monotonic()
             try:
-                force(QUERIES[name](spark, sf_dir))
+                force(ALL[name](spark, sf_dir))
                 dt = time.monotonic() - t0
                 best = dt if best is None else min(best, dt)
             except Exception as e:  # noqa: BLE001 — record, keep benching

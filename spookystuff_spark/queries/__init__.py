@@ -51,6 +51,20 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# Individually-benchmarked queries whose correctness gate is a melted suite
+# query (the driver's correctness gate caps the per-round query list; the
+# suites pin every value of these while keeping per-query bench timings).
+EXTRA_BENCH: dict[str, QueryFn] = {}
+
+
+def bench_only(name: str):
+    def deco(fn: QueryFn) -> QueryFn:
+        EXTRA_BENCH[name] = fn
+        return fn
+
+    return deco
+
+
 def load_all_query_modules() -> None:
     # import for side effect: each module registers its queries
     from spookystuff_spark.queries import (  # noqa: F401
@@ -67,4 +81,5 @@ def load_all_query_modules() -> None:
         text,
         tpch_more,
         tpch_more2,
+        tpch_suites,
     )

@@ -1,20 +1,17 @@
-"""LLM-training-pipeline queries: language-ID, quality scoring, fingerprints,
-token stats (SQL-oracled), and MinHash/SimHash/ANN operators (rows-only:
-signature math isn't SQL-expressible; their correctness is pinned by pytest
-recall/planted-duplicate tests instead — see tests/test_llm_ops.py)."""
+"""LLM-training-pipeline queries: language-ID and vocabulary stats
+(SQL-oracled), and the MinHash/SimHash/ANN/multimodal operators — their
+signature math isn't ANSI-SQL-expressible, so each is oracled against a
+GOLDEN PARQUET precomputed by an independent numpy implementation
+(tools/gen_goldens.py; the same reference code as the set-level audits in
+tests/test_ground_truth_audit.py). Per-document profile/fingerprint queries
+live in queries/text.py."""
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.operators.text import (
-    bpe_token_count,
-    fingerprint,
-    lang_id,
-    quality_score,
-    token_count,
-)
+from spookystuff_spark.operators.text import lang_id
 from spookystuff_spark.queries import golden_oracle, query
 from spookystuff_spark.tables import table
 
@@ -55,50 +52,6 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q_quality_score",
-    oracle="""
-    WITH f AS (
-      SELECT doc_id,
-             length(text) AS n_chars,
-             length(regexp_extract_all(text, '\\S+')) AS n_tokens,
-             length(regexp_extract_all(text, '[.,;:!?]')) AS punct,
-             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS stop_hits
-      FROM documents)
-    SELECT doc_id,
-           round(1e-6 + (
-             (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) <= 0.1 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN CAST(stop_hits AS DOUBLE)/greatest(n_tokens,1) >= 0.01 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN CAST(n_chars AS DOUBLE)/greatest(n_tokens,1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END)
-           ) / 4, 2) AS quality
-    FROM f
-    """,
-)
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
-
-@query(
-    "q_doc_fingerprint",
-    oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-           count(*) AS n_docs,
-           min(doc_id) AS keep_id
-    FROM documents GROUP BY 1
-    """,
-)
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalized-content fingerprint groupBy — formatting-robust exact dedup."""
-    docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
-    )
-
-
-@query(
     "q_token_freq_topk",
     oracle="""
     SELECT tok, count(*) AS n FROM (
@@ -122,48 +75,7 @@ def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_token_counts",
-    oracle="""
-    SELECT doc_id,
-           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
-           CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                AS BIGINT) AS bpe_tokens
-    FROM documents
-    """,
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish tokenizer counts side by side."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("ws_tokens"),
-        bpe_token_count(F.col("text")).alias("bpe_tokens"),
-    )
-
-
-@query(
-    "q_binary_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS blob_sha
-    FROM documents
-    """,
-)
-def q_binary_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column plumbing parity: utf-8 blob length + sha256 (the same
-    path operators/multimodal.py uses for media blobs)."""
-    docs = table(spark, sf_dir, "documents")
-    blob = F.encode(F.col("text"), "utf-8")
-    return docs.select(
-        "doc_id",
-        F.octet_length(blob).cast("long").alias("n_bytes"),
-        F.sha2(blob, 256).alias("blob_sha"),
-    )
-
-
-# ----------------------------------------------------- rows-only (non-SQL ops)
+# ------------------------------------------------ golden-oracled (non-SQL ops)
 
 
 @query("q_dedup_minhash", oracle=golden_oracle("q_dedup_minhash"))

@@ -21,30 +21,77 @@ PUNCT_CLASS = "[.,;:!?]"
 
 
 @query(
-    "q_doc_stats",
+    "q_doc_profile",
     oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(regexp_extract_all(text, '\\S+')) AS ws_toks,
+             length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_toks,
+             length(regexp_extract_all(text, '{PUNCT_CLASS}')) AS punct,
+             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS stop_hits
+      FROM documents)
     SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS len_chars,
-           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
-           round(1e-6 + CAST(length(regexp_extract_all(text, '{PUNCT_CLASS}')) AS DOUBLE)
-                 / greatest(length(text), 1), 4) AS punct_ratio
-    FROM documents
+           CAST(n_chars AS BIGINT) AS len_chars,
+           CAST(ws_toks AS BIGINT) AS n_tokens,
+           CAST(bpe_toks AS BIGINT) AS bpe_tokens,
+           round(1e-6 + CAST(punct AS DOUBLE) / greatest(n_chars, 1), 4) AS punct_ratio,
+           round(1e-6 + (
+             (CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) <= 0.1 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(stop_hits AS DOUBLE)/greatest(ws_toks,1) >= 0.01 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN CAST(n_chars AS DOUBLE)/greatest(ws_toks,1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END)
+           ) / 4, 2) AS quality
+    FROM f
     """,
 )
-def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality features: char length, whitespace token count,
-    punctuation ratio — all JVM-side regexp_count/length."""
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile in ONE scan: char length, whitespace
+    + BPE-ish token counts, punctuation ratio, and the composite quality score
+    — all JVM-side regexp_count/length expressions (one codegen stage; the
+    shape a 100 TB quality-filter pass wants: single pass, no shuffle)."""
+    from spookystuff_spark.operators.text import bpe_token_count, quality_score, token_count
+
     docs = table(spark, sf_dir, "documents")
     length = F.length("text")
     return docs.select(
         "doc_id",
         length.cast("long").alias("len_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_tokens"),
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
         round_stable(
             F.regexp_count(F.col("text"), F.lit(PUNCT_CLASS)).cast("double")
             / F.greatest(length, F.lit(1)),
             4,
         ).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "q_doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS blob_sha
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprints in one scan: normalized-content md5 (the
+    formatting-robust dedup key — groupBy it for exact near-dup collapse, see
+    q_dedup_exact) plus binary-column plumbing parity (utf-8 blob length +
+    sha256, the same path operators/multimodal.py uses for media blobs)."""
+    from spookystuff_spark.operators.text import fingerprint
+
+    docs = table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp"),
+        F.octet_length(blob).cast("long").alias("n_bytes"),
+        F.sha2(blob, 256).alias("blob_sha"),
     )
 
 
@@ -54,17 +101,24 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(*) AS n_docs,
            round(1e-6 + avg(n_chars), 2) AS avg_chars,
-           max(n_chars) AS max_chars
+           max(n_chars) AS max_chars,
+           CAST(sum(length(regexp_extract_all(text, '[a-z]{3}'))) AS BIGINT)
+             AS n_trigrams
     FROM documents
     GROUP BY lang, source
     """,
 )
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per (lang, source) incl. a cheap codegen'd n-gram
+    profile signal (non-overlapping ascii trigram counts)."""
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         round_stable(F.avg("n_chars"), 2).alias("avg_chars"),
         F.max("n_chars").alias("max_chars"),
+        F.sum(F.regexp_count(F.col("text"), F.lit("[a-z]{3}")))
+        .cast("long")
+        .alias("n_trigrams"),
     )
 
 
@@ -93,24 +147,3 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_doc_ngram_profile",
-    oracle="""
-    SELECT lang,
-           CAST(sum(length(regexp_extract_all(text, '[a-z]{3}'))) AS BIGINT)
-             AS n_trigrams,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY lang
-    """,
-)
-def q_doc_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-overlapping ascii trigram counts per language — a cheap, fully
-    codegen'd n-gram profile signal."""
-    docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("lang").agg(
-        F.sum(F.regexp_count(F.col("text"), F.lit("[a-z]{3}")))
-        .cast("long")
-        .alias("n_trigrams"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )

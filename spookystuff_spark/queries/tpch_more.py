@@ -11,7 +11,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 
@@ -47,9 +47,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q7_volume_shipping",
-    oracle="""
+ORACLE_Q7 = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INTEGER) AS l_year,
            round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -64,8 +62,10 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@bench_only("q7_volume_shipping")
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: nation-pair trade volume by year; both nation joins broadcast,
     the OR-pair filter applied post-join (tiny) — fact tables shuffle once."""
@@ -105,9 +105,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q9_product_revenue",
-    oracle="""
+ORACLE_Q9 = """
     SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
            round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM part p
@@ -117,8 +115,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     WHERE p.p_name LIKE '%red%'
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@bench_only("q9_product_revenue")
 def q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (adapted: no partsupp → revenue, not profit): LIKE filter on
     the part dimension prunes before the fact join."""
@@ -144,9 +144,7 @@ def q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q10_returned_items",
-    oracle="""
+ORACLE_Q10 = """
     SELECT c_custkey, c_name,
            round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            round(1e-6 + any_value(c_acctbal), 2) AS c_acctbal
@@ -159,8 +157,10 @@ def q9_product_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, c_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
-    """,
-)
+    """
+
+
+@bench_only("q10_returned_items")
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 lossy customers from returned items."""
     c = table(spark, sf_dir, "customer")
@@ -184,17 +184,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q14_promo_revenue",
-    oracle="""
+ORACLE_Q14 = """
     SELECT round(1e-6 + 100.00 * sum(CASE WHEN p_type = 'PROMO'
                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
                / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-09-01'
       AND l_shipdate <  TIMESTAMP '1996-10-01'
-    """,
-)
+    """
+
+
+@bench_only("q14_promo_revenue")
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: conditional aggregation ratio."""
     li = table(spark, sf_dir, "lineitem").filter(
@@ -216,17 +216,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q17_small_quantity_revenue",
-    oracle="""
+ORACLE_Q17 = """
     WITH avgq AS (
       SELECT l_partkey AS pk, avg(l_quantity) AS aq FROM lineitem GROUP BY 1
     )
     SELECT round(1e-6 + sum(l_extendedprice) / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN avgq ON l_partkey = pk
     WHERE l_quantity < 0.5 * aq
-    """,
-)
+    """
+
+
+@bench_only("q17_small_quantity_revenue")
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: correlated scalar subquery decorrelated into an aggregate
     join (Catalyst would do the same rewrite for the subquery form)."""
@@ -243,9 +243,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q18_large_orders",
-    oracle="""
+ORACLE_Q18 = """
     SELECT c_custkey, o_orderkey, o_orderdate,
            round(1e-6 + o_totalprice, 2) AS o_totalprice,
            round(1e-6 + sum(l_quantity), 2) AS total_qty
@@ -256,8 +254,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING sum(l_quantity) > 150
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20
-    """,
-)
+    """
+
+
+@bench_only("q18_large_orders")
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18: group-HAVING over the fact join, deterministic top-20."""
     c = table(spark, sf_dir, "customer")
@@ -281,9 +281,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_brand_band_revenue",
-    oracle="""
+ORACLE_Q19 = """
     SELECT round(1e-6 + sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -293,8 +291,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND l_quantity >= 10 AND l_quantity <= 35)
        OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
            AND l_quantity >= 20 AND l_quantity <= 50)
-    """,
-)
+    """
+
+
+@bench_only("q19_brand_band_revenue")
 def q19_brand_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: OR-of-conjunctions across both join sides."""
     li = table(spark, sf_dir, "lineitem")

@@ -7,13 +7,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only
 from spookystuff_spark.tables import table
 
 
-@query(
-    "q15_top_suppliers",
-    oracle="""
+ORACLE_Q15 = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
              sum(l_extendedprice * (1 - l_discount)) AS total_rev
@@ -25,8 +23,10 @@ from spookystuff_spark.tables import table
            round(1e-6 + total_rev, 2) AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT max(total_rev) FROM revenue)
-    """,
-)
+    """
+
+
+@bench_only("q15_top_suppliers")
 def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue — derived aggregate
     joined against its own max (scalar subquery → broadcast of one row)."""
@@ -50,9 +50,7 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q22_sales_opportunity",
-    oracle="""
+ORACLE_Q22 = """
     WITH rich AS (
       SELECT * FROM customer
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
@@ -63,8 +61,10 @@ def q15_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM rich c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
-    """,
-)
+    """
+
+
+@bench_only("q22_sales_opportunity")
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (adapted: mktsegment instead of phone country code):
     above-average-balance customers with no orders — scalar subquery
@@ -87,9 +87,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q8_market_share",
-    oracle="""
+ORACLE_Q8 = """
     WITH volume AS (
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
              l_extendedprice * (1 - l_discount) AS vol,
@@ -102,8 +100,10 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1e-6 + sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
                  / sum(vol), 4) AS mkt_share
     FROM volume GROUP BY o_year
-    """,
-)
+    """
+
+
+@bench_only("q8_market_share")
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (adapted): one nation's share of total volume per year —
     conditional-aggregation ratio over a star join."""
@@ -127,9 +127,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q13_order_count_distribution",
-    oracle="""
+ORACLE_Q13 = """
     WITH c_orders AS (
       SELECT c_custkey, count(o_orderkey) AS c_count
       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -138,8 +136,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c_orders
     GROUP BY c_count
     ORDER BY custdist DESC, c_count DESC
-    """,
-)
+    """
+
+
+@bench_only("q13_order_count_distribution")
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13: two-level aggregation with an outer join (customers with
     zero orders land in the c_count=0 bucket)."""

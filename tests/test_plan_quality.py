@@ -19,13 +19,10 @@ NATIVE_ONLY = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q_dedup_exact",
-    "q_doc_fingerprint",
-    "q_doc_stats",
-    "q_token_counts",
-    "q_quality_score",
+    "q_doc_fingerprints",
+    "q_doc_profile",
     "q_lang_id_heuristic",
     "q_events_sessionize",
-    "q_binary_fingerprint",
     "q_knn_cosine_bruteforce",
     "q_session_windows",
 ]
