@@ -50,6 +50,50 @@ def q_explore_hierarchy_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_explore_agent_linkgraph", oracle=golden_oracle("q_explore_agent_linkgraph")
+)
+def q_explore_agent_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The agent ExplorePlan itself (plans/explore.py — fetch-driven BFS with
+    trace dedup and min-(depth, path) PathPlanning), not the relational twin:
+    crawls the committed fixtures/linkgraph corpus (deterministic closed-form
+    edge rule incl. diamonds and duplicate links) from p0 via Wget + S("a")
+    .hrefs expansion. Oracle: golden parquet from an independent pure-python
+    BFS closure (tools/gen_linkgraph.py) with ExploreIT.scala:23-67 semantics
+    — depth + ordinal columns, min-depth wins, seed ordinal NULL."""
+    import os
+
+    from spookystuff_spark.actions import Wget
+    from spookystuff_spark.context import SpookyContext
+    from spookystuff_spark.functions.extractors import S
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        "linkgraph",
+    )
+    sctx = SpookyContext(spark)
+    dv = sctx.create(
+        spark.createDataFrame([{"seed": f"file://{root}/p0.html"}])
+    )
+    out = dv.explore(
+        Wget("{seed}"),
+        expand=S("a").hrefs,
+        depth_field="depth",
+        range=(0, 3),
+        ordinal_field="ordinal",
+    )
+    return (
+        out.select(uri=S.uri)
+        .to_df()
+        .select(
+            F.regexp_extract(F.col("uri"), r"([^/]+)$", 1).alias("page"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("ordinal").cast("int").alias("ordinal"),
+        )
+    )
+
+
 @query("q_fetch_dir_listing", oracle=golden_oracle("q_fetch_dir_listing"))
 def q_fetch_dir_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end agent path inside the driver gate: fetch the sf_dir directory
