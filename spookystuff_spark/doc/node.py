@@ -124,6 +124,13 @@ def parse_node(body: bytes, mime: Optional[str] = None, base_uri: str = ""):
         charset = sniff_charset(body)
     text = body.decode(charset, errors="replace")
 
+    if base == "application/pdf":
+        # Tika-parity normalization (ref: doc/Content.scala:50-82): binary →
+        # XHTML so the ordinary CSS selector engine works on fetched PDFs
+        from spookystuff_spark.doc.pdf import pdf_to_html
+
+        root = parse_html(pdf_to_html(body))
+        return HtmlNode(root, base_uri=base_uri)
     if base in ("application/json", "text/json"):
         try:
             return JsonNode(json.loads(text))

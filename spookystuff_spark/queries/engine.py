@@ -94,6 +94,51 @@ def q_explore_agent_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_pdf_doc_stats", oracle=golden_oracle("q_pdf_doc_stats"))
+def q_pdf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tika-parity binary normalization end to end: fetch the committed PDF
+    fixtures (mixed /FlateDecode + uncompressed streams, escape sequences),
+    auto-normalize to XHTML in parse_node (doc/pdf.py — ref Content.scala:
+    50-82), query with the ordinary CSS selector API. Oracle: golden parquet
+    computed from the SOURCE text (tools/gen_pdfs.py) — independent of the
+    parser, so writer→bytes→parser→selectors must round-trip exactly."""
+    import os
+
+    from spookystuff_spark.actions import Wget
+    from spookystuff_spark.context import SpookyContext
+    from spookystuff_spark.functions.extractors import S
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        "pdfs",
+    )
+    files = sorted(f for f in os.listdir(root) if f.endswith(".pdf"))
+    sctx = SpookyContext(spark)
+    dv = sctx.create(
+        spark.createDataFrame([{"u": f"file://{root}/{f}"} for f in files])
+    )
+    out = dv.fetch(Wget("{u}")).select(
+        uri=S.uri,
+        title=S("title").text,
+        n_pages=S("div.page").size,
+        lines=S("div.page p").texts,
+    )
+    flat = F.concat_ws(" ", F.col("lines"))
+    return (
+        out.to_df()
+        .select(
+            F.regexp_extract(F.col("uri"), r"([^/]+)$", 1).alias("file"),
+            "title",
+            F.col("n_pages").cast("long").alias("n_pages"),
+            F.size(F.regexp_extract_all(flat, F.lit(r"(\S+)"), 1))
+            .cast("long")
+            .alias("n_tokens"),
+            F.length(flat).cast("long").alias("n_chars"),
+        )
+    )
+
+
 @query("q_fetch_dir_listing", oracle=golden_oracle("q_fetch_dir_listing"))
 def q_fetch_dir_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end agent path inside the driver gate: fetch the sf_dir directory
