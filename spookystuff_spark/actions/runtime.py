@@ -46,10 +46,23 @@ class Agent:
         self.conf = conf
         self.session_state: dict = {}
         self._metrics_inc = metrics_inc
+        self._finalizers: list[Callable[[], None]] = []
 
     def metrics_inc(self, name: str, n: int = 1) -> None:
         if self._metrics_inc:
             self._metrics_inc(name, n)
+
+    def defer(self, fn: Callable[[], None]) -> None:
+        """Register a cleanup to run at agent close (e.g. webdriver release)."""
+        self._finalizers.append(fn)
+
+    def close(self) -> None:
+        for fn in reversed(self._finalizers):
+            try:
+                fn()
+            except Exception:  # noqa: BLE001 — cleanup must not mask results
+                pass
+        self._finalizers.clear()
 
     def run_action(self, action: Action) -> list:
         timeout = action.TIMEOUT_SEC or self.conf.remote_timeout_sec
@@ -142,33 +155,36 @@ def fetch_trace(
     # --- remote path
     agent = Agent(conf, metrics_inc)
     last_err: Optional[Exception] = None
-    for attempt in range(max(1, conf.fetch_retries)):
-        try:
-            out = []
-            per_key: dict[str, list] = {}
-            prefix: list[Action] = []
-            for a in trace.actions:
-                obs = agent.run_action(a)
-                if a.HAS_EXPORT or a.children().has_export:
-                    bt_key = Trace(tuple(prefix) + (a,)).key
-                    for o in obs:
-                        o.backtrace_key = bt_key
-                    per_key.setdefault(bt_key, []).extend(obs)
-                out.extend(obs)
-                if a.MAY_CHANGE_STATE:
-                    prefix.append(a)
-            ts = now_ms()
-            if conf.cache_write:
-                for key, obs in per_key.items():
-                    _cache_put(conf, key, obs, ts)
-            inc("pages_fetched", len(out))
-            inc("pages_from_remote", len(out))
-            inc("sessions_initialized")
-            return out
-        except Exception as e:  # noqa: BLE001
-            last_err = e
-            if attempt + 1 < conf.fetch_retries and conf.retry_delay_sec:
-                time.sleep(conf.retry_delay_sec)
+    try:
+        for attempt in range(max(1, conf.fetch_retries)):
+            try:
+                out = []
+                per_key: dict[str, list] = {}
+                prefix: list[Action] = []
+                for a in trace.actions:
+                    obs = agent.run_action(a)
+                    if a.HAS_EXPORT or a.children().has_export:
+                        bt_key = Trace(tuple(prefix) + (a,)).key
+                        for o in obs:
+                            o.backtrace_key = bt_key
+                        per_key.setdefault(bt_key, []).extend(obs)
+                    out.extend(obs)
+                    if a.MAY_CHANGE_STATE:
+                        prefix.append(a)
+                ts = now_ms()
+                if conf.cache_write:
+                    for key, obs in per_key.items():
+                        _cache_put(conf, key, obs, ts)
+                inc("pages_fetched", len(out))
+                inc("pages_from_remote", len(out))
+                inc("sessions_initialized")
+                return out
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt + 1 < conf.fetch_retries and conf.retry_delay_sec:
+                    time.sleep(conf.retry_delay_sec)
+    finally:
+        agent.close()  # release transient webdrivers etc.
 
     inc("fetch_errors")
     err = ErrorObservation(

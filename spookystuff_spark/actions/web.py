@@ -1,53 +1,83 @@
 """Browser-interaction actions (ref: module/web/.../actions/Foundation.scala:25-301,
 WebInteraction.scala:17-59, Snapshot.scala:13-32, Screenshot.scala:11-30).
 
-Selenium is optional (absent from this container): the action algebra, trace
-serialization, dedup keys and driver-pooling shape are fully functional — only
-``execute`` requires a webdriver, failing with a clear ImportError otherwise
-(errors surface as ErrorObservation rows, never task-killers).
+Execution is driver-agnostic: actions speak the small WebDriver protocol
+(``find_element(s)("css selector", sel)``, ``get``, ``page_source``,
+``execute_script``, …) that real selenium drivers already implement, so the
+selenium import lives ONLY in the default factory. Any object with the same
+surface can be injected via ``SpookyConf.webdriver_factory`` — which is how
+the execution path (Click/Submit/Snapshot/pooling) is tested in this
+selenium-free container, and how a playwright/CDP backend would plug in.
 
-Driver pooling (ref: conf/DriverFactory.scala:31-158): ``task_local`` keeps one
-browser per Python worker process (``spark.python.worker.reuse`` parity with
-the reference's per-Spark-task pool, factory-reset between uses);
-``transient`` creates/quits per trace.
+Driver pooling (ref: conf/DriverFactory.scala:31-158): ``task_local`` keeps
+one browser per Python worker process (``spark.python.worker.reuse`` parity
+with the reference's per-Spark-task pool, factory-reset between uses);
+``transient`` creates per trace and quits at agent close.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
-from spookystuff_spark.actions.core import NO_OP, Action, Trace, register_action
+from spookystuff_spark.actions.core import Action, register_action
 from spookystuff_spark.doc.observation import Doc
+
+# selenium's By.CSS_SELECTOR literal — using the raw string keeps the actions
+# import-free so fake/alternate drivers run them unchanged
+CSS = "css selector"
 
 _DRIVER_POOL: dict = {}  # per-worker singleton (task_local mode)
 
 
-def _require_selenium():
+def _default_factory():
     try:
-        import selenium  # noqa: F401
-
-        return selenium
+        from selenium import webdriver
     except ImportError as e:
         raise ImportError(
-            "web actions require selenium, which is not installed in this "
-            "environment; the trace algebra still works — only execution needs it"
+            "web actions require selenium (not installed here) or an injected "
+            "SpookyConf.webdriver_factory; the trace algebra itself needs neither"
         ) from e
+    return webdriver.Firefox()
 
 
-def get_webdriver(agent, mode: str = "task_local"):
-    _require_selenium()
-    from selenium import webdriver
-
+def get_webdriver(agent, mode: Optional[str] = None):
+    """Create-or-pool a webdriver per DriverFactory semantics."""
+    conf = getattr(agent, "conf", None)
+    factory = getattr(conf, "webdriver_factory", None) or _default_factory
+    mode = mode or getattr(conf, "webdriver_pool", "task_local")
     if mode == "transient":
-        return webdriver.Firefox()
+        return factory()
     drv = _DRIVER_POOL.get("driver")
     if drv is None:
-        drv = webdriver.Firefox()
+        drv = factory()
         _DRIVER_POOL["driver"] = drv
     else:
         drv.delete_all_cookies()  # factory reset on reuse (DriverFactory parity)
     return drv
+
+
+def release_webdriver(agent) -> None:
+    """Agent-close hook: transient drivers quit; pooled drivers stay warm."""
+    drv = agent.session_state.pop("webdriver", None)
+    if drv is None:
+        return
+    mode = agent.session_state.pop("webdriver_mode", "task_local")
+    if mode == "transient":
+        try:
+            drv.quit()
+        except Exception:  # noqa: BLE001 — cleanup must not mask trace results
+            pass
+
+
+def clear_driver_pool() -> None:
+    drv = _DRIVER_POOL.pop("driver", None)
+    if drv is not None:
+        try:
+            drv.quit()
+        except Exception:  # noqa: BLE001
+            pass
 
 
 class WebAction(Action):
@@ -58,8 +88,11 @@ class WebAction(Action):
     def webdriver(self, agent):
         drv = agent.session_state.get("webdriver")
         if drv is None:
-            drv = get_webdriver(agent)
+            mode = getattr(agent.conf, "webdriver_pool", "task_local")
+            drv = get_webdriver(agent, mode)
             agent.session_state["webdriver"] = drv
+            agent.session_state["webdriver_mode"] = mode
+            agent.defer(lambda: release_webdriver(agent))
             agent.metrics_inc("sessions_initialized")
         return drv
 
@@ -82,9 +115,7 @@ class Click(WebAction):
     selector: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-
-        self.webdriver(agent).find_element(By.CSS_SELECTOR, self.selector).click()
+        self.webdriver(agent).find_element(CSS, self.selector).click()
         return []
 
 
@@ -97,10 +128,8 @@ class ClickNext(WebAction):
     selector: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-
         seen = agent.session_state.setdefault("clicknext_seen", set())
-        for el in self.webdriver(agent).find_elements(By.CSS_SELECTOR, self.selector):
+        for el in self.webdriver(agent).find_elements(CSS, self.selector):
             key = el.text or el.get_attribute("href") or ""
             if key not in seen:
                 seen.add(key)
@@ -115,9 +144,7 @@ class Submit(WebAction):
     selector: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-
-        self.webdriver(agent).find_element(By.CSS_SELECTOR, self.selector).submit()
+        self.webdriver(agent).find_element(CSS, self.selector).submit()
         return []
 
 
@@ -128,26 +155,22 @@ class TextInput(WebAction):
     text: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-
-        self.webdriver(agent).find_element(By.CSS_SELECTOR, self.selector).send_keys(
-            self.text
-        )
+        self.webdriver(agent).find_element(CSS, self.selector).send_keys(self.text)
         return []
 
 
 @register_action
 @dataclasses.dataclass(frozen=True)
 class DropDownSelect(WebAction):
+    """Select an <option> by value — implemented via the element protocol
+    (child lookup + click), the same thing selenium's Select helper does."""
+
     selector: str = ""
     value: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-        from selenium.webdriver.support.ui import Select
-
-        el = self.webdriver(agent).find_element(By.CSS_SELECTOR, self.selector)
-        Select(el).select_by_value(self.value)
+        el = self.webdriver(agent).find_element(CSS, self.selector)
+        el.find_element(CSS, f'option[value="{self.value}"]').click()
         return []
 
 
@@ -157,10 +180,8 @@ class ToFrame(WebAction):
     selector: str = ""
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-
         drv = self.webdriver(agent)
-        drv.switch_to.frame(drv.find_element(By.CSS_SELECTOR, self.selector))
+        drv.switch_to.frame(drv.find_element(CSS, self.selector))
         return []
 
 
@@ -181,16 +202,28 @@ class DragSlider(WebAction):
     percentage: float = 0.5
 
     def execute(self, agent) -> list:
-        from selenium.webdriver import ActionChains
-        from selenium.webdriver.common.by import By
-
         drv = self.webdriver(agent)
-        el = drv.find_element(By.CSS_SELECTOR, self.selector)
-        width = el.size["width"]
-        ActionChains(drv).drag_and_drop_by_offset(
-            el, int(width * self.percentage), 0
-        ).perform()
+        el = drv.find_element(CSS, self.selector)
+        dx = int(el.size["width"] * self.percentage)
+        try:
+            from selenium.webdriver import ActionChains
+        except ImportError:
+            drv.drag_and_drop_by_offset(el, dx, 0)  # injected-driver protocol
+            return []
+        ActionChains(drv).drag_and_drop_by_offset(el, dx, 0).perform()
         return []
+
+
+def _poll_until(check, timeout_sec: float, what: str) -> None:
+    """Blocking wait (ref: WebInteraction.scala:17-59) — plain poll loop, no
+    selenium WebDriverWait dependency."""
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        if check():
+            return
+        if time.monotonic() >= deadline:
+            raise TimeoutError(f"WaitFor: {what} not satisfied in {timeout_sec}s")
+        time.sleep(min(0.1, timeout_sec / 10))
 
 
 @register_action
@@ -203,12 +236,11 @@ class WaitFor(WebAction):
     MAY_CHANGE_STATE = False
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.common.by import By
-        from selenium.webdriver.support import expected_conditions as EC
-        from selenium.webdriver.support.ui import WebDriverWait
-
-        WebDriverWait(self.webdriver(agent), self.timeout_sec).until(
-            EC.presence_of_element_located((By.CSS_SELECTOR, self.selector))
+        drv = self.webdriver(agent)
+        _poll_until(
+            lambda: len(drv.find_elements(CSS, self.selector)) > 0,
+            self.timeout_sec,
+            f"selector {self.selector!r}",
         )
         return []
 
@@ -220,10 +252,11 @@ class WaitForDocumentReady(WebAction):
     MAY_CHANGE_STATE = False
 
     def execute(self, agent) -> list:
-        from selenium.webdriver.support.ui import WebDriverWait
-
-        WebDriverWait(self.webdriver(agent), self.timeout_sec).until(
-            lambda d: d.execute_script("return document.readyState") == "complete"
+        drv = self.webdriver(agent)
+        _poll_until(
+            lambda: drv.execute_script("return document.readyState") == "complete",
+            self.timeout_sec,
+            "document.readyState == complete",
         )
         return []
 

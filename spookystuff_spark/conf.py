@@ -46,6 +46,14 @@ class SpookyConf:
     # --- preview mode (ref: SpookyConf.scala:91-100)
     preview_mode: bool = False
 
+    # --- webdriver (ref: conf/DriverFactory.scala:31-158)
+    # factory: () -> driver; None → selenium Firefox. Injectable so tests
+    # (and non-selenium backends) can exercise the full execution path.
+    webdriver_factory: Optional[object] = None
+    # "task_local": one pooled driver per Python worker, factory-reset
+    # between traces; "transient": create per trace, quit after.
+    webdriver_pool: str = "task_local"
+
     # --- blob handling: inline in the obs column up to this size, else offload
     # to DFS and store only the path (keeps shuffle rows small at 100 TB).
     inline_blob_max_bytes: int = 1 << 20
