@@ -229,25 +229,33 @@ def simhash_signatures(
         [StructField("id", LongType()), StructField("simhash", LongType())]
     )
 
+    shifts = np.arange(n_bits, dtype=np.uint64)
+    one = np.uint64(1)
+
     def sig_of(text: str) -> int:
         tokens = _normalize(text).split()
         if not tokens:
             return 0
-        acc = np.zeros(n_bits, dtype=np.int64)
-        shifts = np.arange(n_bits, dtype=np.uint64)
-        one = np.uint64(1)
+        # one blake2b per DISTINCT token, then a single vectorized
+        # (n_distinct, n_bits) reduction weighted by token count — the
+        # per-token numpy loop was the hot spot of a full-corpus pass
+        counts: dict[str, int] = {}
         for tok in tokens:
-            h = np.uint64(
+            counts[tok] = counts.get(tok, 0) + 1
+        h = np.fromiter(
+            (
                 int.from_bytes(
                     hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
                 )
-            )
-            bits = ((h >> shifts) & one).astype(np.int64)
-            acc += 2 * bits - 1
-        out = 0
-        for i in range(n_bits):
-            if acc[i] > 0:
-                out |= 1 << i
+                for tok in counts
+            ),
+            dtype=np.uint64,
+            count=len(counts),
+        )
+        w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        bits = ((h[:, None] >> shifts) & one).astype(np.int64)
+        acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+        out = int(((acc > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
         return out - (1 << 64) if out >= (1 << 63) else out
 
     def run(batches: Iterator) -> Iterator:

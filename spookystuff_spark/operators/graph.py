@@ -89,11 +89,13 @@ def connected_components(
     # hybrid: near-dup edge lists are usually tiny relative to the corpus —
     # under the threshold, a driver-side union-find beats O(diameter) Spark
     # rounds by seconds of fixed job overhead. Same output, same determinism.
-    n_edges = edges.count()
-    if n_edges <= local_threshold:
-        pairs = [
-            (r[0], r[1]) for r in edges.select(src_col, dst_col).collect()
-        ]
+    # The gate itself is bounded: limit(threshold+1) instead of a full count,
+    # so a 100 TB pair set never pays a whole extra pass just to be told "too
+    # big" (countApprox idiom, ref: LocalityRDDView.scala:13-16). When small,
+    # the gate's collect IS the data — no second pass either.
+    gated = edges.select(src_col, dst_col).limit(local_threshold + 1).collect()
+    if len(gated) <= local_threshold:
+        pairs = [(r[0], r[1]) for r in gated]
         parent: dict = {}
 
         def find(x):
@@ -127,6 +129,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F2.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -152,4 +155,11 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged:
+        # a silently-split component is a wrong answer, not a slow one
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds — a component with diameter > max_iter would be split "
+            "into multiple labels; raise max_iter"
+        )
     return labels.select("node", F2.col("label").alias("component"))

@@ -196,10 +196,18 @@ def explore(
         fetched.count()
 
         visited = fetched if visited is None else visited.unionByName(fetched)
-        visited_keys = visited.select(KEY_COL).distinct()
+        # incremental closed-set: union THIS epoch's keys (fetched is one row
+        # per key, disjoint from prior epochs by the left_anti above) instead
+        # of re-distinct-ing the full visited rows — the rescan was
+        # O(total-visited) per epoch, quadratic-ish across a deep crawl.
+        new_keys = fetched.select(KEY_COL)
+        visited_keys = (
+            new_keys
+            if visited_keys is None
+            else visited_keys.unionByName(new_keys)
+        ).localCheckpoint(eager=True)  # keys-only: tiny; keeps union depth at 1
         if epoch % checkpoint_interval == checkpoint_interval - 1:
             visited = visited.localCheckpoint(eager=True)  # lineage truncation
-            visited_keys = visited.select(KEY_COL).distinct()
 
         if epoch >= max_depth:
             break  # children would exceed the cap — don't expand
@@ -410,7 +418,14 @@ def _explore_batched(
         )
         if epoch % checkpoint_interval == checkpoint_interval - 1:
             visited = visited.localCheckpoint(eager=True)
-        visited_keys = visited.select(KEY_COL).distinct().localCheckpoint(eager=True)
+        # incremental closed-set (see _explore loop): new_visited is one row
+        # per key and disjoint from visited_keys — no full-visited rescan.
+        new_keys = new_visited.select(KEY_COL)
+        visited_keys = (
+            new_keys
+            if visited_keys is None
+            else visited_keys.unionByName(new_keys)
+        ).localCheckpoint(eager=True)
 
         frontier = walked.filter(F.col("__is_frontier")).drop(
             "__is_frontier", OBS_COL
