@@ -45,6 +45,10 @@ class Action:
     MAY_CHANGE_STATE = False
     HAS_EXPORT = False
     TIMEOUT_SEC = None  # no annotation — class attr, not a dataclass field
+    # field names whose values are credentials: never serialized into trace
+    # JSON (the __trace column is shuffled, checkpointed and error-dumped to
+    # disk) — resolved from SpookyConf.credentials / env at execute time
+    SECRET_FIELDS = ()  # no annotation — class attr, not a dataclass field
 
     # --- algebra -----------------------------------------------------------
     @property
@@ -67,7 +71,10 @@ class Action:
     def to_dict(self) -> dict:
         d: dict[str, Any] = {"#": type(self).__name__}
         for f in dataclasses.fields(self):
-            d[f.name] = _ser(getattr(self, f.name))
+            v = getattr(self, f.name)
+            if f.name in self.SECRET_FIELDS and v:
+                v = REDACTED
+            d[f.name] = _ser(v)
         return d
 
     def to_json(self) -> str:
@@ -81,6 +88,9 @@ class Action:
     def children(self) -> "Trace":
         """Nested trace for control blocks; empty for leaves."""
         return NO_OP
+
+
+REDACTED = "__REDACTED__"
 
 
 def _ser(v: Any) -> Any:
@@ -117,6 +127,8 @@ def action_from_dict(d: dict) -> Action:
             v = _deser(d[f.name])
             if f.name in ("body", "trace") and isinstance(v, list):
                 v = Trace(tuple(v))
+            if v == REDACTED:
+                v = ""  # re-resolved from conf/env at execute time
             kwargs[f.name] = v
     return cls(**kwargs)
 

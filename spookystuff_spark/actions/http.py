@@ -137,9 +137,30 @@ class OAuthV2(Action):
     token_secret: str = ""
 
     MAY_CHANGE_STATE = True
+    # secrets never enter trace JSON / checkpoints / error dumps — on workers
+    # they re-resolve from SpookyConf.credentials[consumer_key] or env
+    SECRET_FIELDS = ("consumer_secret", "token_secret")
+
+    def __repr__(self) -> str:  # keeps error dumps and logs secret-free
+        return (
+            f"OAuthV2(consumer_key={self.consumer_key!r}, "
+            f"consumer_secret=***, token={self.token!r}, token_secret=***)"
+        )
 
     def execute(self, agent) -> list:
-        agent.session_state["oauth"] = dataclasses.asdict(self)
+        creds = dataclasses.asdict(self)
+        if not creds["consumer_secret"] or not creds["token_secret"]:
+            import os
+
+            stored = (getattr(agent.conf, "credentials", None) or {}).get(
+                self.consumer_key, {}
+            )
+            for k, env in (
+                ("consumer_secret", "SPOOKY_OAUTH_CONSUMER_SECRET"),
+                ("token_secret", "SPOOKY_OAUTH_TOKEN_SECRET"),
+            ):
+                creds[k] = creds[k] or stored.get(k) or os.environ.get(env, "")
+        agent.session_state["oauth"] = creds
         return []
 
 
@@ -150,7 +171,7 @@ def oauth_sign_header(
     import base64
     import hashlib
     import hmac
-    from urllib.parse import quote, urlsplit
+    from urllib.parse import quote, unquote, urlsplit
 
     def enc(s: str) -> str:
         return quote(s, safe="~")
@@ -165,11 +186,20 @@ def oauth_sign_header(
         "oauth_token": creds["token"],
         "oauth_version": "1.0",
     }
+    # RFC 5849 §3.4.1.3: query params are percent-DECODED first (the URI
+    # carries them encoded — re-encoding without decoding double-encodes
+    # reserved chars), duplicates kept as a multiset, then the normalized
+    # string sorts the ENCODED (key, value) pairs.
+    pairs = list(params.items())
     if parts.query:
         for kv in parts.query.split("&"):
+            if not kv:
+                continue
             k, _, v = kv.partition("=")
-            params[k] = v
-    norm = "&".join(f"{enc(k)}={enc(v)}" for k, v in sorted(params.items()))
+            pairs.append((unquote(k), unquote(v)))
+    norm = "&".join(
+        f"{k}={v}" for k, v in sorted((enc(k), enc(v)) for k, v in pairs)
+    )
     base_string = "&".join([method.upper(), enc(base_uri), enc(norm)])
     key = f"{enc(creds['consumer_secret'])}&{enc(creds['token_secret'])}"
     sig = base64.b64encode(

@@ -70,8 +70,12 @@ class Agent:
         try:
             return fut.result(timeout=timeout)
         except concurrent.futures.TimeoutError:
-            fut.cancel()
-            raise TimeoutError(f"{action!r} timed out after {timeout}s") from None
+            fut.cancel()  # best-effort: a RUNNING thread keeps going — the
+            # I/O layer gets conf.remote_timeout_sec so it self-terminates
+            # rather than clogging the 8-thread helper pool
+            err = TimeoutError(f"{action!r} timed out after {timeout}s")
+            err._may_change_state = action.MAY_CHANGE_STATE  # type: ignore[attr-defined]
+            raise err from None
 
 
 def _wayback_bound(trace: Trace) -> Optional[int]:
@@ -179,6 +183,16 @@ def fetch_trace(
                 inc("pages_from_remote", len(out))
                 inc("sessions_initialized")
                 return out
+            except TimeoutError as e:
+                # a timed-out state-changing action may STILL complete
+                # remotely (cancel() can't stop a running thread) — replaying
+                # the trace would duplicate the side effect. Fail fast; the
+                # doc-cache idempotency invariant covers task-level retries.
+                last_err = e
+                if getattr(e, "_may_change_state", False):
+                    break
+                if attempt + 1 < conf.fetch_retries and conf.retry_delay_sec:
+                    time.sleep(conf.retry_delay_sec)
             except Exception as e:  # noqa: BLE001
                 last_err = e
                 if attempt + 1 < conf.fetch_retries and conf.retry_delay_sec:

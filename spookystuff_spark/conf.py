@@ -46,6 +46,11 @@ class SpookyConf:
     # --- preview mode (ref: SpookyConf.scala:91-100)
     preview_mode: bool = False
 
+    # --- credential store: consumer_key → {"consumer_secret","token_secret"}.
+    # Ships to workers only inside the pickled task closure — never in trace
+    # JSON, DataFrame columns, checkpoints or error dumps (those are redacted).
+    credentials: Optional[dict] = None
+
     # --- webdriver (ref: conf/DriverFactory.scala:31-158)
     # factory: () -> driver; None → selenium Firefox. Injectable so tests
     # (and non-selenium backends) can exercise the full execution path.

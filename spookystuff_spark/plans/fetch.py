@@ -57,9 +57,12 @@ TraceSpec = Union[Action, Trace, TraceSet, list, Callable]
 def _uri_template_expr(template: str):
     """``"file:///{path}/x"`` → format_string('file:///%s/x', col(path))."""
     cols = _TEMPLATE_RE.findall(template)
-    fmt = _TEMPLATE_RE.sub("%s", template).replace("%%", "%%%%")
     if not cols:
         return F.lit(template)
+    # escape literal '%' BEFORE '{col}'→'%s' substitution: a percent-encoded
+    # URI like 'file:///{p}/a%20b' would otherwise reach java String.format
+    # as a stray conversion and throw / corrupt the URI
+    fmt = _TEMPLATE_RE.sub("%s", template.replace("%", "%%"))
     return F.format_string(fmt, *[F.col(c) for c in cols])
 
 

@@ -232,3 +232,18 @@ def test_wide_join_locality_equivalent(sctx, spark, site):
             locality="wide_join",
             downsampling=("first_n", 1),
         )
+
+
+def test_template_with_literal_percent(sctx, spark, site):
+    """A literal '%' in a URI template must survive format_string: it is
+    escaped to '%%' BEFORE '{col}' substitution, so a percent-encoded
+    template like 'a%20{suffix}' is not parsed as a java format conversion
+    (ADVICE r01: the old post-substitution replace missed single '%')."""
+    import shutil
+
+    shutil.copy(site / "a.html", site / "a b.html")  # fetched as 'a%20b.html'
+    dv = sctx.create(spark.createDataFrame([{"suffix": "b.html"}]))
+    # '%20' sits in the TEMPLATE, '{suffix}' forces the format_string path
+    fetched = dv.fetch(Wget(f"file://{site}/a%20" + "{suffix}"))
+    out = fetched.select(title=S("title").text).to_df().collect()
+    assert [r.title for r in out] == ["Page A"]

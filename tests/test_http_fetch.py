@@ -229,3 +229,79 @@ def test_oauth_signed_request(http_base):
         assert 'oauth_consumer_key="ck"' in seen["auth"]
     finally:
         srv.shutdown()
+
+
+def test_oauth_secrets_never_serialized(http_base):
+    """Credentials must not leak into trace JSON, repr, or error dumps
+    (ADVICE r01): secrets are redacted at serialization and re-resolved from
+    SpookyConf.credentials (or env) at execute time on the worker."""
+    from spookystuff_spark.actions import OAuthV2
+    from spookystuff_spark.actions.core import trace_from_json
+
+    act = OAuthV2(
+        consumer_key="ck", consumer_secret="s3cr3t", token="tk",
+        token_secret="t0ps3cr3t",
+    )
+    t = Trace((act, Wget("http://x/api")))
+    js = t.to_json()
+    assert "s3cr3t" not in js and "t0ps3cr3t" not in js
+    assert "s3cr3t" not in repr(t) and "ck" in repr(t)
+
+    # round-trip drops secrets; execute re-resolves them from conf.credentials
+    rt = trace_from_json(js)
+    oauth = rt.actions[0]
+    assert oauth.consumer_secret == "" and oauth.token_secret == ""
+
+    seen = {}
+
+    class _EchoAuth(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+    import threading as _t
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _EchoAuth)
+    _t.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t2 = trace_from_json(
+            Trace(
+                (act, Wget(f"http://127.0.0.1:{srv.server_address[1]}/api"))
+            ).to_json()
+        )
+        c = conf(
+            cache_read=False,
+            cache_write=False,
+            credentials={
+                "ck": {"consumer_secret": "s3cr3t", "token_secret": "t0ps3cr3t"}
+            },
+        )
+        obs = fetch_trace(t2, c)
+        assert obs[0].success
+        assert seen["auth"] and seen["auth"].startswith("OAuth ")
+    finally:
+        srv.shutdown()
+
+
+def test_oauth_base_string_rfc5849_encoding():
+    """RFC 5849 §3.4.1.3: already-encoded query params are decoded before
+    signing (no double-encoding) and duplicate keys survive as a multiset."""
+    from spookystuff_spark.actions.http import oauth_sign_header
+
+    creds = dict(
+        consumer_key="ck", consumer_secret="cs", token="tk", token_secret="ts"
+    )
+    # encoded-vs-decoded equivalence: 'a b' arrives as 'a%20b' in the URI
+    h_enc = oauth_sign_header(creds, "GET", "http://x/api?q=a%20b", "n0", "100")
+    h_raw = oauth_sign_header(creds, "GET", "http://x/api?q=a b", "n0", "100")
+    assert h_enc == h_raw
+    # duplicate keys are not collapsed: both values must influence signature
+    h_dup = oauth_sign_header(creds, "GET", "http://x/api?t=1&t=2", "n0", "100")
+    h_one = oauth_sign_header(creds, "GET", "http://x/api?t=1", "n0", "100")
+    assert h_dup != h_one
