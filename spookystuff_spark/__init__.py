@@ -48,3 +48,4 @@ from spookystuff_spark.actions import (  # noqa: F401
 from spookystuff_spark.conf import SpookyConf  # noqa: F401
 from spookystuff_spark.context import SpookyContext  # noqa: F401
 from spookystuff_spark.functions.extractors import C, S, T, by_name  # noqa: F401
+from spookystuff_spark.plans.select import append  # noqa: F401  (~+ semantics)

@@ -278,12 +278,14 @@ class HtmlNode:
             ]
         return ManyNodes(kids)
 
-    def find_all_with_siblings(
-        self, css: str, sibling_range: range = range(-1, 2)
-    ) -> list["Siblings"]:
-        """Sibling-window expansion (ref: Node.scala:52-87 withSiblings)."""
+    def _expand(self, found: list["HtmlNode"], sibling_range: range) -> list["Siblings"]:
+        """Sibling-window expansion with the no-overlap rule
+        (ref: HtmlNode.scala:88-109 expand): each window is clipped at the
+        nearest OTHER matched element, so adjacent matches never share
+        siblings."""
+        found_els = [n._el for n in found]
         out = []
-        for node in self.find_all(css):
+        for node in found:
             el = node._el
             parent = el.parent
             if parent is None:
@@ -293,10 +295,31 @@ class HtmlNode:
             i = sibs.index(el)
             lo = max(0, i + sibling_range.start)
             hi = min(len(sibs), i + sibling_range.stop)
+            for j in range(i - 1, lo - 1, -1):  # clip at previous match
+                if any(sibs[j] is fe for fe in found_els):
+                    lo = j + 1
+                    break
+            for j in range(i + 1, hi):  # clip at next match
+                if any(sibs[j] is fe for fe in found_els):
+                    hi = j
+                    break
             out.append(
                 Siblings([HtmlNode(s, self.base_uri) for s in sibs[lo:hi]])
             )
         return out
+
+    def find_all_with_siblings(
+        self, css: str, sibling_range: range = range(-1, 2)
+    ) -> list["Siblings"]:
+        """Sibling-window expansion (ref: Node.scala:52-87 withSiblings)."""
+        return self._expand(list(self.find_all(css)), sibling_range)
+
+    def children_with_siblings(
+        self, css: str, sibling_range: range = range(-1, 2)
+    ) -> list["Siblings"]:
+        """children(css) restricted matches, each with its sibling window
+        (ref: HtmlNode.scala:121-130 childrenWithSiblings)."""
+        return self._expand(list(self.children(css)), sibling_range)
 
     # --- extractors (ref: doc/HtmlNode.scala:75-175)
     @property

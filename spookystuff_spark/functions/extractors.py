@@ -86,8 +86,33 @@ def _first(nodes: ManyNodes):
 class NodesExpr(Expr):
     """Evaluates to a ManyNodes batch; exposes the batch extractor surface."""
 
-    def __init__(self, fn):
+    def __init__(self, fn, root_fn=None, css=None, mode="find_all"):
         super().__init__(fn, StringType())  # placeholder; leaves carry real types
+        self._root_fn = root_fn  # set when built from a css selection —
+        self._css = css  # enables sibling-window expansion
+        self._mode = mode  # "find_all" | "children"
+
+    def expand(self, sibling_range: range) -> "SiblingsExpr":
+        """Sibling-window expansion — ``S("a em").expand(range(-2, 2)).texts``
+        mirrors the legacy ``S"a em".expand(-2 to 1).texts``
+        (ref: SelectIT.scala:23, Node.scala:52-87). Windows are clipped at
+        adjacent matches (no overlap)."""
+        if self._root_fn is None or self._css is None:
+            raise ValueError("expand() requires a css-selected NodesExpr")
+        method = (
+            "find_all_with_siblings"
+            if self._mode == "find_all"
+            else "children_with_siblings"
+        )
+        root_fn, css = self._root_fn, self._css
+
+        def groups(ctx: ExtractCtx):
+            root = root_fn(ctx)
+            if root is None:
+                return []
+            return getattr(root, method)(css, sibling_range)
+
+        return SiblingsExpr(groups)
 
     # --- batch extractors (ref: ManyNodes.scala:8-37)
     @property
@@ -159,6 +184,24 @@ class NodesExpr(Expr):
         )
 
 
+class SiblingsExpr(Expr):
+    """Evaluates to a list of Siblings groups (ref: doc/Siblings.scala:8-38)."""
+
+    def __init__(self, groups_fn):
+        super().__init__(groups_fn, ArrayType(StringType()))
+
+    @property
+    def texts(self) -> Expr:
+        """One space-joined text per sibling group."""
+        return Expr(
+            lambda c: [g.text for g in self.fn(c)], ArrayType(StringType())
+        )
+
+    @property
+    def size(self) -> Expr:
+        return Expr(lambda c: len(self.fn(c)), IntegerType())
+
+
 class DocSelector:
     """``S`` — the current document/scope; ``S("css")`` selects nodes
     (ref: the ``S"..."`` interpolator in the legacy DSL)."""
@@ -169,13 +212,31 @@ class DocSelector:
     def __call__(self, css: str) -> NodesExpr:
         name = self._name
 
+        def root_fn(ctx: ExtractCtx):
+            return ctx.root(name)
+
         def fn(ctx: ExtractCtx) -> ManyNodes:
-            root = ctx.root(name)
+            root = root_fn(ctx)
             if root is None:
                 return ManyNodes([])
             return root.find_all(css)
 
-        return NodesExpr(fn)
+        return NodesExpr(fn, root_fn=root_fn, css=css, mode="find_all")
+
+    def children(self, css: str) -> NodesExpr:
+        """Direct-children-only selection (ref: NodeContainer.children)."""
+        name = self._name
+
+        def root_fn(ctx: ExtractCtx):
+            return ctx.root(name)
+
+        def fn(ctx: ExtractCtx) -> ManyNodes:
+            root = root_fn(ctx)
+            if root is None:
+                return ManyNodes([])
+            return root.children(css)
+
+        return NodesExpr(fn, root_fn=root_fn, css=css, mode="children")
 
     # whole-document extractors
     @property

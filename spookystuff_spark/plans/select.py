@@ -43,21 +43,67 @@ def _ctx_for(row: dict, parse_cache: dict) -> ExtractCtx:
     return ExtractCtx(row, docs, scope=scope, parse_cache=parse_cache)
 
 
-def select(df: DataFrame, **extractors: Expr) -> DataFrame:
+class Append:
+    """``~+`` marker (ref: SelectIT.scala:60-91): where plain ``expr ~ name``
+    raises on an existing column, ``append(expr)`` merges into it — the old
+    value is promoted to an array and the new extraction appended."""
+
+    def __init__(self, expr: Expr):
+        self.expr = expr
+
+
+def append(expr: Expr) -> Append:
+    return Append(expr)
+
+
+def select(df: DataFrame, **extractors) -> DataFrame:
     """Append one column per named extractor (ref: DataView.select/map)."""
+    from pyspark.sql.types import ArrayType
+
     in_fields = list(df.schema.fields)
-    new_fields = [StructField(name, e.dtype) for name, e in extractors.items()]
-    for f in new_fields:
-        if f.name in df.columns:
+    by_name = {f.name: f for f in in_fields}
+    appends = {n: e.expr for n, e in extractors.items() if isinstance(e, Append)}
+    plain = {n: e for n, e in extractors.items() if not isinstance(e, Append)}
+    for name in plain:
+        if name in by_name:
             raise ValueError(
-                f"column {f.name!r} already exists (legacy SelectIT conflict rule)"
+                f"column {name!r} already exists (legacy SelectIT conflict rule"
+                " — use append() / '~+' semantics to merge)"
             )
-    out_schema = StructType(in_fields + new_fields)
+
+    def arr_elem(name: str, e: Expr):
+        existing = by_name.get(name)
+        base = existing.dataType if existing is not None else e.dtype
+        return base.elementType if isinstance(base, ArrayType) else base
+
+    out_fields = [
+        StructField(f.name, ArrayType(arr_elem(f.name, appends[f.name])))
+        if f.name in appends
+        else f
+        for f in in_fields
+    ]
+    out_fields += [
+        StructField(n, ArrayType(arr_elem(n, e)))
+        if n in appends
+        else StructField(n, e.dtype)
+        for n, e in extractors.items()
+        if n not in by_name
+    ]
+    out_schema = StructType(out_fields)
     names = [f.name for f in in_fields]
-    items = list(extractors.items())
+    items = [(n, (e.expr if isinstance(e, Append) else e)) for n, e in extractors.items()]
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        def as_list(v):
+            if v is None:
+                return []
+            if isinstance(v, (str, bytes)):
+                return [v]
+            if hasattr(v, "__len__"):  # list / tuple / numpy array from Arrow
+                return list(v)
+            return [v]
 
         for pdf in batches:
             parse_cache: dict = {}
@@ -66,11 +112,14 @@ def select(df: DataFrame, **extractors: Expr) -> DataFrame:
                 ctx = _ctx_for(row, parse_cache)
                 for name, expr in items:
                     try:
-                        out_cols[name].append(expr.eval(ctx))
+                        v = expr.eval(ctx)
                     except Exception:
-                        out_cols[name].append(None)
+                        v = None
+                    if name in appends:
+                        v = as_list(row.get(name)) + as_list(v)
+                    out_cols[name].append(v)
             yield pdf.assign(**out_cols) if len(pdf) else pd.DataFrame(
-                columns=names + [n for n, _ in items]
+                columns=names + [n for n, _ in items if n not in names]
             )
 
     return df.mapInPandas(run, out_schema)

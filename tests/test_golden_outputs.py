@@ -220,3 +220,71 @@ def test_github_user_json_golden(sctx, spark, tmp_path):
         indent=1,
     )
     assert _golden_json(df, ["login"]) == golden
+
+
+def test_append_extract_golden(sctx, spark, shop):
+    """SelectIT.scala:60-91 '~+' semantics: plain re-extract to an existing
+    column raises; append() merges — old value promoted to array, new value
+    appended."""
+    from spookystuff_spark import append
+
+    dv = (
+        sctx.create_blank()
+        .fetch(Wget(f"file://{shop}/index.html"))
+        .select(title=S("title").text)
+        .persist()
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        dv.select(title=S("h1").text)
+
+    df = dv.select(title=append(S("h1").text)).to_df().select("title")
+    assert df.schema["title"].dataType.typeName() == "array"
+    assert df.collect()[0].title == ["Store", "All Departments"]
+
+    # array + array extends (texts onto an existing array column)
+    dv2 = dv.select(cats=S("a.cat").texts).persist()
+    df2 = dv2.select(cats=append(S("h1").texts)).to_df().select("cats")
+    assert df2.collect()[0].cats == ["Computers", "Phones", "All Departments"]
+
+
+def test_expand_siblings_golden(sctx, spark, shop):
+    """SelectIT.scala:23 expand semantics: sibling windows around each match,
+    clipped at adjacent matches (no overlap)."""
+    site_html = (
+        "<html><body><div>"
+        "<p>intro</p><em>A</em><p>a1</p><em>B</em><p>b1</p><p>b2</p>"
+        "</div></body></html>"
+    )
+    import pathlib
+
+    p = pathlib.Path(str(shop)) / "sib.html"
+    p.write_text(site_html)
+    dv = sctx.create_blank().fetch(Wget(f"file://{p}"))
+    df = dv.select(
+        expanded=S("em").expand(range(-1, 3)).texts
+    ).to_df()
+    # Windows clip at the neighboring MATCH itself (HtmlNode.scala:88-109:
+    # head = max(i+range.head, prev+1), tail = min(i+range.last, next-1)):
+    # A's window [intro, A, a1, B] drops B; non-match siblings like a1 may
+    # appear in both windows.
+    assert df.collect()[0].expanded == ["intro A a1", "a1 B b1 b2"]
+
+
+def test_children_with_siblings():
+    """HtmlNode.scala:121-130 childrenWithSiblings: only direct-child matches
+    expand; nested matches are excluded."""
+    from spookystuff_spark.doc.node import parse_node
+
+    d = parse_node(
+        b"<html><body><section>"
+        b"<h2>T1</h2><p>p1</p><h2>T2</h2><p>p2</p>"
+        b"<div><h2>nested</h2></div>"
+        b"</section></body></html>",
+        "text/html; charset=utf-8",
+    )
+    sec = d.find_first("section")
+    groups = sec.children_with_siblings("h2", range(0, 2))
+    assert [g.text for g in groups] == ["T1 p1", "T2 p2"]
+    # find_all_with_siblings would also see the nested h2
+    all_groups = sec.find_all_with_siblings("h2", range(0, 2))
+    assert len(all_groups) == 3
