@@ -91,6 +91,65 @@ def resolve_data(uri: str) -> FetchResult:
     return FetchResult(uri, content, mime or detect_mime(content), 200)
 
 
+def resolve_hadoop(uri: str) -> FetchResult:
+    """Any Hadoop-filesystem scheme (hdfs/s3a/abfs/gs/viewfs/ftp/...) through
+    the JVM ``FileSystem.get(uri, conf)`` API via py4j — the PySpark-native
+    twin of the reference's HDFSResolver (ref: CompoundResolver.scala:39-90,
+    commons/.../io/HDFSResolver.scala). Directory paths yield the same
+    ``<a href>`` listing doc as ``resolve_file``, with fully-qualified URIs,
+    so ``explore`` walks remote trees unchanged.
+
+    Needs a reachable JVM gateway (driver-side execution, or a worker with a
+    live SparkSession) — absent that, raises with a clear message rather than
+    returning garbage; the error surfaces as an ErrorObservation row.
+    """
+    from pyspark.sql import SparkSession
+
+    # getActiveSession is THREAD-local; actions run in the helper-thread pool,
+    # so fall back to the process-global session handle
+    spark = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
+    if spark is None:
+        raise RuntimeError(
+            f"hadoop-scheme fetch of {uri!r} requires a JVM gateway "
+            "(SparkSession.getActiveSession() is None in this process); "
+            "run the fetch driver-side or install libhdfs/pyarrow HadoopFileSystem"
+        )
+    jvm = spark._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jvm.java.net.URI(uri), hconf)
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    status = fs.getFileStatus(path)  # raises FileNotFoundException if absent
+    if status.isDirectory():
+        rows = []
+        for st in sorted(fs.listStatus(path), key=lambda s: s.getPath().getName()):
+            full = str(st.getPath())  # fully-qualified, scheme preserved
+            kind = "dir" if st.isDirectory() else "file"
+            esc = html_mod.escape(st.getPath().getName())
+            rows.append(
+                f'<a class="{kind}" href="{html_mod.escape(full)}">{esc}</a>'
+            )
+        body = (
+            f"<html><head><title>{html_mod.escape(uri)}</title></head>"
+            f"<body>{''.join(rows)}</body></html>"
+        ).encode()
+        return FetchResult(uri, body, "inode/directory; charset=utf-8", 200)
+    stream = fs.open(path)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    content = bytes(baos.toByteArray())
+    return FetchResult(uri, content, detect_mime(content, uri=uri), 200)
+
+
+# every scheme Hadoop ships a FileSystem for (ref: CompoundResolver's
+# isAlreadyExisting(scheme) catch-all) — anything here goes through the JVM
+HADOOP_SCHEMES = frozenset(
+    {"hdfs", "webhdfs", "s3a", "s3n", "abfs", "abfss", "gs", "wasb", "wasbs",
+     "viewfs", "o3fs", "ofs", "ftp", "sftp", "har"}
+)
+
+
 def omni_resolve(
     uri: str,
     method: str = "GET",
@@ -106,4 +165,6 @@ def omni_resolve(
         return resolve_http(uri, method, body, headers, timeout_sec)
     if scheme == "data":
         return resolve_data(uri)
+    if scheme in HADOOP_SCHEMES:
+        return resolve_hadoop(uri)
     raise ValueError(f"unsupported scheme {scheme!r} in {uri!r}")
