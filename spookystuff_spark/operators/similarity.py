@@ -15,6 +15,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -153,10 +154,13 @@ def ivf_assign(
     n_iters: int = 5,
     seed: int = 42,
     sample_cap: int = 10_000,
+    nprobe: int = 1,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids trained on a driver-side sample
     (deterministic: seeded init, fixed iteration count), assignment in one
-    vectorized Arrow stage. Returns (assignments(id, cell), centroids).
+    vectorized Arrow stage. Returns (assignments(id, cell, is_home), centroids)
+    — with ``nprobe > 1`` each id additionally probes its next-nearest cells
+    (``is_home=false`` rows), the recall knob for cell-boundary neighbors.
 
     At 100 TB the training sample stays bounded (``sample_cap``) and the
     assignment pass is embarrassingly parallel; centroids broadcast via the
@@ -196,8 +200,13 @@ def ivf_assign(
                 centroids[c] = members.mean(axis=0)
 
     out_schema = StructType(
-        [StructField("id", LongType()), StructField("cell", LongType())]
+        [
+            StructField("id", LongType()),
+            StructField("cell", LongType()),
+            StructField("is_home", BooleanType()),
+        ]
     )
+    p_eff = max(1, min(nprobe, len(centroids)))
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -209,7 +218,26 @@ def ivf_assign(
                 + (centroids * centroids).sum(axis=1)[None, :]
                 - 2.0 * (mat @ centroids.T)
             )
-            yield pd.DataFrame({"id": pdf[id_col], "cell": d2.argmin(axis=1)})
+            if p_eff == 1:
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "cell": d2.argmin(axis=1),
+                        "is_home": True,
+                    }
+                )
+                continue
+            top = np.argsort(d2, axis=1, kind="stable")[:, :p_eff]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, p_eff),
+                    "cell": top.ravel(),
+                    "is_home": np.tile(
+                        np.arange(p_eff) == 0, len(ids)
+                    ),
+                }
+            )
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema), centroids
 
@@ -222,13 +250,19 @@ def ivf_topk_pairs(
     k: int = 5,
     n_cells: int | None = 16,
     seed: int = 42,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-bucketed approximate top-k cosine neighbors (single-probe):
-    candidates limited to the query's own cell, exact re-rank inside with one
-    BLAS matmul per cell (a per-pair SQL expression would run the 64-dim dot
-    as an interpreted higher-order function millions of times — ~10× slower).
-    → (qid, vec_id, cos_sim, rn)."""
-    assignments, _ = ivf_assign(df, id_col, vec_col, dim, n_cells=n_cells, seed=seed)
+    """IVF-bucketed approximate top-k cosine neighbors: candidates limited to
+    the query's nearest ``nprobe`` cells (vectors are CANDIDATES only in their
+    home cell — no duplicate candidates), exact re-rank inside with one BLAS
+    matmul per cell (a per-pair SQL expression would run the 64-dim dot as an
+    interpreted higher-order function millions of times — ~10× slower).
+    ``nprobe > 1`` recovers cell-boundary neighbors (recall knob, like LSH's
+    ``probes``) at ~nprobe× candidate cost: per-cell partial top-ks are merged
+    by one qid-window pass. → (qid, vec_id, cos_sim, rn)."""
+    assignments, _ = ivf_assign(
+        df, id_col, vec_col, dim, n_cells=n_cells, seed=seed, nprobe=nprobe
+    )
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -246,29 +280,54 @@ def ivf_topk_pairs(
     def rerank(pdf):
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
-            ).astype({"qid": "int64", "vec_id": "int64", "cos_sim": "float64", "rn": "int32"})
-        ids = pdf["id"].to_numpy()
-        order = np.argsort(ids)  # deterministic id-ordered tiebreaks
-        ids = ids[order]
-        mat = np.vstack(pdf["v"].to_numpy())[order]
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0] = 1.0
-        cos = np.round((mat @ mat.T) / norms[:, None] / norms[None, :] + 1e-6, 4)
-        np.fill_diagonal(cos, -2.0)
-        kk = min(k, n - 1)
+        empty = pd.DataFrame(
+            {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
+        ).astype(
+            {"qid": "int64", "vec_id": "int64", "cos_sim": "float64", "rn": "int32"}
+        )
+        home = pdf[pdf["is_home"]]
+        if len(pdf) < 2 or len(home) == 0:
+            return empty
+        # candidates = HOME members only (each vector is a candidate in
+        # exactly one cell — no duplicate pairs across probes); queries =
+        # every member, home or probe
+        c_ids = home["id"].to_numpy()
+        c_order = np.argsort(c_ids)  # deterministic id-ordered tiebreaks
+        c_ids = c_ids[c_order]
+        c_mat = np.vstack(home["v"].to_numpy())[c_order]
+        q_ids = pdf["id"].to_numpy()
+        q_order = np.argsort(q_ids)
+        q_ids = q_ids[q_order]
+        q_mat = np.vstack(pdf["v"].to_numpy())[q_order]
+        cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+        qn = np.sqrt((q_mat * q_mat).sum(axis=1))
+        cn[cn == 0] = 1.0
+        qn[qn == 0] = 1.0
+        cos = np.round((q_mat @ c_mat.T) / qn[:, None] / cn[None, :] + 1e-6, 4)
+        self_mask = q_ids[:, None] == c_ids[None, :]
+        cos[self_mask] = -2.0
         rows = {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
-        for i in range(n):
+        for i in range(len(q_ids)):
+            kk = min(k, len(c_ids) - int(self_mask[i].any()))
+            if kk <= 0:
+                continue
             # sort by (-cos, id): ids are ascending so stable argsort on -cos
             top = np.argsort(-cos[i], kind="stable")[:kk]
             for r, j in enumerate(top, start=1):
-                rows["qid"].append(ids[i])
-                rows["vec_id"].append(ids[j])
+                rows["qid"].append(q_ids[i])
+                rows["vec_id"].append(c_ids[j])
                 rows["cos_sim"].append(float(cos[i, j]))
                 rows["rn"].append(r)
-        return pd.DataFrame(rows)
+        return pd.DataFrame(rows) if rows["qid"] else empty
 
-    return b.groupBy("cell").applyInPandas(rerank, out_schema)
+    scored = b.groupBy("cell").applyInPandas(rerank, out_schema)
+    if nprobe <= 1:
+        return scored  # cells partition ids — in-cell rank IS the global rank
+    # merge per-cell partial top-ks; pairs are unique by construction (a
+    # candidate appears only in its home cell), so no dedup pass needed
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.drop("rn")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
