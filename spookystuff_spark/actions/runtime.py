@@ -92,20 +92,47 @@ def _cache_window(conf: SpookyConf, trace: Trace) -> tuple[int, Optional[int]]:
     return after, _wayback_bound(trace)
 
 
-def _cache_get(conf: SpookyConf, key: str, after: int, before: Optional[int]):
-    obs = mem_cache.get(key, after, before)
-    if obs is not None:
-        return obs
-    if conf.dfs_cache_root:
-        obs = dfs_cache.get(conf.dfs_cache_root, key, after, before)
+def _cache_level(conf: SpookyConf, trace: Trace) -> str:
+    """Per-URI-scheme cache level (ref: caching/DocCacheLevel.scala:8-33).
+    The backtrace's scheme comes from its last uri-bearing action (the
+    export); unlisted schemes fall back to the "*" entry, then "memory"."""
+    levels = conf.cache_levels
+    if not levels:
+        return "all"
+    from urllib.parse import urlparse
+
+    scheme = ""
+    for a in reversed(trace.actions):
+        uri = getattr(a, "uri", None)
+        if uri:
+            scheme = urlparse(uri).scheme or "file"
+            break
+    return levels.get(scheme, levels.get("*", "memory"))
+
+
+def _cache_get(
+    conf: SpookyConf, key: str, after: int, before: Optional[int], level: str = "all"
+):
+    if level == "none":
+        return None
+    if level in ("memory", "all"):
+        obs = mem_cache.get(key, after, before)
         if obs is not None:
-            mem_cache.put(key, obs)  # promote
-    return obs
+            return obs
+    if level in ("dfs", "all") and conf.dfs_cache_root:
+        obs = dfs_cache.get(conf.dfs_cache_root, key, after, before)
+        if obs is not None and level == "all":
+            mem_cache.put(key, obs)  # promote (only when memory is allowed)
+        return obs
+    return None
 
 
-def _cache_put(conf: SpookyConf, key: str, obs: list, ts: int) -> None:
-    mem_cache.put(key, obs)
-    if conf.dfs_cache_root:
+def _cache_put(
+    conf: SpookyConf, key: str, obs: list, ts: int, level: str = "all"
+) -> None:
+    if level in ("memory", "all"):
+        mem_cache.put(key, obs)
+    if level in ("dfs", "all") and conf.dfs_cache_root:
         dfs_cache.put(conf.dfs_cache_root, key, obs, ts)
 
 
@@ -141,7 +168,7 @@ def fetch_trace(
     if conf.cache_read and backtraces:
         hits = []
         for bt in backtraces:
-            obs = _cache_get(conf, bt.key, after, before)
+            obs = _cache_get(conf, bt.key, after, before, _cache_level(conf, bt))
             if obs is None:
                 hits = None
                 break
@@ -165,10 +192,13 @@ def fetch_trace(
                 out = []
                 per_key: dict[str, list] = {}
                 prefix: list[Action] = []
+                per_level: dict[str, str] = {}
                 for a in trace.actions:
                     obs = agent.run_action(a)
                     if a.HAS_EXPORT or a.children().has_export:
-                        bt_key = Trace(tuple(prefix) + (a,)).key
+                        bt = Trace(tuple(prefix) + (a,))
+                        bt_key = bt.key
+                        per_level[bt_key] = _cache_level(conf, bt)
                         for o in obs:
                             o.backtrace_key = bt_key
                         per_key.setdefault(bt_key, []).extend(obs)
@@ -178,7 +208,7 @@ def fetch_trace(
                 ts = now_ms()
                 if conf.cache_write:
                     for key, obs in per_key.items():
-                        _cache_put(conf, key, obs, ts)
+                        _cache_put(conf, key, obs, ts, per_level[key])
                 inc("pages_fetched", len(out))
                 inc("pages_from_remote", len(out))
                 inc("sessions_initialized")

@@ -20,6 +20,13 @@ class SpookyConf:
     cached_docs_lifespan: dt.timedelta = dt.timedelta(days=7)
     ignore_cached_docs_before: Optional[dt.datetime] = None
     dfs_cache_root: Optional[str] = None  # None → in-memory only
+    # per-URI-scheme cache levels (ref: caching/DocCacheLevel.scala:8-33):
+    # scheme → "none" | "memory" | "dfs" | "all"; "*" is the default for
+    # unlisted schemes. None → "all" for everything (diverges from the
+    # reference's InMemory default for non-http schemes on purpose: Python
+    # workers are ephemeral processes, so a memory-only cache barely survives
+    # a distributed fetch — DFS write-through is the scale-correct default).
+    cache_levels: Optional[dict] = None
     # auto error-dump dir (ref: Action.scala:109-129, SpookyConf auditing):
     # failed traces write their error evidence here as they happen
     error_dump_root: Optional[str] = None

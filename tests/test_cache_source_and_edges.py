@@ -157,3 +157,63 @@ def test_compact_doc_cache_to_parquet(spark, tmp_path):
     )
     assert titles == ["C0", "C1", "C2", "C3"]
     assert "shard" in table.columns  # partition column present
+
+
+def test_per_scheme_cache_levels(spark, tmp_path):
+    """DocCacheLevel.scala:8-33 parity: per-URI-scheme cache level selection.
+    'none' always refetches; 'memory' skips DFS write-through; 'dfs' skips
+    the in-memory map; '*' is the wildcard default."""
+    import os
+
+    from spookystuff_spark.actions.core import Trace
+    from spookystuff_spark.actions.http import Wget
+    from spookystuff_spark.actions.runtime import fetch_trace
+    from spookystuff_spark.caching import memory as mem_cache
+    from spookystuff_spark.conf import SpookyConf
+
+    site = tmp_path / "s.html"
+    site.write_text("<html><head><title>S</title></head><body>x</body></html>")
+    uri = f"file://{site}"
+    dfs_root = str(tmp_path / "dfs")
+
+    def run(conf):
+        n = {"remote": 0}
+
+        def inc(name, k=1):
+            if name == "pages_from_remote":
+                n["remote"] += k
+
+        fetch_trace(Trace((Wget(uri),)), conf, inc)
+        fetch_trace(Trace((Wget(uri),)), conf, inc)
+        return n["remote"]
+
+    # none → every fetch is remote
+    mem_cache.clear()
+    assert run(SpookyConf(dfs_cache_root=dfs_root, cache_levels={"file": "none"})) == 2
+
+    # memory → warm second fetch, but nothing lands in DFS
+    mem_cache.clear()
+    root_mem = str(tmp_path / "dfs_mem")
+    assert run(SpookyConf(dfs_cache_root=root_mem, cache_levels={"file": "memory"})) == 1
+    assert not os.path.exists(root_mem) or not os.listdir(root_mem)
+
+    # dfs → warm second fetch from DFS even with the memory map wiped
+    mem_cache.clear()
+    root_dfs = str(tmp_path / "dfs_only")
+    conf = SpookyConf(dfs_cache_root=root_dfs, cache_levels={"file": "dfs"})
+    n = {"remote": 0}
+
+    def inc(name, k=1):
+        if name == "pages_from_remote":
+            n["remote"] += k
+
+    fetch_trace(Trace((Wget(uri),)), conf, inc)
+    mem_cache.clear()  # simulate a fresh worker process
+    fetch_trace(Trace((Wget(uri),)), conf, inc)
+    assert n["remote"] == 1
+    assert os.listdir(root_dfs)
+    assert not mem_cache._CACHE  # dfs level never populates the memory map
+
+    # wildcard default applies to unlisted schemes
+    mem_cache.clear()
+    assert run(SpookyConf(cache_levels={"http": "all", "*": "none"})) == 2
