@@ -148,3 +148,27 @@ def test_expand_limit_caps_children(sctx, spark, diamond):
     names = sorted(r.uri.rsplit("/", 1)[-1] for r in rows)
     # index → (a only, b dropped) → c
     assert names == ["a.html", "c.html", "index.html"]
+
+
+def test_explore_no_full_visited_rescan(sctx, spark, tree, monkeypatch):
+    """Scale guard (VERDICT r01 #7): the explore loop must maintain its
+    closed-set incrementally — .distinct() over the growing visited set per
+    epoch is O(total-visited * depth). Spy on DataFrame.distinct during a
+    multi-epoch crawl: the traversal loop itself must not call it."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig = DataFrame.distinct
+
+    def spy(self):
+        calls.append(self.columns)
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "distinct", spy)
+    mem_cache.clear()
+    dv = sctx.create(spark.createDataFrame([{"root": f"file://{tree}"}]))
+    out = dv.explore(
+        Wget("{root}"), expand=S("a.dir").hrefs, depth_field="depth", range=(0, 4)
+    ).to_df()
+    assert out.count() >= 4  # the deep crawl actually ran (4 epochs)
+    assert calls == [], f"distinct() called on {calls} during explore"
