@@ -89,11 +89,14 @@ def connected_components(
     # hybrid: near-dup edge lists are usually tiny relative to the corpus —
     # under the threshold, a driver-side union-find beats O(diameter) Spark
     # rounds by seconds of fixed job overhead. Same output, same determinism.
-    # The gate itself is bounded: limit(threshold+1) instead of a full count,
-    # so a 100 TB pair set never pays a whole extra pass just to be told "too
-    # big" (countApprox idiom, ref: LocalityRDDView.scala:13-16). When small,
-    # the gate's collect IS the data — no second pass either.
-    gated = edges.select(src_col, dst_col).limit(local_threshold + 1).collect()
+    # Materialize the (typically expensive: minhash/simhash upstream) edge
+    # list ONCE, then gate with limit(threshold+1) off the materialized copy:
+    # no full count pass, no CollectLimit scale-up recomputation, and the
+    # distributed path below reuses the same materialization every iteration
+    # instead of re-deriving the pair set (countApprox idiom,
+    # ref: LocalityRDDView.scala:13-16).
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    gated = edges.limit(local_threshold + 1).collect()
     if len(gated) <= local_threshold:
         pairs = [(r[0], r[1]) for r in gated]
         parent: dict = {}

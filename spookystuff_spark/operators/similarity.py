@@ -291,18 +291,21 @@ def ivf_topk_pairs(
         # candidates = HOME members only (each vector is a candidate in
         # exactly one cell — no duplicate pairs across probes); queries =
         # every member, home or probe
-        c_ids = home["id"].to_numpy()
-        c_order = np.argsort(c_ids)  # deterministic id-ordered tiebreaks
-        c_ids = c_ids[c_order]
-        c_mat = np.vstack(home["v"].to_numpy())[c_order]
         q_ids = pdf["id"].to_numpy()
-        q_order = np.argsort(q_ids)
+        q_order = np.argsort(q_ids)  # deterministic id-ordered tiebreaks
         q_ids = q_ids[q_order]
         q_mat = np.vstack(pdf["v"].to_numpy())[q_order]
-        cn = np.sqrt((c_mat * c_mat).sum(axis=1))
         qn = np.sqrt((q_mat * q_mat).sum(axis=1))
-        cn[cn == 0] = 1.0
         qn[qn == 0] = 1.0
+        if len(home) == len(pdf):  # single-probe cell: candidates == queries
+            c_ids, c_mat, cn = q_ids, q_mat, qn
+        else:
+            c_ids = home["id"].to_numpy()
+            c_order = np.argsort(c_ids)
+            c_ids = c_ids[c_order]
+            c_mat = np.vstack(home["v"].to_numpy())[c_order]
+            cn = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cn[cn == 0] = 1.0
         cos = np.round((q_mat @ c_mat.T) / qn[:, None] / cn[None, :] + 1e-6, 4)
         self_mask = q_ids[:, None] == c_ids[None, :]
         cos[self_mask] = -2.0

@@ -200,14 +200,16 @@ def explore(
         # per key, disjoint from prior epochs by the left_anti above) instead
         # of re-distinct-ing the full visited rows — the rescan was
         # O(total-visited) per epoch, quadratic-ish across a deep crawl.
-        new_keys = fetched.select(KEY_COL)
+        new_keys = fetched.select(KEY_COL)  # fetched is persisted — lazy
+        # union scans caches, no extra job per epoch
         visited_keys = (
             new_keys
             if visited_keys is None
             else visited_keys.unionByName(new_keys)
-        ).localCheckpoint(eager=True)  # keys-only: tiny; keeps union depth at 1
+        )
         if epoch % checkpoint_interval == checkpoint_interval - 1:
             visited = visited.localCheckpoint(eager=True)  # lineage truncation
+            visited_keys = visited_keys.localCheckpoint(eager=True)
 
         if epoch >= max_depth:
             break  # children would exceed the cap — don't expand
@@ -416,16 +418,20 @@ def _explore_batched(
         visited = (
             new_visited if visited is None else visited.unionByName(new_visited)
         )
-        if epoch % checkpoint_interval == checkpoint_interval - 1:
-            visited = visited.localCheckpoint(eager=True)
         # incremental closed-set (see _explore loop): new_visited is one row
         # per key and disjoint from visited_keys — no full-visited rescan.
+        # new_visited re-derives from checkpointed `walked` on evaluation, so
+        # keys stay lazy between interval checkpoints (≤ interval small
+        # groupBys per eval, bounded) instead of paying a job every epoch.
         new_keys = new_visited.select(KEY_COL)
         visited_keys = (
             new_keys
             if visited_keys is None
             else visited_keys.unionByName(new_keys)
-        ).localCheckpoint(eager=True)
+        )
+        if epoch % checkpoint_interval == checkpoint_interval - 1:
+            visited = visited.localCheckpoint(eager=True)
+            visited_keys = visited_keys.localCheckpoint(eager=True)
 
         frontier = walked.filter(F.col("__is_frontier")).drop(
             "__is_frontier", OBS_COL
