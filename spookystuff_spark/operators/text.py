@@ -103,3 +103,69 @@ def chunk_expr(text: Column, chunk_tokens: int = 64, stride: int = 48) -> Column
             F.slice(toks, i * stride + 1, chunk_tokens), " "
         ),
     )
+
+
+# ------------------------------------------------------------- Gopher rules
+# Published pretraining quality filters (Gopher — Rae et al. 2021, appendix
+# A1.1 — plus the duplicate-line repetition rule from the same family). All
+# pure Catalyst expressions: one codegen stage, no Python, no shuffle.
+
+REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^\s*([•‣▪●\-\*])"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)\s*$"
+_SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def gopher_stats(text: Column) -> dict[str, Column]:
+    """Per-document Gopher rule inputs as named Columns. Ratios are raw
+    IEEE-754 divisions (bit-identical across engines) — round only for
+    display, never before threshold comparison."""
+    words = F.regexp_extract_all(text, F.lit(r"\S+"), F.lit(0))
+    n_words = F.size(words).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    non_ws_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    stop_distinct = sum(
+        (
+            F.when(
+                F.lower(text).rlike(rf"\b{w}\b"), F.lit(1)
+            ).otherwise(F.lit(0))
+            for w in REQUIRED_STOPWORDS
+        ),
+        F.lit(0),
+    )
+    d = F.greatest(n_words, F.lit(1)).cast("double")
+    dl = F.greatest(n_lines, F.lit(1)).cast("double")
+    return {
+        "n_words": n_words,
+        "mean_word_len": non_ws_chars.cast("double") / d,
+        "symbol_word_ratio": F.regexp_count(text, F.lit(_SYMBOL_RE)).cast("double") / d,
+        "bullet_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(_BULLET_RE))
+        ).cast("double") / dl,
+        "ellipsis_line_frac": F.size(
+            F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_RE))
+        ).cast("double") / dl,
+        "alpha_word_frac": alpha_words.cast("double") / d,
+        "required_stop_hits": stop_distinct.cast("long"),
+        "dup_line_frac": (n_lines - F.size(F.array_distinct(lines))).cast("double") / dl,
+    }
+
+
+def gopher_pass(text: Column) -> Column:
+    """True iff the document clears every Gopher rule — the composite filter
+    a 100 TB pretraining ingest applies before dedup."""
+    s = gopher_stats(text)
+    return (
+        s["n_words"].between(50, 100_000)
+        & s["mean_word_len"].between(3.0, 10.0)
+        & (s["symbol_word_ratio"] <= 0.1)
+        & (s["bullet_line_frac"] <= 0.9)
+        & (s["ellipsis_line_frac"] <= 0.3)
+        & (s["alpha_word_frac"] >= 0.8)
+        & (s["required_stop_hits"] >= 2)
+        & (s["dup_line_frac"] <= 0.3)
+    )

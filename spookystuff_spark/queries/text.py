@@ -20,6 +20,11 @@ from spookystuff_spark.tables import table
 PUNCT_CLASS = "[.,;:!?]"
 
 
+_GOPHER_SQL_STOPS = " + ".join(
+    f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
 @query(
     "q_doc_profile",
     oracle=f"""
@@ -29,7 +34,18 @@ PUNCT_CLASS = "[.,;:!?]"
              length(regexp_extract_all(text, '\\S+')) AS ws_toks,
              length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_toks,
              length(regexp_extract_all(text, '{PUNCT_CLASS}')) AS punct,
-             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS stop_hits
+             length(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|a|in)\\b')) AS stop_hits,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws,
+             len(list_filter(regexp_extract_all(text, '\\S+'),
+                             x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_distinct(string_split(text, chr(10)))) AS uniq_lines,
+             length(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS symbols,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> regexp_matches(x, '^\\s*([•‣▪●\\-\\*])'))) AS bullet_lines,
+             len(list_filter(string_split(text, chr(10)),
+                             x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$'))) AS ellipsis_lines,
+             ({_GOPHER_SQL_STOPS}) AS req_stops
       FROM documents)
     SELECT doc_id,
            CAST(n_chars AS BIGINT) AS len_chars,
@@ -41,19 +57,41 @@ PUNCT_CLASS = "[.,;:!?]"
            + (CASE WHEN CAST(punct AS DOUBLE)/greatest(n_chars,1) <= 0.1 THEN 1.0 ELSE 0.0 END)
            + (CASE WHEN CAST(stop_hits AS DOUBLE)/greatest(ws_toks,1) >= 0.01 THEN 1.0 ELSE 0.0 END)
            + (CASE WHEN CAST(n_chars AS DOUBLE)/greatest(ws_toks,1) BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.0 END)
-           ) / 4, 2) AS quality
+           ) / 4, 2) AS quality,
+           round(1e-6 + CAST(non_ws AS DOUBLE) / greatest(ws_toks, 1), 4) AS mean_word_len,
+           round(1e-6 + CAST(alpha_words AS DOUBLE) / greatest(ws_toks, 1), 4) AS alpha_word_frac,
+           round(1e-6 + CAST(n_lines - uniq_lines AS DOUBLE) / greatest(n_lines, 1), 4) AS dup_line_frac,
+           CAST(CASE WHEN ws_toks BETWEEN 50 AND 100000
+                      AND CAST(non_ws AS DOUBLE)/greatest(ws_toks,1) BETWEEN 3.0 AND 10.0
+                      AND CAST(symbols AS DOUBLE)/greatest(ws_toks,1) <= 0.1
+                      AND CAST(bullet_lines AS DOUBLE)/greatest(n_lines,1) <= 0.9
+                      AND CAST(ellipsis_lines AS DOUBLE)/greatest(n_lines,1) <= 0.3
+                      AND CAST(alpha_words AS DOUBLE)/greatest(ws_toks,1) >= 0.8
+                      AND req_stops >= 2
+                      AND CAST(n_lines - uniq_lines AS DOUBLE)/greatest(n_lines,1) <= 0.3
+                THEN 1 ELSE 0 END AS INT) AS gopher_pass
     FROM f
     """,
 )
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile in ONE scan: char length, whitespace
-    + BPE-ish token counts, punctuation ratio, and the composite quality score
-    — all JVM-side regexp_count/length expressions (one codegen stage; the
-    shape a 100 TB quality-filter pass wants: single pass, no shuffle)."""
-    from spookystuff_spark.operators.text import bpe_token_count, quality_score, token_count
+    + BPE-ish token counts, punctuation ratio, the composite quality score,
+    and the published Gopher pretraining filters (Rae et al. 2021 A1.1:
+    word-count band, mean word length, symbol/bullet/ellipsis ratios,
+    alphabetic-word fraction, required stopwords, duplicate-line repetition)
+    — all JVM-side regexp/array expressions (one codegen stage; the shape a
+    100 TB quality-filter pass wants: single pass, no shuffle)."""
+    from spookystuff_spark.operators.text import (
+        bpe_token_count,
+        gopher_pass,
+        gopher_stats,
+        quality_score,
+        token_count,
+    )
 
     docs = table(spark, sf_dir, "documents")
     length = F.length("text")
+    g = gopher_stats(F.col("text"))
     return docs.select(
         "doc_id",
         length.cast("long").alias("len_chars"),
@@ -65,6 +103,10 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("punct_ratio"),
         quality_score(F.col("text")).alias("quality"),
+        round_stable(g["mean_word_len"], 4).alias("mean_word_len"),
+        round_stable(g["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        round_stable(g["dup_line_frac"], 4).alias("dup_line_frac"),
+        gopher_pass(F.col("text")).cast("int").alias("gopher_pass"),
     )
 
 

@@ -234,3 +234,45 @@ def test_ivf_recall_vs_bruteforce(clustered_embeddings, spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_gopher_quality_rules(spark):
+    """Each published Gopher rule (Rae et al. 2021 A1.1) flips on a crafted
+    document; a clean document passes the composite."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.text import gopher_pass, gopher_stats
+
+    good = (
+        "The quick brown fox jumps over the lazy dog near the river bank. "
+        "It will have to be done with care, and that is the point of this. "
+    ) * 5  # ~130 words, stopword-rich prose
+    docs = {
+        "good": good,
+        "too_short": "The cat and the dog have to be here with that.",  # <50 words
+        "long_words": " ".join(["pneumonoultramicroscopic"] * 80)
+        + " the be to of and that have with",  # mean word len > 10
+        "symbols": good + " " + "# # # # # # # # # # # # # # # # # # # #" * 2,
+        "bullets": "\n".join(["• the item and that be of it"] * 30),
+        "ellipses": good + "\n" + "\n".join(["the thing goes on..."] * 60),
+        "no_alpha": good + " " + " ".join(["12345"] * 60),  # alpha frac < 0.8
+        "no_stops": " ".join(["word"] * 100),  # 0 required stopwords
+        "dup_lines": good + "\n" + "\n".join(["the same line be that"] * 60),
+    }
+    df = spark.createDataFrame(
+        [{"name": k, "text": v} for k, v in docs.items()]
+    ).select(
+        "name",
+        gopher_pass(F.col("text")).alias("ok"),
+        *[v.alias(k) for k, v in gopher_stats(F.col("text")).items()],
+    )
+    rows = {r.name: r for r in df.collect()}
+    assert rows["good"].ok
+    assert not rows["too_short"].ok and rows["too_short"].n_words < 50
+    assert not rows["long_words"].ok and rows["long_words"].mean_word_len > 10
+    assert not rows["symbols"].ok and rows["symbols"].symbol_word_ratio > 0.1
+    assert not rows["bullets"].ok and rows["bullets"].bullet_line_frac > 0.9
+    assert not rows["ellipses"].ok and rows["ellipses"].ellipsis_line_frac > 0.3
+    assert not rows["no_alpha"].ok and rows["no_alpha"].alpha_word_frac < 0.8
+    assert not rows["no_stops"].ok and rows["no_stops"].required_stop_hits < 2
+    assert not rows["dup_lines"].ok and rows["dup_lines"].dup_line_frac > 0.3
