@@ -169,3 +169,37 @@ def gopher_pass(text: Column) -> Column:
         & (s["required_stop_hits"] >= 2)
         & (s["dup_line_frac"] <= 0.3)
     )
+
+
+# ----------------------------------------------------------------- C4 rules
+# Published C4 cleaning heuristics (Raffel et al. 2020 §2.2): line-level
+# retention + page-level drops. Pure Catalyst array/lambda expressions.
+
+_TERMINAL_PUNCT_RE = r'[.!?"”]\s*$'
+
+
+def c4_clean_lines(text: Column, min_words: int = 5) -> Column:
+    """Line-level C4 cleaning: keep lines that end in terminal punctuation,
+    contain at least ``min_words`` words, and don't mention javascript.
+    Returns the cleaned text (kept lines re-joined)."""
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(_TERMINAL_PUNCT_RE)
+        & (F.regexp_count(l, F.lit(r"\S+")) >= min_words)
+        & ~F.lower(l).contains("javascript"),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_pass(text: Column, min_sentences: int = 3) -> Column:
+    """Page-level C4 drops: needs >= min_sentences sentences after line
+    cleaning, no 'lorem ipsum', no curly braces."""
+    cleaned = c4_clean_lines(text)
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
+    low = F.lower(text)
+    return (
+        (n_sentences >= min_sentences)
+        & ~low.contains("lorem ipsum")
+        & ~text.contains("{")
+    )

@@ -276,3 +276,41 @@ def test_gopher_quality_rules(spark):
     assert not rows["no_alpha"].ok and rows["no_alpha"].alpha_word_frac < 0.8
     assert not rows["no_stops"].ok and rows["no_stops"].required_stop_hits < 2
     assert not rows["dup_lines"].ok and rows["dup_lines"].dup_line_frac > 0.3
+
+
+def test_c4_cleaning_rules(spark):
+    """C4 (Raffel et al. 2020 §2.2): line retention (terminal punctuation,
+    >=5 words, no javascript) and page drops (>=3 sentences, lorem ipsum,
+    curly braces)."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.text import c4_clean_lines, c4_page_pass
+
+    good = (
+        "This is the first proper sentence of the page.\n"
+        "Here is another long sentence that clearly qualifies.\n"
+        "And a third sentence to clear the page-level bar."
+    )
+    docs = {
+        "good": good,
+        "mixed": "Short line.\nno punctuation here at all\n" + good,
+        "js": good + "\nPlease enable javascript to view this page.",
+        "lorem": good + "\nLorem ipsum dolor sit amet consectetur adipiscing.",
+        "braces": good + "\nfunction f() { return 1; }",
+        "thin": "One good sentence is simply not enough here.",
+    }
+    df = spark.createDataFrame([{"name": k, "text": v} for k, v in docs.items()]).select(
+        "name",
+        c4_clean_lines(F.col("text")).alias("cleaned"),
+        c4_page_pass(F.col("text")).alias("ok"),
+    )
+    rows = {r.name: r for r in df.collect()}
+    assert rows["good"].ok and rows["good"].cleaned.count("\n") == 2
+    # line filter drops the short + unpunctuated lines but keeps the rest
+    assert rows["mixed"].ok and "Short line." not in rows["mixed"].cleaned
+    assert "no punctuation" not in rows["mixed"].cleaned
+    # javascript lines are dropped at line level (page may still pass)
+    assert "javascript" not in rows["js"].cleaned.lower() and rows["js"].ok
+    assert not rows["lorem"].ok
+    assert not rows["braces"].ok
+    assert not rows["thin"].ok  # < 3 sentences

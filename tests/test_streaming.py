@@ -141,3 +141,51 @@ def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
     assert base in rows  # hour-0 finalized (watermark 01:05 passed its end)
     hour2 = base + dt.timedelta(hours=2)
     assert hour2 not in rows  # hour-2 still open — withheld in append mode
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dedup_stream (watermark-bounded dropDuplicates on the content
+    fingerprint) keeps exactly one row per normalized text — same set a
+    batch groupBy-fingerprint pass retains."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.text import fingerprint
+    from spookystuff_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "Alpha beta gamma.", "ts": "2024-01-01 00:00:01"},
+        {"doc_id": 2, "text": "alpha  beta gamma.", "ts": "2024-01-01 00:00:02"},  # dup (normalized)
+        {"doc_id": 3, "text": "Something else entirely.", "ts": "2024-01-01 00:00:03"},
+        {"doc_id": 4, "text": "Alpha beta gamma.", "ts": "2024-01-01 00:00:04"},  # dup
+    ]
+    batch = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    batch.write.parquet(str(src / "p0"))
+
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(str(src / "*"))
+    )
+    out_rows = []
+    q = (
+        dedup_stream(stream, text_col="text", ts_col="ts")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("select * from dedup_out").collect()
+    finally:
+        q.stop()
+
+    got_fps = sorted(
+        r.fp for r in spark.createDataFrame([{"text": r.text} for r in out])
+        .select(fingerprint(F.col("text")).alias("fp")).collect()
+    )
+    expected_fps = sorted(
+        r.fp for r in batch.select(fingerprint(F.col("text")).alias("fp")).distinct().collect()
+    )
+    assert got_fps == expected_fps  # one survivor per normalized content
+    assert len(out) == 2
