@@ -203,3 +203,100 @@ def c4_page_pass(text: Column, min_sentences: int = 3) -> Column:
         & ~low.contains("lorem ipsum")
         & ~text.contains("{")
     )
+
+
+# ------------------------------------------------- Gopher repetition family
+# The remaining Gopher repetition rules (dup line/paragraph CHAR fractions,
+# top n-gram char fraction, duplicated n-gram char fraction) need per-doc
+# frequency maps — not expressible as codegen'd Catalyst expressions, so they
+# run as ONE narrow Arrow stage (mapInPandas, no shuffle; ~µs/doc in Counter).
+
+REPETITION_THRESHOLDS = {
+    # rule → max allowed fraction (Gopher A1.1)
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _repetition_stats_one(text: str) -> dict:
+    from collections import Counter
+
+    text = text or ""
+    total_chars = max(len(text), 1)
+
+    def dup_fracs(units: list[str]) -> tuple[float, float]:
+        if not units:
+            return 0.0, 0.0
+        counts = Counter(units)
+        n_dup = sum(c - 1 for c in counts.values() if c > 1)
+        chars_dup = sum(len(u) * c for u, c in counts.items() if c > 1)
+        return n_dup / len(units), chars_dup / total_chars
+
+    lines = [l for l in text.split("\n") if l.strip()]
+    paras = [p for p in text.split("\n\n") if p.strip()]
+    dup_line_frac, dup_line_char_frac = dup_fracs(lines)
+    dup_para_frac, dup_para_char_frac = dup_fracs(paras)
+
+    words = text.split()
+    out = {
+        "dup_line_frac": dup_line_frac,
+        "dup_line_char_frac": dup_line_char_frac,
+        "dup_para_frac": dup_para_frac,
+        "dup_para_char_frac": dup_para_char_frac,
+    }
+    for n in (2, 3, 4):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        if not grams:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        gram, cnt = Counter(grams).most_common(1)[0]
+        out[f"top_{n}gram_char_frac"] = (len(gram) * cnt) / total_chars
+    for n in (5, 10):
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        counts = Counter(grams)
+        # chars covered by n-grams occurring more than once (all occurrences)
+        chars = sum(len(g) * c for g, c in counts.items() if c > 1)
+        out[f"dup_{n}gram_char_frac"] = min(chars / total_chars, 1.0)
+    out["repetition_pass"] = all(
+        out[k] <= v for k, v in REPETITION_THRESHOLDS.items()
+    )
+    return out
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """→ (id, <all repetition fractions>, repetition_pass): the Gopher
+    repetition filter as one narrow Arrow stage."""
+    from typing import Iterator
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    fields = [StructField("id", LongType())]
+    fields += [StructField(k, DoubleType()) for k in REPETITION_THRESHOLDS]
+    fields += [StructField("repetition_pass", BooleanType())]
+    schema = StructType(fields)
+
+    def run(batches: Iterator):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                r = _repetition_stats_one(t)
+                r["id"] = i
+                rows.append(r)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

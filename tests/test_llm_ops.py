@@ -314,3 +314,38 @@ def test_c4_cleaning_rules(spark):
     assert not rows["lorem"].ok
     assert not rows["braces"].ok
     assert not rows["thin"].ok  # < 3 sentences
+
+
+def test_gopher_repetition_stats(spark):
+    """Gopher repetition family: each fraction flips on a crafted document;
+    clean prose passes all thresholds."""
+    from spookystuff_spark.operators.text import repetition_stats
+
+    prose = (
+        "The river wound slowly through the old valley town. "
+        "Merchants opened their stalls as morning light spread. "
+        "Children hurried past carrying bread and fresh fruit. "
+        "Nobody paid attention to the stranger by the gate."
+    )
+    docs = {
+        1: prose,  # clean
+        2: "same line here\n" * 10 + prose,  # dup lines
+        3: ("para one text\n\n" * 8) + prose,  # dup paragraphs
+        4: "tic toc " * 120,  # top 2-gram dominates
+        5: (prose + " ") * 6,  # whole-text repetition → dup 10-grams
+    }
+    rows = {
+        r.id: r
+        for r in repetition_stats(
+            spark.createDataFrame(
+                [{"doc_id": k, "text": v} for k, v in docs.items()]
+            ),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert rows[1].repetition_pass
+    assert not rows[2].repetition_pass and rows[2].dup_line_frac > 0.3
+    assert not rows[3].repetition_pass and rows[3].dup_para_frac > 0.3
+    assert not rows[4].repetition_pass and rows[4].top_2gram_char_frac > 0.2
+    assert not rows[5].repetition_pass and rows[5].dup_10gram_char_frac > 0.1
