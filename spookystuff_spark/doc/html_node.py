@@ -383,15 +383,97 @@ class HtmlNode:
 
     @property
     def article_text(self) -> str:
-        """boilerPipe stand-in: main-content text (drops nav/script/style)."""
-        for css in ("article", "main", "#content", ".content", "body"):
+        """boilerPipe parity (ref: Doc.boilerPipe → jsoup+boilerpipe): the
+        published NumWordsRules block classifier (Kohlschütter et al., WSDM
+        2010 — shallow text features) over DOM text blocks: a block is CONTENT
+        based on its own + neighbors' word counts and link density. Semantic
+        <article>/<main> containers short-circuit (stronger signal than the
+        classifier)."""
+        for css in ("article", "main"):
             found = self.find_all(css)
             if found:
                 return found[0].text
-        return self.text
+        blocks = _text_blocks(self._el)
+        if not blocks:
+            return self.text
+        kept = []
+        for i, (words, link_words, text) in enumerate(blocks):
+            prev_w, prev_ld = (0, 0.0)
+            if i > 0:
+                pw, plw, _ = blocks[i - 1]
+                prev_w, prev_ld = pw, (plw / pw if pw else 0.0)
+            next_w = blocks[i + 1][0] if i + 1 < len(blocks) else 0
+            ld = link_words / words if words else 0.0
+            if _num_words_rules(words, ld, prev_w, prev_ld, next_w):
+                kept.append(text)
+        return " ".join(kept) if kept else self.text
 
     def __repr__(self) -> str:
         return f"HtmlNode(<{self._el.tag}>)"
+
+
+_BLOCK_TAGS = frozenset(
+    {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+     "section", "article", "header", "footer", "nav", "aside", "blockquote",
+     "pre", "table", "ul", "ol", "tr", "br", "form", "body", "html"}
+)
+_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+
+
+def _text_blocks(root: Element) -> list[tuple[int, int, str]]:
+    """Flatten the DOM into text blocks at block-level boundaries →
+    [(n_words, n_link_words, text)] (boilerpipe's block model)."""
+    blocks: list[tuple[int, int, str]] = []
+    buf: list[tuple[str, bool]] = []  # (fragment, inside_anchor)
+
+    def flush():
+        text = _WS.sub(" ", "".join(f for f, _ in buf)).strip()
+        if text:
+            words = text.split()
+            link_words = sum(
+                len(_WS.sub(" ", f).split()) for f, in_a in buf if in_a
+            )
+            blocks.append((len(words), min(link_words, len(words)), text))
+        buf.clear()
+
+    def walk(el: Element, in_anchor: bool):
+        if el.tag in _SKIP_TAGS:
+            return
+        is_block = el.tag in _BLOCK_TAGS
+        if is_block:
+            flush()
+        anchor = in_anchor or el.tag == "a"
+        for c in el.children:
+            if isinstance(c, str):
+                buf.append((c, anchor))
+            else:
+                walk(c, anchor)
+                buf.append((" ", anchor))
+        if is_block:
+            flush()
+
+    walk(root, False)
+    flush()
+    return blocks
+
+
+def _num_words_rules(
+    words: int, link_density: float, prev_words: int, prev_link_density: float,
+    next_words: int,
+) -> bool:
+    """boilerpipe's NumWordsRulesClassifier decision tree (published in the
+    boilerpipe source / WSDM'10 paper) — True = CONTENT."""
+    if link_density > 0.333333:
+        return False
+    if prev_link_density <= 0.555556:
+        if words <= 16:
+            if next_words <= 15:
+                return prev_words > 4
+            return True
+        return True
+    if words <= 40:
+        return next_words > 17
+    return True
 
 
 class ManyNodes(list):

@@ -158,3 +158,36 @@ def test_plain_node():
 def test_mime_dispatch_without_hint():
     assert isinstance(parse_node(GITHUB_USER), JsonNode)
     assert parse_node(WIKI).find_first("title").text == "Wikipedia"
+
+
+def test_article_text_boilerpipe_classifier():
+    """NumWordsRules block classification (WSDM'10): body prose survives,
+    link-dense nav and short isolated boilerplate blocks are dropped."""
+    page = b"""
+    <html><body>
+      <div class="nav"><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></div>
+      <h1>Story headline</h1>
+      <p>The first paragraph of the story carries more than sixteen words so the
+         classifier marks it as content without looking at its neighbours.</p>
+      <p>The second paragraph is also long enough on its own, continuing the
+         narrative with plenty of running prose and detail to be kept.</p>
+      <div class="footer"><a href="/t">Terms</a> <a href="/p">Privacy</a></div>
+      <p>Copyright</p>
+    </body></html>"""
+    from spookystuff_spark.doc.node import parse_node
+
+    d = parse_node(page, "text/html; charset=utf-8")
+    art = d.article_text
+    assert "first paragraph of the story" in art
+    assert "continuing the narrative" in art
+    assert "Home" not in art and "Privacy" not in art  # link-dense blocks
+    assert "Copyright" not in art  # short isolated block, poor neighbours
+
+
+def test_article_text_semantic_container_shortcuts():
+    from spookystuff_spark.doc.node import parse_node
+
+    page = b"""<html><body><nav><a href='/'>x</a></nav>
+    <article><p>Real content here.</p></article></body></html>"""
+    d = parse_node(page, "text/html; charset=utf-8")
+    assert d.article_text.strip() == "Real content here."
