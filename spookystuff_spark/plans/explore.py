@@ -185,8 +185,9 @@ def explore(
         )
         frontier = frontier.localCheckpoint(eager=True)
 
-        n = frontier.count()  # the open-set accumulator (ExplorePlan.scala:164)
-        if n == 0 or epoch > max_depth:
+        # open-set emptiness is the only signal needed (ExplorePlan.scala:164)
+        # — isEmpty on the checkpointed frontier beats a full count job
+        if epoch > max_depth or frontier.isEmpty():
             break
 
         # --- fetch the frontier (dedup shuffle + doc cache inside)
