@@ -81,5 +81,6 @@ def load_all_query_modules() -> None:
         text,
         tpch_more,
         tpch_more2,
+        tpch_rest,
         tpch_suites,
     )

@@ -44,6 +44,20 @@ from spookystuff_spark.queries.tpch_more2 import (
     q15_top_suppliers,
     q22_sales_opportunity,
 )
+from spookystuff_spark.queries.tpch_rest import (
+    ORACLE_Q2,
+    ORACLE_Q11,
+    ORACLE_Q12,
+    ORACLE_Q16,
+    ORACLE_Q20,
+    ORACLE_Q21,
+    q2_min_cost_supplier,
+    q11_important_stock,
+    q12_late_lines_by_status,
+    q16_supplier_part_counts,
+    q20_excess_shippers,
+    q21_waiting_suppliers,
+)
 
 
 def _melt(df: DataFrame, qname: str, keys: list, measures: list[str]) -> DataFrame:
@@ -82,19 +96,43 @@ def _melt_sql(cte_name: str, qname: str, key_sql: list[str], measures: list[str]
 
 _SUITE_A_SQL = f"""
 WITH q7 AS ({ORACLE_Q7}), q8 AS ({ORACLE_Q8}), q9 AS ({ORACLE_Q9}),
-     q10 AS ({ORACLE_Q10}), q13 AS ({ORACLE_Q13})
+     q10 AS ({ORACLE_Q10}), q13 AS ({ORACLE_Q13}), q2 AS ({ORACLE_Q2}),
+     q11 AS ({ORACLE_Q11}), q12 AS ({ORACLE_Q12})
 {_melt_sql("q7", "q7", ["supp_nation", "cust_nation", "l_year"], ["revenue"])}
 UNION ALL {_melt_sql("q8", "q8", ["o_year"], ["mkt_share"])}
 UNION ALL {_melt_sql("q9", "q9", ["nation", "o_year"], ["revenue"])}
 UNION ALL {_melt_sql("q10", "q10", ["c_custkey", "c_name"], ["revenue", "c_acctbal"])}
 UNION ALL {_melt_sql("q13", "q13", ["c_count"], ["custdist"])}
+UNION ALL {
+    _melt_sql(
+        "q2",
+        "q2",
+        ["p_partkey", "s_suppkey", "s_name", "n_name"],
+        ["s_acctbal", "supply_cost"],
+    )
+}
+UNION ALL {_melt_sql("q11", "q11", ["p_partkey"], ["part_value"])}
+UNION ALL {_melt_sql("q12", "q12", ["l_linestatus"], ["high_line_count", "low_line_count"])}
 """
 
 
 @query("q_tpch_suite_a", oracle=_SUITE_A_SQL)
 def q_tpch_suite_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q7/q8/q9/q10/q13 melted into one gated result set."""
+    """TPC-H q2/q7/q8/q9/q10/q11/q12/q13 melted into one gated result set."""
     parts = [
+        _melt(
+            q2_min_cost_supplier(spark, sf_dir),
+            "q2",
+            ["p_partkey", "s_suppkey", "s_name", "n_name"],
+            ["s_acctbal", "supply_cost"],
+        ),
+        _melt(q11_important_stock(spark, sf_dir), "q11", ["p_partkey"], ["part_value"]),
+        _melt(
+            q12_late_lines_by_status(spark, sf_dir),
+            "q12",
+            ["l_linestatus"],
+            ["high_line_count", "low_line_count"],
+        ),
         _melt(
             q7_volume_shipping(spark, sf_dir),
             "q7",
@@ -118,7 +156,8 @@ def q_tpch_suite_a(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUITE_B_SQL = f"""
 WITH q14 AS ({ORACLE_Q14}), q15 AS ({ORACLE_Q15}), q17 AS ({ORACLE_Q17}),
-     q18 AS ({ORACLE_Q18}), q19 AS ({ORACLE_Q19}), q22 AS ({ORACLE_Q22})
+     q18 AS ({ORACLE_Q18}), q19 AS ({ORACLE_Q19}), q22 AS ({ORACLE_Q22}),
+     q16 AS ({ORACLE_Q16}), q20 AS ({ORACLE_Q20}), q21 AS ({ORACLE_Q21})
 {_melt_sql("q14", "q14", [], ["promo_revenue"])}
 UNION ALL {_melt_sql("q15", "q15", ["s_suppkey", "s_name"], ["total_revenue"])}
 UNION ALL {_melt_sql("q17", "q17", [], ["avg_yearly"])}
@@ -132,13 +171,24 @@ UNION ALL {
 }
 UNION ALL {_melt_sql("q19", "q19", [], ["revenue", "n_lines"])}
 UNION ALL {_melt_sql("q22", "q22", ["c_mktsegment"], ["numcust", "totacctbal"])}
+UNION ALL {_melt_sql("q16", "q16", ["p_brand", "p_type", "p_size"], ["supplier_cnt"])}
+UNION ALL {_melt_sql("q20", "q20", ["s_name"], ["s_acctbal"])}
+UNION ALL {_melt_sql("q21", "q21", ["s_name"], ["numwait"])}
 """
 
 
 @query("q_tpch_suite_b", oracle=_SUITE_B_SQL)
 def q_tpch_suite_b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q14/q15/q17/q18/q19/q22 melted into one gated result set."""
+    """TPC-H q14/q15/q16/q17/q18/q19/q20/q21/q22 melted into one gated set."""
     parts = [
+        _melt(
+            q16_supplier_part_counts(spark, sf_dir),
+            "q16",
+            ["p_brand", "p_type", "p_size"],
+            ["supplier_cnt"],
+        ),
+        _melt(q20_excess_shippers(spark, sf_dir), "q20", ["s_name"], ["s_acctbal"]),
+        _melt(q21_waiting_suppliers(spark, sf_dir), "q21", ["s_name"], ["numwait"]),
         _melt(q14_promo_revenue(spark, sf_dir), "q14", [], ["promo_revenue"]),
         _melt(
             q15_top_suppliers(spark, sf_dir),
