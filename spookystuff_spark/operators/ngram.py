@@ -1,0 +1,148 @@
+"""Token-n-gram operators for training-data hygiene at corpus scale:
+benchmark decontamination (shared-n-gram semi join) and exact duplicated-span
+detection (the n-gram-anchor half of suffix-array dedup).
+
+Design for 100 TB:
+  * Tokenize + n-gram expansion are pure Catalyst expressions
+    (``regexp_extract_all`` + ``transform``/``slice``) — whole-stage codegen,
+    zero Python.
+  * The shuffled key is ``xxhash64(gram)`` (8 bytes), not the gram string
+    (~100 bytes for a 13-gram): ~10x smaller exchange. Collisions merge two
+    grams with p ≈ (#grams)²/2⁶⁵ — at 10¹² grams that is still <3%, and a
+    collision only *over*-flags a doc pair, which the verify pass of a real
+    dedup pipeline re-checks. Gated queries keep hashing ON so the gate
+    exercises the scale path; the DuckDB oracle counts the same overlaps on
+    gram strings (counts are hash-invariant absent collisions).
+  * The benchmark-gram side of decontamination is tiny relative to the corpus
+    (eval sets are MBs, corpora are TBs) → broadcast semi join, no shuffle of
+    the corpus side.
+
+Reference parity note: the reference engine has no n-gram dedup; these extend
+the LLM-pipeline surface mandated by the rebuild brief (BASELINE.json), in the
+spirit of Lee et al., "Deduplicating Training Data Makes Language Models
+Better" (exact-substring dedup via shared n-gram anchors).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Same tokenizer the oracle mirrors: DuckDB regexp_extract_all(lower(t),'\S+')
+# == Spark regexp_extract_all(lower(t), '(\S+)', 1) (group-idx trap).
+_TOKENS = lambda text: F.regexp_extract_all(F.lower(text), F.lit(r"(\S+)"), 1)  # noqa: E731
+
+
+def token_ngrams(text: Column, n: int) -> Column:
+    """Array of space-joined token n-grams of ``text`` (empty when the doc has
+    fewer than ``n`` tokens). Pure Catalyst: lower → tokenize → slide."""
+    toks = _TOKENS(text)
+    k = F.size(toks) - F.lit(n - 1)
+    window = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, window).otherwise(F.array().cast("array<string>"))
+
+
+def doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+) -> DataFrame:
+    """Distinct (id, gram_key) pairs — one row per n-gram per doc. With
+    ``hashed`` (the scale default) the gram is keyed by ``xxhash64``; the
+    string form is only materialized inside the codegen stage, never
+    shuffled."""
+    gram = F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
+    out = df.select(F.col(id_col), gram)
+    key = F.xxhash64(F.col("gram")) if hashed else F.col("gram")
+    return out.select(F.col(id_col), key.alias("gram_key")).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    hashed: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, the number of distinct
+    ``n``-grams it shares with ``benchmark`` (industry-standard 13-gram
+    overlap rule). Returns (id, contaminated_grams) for docs with ≥1 hit.
+
+    Plan: corpus grams stay partition-local; the (small) distinct benchmark
+    gram set is broadcast — the only wide op is the final per-doc count."""
+    cg = doc_grams(corpus, id_col, text_col, n, hashed)
+    bg = doc_grams(benchmark, id_col, text_col, n, hashed).select("gram_key").distinct()
+    return (
+        cg.join(F.broadcast(bg), "gram_key", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contaminated_grams"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 15, hashed: bool = True
+) -> DataFrame:
+    """Exact duplicated-span detection: per doc, how many of its distinct
+    ``n``-grams also occur in at least one *other* doc. A doc with
+    ``dup_grams`` ≥ 1 contains a ≥n-token span copied across the corpus
+    (n-gram anchors of exact-substring dedup). Returns (id, dup_grams,
+    total_grams) for flagged docs.
+
+    Plan: exactly two shuffles of the gram set — one window exchange on
+    gram_key to annotate doc-frequency (grams are distinct per doc, so the
+    partition count IS the doc frequency), one per-doc aggregation computing
+    dup and total counts in the same pass. No self-join, no pair explosion —
+    cost is O(corpus grams), not O(dup pairs²)."""
+    from pyspark.sql import Window
+
+    grams = doc_grams(df, id_col, text_col, n, hashed)
+    df_docs = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
+    return (
+        grams.withColumn("df_docs", df_docs)
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("df_docs") >= 2, 1).otherwise(0)).alias("dup_grams"),
+            F.count(F.lit(1)).alias("total_grams"),
+        )
+        .filter(F.col("dup_grams") >= 1)
+    )
+
+
+def char_ngram_logprob(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """CCNet-style fluency scoring without an external model: train a
+    character-``n``-gram unigram LM on the corpus itself (one count
+    aggregation), then score every doc by its mean log10 n-gram probability.
+    Low scores ⇒ out-of-distribution / junk text relative to the corpus.
+
+    Plan: the "model" is never materialized as a join side — one window
+    exchange on the hashed gram annotates each occurrence with its corpus
+    count, the corpus total is a broadcast one-row aggregate (count-only
+    second pass, no shuffle), and a final per-doc aggregation takes the mean.
+    Two shuffles of the gram stream total."""
+    from pyspark.sql import Window
+
+    low = F.lower(F.col(text_col))
+    k = F.length(low) - F.lit(n - 1)
+    grams = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(low, i, n))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.when(k >= 1, grams)).alias("cgram"),
+    ).select(F.col(id_col), F.xxhash64(F.col("cgram")).alias("gram_key"))
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
+    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        exploded.withColumn("cnt", cnt)
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log10(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("lp").alias("avg_logprob"), F.count(F.lit(1)).alias("n_grams")
+    )

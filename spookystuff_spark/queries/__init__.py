@@ -71,12 +71,14 @@ def load_all_query_modules() -> None:
         dedup_more,
         engine,
         events,
+        hygiene,
         llm_ops,
         relational,
         relational2,
         relational3,
         scalar_funcs,
         sessions,
+        setops_suite,
         similarity,
         text,
         tpch_more,

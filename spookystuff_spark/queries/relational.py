@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 
@@ -238,13 +238,13 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_customers_without_orders",
-    oracle="""
+ORACLE_CUST_NO_ORDERS = """
     SELECT c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
+    """
+
+
+@bench_only("q_customers_without_orders")
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (NOT EXISTS). Catalyst turns this into a broadcast/shuffled
     left-anti; only the key column of orders is scanned."""
@@ -255,14 +255,14 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
-@query(
-    "q_nation_keys_intersect",
-    oracle="""
+ORACLE_NATION_INTERSECT = """
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT
     SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
+    """
+
+
+@bench_only("q_nation_keys_intersect")
 def q_nation_keys_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set op: INTERSECT (distinct semantics on both engines)."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 
@@ -131,13 +131,13 @@ def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_customers_with_orders_semi",
-    oracle="""
+ORACLE_CUST_WITH_ORDERS = """
     SELECT c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
+    """
+
+
+@bench_only("q_customers_with_orders_semi")
 def q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders").select("o_custkey")
@@ -146,16 +146,16 @@ def q_customers_with_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
-@query(
-    "q_active_1995_not_1996_except",
-    oracle="""
+ORACLE_EXCEPT_9596 = """
     SELECT o_custkey AS custkey FROM orders
     WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
     EXCEPT
     SELECT o_custkey FROM orders
     WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-    """,
-)
+    """
+
+
+@bench_only("q_active_1995_not_1996_except")
 def q_active_1995_not_1996_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     y95 = orders.filter(

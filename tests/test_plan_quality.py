@@ -25,6 +25,9 @@ NATIVE_ONLY = [
     "q_events_sessionize",
     "q_knn_cosine_bruteforce",
     "q_session_windows",
+    "q_decontaminate_13gram",
+    "q_dup_span_docs",
+    "q_char_trigram_logprob",
 ]
 
 
