@@ -303,11 +303,22 @@ def _explore_batched(
     def walk(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def _path_order(row: dict):
+            # min-(depth, path) priority: processing in this order makes the
+            # local_seen first-wins dedup equal to the global min_by reducer
+            # (lexicographic list compare == Spark array ordering). Without
+            # it, which same-depth parent records a shared child depends on
+            # arbitrary batch row order and the losing (smaller) path is
+            # dropped before the cross-partition reconcile can see it.
+            p = row[path_col]
+            row[path_col] = list(p) if p is not None else []
+            return (int(row[depth_field]), row[path_col])
+
         for pdf in batches:
             parse_cache: dict = {}
             local_seen: set = set()
             rows_out: list[dict] = []
-            work = pdf.to_dict("records")
+            work = sorted(pdf.to_dict("records"), key=_path_order)
             steps = 0
             while work and steps < epoch_depths:
                 next_work: list[dict] = []
@@ -368,7 +379,7 @@ def _explore_batched(
                             }
                         )
                         next_work.append(child)
-                work = next_work
+                work = sorted(next_work, key=_path_order)
                 steps += 1
             # anything left in `work` exceeded this epoch's local budget →
             # emit as frontier for the next global epoch

@@ -60,7 +60,13 @@ def q_explore_agent_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge rule incl. diamonds and duplicate links) from p0 via Wget + S("a")
     .hrefs expansion. Oracle: golden parquet from an independent pure-python
     BFS closure (tools/gen_linkgraph.py) with ExploreIT.scala:23-67 semantics
-    — depth + ordinal columns, min-depth wins, seed ordinal NULL."""
+    — depth + ordinal columns, min-depth wins, seed ordinal NULL.
+    ``epoch_depths=2`` (ref epochInterval, SpookyConf.scala:63) walks two
+    depth levels per Arrow stage and reconciles globally between epochs, so
+    this one query exercises BOTH the batched in-partition walker and the
+    cross-epoch min-(depth, path) merge — and halves the per-epoch job
+    overhead vs one-shuffle-per-depth (pinned identical by
+    test_epoch_batched_ordinal_parity_on_linkgraph)."""
     import os
 
     from spookystuff_spark.actions import Wget
@@ -82,6 +88,7 @@ def q_explore_agent_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth_field="depth",
         range=(0, 3),
         ordinal_field="ordinal",
+        epoch_depths=2,
     )
     return (
         out.select(uri=S.uri)

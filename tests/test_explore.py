@@ -172,3 +172,40 @@ def test_explore_no_full_visited_rescan(sctx, spark, tree, monkeypatch):
     ).to_df()
     assert out.count() >= 4  # the deep crawl actually ran (4 epochs)
     assert calls == [], f"distinct() called on {calls} during explore"
+
+
+def test_epoch_batched_ordinal_parity_on_linkgraph(sctx, spark):
+    """Regression: with epoch_depths>1, when two same-depth parents in one
+    partition both discover a child, the partition-local first-wins dedup must
+    process work in min-(depth, path) order — otherwise which parent records
+    the child depends on arbitrary batch row order and the lexicographically
+    smaller path is silently dropped before the global min_by reconcile.
+    Full (page, depth, ordinal) parity vs the per-depth loop, at an
+    epoch_depths that splits the walk mid-crawl."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "fixtures", "linkgraph")
+
+    def run(ed):
+        mem_cache.clear()
+        dv = sctx.create(
+            spark.createDataFrame([{"seed": f"file://{root}/p0.html"}])
+        )
+        out = dv.explore(
+            Wget("{seed}"), expand=S("a").hrefs, depth_field="depth",
+            range=(0, 3), ordinal_field="ordinal", epoch_depths=ed,
+        )
+        return sorted(
+            (r["page"], r["depth"], r["ordinal"])
+            for r in out.select(uri=S.uri).to_df().select(
+                F.regexp_extract(F.col("uri"), r"([^/]+)$", 1).alias("page"),
+                "depth", "ordinal",
+            ).collect()
+        )
+
+    base = run(1)
+    for ed in (2, 3):
+        assert run(ed) == base, f"epoch_depths={ed} diverged"
