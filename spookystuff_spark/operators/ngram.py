@@ -118,11 +118,16 @@ def char_ngram_logprob(
     aggregation), then score every doc by its mean log10 n-gram probability.
     Low scores ⇒ out-of-distribution / junk text relative to the corpus.
 
-    Plan: the "model" is never materialized as a join side — one window
-    exchange on the hashed gram annotates each occurrence with its corpus
-    count, the corpus total is a broadcast one-row aggregate (count-only
-    second pass, no shuffle), and a final per-doc aggregation takes the mean.
-    Two shuffles of the gram stream total."""
+    Plan: the per-character occurrence stream never reaches an exchange — a
+    partial-aggregating ``groupBy(id, gram)`` collapses it map-side to
+    distinct (doc, gram, count) triples (bounded by alphabet^n per doc, not
+    doc length), one window exchange on the hashed gram annotates each triple
+    with the corpus occurrence count, the corpus total is a no-gram scan
+    (``sum(len - n + 1)``), and a final per-doc aggregation takes the
+    occurrence-weighted mean — algebraically the same mean-over-occurrences,
+    with shuffle volume bounded by per-doc *distinct* grams (≤ alphabet^n)
+    instead of per-doc length, and one fewer full corpus re-tokenization
+    (the old total-count pass re-exploded every gram)."""
     from pyspark.sql import Window
 
     low = F.lower(F.col(text_col))
@@ -133,16 +138,24 @@ def char_ngram_logprob(
         F.explode(F.when(k >= 1, grams)).alias("cgram"),
     ).select(F.col(id_col), F.xxhash64(F.col("cgram")).alias("gram_key"))
 
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
-    total = exploded.agg(F.count(F.lit(1)).alias("total"))
+    dg = exploded.groupBy(id_col, "gram_key").agg(F.count(F.lit(1)).alias("c"))
+    cnt = F.sum("c").over(Window.partitionBy("gram_key"))
+    total = df.agg(
+        F.sum(F.greatest(k, F.lit(0))).cast("double").alias("total")
+    )
     scored = (
-        exploded.withColumn("cnt", cnt)
+        dg.withColumn("cnt", cnt)
         .join(F.broadcast(total))
         .select(
             F.col(id_col),
-            F.log10(F.col("cnt").cast("double") / F.col("total")).alias("lp"),
+            F.col("c"),
+            (
+                F.col("c").cast("double")
+                * F.log10(F.col("cnt").cast("double") / F.col("total"))
+            ).alias("wlp"),
         )
     )
     return scored.groupBy(id_col).agg(
-        F.avg("lp").alias("avg_logprob"), F.count(F.lit(1)).alias("n_grams")
+        (F.sum("wlp") / F.sum("c")).alias("avg_logprob"),
+        F.sum("c").cast("long").alias("n_grams"),
     )
