@@ -1,0 +1,225 @@
+"""Corpus-curation queries over operators/curation.py: SemDeDup embedding
+pruning, deterministic mixture sampling, PII scrubbing, and keep-best
+canonical selection — individually benchmarked (``bench_only``), gate-checked
+via the melted ``q_curation_suite`` (the driver's correctness gate caps the
+per-round query list at 50).
+
+Oracle strategy: mixture + PII + embedding norms are SQL-expressible and
+mirrored in DuckDB directly (md5-hash draws and the RE2-safe regex subset are
+engine-portable); SemDeDup and keep-best depend on k-means cells / minhash
+clusters, so their expected outputs are golden parquets from the independent
+reference implementations in tools/gen_goldens.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.functions.rounding import round_stable
+from spookystuff_spark.queries import GOLDEN_SF, bench_only, query
+from spookystuff_spark.queries.similarity import ORACLE_EMB_NORMS, q_embedding_norms
+from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
+from spookystuff_spark.tables import table
+
+MIX_RATES = {"de": 0.8, "en": 0.5, "es": 0.25, "fr": 1.0, "zh": 0.1}
+
+# Deterministic PII injection: the synthetic corpus contains no emails /
+# phones / IPs, so both engines append the same id-derived PII to every
+# third/fourth/fifth doc — the scrubber then has real, varied work whose
+# redacted output is pinned by md5.
+_PII_SQL_TEXT = """concat(text,
+    CASE WHEN doc_id % 3 = 0
+         THEN concat(' Contact user', CAST(doc_id AS VARCHAR), '@example.com.')
+         ELSE '' END,
+    CASE WHEN doc_id % 4 = 0
+         THEN concat(' Host 10.', CAST(doc_id % 200 AS VARCHAR), '.0.7 up.')
+         ELSE '' END,
+    CASE WHEN doc_id % 5 = 0
+         THEN concat(' Call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                     '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), '.')
+         ELSE '' END)"""
+
+
+def _pii_spark_text() -> F.Column:
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" Contact user"), s(did), F.lit("@example.com.")),
+        ).otherwise(""),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" Host 10."), s(did % 200), F.lit(".0.7 up.")),
+        ).otherwise(""),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Call 555-"),
+                F.lpad(s(did % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s(did % 10000), 4, "0"),
+                F.lit("."),
+            ),
+        ).otherwise(""),
+    )
+
+
+@bench_only("q_semdedup_prune")
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning decisions (dropped vectors only) over the embeddings
+    table. Production threshold ~0.95; the synthetic embeddings max out at
+    cos≈0.51, so 0.4 exercises real drops."""
+    from spookystuff_spark.operators.curation import semdedup_prune
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = semdedup_prune(emb, "vec_id", "embedding", dim=64, threshold=0.4, n_cells=16)
+    return (
+        out.filter(~F.col("keep"))
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell",
+            "dup_of",
+            round_stable(F.col("cos_sim"), 4).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@bench_only("q_mixture_sample")
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus mixture sampling with deterministic hash draws —
+    the exact sampled id set is engine-reproducible (md5-based), so the gate
+    pins membership itself, not just counts."""
+    from spookystuff_spark.operators.curation import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        mixture_sample(docs, "doc_id", "lang", MIX_RATES)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@bench_only("q_pii_scrub")
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over id-salted documents; the redacted text is
+    pinned via md5 so every replacement position must match the oracle."""
+    from spookystuff_spark.operators.curation import pii_counts, pii_redact
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_spark_text().alias("ft")
+    )
+    counts = pii_counts(F.col("ft"))
+    return docs.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(pii_redact(F.col("ft"))).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@bench_only("q_dedup_keep_best")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup pipeline: minhash pairs → connected components →
+    keep the highest-quality member per cluster (tie → smallest id)."""
+    from spookystuff_spark.operators.curation import keep_best
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+    from spookystuff_spark.operators.graph import connected_components
+    from spookystuff_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=128, bands=16
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    members = comps.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality")),
+        comps["node"] == F.col("doc_id"),
+    )
+    return keep_best(members, "component", "doc_id", "quality").orderBy("cluster")
+
+
+_GOLD = f"/root/repo/fixtures/golden/{GOLDEN_SF}"
+
+_SUITE_SQL = f"""
+WITH sd AS (SELECT * FROM read_parquet('{_GOLD}/q_semdedup_prune.parquet')),
+kb AS (SELECT * FROM read_parquet('{_GOLD}/q_dedup_keep_best.parquet')),
+mx AS (
+  SELECT doc_id, lang, 1.0 AS sampled FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0
+        < CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+                    WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.1 ELSE 0.0 END),
+pii_base AS (SELECT doc_id, {_PII_SQL_TEXT} AS ft FROM documents),
+pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(ft,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(ft,
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT)
+           AS n_ips,
+         CAST(len(regexp_extract_all(ft, '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b'))
+           AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(regexp_replace(ft,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
+           AS redacted_md5
+  FROM pii_base),
+emb AS ({ORACLE_EMB_NORMS})
+{_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
+UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
+UNION ALL {
+    _melt_sql("pii", "pii", ["doc_id", "redacted_md5"],
+              ["n_emails", "n_ips", "n_phones"])
+}
+UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n_members"])}
+UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
+"""
+
+
+@query("q_curation_suite", oracle=_SUITE_SQL)
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup / mixture-sample / PII-scrub / keep-best / embedding-norms
+    melted into one gated result set — every value of every constituent
+    pinned by one CORRECTNESS row."""
+    parts = [
+        _melt(
+            q_semdedup_prune(spark, sf_dir),
+            "semdedup",
+            ["vec_id", "cell", "dup_of"],
+            ["cos_sim"],
+        ),
+        _melt(
+            q_mixture_sample(spark, sf_dir).withColumn("sampled", F.lit(1.0)),
+            "mixture",
+            ["doc_id", "lang"],
+            ["sampled"],
+        ),
+        _melt(
+            q_pii_scrub(spark, sf_dir),
+            "pii",
+            ["doc_id", "redacted_md5"],
+            ["n_emails", "n_ips", "n_phones"],
+        ),
+        _melt(
+            q_dedup_keep_best(spark, sf_dir),
+            "keepbest",
+            ["cluster", "kept_id"],
+            ["kept_score", "n_members"],
+        ),
+        _melt(
+            q_embedding_norms(spark, sf_dir),
+            "embnorms",
+            ["label"],
+            ["n_vecs", "avg_norm"],
+        ),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)

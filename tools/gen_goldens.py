@@ -422,6 +422,136 @@ def gold_dir_listing():
     )
 
 
+# ------------------------------------------------------------- SemDeDup
+
+
+def gold_semdedup(emb, dim=64, threshold=0.4, n_cells=16, n_iters=5,
+                  sample_cap=10_000):
+    """k-means cells (same deterministic spec as gold_ivf) → per-cell greedy
+    keep-in-ascending-id-order, drop at cos ≥ threshold to nearest kept."""
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sample = mat[:sample_cap]
+
+    def pairwise_d2(a, b):
+        return (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+
+    k_eff = min(n_cells, len(sample))
+    centroids = sample[:1].copy()
+    d2min = pairwise_d2(sample, centroids).min(axis=1)
+    for _ in range(k_eff - 1):
+        nxt = sample[d2min.argmax()][None, :]
+        centroids = np.vstack([centroids, nxt])
+        d2min = np.minimum(d2min, pairwise_d2(sample, nxt)[:, 0])
+    for _ in range(n_iters):
+        assign = pairwise_d2(sample, centroids).argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    cells = pairwise_d2(mat, centroids).argmin(axis=1)
+    rows = []
+    for c in sorted(set(cells.tolist())):
+        m = np.where(cells == c)[0]
+        order = np.argsort(ids[m], kind="stable")
+        cids = ids[m][order]
+        sub = mat[m][order]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0.0] = 1.0
+        sub = sub / norms[:, None]
+        sims = sub @ sub.T
+        kept: list[int] = []
+        for i in range(len(cids)):
+            if kept:
+                s = sims[i, kept]
+                j = int(np.argmax(s))
+                if s[j] >= threshold:
+                    rows.append(
+                        (
+                            int(cids[i]),
+                            int(c),
+                            int(cids[kept[j]]),
+                            float(np.round(s[j] + 1e-6, 4)),
+                        )
+                    )
+                    continue
+            kept.append(i)
+    write(
+        "q_semdedup_prune",
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "cell": pa.array([r[1] for r in rows], pa.int64()),
+                "dup_of": pa.array([r[2] for r in rows], pa.int64()),
+                "cos_sim": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+
+# ------------------------------------------------------------- keep-best
+
+
+def _quality(text: str) -> float:
+    t = text or ""
+    n_chars = len(t)
+    n_tokens = len(re.findall(r"\S+", t))
+    punct = len(re.findall(r"[.,;:!?]", t))
+    stop = len(re.findall(r"\b(?:the|and|of|to|is|a|in)\b", t.lower()))
+    mwl = n_chars / max(n_tokens, 1)
+    len_ok = 1.0 if 50 <= n_chars <= 20000 else 0.0
+    punct_ok = 1.0 if punct / max(n_chars, 1) <= 0.1 else 0.0
+    stop_ok = 1.0 if stop / max(n_tokens, 1) >= 0.01 else 0.0
+    word_ok = 1.0 if 2.5 <= mwl <= 12 else 0.0
+    return float(np.round((len_ok + punct_ok + stop_ok + word_ok) / 4 + 1e-6, 2))
+
+
+def gold_keepbest(docs):
+    """MinHash pairs at 0.5 → union-find → per component keep the
+    highest-quality member (tie → smallest id)."""
+    pairs = minhash_pairs(docs, threshold=0.5)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ia, ib, _ in pairs:
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    q = dict(zip(docs["doc_id"].astype(int), docs["text"]))
+    members = defaultdict(list)
+    for n in sorted({x for p in pairs for x in p[:2]}):
+        members[find(n)].append(n)
+    rows = []
+    for comp in sorted(members):
+        ms = members[comp]
+        best = max(ms, key=lambda i: (_quality(q[i]), -i))
+        rows.append((comp, best, _quality(q[best]), len(ms)))
+    write(
+        "q_dedup_keep_best",
+        pa.table(
+            {
+                "cluster": pa.array([r[0] for r in rows], pa.int64()),
+                "kept_id": pa.array([r[1] for r in rows], pa.int64()),
+                "kept_score": pa.array([r[2] for r in rows], pa.float64()),
+                "n_members": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -433,6 +563,8 @@ def main():
     gold_ivf(emb)
     gold_multimodal(docs)
     gold_dir_listing()
+    gold_semdedup(emb)
+    gold_keepbest(docs)
 
 
 if __name__ == "__main__":
