@@ -45,17 +45,31 @@ def token_ngrams(text: Column, n: int) -> Column:
     return F.when(k >= 1, window).otherwise(F.array().cast("array<string>"))
 
 
+def token_ngram_keys(text: Column, n: int) -> Column:
+    """Array of 8-byte n-gram keys: ``xxhash64`` applied to each token
+    *slice* directly — the ~100-byte gram string is never materialized at
+    all (element-chained hashing distinguishes token boundaries, and tokens
+    are ``\\S+`` so the space-joined string it replaces was bijective
+    anyway)."""
+    toks = _TOKENS(text)
+    k = F.size(toks) - F.lit(n - 1)
+    window = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, window).otherwise(F.array().cast("array<bigint>"))
+
+
 def doc_grams(
     df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
 ) -> DataFrame:
     """Distinct (id, gram_key) pairs — one row per n-gram per doc. With
-    ``hashed`` (the scale default) the gram is keyed by ``xxhash64``; the
-    string form is only materialized inside the codegen stage, never
-    shuffled."""
-    gram = F.explode(token_ngrams(F.col(text_col), n)).alias("gram")
-    out = df.select(F.col(id_col), gram)
-    key = F.xxhash64(F.col("gram")) if hashed else F.col("gram")
-    return out.select(F.col(id_col), key.alias("gram_key")).distinct()
+    ``hashed`` (the scale default) the gram is keyed by ``xxhash64`` over the
+    token slice — no gram string is ever built; with ``hashed=False`` the
+    space-joined gram string itself is the key (debug/audit mode)."""
+    gram_col = token_ngram_keys if hashed else token_ngrams
+    gram = F.explode(gram_col(F.col(text_col), n)).alias("gram_key")
+    return df.select(F.col(id_col), gram).distinct()
 
 
 def decontaminate(
