@@ -66,10 +66,15 @@ def doc_grams(
     """Distinct (id, gram_key) pairs — one row per n-gram per doc. With
     ``hashed`` (the scale default) the gram is keyed by ``xxhash64`` over the
     token slice — no gram string is ever built; with ``hashed=False`` the
-    space-joined gram string itself is the key (debug/audit mode)."""
+    space-joined gram string itself is the key (debug/audit mode).
+
+    Distinctness costs NO shuffle: an (id, gram) duplicate can only arise
+    inside one row's own gram array (ids are unique per row — the caller's
+    contract), so ``array_distinct`` inside the codegen stage is exact and
+    no global ``.distinct()`` exchange is needed at all."""
     gram_col = token_ngram_keys if hashed else token_ngrams
-    gram = F.explode(gram_col(F.col(text_col), n)).alias("gram_key")
-    return df.select(F.col(id_col), gram).distinct()
+    gram = F.explode(F.array_distinct(gram_col(F.col(text_col), n))).alias("gram_key")
+    return df.select(F.col(id_col), gram)
 
 
 def decontaminate(
