@@ -145,8 +145,65 @@ def test_multimodal_meta_and_frames(spark):
     assert len(f0) == 2  # 2048-byte payload → 2 KiB-chunk frames
     assert all(len(r.frame_sig) == 16 for r in frames)
 
-    with pytest.raises(NotImplementedError, match="decode_image"):
-        decode_image(df, "media")
+    # codec formats (PNG) are per-row 'unsupported' — data, not a job abort
+    dec = {r.mid: r for r in decode_image(df, "media").collect()}
+    assert dec[0].decode_ok == "unsupported" and dec[0].pixels is None
+    assert dec[2].decode_ok == "unsupported"
+
+
+def _make_bmp(w: int, h: int, pixel_rows: list[list[tuple]]) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP from RGB tuples (row 0 = top)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    raster = b""
+    for row in reversed(pixel_rows):  # bottom-up storage
+        line = b"".join(bytes((b_, g, r)) for (r, g, b_) in row)  # BGR
+        raster += line + b"\x00" * (stride - len(line))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def test_decode_bmp_and_ppm_real(spark):
+    from spookystuff_spark.operators.multimodal import decode_image, resize_nearest
+
+    red, green, blue, white = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    bmp = _make_bmp(2, 2, [[red, green], [blue, white]])
+    ppm = b"P6\n# comment\n2 2\n255\n" + bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    pgm = b"P5 3 1 255\n" + bytes([0, 128, 255])
+    rows = [
+        {"mid": 0, "media": bmp},
+        {"mid": 1, "media": ppm},
+        {"mid": 2, "media": pgm},
+        {"mid": 3, "media": b"BM" + b"\x00" * 10},  # truncated header
+    ]
+    df = spark.createDataFrame(rows)
+    dec = {r.mid: r for r in decode_image(df, "media").collect()}
+
+    assert (dec[0].h, dec[0].w, dec[0].c, dec[0].decode_ok) == (2, 2, 3, "ok")
+    # BGR bottom-up storage must round-trip to RGB top-down
+    assert bytes(dec[0].pixels) == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    assert (dec[1].h, dec[1].w, dec[1].c) == (2, 2, 3)
+    assert bytes(dec[1].pixels) == bytes(
+        [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    )
+    assert (dec[2].h, dec[2].w, dec[2].c) == (1, 3, 1)
+    assert bytes(dec[2].pixels) == bytes([0, 128, 255])
+    assert dec[3].decode_ok == "corrupt" and dec[3].pixels is None
+
+    small = {
+        r.mid: r
+        for r in resize_nearest(decode_image(df, "media"), 1, 1).collect()
+    }
+    # nearest-neighbor 2x2 → 1x1 picks the top-left pixel
+    assert (small[0].h, small[0].w) == (1, 1)
+    assert bytes(small[0].pixels) == bytes([255, 0, 0])
+    assert small[3].pixels is None  # failed decode passes through as null
 
 
 def test_lang_id_column(spark):

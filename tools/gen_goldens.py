@@ -373,6 +373,9 @@ def gold_multimodal(docs):
         (b"\x89PNG", "image"),
         (b"\xff\xd8\xff", "image"),
         (b"GIF8", "image"),
+        (b"BM", "image"),
+        (b"P6", "image"),
+        (b"P5", "image"),
         (b"RIFF", "audio"),
         (b"ID3", "audio"),
         (b"\x1aE\xdf\xa3", "video"),
