@@ -208,6 +208,98 @@ def decode_image(df: DataFrame, blob_col: str = "media") -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+AUDIO_SCHEMA_FIELDS = [
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_s", DoubleType()),
+    StructField("rms", DoubleType()),
+    StructField("peak", DoubleType()),
+    StructField("decode_ok", StringType()),  # ok | unsupported | corrupt
+]
+
+
+def _decode_wav(blob: bytes):
+    """RIFF/WAVE PCM (8/16-bit) → (rate, ch, depth, n_samples, dur, rms, peak)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_fmt, ch, rate, _, _, depth = fmt
+    if audio_fmt != 1 or ch < 1 or rate <= 0 or depth not in (8, 16):
+        return None
+    if depth == 16:
+        x = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.float64)
+        x /= 32768.0
+    else:
+        x = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    n_samples = len(x) // ch
+    if n_samples == 0:
+        return rate, ch, depth, 0, 0.0, 0.0, 0.0
+    x = x[: n_samples * ch]
+    return (
+        rate,
+        ch,
+        depth,
+        n_samples,
+        n_samples / rate,
+        float(np.sqrt((x * x).mean())),
+        float(np.abs(x).max()),
+    )
+
+
+def decode_audio(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode audio blobs in one narrow Arrow stage. REAL for RIFF/WAVE PCM
+    8/16-bit (stdlib struct + numpy — chunk-walking parser, word alignment,
+    normalized RMS/peak features); compressed formats (MP3/OGG/…) are marked
+    ``decode_ok='unsupported'`` per row, malformed RIFF ``'corrupt'``."""
+    out_schema = StructType(list(df.schema.fields) + AUDIO_SCHEMA_FIELDS)
+
+    def _one(blob: bytes):
+        if blob[:4] == b"RIFF":
+            got = _decode_wav(blob)
+            if got:
+                r, ch, d, n, dur, rms, peak = got
+                return r, ch, d, n, round(dur, 6), round(rms, 6), round(peak, 6), "ok"
+            return None, None, None, None, None, None, None, "corrupt"
+        return None, None, None, None, None, None, None, "unsupported"
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                _one(bytes(b) if b is not None else b"") for b in pdf[blob_col]
+            ]
+            yield pdf.assign(
+                sample_rate=[d[0] for d in decoded],
+                n_channels=[d[1] for d in decoded],
+                bit_depth=[d[2] for d in decoded],
+                n_samples=[d[3] for d in decoded],
+                duration_s=[d[4] for d in decoded],
+                rms=[d[5] for d in decoded],
+                peak=[d[6] for d in decoded],
+                decode_ok=[d[7] for d in decoded],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resize_nearest(
     df: DataFrame,
     out_h: int,

@@ -206,6 +206,41 @@ def test_decode_bmp_and_ppm_real(spark):
     assert small[3].pixels is None  # failed decode passes through as null
 
 
+def _make_wav(rate: int, samples: list[int]) -> bytes:
+    """Minimal mono 16-bit PCM WAV."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_audio_wav_real(spark):
+    from spookystuff_spark.operators.multimodal import decode_audio
+
+    wav = _make_wav(8000, [0, 16384, -16384, 32767])
+    rows = [
+        {"mid": 0, "media": wav},
+        {"mid": 1, "media": b"ID3\x04" + b"\x00" * 64},  # mp3 → unsupported
+        {"mid": 2, "media": b"RIFF\x00\x00\x00\x00junk"},  # corrupt RIFF
+    ]
+    dec = {
+        r.mid: r
+        for r in decode_audio(spark.createDataFrame(rows), "media").collect()
+    }
+    ok = dec[0]
+    assert (ok.sample_rate, ok.n_channels, ok.bit_depth, ok.n_samples) == (
+        8000, 1, 16, 4,
+    )
+    assert abs(ok.duration_s - 4 / 8000) < 1e-9
+    assert abs(ok.peak - 32767 / 32768) < 1e-4
+    assert 0.3 < ok.rms < 0.7 and ok.decode_ok == "ok"
+    assert dec[1].decode_ok == "unsupported"
+    assert dec[2].decode_ok == "corrupt"
+
+
 def test_lang_id_column(spark):
     import pyspark.sql.functions as F
 
