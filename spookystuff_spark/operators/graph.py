@@ -118,7 +118,16 @@ def connected_components(
         nodes = sorted({x for p in pairs for x in p})
         rows = [(n, find(n)) for n in nodes]
         spark = edges.sparkSession
-        return spark.createDataFrame(rows, ["node", "component"])
+        # explicit schema: no sampling-based inference, and an empty edge
+        # list (nothing near-duplicated) must yield an empty frame, not a
+        # CANNOT_INFER_EMPTY_SCHEMA error
+        from pyspark.sql.types import StructField, StructType
+
+        t = edges.schema[src_col].dataType
+        schema = StructType(
+            [StructField("node", t), StructField("component", t)]
+        )
+        return spark.createDataFrame(rows, schema)
 
     # undirected edge list, both directions
     fwd = edges.select(F2.col(src_col).alias("a"), F2.col(dst_col).alias("b"))

@@ -74,6 +74,7 @@ def load_all_query_modules() -> None:
         events,
         hygiene,
         llm_ops,
+        pipeline_demo,
         relational,
         relational2,
         relational3,

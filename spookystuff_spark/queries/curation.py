@@ -19,7 +19,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import GOLDEN_SF, bench_only, query
+from spookystuff_spark.queries import (
+    GOLDEN_QUERIES,
+    GOLDEN_SF,
+    bench_only,
+    query,
+)
 from spookystuff_spark.queries.similarity import ORACLE_EMB_NORMS, q_embedding_norms
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 from spookystuff_spark.tables import table
@@ -146,17 +151,22 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _GOLD = f"/root/repo/fixtures/golden/{GOLDEN_SF}"
+# The semdedup/keep-best constituents are sf0.01 golden parquets, so the
+# SQL-expressible constituents must read the same SF regardless of which
+# views the harness registered — pin the parquet paths, like the goldens.
+_DOCS = f"read_parquet('/root/testdata/{GOLDEN_SF}/documents.parquet')"
+_EMBS = f"read_parquet('/root/testdata/{GOLDEN_SF}/embeddings.parquet')"
 
 _SUITE_SQL = f"""
 WITH sd AS (SELECT * FROM read_parquet('{_GOLD}/q_semdedup_prune.parquet')),
 kb AS (SELECT * FROM read_parquet('{_GOLD}/q_dedup_keep_best.parquet')),
 mx AS (
-  SELECT doc_id, lang, 1.0 AS sampled FROM documents
+  SELECT doc_id, lang, 1.0 AS sampled FROM {_DOCS}
   WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
           / 4294967296.0
         < CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
                     WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.1 ELSE 0.0 END),
-pii_base AS (SELECT doc_id, {_PII_SQL_TEXT} AS ft FROM documents),
+pii_base AS (SELECT doc_id, {_PII_SQL_TEXT} AS ft FROM {_DOCS}),
 pii AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(ft,
@@ -173,7 +183,7 @@ pii AS (
            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
            AS redacted_md5
   FROM pii_base),
-emb AS ({ORACLE_EMB_NORMS})
+emb AS ({ORACLE_EMB_NORMS.replace("FROM embeddings", f"FROM {_EMBS}")})
 {_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
 UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
 UNION ALL {
@@ -183,6 +193,11 @@ UNION ALL {
 UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n_members"])}
 UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
 """
+
+
+# the semdedup/keep-best constituents are pinned by sf0.01 golden parquets,
+# so parity for the whole suite must compare at the golden SF
+GOLDEN_QUERIES.add("q_curation_suite")
 
 
 @query("q_curation_suite", oracle=_SUITE_SQL)

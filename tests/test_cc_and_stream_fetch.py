@@ -34,6 +34,33 @@ def test_connected_components_basic(spark):
     assert len({comps[1], comps[5], comps[7], comps[10]}) == 4
 
 
+def test_connected_components_empty_edges(spark):
+    """Nothing near-duplicated → empty frame with the right schema, not a
+    schema-inference crash (hit by q_corpus_pipeline on clean corpora)."""
+    from spookystuff_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"]).filter("src > 99")
+    out = connected_components(edges)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+    assert out.schema["node"].dataType.typeName() == "long"
+
+
+def test_corpus_pipeline_composes(spark):
+    from spookystuff_spark.queries import EXTRA_BENCH, load_all_query_modules
+
+    load_all_query_modules()
+    out = EXTRA_BENCH["q_corpus_pipeline"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert {f.name for f in out.schema.fields} == {
+        "doc_id", "chunk_idx", "chunk_tokens",
+    }
+    # chunks are unique per (doc, idx) and non-empty
+    keys = [(r.doc_id, r.chunk_idx) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(r.chunk_tokens > 0 for r in rows)
+
+
 def test_connected_components_chain_converges(spark):
     """A 12-node path graph needs multiple propagation rounds."""
     from spookystuff_spark.operators.graph import connected_components
