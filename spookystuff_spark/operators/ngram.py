@@ -129,6 +129,47 @@ def duplicated_spans(
     )
 
 
+def longest_dup_span(
+    df: DataFrame, id_col: str, text_col: str, n: int = 15, hashed: bool = True
+) -> DataFrame:
+    """Longest duplicated span per document, in tokens — the measurement
+    behind exact-substring dedup (Lee et al. 2021): a maximal run of k
+    consecutive duplicated ``n``-gram anchors witnesses a copied span of
+    k + n - 1 tokens. "Duplicated" = the gram occurs ≥2 times corpus-wide
+    (across docs or repeated within one doc).
+
+    Plan, all Catalyst-native: posexplode the per-position gram-key array
+    (positions matter here, so no array_distinct), one window exchange on
+    gram_key to annotate global occurrence counts, then per-doc run-length
+    via the classic gap-and-islands trick (pos − row_number over dup
+    positions) and one aggregation. Returns (id, longest_span_tokens) for
+    docs containing at least one duplicated anchor."""
+    from pyspark.sql import Window
+
+    gram_col = token_ngram_keys if hashed else token_ngrams
+    pos_grams = df.select(
+        F.col(id_col),
+        F.posexplode(gram_col(F.col(text_col), n)).alias("pos", "gram_key"),
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
+    dup = (
+        pos_grams.withColumn("occ", occ)
+        .filter(F.col("occ") >= 2)
+        .select(F.col(id_col), "pos")
+    )
+    grp = F.col("pos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("pos")
+    )
+    runs = (
+        dup.withColumn("grp", grp)
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy(id_col).agg(
+        (F.max("run") + F.lit(n - 1)).cast("long").alias("longest_span_tokens")
+    )
+
+
 def char_ngram_logprob(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -25,6 +25,7 @@ from spookystuff_spark.queries import (
     bench_only,
     query,
 )
+from spookystuff_spark.queries.hygiene import q_longest_dup_span
 from spookystuff_spark.queries.similarity import ORACLE_EMB_NORMS, q_embedding_norms
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 from spookystuff_spark.tables import table
@@ -183,7 +184,25 @@ pii AS (
            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'))
            AS redacted_md5
   FROM pii_base),
-emb AS ({ORACLE_EMB_NORMS.replace("FROM embeddings", f"FROM {_EMBS}")})
+emb AS ({ORACLE_EMB_NORMS.replace("FROM embeddings", f"FROM {_EMBS}")}),
+lds_toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM {_DOCS}),
+lds_pg AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+14], ' ') AS g
+  FROM lds_toks, UNNEST(range(1, len(t)-13)) AS r(i)
+  WHERE len(t) >= 15),
+lds_dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS occ FROM lds_pg)
+  WHERE occ >= 2),
+lds_runs AS (
+  SELECT doc_id,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM lds_dup),
+lds AS (
+  SELECT doc_id, CAST(max(run) + 14 AS BIGINT) AS longest_span_tokens
+  FROM (SELECT doc_id, grp, count(*) AS run FROM lds_runs GROUP BY doc_id, grp)
+  GROUP BY doc_id)
 {_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
 UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
 UNION ALL {
@@ -192,6 +211,7 @@ UNION ALL {
 }
 UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n_members"])}
 UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
+UNION ALL {_melt_sql("lds", "dupspan", ["doc_id"], ["longest_span_tokens"])}
 """
 
 
@@ -235,6 +255,12 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embnorms",
             ["label"],
             ["n_vecs", "avg_norm"],
+        ),
+        _melt(
+            q_longest_dup_span(spark, sf_dir),
+            "dupspan",
+            ["doc_id"],
+            ["longest_span_tokens"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

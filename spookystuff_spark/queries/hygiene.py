@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 # DuckDB token n-gram CTE; mirrors operators/ngram.py tokenization exactly:
@@ -111,3 +111,15 @@ def q_char_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.col("avg_logprob"), 4).alias("avg_logprob"),
         "n_grams",
     ).orderBy("doc_id")
+
+
+@bench_only("q_longest_dup_span")
+def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest duplicated span per doc in tokens (operators/ngram
+    .longest_dup_span) — run-length of consecutive duplicated 15-gram
+    anchors, the exact-substring-dedup measurement of Lee et al. 2021.
+    Gate row lives in q_curation_suite's melt."""
+    from spookystuff_spark.operators.ngram import longest_dup_span
+
+    docs = table(spark, sf_dir, "documents")
+    return longest_dup_span(docs, "doc_id", "text", n=15).orderBy("doc_id")

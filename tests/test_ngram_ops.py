@@ -128,3 +128,34 @@ def test_decontaminate_broadcasts_benchmark(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_longest_dup_span_crafted(spark):
+    """Run-length semantics: two docs sharing an 8-token span, measured with
+    n=3 anchors — span of 8 tokens = run of 6 consecutive dup anchors."""
+    from spookystuff_spark.operators.ngram import longest_dup_span
+
+    shared = "a b c d e f g h"  # 8 tokens
+    rows = [
+        (1, f"x1 y1 {shared} z1"),
+        (2, f"p q r {shared}"),
+        (3, "totally unique words only here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["longest_span_tokens"]
+        for r in longest_dup_span(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1] == 8 and out[2] == 8
+    assert 3 not in out  # no duplicated anchor at all
+
+
+def test_longest_dup_span_within_doc_repetition(spark):
+    from spookystuff_spark.operators.ngram import longest_dup_span
+
+    # the same 5-token phrase repeated inside ONE doc is also a dup span
+    df = spark.createDataFrame(
+        [(7, "u v w x y junk1 junk2 junk3 u v w x y")], ["doc_id", "text"]
+    )
+    out = longest_dup_span(df, "doc_id", "text", n=5).collect()
+    assert out[0]["longest_span_tokens"] == 5
