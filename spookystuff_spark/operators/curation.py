@@ -155,6 +155,29 @@ def mixture_sample(
     return df.filter(hash_unit(F.col(id_col)) < rate)
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strat_col: str,
+    cap: int,
+) -> DataFrame:
+    """Quota sampling: keep at most ``cap`` rows per stratum (the "at most N
+    docs per domain/language" rule of corpus mixing), chosen by the same
+    deterministic md5 draw as :func:`mixture_sample` so the selection is a
+    uniform, engine-reproducible subset rather than "whatever sorted first".
+    One window exchange on the stratum key; ties impossible (the draw is
+    tie-broken by id). Complements rate-based sampling: ``mixture_sample``
+    fixes the *fraction*, this fixes the *count*."""
+    w = Window.partitionBy(strat_col).orderBy(
+        hash_unit(F.col(id_col)), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 # ----------------------------------------------------------------- PII scrub
 
 # RE2-safe subset (no lookarounds) so Spark (Java regex) and RE2-based

@@ -111,6 +111,20 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_only("q_cap_per_source")
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling: at most 3 docs per source, selected by the
+    deterministic hash draw (not input order) — exact membership pinned."""
+    from spookystuff_spark.operators.curation import cap_per_stratum
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        cap_per_stratum(docs, "doc_id", "source", cap=3)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 @bench_only("q_pii_scrub")
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detect + redact over id-salted documents; the redacted text is
@@ -202,7 +216,17 @@ lds_runs AS (
 lds AS (
   SELECT doc_id, CAST(max(run) + 14 AS BIGINT) AS longest_span_tokens
   FROM (SELECT doc_id, grp, count(*) AS run FROM lds_runs GROUP BY doc_id, grp)
-  GROUP BY doc_id)
+  GROUP BY doc_id),
+cap AS (
+  SELECT doc_id, source, 1.0 AS kept FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+             PARTITION BY source
+             ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0,
+                      doc_id) AS rn
+    FROM {_DOCS})
+  WHERE rn <= 3)
 {_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
 UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
 UNION ALL {
@@ -212,6 +236,7 @@ UNION ALL {
 UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n_members"])}
 UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
 UNION ALL {_melt_sql("lds", "dupspan", ["doc_id"], ["longest_span_tokens"])}
+UNION ALL {_melt_sql("cap", "capstratum", ["doc_id", "source"], ["kept"])}
 """
 
 
@@ -261,6 +286,12 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dupspan",
             ["doc_id"],
             ["longest_span_tokens"],
+        ),
+        _melt(
+            q_cap_per_source(spark, sf_dir).withColumn("kept", F.lit(1.0)),
+            "capstratum",
+            ["doc_id", "source"],
+            ["kept"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

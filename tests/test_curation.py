@@ -134,3 +134,22 @@ def test_semdedup_greedy_drops_to_first_kept(spark):
     assert abs(out[1]["cos_sim"] - 1.0) < 1e-9
     # smaller threshold than any cross-direction sim → keeps are exact
     assert sum(1 for r in out.values() if r["keep"]) == 2
+
+
+def test_cap_per_stratum_quota_and_determinism(spark):
+    from spookystuff_spark.operators.curation import cap_per_stratum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("string").alias("src")
+    )
+    a = cap_per_stratum(df, "doc_id", "src", cap=10)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(
+        r["doc_id"] for r in cap_per_stratum(df, "doc_id", "src", cap=10).collect()
+    )
+    assert ids_a == ids_b, "quota selection must be deterministic"
+    per = {r["src"]: r["n"] for r in a.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in per.values())
+    # a stratum smaller than the cap survives whole
+    few = cap_per_stratum(df.filter("doc_id < 3"), "doc_id", "src", cap=10)
+    assert few.count() == 3
