@@ -28,15 +28,24 @@ NATIVE_ONLY = [
     "q_decontaminate_13gram",
     "q_dup_span_docs",
     "q_char_trigram_logprob",
+    "q_longest_dup_span",
+    "q_mixture_sample",
+    "q_cap_per_source",
+    "q_pii_scrub",
 ]
 
 
 @pytest.mark.parametrize("name", NATIVE_ONLY)
 def test_no_python_stages_in_native_queries(spark, name):
-    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+    from spookystuff_spark.queries import (
+        EXTRA_BENCH,
+        QUERIES,
+        load_all_query_modules,
+    )
 
     load_all_query_modules()
-    plan = _plan(QUERIES[name](spark, SF_SMOKE))
+    registry = {**QUERIES, **EXTRA_BENCH}
+    plan = _plan(registry[name](spark, SF_SMOKE))
     for marker in ("BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
         assert marker not in plan, f"{name}: unexpected Python stage {marker}"
 
