@@ -64,14 +64,14 @@ def semdedup_prune(
     ``cos_sim`` the similarity to it."""
     from spookystuff_spark.operators.similarity import ivf_assign
 
-    assignments, _ = ivf_assign(
+    # carry_vec: the assignment UDF emits each vector alongside its cell, so
+    # the only wide op left is the per-cell groupBy — no assignments⋈vectors
+    # re-join shuffle
+    cells, _ = ivf_assign(
         df, id_col, vec_col, dim,
         n_cells=n_cells, seed=seed, sample_cap=sample_cap, nprobe=1,
+        carry_vec=True,
     )
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    cells = assignments.join(vecs, "id")
 
     out_schema = StructType(
         [

@@ -15,6 +15,7 @@ import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -155,6 +156,7 @@ def ivf_assign(
     seed: int = 42,
     sample_cap: int = 10_000,
     nprobe: int = 1,
+    carry_vec: bool = False,
 ) -> tuple[DataFrame, "np.ndarray"]:
     """IVF coarse quantizer: k-means centroids trained on a driver-side sample
     (deterministic: seeded init, fixed iteration count), assignment in one
@@ -199,13 +201,16 @@ def ivf_assign(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
-    out_schema = StructType(
-        [
-            StructField("id", LongType()),
-            StructField("cell", LongType()),
-            StructField("is_home", BooleanType()),
-        ]
-    )
+    out_fields = [
+        StructField("id", LongType()),
+        StructField("cell", LongType()),
+        StructField("is_home", BooleanType()),
+    ]
+    if carry_vec:
+        # the UDF already holds every vector: emitting it here saves the
+        # caller a two-sided shuffle join of assignments back to vectors
+        out_fields.append(StructField("v", ArrayType(DoubleType())))
+    out_schema = StructType(out_fields)
     p_eff = max(1, min(nprobe, len(centroids)))
 
     def run(batches: Iterator) -> Iterator:
@@ -219,17 +224,20 @@ def ivf_assign(
                 - 2.0 * (mat @ centroids.T)
             )
             if p_eff == 1:
-                yield pd.DataFrame(
+                out = pd.DataFrame(
                     {
                         "id": pdf[id_col],
                         "cell": d2.argmin(axis=1),
                         "is_home": True,
                     }
                 )
+                if carry_vec:
+                    out["v"] = [row for row in mat]
+                yield out
                 continue
             top = np.argsort(d2, axis=1, kind="stable")[:, :p_eff]
             ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "id": np.repeat(ids, p_eff),
                     "cell": top.ravel(),
@@ -238,6 +246,10 @@ def ivf_assign(
                     ),
                 }
             )
+            if carry_vec:
+                rep = np.repeat(np.arange(len(ids)), p_eff)
+                out["v"] = [mat[i] for i in rep]
+            yield out
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema), centroids
 
@@ -260,13 +272,12 @@ def ivf_topk_pairs(
     ``nprobe > 1`` recovers cell-boundary neighbors (recall knob, like LSH's
     ``probes``) at ~nprobe× candidate cost: per-cell partial top-ks are merged
     by one qid-window pass. → (qid, vec_id, cos_sim, rn)."""
-    assignments, _ = ivf_assign(
-        df, id_col, vec_col, dim, n_cells=n_cells, seed=seed, nprobe=nprobe
+    # carry_vec avoids re-joining assignments to vectors by id (a two-sided
+    # shuffle); the only wide op is the per-cell groupBy below
+    b, _ = ivf_assign(
+        df, id_col, vec_col, dim, n_cells=n_cells, seed=seed, nprobe=nprobe,
+        carry_vec=True,
     )
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
-    b = assignments.join(vecs, on="id")
 
     out_schema = StructType(
         [
