@@ -32,13 +32,18 @@ def hyperplane_buckets(
     dim: int,
     n_planes: int = 12,
     seed: int = 42,
+    carry_vec: bool = False,
 ) -> DataFrame:
-    """→ (id, bucket): sign-pattern bucket id. Vectorized per Arrow batch."""
+    """→ (id, bucket): sign-pattern bucket id. Vectorized per Arrow batch.
+    ``carry_vec`` additionally emits the (float64) vector — the stage holds
+    it anyway, and carrying it saves the caller a shuffle join back to the
+    vector table."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((dim, n_planes))
-    out_schema = StructType(
-        [StructField("id", LongType()), StructField("bucket", LongType())]
-    )
+    out_fields = [StructField("id", LongType()), StructField("bucket", LongType())]
+    if carry_vec:
+        out_fields.append(StructField("v", ArrayType(DoubleType())))
+    out_schema = StructType(out_fields)
     powers = (1 << np.arange(n_planes)).astype(np.int64)
 
     def run(batches: Iterator) -> Iterator:
@@ -48,7 +53,10 @@ def hyperplane_buckets(
             mat = np.vstack(pdf[vec_col].to_numpy())  # (n, dim)
             signs = (mat @ planes) > 0  # (n, n_planes)
             buckets = (signs * powers).sum(axis=1)
-            yield pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
+            out = pd.DataFrame({"id": pdf[id_col], "bucket": buckets})
+            if carry_vec:
+                out["v"] = [row for row in mat.astype(np.float64)]
+            yield out
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
@@ -72,13 +80,15 @@ def lsh_topk_pairs(
     scale. → (qid, vec_id, cos_sim, rn); deterministic (rounded score + id
     tiebreak).
     """
-    buckets = hyperplane_buckets(df, id_col, vec_col, dim, n_planes, seed)
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # carry_vec: the bucketing stage already holds each vector, so neither
+    # the home rows nor the probe explosion need a shuffle join back to the
+    # vector table — the only wide op is the bucket groupBy
+    buckets = hyperplane_buckets(
+        df, id_col, vec_col, dim, n_planes, seed, carry_vec=True
     )
-    cand = buckets.join(vecs, on="id").withColumn("is_probe", F.lit(False))
+    cand = buckets.withColumn("is_probe", F.lit(False))
     if probes >= 1:
-        probe_buckets = buckets.select(
+        probe_side = buckets.select(
             "id",
             F.explode(
                 F.array(
@@ -88,10 +98,8 @@ def lsh_topk_pairs(
                     ]
                 )
             ).alias("bucket"),
-        )
-        probe_side = probe_buckets.join(vecs, on="id").withColumn(
-            "is_probe", F.lit(True)
-        )
+            "v",
+        ).withColumn("is_probe", F.lit(True))
         cand = cand.unionByName(probe_side)
 
     out_schema = StructType(
