@@ -3,11 +3,12 @@ with typed metadata.
 
 The Spark-side machinery (schemas, Arrow batch shapes, partition-friendly
 mapInPandas UDFs, DFS offload threshold) is real and tested. Decoding is REAL
-for the formats decodable without a codec library (uncompressed BMP, binary
-PPM/PGM — pure numpy/stdlib) and explicitly marked ``unsupported`` per row
-for codec formats (PNG/JPEG/GIF — no image/audio libraries in this
-container); video frame sampling stays a clearly-marked deterministic fake
-that exercises the true 1→N explode shape.
+for every format decodable without a codec library — 8-bit PNG (stdlib zlib
++ numpy unfilter), uncompressed BMP, binary PPM/PGM, RIFF/WAVE PCM, and
+YUV4MPEG2 frame walking — and explicitly marked ``unsupported`` per row for
+entropy-coded formats (JPEG/GIF/MP3/webm — no codec libraries in this
+container); for those, frame sampling falls back to a clearly-marked
+deterministic chunk sampler that exercises the true 1→N explode shape.
 
 At 100 TB: blobs ride in their own column, metadata extraction is one narrow
 Arrow stage, and anything above ``inline_blob_max_bytes`` should live on DFS
@@ -52,6 +53,7 @@ _MAGIC = [
     (b"RIFF", "audio", "audio/wav"),
     (b"ID3", "audio", "audio/mpeg"),
     (b"\x1aE\xdf\xa3", "video", "video/webm"),
+    (b"YUV4MPEG2", "video", "video/x-yuv4mpeg"),
 ]
 
 
@@ -163,6 +165,102 @@ def _decode_pnm(blob: bytes):
     return h, w, c, px.tobytes()
 
 
+def _decode_png(blob: bytes):
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA / palette) →
+    (h, w, c, HWC uint8 bytes). Pure stdlib ``zlib`` + numpy unfiltering — no
+    codec library. Filters None/Sub/Up are vectorized (Sub via a mod-256
+    cumulative sum over the pixel axis); Average/Paeth fall back to a
+    per-byte loop (left-neighbor dependency is nonlinear)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(blob) < 33 or blob[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        channels is None
+        or depth != 8
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or w == 0
+        or h == 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    ftypes, filtered = rows[:, 0], rows[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    bpp = channels
+    for y in range(h):
+        ft, line = int(ftypes[y]), filtered[y]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 1:  # Sub: cumulative along the pixel axis, per channel
+            cur = line.copy()
+            px = cur.reshape(w, bpp)
+            np.cumsum(px, axis=0, out=px)
+            cur &= 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential left dependency
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ft == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        recon[y], prev = cur, cur
+    px = recon.astype(np.uint8)
+    if color == 3:  # palette indices → RGB
+        if plte is None or len(plte) % 3:
+            return None
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if px.max() >= len(pal):
+            return None
+        out = pal[px.reshape(h, w)]
+        return h, w, 3, np.ascontiguousarray(out).tobytes()
+    return h, w, channels, px.reshape(h, w, channels).tobytes()
+
+
 DECODED_SCHEMA_FIELDS = [
     StructField("h", IntegerType()),
     StructField("w", IntegerType()),
@@ -174,15 +272,20 @@ DECODED_SCHEMA_FIELDS = [
 
 def decode_image(df: DataFrame, blob_col: str = "media") -> DataFrame:
     """Decode image blobs to raw HWC uint8 pixel buffers in one narrow Arrow
-    stage. REAL for the container-decodable formats — uncompressed 24/32-bit
-    BMP and binary PPM/PGM (pure numpy/stdlib, no codec library). Codec
-    formats (PNG/JPEG/GIF) are marked ``decode_ok='unsupported'`` per row —
-    at scale a decode failure must be data, not a job abort; plug PIL/cv2
-    into ``_decode_one`` to extend coverage. Malformed headers/truncated
-    payloads come back ``'corrupt'`` with null pixels."""
+    stage. REAL for the container-decodable formats — 8-bit non-interlaced
+    PNG (stdlib zlib inflate + numpy unfilter), uncompressed 24/32-bit BMP
+    and binary PPM/PGM (pure numpy/stdlib, no codec library). Formats that
+    need an entropy codec (JPEG/GIF) are marked ``decode_ok='unsupported'``
+    per row — at scale a decode failure must be data, not a job abort; plug
+    PIL/cv2 into ``_decode_one`` to extend coverage. Malformed headers /
+    truncated payloads / 16-bit-interlaced PNG come back ``'corrupt'`` with
+    null pixels."""
     out_schema = StructType(list(df.schema.fields) + DECODED_SCHEMA_FIELDS)
 
     def _decode_one(blob: bytes):
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            got = _decode_png(blob)
+            return got + ("ok",) if got else (None, None, None, None, "corrupt")
         if blob[:2] == b"BM":
             got = _decode_bmp(blob)
             return got + ("ok",) if got else (None, None, None, None, "corrupt")
@@ -349,17 +452,63 @@ def resize_nearest(
     return df.mapInPandas(run, out_schema)
 
 
+def _y4m_frames(blob: bytes):
+    """YUV4MPEG2 parser: yields (frame_idx, frame_bytes) for every frame.
+    Returns None when the stream header/frames are malformed. Y4M is
+    uncompressed — header line + raw planar frames — so this is a REAL
+    frame walk, no codec needed."""
+    nl = blob.find(b"\n")
+    if nl < 0 or not blob.startswith(b"YUV4MPEG2"):
+        return None
+    w = h = None
+    cspace = b"420"
+    for tok in blob[9:nl].split():
+        if tok[:1] == b"W":
+            w = int(tok[1:]) if tok[1:].isdigit() else None
+        elif tok[:1] == b"H":
+            h = int(tok[1:]) if tok[1:].isdigit() else None
+        elif tok[:1] == b"C":
+            cspace = tok[1:]
+    if not w or not h:
+        return None
+    if cspace.startswith(b"420"):
+        fsize = w * h * 3 // 2
+    elif cspace.startswith(b"422"):
+        fsize = w * h * 2
+    elif cspace.startswith(b"444"):
+        fsize = w * h * 3
+    elif cspace.startswith(b"mono"):
+        fsize = w * h
+    else:
+        return None
+    frames, pos, idx = [], nl + 1, 0
+    while pos < len(blob):
+        if blob[pos : pos + 5] != b"FRAME":
+            return None
+        fnl = blob.find(b"\n", pos)
+        if fnl < 0 or len(blob) < fnl + 1 + fsize:
+            return None
+        frames.append((idx, blob[fnl + 1 : fnl + 1 + fsize]))
+        pos, idx = fnl + 1 + fsize, idx + 1
+    return frames
+
+
 def frame_sample(
     df: DataFrame, blob_col: str = "media", every_n: int = 30
 ) -> DataFrame:
-    """Deterministic FAKE frame sampler (video codec absent): emits one
-    'frame' row per ``every_n`` KiB of payload with a sha256 frame id —
-    exercises the real 1→N explode shape a true decoder would produce."""
+    """Frame sampler, one narrow Arrow stage, 1→N explode shape. REAL for
+    YUV4MPEG2 (uncompressed planar video — stdlib header parse + frame walk):
+    emits every ``every_n``-th true frame, ``frame_kind='frame'``. Codec
+    formats (webm/mp4, codec absent from the container) fall back to the
+    clearly-marked deterministic chunk sampler — one row per ``every_n`` KiB,
+    ``frame_kind='chunk'``; malformed Y4M yields a single ``'corrupt'``
+    row."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != blob_col]
         + [
             StructField("frame_idx", IntegerType()),
             StructField("frame_sig", StringType()),
+            StructField("frame_kind", StringType()),  # frame | chunk | corrupt
         ]
     )
     keep = [f.name for f in df.schema.fields if f.name != blob_col]
@@ -368,19 +517,39 @@ def frame_sample(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        cols = keep + ["frame_idx", "frame_sig"]
+        cols = keep + ["frame_idx", "frame_sig", "frame_kind"]
         for pdf in batches:
             rows = []
             for row in pdf.to_dict("records"):
                 blob = bytes(row.get(blob_col) or b"")
+                base = {k: row[k] for k in keep}
+                if blob.startswith(b"YUV4MPEG2"):
+                    frames = _y4m_frames(blob)
+                    if frames is None:
+                        rows.append(
+                            {**base, "frame_idx": None, "frame_sig": None,
+                             "frame_kind": "corrupt"}
+                        )
+                        continue
+                    for i, payload in frames[:: max(every_n, 1)]:
+                        rows.append(
+                            {
+                                **base,
+                                "frame_idx": i,
+                                "frame_sig": hashlib.sha256(payload).hexdigest()[:16],
+                                "frame_kind": "frame",
+                            }
+                        )
+                    continue
                 n_frames = max(1, len(blob) // chunk)
                 for i in range(n_frames):
                     piece = blob[i * chunk : (i + 1) * chunk]
                     rows.append(
                         {
-                            **{k: row[k] for k in keep},
+                            **base,
                             "frame_idx": i,
                             "frame_sig": hashlib.sha256(piece).hexdigest()[:16],
+                            "frame_kind": "chunk",
                         }
                     )
             yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(

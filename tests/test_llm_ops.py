@@ -144,10 +144,13 @@ def test_multimodal_meta_and_frames(spark):
     f0 = [r for r in frames if r.mid == 0]
     assert len(f0) == 2  # 2048-byte payload → 2 KiB-chunk frames
     assert all(len(r.frame_sig) == 16 for r in frames)
+    assert all(r.frame_kind == "chunk" for r in frames)  # non-Y4M → fake path
 
-    # codec formats (PNG) are per-row 'unsupported' — data, not a job abort
+    # PNG magic with a garbage body is corrupt (real parser rejects it);
+    # formats needing an entropy codec stay per-row 'unsupported' — data,
+    # not a job abort
     dec = {r.mid: r for r in decode_image(df, "media").collect()}
-    assert dec[0].decode_ok == "unsupported" and dec[0].pixels is None
+    assert dec[0].decode_ok == "corrupt" and dec[0].pixels is None
     assert dec[2].decode_ok == "unsupported"
 
 
@@ -204,6 +207,149 @@ def test_decode_bmp_and_ppm_real(spark):
     assert (small[0].h, small[0].w) == (1, 1)
     assert bytes(small[0].pixels) == bytes([255, 0, 0])
     assert small[3].pixels is None  # failed decode passes through as null
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _make_png(pixels, color_type: int, filters=None, palette=None) -> bytes:
+    """Independent PNG encoder for round-trip tests: ``pixels`` is an HxWxC
+    list structure (or HxW palette indices); per-row ``filters`` apply the
+    spec's filter functions so decode must invert them exactly."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    chans = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    rows = [
+        bytes(
+            v
+            for px in row
+            for v in ((px,) if isinstance(px, int) else tuple(px))
+        )
+        for row in pixels
+    ]
+    filters = filters or [0] * h
+    raw = b""
+    prev = bytes(w * chans)
+    for row, ft in zip(rows, filters):
+        out = bytearray()
+        for x in range(len(row)):
+            a = row[x - chans] if x >= chans else 0
+            b = prev[x]
+            c = prev[x - chans] if x >= chans else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((row[x] - pred) & 0xFF)
+        raw += bytes([ft]) + bytes(out)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        body += _png_chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    body += _png_chunk(b"IDAT", zlib.compress(raw))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_decode_png_real(spark):
+    from spookystuff_spark.operators.multimodal import decode_image
+
+    rgb = [
+        [(255, 0, 0), (0, 255, 0)],
+        [(0, 0, 255), (10, 20, 30)],
+        [(1, 2, 3), (4, 5, 6)],
+        [(250, 251, 252), (7, 8, 9)],
+        [(42, 42, 42), (200, 100, 50)],
+    ]
+    # one row per filter type: None, Sub, Up, Average, Paeth
+    png_rgb = _make_png(rgb, color_type=2, filters=[0, 1, 2, 3, 4])
+    gray = [[0, 128], [255, 7]]
+    png_gray = _make_png(gray, color_type=0, filters=[0, 4])
+    pal = [[0, 1], [2, 1]]
+    png_pal = _make_png(
+        pal, color_type=3, filters=[0, 2],
+        palette=[(9, 8, 7), (1, 2, 3), (250, 0, 250)],
+    )
+    rgba = [[(1, 2, 3, 4), (5, 6, 7, 8)]]
+    png_rgba = _make_png(rgba, color_type=6, filters=[1])
+    rows = [
+        {"mid": 0, "media": png_rgb},
+        {"mid": 1, "media": png_gray},
+        {"mid": 2, "media": png_pal},
+        {"mid": 3, "media": png_rgba},
+        {"mid": 4, "media": png_rgb[:40]},  # truncated
+    ]
+    dec = {
+        r.mid: r
+        for r in decode_image(spark.createDataFrame(rows), "media").collect()
+    }
+    assert (dec[0].h, dec[0].w, dec[0].c, dec[0].decode_ok) == (5, 2, 3, "ok")
+    assert bytes(dec[0].pixels) == bytes(
+        v for row in rgb for px in row for v in px
+    )
+    assert (dec[1].h, dec[1].w, dec[1].c) == (2, 2, 1)
+    assert bytes(dec[1].pixels) == bytes([0, 128, 255, 7])
+    # palette expands to RGB through PLTE
+    assert (dec[2].h, dec[2].w, dec[2].c) == (2, 2, 3)
+    assert bytes(dec[2].pixels) == bytes(
+        [9, 8, 7, 1, 2, 3, 250, 0, 250, 1, 2, 3]
+    )
+    assert (dec[3].c, dec[3].decode_ok) == (4, "ok")
+    assert bytes(dec[3].pixels) == bytes([1, 2, 3, 4, 5, 6, 7, 8])
+    assert dec[4].decode_ok == "corrupt" and dec[4].pixels is None
+
+
+def _make_y4m(w: int, h: int, frames: list[bytes], cspace: str = "420") -> bytes:
+    head = f"YUV4MPEG2 W{w} H{h} F30:1 C{cspace}\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def test_frame_sample_y4m_real(spark):
+    import hashlib
+
+    from spookystuff_spark.operators.multimodal import frame_sample
+
+    fsize = 2 * 2 * 3 // 2  # C420: w*h*1.5
+    payloads = [bytes([i] * fsize) for i in range(5)]
+    y4m = _make_y4m(2, 2, payloads)
+    mono = _make_y4m(3, 1, [b"abc", b"def"], cspace="mono")
+    rows = [
+        {"mid": 0, "media": y4m},
+        {"mid": 1, "media": mono},
+        {"mid": 2, "media": b"YUV4MPEG2 W2 H2\nFRAME\nxx"},  # truncated frame
+    ]
+    out = frame_sample(spark.createDataFrame(rows), "media", every_n=2).collect()
+    f0 = sorted((r for r in out if r.mid == 0), key=lambda r: r.frame_idx)
+    # every 2nd true frame: indices 0, 2, 4
+    assert [r.frame_idx for r in f0] == [0, 2, 4]
+    assert all(r.frame_kind == "frame" for r in f0)
+    assert f0[1].frame_sig == hashlib.sha256(payloads[2]).hexdigest()[:16]
+    f1 = [r for r in out if r.mid == 1]
+    assert [r.frame_idx for r in f1] == [0]  # frames 0..1, stride 2 → just 0
+    assert f1[0].frame_sig == hashlib.sha256(b"abc").hexdigest()[:16]
+    (f2,) = [r for r in out if r.mid == 2]
+    assert f2.frame_kind == "corrupt" and f2.frame_idx is None
 
 
 def _make_wav(rate: int, samples: list[int]) -> bytes:

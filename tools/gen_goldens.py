@@ -379,6 +379,7 @@ def gold_multimodal(docs):
         (b"RIFF", "audio"),
         (b"ID3", "audio"),
         (b"\x1aE\xdf\xa3", "video"),
+        (b"YUV4MPEG2", "video"),
     ]
     out = {"doc_id": [], "n_bytes": [], "entropy": [], "media_type": []}
     for r in docs.itertuples():
