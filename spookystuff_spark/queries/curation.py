@@ -25,6 +25,7 @@ from spookystuff_spark.queries import (
     bench_only,
     query,
 )
+from spookystuff_spark.queries.dedup_more import q_bloom_dedup_new
 from spookystuff_spark.queries.hygiene import q_longest_dup_span
 from spookystuff_spark.queries.similarity import ORACLE_EMB_NORMS, q_embedding_norms
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
@@ -226,7 +227,11 @@ cap AS (
                         AS BIGINT) / 4294967296.0,
                       doc_id) AS rn
     FROM {_DOCS})
-  WHERE rn <= 3)
+  WHERE rn <= 3),
+bloom AS (
+  SELECT b.doc_id, 1.0 AS is_new FROM {_DOCS} b
+  WHERE b.doc_id % 7 = 0 AND NOT EXISTS (
+    SELECT 1 FROM {_DOCS} c WHERE c.doc_id % 7 <> 0 AND c.text = b.text))
 {_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
 UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
 UNION ALL {
@@ -237,6 +242,7 @@ UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n
 UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
 UNION ALL {_melt_sql("lds", "dupspan", ["doc_id"], ["longest_span_tokens"])}
 UNION ALL {_melt_sql("cap", "capstratum", ["doc_id", "source"], ["kept"])}
+UNION ALL {_melt_sql("bloom", "bloomnew", ["doc_id"], ["is_new"])}
 """
 
 
@@ -292,6 +298,12 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capstratum",
             ["doc_id", "source"],
             ["kept"],
+        ),
+        _melt(
+            q_bloom_dedup_new(spark, sf_dir).withColumn("is_new", F.lit(1.0)),
+            "bloomnew",
+            ["doc_id"],
+            ["is_new"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import golden_oracle, query
+from spookystuff_spark.queries import bench_only, golden_oracle, query
 from spookystuff_spark.tables import table
 
 PAIR_CAP = 120  # doc_id bound for the O(n²) oracle-checkable pair set
@@ -103,4 +103,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs, "id_a", "id_b")
     return comps.groupBy(F.col("component").alias("keep_id")).agg(
         F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
+@bench_only("q_bloom_dedup_new")
+def q_bloom_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which docs of the 'new batch' (every 7th
+    doc) are genuinely absent from the accumulated corpus (the rest)?
+    The Bloom filter routes definitely-new rows past the verify join; the
+    result is EXACT (batch WHERE text NOT IN corpus), so the gate pins it
+    via SQL in q_curation_suite's melt."""
+    from spookystuff_spark.operators.bloom import bloom_new_rows
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    return (
+        bloom_new_rows(corpus, batch, F.col("text"), fpp=0.01)
+        .select("doc_id")
+        .orderBy("doc_id")
     )

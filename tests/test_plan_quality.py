@@ -62,6 +62,19 @@ def test_broadcast_in_star_joins(spark):
     )
 
 
+def test_bloom_dedup_plan_never_shuffles_corpus(spark):
+    """bloom_new_rows: one Arrow probe stage on the batch; the exact-verify
+    joins must broadcast the (tiny) candidate side — the corpus is scanned,
+    never sort-merge-shuffled."""
+    from spookystuff_spark.queries import EXTRA_BENCH, load_all_query_modules
+
+    load_all_query_modules()
+    plan = _plan(EXTRA_BENCH["q_bloom_dedup_new"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in plan  # the bitset probe
+    assert plan.count("BroadcastHashJoin") >= 2  # semi verify + anti filter
+    assert "SortMergeJoin" not in plan
+
+
 def test_pushdown_reaches_scan(spark):
     from spookystuff_spark.queries import QUERIES, load_all_query_modules
 
