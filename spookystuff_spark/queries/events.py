@@ -93,9 +93,12 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
+    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ (parquet
+    # timestamp[us] without tz reads as NTZ in Spark 4, which cannot cast to
+    # BIGINT directly).
+    gap_sec = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
     new_sess = F.when(
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_SEC),
+        prev_ts.isNull() | (gap_sec > SESSION_GAP_SEC),
         1,
     ).otherwise(0)
     return (
