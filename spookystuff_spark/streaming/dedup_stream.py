@@ -26,8 +26,11 @@ def dedup_stream(
     fingerprint. State is watermark-bounded: a duplicate arriving more than
     ``lateness`` after the original MAY be re-emitted (the documented
     trade-off that keeps state finite at ingest scale)."""
+    from spookystuff_spark.streaming.events import _with_event_time
+
     return (
-        stream_df.withColumn("__fp", fingerprint(F.col(text_col)))
+        _with_event_time(stream_df, ts_col)
+        .withColumn("__fp", fingerprint(F.col(text_col)))
         .withWatermark(ts_col, lateness)
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")

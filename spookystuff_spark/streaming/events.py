@@ -22,10 +22,18 @@ SESSION_GAP = "30 minutes"
 WATERMARK = "1 hour"
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (ltz); parquet event times may infer as
+    TIMESTAMP_NTZ depending on ``spark.sql.timestampType`` — normalize."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def sessionized(events: DataFrame, gap: str = SESSION_GAP, watermark: Optional[str] = None) -> DataFrame:
     """Gap-based sessions via ``session_window`` — one expression, batch or
     stream. Returns (user_id, session_start, session_end, n_events, total_value)."""
-    src = events
+    src = _with_event_time(events, "ts")
     if watermark:
         src = src.withWatermark("ts", watermark)
     return (
@@ -48,7 +56,7 @@ def sessionized(events: DataFrame, gap: str = SESSION_GAP, watermark: Optional[s
 
 def hourly_counts(events: DataFrame, watermark: Optional[str] = None) -> DataFrame:
     """Tumbling 1-hour windowed counts (late data handled by watermark)."""
-    src = events
+    src = _with_event_time(events, "ts")
     if watermark:
         src = src.withWatermark("ts", watermark)
     return (
