@@ -74,10 +74,12 @@ def load_all_query_modules() -> None:
         events,
         hygiene,
         llm_ops,
+        melt_suites,
         pipeline_demo,
         relational,
         relational2,
         relational3,
+        retrieval_packing,
         scalar_funcs,
         sessions,
         setops_suite,

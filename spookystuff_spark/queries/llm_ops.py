@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark.operators.text import lang_id
-from spookystuff_spark.queries import golden_oracle, query
+from spookystuff_spark.queries import bench_only, golden_oracle, query
 from spookystuff_spark.tables import table
 
 _LANG_SCORE_SQL = """
@@ -23,9 +23,7 @@ _LANG_SCORE_SQL = """
 """
 
 
-@query(
-    "q_lang_id_heuristic",
-    oracle=f"""
+ORACLE_LANG_ID = f"""
     WITH s AS (SELECT doc_id, lang, {_LANG_SCORE_SQL} FROM documents)
     SELECT lang AS labeled_lang,
            CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
@@ -35,8 +33,10 @@ _LANG_SCORE_SQL = """
                 ELSE 'fr' END AS detected_lang,
            count(*) AS n_docs
     FROM s GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@bench_only("q_lang_id_heuristic")
 def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID (confusion matrix vs the labeled lang) —
     all regexp_count, fully codegen'd."""
@@ -51,14 +51,14 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_token_freq_topk",
-    oracle="""
+ORACLE_TOKEN_FREQ = """
     SELECT tok, count(*) AS n FROM (
       SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
     ) GROUP BY tok ORDER BY n DESC, tok LIMIT 20
-    """,
-)
+    """
+
+
+@bench_only("q_token_freq_topk")
 def q_token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary head: explode tokens → count → deterministic top-20."""
     docs = table(spark, sf_dir, "documents")
@@ -141,6 +141,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_cells=None → auto ~sqrt(n) from the training sample: keeps per-cell
     # candidate sets (and re-rank cost) flat as the corpus grows
     return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=None)
+
+
+@query("q_kmeans_assign", oracle=golden_oracle("q_kmeans_assign"))
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (operators/kmeans.py): every point in every
+    update, bit-reproducible across partitionings via int64-quantized mean
+    aggregation — the full-corpus upgrade of the IVF sample trainer."""
+    from spookystuff_spark.operators.kmeans import kmeans_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=16, n_iter=5)
 
 
 @query(

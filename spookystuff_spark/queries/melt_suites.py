@@ -1,0 +1,114 @@
+"""Melted suite queries for the scalar-function and text-analysis families.
+
+Same pattern as queries/tpch_suites.py: the driver's correctness gate caps the
+per-round query list, so individually-benchmarked queries (``bench_only``) are
+pinned — every row, every value — through ONE melted suite row each. String
+outputs ride in ``row_key`` (exact match), numeric outputs in ``v_num``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.queries import query
+from spookystuff_spark.queries.llm_ops import (
+    ORACLE_LANG_ID,
+    ORACLE_TOKEN_FREQ,
+    q_lang_id_heuristic,
+    q_token_freq_topk,
+)
+from spookystuff_spark.queries.scalar_funcs import (
+    ORACLE_DATE_DIMS,
+    ORACLE_STRING_FUNCS,
+    q_date_dimensions,
+    q_string_functions,
+)
+from spookystuff_spark.queries.text import (
+    ORACLE_DOC_PROFILE,
+    ORACLE_LANG_DIST,
+    q_doc_profile,
+    q_lang_distribution,
+)
+from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
+
+_SCALAR_SQL = f"""
+WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS})
+{_melt_sql(
+    "sf",
+    "q_string_functions",
+    ["c_custkey", "name_upper", "name_prefix", "seg_nation", "name_short",
+     "key_padded"],
+    ["name_len", "seg_dist"],
+)}
+UNION ALL {_melt_sql(
+    "dd", "q_date_dimensions", ["o_year", "o_quarter", "o_month"],
+    ["n_orders", "revenue"],
+)}"""
+
+
+@query("q_scalar_suite", oracle=_SCALAR_SQL)
+def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _melt(
+            q_string_functions(spark, sf_dir),
+            "q_string_functions",
+            ["c_custkey", "name_upper", "name_prefix", "seg_nation",
+             "name_short", "key_padded"],
+            ["name_len", "seg_dist"],
+        ),
+        _melt(
+            q_date_dimensions(spark, sf_dir),
+            "q_date_dimensions",
+            ["o_year", "o_quarter", "o_month"],
+            ["n_orders", "revenue"],
+        ),
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+_TEXT_SQL = f"""
+WITH dp AS ({ORACLE_DOC_PROFILE}), ld AS ({ORACLE_LANG_DIST}),
+     li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ})
+{_melt_sql(
+    "dp", "q_doc_profile", ["doc_id"],
+    ["len_chars", "n_tokens", "bpe_tokens", "punct_ratio", "quality",
+     "mean_word_len", "alpha_word_frac", "dup_line_frac", "gopher_pass"],
+)}
+UNION ALL {_melt_sql(
+    "ld", "q_lang_distribution", ["lang", "source"],
+    ["n_docs", "avg_chars", "max_chars", "n_trigrams"],
+)}
+UNION ALL {_melt_sql(
+    "li", "q_lang_id_heuristic", ["labeled_lang", "detected_lang"], ["n_docs"],
+)}
+UNION ALL {_melt_sql("tf", "q_token_freq_topk", ["tok"], ["n"])}"""
+
+
+@query("q_text_suite", oracle=_TEXT_SQL)
+def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        _melt(
+            q_doc_profile(spark, sf_dir),
+            "q_doc_profile",
+            ["doc_id"],
+            ["len_chars", "n_tokens", "bpe_tokens", "punct_ratio", "quality",
+             "mean_word_len", "alpha_word_frac", "dup_line_frac",
+             "gopher_pass"],
+        ),
+        _melt(
+            q_lang_distribution(spark, sf_dir),
+            "q_lang_distribution",
+            ["lang", "source"],
+            ["n_docs", "avg_chars", "max_chars", "n_trigrams"],
+        ),
+        _melt(
+            q_lang_id_heuristic(spark, sf_dir),
+            "q_lang_id_heuristic",
+            ["labeled_lang", "detected_lang"],
+            ["n_docs"],
+        ),
+        _melt(q_token_freq_topk(spark, sf_dir), "q_token_freq_topk", ["tok"], ["n"]),
+    ]
+    return reduce(DataFrame.unionByName, parts)

@@ -9,13 +9,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
-
-@query(
-    "q_string_functions",
-    oracle="""
+ORACLE_STRING_FUNCS = """
     SELECT c_custkey,
            upper(c_name) AS name_upper,
            substr(c_name, 1, 8) AS name_prefix,
@@ -26,8 +23,10 @@ from spookystuff_spark.tables import table
            levenshtein(c_mktsegment, 'BUILDING') AS seg_dist
     FROM customer
     WHERE c_custkey < 100
-    """,
-)
+    """
+
+
+@bench_only("q_string_functions")
 def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     return c.select(
@@ -44,9 +43,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_date_dimensions",
-    oracle="""
+ORACLE_DATE_DIMS = """
     SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
            CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
            CAST(month(o_orderdate) AS INTEGER) AS o_month,
@@ -54,8 +51,10 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1e-6 + sum(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY 1, 2, 3
-    """,
-)
+    """
+
+
+@bench_only("q_date_dimensions")
 def q_date_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy(

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 PUNCT_CLASS = "[.,;:!?]"
@@ -25,9 +25,7 @@ _GOPHER_SQL_STOPS = " + ".join(
     for w in ("the", "be", "to", "of", "and", "that", "have", "with")
 )
 
-@query(
-    "q_doc_profile",
-    oracle=f"""
+ORACLE_DOC_PROFILE = f"""
     WITH f AS (
       SELECT doc_id,
              length(text) AS n_chars,
@@ -71,8 +69,10 @@ _GOPHER_SQL_STOPS = " + ".join(
                       AND CAST(n_lines - uniq_lines AS DOUBLE)/greatest(n_lines,1) <= 0.3
                 THEN 1 ELSE 0 END AS INT) AS gopher_pass
     FROM f
-    """,
-)
+    """
+
+
+@bench_only("q_doc_profile")
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile in ONE scan: char length, whitespace
     + BPE-ish token counts, punctuation ratio, the composite quality score,
@@ -137,9 +137,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_lang_distribution",
-    oracle="""
+ORACLE_LANG_DIST = """
     SELECT lang, source,
            count(*) AS n_docs,
            round(1e-6 + avg(n_chars), 2) AS avg_chars,
@@ -148,8 +146,10 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_trigrams
     FROM documents
     GROUP BY lang, source
-    """,
-)
+    """
+
+
+@bench_only("q_lang_distribution")
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition per (lang, source) incl. a cheap codegen'd n-gram
     profile signal (non-overlapping ascii trigram counts)."""

@@ -556,6 +556,43 @@ def gold_keepbest(docs):
     )
 
 
+def gold_kmeans(emb, k=16, n_iter=5, quant=1_000_000):
+    """Replica of operators/kmeans.py kmeans_assign: md5-seeded Lloyd's with
+    int64-quantized mean updates (order-independent → bit-reproducible)."""
+    vids = emb["vec_id"].to_numpy()
+    q = np.stack(
+        [np.floor(np.asarray(v, dtype=np.float64) * quant + 0.5) for v in emb["embedding"]]
+    ).astype(np.int64)
+    order = np.argsort(
+        np.array([hashlib.md5(str(v).encode()).hexdigest() for v in vids])
+    )
+    centroids = q[order[:k]].astype(np.float64) / quant
+    for _ in range(n_iter):
+        x = q.astype(np.float64) / quant
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        cl = d2.argmin(axis=1)
+        new_c = centroids.copy()
+        for j in range(k):
+            sel = q[cl == j]
+            if len(sel):
+                new_c[j] = sel.sum(axis=0, dtype=np.int64) / (len(sel) * quant)
+        centroids = new_c
+    x = q.astype(np.float64) / quant
+    d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    dist = np.round(d2[np.arange(len(cl)), cl] + 1e-6, 6)
+    write(
+        "q_kmeans_assign",
+        pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "cluster": pa.array(cl.astype(np.int32), pa.int32()),
+                "dist2": pa.array(dist, pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -569,6 +606,7 @@ def main():
     gold_dir_listing()
     gold_semdedup(emb)
     gold_keepbest(docs)
+    gold_kmeans(emb)
 
 
 if __name__ == "__main__":
