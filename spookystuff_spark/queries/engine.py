@@ -101,6 +101,37 @@ def q_explore_agent_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_warc_doc_stats", oracle=golden_oracle("q_warc_doc_stats"))
+def q_warc_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/1.0 archive source (sources/warc.py): parse the committed fixture
+    archives (one plain, one gzip) with the binaryFile→mapInPandas reader and
+    profile each response record natively (title regex, link count). Oracle:
+    construction-truth golden from tools/gen_warc.py — the writer's params,
+    independent of the parser."""
+    import os
+
+    from spookystuff_spark.sources.warc import read_warc
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "fixtures",
+        "warc",
+    )
+    w = read_warc(spark, f"{root}/*")
+    body = F.col("body").cast("string")
+    return (
+        w.where(F.col("warc_type") == "response")
+        .select(
+            "record_id",
+            F.col("target_uri").alias("uri"),
+            F.col("http_status").alias("http_status"),
+            F.col("n_payload_bytes").alias("n_bytes"),
+            F.regexp_extract(body, "<title>(.*?)</title>", 1).alias("title"),
+            F.regexp_count(body, F.lit("<a ")).cast("bigint").alias("n_links"),
+        )
+    )
+
+
 @query("q_pdf_doc_stats", oracle=golden_oracle("q_pdf_doc_stats"))
 def q_pdf_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tika-parity binary normalization end to end: fetch the committed PDF

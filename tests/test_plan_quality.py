@@ -32,7 +32,22 @@ NATIVE_ONLY = [
     "q_mixture_sample",
     "q_cap_per_source",
     "q_pii_scrub",
+    "q_retrieval_bm25",
+    "q_pack_sequences",
+    "q_train_split",
+    "q_pack_split_suite",
 ]
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """BM25: the term/df/stats sides are broadcast; the only exchange is the
+    postings groupBy — no sort-merge join anywhere."""
+    from spookystuff_spark.queries import QUERIES, load_all_query_modules
+
+    load_all_query_modules()
+    plan = _plan(QUERIES["q_retrieval_bm25"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
 
 
 @pytest.mark.parametrize("name", NATIVE_ONLY)
