@@ -12,7 +12,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import GOLDEN_SF, bench_only, query
+from spookystuff_spark.tables import table
 from spookystuff_spark.queries.llm_ops import (
     ORACLE_LANG_ID,
     ORACLE_TOKEN_FREQ,
@@ -68,6 +69,36 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, parts)
 
 
+@bench_only("q_bpe_tokens")
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 64-merge BPE vocabulary on the corpus's own word table, then
+    encode the corpus (operators/bpe.py). Output: per-doc word + BPE token
+    counts; gate-pinned (with the learned merge table) via q_text_suite."""
+    from spookystuff_spark.operators.bpe import fit_encode
+
+    docs = table(spark, sf_dir, "documents")
+    _, counts = fit_encode(docs, n_merges=64)
+    return counts
+
+
+def _bpe_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.operators.bpe import fit_encode
+
+    docs = table(spark, sf_dir, "documents")
+    merges, counts = fit_encode(docs, n_merges=64)
+    merge_rows = spark.createDataFrame(
+        [
+            ("q_bpe_merges", f"{i}|{a}|{b}", "rank", float(i))
+            for i, (a, b) in enumerate(merges)
+        ],
+        "q string, row_key string, measure string, v_num double",
+    )
+    count_rows = _melt(
+        counts, "q_bpe_counts", ["doc_id"], ["n_words", "n_bpe_tokens"]
+    )
+    return merge_rows.unionByName(count_rows)
+
+
 _TEXT_SQL = f"""
 WITH dp AS ({ORACLE_DOC_PROFILE}), ld AS ({ORACLE_LANG_DIST}),
      li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ})
@@ -83,7 +114,9 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql(
     "li", "q_lang_id_heuristic", ["labeled_lang", "detected_lang"], ["n_docs"],
 )}
-UNION ALL {_melt_sql("tf", "q_token_freq_topk", ["tok"], ["n"])}"""
+UNION ALL {_melt_sql("tf", "q_token_freq_topk", ["tok"], ["n"])}
+UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')"""
 
 
 @query("q_text_suite", oracle=_TEXT_SQL)
@@ -110,5 +143,6 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["n_docs"],
         ),
         _melt(q_token_freq_topk(spark, sf_dir), "q_token_freq_topk", ["tok"], ["n"]),
+        _bpe_melted(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)

@@ -593,6 +593,83 @@ def gold_kmeans(emb, k=16, n_iter=5, quant=1_000_000):
     )
 
 
+def gold_bpe(docs, n_merges=64):
+    """Replica of operators/bpe.py: BPE merges learned from the word-frequency
+    table (deterministic tie-breaks), then greedy rank encoding. Emitted
+    pre-melted for the q_text_suite union."""
+    from collections import Counter
+
+    wf = Counter()
+    for t in docs["text"]:
+        wf.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
+    words = {tuple(w) + ("</w>",): f for w, f in wf.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for sym, f in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nw = {}
+        for sym, f in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            k = tuple(out)
+            nw[k] = nw.get(k, 0) + f
+        words = nw
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_len(w):
+        sym = list(w) + ["</w>"]
+        while len(sym) > 1:
+            cand = [(ranks.get((a, b), 1 << 30), i) for i, (a, b) in enumerate(zip(sym, sym[1:]))]
+            rank, i = min(cand)
+            if rank >= 1 << 30:
+                break
+            sym[i : i + 2] = [sym[i] + sym[i + 1]]
+        return len(sym)
+
+    memo = {}
+    q, row_key, measure, v_num = [], [], [], []
+    for rank, (a, b) in enumerate(merges):
+        q.append("q_bpe_merges")
+        row_key.append(f"{rank}|{a}|{b}")
+        measure.append("rank")
+        v_num.append(float(rank))
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        ws = re.findall(r"[a-z0-9]+", (t or "").lower())
+        total = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = encode_len(w)
+            total += memo[w]
+        for m, v in (("n_words", len(ws)), ("n_bpe_tokens", total)):
+            q.append("q_bpe_counts")
+            row_key.append(str(did))
+            measure.append(m)
+            v_num.append(float(v))
+    write(
+        "q_bpe_melt",
+        pa.table(
+            {
+                "q": pa.array(q),
+                "row_key": pa.array(row_key),
+                "measure": pa.array(measure),
+                "v_num": pa.array(v_num, pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -607,6 +684,7 @@ def main():
     gold_semdedup(emb)
     gold_keepbest(docs)
     gold_kmeans(emb)
+    gold_bpe(docs)
 
 
 if __name__ == "__main__":
