@@ -190,17 +190,23 @@ def char_ngram_logprob(
     (the old total-count pass re-exploded every gram)."""
     from pyspark.sql import Window
 
-    low = F.lower(F.col(text_col))
+    # materialize lower(text) BEFORE the per-element lambda — expressions
+    # referenced inside transform() are re-evaluated per array element, which
+    # turns an O(L) scan into O(L²) per document
+    lowered = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__low")
+    )
+    low = F.col("__low")
     k = F.length(low) - F.lit(n - 1)
     grams = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(low, i, n))
-    exploded = df.select(
+    exploded = lowered.select(
         F.col(id_col),
         F.explode(F.when(k >= 1, grams)).alias("cgram"),
     ).select(F.col(id_col), F.xxhash64(F.col("cgram")).alias("gram_key"))
 
     dg = exploded.groupBy(id_col, "gram_key").agg(F.count(F.lit(1)).alias("c"))
     cnt = F.sum("c").over(Window.partitionBy("gram_key"))
-    total = df.agg(
+    total = lowered.agg(
         F.sum(F.greatest(k, F.lit(0))).cast("double").alias("total")
     )
     scored = (

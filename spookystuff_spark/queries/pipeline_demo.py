@@ -65,6 +65,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("fp")
     )
+    # `exact` feeds three downstream jobs (minhash sigs, the members join,
+    # the survivor anti-join) — materialize it once instead of re-running the
+    # scan→clean→dedup chain per job
+    exact = exact.localCheckpoint(eager=False)
 
     # 5: near-dup drop — minhash pairs → components → keep best quality
     pairs = minhash_near_duplicates(

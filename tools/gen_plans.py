@@ -18,6 +18,12 @@ COMMENTARY = {
     "q_char_trigram_logprob": "The per-character occurrence stream is collapsed map-side by the partial aggregate (the exchange carries distinct (doc, gram) pairs); corpus total is a no-gram scan broadcast as a one-row join; zero Python stages.",
     "q_mixture_sample": "Deterministic md5-draw sampling evaluates entirely inside the scan stage's codegen Filter — the only exchange below is the gate-determinism orderBy of the registered query; the operator itself is exchange-free (pinned by test_mixture_sample_is_scan_stage_only) and composes with partition pruning at 100 TB.",
     "q_semdedup_prune": "Two Python stages only: the k-means assignment (MapInPandas, carrying each vector so no re-join shuffle is needed) feeding the per-cell greedy prune (FlatMapGroupsInPandas) — the single wide op is the cell groupBy, and pairwise work is bounded per cell, never all-pairs.",
+    "q_retrieval_bm25": "Postings built with ONE corpus exchange (the tf groupBy); query terms, per-term df and the two corpus scalars all broadcast — no sort-merge join anywhere. Top-k is a bounded window per query_id. At 100 TB the postings side can additionally be bucketed by term (sources/bucketed.py) to erase the exchange for repeated query workloads.",
+    "q_pack_sequences": "Pure integer plan: one exchange for the shard window (cumulative token sum), then sequence()+explode generates boundary-crossing spans inside codegen. Shards are independent — at 100 TB the window partitions by uniform hash shard, so no global sort and no skew.",
+    "q_train_split": "Split assignment is a scan-stage md5 expression (no exchange at all before the summary aggregate) — the operator composes with partition pruning and never reshuffles the corpus.",
+    "q_kmeans_assign": "Per iteration: one MapInPandas emitting PRE-AGGREGATED (cluster, dim) partial sums — the shuffle is O(k·d·batches), never O(rows) — and an O(k·d) driver collect. Final pass is a single Arrow stage. Int64-quantized sums make the result identical under any partitioning.",
+    "q_warc_doc_stats": "binaryFile scan lists archives on executors; ONE MapInPandas parses records (file = parallelism unit, zero shuffle); title/link profiling is codegen'd regex downstream.",
+    "q_bpe_tokens": "The only corpus-sized job is the word-frequency groupBy (map-side combined, explode never crosses an exchange); merges train on the bounded table driver-side; encoding is one Arrow stage with per-word memoization.",
 }
 
 
