@@ -175,3 +175,87 @@ def connected_components(
             "into multiple labels; raise max_iter"
         )
     return labels.select("node", F2.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds vs min-label propagation's O(diameter), so it
+    is the scale path for long-chain graphs (lineage chains, link graphs)
+    where ``connected_components`` needs a round per hop.
+
+    large-star: each node u links every LARGER neighbor to
+    m = min(N(u) ∪ {u}); small-star (on edges oriented larger→smaller): each
+    u links its smaller neighbors and itself to the minimum. Each round is
+    two groupBy shuffles over an O(E)-bounded edge list. Output matches
+    ``connected_components`` exactly: (node, component = min id reachable).
+    """
+    import pyspark.sql.functions as F2
+
+    a, b = F2.col("a"), F2.col("b")
+
+    def canon(e: DataFrame) -> DataFrame:
+        # store undirected edges larger-first, dedup, drop self-loops
+        return (
+            e.select(
+                F2.greatest(a, b).alias("a"), F2.least(a, b).alias("b")
+            )
+            .where(a != b)
+            .distinct()
+        )
+
+    cur = canon(
+        edges.select(F2.col(src_col).alias("a"), F2.col(dst_col).alias("b"))
+    ).localCheckpoint(eager=True)
+
+    if cur.isEmpty():
+        from pyspark.sql.types import StructField, StructType
+
+        t = edges.schema[src_col].dataType
+        return edges.sparkSession.createDataFrame(
+            [], StructType([StructField("node", t), StructField("component", t)])
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(e.select(b.alias("a"), a.alias("b")))
+        m = sym.groupBy("a").agg(F2.min("b").alias("mn"))
+        mm = F2.least(F2.col("mn"), a).alias("m")
+        j = sym.join(m, "a").select(a, b, mm)
+        # emit (v, m) for every neighbor v > u
+        return canon(
+            j.where(b > a).select(b.alias("a"), F2.col("m").alias("b"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is larger-first: group by the larger endpoint
+        m = e.groupBy("a").agg(F2.min("b").alias("m"))
+        j = e.join(m, "a")
+        moved = j.select(b.alias("a"), F2.col("m").alias("b"))
+        self_link = j.select(a, F2.col("m").alias("b"))
+        return canon(moved.unionByName(self_link))
+
+    for _ in range(max_iter):
+        after = small_star(large_star(cur)).localCheckpoint(eager=True)
+        stable = (
+            after.exceptAll(cur).isEmpty() and cur.exceptAll(after).isEmpty()
+        )
+        cur = after
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} rounds"
+        )
+    # at fixpoint edges are (node, component-min) stars; roots map to selves
+    stars = cur.select(a.alias("node"), b.alias("component"))
+    roots = (
+        stars.select(F2.col("component").alias("node"))
+        .distinct()
+        .withColumn("component", F2.col("node"))
+    )
+    return stars.unionByName(roots).distinct()

@@ -106,6 +106,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_only("q_dedup_clusters_star")
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline on the O(log n)-round large-star/small-star CC
+    (operators/graph.py::connected_components_star) — the scale path when
+    duplicate chains are long; equality with min-label CC pinned in
+    tests/test_cc_star.py."""
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+    from spookystuff_spark.operators.graph import connected_components_star
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=128, bands=16
+    )
+    comps = connected_components_star(pairs, "id_a", "id_b")
+    return comps.groupBy(F.col("component").alias("keep_id")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+
+
 @bench_only("q_bloom_dedup_new")
 def q_bloom_dedup_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: which docs of the 'new batch' (every 7th

@@ -12,7 +12,12 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spookystuff_spark.queries import GOLDEN_SF, bench_only, query
+from spookystuff_spark.queries import (
+    GOLDEN_QUERIES,
+    GOLDEN_SF,
+    bench_only,
+    query,
+)
 from spookystuff_spark.tables import table
 from spookystuff_spark.queries.llm_ops import (
     ORACLE_LANG_ID,
@@ -146,3 +151,8 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bpe_melted(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+# the BPE rows are pinned by a GOLDEN_SF parquet — q_text_suite must be
+# compared at the gate SF like the other golden-oracled queries
+GOLDEN_QUERIES.add("q_text_suite")

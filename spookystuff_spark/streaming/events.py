@@ -79,6 +79,33 @@ def stream_events_from_dir(
     )
 
 
+def enriched_by_user_segment(
+    events: DataFrame, segments: DataFrame, watermark: Optional[str] = None
+) -> DataFrame:
+    """Stream-static enrichment + windowed rollup — the standard landing-zone
+    pattern: a micro-batched event stream joined to a slowly-changing static
+    dimension. The static side is broadcast per micro-batch (no stream state
+    for the join; only the windowed aggregate keeps state, bounded by the
+    watermark). Returns (segment, hour, n_events, total_value)."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql.functions import broadcast
+
+    src = _with_event_time(events, "ts")
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.join(broadcast(segments), "user_id")
+        .groupBy("segment", F2.window("ts", "1 hour").alias("w"))
+        .agg(
+            F2.count(F2.lit(1)).alias("n_events"),
+            F2.round(F2.sum("value") + F2.lit(1e-6), 2).alias("total_value"),
+        )
+        .select(
+            "segment", F2.col("w.start").alias("hour"), "n_events", "total_value"
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ):

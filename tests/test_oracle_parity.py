@@ -38,12 +38,21 @@ def test_query_matches_oracle(spark, con, name):
     compare(spark_df, expected, name)
 
 
+@pytest.fixture(scope="module")
+def con_correct():
+    c = duck_con(SF_CORRECT)
+    yield c
+    c.close()
+
+
 @pytest.mark.parametrize("name", sorted(GOLDEN & set(ORACLE)))
-def test_query_matches_golden_oracle(spark, con, name):
+def test_query_matches_golden_oracle(spark, con_correct, name):
     """Golden-parquet oracles are precomputed at the driver's gate SF
-    (sf0.01) by an independent numpy implementation — compare at that SF."""
+    (sf0.01) by an independent numpy implementation — compare at that SF
+    (views at the same SF: suite oracles may mix golden parquets with
+    table SQL)."""
     spark_df = QUERIES[name](spark, SF_CORRECT)
-    expected = con.sql(ORACLE[name]).df()
+    expected = con_correct.sql(ORACLE[name]).df()
     compare(spark_df, expected, name)
 
 

@@ -189,3 +189,32 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     )
     assert got_fps == expected_fps  # one survivor per normalized content
     assert len(out) == 2
+
+
+def test_stream_static_join_equals_batch(spark, events_dir):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.streaming.events import enriched_by_user_segment
+
+    ev_batch = spark.read.parquet(events_dir)
+    segments = (
+        ev_batch.select("user_id")
+        .distinct()
+        .withColumn("segment", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    expected = _rows(
+        enriched_by_user_segment(ev_batch, segments),
+        ["segment", "hour", "n_events", "total_value"],
+    )
+    stream = stream_events_from_dir(spark, events_dir, ev_batch.schema)
+    q = run_stream_to_memory(
+        enriched_by_user_segment(stream, segments, watermark="1 hour"),
+        "enriched_t",
+        "complete",
+    )
+    q.awaitTermination(120)
+    got = _rows(
+        spark.sql("SELECT * FROM enriched_t"),
+        ["segment", "hour", "n_events", "total_value"],
+    )
+    assert got == expected and len(got) > 0
