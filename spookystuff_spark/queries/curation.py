@@ -27,7 +27,15 @@ from spookystuff_spark.queries import (
 )
 from spookystuff_spark.queries.dedup_more import q_bloom_dedup_new
 from spookystuff_spark.queries.hygiene import q_longest_dup_span
-from spookystuff_spark.queries.similarity import ORACLE_EMB_NORMS, q_embedding_norms
+from spookystuff_spark.queries.similarity import (
+    ORACLE_EMB_NORMS,
+    q_embedding_norms,
+    q_pq_topk,
+)
+
+
+def _pq_topk_rows(spark, sf_dir):
+    return q_pq_topk(spark, sf_dir)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 from spookystuff_spark.tables import table
 
@@ -243,6 +251,8 @@ UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
 UNION ALL {_melt_sql("lds", "dupspan", ["doc_id"], ["longest_span_tokens"])}
 UNION ALL {_melt_sql("cap", "capstratum", ["doc_id", "source"], ["kept"])}
 UNION ALL {_melt_sql("bloom", "bloomnew", ["doc_id"], ["is_new"])}
+UNION ALL SELECT q, row_key, measure, v_num
+          FROM read_parquet('{_GOLD}/q_pq_melt.parquet')
 """
 
 
@@ -304,6 +314,12 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloomnew",
             ["doc_id"],
             ["is_new"],
+        ),
+        _melt(
+            _pq_topk_rows(spark, sf_dir),
+            "pq",
+            ["query_id", "rank"],
+            ["vec_id", "adc_d2"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

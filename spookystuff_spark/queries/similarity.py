@@ -108,3 +108,23 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         round_stable(F.avg(F.sqrt(dot(F.col("ev"), F.col("ev")))), 4).alias("avg_norm"),
     )
+
+
+def pq_queries(spark: SparkSession, sf_dir: str):
+    """Deterministic PQ benchmark queries: the three lowest-vec_id embeddings."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(3).collect()
+    return emb, [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+
+@bench_only("q_pq_topk")
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/pq.py): 32x-compressed codes
+    scanned with per-subspace table lookups; codebooks from a bounded
+    deterministic sample. Gate-pinned (with exact code assignments) via
+    q_curation_suite's golden melt."""
+    from spookystuff_spark.operators.pq import pq_topk, train_codebooks
+
+    emb, queries = pq_queries(spark, sf_dir)
+    books = train_codebooks(emb, m=8, k=16)
+    return pq_topk(emb, queries, books, k=5)

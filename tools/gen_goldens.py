@@ -670,6 +670,79 @@ def gold_bpe(docs, n_merges=64):
     )
 
 
+def gold_pq(emb, m=8, k=16, sample_cap=10_000, n_iters=10, topk=5):
+    """Replica of operators/pq.py: per-subspace farthest-point k-means
+    codebooks on the bounded head sample, ADC top-k for the 3 lowest-id
+    queries. Emitted pre-melted for the q_curation_suite union."""
+    ids = emb["vec_id"].to_numpy()
+    x = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    sample = x[:sample_cap]
+    d = x.shape[1]
+    sub = d // m
+
+    def pd2(a, b):
+        return (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+
+    def kmeans_fp(s, kk):
+        kk = min(kk, len(s))
+        c = s[:1].copy()
+        dmin = pd2(s, c).min(axis=1)
+        for _ in range(kk - 1):
+            nxt = s[dmin.argmax()][None, :]
+            c = np.vstack([c, nxt])
+            dmin = np.minimum(dmin, pd2(s, nxt)[:, 0])
+        for _ in range(n_iters):
+            a = pd2(s, c).argmin(axis=1)
+            for j in range(len(c)):
+                mem = s[a == j]
+                if len(mem):
+                    c[j] = mem.mean(axis=0)
+        return c
+
+    books = [
+        kmeans_fp(np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]), k)
+        for j in range(m)
+    ]
+    codes = np.empty((len(x), m), dtype=np.int64)
+    for j in range(m):
+        codes[:, j] = pd2(
+            np.ascontiguousarray(x[:, j * sub : (j + 1) * sub]), books[j]
+        ).argmin(axis=1)
+
+    order = np.argsort(ids, kind="stable")[:3]
+    q, row_key, measure, v_num = [], [], [], []
+    for qi in order:
+        qid = int(ids[qi])
+        qv = x[qi]
+        d2 = np.zeros(len(x))
+        for j in range(m):
+            tab = pd2(qv[None, j * sub : (j + 1) * sub], books[j])[0]
+            d2 += tab[codes[:, j]]
+        d2 = np.round(d2 + 1e-6, 6)
+        sel = sorted(range(len(x)), key=lambda i: (d2[i], ids[i]))[:topk]
+        for rank, i in enumerate(sel, start=1):
+            for mname, v in (("vec_id", float(ids[i])), ("adc_d2", float(d2[i]))):
+                q.append("pq")
+                row_key.append(f"{qid}|{rank}")
+                measure.append(mname)
+                v_num.append(v)
+    write(
+        "q_pq_melt",
+        pa.table(
+            {
+                "q": pa.array(q),
+                "row_key": pa.array(row_key),
+                "measure": pa.array(measure),
+                "v_num": pa.array(v_num, pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -685,6 +758,7 @@ def main():
     gold_keepbest(docs)
     gold_kmeans(emb)
     gold_bpe(docs)
+    gold_pq(emb)
 
 
 if __name__ == "__main__":
