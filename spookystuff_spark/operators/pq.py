@@ -53,6 +53,20 @@ def _kmeans_fp(sample: np.ndarray, k: int, n_iters: int = 10) -> np.ndarray:
     return centroids
 
 
+def _canonical_sample(
+    df: DataFrame, id_col: str, vec_col: str, sample_cap: int
+) -> np.ndarray:
+    """Bounded training sample in id order — farthest-point init is
+    order-sensitive, so the sample order must not depend on partitioning."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    pdf = (
+        df.select(id_col, vec_col).limit(sample_cap).toPandas()
+        .sort_values(id_col, kind="stable")
+    )
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+
+
 def train_codebooks(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -60,12 +74,10 @@ def train_codebooks(
     k: int = 16,
     sample_cap: int = 10_000,
     n_iters: int = 10,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """(m, k, d/m) codebooks from a bounded deterministic sample."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = df.select(vec_col).limit(sample_cap).toPandas()
-    sample = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    sample = _canonical_sample(df, id_col, vec_col, sample_cap)
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -163,6 +175,132 @@ def pq_topk(
             yield pd.concat(out_frames, ignore_index=True)
 
     scored = codes.mapInPandas(score, "query_id int, vec_id long, adc_d2 double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_cent: int = 16,
+    k: int = 5,
+    sample_cap: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + residual PQ — the FAISS IVFPQ architecture, Spark-first:
+
+    * coarse quantizer: farthest-point k-means cells on a bounded sample;
+    * PQ codebooks trained on RESIDUALS (x − cell centroid) — residuals are
+      near-zero-mean so the same code budget quantizes much finer than raw
+      vectors;
+    * index pass (one Arrow stage): every vector → (cell, m-byte code);
+    * search: each query probes its ``nprobe`` nearest cells — the scan
+      touches ~nprobe/n_cells of the corpus — and ADC-scans residual codes
+      with a per-(query, cell) lookup table; candidates merge by exact ADC
+      distance with (distance, id) total order.
+
+    At 100 TB: the corpus can be written bucketed by cell so a probe reads
+    only its buckets; codes are 32× smaller than raw float32; every stage is
+    embarrassingly parallel after the one bounded-sample training step.
+    """
+    sample = _canonical_sample(df, id_col, vec_col, sample_cap)
+    d = sample.shape[1]
+    sub = d // m
+    coarse = _kmeans_fp(sample, n_cells)
+    cell_of = _pairwise_d2(sample, coarse).argmin(axis=1)
+    resid = sample - coarse[cell_of]
+    books = np.stack(
+        [
+            _kmeans_fp(np.ascontiguousarray(resid[:, j * sub : (j + 1) * sub]), k_cent)
+            for j in range(m)
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            x = np.vstack([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            cell = _pairwise_d2(x, coarse).argmin(axis=1)
+            r = x - coarse[cell]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                codes[:, j] = _pairwise_d2(
+                    np.ascontiguousarray(r[:, j * sub : (j + 1) * sub]), books[j]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": b[id_col],
+                    "cell": cell.astype(np.int32),
+                    "codes": list(codes),
+                }
+            )
+
+    index = df.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, cell int, codes array<int>"
+    )
+
+    q_ids = [int(q) for q, _ in queries]
+    q_vecs = np.vstack([np.asarray(v, dtype=np.float64) for _, v in queries])
+    q_cells = np.argsort(_pairwise_d2(q_vecs, coarse), axis=1)[:, :nprobe]
+    # per (query, probed cell): residual lookup tables (m, k_cent)
+    probe_tables = {}
+    for qi in range(len(q_vecs)):
+        for c in q_cells[qi]:
+            qr = q_vecs[qi] - coarse[c]
+            probe_tables[(qi, int(c))] = np.stack(
+                [
+                    _pairwise_d2(qr[None, j * sub : (j + 1) * sub], books[j])[0]
+                    for j in range(m)
+                ]
+            )
+
+    probed_cells = sorted({int(c) for qi in range(len(q_vecs)) for c in q_cells[qi]})
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            cells = b["cell"].to_numpy()
+            codes = np.vstack(b["codes"].to_numpy()).astype(np.int64)
+            ids = b["vec_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                for c in q_cells[qi]:
+                    mask = cells == c
+                    if not mask.any():
+                        continue
+                    tab = probe_tables[(qi, int(c))]
+                    cc = codes[mask]
+                    d2 = np.zeros(mask.sum())
+                    for j in range(m):
+                        d2 += tab[j][cc[:, j]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.int32(qid),
+                                "vec_id": ids[mask],
+                                "adc_d2": np.round(d2 + 1e-6, 6),
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        index.where(F.col("cell").isin(probed_cells))
+        .mapInPandas(score, "query_id int, vec_id long, adc_d2 double")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("vec_id").asc()
     )

@@ -1,0 +1,144 @@
+"""Versioned parquet table with MERGE-style upsert — lakehouse-lite.
+
+Plain parquet directories can't be updated in place; the standard fix
+(Delta/Iceberg's core idea) is versioned immutable snapshots + an atomic
+pointer swap. This is that protocol, minimal and dependency-free:
+
+    <dir>/v00001/part-*.parquet     immutable snapshot
+    <dir>/v00002/...
+    <dir>/_LATEST                   one line: the current version name
+
+A writer materializes the next full snapshot (old rows anti-joined against
+the update keys, unioned with updates), then atomically replaces ``_LATEST``
+(os.replace — atomic on POSIX; on HDFS/object stores the same single-object
+swap applies). Readers resolve the pointer then read one immutable directory
+— never a half-written one. Crash mid-write leaves a dangling version dir
+(cleaned by ``vacuum``) and an untouched pointer.
+
+Single-writer optimistic semantics (reference scope: the doc cache's
+compaction story in sources/doc_cache_source.py, generalized to any keyed
+table). ``compact`` rewrites the snapshot into a target file count —
+at 100 TB, snapshotting rewrites only what changed if you partition the
+table and upsert per partition.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+_POINTER = "_LATEST"
+
+
+def _latest(table_dir: str) -> str | None:
+    p = os.path.join(table_dir, _POINTER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        v = f.read().strip()
+    return v or None
+
+
+def _swap_pointer(table_dir: str, version: str) -> None:
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest-")
+    with os.fdopen(fd, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic commit
+
+
+def _next_version(table_dir: str) -> str:
+    cur = _latest(table_dir)
+    n = int(cur[1:]) + 1 if cur else 1
+    return f"v{n:05d}"
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    v = _latest(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    return spark.read.parquet(os.path.join(table_dir, v))
+
+
+def write_table(df: DataFrame, table_dir: str) -> str:
+    """Create/replace the table with a fresh snapshot. Returns the version."""
+    os.makedirs(table_dir, exist_ok=True)
+    v = _next_version(table_dir)
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    _swap_pointer(table_dir, v)
+    return v
+
+
+def upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+) -> str:
+    """MERGE: rows matching an update key are replaced, others kept, new keys
+    inserted. One anti-join (update keys broadcast when small) + one union;
+    the new snapshot commits with a pointer swap. Returns the version."""
+    cur_v = _latest(table_dir)
+    if cur_v is None:
+        return write_table(updates, table_dir)
+    current = spark.read.parquet(os.path.join(table_dir, cur_v))
+    keys = updates.select(*key_cols).distinct()
+    kept = current.join(keys, list(key_cols), "left_anti")
+    merged = kept.unionByName(updates)
+    v = _next_version(table_dir)
+    merged.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    _swap_pointer(table_dir, v)
+    return v
+
+
+def delete_where(
+    spark: SparkSession, table_dir: str, condition
+) -> str:
+    """Anti-delete: new snapshot without rows matching ``condition``."""
+    current = read_table(spark, table_dir)
+    v = _next_version(table_dir)
+    current.where(~condition).write.mode("errorifexists").parquet(
+        os.path.join(table_dir, v)
+    )
+    _swap_pointer(table_dir, v)
+    return v
+
+
+def compact(spark: SparkSession, table_dir: str, num_files: int = 8) -> str:
+    """Rewrite the current snapshot into ``num_files`` files (small-file
+    compaction; same pointer-swap commit)."""
+    current = read_table(spark, table_dir)
+    v = _next_version(table_dir)
+    current.repartition(num_files).write.mode("errorifexists").parquet(
+        os.path.join(table_dir, v)
+    )
+    _swap_pointer(table_dir, v)
+    return v
+
+
+def versions(table_dir: str) -> list[str]:
+    return sorted(
+        d for d in os.listdir(table_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` versions (never the current one).
+    Also removes dangling (uncommitted, newer-than-pointer) dirs from
+    crashed writers. Returns removed version names."""
+    cur = _latest(table_dir)
+    vs = versions(table_dir)
+    committed = [v for v in vs if cur is not None and v <= cur]
+    dangling = [v for v in vs if cur is None or v > cur]
+    drop = committed[:-keep] if keep > 0 else committed[:-1]
+    removed = []
+    for v in drop + dangling:
+        if v == cur:
+            continue
+        shutil.rmtree(os.path.join(table_dir, v))
+        removed.append(v)
+    return removed

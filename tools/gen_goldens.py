@@ -676,7 +676,10 @@ def gold_pq(emb, m=8, k=16, sample_cap=10_000, n_iters=10, topk=5):
     queries. Emitted pre-melted for the q_curation_suite union."""
     ids = emb["vec_id"].to_numpy()
     x = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    sample = x[:sample_cap]
+    # canonical sample: first sample_cap rows, then sorted by id (mirrors
+    # operators/pq.py::_canonical_sample — partition-order independent)
+    head_ids = ids[:sample_cap]
+    sample = x[:sample_cap][np.argsort(head_ids, kind="stable")]
     d = x.shape[1]
     sub = d // m
 
