@@ -177,3 +177,18 @@ def hash_split_case_sql(
         for name, bound in _cum_hex_thresholds(weights)[:-1]
     )
     return f"CASE{arms} ELSE '{names[-1]}' END"
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuffle-v1"
+) -> DataFrame:
+    """Reproducible global shuffle: total order by md5(salt || key). The
+    standard pre-training data ordering — unbiased w.r.t. any source/time
+    ordering, identical on every rerun and every engine, and re-saltable per
+    epoch (salt = f"epoch-{n}") without moving bytes twice. One range-sort
+    exchange; at 100 TB write the result partitioned to make the order
+    durable."""
+    return df.orderBy(
+        F.md5(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))),
+        F.col(key_col),
+    )

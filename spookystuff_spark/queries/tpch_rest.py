@@ -211,9 +211,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 (adapted: pair relation from lineitem; negative account
     balance stands in for the complaints filter): distinct-supplier counts per
     part attribute cell — distinct-pair shuffle then count-distinct agg."""
-    pairs = (
-        table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
+    # no pre-distinct: the count_distinct aggregate dedups after the highly
+    # selective broadcast joins, so the one shuffle carries only filtered
+    # rows instead of every (partkey, suppkey) pair in lineitem
+    pairs = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     ok_supp = (
         table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") >= 0)

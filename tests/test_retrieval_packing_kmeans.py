@@ -135,3 +135,24 @@ def test_kmeans_partition_invariant_and_matches_numpy(spark):
     }
     got = {int(v): int(cj) for v, (cj, _) in am.items()}
     assert got == expected
+
+
+def test_deterministic_shuffle_stable_and_salt_sensitive(spark, docs):
+    from spookystuff_spark.operators.packing import deterministic_shuffle
+
+    a = [r["doc_id"] for r in deterministic_shuffle(docs, "doc_id").select("doc_id").collect()]
+    b = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs.repartition(13), "doc_id")
+        .select("doc_id")
+        .collect()
+    ]
+    assert a == b  # partition-layout independent total order
+    assert sorted(a) != a  # actually shuffled, not id-ordered
+    c = [
+        r["doc_id"]
+        for r in deterministic_shuffle(docs, "doc_id", salt="epoch-2")
+        .select("doc_id")
+        .collect()
+    ]
+    assert a != c and sorted(c) == sorted(a)  # new epoch, same membership
