@@ -128,3 +128,14 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = pq_queries(spark, sf_dir)
     books = train_codebooks(emb, m=8, k=16)
     return pq_topk(emb, queries, books, k=5)
+
+
+@bench_only("q_ivfpq_topk")
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + residual-PQ composite ANN (operators/pq.py::ivfpq_topk): probe
+    4 of 16 cells, ADC-scan 8-byte residual codes. Exact-replica equality and
+    partition invariance pinned in tests/test_pq.py."""
+    from spookystuff_spark.operators.pq import ivfpq_topk
+
+    emb, queries = pq_queries(spark, sf_dir)
+    return ivfpq_topk(emb, queries, n_cells=16, nprobe=4, k=5)
