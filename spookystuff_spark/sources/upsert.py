@@ -56,10 +56,17 @@ def _next_version(table_dir: str) -> str:
     return f"v{n:05d}"
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame:
-    v = _latest(table_dir)
-    if v is None:
+def read_table(
+    spark: SparkSession, table_dir: str, version: str | None = None
+) -> DataFrame:
+    """Read the current snapshot, or time-travel to an earlier committed
+    ``version`` (any dir ≤ the pointer that vacuum hasn't dropped)."""
+    cur = _latest(table_dir)
+    if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    v = version or cur
+    if v > cur or v not in versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, v))
 
 

@@ -1,0 +1,54 @@
+"""JSONL quarantine source: one scan, no silent drops, exact split."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from spookystuff_spark.sources.jsonl import read_jsonl
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def test_good_and_quarantine_split(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "{broken json line\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+        '{"doc_id": 3, "text": "gamma"'  # truncated
+        "\n"
+        '{"doc_id": 4, "text": "delta"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), SCHEMA)
+    ok = sorted((r["doc_id"], r["text"]) for r in good.collect())
+    assert ok == [(1, "alpha"), (2, "beta"), (4, "delta")]
+    quarantined = [r["raw_line"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("broken" in q for q in quarantined)
+    assert any("gamma" in q for q in quarantined)
+    # nothing lost: good + bad == input lines
+    assert good.count() + bad.count() == 5
+
+
+def test_all_good_empty_quarantine(spark, tmp_path):
+    p = tmp_path / "clean.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    good, bad = read_jsonl(spark, str(p), SCHEMA)
+    assert good.count() == 2 and bad.count() == 0
+
+
+def test_upsert_time_travel(spark, tmp_path):
+    from spookystuff_spark.sources.upsert import read_table, upsert, write_table
+
+    tdir = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1 = write_table(base, tdir)
+    upsert(spark, tdir, spark.createDataFrame([(1, "A")], "k long, v string"), ["k"])
+    assert [(r["k"], r["v"]) for r in read_table(spark, tdir).collect()] == [(1, "A")]
+    assert [(r["k"], r["v"]) for r in read_table(spark, tdir, v1).collect()] == [(1, "a")]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, tdir, "v09999")
