@@ -73,7 +73,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), flagged AS (
       SELECT user_id,
              CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {SESSION_GAP_SEC} * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM ordered
     )
@@ -91,14 +91,22 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is keyed on user_id — high cardinality, no skew concern.
     """
     ev = table(spark, sf_dir, "events")
+    return sessionize_counts(ev)
+
+
+def sessionize_counts(ev: DataFrame) -> DataFrame:
+    """Core lag+cumsum sessionization over any (user_id, ts, event_id) frame;
+    split out so crafted-boundary regression tests can drive it directly."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ (parquet
-    # timestamp[us] without tz reads as NTZ in Spark 4, which cannot cast to
-    # BIGINT directly).
-    gap_sec = F.timestamp_diff("SECOND", prev_ts, F.col("ts"))
+    # Full-precision microsecond diff (timestamp_diff works for both TIMESTAMP
+    # and TIMESTAMP_NTZ). A SECOND-unit diff would TRUNCATE the sub-second part
+    # of the gap, so a 1800.886 s gap would read as 1800 and land on the wrong
+    # side of the boundary — integer microseconds on both engine and oracle
+    # (epoch_us) leave no flip zone and no double rounding.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
     new_sess = F.when(
-        prev_ts.isNull() | (gap_sec > SESSION_GAP_SEC),
+        prev_ts.isNull() | (gap_us > SESSION_GAP_SEC * 1_000_000),
         1,
     ).otherwise(0)
     return (

@@ -20,7 +20,7 @@ from spookystuff_spark.tables import table
     WITH ordered AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC} * 1000000
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -40,7 +40,14 @@ from spookystuff_spark.tables import table
 )
 def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``session_window`` (gap 30 min): start = first event, end = last event
-    + gap — exactly the lag+cumsum closed form the oracle computes."""
+    + gap — exactly the lag+cumsum closed form the oracle computes.
+
+    Boundary semantics (verified empirically on Spark 4): ``session_window``
+    merges an event into the open session when its timestamp is <= the
+    session's current end, i.e. a new session starts iff the full-precision
+    gap is STRICTLY greater than the gap duration. The oracle mirrors this
+    with integer microseconds (``epoch_us`` diff > gap*1e6) — no truncation,
+    no double rounding, no flip zone."""
     from spookystuff_spark.streaming.events import sessionized
 
     ev = table(spark, sf_dir, "events")
