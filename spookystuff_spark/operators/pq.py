@@ -56,15 +56,11 @@ def _kmeans_fp(sample: np.ndarray, k: int, n_iters: int = 10) -> np.ndarray:
 def _canonical_sample(
     df: DataFrame, id_col: str, vec_col: str, sample_cap: int
 ) -> np.ndarray:
-    """Bounded training sample in id order — farthest-point init is
-    order-sensitive, so the sample order must not depend on partitioning."""
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    pdf = (
-        df.select(id_col, vec_col).limit(sample_cap).toPandas()
-        .sort_values(id_col, kind="stable")
-    )
-    return np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    """Bounded training sample, fully layout-independent (membership by
+    smallest-md5(id) top-k, order by id) — see operators/sampling.py."""
+    from spookystuff_spark.operators.sampling import canonical_sample
+
+    return canonical_sample(df, id_col, vec_col, sample_cap)
 
 
 def train_codebooks(

@@ -14,6 +14,8 @@ from typing import Iterator
 import numpy as np
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+from spookystuff_spark.operators.sampling import canonical_sample
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -70,6 +72,7 @@ def lsh_topk_pairs(
     n_planes: int = 10,
     seed: int = 42,
     probes: int = 0,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Approximate per-id top-k cosine neighbors within LSH buckets.
 
@@ -79,6 +82,14 @@ def lsh_topk_pairs(
     higher-order functions are interpreted, not codegen'd, and dominate at
     scale. → (qid, vec_id, cos_sim, rn); deterministic (rounded score + id
     tiebreak).
+
+    ``max_bucket`` drops degenerate buckets (near-zero vectors / boilerplate
+    sign patterns collapse many rows into one bucket; applyInPandas
+    materializes a whole group in executor memory, so one hot bucket at 100×
+    scale is an OOM — the same skew guard as minhash's ``max_bucket``).
+    Dropped buckets are counted with one tiny aggregate (output ≤ 2^n_planes
+    rows) and logged; the kept-bucket filter is a broadcast semi-join, so the
+    corpus itself is never re-shuffled for the cap.
     """
     # carry_vec: the bucketing stage already holds each vector, so neither
     # the home rows nor the probe explosion need a shuffle join back to the
@@ -102,51 +113,118 @@ def lsh_topk_pairs(
         ).withColumn("is_probe", F.lit(True))
         cand = cand.unionByName(probe_side)
 
+    if max_bucket is not None:
+        # Count pass on a NARROW (id, bucket) bucketing — no vectors cross
+        # Arrow; count partials aggregate map-side so the shuffle is
+        # O(partitions × buckets). The oversized subset we collect is bounded
+        # by total_rows / max_bucket — degenerate buckets are few by
+        # definition, so this is a tiny driver list, not a data collect.
+        narrow = hyperplane_buckets(df, id_col, vec_col, dim, n_planes, seed)
+        ncand = narrow
+        if probes >= 1:
+            ncand = narrow.unionByName(
+                narrow.select(
+                    "id",
+                    F.explode(
+                        F.array(
+                            *[
+                                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                                for i in range(n_planes)
+                            ]
+                        )
+                    ).alias("bucket"),
+                )
+            )
+        over = [
+            r["bucket"]
+            for r in ncand.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .collect()
+        ]
+        if over:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "lsh_topk_pairs: dropping %d bucket(s) over max_bucket=%d",
+                len(over),
+                max_bucket,
+            )
+            cand = cand.filter(~F.col("bucket").isin(over))
+
     out_schema = StructType(
         [
             StructField("qid", LongType()),
             StructField("vec_id", LongType()),
             StructField("cos_sim", DoubleType()),
+            StructField("rn", IntegerType()),
         ]
     )
 
     def score_bucket(pdf):
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
+        ).astype(
+            {"qid": "int64", "vec_id": "int64", "cos_sim": "float64", "rn": "int32"}
+        )
         real = pdf[~pdf["is_probe"]]
         if len(real) == 0 or len(pdf) < 2:
-            return pd.DataFrame({"qid": [], "vec_id": [], "cos_sim": []}).astype(
-                {"qid": "int64", "vec_id": "int64", "cos_sim": "float64"}
-            )
+            return empty
         q_ids = pdf["id"].to_numpy()  # every member (probe or not) queries
         q_mat = np.vstack(pdf["v"].to_numpy())
+        # candidates in ascending-id order so a stable argsort on -cos gives
+        # the (desc score, asc id) total order directly
         c_ids = real["id"].to_numpy()
-        c_mat = np.vstack(real["v"].to_numpy())
+        c_order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[c_order]
+        c_mat = np.vstack(real["v"].to_numpy())[c_order]
         qn = np.sqrt((q_mat * q_mat).sum(axis=1))
         cn = np.sqrt((c_mat * c_mat).sum(axis=1))
         qn[qn == 0] = 1.0
         cn[cn == 0] = 1.0
-        cos = np.round((q_mat @ c_mat.T) / qn[:, None] / cn[None, :] + 1e-6, 4)
-        qq, cc = np.meshgrid(
-            np.arange(len(q_ids)), np.arange(len(c_ids)), indexing="ij"
-        )
-        mask = q_ids[qq] != c_ids[cc]
-        return pd.DataFrame(
-            {
-                "qid": q_ids[qq][mask],
-                "vec_id": c_ids[cc][mask],
-                "cos_sim": cos[qq, cc][mask],
-            }
-        )
+        rows = {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
+        # chunk the query side so the dense cos block never exceeds ~4M cells
+        # (≈32 MB) whatever the bucket size — with the max_bucket cap this is
+        # belt-and-braces; without it, it keeps the matmul memory bounded.
+        # NB: op order (matmul, then /qn, /cn) kept identical to the golden
+        # replica so the 4-decimal rounding can't flip.
+        chunk = max(1, 4_000_000 // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), chunk):
+            hi = min(lo + chunk, len(q_ids))
+            cos = np.round(
+                (q_mat[lo:hi] @ c_mat.T) / qn[lo:hi, None] / cn[None, :] + 1e-6, 4
+            )
+            self_mask = q_ids[lo:hi, None] == c_ids[None, :]
+            cos[self_mask] = -2.0
+            for ii in range(hi - lo):
+                i = lo + ii
+                kk = min(k, len(c_ids) - int(self_mask[ii].any()))
+                if kk <= 0:
+                    continue
+                top = np.argsort(-cos[ii], kind="stable")[:kk]
+                for r, j in enumerate(top, start=1):
+                    rows["qid"].append(q_ids[i])
+                    rows["vec_id"].append(c_ids[j])
+                    rows["cos_sim"].append(float(cos[ii, j]))
+                    rows["rn"].append(r)
+        return pd.DataFrame(rows) if rows["qid"] else empty
 
-    scored = (
-        cand.groupBy("bucket")
-        .applyInPandas(score_bucket, out_schema)
-        .dropDuplicates(["qid", "vec_id"])  # multi-probe re-discoveries
-    )
+    # Per-bucket numpy top-k. Pairs are UNIQUE by construction — a vector is
+    # a candidate only in its single home bucket, and a query appears at most
+    # once per bucket (probe buckets differ from home by one bit) — so no
+    # dedup pass is ever needed. With single-probe, buckets partition the
+    # candidate space and the in-bucket rank IS the global rank: the bucket
+    # groupBy is the ONLY shuffle. Multi-probe merges per-bucket partial
+    # top-ks with one qid-window pass (same shape as ivf_topk_pairs).
+    scored = cand.groupBy("bucket").applyInPandas(score_bucket, out_schema)
+    if probes == 0:
+        return scored
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.drop("rn")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
 
@@ -175,14 +253,10 @@ def ivf_assign(
     At 100 TB the training sample stays bounded (``sample_cap``) and the
     assignment pass is embarrassingly parallel; centroids broadcast via the
     UDF closure."""
-    # Arrow-path sample transfer: row-based collect() of wide float arrays is
-    # seconds of py4j overhead; toPandas with Arrow is ~ms
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    sample_pdf = df.select(vec_col).limit(sample_cap).toPandas()
-    sample = np.vstack(
-        [np.asarray(v, dtype=np.float64) for v in sample_pdf[vec_col]]
-    )
+    # layout-independent sample (smallest-md5(id) membership, id order) —
+    # farthest-point init is order-sensitive, so an unsorted limit() sample
+    # would give different centroids after a repartition
+    sample = canonical_sample(df, id_col, vec_col, sample_cap)
     if n_cells is None:
         n_cells = max(4, min(256, int(len(sample) ** 0.5)))
     def pairwise_d2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -325,21 +399,30 @@ def ivf_topk_pairs(
             c_mat = np.vstack(home["v"].to_numpy())[c_order]
             cn = np.sqrt((c_mat * c_mat).sum(axis=1))
             cn[cn == 0] = 1.0
-        cos = np.round((q_mat @ c_mat.T) / qn[:, None] / cn[None, :] + 1e-6, 4)
-        self_mask = q_ids[:, None] == c_ids[None, :]
-        cos[self_mask] = -2.0
         rows = {"qid": [], "vec_id": [], "cos_sim": [], "rn": []}
-        for i in range(len(q_ids)):
-            kk = min(k, len(c_ids) - int(self_mask[i].any()))
-            if kk <= 0:
-                continue
-            # sort by (-cos, id): ids are ascending so stable argsort on -cos
-            top = np.argsort(-cos[i], kind="stable")[:kk]
-            for r, j in enumerate(top, start=1):
-                rows["qid"].append(q_ids[i])
-                rows["vec_id"].append(c_ids[j])
-                rows["cos_sim"].append(float(cos[i, j]))
-                rows["rn"].append(r)
+        # query-side chunking bounds the dense cos block at ~4M cells (≈32 MB)
+        # even for a degenerate cell holding the whole corpus — same guard as
+        # lsh_topk_pairs; op order kept identical to the golden replica
+        chunk = max(1, 4_000_000 // max(1, len(c_ids)))
+        for lo in range(0, len(q_ids), chunk):
+            hi = min(lo + chunk, len(q_ids))
+            cos = np.round(
+                (q_mat[lo:hi] @ c_mat.T) / qn[lo:hi, None] / cn[None, :] + 1e-6, 4
+            )
+            self_mask = q_ids[lo:hi, None] == c_ids[None, :]
+            cos[self_mask] = -2.0
+            for ii in range(hi - lo):
+                i = lo + ii
+                kk = min(k, len(c_ids) - int(self_mask[ii].any()))
+                if kk <= 0:
+                    continue
+                # sort by (-cos, id): ids ascending so stable argsort suffices
+                top = np.argsort(-cos[ii], kind="stable")[:kk]
+                for r, j in enumerate(top, start=1):
+                    rows["qid"].append(q_ids[i])
+                    rows["vec_id"].append(c_ids[j])
+                    rows["cos_sim"].append(float(cos[ii, j]))
+                    rows["rn"].append(r)
         return pd.DataFrame(rows) if rows["qid"] else empty
 
     scored = b.groupBy("cell").applyInPandas(rerank, out_schema)

@@ -37,6 +37,16 @@ MERSENNE = np.uint64((1 << 61) - 1)
 _WS = re.compile(r"\s+")
 
 
+def canonical_sample_np(ids: np.ndarray, mat: np.ndarray, sample_cap: int) -> np.ndarray:
+    """Replica of operators/sampling.canonical_sample: membership = the
+    sample_cap rows with the smallest md5(str(id)), returned in id order —
+    layout-independent at any corpus size."""
+    h = np.array([hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids])
+    member = np.argsort(h, kind="stable")[:sample_cap]
+    member = member[np.argsort(ids[member], kind="stable")]
+    return mat[member]
+
+
 def _normalize(text: str) -> str:
     return _WS.sub(" ", (text or "").lower()).strip()
 
@@ -309,7 +319,7 @@ def gold_neardup_embedding(emb):
 def gold_ivf(emb, dim=64, k=5, n_cells=None, n_iters=5, sample_cap=10_000):
     ids = emb["vec_id"].to_numpy().astype(np.int64)
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    sample = mat[:sample_cap]
+    sample = canonical_sample_np(ids, mat, sample_cap)
     if n_cells is None:
         n_cells = max(4, min(256, int(len(sample) ** 0.5)))
 
@@ -435,7 +445,7 @@ def gold_semdedup(emb, dim=64, threshold=0.4, n_cells=16, n_iters=5,
     keep-in-ascending-id-order, drop at cos ≥ threshold to nearest kept."""
     ids = emb["vec_id"].to_numpy().astype(np.int64)
     mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    sample = mat[:sample_cap]
+    sample = canonical_sample_np(ids, mat, sample_cap)
 
     def pairwise_d2(a, b):
         return (
@@ -602,7 +612,12 @@ def gold_bpe(docs, n_merges=64):
     wf = Counter()
     for t in docs["text"]:
         wf.update(re.findall(r"[a-z0-9]+", (t or "").lower()))
-    words = {tuple(w) + ("</w>",): f for w, f in wf.items()}
+    # identical (freq desc, word asc, limit top_words) cut as
+    # operators/bpe.py::word_freqs — without it the replica silently diverges
+    # from the engine once the corpus vocabulary exceeds the cap
+    top_words = 100_000
+    ordered = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:top_words]
+    words = {tuple(w) + ("</w>",): f for w, f in ordered}
     merges = []
     for _ in range(n_merges):
         pairs = Counter()
@@ -676,10 +691,9 @@ def gold_pq(emb, m=8, k=16, sample_cap=10_000, n_iters=10, topk=5):
     queries. Emitted pre-melted for the q_curation_suite union."""
     ids = emb["vec_id"].to_numpy()
     x = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
-    # canonical sample: first sample_cap rows, then sorted by id (mirrors
-    # operators/pq.py::_canonical_sample — partition-order independent)
-    head_ids = ids[:sample_cap]
-    sample = x[:sample_cap][np.argsort(head_ids, kind="stable")]
+    # canonical sample: smallest-md5(id) membership, id order (mirrors
+    # operators/sampling.canonical_sample — fully layout-independent)
+    sample = canonical_sample_np(ids.astype(np.int64), x, sample_cap)
     d = x.shape[1]
     sub = d // m
 
