@@ -77,14 +77,31 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # headline fields LAST: the driver keeps the tail of the output, so a
+    # front-truncated line must still carry metric/value/sf (BENCH_r03 lost
+    # its total to the old field order) — plus a short all-totals line after,
+    # which survives any truncation whole.
+    print(
+        json.dumps(
+            {
+                "queries": timings,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "n_errors": sum(1 for t in timings.values() if t < 0),
+                "metric": "query_suite_total_sec",
+                "value": total,
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "query_suite_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
             }
         )
     )

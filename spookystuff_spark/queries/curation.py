@@ -37,7 +37,7 @@ from spookystuff_spark.queries.similarity import (
 def _pq_topk_rows(spark, sf_dir):
     return q_pq_topk(spark, sf_dir)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
-from spookystuff_spark.tables import table
+from spookystuff_spark.tables import shared_scans, table
 
 MIX_RATES = {"de": 0.8, "en": 0.5, "es": 0.25, "fr": 1.0, "zh": 0.1}
 
@@ -265,7 +265,13 @@ GOLDEN_QUERIES.add("q_curation_suite")
 def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup / mixture-sample / PII-scrub / keep-best / embedding-norms
     melted into one gated result set — every value of every constituent
-    pinned by one CORRECTNESS row."""
+    pinned by one CORRECTNESS row. ``shared_scans`` persists the two base
+    scans (documents, embeddings) once for all ~10 constituents."""
+    with shared_scans(spark, sf_dir, ("documents", "embeddings")):
+        return _curation_parts(spark, sf_dir)
+
+
+def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q_semdedup_prune(spark, sf_dir),

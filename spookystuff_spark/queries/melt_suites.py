@@ -18,7 +18,7 @@ from spookystuff_spark.queries import (
     bench_only,
     query,
 )
-from spookystuff_spark.tables import table
+from spookystuff_spark.tables import shared_scans, table
 from spookystuff_spark.queries.llm_ops import (
     ORACLE_LANG_ID,
     ORACLE_TOKEN_FREQ,
@@ -126,6 +126,11 @@ UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
 
 @query("q_text_suite", oracle=_TEXT_SQL)
 def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with shared_scans(spark, sf_dir, ("documents",)):
+        return _text_suite_parts(spark, sf_dir)
+
+
+def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q_doc_profile(spark, sf_dir),

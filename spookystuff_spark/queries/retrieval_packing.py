@@ -25,7 +25,7 @@ from spookystuff_spark.operators.packing import (
 from spookystuff_spark.operators.retrieval import bm25_topk, bm25_topk_sql
 from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
-from spookystuff_spark.tables import table
+from spookystuff_spark.tables import shared_scans, table
 
 # Fixed benchmark queries over the synthetic query-engine vocabulary.
 BM25_QUERIES = [
@@ -89,6 +89,11 @@ UNION ALL {_melt_sql("sp", "q_train_split", ["split", "lang"],
 
 @query("q_pack_split_suite", oracle=_PACK_SPLIT_SQL)
 def q_pack_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with shared_scans(spark, sf_dir, ("documents",)):
+        return _pack_split_parts(spark, sf_dir)
+
+
+def _pack_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q_pack_sequences(spark, sf_dir),

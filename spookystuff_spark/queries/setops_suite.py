@@ -61,6 +61,13 @@ def q_setops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join (EXISTS), anti join (NOT EXISTS), INTERSECT, and EXCEPT
     melted into one gated result set (constituents stay individually
     benchmarked via ``bench_only``)."""
+    from spookystuff_spark.tables import shared_scans
+
+    with shared_scans(spark, sf_dir, ("customer", "orders")):
+        return _setops_parts(spark, sf_dir)
+
+
+def _setops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt_keys(
             q_customers_with_orders_semi(spark, sf_dir), "semi", ["c_custkey", "c_name"]

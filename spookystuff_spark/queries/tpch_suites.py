@@ -18,6 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
 from spookystuff_spark.queries import query
+from spookystuff_spark.tables import shared_scans
 from spookystuff_spark.queries.tpch_more import (
     ORACLE_Q7,
     ORACLE_Q9,
@@ -118,7 +119,17 @@ UNION ALL {_melt_sql("q12", "q12", ["l_linestatus"], ["high_line_count", "low_li
 
 @query("q_tpch_suite_a", oracle=_SUITE_A_SQL)
 def q_tpch_suite_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H q2/q7/q8/q9/q10/q11/q12/q13 melted into one gated result set."""
+    """TPC-H q2/q7/q8/q9/q10/q11/q12/q13 melted into one gated result set.
+
+    ``shared_scans`` persists the fact/dim scans once for the whole union —
+    without it each constituent re-scans lineitem/orders/... independently."""
+    with shared_scans(
+        spark, sf_dir, ("lineitem", "orders", "customer", "part", "supplier")
+    ):
+        return _suite_a_parts(spark, sf_dir)
+
+
+def _suite_a_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q2_min_cost_supplier(spark, sf_dir),
@@ -180,6 +191,13 @@ UNION ALL {_melt_sql("q21", "q21", ["s_name"], ["numwait"])}
 @query("q_tpch_suite_b", oracle=_SUITE_B_SQL)
 def q_tpch_suite_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q14/q15/q16/q17/q18/q19/q20/q21/q22 melted into one gated set."""
+    with shared_scans(
+        spark, sf_dir, ("lineitem", "orders", "customer", "part", "supplier")
+    ):
+        return _suite_b_parts(spark, sf_dir)
+
+
+def _suite_b_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q16_supplier_part_counts(spark, sf_dir),

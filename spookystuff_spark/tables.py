@@ -7,6 +7,8 @@ scans only the referenced columns/row-groups.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,9 +30,41 @@ TABLES = (
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+# Scan-sharing overrides for melted suite queries: a suite unions ~10
+# constituent pipelines that each re-scan the same base tables; sharing one
+# materialization per table cuts that to a single pass. The mechanism is
+# ``localCheckpoint(eager=False)`` — RDD-level storage, computed at the
+# suite's first action and reused by every later branch — NOT ``persist()``:
+# persist registers in Catalyst's CacheManager, which then silently
+# substitutes the cached FULL TABLE into every unrelated later query on the
+# same table, destroying parquet pushdown/pruning session-wide (at 100 TB,
+# catastrophic). RDD-level blocks are invisible to plan substitution and are
+# reclaimed by the ContextCleaner when the suite's DataFrame is GC'd. The
+# stack only scopes PLAN CONSTRUCTION (the suite body); within a suite,
+# broadcast decisions on the checkpointed (stats-free) frames are recovered
+# at runtime by AQE.
+_SHARED_SCANS: list[dict[tuple[str, str], DataFrame]] = []
+
+
+@contextmanager
+def shared_scans(spark: SparkSession, sf_dir: str, names: tuple[str, ...]):
+    frames = {
+        (sf_dir, n): table(spark, sf_dir, n).localCheckpoint(eager=False)
+        for n in names
+    }
+    _SHARED_SCANS.append(frames)
+    try:
+        yield
+    finally:
+        _SHARED_SCANS.pop()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    for frames in reversed(_SHARED_SCANS):
+        if (sf_dir, name) in frames:
+            return frames[(sf_dir, name)]
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS) which the vectorized
         # parquet reader rejects; read nanos as long and truncate to micros
