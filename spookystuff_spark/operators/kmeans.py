@@ -116,6 +116,9 @@ def kmeans_assign(
     )
     src = src.localCheckpoint(eager=False)  # reused n_iter+1 times
     centroids = seed_centroids(emb, k, id_col, vec_col)
+    # fewer rows than k: degrade to the centroids we actually got, so the
+    # update arrays below stay shape-consistent with the assignment ids
+    k = centroids.shape[0]
     d = centroids.shape[1]
     for _ in range(n_iter):
         partials = src.mapInPandas(

@@ -10,6 +10,8 @@ two filters over one cached scan, not two scans.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
@@ -27,7 +29,31 @@ def read_jsonl(
     ``good`` has exactly the caller's schema; ``quarantined`` is
     (raw_line string) for replay/repair. A malformed line is never silently
     dropped and never poisons the batch.
+
+    The scan is CACHED (Spark requires it to filter on the corrupt column);
+    the cached blocks live until the splits are garbage-collected. Repeated
+    ingests in a long-lived session should use :func:`jsonl_ingest`, which
+    unpersists deterministically after the splits are materialized.
     """
+    good, quarantined, _ = _read_jsonl_cached(spark, path, schema)
+    return good, quarantined
+
+
+@contextmanager
+def jsonl_ingest(spark: SparkSession, path: str, schema: StructType):
+    """``with jsonl_ingest(...) as (good, quarantined):`` — materialize (write
+    out / count) both splits inside the block; the cached scan is unpersisted
+    on exit, so repeated ingest loops don't accumulate executor cache blocks."""
+    good, quarantined, cached = _read_jsonl_cached(spark, path, schema)
+    try:
+        yield good, quarantined
+    finally:
+        cached.unpersist()
+
+
+def _read_jsonl_cached(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     full = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     df = (
         spark.read.schema(full)
@@ -41,4 +67,4 @@ def read_jsonl(
     quarantined = df.where(F.col(CORRUPT_COL).isNotNull()).select(
         F.col(CORRUPT_COL).alias("raw_line")
     )
-    return good, quarantined
+    return good, quarantined, df

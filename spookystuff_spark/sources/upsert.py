@@ -51,21 +51,29 @@ def _swap_pointer(table_dir: str, version: str) -> None:
 
 
 def _next_version(table_dir: str) -> str:
+    """Next unoccupied version name. Derived from BOTH the pointer and the
+    existing version dirs: a crashed writer leaves a dangling dir at
+    pointer+1, and deriving from the pointer alone would make every later
+    write collide with it (errorifexists) until a manual vacuum — the table
+    must self-heal by skipping past dangling dirs instead."""
     cur = _latest(table_dir)
-    n = int(cur[1:]) + 1 if cur else 1
-    return f"v{n:05d}"
+    highest = int(cur[1:]) if cur else 0
+    if os.path.isdir(table_dir):
+        for v in versions(table_dir):
+            highest = max(highest, int(v[1:]))
+    return f"v{highest + 1:05d}"
 
 
 def read_table(
     spark: SparkSession, table_dir: str, version: str | None = None
 ) -> DataFrame:
     """Read the current snapshot, or time-travel to an earlier committed
-    ``version`` (any dir ≤ the pointer that vacuum hasn't dropped)."""
+    ``version`` (any complete dir ≤ the pointer that vacuum hasn't dropped)."""
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v > cur or v not in versions(table_dir):
+    if v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     return spark.read.parquet(os.path.join(table_dir, v))
 
@@ -133,14 +141,30 @@ def versions(table_dir: str) -> list[str]:
     )
 
 
+def committed_versions(table_dir: str) -> list[str]:
+    """Versions safe to read: at or below the pointer AND completely written
+    (Spark's ``_SUCCESS`` marker — a crashed writer's dir lacks it). Since
+    ``_next_version`` self-heals by leapfrogging dangling dirs, a crashed dir
+    can sit BELOW the pointer; the marker check keeps it out of time travel."""
+    cur = _latest(table_dir)
+    if cur is None:
+        return []
+    return [
+        v
+        for v in versions(table_dir)
+        if v <= cur and os.path.exists(os.path.join(table_dir, v, "_SUCCESS"))
+    ]
+
+
 def vacuum(table_dir: str, keep: int = 2) -> list[str]:
-    """Drop all but the newest ``keep`` versions (never the current one).
-    Also removes dangling (uncommitted, newer-than-pointer) dirs from
-    crashed writers. Returns removed version names."""
+    """Drop all but the newest ``keep`` committed versions (never the current
+    one). Also removes dangling dirs from crashed writers — above OR below
+    the pointer (the latter exist because ``_next_version`` leapfrogs them).
+    Returns removed version names."""
     cur = _latest(table_dir)
     vs = versions(table_dir)
-    committed = [v for v in vs if cur is not None and v <= cur]
-    dangling = [v for v in vs if cur is None or v > cur]
+    committed = committed_versions(table_dir)
+    dangling = [v for v in vs if v not in committed]
     drop = committed[:-keep] if keep > 0 else committed[:-1]
     removed = []
     for v in drop + dangling:

@@ -52,3 +52,19 @@ def test_upsert_time_travel(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_table(spark, tdir, "v09999")
+
+
+def test_jsonl_ingest_unpersists_cache(spark, tmp_path):
+    """The context-manager ingest API releases the cached scan on exit, so
+    repeated ingest loops don't leak executor cache blocks (ADVICE r3)."""
+    from spookystuff_spark.sources.jsonl import jsonl_ingest
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"doc_id": 1, "text": "a"}\n{bad\n')
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    with jsonl_ingest(spark, str(p), SCHEMA) as (good, bad):
+        assert good.count() == 1 and bad.count() == 1
+        during = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        assert during >= before + 1
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after == before

@@ -156,3 +156,15 @@ def test_deterministic_shuffle_stable_and_salt_sensitive(spark, docs):
         .collect()
     ]
     assert a != c and sorted(c) == sorted(a)  # new epoch, same membership
+
+
+def test_kmeans_fewer_rows_than_k(spark):
+    """k > row count degrades to the seeded centroid count instead of an
+    IndexError in the update step (ADVICE r3)."""
+    from spookystuff_spark.operators.kmeans import kmeans_assign
+
+    rows = [(i, [float(i), float(-i)]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(emb, k=16, n_iter=2).collect()
+    assert len(out) == 3
+    assert {r["cluster"] for r in out} <= {0, 1, 2}

@@ -68,3 +68,19 @@ def test_versions_monotonic(spark, tdir):
     v1 = write_table(base, tdir)
     v2 = upsert(spark, tdir, base, ["k"])
     assert (v1, v2) == ("v00001", "v00002")
+
+
+def test_self_heal_after_dangling_version(spark, tdir):
+    """A crashed writer's dangling dir must not block subsequent writes:
+    _next_version skips past it (ADVICE r3) instead of colliding with
+    errorifexists until a manual vacuum."""
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    write_table(base, tdir)  # v00001 committed
+    # crashed writer: v00002 exists but pointer still v00001
+    os.makedirs(os.path.join(tdir, "v00002"))
+    up = spark.createDataFrame([(1, "A")], "k long, v string")
+    v = upsert(spark, tdir, up, ["k"])  # must NOT raise
+    assert v == "v00003"
+    assert _rows(read_table(spark, tdir)) == [(1, "A")]
+    # dangling dir is still vacuumable
+    assert "v00002" in vacuum(tdir, keep=2)
