@@ -237,3 +237,57 @@ def keep_best(
             "n_members",
         )
     )
+
+
+# ------------------------------------------------- leakage-safe splitting
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights=None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: a near-duplicate pair that
+    straddles the train/test boundary is evaluation leakage, so every member
+    of a near-dup cluster must land in ONE split. Assign the deterministic
+    hash split (operators/packing.py) to each doc, then override every
+    clustered doc with its cluster CANONICAL's split (canonical = min id =
+    the component label itself, so no extra canonical-selection pass).
+
+    Plan: components over the (tiny relative to corpus) pair list, one
+    broadcast-sized join of cluster labels to their canonical's split, one
+    left join back to the corpus — the corpus is never shuffled (its own
+    split is a narrow md5 expression). → (id, split, orig_split, moved);
+    ``moved`` marks docs whose split changed, for audit.
+    """
+    from spookystuff_spark.operators.graph import connected_components
+    from spookystuff_spark.operators.packing import hash_split
+
+    base = hash_split(docs.select(F.col(id_col)), id_col, weights, salt)
+    comps = connected_components(pairs, "id_a", "id_b")
+    canon = (
+        comps.select(F.col("component")).distinct()
+        # the component label IS a doc id (min member) — hash its split the
+        # same narrow way rather than joining back to the corpus
+    )
+    canon_split = hash_split(
+        canon.select(F.col("component").alias(id_col)), id_col, weights, salt
+    ).select(F.col(id_col).alias("component"), F.col("split").alias("canon_split"))
+    override = comps.join(F.broadcast(canon_split), "component").select(
+        F.col("node").alias(id_col), "canon_split"
+    )
+    return (
+        base.join(F.broadcast(override), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("canon_split"), F.col("split")).alias("split"),
+            F.col("split").alias("orig_split"),
+            (
+                F.col("canon_split").isNotNull()
+                & (F.col("canon_split") != F.col("split"))
+            ).alias("moved"),
+            F.col("canon_split").isNotNull().alias("clustered"),
+        )
+    )

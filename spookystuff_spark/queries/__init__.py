@@ -75,6 +75,7 @@ def load_all_query_modules() -> None:
         hygiene,
         llm_ops,
         melt_suites,
+        model_ops,
         pipeline_demo,
         relational,
         relational2,

@@ -36,6 +36,12 @@ from spookystuff_spark.queries.similarity import (
 
 def _pq_topk_rows(spark, sf_dir):
     return q_pq_topk(spark, sf_dir)
+
+
+def _leakage_rows(spark, sf_dir):
+    from spookystuff_spark.queries.model_ops import q_leakage_split
+
+    return q_leakage_split(spark, sf_dir)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 from spookystuff_spark.tables import shared_scans, table
 
@@ -253,6 +259,8 @@ UNION ALL {_melt_sql("cap", "capstratum", ["doc_id", "source"], ["kept"])}
 UNION ALL {_melt_sql("bloom", "bloomnew", ["doc_id"], ["is_new"])}
 UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_pq_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num
+          FROM read_parquet('{_GOLD}/q_leakage_melt.parquet')
 """
 
 
@@ -326,6 +334,12 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pq",
             ["query_id", "rank"],
             ["vec_id", "adc_d2"],
+        ),
+        _melt(
+            _leakage_rows(spark, sf_dir),
+            "leakage",
+            ["doc_id", "orig_split", "split"],
+            ["moved"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -37,6 +37,11 @@ from spookystuff_spark.queries.text import (
     q_doc_profile,
     q_lang_distribution,
 )
+from spookystuff_spark.queries.model_ops import (
+    ORACLE_HEAVY_HITTERS,
+    q_heavy_hitters_bigrams,
+    q_text_classifier,
+)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
@@ -106,7 +111,8 @@ def _bpe_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_SQL = f"""
 WITH dp AS ({ORACLE_DOC_PROFILE}), ld AS ({ORACLE_LANG_DIST}),
-     li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ})
+     li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ}),
+     hh AS ({ORACLE_HEAVY_HITTERS})
 {_melt_sql(
     "dp", "q_doc_profile", ["doc_id"],
     ["len_chars", "n_tokens", "bpe_tokens", "punct_ratio", "quality",
@@ -120,8 +126,11 @@ UNION ALL {_melt_sql(
     "li", "q_lang_id_heuristic", ["labeled_lang", "detected_lang"], ["n_docs"],
 )}
 UNION ALL {_melt_sql("tf", "q_token_freq_topk", ["tok"], ["n"])}
+UNION ALL {_melt_sql("hh", "q_heavy_hitters_bigrams", ["tok"], ["n", "rank"])}
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
-  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')"""
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_classifier_melt.parquet')"""
 
 
 @query("q_text_suite", oracle=_TEXT_SQL)
@@ -153,6 +162,18 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["n_docs"],
         ),
         _melt(q_token_freq_topk(spark, sf_dir), "q_token_freq_topk", ["tok"], ["n"]),
+        _melt(
+            q_heavy_hitters_bigrams(spark, sf_dir),
+            "q_heavy_hitters_bigrams",
+            ["tok"],
+            ["n", "rank"],
+        ),
+        _melt(
+            q_text_classifier(spark, sf_dir),
+            "q_text_classifier",
+            ["doc_id"],
+            ["prob", "pred"],
+        ),
         _bpe_melted(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)

@@ -760,6 +760,123 @@ def gold_pq(emb, m=8, k=16, sample_cap=10_000, n_iters=10, topk=5):
     )
 
 
+def gold_classifier(docs, n_features=512, n_iters=40, lr=6.0, quant=1 << 28):
+    """Replica of operators/classifier.py: md5-hashed binary BoW features,
+    int64-quantized full-batch GD, clipped sigmoid scores. Emitted pre-melted
+    for the q_text_suite union (q_text_classifier rows)."""
+    import math
+
+    feats, ys, dids = [], [], []
+    for did, t in zip(docs["doc_id"], docs["text"]):
+        toks = (t or "").lower().split()
+        idxs = sorted(
+            {int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % n_features
+             for tok in toks}
+        )
+        feats.append(np.array(idxs, dtype=np.int64))
+        ys.append(1.0 if "dup" in toks else 0.0)
+        dids.append(int(did))
+    n_docs = len(dids)
+    w = np.zeros(n_features + 1, dtype=np.float64)
+
+    def logit(idxs):
+        z = float(np.dot(w[idxs], np.ones(len(idxs), dtype=np.float64)) + w[-1])
+        return max(-30.0, min(30.0, z))
+
+    for _ in range(n_iters):
+        acc: dict = {}
+        for idxs, y in zip(feats, ys):
+            p = 1.0 / (1.0 + math.exp(-logit(idxs)))
+            g = p - y
+            for j in idxs:
+                q = int(round(g * 1.0 * quant))
+                if q:
+                    acc[int(j)] = acc.get(int(j), 0) + q
+            qb = int(round(g * quant))
+            if qb:
+                acc[n_features] = acc.get(n_features, 0) + qb
+        for j, qg in acc.items():
+            w[j] -= lr * (qg / quant) / n_docs
+
+    q, row_key, measure, v_num = [], [], [], []
+    for did, idxs in zip(dids, feats):
+        p = 1.0 / (1.0 + math.exp(-logit(idxs)))
+        pr = round(p + 1e-9, 4)
+        for m, v in (("prob", pr), ("pred", 1.0 if p >= 0.5 else 0.0)):
+            q.append("q_text_classifier")
+            row_key.append(str(did))
+            measure.append(m)
+            v_num.append(float(v))
+    write(
+        "q_classifier_melt",
+        pa.table(
+            {
+                "q": pa.array(q),
+                "row_key": pa.array(row_key),
+                "measure": pa.array(measure),
+                "v_num": pa.array(v_num, pa.float64()),
+            }
+        ),
+    )
+
+
+def gold_leakage(docs, salt="split-v1"):
+    """Replica of operators/curation.leakage_safe_split over the minhash-0.5
+    near-dup graph: md5 hash split, union-find components, cluster members
+    inherit the canonical (min-id) member's split. Emitted pre-melted for the
+    q_curation_suite union (leakage rows; clustered docs only)."""
+    weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bounds, accv = [], 0.0
+    for name, wgt in weights.items():
+        accv += wgt / total
+        bounds.append((name, f"{max(min(int(accv * 65536), 65536) - 1, 0):04x}"))
+
+    def split_of(i: int) -> str:
+        b = hashlib.md5(f"{salt}|{i}".encode()).hexdigest()[:4]
+        for name, bound in bounds[:-1]:
+            if b <= bound:
+                return name
+        return bounds[-1][0]
+
+    pairs = minhash_pairs(docs, threshold=0.5)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ia, ib, _ in pairs:
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted({x for p in pairs for x in p[:2]})
+    q, row_key, measure, v_num = [], [], [], []
+    for n in nodes:
+        orig = split_of(n)
+        final = split_of(find(n))
+        q.append("leakage")
+        row_key.append(f"{n}|{orig}|{final}")
+        measure.append("moved")
+        v_num.append(1.0 if orig != final else 0.0)
+    write(
+        "q_leakage_melt",
+        pa.table(
+            {
+                "q": pa.array(q),
+                "row_key": pa.array(row_key),
+                "measure": pa.array(measure),
+                "v_num": pa.array(v_num, pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -776,6 +893,8 @@ def main():
     gold_kmeans(emb)
     gold_bpe(docs)
     gold_pq(emb)
+    gold_classifier(docs)
+    gold_leakage(docs)
 
 
 if __name__ == "__main__":
