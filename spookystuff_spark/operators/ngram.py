@@ -225,3 +225,90 @@ def char_ngram_logprob(
         (F.sum("wlp") / F.sum("c")).alias("avg_logprob"),
         F.sum("c").cast("long").alias("n_grams"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 15, hashed: bool = True
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2021): delete every token
+    covered by a duplicated ``n``-gram anchor (one that occurs ≥2 times
+    corpus-wide) and rebuild the doc from the surviving tokens. The cleaned
+    text is whitespace-normalized lowercase (the tokenizer's view).
+
+    Returns (id, cleaned_md5, kept_tokens, removed_tokens) for docs that had
+    at least one duplicated anchor — the pinnable digest of the rewritten
+    corpus; callers wanting the text itself use the same plan minus the md5.
+
+    Plan, all Catalyst: one window exchange on gram_key annotates anchor
+    occurrence counts (identical to longest_dup_span); covered token indices
+    come from ``sequence(pos, pos+n-1)`` + explode with an in-doc distinct
+    (groupBy (id, idx) — shuffle bounded by Σ covered tokens); one left-anti
+    join removes them from the posexploded token stream; one ordered
+    aggregation rebuilds the text. No pair explosion anywhere — cost is
+    O(corpus tokens + dup-anchor coverage), never O(dup pairs²)."""
+    from pyspark.sql import Window
+
+    gram_col = token_ngram_keys if hashed else token_ngrams
+    toks = df.select(
+        F.col(id_col),
+        _TOKENS(F.col(text_col)).alias("__toks"),
+        gram_col(F.col(text_col), n).alias("__grams"),
+    )
+    pos_grams = toks.select(
+        F.col(id_col), F.posexplode(F.col("__grams")).alias("pos", "gram_key")
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
+    dup_anchor = (
+        pos_grams.withColumn("occ", occ)
+        .filter(F.col("occ") >= 2)
+        .select(F.col(id_col), "pos")
+    )
+    covered = (
+        dup_anchor.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+                "ti"
+            ),
+        )
+        .groupBy(id_col, "ti")
+        .agg(F.lit(1).alias("__c"))
+        .select(id_col, "ti")
+    )
+    tok_stream = toks.select(
+        F.col(id_col),
+        F.size("__toks").alias("__total"),
+        F.posexplode(F.col("__toks")).alias("ti", "tok"),
+    )
+    kept = tok_stream.join(covered, [id_col, "ti"], "left_anti")
+    rebuilt = kept.groupBy(id_col, "__total").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("ti"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("cleaned_md5"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    # docs whose tokens were ALL removed have no kept rows: recover them from
+    # the dup-anchor doc set so the output is total over affected docs
+    affected = dup_anchor.select(id_col).distinct().join(
+        toks.select(F.col(id_col), F.size("__toks").alias("__total")), id_col
+    )
+    return (
+        affected.join(rebuilt.drop("__total"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (F.col("__total") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )

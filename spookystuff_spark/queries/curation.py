@@ -42,6 +42,12 @@ def _leakage_rows(spark, sf_dir):
     from spookystuff_spark.queries.model_ops import q_leakage_split
 
     return q_leakage_split(spark, sf_dir)
+
+
+def _dupspan_removal_rows(spark, sf_dir):
+    from spookystuff_spark.queries.hygiene import q_dupspan_removal
+
+    return q_dupspan_removal(spark, sf_dir)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 from spookystuff_spark.tables import shared_scans, table
 
@@ -180,6 +186,30 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(members, "component", "doc_id", "quality").orderBy("cluster")
 
 
+@bench_only("q_cluster_balanced_sample")
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced curation: k-means cells as strata, at most 10 vectors
+    per cell chosen by the deterministic md5 draw — cluster-cap sampling
+    (the SemDeDup/DoReMi-style balance step). Composition of the
+    bit-reproducible k-means trainer and cap_per_stratum; exact membership
+    pinned via q_curation_suite (SQL over the kmeans golden)."""
+    from spookystuff_spark.operators.kmeans import kmeans_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(emb, k=16, n_iter=5)
+    return (
+        cap_per_stratum(cells, "vec_id", "cluster", cap=10)
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
+def cap_per_stratum(df, id_col, stratum_col, cap):
+    from spookystuff_spark.operators.curation import cap_per_stratum as _cps
+
+    return _cps(df, id_col, stratum_col, cap=cap)
+
+
 _GOLD = f"/root/repo/fixtures/golden/{GOLDEN_SF}"
 # The semdedup/keep-best constituents are sf0.01 golden parquets, so the
 # SQL-expressible constituents must read the same SF regardless of which
@@ -232,6 +262,38 @@ lds AS (
   SELECT doc_id, CAST(max(run) + 14 AS BIGINT) AS longest_span_tokens
   FROM (SELECT doc_id, grp, count(*) AS run FROM lds_runs GROUP BY doc_id, grp)
   GROUP BY doc_id),
+rds_cov AS (
+  SELECT DISTINCT doc_id, pos + j AS ti FROM lds_dup, UNNEST(range(0, 15)) AS rj(j)),
+rds_tok AS (
+  SELECT doc_id, i AS ti, t[i] AS tok, len(t) AS total
+  FROM lds_toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+rds_kept AS (
+  SELECT k.doc_id, k.ti, k.tok FROM rds_tok k
+  LEFT JOIN rds_cov c ON k.doc_id = c.doc_id AND k.ti = c.ti
+  WHERE c.ti IS NULL),
+rds_reb AS (
+  SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY ti)) AS cleaned_md5,
+         count(*) AS kept_tokens
+  FROM rds_kept GROUP BY doc_id),
+rds AS (
+  SELECT a.doc_id,
+         coalesce(r.cleaned_md5, md5('')) AS cleaned_md5,
+         CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         CAST(a.total - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens
+  FROM (SELECT DISTINCT d.doc_id, tk.total
+        FROM lds_dup d
+        JOIN (SELECT doc_id, len(t) AS total FROM lds_toks) tk USING (doc_id)) a
+  LEFT JOIN rds_reb r USING (doc_id)),
+cbs AS (
+  SELECT vec_id, cluster, 1.0 AS kept FROM (
+    SELECT g.vec_id, g.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.cluster
+             ORDER BY CAST(('0x' || substr(md5(CAST(g.vec_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) / 4294967296.0,
+                      g.vec_id) AS rn
+    FROM read_parquet('{_GOLD}/q_kmeans_assign.parquet') g)
+  WHERE rn <= 10),
 cap AS (
   SELECT doc_id, source, 1.0 AS kept FROM (
     SELECT doc_id, source,
@@ -256,6 +318,11 @@ UNION ALL {_melt_sql("kb", "keepbest", ["cluster", "kept_id"], ["kept_score", "n
 UNION ALL {_melt_sql("emb", "embnorms", ["label"], ["n_vecs", "avg_norm"])}
 UNION ALL {_melt_sql("lds", "dupspan", ["doc_id"], ["longest_span_tokens"])}
 UNION ALL {_melt_sql("cap", "capstratum", ["doc_id", "source"], ["kept"])}
+UNION ALL {
+    _melt_sql("rds", "dupremoval", ["doc_id", "cleaned_md5"],
+              ["kept_tokens", "removed_tokens"])
+}
+UNION ALL {_melt_sql("cbs", "clusterbalance", ["vec_id", "cluster"], ["kept"])}
 UNION ALL {_melt_sql("bloom", "bloomnew", ["doc_id"], ["is_new"])}
 UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_pq_melt.parquet')
@@ -340,6 +407,20 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leakage",
             ["doc_id", "orig_split", "split"],
             ["moved"],
+        ),
+        _melt(
+            _dupspan_removal_rows(spark, sf_dir),
+            "dupremoval",
+            ["doc_id", "cleaned_md5"],
+            ["kept_tokens", "removed_tokens"],
+        ),
+        _melt(
+            q_cluster_balanced_sample(spark, sf_dir).withColumn(
+                "kept", F.lit(1.0)
+            ),
+            "clusterbalance",
+            ["vec_id", "cluster"],
+            ["kept"],
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)

@@ -123,3 +123,16 @@ def q_longest_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return longest_dup_span(docs, "doc_id", "text", n=15).orderBy("doc_id")
+
+
+@bench_only("q_dupspan_removal")
+def q_dupspan_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup removal (operators/ngram.remove_dup_spans):
+    delete every token covered by a corpus-duplicated 15-gram anchor and pin
+    the rewritten doc by md5 + kept/removed counts — the transform half of
+    Lee et al.'s dedup (q_longest_dup_span is the measurement half).
+    Gate row lives in q_curation_suite's melt."""
+    from spookystuff_spark.operators.ngram import remove_dup_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, "doc_id", "text", n=15).orderBy("doc_id")

@@ -199,3 +199,72 @@ def test_leakage_split_no_cross_split_pairs(spark):
     }
     unmoved = [d for d in split_of if split_of[d] == base[d]]
     assert len(unmoved) >= len(split_of) * 0.9  # only cluster members move
+
+
+# --------------------------------------------------------- dup-span removal
+
+
+def test_remove_dup_spans_crafted(spark):
+    """Crafted corpus: a known 15-token span shared by two docs must be cut
+    from both; an all-duplicate doc must empty out; unique docs are absent."""
+    import hashlib
+
+    from spookystuff_spark.operators.ngram import remove_dup_spans
+
+    span = " ".join(f"s{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta {span} gamma"),
+            (1, f"delta {span} epsilon zeta"),
+            (2, span),
+            (3, "totally unique words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs, "doc_id", "text").collect()}
+    assert set(out) == {0, 1, 2}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert out[0]["cleaned_md5"] == md5("alpha beta gamma")
+    assert (out[0]["kept_tokens"], out[0]["removed_tokens"]) == (3, 15)
+    assert out[1]["cleaned_md5"] == md5("delta epsilon zeta")
+    assert out[2]["cleaned_md5"] == md5("")
+    assert (out[2]["kept_tokens"], out[2]["removed_tokens"]) == (0, 15)
+
+
+def test_remove_dup_spans_consistent_with_longest(spark):
+    """Affected-doc set == longest_dup_span's flagged set; removal never
+    exceeds the doc and always covers >= n tokens per flagged doc."""
+    from spookystuff_spark.operators.ngram import longest_dup_span, remove_dup_spans
+
+    docs = table(spark, SF_SMOKE, "documents")
+    removed = {r["doc_id"]: r for r in remove_dup_spans(docs, "doc_id", "text").collect()}
+    flagged = {r["doc_id"] for r in longest_dup_span(docs, "doc_id", "text").collect()}
+    assert set(removed) == flagged
+    for r in removed.values():
+        assert r["removed_tokens"] >= 15
+        assert r["kept_tokens"] >= 0
+
+
+# -------------------------------------------------- cluster-balanced sample
+
+
+def test_cluster_balanced_sample_caps_and_invariance(spark):
+    from spookystuff_spark.operators.curation import cap_per_stratum
+    from spookystuff_spark.operators.kmeans import kmeans_assign
+
+    emb = table(spark, SF_SMOKE, "embeddings")
+    cells = kmeans_assign(emb, k=8, n_iter=3)
+    out = cap_per_stratum(cells, "vec_id", "cluster", cap=5)
+    per = {}
+    for r in out.collect():
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert per and all(len(v) <= 5 for v in per.values())
+
+    cells7 = kmeans_assign(emb.repartition(7), k=8, n_iter=3)
+    out7 = cap_per_stratum(cells7, "vec_id", "cluster", cap=5)
+    assert {(r["vec_id"], r["cluster"]) for r in out7.collect()} == {
+        (r["vec_id"], r["cluster"]) for r in out.collect()
+    }
