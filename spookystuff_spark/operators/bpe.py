@@ -128,7 +128,9 @@ def bpe_token_counts(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    return spread_small_input(docs.select(id_col, text_col)).mapInPandas(
         fn, "doc_id long, n_words long, n_bpe_tokens long"
     )
 

@@ -8,14 +8,17 @@ linear classifier over hashed bag-of-words features), built Spark-first:
     iteration and the scoring pass — the corpus is scanned once, not
     once-per-iteration. At 100 TB the features frame is what you'd persist
     to DFS; its width is bounded (≤ tokens-per-doc sparse entries).
-  * Each full-batch gradient-descent iteration is one narrow ``mapInPandas``
-    pass emitting per-doc gradient contributions QUANTIZED to int64
-    (``round(g * 2^28)``) + one ``groupBy(feature).sum`` whose shuffle is
-    ≤ n_features+2 keys. Integer addition is associative-commutative, so the
-    trained weights are IDENTICAL under any partitioning / executor count —
-    the same trick as operators/kmeans.py's int64-quantized means.
-  * The driver holds only the (n_features+1) weight vector and the tiny
-    aggregated gradient — no per-doc data ever reaches the driver.
+  * Training is ridge-IRLS (Newton): each iteration is ONE narrow
+    ``mapInPandas`` pass emitting the per-partition exact gradient AND
+    Hessian with per-doc contributions QUANTIZED to int64
+    (``rint(x * 2^28)``) + one ``groupBy(cell).sum`` bounded by the feature
+    co-occurrence pattern. Integer addition is associative-commutative, so
+    the aggregated (g, H) — and therefore the trained weights — are
+    IDENTICAL under any partitioning / executor count (the same trick as
+    operators/kmeans.py's int64-quantized means), and Newton needs ~5
+    passes where gradient descent needs 40+ on rare-feature signals.
+  * The driver holds only the (D, D) system and the weight vector — no
+    per-doc data ever reaches the driver.
 
 Determinism contract (verified by the golden replica in tools/gen_goldens.py
 and the repartition-invariance test): per-doc math is elementwise float64 over
@@ -109,52 +112,82 @@ def _doc_logits(w: np.ndarray, idxs, vals) -> float:
 def train_logreg(
     features: DataFrame,
     n_features: int = 1024,
-    n_iters: int = 40,
-    lr: float = 6.0,
+    n_iters: int = 5,
+    ridge: float = 1.0,
 ) -> np.ndarray:
-    """Full-batch gradient descent on the checkpointed features frame.
-    Returns weights of length n_features+1 (last = bias). One Spark job per
-    iteration; each job's shuffle is ≤ n_features+2 rows after map-side
-    partial aggregation."""
-    n_docs = features.count()
-    w = np.zeros(n_features + 1, dtype=np.float64)
+    """Ridge-regularized IRLS (Newton) on the checkpointed features frame —
+    converges in a handful of iterations regardless of feature conditioning
+    (plain GD needs 10x the passes when a rare feature carries the signal).
 
-    grad_schema = StructType(
-        [StructField("j", IntegerType()), StructField("qg", LongType())]
+    Per iteration, ONE Spark job aggregates the exact full-batch gradient
+    AND Hessian: per-doc contributions are quantized to int64 (exact,
+    order-independent sums), accumulated into a dense (D, D) int64 array per
+    partition, and only NONZERO cells are emitted — the shuffle/collect is
+    bounded by the feature CO-OCCURRENCE pattern (+D gradient cells), far
+    below D² for hashed text features. The driver solves the D×D ridge
+    system (D = n_features+1, bias folded in as the last feature) — O(D³)
+    driver work, no per-doc data ever collected.
+
+    Returns weights of length n_features+1 (last = bias)."""
+    D = n_features + 1
+    w = np.zeros(D, dtype=np.float64)
+
+    cell_schema = StructType(
+        [StructField("cell", LongType()), StructField("q", LongType())]
     )
 
     for _ in range(n_iters):
         w_b = w.copy()
 
-        def grads(batches: Iterator) -> Iterator:
+        def cells(batches: Iterator) -> Iterator:
             import pandas as pd
 
+            gq = np.zeros(D, dtype=np.int64)
+            hq = np.zeros((D, D), dtype=np.int64)
             for pdf in batches:
-                acc: dict[int, int] = {}
                 for y, idxs, vals in zip(pdf["y"], pdf["idxs"], pdf["vals"]):
                     z = _doc_logits(w_b, idxs, vals)
                     p = 1.0 / (1.0 + math.exp(-z))
-                    g = p - y
-                    for j, v in zip(idxs, vals):
-                        q = int(round(g * v * QUANT))
-                        if q:
-                            acc[j] = acc.get(j, 0) + q
-                    qb = int(round(g * QUANT))
-                    if qb:
-                        acc[n_features] = acc.get(n_features, 0) + qb
-                if acc:
-                    yield pd.DataFrame(
-                        {"j": list(acc), "qg": list(acc.values())}
-                    ).astype({"j": "int32", "qg": "int64"})
+                    s = p * (1.0 - p)
+                    ix = np.concatenate(
+                        [np.asarray(idxs, dtype=np.int64), [D - 1]]
+                    )
+                    v = np.concatenate(
+                        [np.asarray(vals, dtype=np.float64), [1.0]]
+                    )
+                    gq[ix] += np.rint((p - y) * v * QUANT).astype(np.int64)
+                    hq[np.ix_(ix, ix)] += np.rint(
+                        s * np.outer(v, v) * QUANT
+                    ).astype(np.int64)
+            cells_out, qs = [], []
+            gnz = np.nonzero(gq)[0]
+            cells_out.append(gnz)
+            qs.append(gq[gnz])
+            hi, hj = np.nonzero(hq)
+            cells_out.append(D + hi * D + hj)
+            qs.append(hq[hi, hj])
+            flat = np.concatenate(cells_out)
+            if len(flat):
+                yield pd.DataFrame(
+                    {"cell": flat, "q": np.concatenate(qs)}
+                ).astype({"cell": "int64", "q": "int64"})
 
         agg = (
-            features.mapInPandas(grads, grad_schema)
-            .groupBy("j")
-            .agg(F.sum("qg").alias("qg"))
+            features.mapInPandas(cells, cell_schema)
+            .groupBy("cell")
+            .agg(F.sum("q").alias("q"))
             .collect()
         )
+        g = np.zeros(D)
+        H = np.zeros((D, D))
         for row in agg:
-            w[row["j"]] -= lr * (row["qg"] / QUANT) / n_docs
+            c, q = row["cell"], row["q"] / QUANT
+            if c < D:
+                g[c] = q
+            else:
+                H[(c - D) // D, (c - D) % D] = q
+        delta = np.linalg.solve(H + ridge * np.eye(D), -(g + ridge * w))
+        w = w + delta
     return w
 
 
@@ -197,19 +230,24 @@ def fit_score_text_classifier(
     text_col: str,
     label_col,
     n_features: int = 1024,
-    n_iters: int = 40,
-    lr: float = 6.0,
+    n_iters: int = 5,
+    ridge: float = 1.0,
 ) -> tuple[np.ndarray, DataFrame]:
-    """End-to-end: featurize once (checkpointed), train, score the corpus.
-    ``label_col`` may be a Column expression (e.g. ``(F.col('lang')=='en')``).
-    Returns (weights, scores DataFrame)."""
+    """End-to-end: featurize once (checkpointed), train with IRLS, score the
+    corpus. ``label_col`` may be a Column expression (e.g.
+    ``(F.col('lang')=='en')``). Returns (weights, scores DataFrame)."""
     base = df.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(text_col).alias(text_col),
         label_col.cast("double").alias("__y"),
     )
-    feats = featurize(base, id_col, text_col, "__y", n_features)
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    # spread BEFORE featurize/checkpoint: every GD iteration inherits the
+    # checkpointed layout, so a one-task layout would serialize all of
+    # training onto one core
+    feats = featurize(spread_small_input(base), id_col, text_col, "__y", n_features)
     # one corpus scan total: every GD iteration + scoring reuses the blocks
     feats = feats.localCheckpoint(eager=True)
-    w = train_logreg(feats, n_features, n_iters, lr)
+    w = train_logreg(feats, n_features, n_iters, ridge)
     return w, score_logreg(feats, w)

@@ -88,7 +88,9 @@ def mg_candidates(
         if counters:
             yield pd.DataFrame({"tok": list(counters)})
 
-    return df.select(text_col).mapInPandas(run, out_schema)
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    return spread_small_input(df.select(text_col)).mapInPandas(run, out_schema)
 
 
 def heavy_hitters(
@@ -124,7 +126,9 @@ def heavy_hitters(
         ).alias("tok")
     else:
         tok = F.explode(_TOKENS(F.col(text_col))).alias("tok")
-    exploded = df.select(tok)
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    exploded = spread_small_input(df).select(tok)
     # candidate filter runs inside the scan/codegen stage: the shuffled agg
     # sees ≤ |cands| keys no matter the corpus vocabulary
     counted = (

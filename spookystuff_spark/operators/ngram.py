@@ -72,9 +72,13 @@ def doc_grams(
     inside one row's own gram array (ids are unique per row — the caller's
     contract), so ``array_distinct`` inside the codegen stage is exact and
     no global ``.distinct()`` exchange is needed at all."""
+    from spookystuff_spark.operators.layout import spread_small_input
+
     gram_col = token_ngram_keys if hashed else token_ngrams
     gram = F.explode(F.array_distinct(gram_col(F.col(text_col), n))).alias("gram_key")
-    return df.select(F.col(id_col), gram)
+    # gram explosion is ~100x the input bytes in CPU: make sure a small
+    # (few-file) input doesn't serialize it onto one task
+    return spread_small_input(df).select(F.col(id_col), gram)
 
 
 def decontaminate(
@@ -146,8 +150,10 @@ def longest_dup_span(
     docs containing at least one duplicated anchor."""
     from pyspark.sql import Window
 
+    from spookystuff_spark.operators.layout import spread_small_input
+
     gram_col = token_ngram_keys if hashed else token_ngrams
-    pos_grams = df.select(
+    pos_grams = spread_small_input(df).select(
         F.col(id_col),
         F.posexplode(gram_col(F.col(text_col), n)).alias("pos", "gram_key"),
     )
@@ -193,7 +199,9 @@ def char_ngram_logprob(
     # materialize lower(text) BEFORE the per-element lambda — expressions
     # referenced inside transform() are re-evaluated per array element, which
     # turns an O(L) scan into O(L²) per document
-    lowered = df.select(
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    lowered = spread_small_input(df).select(
         F.col(id_col), F.lower(F.col(text_col)).alias("__low")
     )
     low = F.col("__low")
@@ -248,14 +256,17 @@ def remove_dup_spans(
     O(corpus tokens + dup-anchor coverage), never O(dup pairs²)."""
     from pyspark.sql import Window
 
+    from spookystuff_spark.operators.layout import spread_small_input
+
     gram_col = token_ngram_keys if hashed else token_ngrams
-    toks = df.select(
+    spread = spread_small_input(df)
+    # NB: each consumer explodes straight off the source projection — routing
+    # the gram posexplode through a shared (toks, grams) projection makes the
+    # collapsed generator re-evaluate the tokenizer per emitted element (the
+    # O(L²) transform trap documented at char_ngram_logprob), ~14x slower
+    pos_grams = spread.select(
         F.col(id_col),
-        _TOKENS(F.col(text_col)).alias("__toks"),
-        gram_col(F.col(text_col), n).alias("__grams"),
-    )
-    pos_grams = toks.select(
-        F.col(id_col), F.posexplode(F.col("__grams")).alias("pos", "gram_key")
+        F.posexplode(gram_col(F.col(text_col), n)).alias("pos", "gram_key"),
     )
     occ = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
     dup_anchor = (
@@ -274,10 +285,10 @@ def remove_dup_spans(
         .agg(F.lit(1).alias("__c"))
         .select(id_col, "ti")
     )
-    tok_stream = toks.select(
+    tok_stream = spread.select(
         F.col(id_col),
-        F.size("__toks").alias("__total"),
-        F.posexplode(F.col("__toks")).alias("ti", "tok"),
+        F.size(_TOKENS(F.col(text_col))).alias("__total"),
+        F.posexplode(_TOKENS(F.col(text_col))).alias("ti", "tok"),
     )
     kept = tok_stream.join(covered, [id_col, "ti"], "left_anti")
     rebuilt = kept.groupBy(id_col, "__total").agg(
@@ -297,7 +308,10 @@ def remove_dup_spans(
     # docs whose tokens were ALL removed have no kept rows: recover them from
     # the dup-anchor doc set so the output is total over affected docs
     affected = dup_anchor.select(id_col).distinct().join(
-        toks.select(F.col(id_col), F.size("__toks").alias("__total")), id_col
+        spread.select(
+            F.col(id_col), F.size(_TOKENS(F.col(text_col))).alias("__total")
+        ),
+        id_col,
     )
     return (
         affected.join(rebuilt.drop("__total"), id_col, "left")

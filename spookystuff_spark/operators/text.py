@@ -299,4 +299,6 @@ def repetition_stats(df, id_col: str, text_col: str):
                 rows.append(r)
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    return spread_small_input(df.select(id_col, text_col)).mapInPandas(run, schema)

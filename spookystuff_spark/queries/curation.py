@@ -38,12 +38,6 @@ def _pq_topk_rows(spark, sf_dir):
     return q_pq_topk(spark, sf_dir)
 
 
-def _leakage_rows(spark, sf_dir):
-    from spookystuff_spark.queries.model_ops import q_leakage_split
-
-    return q_leakage_split(spark, sf_dir)
-
-
 def _dupspan_removal_rows(spark, sf_dir):
     from spookystuff_spark.queries.hygiene import q_dupspan_removal
 
@@ -346,7 +340,38 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _curation_parts(spark, sf_dir)
 
 
+def _kb_leakage_shared(spark, sf_dir):
+    """keep_best + leakage rows off ONE minhash-pair/CC computation (the two
+    most expensive suite constituents otherwise duplicate it)."""
+    from spookystuff_spark.operators.curation import keep_best, leakage_safe_split
+    from spookystuff_spark.operators.dedup import minhash_near_duplicates
+    from spookystuff_spark.operators.graph import connected_components
+    from spookystuff_spark.operators.text import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, n_hashes=128, bands=16
+    ).localCheckpoint(eager=False)
+    comps = connected_components(pairs, "id_a", "id_b")
+    members = comps.join(
+        docs.select("doc_id", quality_score(F.col("text")).alias("quality")),
+        comps["node"] == F.col("doc_id"),
+    )
+    kb = keep_best(members, "component", "doc_id", "quality").orderBy("cluster")
+    leak = (
+        leakage_safe_split(docs, pairs, "doc_id")
+        .filter(F.col("clustered"))
+        .select(
+            "doc_id", "orig_split", "split",
+            F.col("moved").cast("long").alias("moved"),
+        )
+        .orderBy("doc_id")
+    )
+    return kb, leak
+
+
 def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kb_rows, leak_rows = _kb_leakage_shared(spark, sf_dir)
     parts = [
         _melt(
             q_semdedup_prune(spark, sf_dir),
@@ -367,7 +392,7 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["n_emails", "n_ips", "n_phones"],
         ),
         _melt(
-            q_dedup_keep_best(spark, sf_dir),
+            kb_rows,
             "keepbest",
             ["cluster", "kept_id"],
             ["kept_score", "n_members"],
@@ -403,7 +428,7 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["vec_id", "adc_d2"],
         ),
         _melt(
-            _leakage_rows(spark, sf_dir),
+            leak_rows,
             "leakage",
             ["doc_id", "orig_split", "split"],
             ["moved"],

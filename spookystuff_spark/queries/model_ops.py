@@ -19,8 +19,8 @@ HH_K = 30
 # margin and heavy_hitters raises loudly if the corpus ever outgrows it
 HH_COUNTERS = 2048
 CLF_FEATURES = 512
-CLF_ITERS = 40
-CLF_LR = 6.0
+CLF_ITERS = 5
+CLF_RIDGE = 1.0
 
 
 @bench_only("q_heavy_hitters_bigrams")
@@ -55,7 +55,7 @@ ORACLE_HEAVY_HITTERS = f"""
 @bench_only("q_text_classifier")
 def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a hashed-BoW logistic-regression document classifier with
-    bit-reproducible full-batch GD (operators/classifier.py), then score
+    bit-reproducible distributed ridge-IRLS (operators/classifier.py), score
     every doc. The weak-supervision label is presence of the corpus's rare
     marker token 'dup' (~0.1% token frequency) — the one text-derived signal
     the synthetic corpus makes learnable, so the trained model demonstrably
@@ -75,7 +75,7 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         label,
         n_features=CLF_FEATURES,
         n_iters=CLF_ITERS,
-        lr=CLF_LR,
+        ridge=CLF_RIDGE,
     )
     return scores.select(
         F.col("id").alias("doc_id"), "prob", "pred"

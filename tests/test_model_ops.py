@@ -82,7 +82,7 @@ def clf_result(spark):
     docs = table(spark, SF_SMOKE, "documents")
     label = F.array_contains(F.split(F.lower(F.col("text")), r"\s+"), "dup")
     w, scores = fit_score_text_classifier(
-        docs, "doc_id", "text", label, n_features=512, n_iters=40, lr=6.0
+        docs, "doc_id", "text", label, n_features=512, n_iters=5, ridge=1.0
     )
     return w, scores.collect(), docs
 
@@ -113,7 +113,7 @@ def test_classifier_layout_invariant(spark, clf_result):
     docs = table(spark, SF_SMOKE, "documents").repartition(7)
     label = F.array_contains(F.split(F.lower(F.col("text")), r"\s+"), "dup")
     w7, scores7 = fit_score_text_classifier(
-        docs, "doc_id", "text", label, n_features=512, n_iters=40, lr=6.0
+        docs, "doc_id", "text", label, n_features=512, n_iters=5, ridge=1.0
     )
     # int64-quantized gradient sums: weights and scores identical bit-for-bit
     got = {(r["id"], r["prob"], r["pred"]) for r in scores7.collect()}
@@ -141,28 +141,30 @@ def test_classifier_matches_numpy_replica(clf_result):
         feats.append(np.array(idxs, dtype=np.int64))
         ys.append(1.0 if "dup" in toks else 0.0)
         dids.append(r["doc_id"])
-    n_docs = len(dids)
     quant = 1 << 28
-    wr = np.zeros(n_features + 1)
+    D = n_features + 1
+    wr = np.zeros(D)
 
     def logit(idxs):
         z = float(np.dot(wr[idxs], np.ones(len(idxs))) + wr[-1])
         return max(-30.0, min(30.0, z))
 
-    for _ in range(40):
-        acc: dict = {}
+    for _ in range(5):
+        gq = np.zeros(D, dtype=np.int64)
+        hq = np.zeros((D, D), dtype=np.int64)
         for idxs, y in zip(feats, ys):
             p = 1.0 / (1.0 + math.exp(-logit(idxs)))
-            g = p - y
-            for j in idxs:
-                q = int(round(g * quant))
-                if q:
-                    acc[int(j)] = acc.get(int(j), 0) + q
-            qb = int(round(g * quant))
-            if qb:
-                acc[n_features] = acc.get(n_features, 0) + qb
-        for j, qg in acc.items():
-            wr[j] -= 6.0 * (qg / quant) / n_docs
+            sj = p * (1.0 - p)
+            ix = np.concatenate([idxs, [D - 1]])
+            v = np.ones(len(ix))
+            gq[ix] += np.rint((p - y) * v * quant).astype(np.int64)
+            hq[np.ix_(ix, ix)] += np.rint(sj * np.outer(v, v) * quant).astype(
+                np.int64
+            )
+        g = gq / quant
+        H = hq / quant
+        delta = np.linalg.solve(H + 1.0 * np.eye(D), -(g + 1.0 * wr))
+        wr = wr + delta
 
     assert np.array_equal(w, wr)
     expect = {}

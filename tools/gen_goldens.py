@@ -760,12 +760,14 @@ def gold_pq(emb, m=8, k=16, sample_cap=10_000, n_iters=10, topk=5):
     )
 
 
-def gold_classifier(docs, n_features=512, n_iters=40, lr=6.0, quant=1 << 28):
+def gold_classifier(docs, n_features=512, n_iters=5, ridge=1.0, quant=1 << 28):
     """Replica of operators/classifier.py: md5-hashed binary BoW features,
-    int64-quantized full-batch GD, clipped sigmoid scores. Emitted pre-melted
-    for the q_text_suite union (q_text_classifier rows)."""
+    ridge-IRLS with int64-quantized per-doc gradient/Hessian contributions,
+    clipped sigmoid scores. Emitted pre-melted for the q_text_suite union
+    (q_text_classifier rows)."""
     import math
 
+    D = n_features + 1
     feats, ys, dids = [], [], []
     for did, t in zip(docs["doc_id"], docs["text"]):
         toks = (t or "").lower().split()
@@ -776,27 +778,28 @@ def gold_classifier(docs, n_features=512, n_iters=40, lr=6.0, quant=1 << 28):
         feats.append(np.array(idxs, dtype=np.int64))
         ys.append(1.0 if "dup" in toks else 0.0)
         dids.append(int(did))
-    n_docs = len(dids)
-    w = np.zeros(n_features + 1, dtype=np.float64)
+    w = np.zeros(D, dtype=np.float64)
 
     def logit(idxs):
         z = float(np.dot(w[idxs], np.ones(len(idxs), dtype=np.float64)) + w[-1])
         return max(-30.0, min(30.0, z))
 
     for _ in range(n_iters):
-        acc: dict = {}
+        gq = np.zeros(D, dtype=np.int64)
+        hq = np.zeros((D, D), dtype=np.int64)
         for idxs, y in zip(feats, ys):
             p = 1.0 / (1.0 + math.exp(-logit(idxs)))
-            g = p - y
-            for j in idxs:
-                q = int(round(g * 1.0 * quant))
-                if q:
-                    acc[int(j)] = acc.get(int(j), 0) + q
-            qb = int(round(g * quant))
-            if qb:
-                acc[n_features] = acc.get(n_features, 0) + qb
-        for j, qg in acc.items():
-            w[j] -= lr * (qg / quant) / n_docs
+            sj = p * (1.0 - p)
+            ix = np.concatenate([idxs, [D - 1]])
+            v = np.ones(len(ix), dtype=np.float64)
+            gq[ix] += np.rint((p - y) * v * quant).astype(np.int64)
+            hq[np.ix_(ix, ix)] += np.rint(sj * np.outer(v, v) * quant).astype(
+                np.int64
+            )
+        g = gq / quant
+        H = hq / quant
+        delta = np.linalg.solve(H + ridge * np.eye(D), -(g + ridge * w))
+        w = w + delta
 
     q, row_key, measure, v_num = [], [], [], []
     for did, idxs in zip(dids, feats):

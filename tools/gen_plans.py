@@ -23,6 +23,11 @@ COMMENTARY = {
     "q_train_split": "Split assignment is a scan-stage md5 expression (no exchange at all before the summary aggregate) — the operator composes with partition pruning and never reshuffles the corpus.",
     "q_kmeans_assign": "Per iteration: one MapInPandas emitting PRE-AGGREGATED (cluster, dim) partial sums — the shuffle is O(k·d·batches), never O(rows) — and an O(k·d) driver collect. Final pass is a single Arrow stage. Int64-quantized sums make the result identical under any partitioning.",
     "q_warc_doc_stats": "binaryFile scan lists archives on executors; ONE MapInPandas parses records (file = parallelism unit, zero shuffle); title/link profiling is codegen'd regex downstream.",
+    "q_heavy_hitters_bigrams": "The sketch pass (MapInPandas Misra-Gries, O(n_counters) memory, zero shuffle) has already collapsed the bigram universe to a driver-side candidate list by plan time; the visible plan is the exact recount — candidate filter inside the scan/codegen stage, so the groupBy exchange carries at most |candidates| keys regardless of corpus vocabulary.",
+    "q_text_classifier": "Scoring pass over the once-checkpointed hashed-BoW features (the Scan ExistingRDD): one narrow Arrow stage, no exchange. Training already ran as 5 ridge-IRLS jobs whose shuffles were bounded by the feature co-occurrence pattern (int64-quantized gradient+Hessian cells), never by row count.",
+    "q_leakage_split": "The corpus side never shuffles: its split is a scan-stage md5 expression, and the cluster override (components of the near-dup pair list) arrives via BroadcastHashJoin. The only wide work belongs to the minhash pair derivation upstream.",
+    "q_dupspan_removal": "One gram-key exchange (doc-frequency window, same as the measurement ops), one bounded coverage groupBy, one left-anti BroadcastHashJoin removing covered tokens, one ordered rebuild aggregate — all codegen, no Python, no pair explosion.",
+    "q_cluster_balanced_sample": "Cap-per-cell is a single window pass ordered by the deterministic md5 draw; the k-means assignment stage carries its vectors (no re-join). Per-cell quota keeps the output bounded whatever the cell skew.",
     "q_bpe_tokens": "The only corpus-sized job is the word-frequency groupBy (map-side combined, explode never crosses an exchange); merges train on the bounded table driver-side; encoding is one Arrow stage with per-word memoization.",
 }
 
