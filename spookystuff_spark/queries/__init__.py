@@ -85,6 +85,7 @@ def load_all_query_modules() -> None:
         sessions,
         setops_suite,
         similarity,
+        sketches,
         text,
         tpch_more,
         tpch_more2,

@@ -190,7 +190,9 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spookystuff_spark.operators.kmeans import kmeans_assign
 
     emb = table(spark, sf_dir, "embeddings")
-    cells = kmeans_assign(emb, k=16, n_iter=5)
+    # checkpoint: the final-assignment Arrow stage would otherwise run twice
+    # (orderBy's range-partitioner sample pass + the sort itself)
+    cells = kmeans_assign(emb, k=16, n_iter=5).localCheckpoint(eager=False)
     return (
         cap_per_stratum(cells, "vec_id", "cluster", cap=10)
         .select("vec_id", "cluster")

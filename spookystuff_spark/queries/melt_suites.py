@@ -31,6 +31,14 @@ from spookystuff_spark.queries.scalar_funcs import (
     q_date_dimensions,
     q_string_functions,
 )
+from spookystuff_spark.queries.sketches import (
+    ORACLE_CMS_TOKENS,
+    ORACLE_HLL_USERS,
+    ORACLE_KMV_VOCAB,
+    q_cms_token_freq,
+    q_hll_distinct_users,
+    q_kmv_distinct_vocab,
+)
 from spookystuff_spark.queries.text import (
     ORACLE_DOC_PROFILE,
     ORACLE_LANG_DIST,
@@ -45,7 +53,9 @@ from spookystuff_spark.queries.model_ops import (
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
-WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS})
+WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
+     hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
+     kmv AS ({ORACLE_KMV_VOCAB})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -56,7 +66,13 @@ WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS})
 UNION ALL {_melt_sql(
     "dd", "q_date_dimensions", ["o_year", "o_quarter", "o_month"],
     ["n_orders", "revenue"],
-)}"""
+)}
+UNION ALL {_melt_sql(
+    "hll", "q_hll_distinct_users", ["event_type"],
+    ["est_distinct", "zero_regs"],
+)}
+UNION ALL {_melt_sql("cms", "q_cms_token_freq", ["term"], ["est"])}
+UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -74,6 +90,19 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_date_dimensions",
             ["o_year", "o_quarter", "o_month"],
             ["n_orders", "revenue"],
+        ),
+        _melt(
+            q_hll_distinct_users(spark, sf_dir),
+            "q_hll_distinct_users",
+            ["event_type"],
+            ["est_distinct", "zero_regs"],
+        ),
+        _melt(q_cms_token_freq(spark, sf_dir), "q_cms_token_freq", ["term"], ["est"]),
+        _melt(
+            q_kmv_distinct_vocab(spark, sf_dir),
+            "q_kmv_distinct_vocab",
+            ["lang"],
+            ["est_distinct"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)

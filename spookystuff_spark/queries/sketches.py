@@ -1,0 +1,149 @@
+"""Sketch queries: HLL distinct, Count-Min frequency, KMV distinct — each
+individually benchmarked (``bench_only``) and value-pinned through the
+q_scalar_suite melt (queries/melt_suites.py). The DuckDB oracles replay the
+md5 register/bucket/rank arithmetic exactly (operators/sketch.py docstring),
+so these are full value matches, not error-bar checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.queries import bench_only
+from spookystuff_spark.tables import table
+
+CMS_TERMS = [
+    "spark", "table", "query", "join", "filter",
+    "window", "stream", "the", "zebra",
+]
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+_KMV_K = 16
+
+# --- HLL: approximate distinct users per event_type ---------------------
+ORACLE_HLL_USERS = """
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::BIGINT AS reg,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 13))::BIGINT AS w
+      FROM events
+    ), r AS (
+      SELECT event_type, reg,
+             max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS cnt,
+             sum(1::BIGINT << (53 - rho)) AS s_present
+      FROM r GROUP BY 1
+    ), e AS (
+      SELECT event_type, cnt,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               * 9007199254740992.0
+               / (CAST(s_present AS DOUBLE)
+                  + (4096 - cnt) * 9007199254740992.0) AS raw
+      FROM g
+    )
+    SELECT event_type,
+           round(1e-6 + CASE WHEN raw <= 2.5 * 4096 AND (4096 - cnt) > 0
+                             THEN 4096.0 * ln(4096.0 / (4096 - cnt))
+                             ELSE raw END, 2) AS est_distinct,
+           CAST(4096 - cnt AS BIGINT) AS zero_regs
+    FROM e
+    """
+
+
+@bench_only("q_hll_distinct_users")
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event_type via own HLL (p=12): the
+    shuffle carries at most 4096 register rows per group instead of every
+    distinct user — the count(DISTINCT) shape that survives 100 TB."""
+    from spookystuff_spark.operators.sketch import hll_estimate
+
+    ev = table(spark, sf_dir, "events")
+    return hll_estimate(ev, ["event_type"], "user_id", p=12)
+
+
+# --- Count-Min: token frequency point queries ---------------------------
+_CMS_TERM_VALUES = ", ".join(f"('{t}')" for t in CMS_TERMS)
+ORACLE_CMS_TOKENS = f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '(\\S+)', 1)) AS tok
+      FROM documents
+    ), tj AS (
+      SELECT r.j, tok FROM toks CROSS JOIN range({_CMS_DEPTH}) AS r(j)
+    ), sk AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+               % {_CMS_WIDTH} AS bucket,
+             count(*) AS c
+      FROM tj GROUP BY 1, 2
+    ), probes AS (
+      SELECT t.term, r.j,
+             ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || t.term), 1, 12))::BIGINT
+               % {_CMS_WIDTH} AS bucket
+      FROM (VALUES {_CMS_TERM_VALUES}) AS t(term)
+      CROSS JOIN range({_CMS_DEPTH}) AS r(j)
+    )
+    SELECT term, min(coalesce(sk.c, 0)) AS est
+    FROM probes LEFT JOIN sk USING (j, bucket)
+    GROUP BY term
+    """
+
+
+@bench_only("q_cms_token_freq")
+def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries for a fixed term list ('zebra' is absent from
+    the corpus — its row shows pure collision mass). The sketch is a fixed
+    4x1024 grid: the aggregation shuffles <= 4096 keys no matter how large
+    the vocabulary, and the probe join broadcasts the sketch."""
+    from spookystuff_spark.operators.sketch import cms_query, cms_sketch
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\S+)"), 1)
+        ).alias("tok")
+    )
+    sk = cms_sketch(toks, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    return cms_query(spark, sk, CMS_TERMS, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+# --- KMV: approximate distinct vocabulary per language ------------------
+ORACLE_KMV_VOCAB = f"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(regexp_extract_all(lower(text), '(\\S+)', 1)) AS tok
+      FROM documents
+    ), g AS (
+      SELECT lang, substr(md5(tok), 1, 15) AS h
+      FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM g
+    ), agg AS (
+      SELECT lang, max(rn) AS cnt, max(h) AS hk
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY 1
+    )
+    SELECT lang,
+           round(1e-6 + CASE WHEN cnt < {_KMV_K} THEN CAST(cnt AS DOUBLE)
+                 ELSE {float((_KMV_K - 1) * (1 << 60))}
+                      / CAST(('0x' || hk)::BIGINT AS DOUBLE) END, 2)
+             AS est_distinct
+    FROM agg
+    """
+
+
+@bench_only("q_kmv_distinct_vocab")
+def q_kmv_distinct_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k=16) distinct-vocabulary estimate per language: duplicates
+    collapse map-side in the (lang, hash) partial agg, and only the 16
+    smallest hashes per group reach the estimator."""
+    from spookystuff_spark.operators.sketch import kmv_estimate
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\S+)"), 1)
+        ).alias("tok"),
+    )
+    return kmv_estimate(toks, ["lang"], "tok", k=_KMV_K)

@@ -1,0 +1,119 @@
+"""Sketch operators (operators/sketch.py): accuracy vs exact answers,
+one-sided CMS error, partition-layout invariance, and all-Catalyst plans."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spookystuff_spark.operators.sketch import (
+    cms_query,
+    cms_sketch,
+    hll_estimate,
+    kmv_estimate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def tokens(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\S+)"), 1)
+        ).alias("tok"),
+    )
+
+
+def test_hll_within_error_bound(spark, events):
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(events, ["event_type"], "user_id", p=12).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, d in exact.items():
+        # linear-counting regime at these cardinalities: well under 5% error
+        assert abs(est[k] - d) / d < 0.05, (k, est[k], d)
+
+
+def test_hll_partition_invariant(spark, events):
+    a = hll_estimate(events, ["event_type"], "user_id").collect()
+    b = hll_estimate(events.repartition(7), ["event_type"], "user_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cms_overestimates_only_and_is_tight(spark, tokens):
+    terms = ["the", "spark", "table", "zebra"]
+    sk = cms_sketch(tokens, "tok", depth=4, width=1024)
+    est = {r["term"]: r["est"] for r in cms_query(spark, sk, terms).collect()}
+    exact = {
+        r["tok"]: r["n"]
+        for r in tokens.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = tokens.count()
+    for t in terms:
+        true_n = exact.get(t, 0)
+        assert est[t] >= true_n, (t, est[t], true_n)  # one-sided guarantee
+        # e = exp(1)/width -> eN additive bound, with huge slack at this SF
+        assert est[t] - true_n <= max(64, 0.01 * total), (t, est[t], true_n)
+    assert est["zebra"] <= max(64, 0.01 * total)  # absent term: collisions only
+
+
+def test_kmv_reasonable_and_exact_below_k(spark, tokens):
+    # per-lang distinct vocab is ~30 at this SF; k=64 > distinct -> exact
+    exact = {
+        r["lang"]: r["d"]
+        for r in tokens.groupBy("lang")
+        .agg(F.countDistinct("tok").alias("d"))
+        .collect()
+    }
+    got = {
+        r["lang"]: r["est_distinct"]
+        for r in kmv_estimate(tokens, ["lang"], "tok", k=64).collect()
+    }
+    assert got == {k: float(v) for k, v in exact.items()}
+    # engaged estimator (k=8 < distinct): order-of-magnitude correctness
+    approx = {
+        r["lang"]: r["est_distinct"]
+        for r in kmv_estimate(tokens, ["lang"], "tok", k=8).collect()
+    }
+    for k, d in exact.items():
+        assert 0.3 * d < approx[k] < 3.0 * d, (k, approx[k], d)
+
+
+def test_sketch_plans_are_native(spark, events, tokens):
+    # zero Python stages: md5/conv/bin arithmetic stays in codegen
+    for df in [
+        hll_estimate(events, ["event_type"], "user_id"),
+        cms_sketch(tokens, "tok"),
+        kmv_estimate(tokens, ["lang"], "tok"),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, marker
+
+
+def test_hll_register_bound(spark, events):
+    from spookystuff_spark.operators.sketch import hll_registers
+
+    regs = hll_registers(events, ["event_type"], "user_id", p=6)
+    per_group = regs.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 64 for r in per_group)  # m = 2^p registers max
+    with pytest.raises(ValueError):
+        hll_registers(events, ["event_type"], "user_id", p=20)
