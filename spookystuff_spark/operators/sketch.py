@@ -50,13 +50,11 @@ def _hex_long(col, start: int, length: int):
     return F.conv(F.substring(col, start, length), 16, 10).cast("long")
 
 
-def hll_registers(
-    df: DataFrame, group_cols: Sequence[str], value_col: str, p: int = 12
-) -> DataFrame:
-    """HyperLogLog register table: one (group, reg, rho) row per non-empty
-    register. reg = first p bits of md5(value); rho = 1-based position of the
-    leftmost 1-bit in the next 52 bits (53 when all zero). The groupBy is
-    map-side combinable (max), so each partition emits <= m rows per group."""
+def hll_reg_rho(value_col: str, p: int = 12):
+    """(reg, rho) expressions for one value: reg = first p bits of
+    md5(value); rho = 1-based position of the leftmost 1-bit in the next 52
+    bits (53 when all zero). Shared by the batch register table and the
+    streaming windowed variant (streaming/sketch_stream.py)."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4,12] (3 hex chars), got {p}")
     hx = F.md5(F.col(value_col).cast("string"))
@@ -64,6 +62,16 @@ def hll_registers(
     reg = F.shiftright(_hex_long(hx, 1, 3), 12 - p)
     w = _hex_long(hx, 4, 13)  # next 52 bits
     rho = F.when(w == 0, F.lit(53)).otherwise(53 - F.length(F.bin(w)))
+    return reg, rho
+
+
+def hll_registers(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, p: int = 12
+) -> DataFrame:
+    """HyperLogLog register table: one (group, reg, rho) row per non-empty
+    register. The groupBy is map-side combinable (max), so each partition
+    emits <= m rows per group."""
+    reg, rho = hll_reg_rho(value_col, p)
     return df.groupBy(
         *group_cols, reg.alias("reg")
     ).agg(F.max(rho).alias("rho"))
@@ -81,9 +89,18 @@ def hll_estimate(
     replays it bit-for-bit; only the final alpha*m^2/S division is floating
     point, rounded via round_stable.
     """
+    regs = hll_registers(df, group_cols, value_col, p)
+    return hll_finish(regs, group_cols, p)
+
+
+def hll_finish(regs: DataFrame, group_cols: Sequence[str], p: int = 12) -> DataFrame:
+    """Registers -> estimate. Separated so mergeable register tables (e.g.
+    the streaming windowed sketch, or unions of per-shard sketches reduced
+    with max) can be finished the same way as the batch path. Re-aggregates
+    with max(rho), so the input may contain duplicate (group, reg) rows."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, group_cols, value_col, p)
+    regs = regs.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
     # 2^(53-rho) as exact integers; rho in [1,53] -> shift in [0,52]
     term = F.expr("shiftleft(cast(1 as bigint), 53 - rho)").cast("decimal(38,0)")
     g = regs.groupBy(*group_cols).agg(

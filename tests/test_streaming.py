@@ -218,3 +218,40 @@ def test_stream_static_join_equals_batch(spark, events_dir):
         ["segment", "hour", "n_events", "total_value"],
     )
     assert got == expected and len(got) > 0
+
+
+def test_windowed_hll_stream_equals_batch(spark, events_dir):
+    """Streaming HLL: the register table is one supported streaming agg
+    (max is monotone/mergeable); finished estimates must equal the batch
+    run of the same expressions, and the per-window register state must be
+    bounded by 2^p."""
+    from spookystuff_spark.streaming.sketch_stream import (
+        finish_windowed_hll,
+        windowed_hll_registers,
+    )
+
+    ev_batch = spark.read.parquet(events_dir)
+    expected = _rows(
+        finish_windowed_hll(windowed_hll_registers(ev_batch, p=8), p=8),
+        ["window_start", "event_type", "est_distinct", "zero_regs"],
+    )
+    assert len(expected) > 0
+
+    stream = stream_events_from_dir(spark, events_dir, ev_batch.schema)
+    q = run_stream_to_memory(
+        windowed_hll_registers(stream, watermark="1 hour", p=8),
+        "hll_regs_t",
+        "complete",
+    )
+    q.awaitTermination(120)
+    regs = spark.sql("SELECT * FROM hll_regs_t")
+    # state bound: at most 2^p register rows per (window, group)
+    import pyspark.sql.functions as F
+
+    per_group = regs.groupBy("window_start", "event_type").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)
+    got = _rows(
+        finish_windowed_hll(regs, p=8),
+        ["window_start", "event_type", "est_distinct", "zero_regs"],
+    )
+    assert got == expected
