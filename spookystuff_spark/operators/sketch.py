@@ -185,3 +185,53 @@ def kmv_estimate(
         F.lit(float((k - 1) * (1 << 60))) / hk_num
     )
     return agg.select(*group_cols, round_stable(est, 2).alias("est_distinct"))
+
+
+def sample_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_expr,
+    qs: Sequence[float],
+    cap: int = 2000,
+) -> DataFrame:
+    """Per-group quantiles over a deterministic hash-fraction sample — the
+    engine-portable, layout-independent alternative to approx_percentile
+    (whose sketch internals no two engines share).
+
+    Two passes, both bounded: (1) per-group counts (tiny agg, broadcast
+    back); (2) keep rows whose 32-bit md5 fraction < cap/n — a scan-stage
+    filter, so the per-group sort that ranks the sample sees ~cap rows, not
+    the corpus. The nearest-rank (lower) quantile is then exact over that
+    sample: rank = floor(q*(m-1)) + 1. Every step (md5 fraction, least(),
+    floor of an IEEE multiply) replays identically in DuckDB — the oracle
+    pins values, not error bars. Sampling error ~ 1/sqrt(cap) quantile
+    deviation; membership is data-keyed, so it never changes under
+    repartition or file-order churn.
+    """
+    grp = list(group_cols)
+    v = F.col(value_col).alias("v")
+    # 32-bit md5 fraction in [0,1): the corpus-wide deterministic draw idiom
+    hfrac = _hex_long(F.md5(id_expr.cast("string")), 1, 8) / F.lit(4294967296.0)
+    counts = df.groupBy(*grp).agg(F.count(F.lit(1)).alias("_n"))
+    src = df.select(*grp, v, hfrac.alias("_hf")).join(
+        F.broadcast(counts), grp
+    )
+    rate = F.least(F.lit(1.0), F.lit(float(cap)) / F.col("_n"))
+    samp = src.filter(F.col("_hf") < rate).select(*grp, "v")
+    w = Window.partitionBy(*grp).orderBy("v")
+    ranked = samp.withColumn("rn", F.row_number().over(w))
+    sizes = ranked.groupBy(*grp).agg(F.max("rn").alias("m"))
+    targets = sizes.select(
+        *grp,
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        "m",
+    ).withColumn(
+        "trn", F.floor(F.col("q") * (F.col("m") - 1)).cast("long") + 1
+    )
+    cond = targets["trn"] == ranked["rn"]
+    for g in grp:
+        cond = cond & (targets[g] == ranked[g])
+    return F.broadcast(targets).join(ranked, cond).select(
+        *[targets[g] for g in grp], "q", F.col("v").alias("value")
+    )

@@ -35,9 +35,11 @@ from spookystuff_spark.queries.sketches import (
     ORACLE_CMS_TOKENS,
     ORACLE_HLL_USERS,
     ORACLE_KMV_VOCAB,
+    ORACLE_SAMPLE_QUANTILES,
     q_cms_token_freq,
     q_hll_distinct_users,
     q_kmv_distinct_vocab,
+    q_sample_quantiles,
 )
 from spookystuff_spark.queries.text import (
     ORACLE_DOC_PROFILE,
@@ -49,13 +51,14 @@ from spookystuff_spark.queries.model_ops import (
     ORACLE_HEAVY_HITTERS,
     q_heavy_hitters_bigrams,
     q_text_classifier,
+    q_textrank_keywords,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
 WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
-     kmv AS ({ORACLE_KMV_VOCAB})
+     kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -72,7 +75,8 @@ UNION ALL {_melt_sql(
     ["est_distinct", "zero_regs"],
 )}
 UNION ALL {_melt_sql("cms", "q_cms_token_freq", ["term"], ["est"])}
-UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}"""
+UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}
+UNION ALL {_melt_sql("sq", "q_sample_quantiles", ["grp", "q"], ["value"])}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -103,6 +107,12 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_kmv_distinct_vocab",
             ["lang"],
             ["est_distinct"],
+        ),
+        _melt(
+            q_sample_quantiles(spark, sf_dir),
+            "q_sample_quantiles",
+            ["grp", "q"],
+            ["value"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -159,7 +169,9 @@ UNION ALL {_melt_sql("hh", "q_heavy_hitters_bigrams", ["tok"], ["n", "rank"])}
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
   '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
-  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_classifier_melt.parquet')"""
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_classifier_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_textrank_melt.parquet')"""
 
 
 @query("q_text_suite", oracle=_TEXT_SQL)
@@ -202,6 +214,12 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_text_classifier",
             ["doc_id"],
             ["prob", "pred"],
+        ),
+        _melt(
+            q_textrank_keywords(spark, sf_dir),
+            "q_textrank_keywords",
+            ["tok"],
+            ["rank", "rank_pos"],
         ),
         _bpe_melted(spark, sf_dir),
     ]

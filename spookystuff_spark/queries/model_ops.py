@@ -102,3 +102,16 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "orig_split", "split", F.col("moved").cast("long").alias("moved"))
         .orderBy("doc_id")
     )
+
+
+@bench_only("q_textrank_keywords")
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keywords by TextRank (operators/textrank.py): PageRank over the
+    token co-occurrence graph, state bounded by the vocabulary, each
+    iteration bit-reproducible via floor-quantized exact contribution sums.
+    Gate-pinned via the q_text_suite golden melt (independent pure-Python
+    PageRank replica in tools/gen_goldens.py)."""
+    from spookystuff_spark.operators.textrank import textrank
+
+    docs = table(spark, sf_dir, "documents")
+    return textrank(docs, "text", n_iter=10, damping=0.85, top_k=20)

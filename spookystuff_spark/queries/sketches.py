@@ -147,3 +147,54 @@ def q_kmv_distinct_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     )
     return kmv_estimate(toks, ["lang"], "tok", k=_KMV_K)
+
+
+# --- deterministic-sample quantiles -------------------------------------
+_QS = (0.25, 0.5, 0.75, 0.95)
+_QCAP = 2000
+ORACLE_SAMPLE_QUANTILES = f"""
+    WITH counts AS (
+      SELECT l_returnflag AS grp, count(*) AS n FROM lineitem GROUP BY 1
+    ), src AS (
+      SELECT l.l_returnflag AS grp, l.l_extendedprice AS v,
+             ('0x' || substr(md5(CAST(l.l_orderkey AS VARCHAR) || ':'
+                || CAST(l.l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS hf,
+             c.n
+      FROM lineitem l JOIN counts c ON c.grp = l.l_returnflag
+    ), samp AS (
+      SELECT grp, v FROM src WHERE hf < least(1.0, {float(_QCAP)} / n)
+    ), ranked AS (
+      SELECT grp, v, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+      FROM samp
+    ), sizes AS (
+      SELECT grp, max(rn) AS m FROM ranked GROUP BY 1
+    ), targets AS (
+      SELECT s.grp, CAST(q.q AS DOUBLE) AS q,
+             CAST(floor(CAST(q.q AS DOUBLE) * (s.m - 1)) AS BIGINT) + 1 AS trn
+      FROM sizes s CROSS JOIN (
+        VALUES {", ".join(f"({q})" for q in _QS)}) AS q(q)
+    )
+    SELECT t.grp, t.q, r.v AS value
+    FROM targets t JOIN ranked r ON r.grp = t.grp AND r.rn = t.trn
+    """
+
+
+@bench_only("q_sample_quantiles")
+def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price quantiles over the deterministic hash-fraction
+    sample (operators/sketch.py::sample_quantiles) — the portable
+    approx_percentile: the per-group sort ranks ~cap rows, never the fact
+    table, and membership survives any repartition."""
+    from spookystuff_spark.operators.sketch import sample_quantiles
+
+    li = table(spark, sf_dir, "lineitem")
+    id_expr = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return sample_quantiles(
+        li.withColumnRenamed("l_returnflag", "grp"),
+        ["grp"], "l_extendedprice", id_expr, _QS, cap=_QCAP,
+    )

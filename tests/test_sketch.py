@@ -117,3 +117,60 @@ def test_hll_register_bound(spark, events):
     assert all(r["count"] <= 64 for r in per_group)  # m = 2^p registers max
     with pytest.raises(ValueError):
         hll_registers(events, ["event_type"], "user_id", p=20)
+
+
+def _sq(spark, df):
+    from spookystuff_spark.operators.sketch import sample_quantiles
+
+    id_expr = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit(":"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return sample_quantiles(
+        df.withColumnRenamed("l_returnflag", "grp"),
+        ["grp"],
+        "l_extendedprice",
+        id_expr,
+        (0.25, 0.5, 0.75),
+        cap=500,
+    )
+
+
+def test_sample_quantiles_close_to_exact(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    got = {(r["grp"], r["q"]): r["value"] for r in _sq(spark, li).collect()}
+    exact = {
+        (r["l_returnflag"], q): r[f"p{int(q*100)}"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_extendedprice, {q})").alias(f"p{int(q*100)}")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        )
+        .collect()
+        for q in (0.25, 0.5, 0.75)
+    }
+    assert set(got) == set(exact)
+    lo = min(v for v in exact.values())
+    hi = max(v for v in exact.values())
+    spread = hi - lo or 1.0
+    for k, v in got.items():
+        # sample of ~500: quantile deviation well within 10% of the spread
+        assert abs(v - exact[k]) < 0.10 * (spread + abs(exact[k])), (k, v, exact[k])
+
+
+def test_sample_quantiles_layout_invariant(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    a = sorted(map(tuple, _sq(spark, li).collect()))
+    b = sorted(map(tuple, _sq(spark, li.repartition(13)).collect()))
+    assert a == b
+
+
+def test_sample_quantiles_plan_native_and_broadcast(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = _sq(spark, li)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+    assert "BroadcastHashJoin" in plan  # counts + targets both broadcast

@@ -880,6 +880,57 @@ def gold_leakage(docs, salt="split-v1"):
     )
 
 
+def gold_textrank(docs, n_iter=10, damping=0.85, top_k=20, quant=float(1 << 40)):
+    """Replica of operators/textrank.py: undirected co-occurrence graph from
+    adjacent lowercase tokens, PageRank with floor-quantized int contribution
+    sums (exact integer addition — the order-insensitive step that makes the
+    Spark run bit-identical). Emitted pre-melted for the q_text_suite union
+    (q_textrank_keywords rows)."""
+    import math
+    from collections import defaultdict
+
+    wdir = defaultdict(int)
+    for t in docs["text"]:
+        toks = (t or "").lower().split()
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                wdir[(a, b)] += 1
+    wsym = defaultdict(int)
+    for (a, b), w in wdir.items():
+        wsym[(a, b)] += w
+        wsym[(b, a)] += w
+    out_w = defaultdict(int)
+    for (a, b), w in wsym.items():
+        out_w[a] += w
+    share = {(a, b): w / out_w[a] for (a, b), w in wsym.items()}
+    r = {tok: 1.0 for tok in out_w}
+    for _ in range(n_iter):
+        acc = defaultdict(int)  # exact integer sums, any order
+        for (a, b), s_ab in share.items():
+            acc[b] += math.floor(s_ab * r[a] * quant)
+        r = {tok: (1.0 - damping) + damping * (float(acc[tok]) / quant)
+             for tok in acc}
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    q, row_key, measure, v_num = [], [], [], []
+    for pos, (tok, rv) in enumerate(top, start=1):
+        for m, v in (("rank", round(rv + 1e-6, 6)), ("rank_pos", float(pos))):
+            q.append("q_textrank_keywords")
+            row_key.append(tok)
+            measure.append(m)
+            v_num.append(float(v))
+    write(
+        "q_textrank_melt",
+        pa.table(
+            {
+                "q": pa.array(q),
+                "row_key": pa.array(row_key),
+                "measure": pa.array(measure),
+                "v_num": pa.array(v_num, pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
@@ -898,6 +949,7 @@ def main():
     gold_pq(emb)
     gold_classifier(docs)
     gold_leakage(docs)
+    gold_textrank(docs)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,11 @@ COMMENTARY = {
     "q_dupspan_removal": "One gram-key exchange (doc-frequency window, same as the measurement ops), one bounded coverage groupBy, one left-anti BroadcastHashJoin removing covered tokens, one ordered rebuild aggregate — all codegen, no Python, no pair explosion.",
     "q_cluster_balanced_sample": "Cap-per-cell is a single window pass ordered by the deterministic md5 draw; the k-means assignment stage carries its vectors (no re-join). Per-cell quota keeps the output bounded whatever the cell skew.",
     "q_bpe_tokens": "The only corpus-sized job is the word-frequency groupBy (map-side combined, explode never crosses an exchange); merges train on the bounded table driver-side; encoding is one Arrow stage with per-word memoization.",
+    "q_hll_distinct_users": "Two exchanges, both cardinality-bounded: the register groupBy carries at most groups x 4096 rows regardless of distinct-user count (map-side max partials collapse everything else in the scan stage), and the finisher aggregates 4096-row groups. All md5/conv/bin arithmetic stays in codegen — no Python stage anywhere.",
+    "q_cms_token_freq": "The sketch groupBy shuffles at most depth x width = 4096 keys no matter the vocabulary (the explode-by-depth happens inside the scan stage and partial counts collapse map-side). The probe side joins the sketch via BroadcastHashJoin, so point queries never shuffle.",
+    "q_kmv_distinct_vocab": "The (lang, hash) aggregation collapses duplicate tokens map-side; the window pass then ranks only distinct hashes, and only the k smallest per group feed the estimator — no count(DISTINCT) expansion, no second scan.",
+    "q_sample_quantiles": "The per-group count join is a BroadcastHashJoin, the hash-fraction sample filter runs in the scan stage, so the only sort (the rank window) sees ~cap rows per group, never the fact table; quantile targets re-enter via a second broadcast join.",
+    "q_textrank_keywords": "The corpus is scanned once to build co-occurrence edge counts (map-side combined, bigram-vocab key space); every PageRank iteration afterwards joins the vocab-sized rank table to the checkpointed edge list — the visible plan reads materialized checkpoint blocks, not a 10-deep join tree, and the quantized decimal sums keep the ranks bit-identical under any layout.",
 }
 
 
