@@ -36,10 +36,12 @@ from spookystuff_spark.queries.sketches import (
     ORACLE_HLL_USERS,
     ORACLE_KMV_VOCAB,
     ORACLE_SAMPLE_QUANTILES,
+    ORACLE_WEIGHTED_SAMPLE,
     q_cms_token_freq,
     q_hll_distinct_users,
     q_kmv_distinct_vocab,
     q_sample_quantiles,
+    q_weighted_sample,
 )
 from spookystuff_spark.queries.text import (
     ORACLE_DOC_PROFILE,
@@ -58,7 +60,8 @@ from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 _SCALAR_SQL = f"""
 WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
-     kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES})
+     kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
+     ws AS ({ORACLE_WEIGHTED_SAMPLE})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -76,7 +79,8 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql("cms", "q_cms_token_freq", ["term"], ["est"])}
 UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}
-UNION ALL {_melt_sql("sq", "q_sample_quantiles", ["grp", "q"], ["value"])}"""
+UNION ALL {_melt_sql("sq", "q_sample_quantiles", ["grp", "q"], ["value"])}
+UNION ALL {_melt_sql("ws", "q_weighted_sample", ["lang", "doc_id"], ["rn"])}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -113,6 +117,12 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_sample_quantiles",
             ["grp", "q"],
             ["value"],
+        ),
+        _melt(
+            q_weighted_sample(spark, sf_dir),
+            "q_weighted_sample",
+            ["lang", "doc_id"],
+            ["rn"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)

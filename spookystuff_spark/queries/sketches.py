@@ -198,3 +198,32 @@ def q_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumnRenamed("l_returnflag", "grp"),
         ["grp"], "l_extendedprice", id_expr, _QS, cap=_QCAP,
     )
+
+
+# --- weighted sampling without replacement ------------------------------
+_WS_K, _WS_SALT = 5, "ws-v1"
+ORACLE_WEIGHTED_SAMPLE = f"""
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(-ln((('0x' || substr(md5('{_WS_SALT}|'
+                        || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)
+                        / 281474976710656.0) / n_chars + 1e-12, 9),
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_WS_K}
+    """
+
+
+@bench_only("q_weighted_sample")
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted doc sampling per language (Efraimidis-Spirakis
+    exponential race, operators/sampling.py): inclusion probability
+    proportional to n_chars, membership deterministic and layout-independent."""
+    from spookystuff_spark.operators.sampling import weighted_sample_topk
+
+    docs = table(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs, ["lang"], "doc_id", "n_chars", k=_WS_K, salt=_WS_SALT
+    )

@@ -174,3 +174,37 @@ def test_sample_quantiles_plan_native_and_broadcast(spark):
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan, marker
     assert "BroadcastHashJoin" in plan  # counts + targets both broadcast
+
+
+def test_weighted_sample_properties(spark):
+    from spookystuff_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = weighted_sample_topk(docs, ["lang"], "doc_id", "n_chars", k=3)
+    rows = out.collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rn"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_lang.values())
+    assert all(len(v) <= 3 for v in per_lang.values())
+    # layout invariance
+    again = weighted_sample_topk(
+        docs.repartition(11), ["lang"], "doc_id", "n_chars", k=3
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # a different salt is an independent redraw (not identical membership)
+    redraw = weighted_sample_topk(
+        docs, ["lang"], "doc_id", "n_chars", k=3, salt="ws-v2"
+    ).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, redraw))
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A row with overwhelming weight must always win rank 1: its race key
+    -ln(u)/w is ~0 for any u."""
+    from spookystuff_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(i, "g", 1.0 if i else 1e12) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    out = weighted_sample_topk(df, ["g"], "id", "w", k=1).collect()
+    assert len(out) == 1 and out[0]["id"] == 0 and out[0]["rn"] == 1
