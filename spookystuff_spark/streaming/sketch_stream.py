@@ -58,3 +58,38 @@ def finish_windowed_hll(
     """Registers (from any number of micro-batch emissions — duplicates
     merge via max) -> (window_start, group, est_distinct, zero_regs)."""
     return hll_finish(registers, ["window_start", *group_cols], p)
+
+
+def windowed_cms_sketch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: Optional[str] = None,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Streaming Count-Min: per tumbling window, the fixed depth x width
+    counter grid — ``sum`` is mergeable, so this is one supported streaming
+    aggregation with state bounded at windows x depth x width rows no matter
+    how many distinct keys flow through. Returns
+    (window_start, j, bucket, c); point-query the emitted sketch with
+    ``operators.sketch.cms_query`` per window (counts from repeated
+    micro-batch emissions in update mode merge by summing)."""
+    from spookystuff_spark.operators.sketch import _cms_bucket
+
+    src = _with_event_time(events, "ts")
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    rows = F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j")
+    keyed = src.select(
+        F.col("ts"), F.col(key_col).cast("string").alias("k"), rows
+    )
+    return (
+        keyed.groupBy(
+            F.window(F.col("ts"), window).alias("w"),
+            "j",
+            _cms_bucket(F.col("j"), F.col("k"), width).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("window_start"), "j", "bucket", "c")
+    )

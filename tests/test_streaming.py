@@ -255,3 +255,28 @@ def test_windowed_hll_stream_equals_batch(spark, events_dir):
         ["window_start", "event_type", "est_distinct", "zero_regs"],
     )
     assert got == expected
+
+
+def test_windowed_cms_stream_equals_batch(spark, events_dir):
+    """Streaming Count-Min: the counter grid is one supported streaming agg
+    (sum is mergeable); the streamed sketch must equal the batch sketch and
+    stay bounded at depth x width rows per window."""
+    from spookystuff_spark.streaming.sketch_stream import windowed_cms_sketch
+
+    ev_batch = spark.read.parquet(events_dir)
+    expected = sorted(
+        map(tuple, windowed_cms_sketch(ev_batch, depth=2, width=64).collect())
+    )
+    assert len(expected) > 0
+
+    stream = stream_events_from_dir(spark, events_dir, ev_batch.schema)
+    q = run_stream_to_memory(
+        windowed_cms_sketch(stream, watermark="1 hour", depth=2, width=64),
+        "cms_t",
+        "complete",
+    )
+    q.awaitTermination(120)
+    got_df = spark.sql("SELECT * FROM cms_t")
+    per_win = got_df.groupBy("window_start").count().collect()
+    assert all(r["count"] <= 2 * 64 for r in per_win)
+    assert sorted(map(tuple, got_df.collect())) == expected

@@ -34,6 +34,7 @@ COMMENTARY = {
     "q_kmv_distinct_vocab": "The (lang, hash) aggregation collapses duplicate tokens map-side; the window pass then ranks only distinct hashes, and only the k smallest per group feed the estimator — no count(DISTINCT) expansion, no second scan.",
     "q_sample_quantiles": "The per-group count join is a BroadcastHashJoin, the hash-fraction sample filter runs in the scan stage, so the only sort (the rank window) sees ~cap rows per group, never the fact table; quantile targets re-enter via a second broadcast join.",
     "q_textrank_keywords": "The corpus is scanned once to build co-occurrence edge counts (map-side combined, bigram-vocab key space); every PageRank iteration afterwards joins the vocab-sized rank table to the checkpointed edge list — the visible plan reads materialized checkpoint blocks, not a 10-deep join tree, and the quantized decimal sums keep the ranks bit-identical under any layout.",
+    "q_weighted_sample": "The exponential-race key (md5 fraction, ln, divide by weight) is pure scan-stage codegen; the single exchange is the group-key rank window, and rn <= k prunes before anything else consumes the result — per-group top-k cost, no full sort of the corpus.",
 }
 
 
