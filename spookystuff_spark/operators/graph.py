@@ -259,3 +259,74 @@ def connected_components_star(
         .withColumn("component", F2.col("node"))
     )
     return stars.unionByName(roots).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 8,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+    checkpoint_interval: int = 3,
+) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank → (node, rank_nano).
+
+    Ranks live in ``scale``-denominated BIGINT units and every update is
+    integer math — ``contrib = rank div out_degree``, ``rank' = base +
+    (damping_pct · Σ contrib) div 100`` — so the result is bit-identical
+    across partitionings, summation orders, and engines (the DuckDB oracle
+    unrolls the same recurrence; float PageRank would differ in the last ulp
+    per engine). Dangling-node mass is dropped (the classic simplification:
+    total rank decays, relative order is what PageRank is used for).
+
+    Scale shape: ``edges`` + out-degree are computed once and persisted;
+    each iteration is one shuffle of the (node, rank) table onto the edge
+    partitioning plus one groupBy(dst) partial-aggregated sum — the standard
+    Pregel-on-DataFrames layout. Lineage is truncated every
+    ``checkpoint_interval`` iterations.
+    """
+    e = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).distinct()
+    e = e.persist()
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outd"))
+    ed = e.join(deg, "__src").persist()
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    init = scale // n
+    base = (scale * (100 - damping_pct)) // (100 * n)
+
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    for i in range(iterations):
+        contrib = (
+            ed.join(ranks, ed["__src"] == ranks["node"])
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr("r div __outd").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+            ).cast("long").alias("r"),
+        )
+        if i % checkpoint_interval == checkpoint_interval - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    # materialize before dropping the caches the lineage still references
+    out = ranks.select("node", F.col("r").alias("rank_nano")).localCheckpoint(
+        eager=True
+    )
+    for cached in (e, ed, nodes):
+        cached.unpersist()
+    return out

@@ -326,3 +326,38 @@ def remove_dup_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str, n: int = 3
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    rank docs by LM score and cut into terciles — head = most fluent third.
+    Uses the corpus-trained char-n-gram LM (:func:`char_ngram_logprob`) in
+    place of CCNet's external KenLM.
+
+    → (id, lang, score, bucket). The score is quantized to 4 dp before
+    ranking (doc-id tiebreak) so tercile membership is reproducible across
+    engines' float-summation orders. One window exchange keyed on the
+    language — low cardinality but each partition is only ranked, not
+    materialized wide; for a skewed 100 TB corpus swap the ntile for a
+    2-pass approx-quantile cut.
+    """
+    from pyspark.sql import Window
+
+    from spookystuff_spark.functions.rounding import round_stable
+
+    scored = char_ngram_logprob(df, id_col, text_col, n=n).select(
+        F.col(id_col), round_stable(F.col("avg_logprob"), 4).alias("score")
+    )
+    with_lang = scored.join(
+        df.select(F.col(id_col), F.col(lang_col).alias("lang")), id_col
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col(id_col))
+    tercile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail")
+    )
+    return with_lang.select(
+        F.col(id_col), "lang", "score", bucket.alias("bucket")
+    )

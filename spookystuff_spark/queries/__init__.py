@@ -72,6 +72,7 @@ def load_all_query_modules() -> None:
         dedup_more,
         engine,
         events,
+        graph_ops,
         hygiene,
         llm_ops,
         melt_suites,

@@ -55,10 +55,21 @@ from spookystuff_spark.queries.model_ops import (
     q_text_classifier,
     q_textrank_keywords,
 )
+from spookystuff_spark.queries.graph_ops import (
+    ORACLE_CCNET,
+    ORACLE_DSIR,
+    PAGERANK_CTES,
+    PR_ITERS,
+    q_ccnet_buckets,
+    q_dsir_select,
+    q_pagerank_purchases,
+)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
-WITH sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
+WITH {PAGERANK_CTES},
+     prq AS (SELECT node, r AS rank_nano FROM pr{PR_ITERS}),
+     sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
      ws AS ({ORACLE_WEIGHTED_SAMPLE})
@@ -80,7 +91,8 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql("cms", "q_cms_token_freq", ["term"], ["est"])}
 UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}
 UNION ALL {_melt_sql("sq", "q_sample_quantiles", ["grp", "q"], ["value"])}
-UNION ALL {_melt_sql("ws", "q_weighted_sample", ["lang", "doc_id"], ["rn"])}"""
+UNION ALL {_melt_sql("ws", "q_weighted_sample", ["lang", "doc_id"], ["rn"])}
+UNION ALL {_melt_sql("prq", "q_pagerank_purchases", ["node"], ["rank_nano"])}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -124,6 +136,12 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["lang", "doc_id"],
             ["rn"],
         ),
+        _melt(
+            q_pagerank_purchases(spark, sf_dir),
+            "q_pagerank_purchases",
+            ["node"],
+            ["rank_nano"],
+        ),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -161,7 +179,8 @@ def _bpe_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEXT_SQL = f"""
 WITH dp AS ({ORACLE_DOC_PROFILE}), ld AS ({ORACLE_LANG_DIST}),
      li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ}),
-     hh AS ({ORACLE_HEAVY_HITTERS})
+     hh AS ({ORACLE_HEAVY_HITTERS}), cc AS ({ORACLE_CCNET}),
+     ds AS ({ORACLE_DSIR})
 {_melt_sql(
     "dp", "q_doc_profile", ["doc_id"],
     ["len_chars", "n_tokens", "bpe_tokens", "punct_ratio", "quality",
@@ -176,6 +195,10 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql("tf", "q_token_freq_topk", ["tok"], ["n"])}
 UNION ALL {_melt_sql("hh", "q_heavy_hitters_bigrams", ["tok"], ["n", "rank"])}
+UNION ALL {_melt_sql(
+    "cc", "q_ccnet_buckets", ["doc_id", "lang", "bucket"], ["score"],
+)}
+UNION ALL {_melt_sql("ds", "q_dsir_select", ["doc_id"], ["logw"])}
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
   '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
@@ -219,6 +242,13 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["tok"],
             ["n", "rank"],
         ),
+        _melt(
+            q_ccnet_buckets(spark, sf_dir),
+            "q_ccnet_buckets",
+            ["doc_id", "lang", "bucket"],
+            ["score"],
+        ),
+        _melt(q_dsir_select(spark, sf_dir), "q_dsir_select", ["doc_id"], ["logw"]),
         _melt(
             q_text_classifier(spark, sf_dir),
             "q_text_classifier",
