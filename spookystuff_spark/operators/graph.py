@@ -269,6 +269,7 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 1_000_000_000,
     checkpoint_interval: int = 3,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic integer-arithmetic PageRank → (node, rank_nano).
 
@@ -280,53 +281,89 @@ def pagerank(
     per engine). Dangling-node mass is dropped (the classic simplification:
     total rank decays, relative order is what PageRank is used for).
 
-    Scale shape: ``edges`` + out-degree are computed once and persisted;
-    each iteration is one shuffle of the (node, rank) table onto the edge
-    partitioning plus one groupBy(dst) partial-aggregated sum — the standard
-    Pregel-on-DataFrames layout. Lineage is truncated every
-    ``checkpoint_interval`` iterations.
+    Scale shape — the standard Pregel-on-DataFrames layout, with the edge
+    exchange hoisted OUT of the loop: the degree-annotated edge table is
+    hash-partitioned on ``__src`` once and persisted, and every iteration's
+    rank frame is produced hash-partitioned on ``node`` with the same
+    partition count, so the per-iteration join re-shuffles neither side —
+    the only recurring exchange is the partial-aggregated contribution sum
+    (node-cardinality, tiny next to the edge table). Rank state is never
+    broadcast or collected: at web scale the node table is billions of rows
+    and only ever moves through hash exchanges. Lineage is truncated every
+    ``checkpoint_interval`` iterations (lazily — one traversal at the final
+    action, no intermediate job submissions).
+
+    ``assume_distinct=True`` skips the edge dedup shuffle when the caller
+    already guarantees unique (src, dst) rows.
     """
-    e = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).distinct()
-    e = e.persist()
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outd"))
-    ed = e.join(deg, "__src").persist()
+    from pyspark.sql import Window as W
+
+    spark = edges.sparkSession
+    num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # ONE exchange builds the loop-side edge table: the explicit repartition
+    # hash-clusters on __src, and the degree window then runs in place (its
+    # required distribution is already satisfied). The cached partitioning
+    # is what the per-iteration join reuses.
+    ed = (
+        e.repartition(num_parts, "__src")
+        .withColumn("__outd", F.count(F.lit(1)).over(W.partitionBy("__src")))
+        .persist()
+    )
+    # nodes read the edge CACHE twice (no recompute of the caller's lineage);
+    # dropDuplicates after the hash repartition dedups in place.
     nodes = (
-        e.select(F.col("__src").alias("node"))
-        .unionByName(e.select(F.col("__dst").alias("node")))
-        .distinct()
+        ed.select(F.col("__src").alias("node"))
+        .unionByName(ed.select(F.col("__dst").alias("node")))
+        .repartition(num_parts, "node")
+        .dropDuplicates()
         .persist()
     )
     n = nodes.count()
     init = scale // n
     base = (scale * (100 - damping_pct)) // (100 * n)
 
-    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    # Rank state holds ONLY nodes with in-edges (exactly the keys the
+    # contribution sum produces); any absent node's rank is by construction
+    # exactly `init` before the first iteration and exactly `base` after —
+    # integer math makes that identity precise, so the per-iteration
+    # nodes-join of the textbook layout is unnecessary. Each iteration is
+    # one no-exchange join against the cached edge table plus one
+    # partial-aggregated contribution shuffle (node-cardinality).
+    ranks: DataFrame | None = None
     for i in range(iterations):
-        contrib = (
-            ed.join(ranks, ed["__src"] == ranks["node"])
-            .select(
-                F.col("__dst").alias("node"),
-                F.expr("r div __outd").alias("c"),
-            )
+        if ranks is None:
+            joined = ed
+            c = F.expr(f"{init}L div __outd")
+        else:
+            joined = ed.join(ranks, ed["__src"] == ranks["node"], "left")
+            c = F.expr(f"coalesce(r, {base}L) div __outd")
+        ranks = (
+            joined.select(F.col("__dst").alias("node"), c.alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
-            ).cast("long").alias("r"),
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * s) div 100")
+                ).cast("long").alias("r"),
+            )
         )
         if i % checkpoint_interval == checkpoint_interval - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
 
-    # materialize before dropping the caches the lineage still references
-    out = ranks.select("node", F.col("r").alias("rank_nano")).localCheckpoint(
-        eager=True
+    out = (
+        nodes.join(ranks, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("r"), F.lit(base)).cast("long").alias("rank_nano"),
+        )
+        .localCheckpoint(eager=True)
     )
-    for cached in (e, ed, nodes):
+    for cached in (ed, nodes):
         cached.unpersist()
     return out

@@ -1,20 +1,39 @@
-"""Input-layout helpers.
+"""Physical-layout operators: input spreading, Z-order clustering.
 
 ``spread_small_input``: CPU-heavy per-row stages (n-gram explosion, Arrow
 Python passes, per-doc hashing) inherit the SCAN's partitioning — and a small
 corpus is often one parquet file = ONE task, serializing minutes of per-token
 work onto a single core while 31 idle. Spreading costs one tiny shuffle of the
-raw rows and buys full parallelism for the expensive stage.
+raw rows and buys full parallelism for the expensive stage. At 100 TB the
+input already has thousands of splits, so spreading is a no-op there: the
+helper repartitions ONLY when the planned input parallelism is materially
+below the cluster's. It never narrows a wide input.
 
-At 100 TB the input already has thousands of splits, so spreading must be a
-no-op there: the helper repartitions ONLY when the planned input parallelism
-is materially below the cluster's (< half of defaultParallelism). It never
-narrows a wide input.
+Z-order (Morton) multi-dimensional clustering for data-skipping.
+
+Parquet scans prune row-groups/files on min-max statistics. Sorting by a
+single column gives perfect skipping on that column and none on any
+other; interleaving the bits of several columns (the Z-order curve,
+Morton 1966 — the same layout Delta Lake's OPTIMIZE ZORDER BY and
+ClickHouse's mortonEncode use) keeps every file's footprint small in ALL
+interleaved dimensions at once, so selective filters on any of them
+prune most files.
+
+``zorder_sql`` renders the identical bit-interleave as an ANSI-SQL
+string, so the DuckDB oracle computes byte-identical keys — the curve
+itself is gate-checked, not just the write path.
+
+Scale shape: ``zorder_write`` is one ``repartitionByRange`` on the key
+(range exchange with a driver-side sampled boundary pass — Spark's
+standard total-order machinery) plus an in-partition sort; no extra
+shuffle beyond what any global sort pays. File count = shuffle
+partitions of the writing stage.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
 
 
 def spread_small_input(df: DataFrame, factor: int = 2) -> DataFrame:
@@ -30,3 +49,54 @@ def spread_small_input(df: DataFrame, factor: int = 2) -> DataFrame:
     if n_in * factor < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleaved-bit Morton key over non-negative integral columns.
+
+    Bit i of column j lands at output position ``i * ncols + j`` — with
+    ``bits * ncols <= 63`` the key fits a signed long. Columns are masked
+    to ``bits`` low bits first (callers rank/quantize wider domains)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols overflows a signed long")
+    mask = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit(mask))
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def zorder_sql(col_names: list[str], bits: int = 16) -> str:
+    """The same Morton key as ``zorder_key``, as an ANSI-SQL expression."""
+    n = len(col_names)
+    mask = (1 << bits) - 1
+    terms = []
+    for j, name in enumerate(col_names):
+        v = f"(CAST({name} AS BIGINT) & {mask})"
+        for i in range(bits):
+            terms.append(f"((({v} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Cluster ``df`` on the Z-curve over ``cols`` and write parquet whose
+    per-file min-max stats are tight in every clustered dimension."""
+    keyed = df.withColumn("__z", zorder_key(cols, bits))
+    if num_files:
+        keyed = keyed.repartitionByRange(num_files, "__z")
+    else:
+        keyed = keyed.repartitionByRange("__z")
+    keyed.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -1,0 +1,107 @@
+"""Corpus-wide line-level deduplication (C4-style).
+
+C4 (Raffel et al., JMLR 2020 §2.2) removes every repeated occurrence of a
+line across the WHOLE corpus, keeping only the first: boilerplate
+("click here to subscribe", cookie banners, nav menus) repeats across
+millions of pages and would otherwise dominate the training mixture.
+This complements the intra-document ``dup_line_frac`` signal in
+``operators/text.py`` (which only measures repetition inside one doc).
+
+Semantics
+---------
+* A "line" is a ``\\n``-separated segment of ``text``; matching is on the
+  *trimmed* line, but the original segment text is preserved on output.
+* Blank lines (trimmed length < ``min_chars``) are structural, not
+  content — they are always kept and never deduplicated (otherwise every
+  paragraph break in the corpus would collapse into one).
+* First occurrence = smallest ``(doc_id, line_no)`` over all occurrences
+  of the same trimmed line — a total order, so the result is independent
+  of partition layout.
+
+Scale shape (100 TB)
+--------------------
+One map-side-combined ``min(struct(doc_id, line_no))`` aggregation keyed
+on the line, one shuffle join back, one ``groupBy(doc_id)`` reassembly.
+Hot boilerplate lines are skew-safe: partial aggregation collapses them
+to one row per map task before the shuffle, and AQE's skew-join split
+handles the join-back side. For a real 100 TB run, key the aggregation
+on ``xxhash64(line)`` instead of the string to cut shuffle bytes ~10x;
+the gate keys on the string itself so the DuckDB oracle is exact
+(no hash-collision caveat).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """→ (id_col, text_clean, n_lines, n_kept, n_dropped).
+
+    ``text_clean`` is ``text`` with every non-first corpus-wide occurrence
+    of a repeated (trimmed, >= min_chars) line removed; surviving lines keep
+    their original relative order and original (untrimmed) content.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn("key", F.trim("line"))
+
+    dedupable = F.length("key") >= min_chars
+
+    # first corpus-wide occurrence per line key: partial-agg shuffles one
+    # row per (map task, key), so a million-copy boilerplate line costs the
+    # shuffle one row per task, not a million rows.
+    first = (
+        lines.where(dedupable)
+        .groupBy("key")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("first"))
+        .select(
+            "key",
+            F.col("first.doc_id").alias("f_doc"),
+            F.col("first.line_no").alias("f_line"),
+        )
+    )
+
+    kept = (
+        lines.join(first, "key", "left")
+        .where(
+            ~dedupable
+            | ((F.col(id_col) == F.col("f_doc")) & (F.col("line_no") == F.col("f_line")))
+        )
+        .select(id_col, "line_no", "line")
+    )
+
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

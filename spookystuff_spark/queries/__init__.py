@@ -68,6 +68,7 @@ def bench_only(name: str):
 def load_all_query_modules() -> None:
     # import for side effect: each module registers its queries
     from spookystuff_spark.queries import (  # noqa: F401
+        corpus_ops,
         curation,
         dedup_more,
         engine,

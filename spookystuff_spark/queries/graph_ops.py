@@ -74,18 +74,37 @@ def q_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     from spookystuff_spark.operators.graph import pagerank
 
-    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+    # Three shuffle-volume levers vs the naive shape: (1) dedup the
+    # undirected pairs BEFORE doubling (halves the distinct); (2) the doubled
+    # rows are then unique by construction, so pagerank skips its dedup;
+    # (3) node ids ride as LONGS (c -> 2k, s -> 2k+1) through the iteration
+    # shuffles — the 'c123'/'s45' labels the oracle pins are minted on the
+    # node-cardinality output only.
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
     )
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return (
-        pagerank(edges, iterations=PR_ITERS, damping_pct=PR_DAMP, scale=PR_SCALE)
-        .orderBy("node")
-        .select("node", "rank_nano")
+    ranks = pagerank(
+        edges,
+        iterations=PR_ITERS,
+        damping_pct=PR_DAMP,
+        scale=PR_SCALE,
+        assume_distinct=True,
     )
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return ranks.select(label.alias("node"), "rank_nano").orderBy("node")
 
 
 ORACLE_CCNET = """

@@ -55,6 +55,14 @@ from spookystuff_spark.queries.model_ops import (
     q_text_classifier,
     q_textrank_keywords,
 )
+from spookystuff_spark.queries.corpus_ops import (
+    ORACLE_LINE_DEDUP,
+    ORACLE_TRIANGLES,
+    ORACLE_ZORDER,
+    q_line_dedup,
+    q_triangle_stats,
+    q_zorder_key,
+)
 from spookystuff_spark.queries.graph_ops import (
     ORACLE_CCNET,
     ORACLE_DSIR,
@@ -72,7 +80,8 @@ WITH {PAGERANK_CTES},
      sf AS ({ORACLE_STRING_FUNCS}), dd AS ({ORACLE_DATE_DIMS}),
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
-     ws AS ({ORACLE_WEIGHTED_SAMPLE})
+     ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
+     zo AS ({ORACLE_ZORDER})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -92,7 +101,14 @@ UNION ALL {_melt_sql("cms", "q_cms_token_freq", ["term"], ["est"])}
 UNION ALL {_melt_sql("kmv", "q_kmv_distinct_vocab", ["lang"], ["est_distinct"])}
 UNION ALL {_melt_sql("sq", "q_sample_quantiles", ["grp", "q"], ["value"])}
 UNION ALL {_melt_sql("ws", "q_weighted_sample", ["lang", "doc_id"], ["rn"])}
-UNION ALL {_melt_sql("prq", "q_pagerank_purchases", ["node"], ["rank_nano"])}"""
+UNION ALL {_melt_sql("prq", "q_pagerank_purchases", ["node"], ["rank_nano"])}
+UNION ALL {_melt_sql(
+    "tg", "q_triangle_stats", [],
+    ["n_nodes", "n_edges", "n_triangles", "n_wedges", "gcc"],
+)}
+UNION ALL {_melt_sql(
+    "zo", "q_zorder_key", ["bucket"], ["n", "min_z", "max_z"],
+)}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -142,6 +158,18 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["node"],
             ["rank_nano"],
         ),
+        _melt(
+            q_triangle_stats(spark, sf_dir),
+            "q_triangle_stats",
+            [],
+            ["n_nodes", "n_edges", "n_triangles", "n_wedges", "gcc"],
+        ),
+        _melt(
+            q_zorder_key(spark, sf_dir),
+            "q_zorder_key",
+            ["bucket"],
+            ["n", "min_z", "max_z"],
+        ),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -180,7 +208,7 @@ _TEXT_SQL = f"""
 WITH dp AS ({ORACLE_DOC_PROFILE}), ld AS ({ORACLE_LANG_DIST}),
      li AS ({ORACLE_LANG_ID}), tf AS ({ORACLE_TOKEN_FREQ}),
      hh AS ({ORACLE_HEAVY_HITTERS}), cc AS ({ORACLE_CCNET}),
-     ds AS ({ORACLE_DSIR})
+     ds AS ({ORACLE_DSIR}), lde AS ({ORACLE_LINE_DEDUP})
 {_melt_sql(
     "dp", "q_doc_profile", ["doc_id"],
     ["len_chars", "n_tokens", "bpe_tokens", "punct_ratio", "quality",
@@ -199,6 +227,10 @@ UNION ALL {_melt_sql(
     "cc", "q_ccnet_buckets", ["doc_id", "lang", "bucket"], ["score"],
 )}
 UNION ALL {_melt_sql("ds", "q_dsir_select", ["doc_id"], ["logw"])}
+UNION ALL {_melt_sql(
+    "lde", "q_line_dedup", ["doc_id", "clean_md5"],
+    ["n_lines", "n_kept", "n_dropped"],
+)}
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
   '/root/repo/fixtures/golden/{GOLDEN_SF}/q_bpe_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
@@ -249,6 +281,12 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["score"],
         ),
         _melt(q_dsir_select(spark, sf_dir), "q_dsir_select", ["doc_id"], ["logw"]),
+        _melt(
+            q_line_dedup(spark, sf_dir),
+            "q_line_dedup",
+            ["doc_id", "clean_md5"],
+            ["n_lines", "n_kept", "n_dropped"],
+        ),
         _melt(
             q_text_classifier(spark, sf_dir),
             "q_text_classifier",
