@@ -37,6 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -121,31 +122,35 @@ def train_logreg(
 
     Per iteration, ONE Spark job aggregates the exact full-batch gradient
     AND Hessian: per-doc contributions are quantized to int64 (exact,
-    order-independent sums), accumulated into a dense (D, D) int64 array per
-    partition, and only NONZERO cells are emitted — the shuffle/collect is
-    bounded by the feature CO-OCCURRENCE pattern (+D gradient cells), far
-    below D² for hashed text features. The driver solves the D×D ridge
-    system (D = n_features+1, bias folded in as the last feature) — O(D³)
-    driver work, no per-doc data ever collected.
+    order-independent sums — rint per doc, so the result is bit-identical
+    under any partitioning or reduce order), accumulated into one dense
+    (D² + D) int64 array per partition, and each partition emits its
+    NONZERO (index, value) pairs as a SINGLE packed binary blob — no
+    (cell, value) row explosion, no shuffle, no groupBy: the driver
+    scatter-adds #partitions blobs, each bounded by the partition's feature
+    co-occurrence pattern (tiny for short-doc hashed features, ≤ 8·2·(D²+D)
+    bytes worst case). The driver solves the D×D ridge system
+    (D = n_features+1, bias folded in as the last feature) — O(D³) driver
+    work, no per-doc data ever collected.
 
     Returns weights of length n_features+1 (last = bias)."""
     D = n_features + 1
     w = np.zeros(D, dtype=np.float64)
 
-    cell_schema = StructType(
-        [StructField("cell", LongType()), StructField("q", LongType())]
-    )
+    blob_schema = StructType([StructField("blob", BinaryType())])
 
     for _ in range(n_iters):
         w_b = w.copy()
 
-        def cells(batches: Iterator) -> Iterator:
+        def blobs(batches: Iterator) -> Iterator:
             import pandas as pd
 
             gq = np.zeros(D, dtype=np.int64)
             hq = np.zeros((D, D), dtype=np.int64)
+            seen = False
             for pdf in batches:
                 for y, idxs, vals in zip(pdf["y"], pdf["idxs"], pdf["vals"]):
+                    seen = True
                     z = _doc_logits(w_b, idxs, vals)
                     p = 1.0 / (1.0 + math.exp(-z))
                     s = p * (1.0 - p)
@@ -159,33 +164,19 @@ def train_logreg(
                     hq[np.ix_(ix, ix)] += np.rint(
                         s * np.outer(v, v) * QUANT
                     ).astype(np.int64)
-            cells_out, qs = [], []
-            gnz = np.nonzero(gq)[0]
-            cells_out.append(gnz)
-            qs.append(gq[gnz])
-            hi, hj = np.nonzero(hq)
-            cells_out.append(D + hi * D + hj)
-            qs.append(hq[hi, hj])
-            flat = np.concatenate(cells_out)
-            if len(flat):
-                yield pd.DataFrame(
-                    {"cell": flat, "q": np.concatenate(qs)}
-                ).astype({"cell": "int64", "q": "int64"})
+            if seen:
+                flat = np.concatenate([gq, hq.ravel()])
+                nz = np.nonzero(flat)[0]
+                yield pd.DataFrame({"blob": [nz.tobytes() + flat[nz].tobytes()]})
 
-        agg = (
-            features.mapInPandas(cells, cell_schema)
-            .groupBy("cell")
-            .agg(F.sum("q").alias("q"))
-            .collect()
-        )
-        g = np.zeros(D)
-        H = np.zeros((D, D))
-        for row in agg:
-            c, q = row["cell"], row["q"] / QUANT
-            if c < D:
-                g[c] = q
-            else:
-                H[(c - D) // D, (c - D) % D] = q
+        acc = np.zeros(D + D * D, dtype=np.int64)
+        for row in features.mapInPandas(blobs, blob_schema).collect():
+            buf = row["blob"]
+            m = len(buf) // 16
+            idx = np.frombuffer(buf[: 8 * m], dtype=np.int64)
+            np.add.at(acc, idx, np.frombuffer(buf[8 * m :], dtype=np.int64))
+        g = acc[:D].astype(np.float64) / QUANT
+        H = acc[D:].reshape(D, D).astype(np.float64) / QUANT
         delta = np.linalg.solve(H + ridge * np.eye(D), -(g + ridge * w))
         w = w + delta
     return w

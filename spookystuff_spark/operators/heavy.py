@@ -112,8 +112,7 @@ def heavy_hitters(
     (raise ``n_counters`` or lower ``k`` to fix; near-uniform distributions
     have no heavy hitters and need n_counters ≳ distinct-gram count).
     """
-    cands = [r["tok"] for r in mg_candidates(df, text_col, n_counters, ngram)
-             .distinct().collect()]
+    cands = mg_candidates(df, text_col, n_counters, ngram).distinct()
     if ngram > 1:
         toks = _TOKENS(F.col(text_col))
         kk = F.size(toks) - F.lit(ngram - 1)
@@ -129,10 +128,13 @@ def heavy_hitters(
     from spookystuff_spark.operators.layout import spread_small_input
 
     exploded = spread_small_input(df).select(tok)
-    # candidate filter runs inside the scan/codegen stage: the shuffled agg
+    # candidate filter is a BROADCAST semi-join (candidates ≤ partitions ×
+    # n_counters rows stay a DataFrame — an `isin` literal list of tens of
+    # thousands of entries would bloat the plan and stall codegen): the
+    # build-side hash probe runs inside the scan stage, and the shuffled agg
     # sees ≤ |cands| keys no matter the corpus vocabulary
     counted = (
-        exploded.filter(F.col("tok").isin(cands))
+        exploded.join(F.broadcast(cands), "tok", "leftsemi")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )

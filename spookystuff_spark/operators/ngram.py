@@ -187,18 +187,19 @@ def char_ngram_logprob(
     Plan: the per-character occurrence stream never reaches an exchange — a
     partial-aggregating ``groupBy(id, gram)`` collapses it map-side to
     distinct (doc, gram, count) triples (bounded by alphabet^n per doc, not
-    doc length), one window exchange on the hashed gram annotates each triple
-    with the corpus occurrence count, the corpus total is a no-gram scan
+    doc length). The LM itself (distinct gram → corpus count) is bounded by
+    the *corpus-wide* distinct-gram count — alphabet^n, independent of
+    corpus size — so it is aggregated once (Catalyst reuses dg's exchange
+    for both branches) and BROADCAST back onto the triples: no per-gram
+    window exchange, no sort. The corpus total is a no-gram scan
     (``sum(len - n + 1)``), and a final per-doc aggregation takes the
     occurrence-weighted mean — algebraically the same mean-over-occurrences,
-    with shuffle volume bounded by per-doc *distinct* grams (≤ alphabet^n)
-    instead of per-doc length, and one fewer full corpus re-tokenization
-    (the old total-count pass re-exploded every gram)."""
-    from pyspark.sql import Window
-
-    # materialize lower(text) BEFORE the per-element lambda — expressions
-    # referenced inside transform() are re-evaluated per array element, which
-    # turns an O(L) scan into O(L²) per document
+    with shuffle volume bounded by per-doc *distinct* grams instead of doc
+    length. The explode carries only a position index (the n-gram substring
+    is cut AFTER the explode, codegen-pipelined) — no per-row string-array
+    materialization."""
+    # materialize lower(text) once; referencing an expression inside a
+    # per-element lambda re-evaluates it per element (O(L²) per doc)
     from spookystuff_spark.operators.layout import spread_small_input
 
     lowered = spread_small_input(df).select(
@@ -206,19 +207,22 @@ def char_ngram_logprob(
     )
     low = F.col("__low")
     k = F.length(low) - F.lit(n - 1)
-    grams = F.transform(F.sequence(F.lit(1), k), lambda i: F.substring(low, i, n))
     exploded = lowered.select(
         F.col(id_col),
-        F.explode(F.when(k >= 1, grams)).alias("cgram"),
-    ).select(F.col(id_col), F.xxhash64(F.col("cgram")).alias("gram_key"))
+        low,
+        F.explode(F.when(k >= 1, F.sequence(F.lit(1), k))).alias("__i"),
+    ).select(
+        F.col(id_col),
+        F.xxhash64(F.expr(f"substring(__low, __i, {n})")).alias("gram_key"),
+    )
 
     dg = exploded.groupBy(id_col, "gram_key").agg(F.count(F.lit(1)).alias("c"))
-    cnt = F.sum("c").over(Window.partitionBy("gram_key"))
+    model = dg.groupBy("gram_key").agg(F.sum("c").alias("cnt"))
     total = lowered.agg(
         F.sum(F.greatest(k, F.lit(0))).cast("double").alias("total")
     )
     scored = (
-        dg.withColumn("cnt", cnt)
+        dg.join(F.broadcast(model), "gram_key")
         .join(F.broadcast(total))
         .select(
             F.col(id_col),

@@ -62,18 +62,25 @@ def bm25_topk(
     ``queries``: (query_id, query_text) literals. Output
     (query_id, rank, doc_id, score) with score rounded for cross-engine
     stability; ties broken by doc_id so the cut is total-ordered.
+
+    Scale shape: the query-term filter is pushed to the RAW token stream
+    (a broadcast semi-join before any grouping), so the only term-level
+    shuffle is over postings that actually match a query term — the full
+    inverted index is never materialized, and per-term document
+    frequencies are computed (and broadcast) for the handful of query
+    terms only, never for the whole vocabulary. Corpus-wide stats
+    (N, avgdl) come from the doc-level length frame; the one
+    doc-cardinality join (lengths onto matching postings) is left to
+    AQE — broadcast when small, shuffle otherwise.
     """
     spark = docs.sparkSession
-    post = postings(docs, id_col, text_col)
+    t = terms(docs, id_col, text_col)
 
-    # Corpus stats: two scalars + per-term df. N/avgdl are broadcast scalars
-    # (crossJoin of a 1-row frame — Catalyst folds it into a
-    # BroadcastNestedLoopJoin over one row).
-    stats = post.groupBy().agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    dl = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
     )
-    df_term = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
     qterms = (
         spark.createDataFrame(list(queries), "query_id int, qtext string")
@@ -87,6 +94,13 @@ def bm25_topk(
         )
     )
 
+    tf_q = (
+        t.join(F.broadcast(qterms.select("term").distinct()), "term", "leftsemi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_term = tf_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -95,9 +109,10 @@ def bm25_topk(
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
     )
     scored = (
-        post.join(F.broadcast(qterms), "term")
+        tf_q.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_term), "term")
         .crossJoin(F.broadcast(stats))
+        .join(dl, "doc_id")
         .groupBy("query_id", "doc_id")
         .agg(round_stable(F.sum(idf * tf_part), 4).alias("score"))
     )

@@ -95,9 +95,10 @@ def q_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — its row shows pure collision mass). The sketch is a fixed
     4x1024 grid: the aggregation shuffles <= 4096 keys no matter how large
     the vocabulary, and the probe join broadcasts the sketch."""
+    from spookystuff_spark.operators.layout import spread_small_input
     from spookystuff_spark.operators.sketch import cms_query, cms_sketch
 
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_small_input(table(spark, sf_dir, "documents"))
     toks = docs.select(
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"(\S+)"), 1)
