@@ -106,6 +106,56 @@ def enriched_by_user_segment(
     )
 
 
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to every click the
+    same user made within ``horizon`` before it.
+
+    The canonical two-stream pattern: both sides watermarked, plus an
+    explicit event-time range predicate (``purchase_ts`` ∈ [click_ts,
+    click_ts + horizon]) — together these let Spark compute how long a
+    buffered click can still match a future purchase and EXPIRE join state,
+    so state is bounded by (watermark + horizon) of traffic per key, not
+    the stream's history. Without the range bound a stream-stream join
+    must buffer both sides forever. Runs identically in batch (no
+    watermark) — the parity oracle in tests/test_streaming.py.
+    """
+    c = _with_event_time(clicks, "ts").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = _with_event_time(purchases, "ts").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if watermark:
+        c = c.withWatermark("click_ts", watermark)
+        p = p.withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        [
+            c["user_id"] == p["user_id"],
+            F.col("purchase_ts") >= F.col("click_ts"),
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"),
+        ],
+    ).select(
+        c["user_id"].alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        F.round(F.col("purchase_value") + F.lit(1e-6), 2).alias("purchase_value"),
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ):

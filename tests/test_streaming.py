@@ -280,3 +280,29 @@ def test_windowed_cms_stream_equals_batch(spark, events_dir):
     per_win = got_df.groupBy("window_start").count().collect()
     assert all(r["count"] <= 2 * 64 for r in per_win)
     assert sorted(map(tuple, got_df.collect())) == expected
+
+
+def test_stream_stream_attribution_join_equals_batch(spark, events_dir):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.streaming.events import click_purchase_attribution
+
+    ev_batch = spark.read.parquet(events_dir)
+    clicks_b = ev_batch.filter(F.col("event_type") == "click")
+    purch_b = ev_batch.filter(F.col("event_type") == "purchase")
+    cols = ["user_id", "click_id", "click_ts", "purchase_id", "purchase_ts",
+            "purchase_value"]
+    expected = _rows(click_purchase_attribution(clicks_b, purch_b), cols)
+    assert len(expected) > 0  # the corpus must actually exercise the join
+
+    stream = stream_events_from_dir(spark, events_dir, ev_batch.schema)
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    q = run_stream_to_memory(
+        click_purchase_attribution(clicks_s, purch_s, watermark="2 hours"),
+        "attrib_t",
+        "append",
+    )
+    q.awaitTermination(120)
+    got = _rows(spark.sql("SELECT * FROM attrib_t"), cols)
+    assert got == expected
