@@ -173,3 +173,60 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
         shutil.rmtree(os.path.join(table_dir, v))
         removed.append(v)
     return removed
+
+
+def table_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: str,
+    to_version: str | None = None,
+    key_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC between two committed snapshots → the newer-version rows tagged
+    ``_change ∈ {insert, update, delete}``.
+
+    With ``key_cols``: a key present only in ``to`` is an insert, only in
+    ``from`` a delete (the OLD row is returned for deletes), present in both
+    with any non-key column changed an update (unchanged rows are omitted).
+    Without ``key_cols`` the diff is set-based (exceptAll both ways):
+    appeared rows are inserts, vanished rows deletes.
+
+    Plan shape: one full-outer join on the key (or two exceptAll
+    aggregations) between two immutable parquet snapshots — column-pruned
+    and partition-prunable like any other scan; nothing is collected. The
+    standard lakehouse "what changed since v?" primitive for incremental
+    downstream pipelines.
+    """
+    import pyspark.sql.functions as F
+
+    newer = to_version or _latest(table_dir)
+    a = read_table(spark, table_dir, from_version)
+    b = read_table(spark, table_dir, newer)
+    if key_cols is None:
+        ins = b.exceptAll(a).withColumn("_change", F.lit("insert"))
+        dels = a.exceptAll(b).withColumn("_change", F.lit("delete"))
+        return ins.unionByName(dels)
+
+    val_cols = [c for c in b.columns if c not in key_cols]
+    oa = a.select(
+        *key_cols, F.struct(*val_cols).alias("_old")
+    )
+    ob = b.select(
+        *key_cols, F.struct(*val_cols).alias("_new")
+    )
+    j = oa.join(ob, list(key_cols), "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "insert")
+        .when(F.col("_new").isNull(), "delete")
+        .when(F.col("_old") != F.col("_new"), "update")
+    )
+    side = F.coalesce(F.col("_new"), F.col("_old"))
+    return (
+        j.withColumn("_change", change)
+        .where(F.col("_change").isNotNull())
+        .select(
+            *key_cols,
+            *[side[c].alias(c) for c in val_cols],
+            "_change",
+        )
+    )

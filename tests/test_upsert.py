@@ -84,3 +84,35 @@ def test_self_heal_after_dangling_version(spark, tdir):
     assert _rows(read_table(spark, tdir)) == [(1, "A")]
     # dangling dir is still vacuumable
     assert "v00002" in vacuum(tdir, keep=2)
+
+
+def test_table_diff_keyed(spark, tdir):
+    from spookystuff_spark.sources.upsert import table_diff
+
+    v1 = write_table(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"),
+        tdir,
+    )
+    upsert(spark, tdir, spark.createDataFrame([(2, "B"), (4, "d")], "k long, v string"), ["k"])
+    delete_where(spark, tdir, F.col("k") == 3)
+
+    diff = table_diff(spark, tdir, v1, key_cols=["k"])
+    got = sorted((r.k, r.v, r._change) for r in diff.collect())
+    assert got == [(2, "B", "update"), (3, "c", "delete"), (4, "d", "insert")]
+
+
+def test_table_diff_setwise_and_noop(spark, tdir):
+    from spookystuff_spark.sources.upsert import table_diff
+
+    v1 = write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), tdir
+    )
+    upsert(spark, tdir, spark.createDataFrame([(2, "B")], "k long, v string"), ["k"])
+    diff = table_diff(spark, tdir, v1)
+    got = sorted((r.k, r.v, r._change) for r in diff.collect())
+    assert got == [(2, "B", "insert"), (2, "b", "delete")]
+    # same-version diff is empty
+    cur = sorted((r.k, r.v) for r in read_table(spark, tdir).collect())
+    assert cur == [(1, "a"), (2, "B")]
+    latest = table_diff(spark, tdir, "v00002")
+    assert latest.count() == 0

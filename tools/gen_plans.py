@@ -15,16 +15,16 @@ COMMENTARY = {
     "q_knn_cosine_bruteforce": "Query vectors broadcast (BroadcastNestedLoopJoin); cosine evaluated JVM-side via higher-order functions; per-query top-k via window on a 10-partition key.",
     "q_decontaminate_13gram": "13-gram keys are xxhash64 over token slices — computed inside the scan-side codegen stage, no gram string ever built. The (small) benchmark gram set is broadcast into a left-semi BroadcastHashJoin; the corpus gram stream's only exchange is the final per-doc count.",
     "q_dup_span_docs": "Exactly two exchanges of the distinct (doc, gram-key) pair set: one on gram_key for the doc-frequency window, one for the per-doc aggregate. No self-join — cost is O(corpus grams), not O(pairs²).",
-    "q_char_trigram_logprob": "The per-character occurrence stream is collapsed map-side by the partial aggregate (the exchange carries distinct (doc, gram) pairs); corpus total is a no-gram scan broadcast as a one-row join; zero Python stages.",
+    "q_char_trigram_logprob": "The explode carries only a position index (the trigram substring is cut post-explode inside codegen — no per-row string array); the per-character stream is collapsed map-side by the partial aggregate (the exchange carries distinct (doc, gram) pairs); the alphabet-bounded gram model and the corpus total both return via BroadcastHashJoin; zero Python stages, no per-gram window sort.",
     "q_mixture_sample": "Deterministic md5-draw sampling evaluates entirely inside the scan stage's codegen Filter — the only exchange below is the gate-determinism orderBy of the registered query; the operator itself is exchange-free (pinned by test_mixture_sample_is_scan_stage_only) and composes with partition pruning at 100 TB.",
     "q_semdedup_prune": "Two Python stages only: the k-means assignment (MapInPandas, carrying each vector so no re-join shuffle is needed) feeding the per-cell greedy prune (FlatMapGroupsInPandas) — the single wide op is the cell groupBy, and pairwise work is bounded per cell, never all-pairs.",
-    "q_retrieval_bm25": "Postings built with ONE corpus exchange (the tf groupBy); query terms, per-term df and the two corpus scalars all broadcast — no sort-merge join anywhere. Top-k is a bounded window per query_id. At 100 TB the postings side can additionally be bucketed by term (sources/bucketed.py) to erase the exchange for repeated query workloads.",
+    "q_retrieval_bm25": "The query-term filter is a broadcast LEFT-SEMI join against the RAW token stream — the full inverted index is never built, and the only term-level exchange carries matching postings. Per-term df is computed for query terms only (broadcasting whole-vocabulary df would be the classic scale bug); N/avgdl come from the doc-length frame. Top-k is a bounded window per query_id.",
     "q_pack_sequences": "Pure integer plan: one exchange for the shard window (cumulative token sum), then sequence()+explode generates boundary-crossing spans inside codegen. Shards are independent — at 100 TB the window partitions by uniform hash shard, so no global sort and no skew.",
     "q_train_split": "Split assignment is a scan-stage md5 expression (no exchange at all before the summary aggregate) — the operator composes with partition pruning and never reshuffles the corpus.",
     "q_kmeans_assign": "Per iteration: one MapInPandas emitting PRE-AGGREGATED (cluster, dim) partial sums — the shuffle is O(k·d·batches), never O(rows) — and an O(k·d) driver collect. Final pass is a single Arrow stage. Int64-quantized sums make the result identical under any partitioning.",
     "q_warc_doc_stats": "binaryFile scan lists archives on executors; ONE MapInPandas parses records (file = parallelism unit, zero shuffle); title/link profiling is codegen'd regex downstream.",
-    "q_heavy_hitters_bigrams": "The sketch pass (MapInPandas Misra-Gries, O(n_counters) memory, zero shuffle) has already collapsed the bigram universe to a driver-side candidate list by plan time; the visible plan is the exact recount — candidate filter inside the scan/codegen stage, so the groupBy exchange carries at most |candidates| keys regardless of corpus vocabulary.",
-    "q_text_classifier": "Scoring pass over the once-checkpointed hashed-BoW features (the Scan ExistingRDD): one narrow Arrow stage, no exchange. Training already ran as 5 ridge-IRLS jobs whose shuffles were bounded by the feature co-occurrence pattern (int64-quantized gradient+Hessian cells), never by row count.",
+    "q_heavy_hitters_bigrams": "The sketch pass (MapInPandas Misra-Gries, O(n_counters) memory, zero shuffle) collapses the bigram universe to a candidate frame; the exact recount probes it via a broadcast LEFT-SEMI hash join inside the scan stage (an isin literal list of tens of thousands of entries would stall codegen), so the groupBy exchange carries at most |candidates| keys regardless of corpus vocabulary.",
+    "q_text_classifier": "Scoring pass over the once-checkpointed hashed-BoW features (the Scan ExistingRDD): one narrow Arrow stage, no exchange. Training already ran as 5 shuffle-FREE ridge-IRLS jobs: each partition ships its int64-quantized gradient+Hessian as one packed sparse blob (bounded by feature co-occurrence, never row count) and the driver scatter-adds them — bit-identical under any partitioning.",
     "q_leakage_split": "The corpus side never shuffles: its split is a scan-stage md5 expression, and the cluster override (components of the near-dup pair list) arrives via BroadcastHashJoin. The only wide work belongs to the minhash pair derivation upstream.",
     "q_dupspan_removal": "One gram-key exchange (doc-frequency window, same as the measurement ops), one bounded coverage groupBy, one left-anti BroadcastHashJoin removing covered tokens, one ordered rebuild aggregate — all codegen, no Python, no pair explosion.",
     "q_cluster_balanced_sample": "Cap-per-cell is a single window pass ordered by the deterministic md5 draw; the k-means assignment stage carries its vectors (no re-join). Per-cell quota keeps the output bounded whatever the cell skew.",
@@ -35,6 +35,11 @@ COMMENTARY = {
     "q_sample_quantiles": "The per-group count join is a BroadcastHashJoin, the hash-fraction sample filter runs in the scan stage, so the only sort (the rank window) sees ~cap rows per group, never the fact table; quantile targets re-enter via a second broadcast join.",
     "q_textrank_keywords": "The corpus is scanned once to build co-occurrence edge counts (map-side combined, bigram-vocab key space); every PageRank iteration afterwards joins the vocab-sized rank table to the checkpointed edge list — the visible plan reads materialized checkpoint blocks, not a 10-deep join tree, and the quantized decimal sums keep the ranks bit-identical under any layout.",
     "q_weighted_sample": "The exponential-race key (md5 fraction, ln, divide by weight) is pure scan-stage codegen; the single exchange is the group-key rank window, and rn <= k prunes before anything else consumes the result — per-group top-k cost, no full sort of the corpus.",
+    "q_pagerank_purchases": "The visible plan reads the final rank checkpoint: upstream, the degree-annotated edge table was hash-partitioned ONCE (cached, reused by all 8 iterations with no re-exchange — node ids ride as longs, labels minted on the node-cardinality output only), and each iteration cost one no-exchange join plus one partial-aggregated contribution shuffle. Rank state is never broadcast or collected.",
+    "q_triangle_stats": "Degree-oriented edge iterator: out-degree bounded by O(sqrt m), adjacency lists grouped once, and triangles counted per edge via whole-stage-codegen array_intersect of the two endpoints' out-neighbor arrays — the O(m^1.5) intersection work never materializes a wedge row into a shuffle. Basket-local pair expansion builds the co-purchase edges without a lineitem self-join.",
+    "q_zorder_key": "The Morton interleave is one long codegen expression in the scan projection (no UDF, no shuffle before the bucket aggregate); the same expression string is what zorder_write feeds repartitionByRange for the clustered layout.",
+    "q_line_dedup": "First-occurrence selection is a map-side-combined min(struct) aggregate keyed on the line (a million-copy boilerplate line costs the exchange one row per map task); the join-back is AQE-skew-splittable; doc rebuild is one ordered aggregate. Blank lines never enter the dedup key space.",
+    "q_ccnet_buckets": "Rides the shared trigram-LM plan (see q_char_trigram_logprob); the tercile cut is one ntile window per language over quantized scores — rank-only, nothing wide materializes per partition.",
 }
 
 
