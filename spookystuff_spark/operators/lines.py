@@ -57,15 +57,20 @@ def dedup_lines(
 
     # first corpus-wide occurrence per line key: partial-agg shuffles one
     # row per (map task, key), so a million-copy boilerplate line costs the
-    # shuffle one row per task, not a million rows.
+    # shuffle one row per task, not a million rows. The (doc_id, line_no)
+    # pair is packed into ONE long — min(struct) can only run as a
+    # SortAggregate (sort per partition), min(long) stays a partial-agg
+    # HashAggregate. 20 bits of line_no bounds docs at ~1M lines and ids at
+    # ~8.7e12, both far beyond any real corpus row.
+    packed = F.shiftleft(F.col(id_col), 20) + F.col("line_no")
     first = (
         lines.where(dedupable)
         .groupBy("key")
-        .agg(F.min(F.struct("doc_id", "line_no")).alias("first"))
+        .agg(F.min(packed).alias("first"))
         .select(
             "key",
-            F.col("first.doc_id").alias("f_doc"),
-            F.col("first.line_no").alias("f_line"),
+            F.shiftright("first", 20).alias("f_doc"),
+            F.col("first").bitwiseAND(F.lit((1 << 20) - 1)).alias("f_line"),
         )
     )
 

@@ -42,6 +42,10 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     n_wedges = sum over nodes of C(deg, 2) and gcc = 3*triangles/wedges
     (global clustering coefficient, rounded to 6 decimals).
     """
+    # edges feed three consumers (degrees, orientation, edge count) and
+    # oriented feeds three more (adjacency + both join sides) — checkpoint
+    # lazily so each lineage is computed once, not per consumer
+    edges = edges.localCheckpoint(eager=False)
     deg = undirected_degrees(edges)
 
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
@@ -53,7 +57,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
 
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
