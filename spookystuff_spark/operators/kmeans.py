@@ -61,6 +61,24 @@ def seed_centroids(
     return np.array([r["qv"] for r in rows], dtype=np.float64) / QUANT
 
 
+def _assign_chunked(x: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignments, min-dist²) via the exact diff-form distance, chunked so
+    the (chunk, k, d) temporary stays ≤ ~4M cells whatever k·d is — the
+    full-batch form is an executor OOM at large k·d (e.g. 10k-row Arrow
+    batch × 256 cells × 768 dims = 15 GB). Chunking preserves bit-identical
+    float ops, so goldens trained on the unchunked form are unchanged."""
+    n = x.shape[0]
+    chunk = max(1, 4_000_000 // max(1, c.shape[0] * c.shape[1]))
+    cl = np.empty(n, dtype=np.int64)
+    dmin = np.empty(n, dtype=np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        d2 = ((x[lo:hi, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl[lo:hi] = d2.argmin(axis=1)
+        dmin[lo:hi] = d2[np.arange(hi - lo), cl[lo:hi]]
+    return cl, dmin
+
+
 def _assign_iter(centroids: np.ndarray, emit_partials: bool):
     c = centroids  # (k, d) float64, broadcast via closure
 
@@ -69,8 +87,7 @@ def _assign_iter(centroids: np.ndarray, emit_partials: bool):
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) / QUANT
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            cl = d2.argmin(axis=1)
+            cl, dmin = _assign_chunked(x, c)
             if emit_partials:
                 q = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # (n, d)
                 out = []
@@ -92,7 +109,7 @@ def _assign_iter(centroids: np.ndarray, emit_partials: bool):
                     {
                         "vec_id": pdf["vec_id"],
                         "cluster": cl.astype(np.int32),
-                        "dist2": d2[np.arange(len(cl)), cl],
+                        "dist2": dmin,
                     }
                 )
 
