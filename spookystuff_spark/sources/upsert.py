@@ -64,6 +64,18 @@ def _next_version(table_dir: str) -> str:
     return f"v{highest + 1:05d}"
 
 
+def _commit(table_dir: str, version: str, marker: str | None) -> None:
+    """Drop an optional marker file inside the (already fully written)
+    immutable version dir, then swap the pointer. The marker rides the same
+    atomic commit as the data: a crash before the swap leaves a dangling,
+    never-read dir; after it, marker and snapshot are visible together —
+    the hook streaming/sink.py uses for exactly-once batch idempotence."""
+    if marker:
+        with open(os.path.join(table_dir, version, marker), "w"):
+            pass
+    _swap_pointer(table_dir, version)
+
+
 def read_table(
     spark: SparkSession, table_dir: str, version: str | None = None
 ) -> DataFrame:
@@ -78,12 +90,12 @@ def read_table(
     return spark.read.parquet(os.path.join(table_dir, v))
 
 
-def write_table(df: DataFrame, table_dir: str) -> str:
+def write_table(df: DataFrame, table_dir: str, marker: str | None = None) -> str:
     """Create/replace the table with a fresh snapshot. Returns the version."""
     os.makedirs(table_dir, exist_ok=True)
     v = _next_version(table_dir)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
-    _swap_pointer(table_dir, v)
+    _commit(table_dir, v, marker)
     return v
 
 
@@ -92,20 +104,21 @@ def upsert(
     table_dir: str,
     updates: DataFrame,
     key_cols: Sequence[str],
+    marker: str | None = None,
 ) -> str:
     """MERGE: rows matching an update key are replaced, others kept, new keys
     inserted. One anti-join (update keys broadcast when small) + one union;
     the new snapshot commits with a pointer swap. Returns the version."""
     cur_v = _latest(table_dir)
     if cur_v is None:
-        return write_table(updates, table_dir)
+        return write_table(updates, table_dir, marker)
     current = spark.read.parquet(os.path.join(table_dir, cur_v))
     keys = updates.select(*key_cols).distinct()
     kept = current.join(keys, list(key_cols), "left_anti")
     merged = kept.unionByName(updates)
     v = _next_version(table_dir)
     merged.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
-    _swap_pointer(table_dir, v)
+    _commit(table_dir, v, marker)
     return v
 
 
@@ -132,6 +145,59 @@ def compact(spark: SparkSession, table_dir: str, num_files: int = 8) -> str:
     )
     _swap_pointer(table_dir, v)
     return v
+
+
+def snapshot_file_stats(table_dir: str, version: str | None = None) -> dict:
+    """{n_files, total_bytes, min_bytes, max_bytes} of a snapshot's data
+    files — the observability half of compaction: many small files means
+    task-per-file scheduling overhead and poor scan locality; a few huge
+    ones means no parallelism. (Local/POSIX listing; on a real DFS the same
+    numbers come from one ``FileSystem.listStatus`` call.)"""
+    v = version or _latest(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    sizes = [
+        e.stat().st_size
+        for e in os.scandir(os.path.join(table_dir, v))
+        if e.name.endswith(".parquet") and e.is_file()
+    ]
+    return {
+        "n_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes, default=0),
+        "max_bytes": max(sizes, default=0),
+    }
+
+
+def compact_auto(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    threshold: float = 0.5,
+) -> str | None:
+    """Size-aware compaction (the OPTIMIZE of a real lakehouse): measure the
+    current snapshot's file-size distribution, and iff the MEDIAN data file
+    is under ``threshold × target`` rewrite into ``ceil(total / target)``
+    files. Returns the new version, or None when the layout is already
+    healthy — callers loop this after streaming upserts (each micro-batch
+    snapshot writes shuffle-partition-many small files) without paying a
+    rewrite when nothing needs one.
+
+    128 MB default target ≈ one HDFS block / one comfortable scan task; at
+    100 TB that's ~800k files, each a single task with locality."""
+    stats = snapshot_file_stats(table_dir)
+    if stats["n_files"] == 0:
+        return None
+    sizes = sorted(
+        e.stat().st_size
+        for e in os.scandir(os.path.join(table_dir, _latest(table_dir)))
+        if e.name.endswith(".parquet") and e.is_file()
+    )
+    median = sizes[len(sizes) // 2]
+    if stats["n_files"] > 1 and median < threshold * target_file_bytes:
+        n = max(1, -(-stats["total_bytes"] // target_file_bytes))
+        return compact(spark, table_dir, num_files=int(n))
+    return None
 
 
 def versions(table_dir: str) -> list[str]:

@@ -1,0 +1,173 @@
+"""Lakehouse-ops additions over the versioned table: exactly-once streaming
+upsert sink, size-aware auto-compaction, partitioned writes + pruning proof.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyspark.sql.functions as F
+import pytest
+
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.partitioned import (
+    assert_partition_pruned,
+    prune_report,
+    selected_partition_count,
+    write_partitioned,
+)
+from spookystuff_spark.streaming.sink import (
+    last_committed_batch,
+    streaming_upsert_sink,
+)
+
+
+# ------------------------------------------------- streaming upsert sink
+
+
+def test_sink_applies_batches_and_skips_replays(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    sink = streaming_upsert_sink(tdir, ["k"])
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    got = {
+        (r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert last_committed_batch(tdir) == 1
+    n_versions = len(U.committed_versions(tdir))
+
+    # crash-replay of an old batch: exactly-once skip, no new snapshot,
+    # no resurrected value
+    sink(b0, 0)
+    sink(b1, 1)
+    assert len(U.committed_versions(tdir)) == n_versions
+    got2 = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got2 == got
+
+
+def test_sink_survives_interleaved_manual_writes(spark, tmp_path):
+    """Manual upserts/compactions between stream batches leave versions
+    without batch markers; the marker walk must still find the newest one."""
+    tdir = str(tmp_path / "tbl")
+    sink = streaming_upsert_sink(tdir, ["k"])
+    sink(spark.createDataFrame([(1, "a")], "k int, v string"), 0)
+    U.upsert(
+        spark, tdir, spark.createDataFrame([(9, "z")], "k int, v string"), ["k"]
+    )
+    assert last_committed_batch(tdir) == 0
+    sink(spark.createDataFrame([(1, "A")], "k int, v string"), 1)
+    assert last_committed_batch(tdir) == 1
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "A"), (9, "z")}
+
+
+def test_sink_end_to_end_structured_streaming(spark, tmp_path):
+    """Drive the sink from a real file-source stream: two input files arrive,
+    each becomes a micro-batch, the table converges to the merged state."""
+    src = tmp_path / "in"
+    src.mkdir()
+    tdir = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "f0.json").write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+    stream = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(streaming_upsert_sink(tdir, ["k"]))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "f1.json").write_text('{"k": 2, "v": "B"}\n{"k": 3, "v": "c"}\n')
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert last_committed_batch(tdir) is not None
+
+
+# ------------------------------------------------------ auto-compaction
+
+
+def test_compact_auto_rewrites_fragmented_snapshot(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    U.write_table(df.repartition(16), tdir)
+    before = U.snapshot_file_stats(tdir)
+    assert before["n_files"] == 16
+
+    v = U.compact_auto(spark, tdir, target_file_bytes=1 << 30)
+    assert v is not None
+    after = U.snapshot_file_stats(tdir)
+    assert after["n_files"] == 1
+    assert U.read_table(spark, tdir).count() == 2000
+
+    # healthy layout: second pass is a no-op
+    assert U.compact_auto(spark, tdir, target_file_bytes=1 << 30) is None
+
+
+def test_compact_auto_respects_target_size(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    U.write_table(df.repartition(32), tdir)
+    total = U.snapshot_file_stats(tdir)["total_bytes"]
+    target = max(1, total // 4)
+    assert U.compact_auto(spark, tdir, target_file_bytes=target) is not None
+    after = U.snapshot_file_stats(tdir)
+    assert 3 <= after["n_files"] <= 6  # ceil(total/target) ~= 4, rewrite jitter
+
+
+# ----------------------------------------- partitioned writes + pruning
+
+
+def test_partition_pruning_proven_in_plan(spark, tmp_path):
+    path = str(tmp_path / "part")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("shard"),
+    )
+    write_partitioned(df, path, ["shard"])
+    pruned = assert_partition_pruned(spark, path, "shard = '3'", 1)
+    assert pruned.count() == 200
+    assert selected_partition_count(spark.read.parquet(path).where("1=1")) == 5
+    rep = prune_report(pruned)
+    assert "shard" in rep["partition_filters"]
+
+
+def test_dynamic_partition_overwrite_keeps_other_partitions(spark, tmp_path):
+    path = str(tmp_path / "part")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, shard string"
+    )
+    write_partitioned(base, path, ["shard"])
+    # restate ONLY shard=a; shard=b must survive
+    restated = spark.createDataFrame([(9, "a")], "id int, shard string")
+    write_partitioned(restated, path, ["shard"])
+    got = {
+        (r["id"], r["shard"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(9, "a"), (2, "b")}
+
+
+def test_pushed_filters_reach_parquet_scan(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("x")
+    ).write.parquet(path)
+    rep = prune_report(spark.read.parquet(path).where("x > 50").select("id"))
+    assert "GreaterThan" in rep["pushed_filters"] or "x" in rep["pushed_filters"]
