@@ -64,6 +64,9 @@ def _next_version(table_dir: str) -> str:
     return f"v{highest + 1:05d}"
 
 
+_CHANGES = "_changes"
+
+
 def _commit(table_dir: str, version: str, marker: str | None) -> None:
     """Drop an optional marker file inside the (already fully written)
     immutable version dir, then swap the pointer. The marker rides the same
@@ -74,6 +77,21 @@ def _commit(table_dir: str, version: str, marker: str | None) -> None:
         with open(os.path.join(table_dir, version, marker), "w"):
             pass
     _swap_pointer(table_dir, version)
+
+
+def _write_change_feed(df: DataFrame, table_dir: str, version: str, kind: str) -> None:
+    """Record this commit's change set under ``<version>/_changes`` (the
+    Delta Change-Data-Feed idea): the rows are ALREADY known at commit time,
+    so downstream CDC consumers (sources/versioned_source.py's streaming
+    reader) read a tiny per-version log instead of diffing two full
+    snapshots — the property that keeps table→stream incremental at 100 TB.
+    Underscore-prefixed paths are invisible to snapshot scans (Hadoop's
+    hidden-file convention), so time travel and reads are unaffected."""
+    import pyspark.sql.functions as F
+
+    df.withColumn("_change", F.lit(kind)).write.mode("errorifexists").parquet(
+        os.path.join(table_dir, version, _CHANGES)
+    )
 
 
 def read_table(
@@ -90,11 +108,23 @@ def read_table(
     return spark.read.parquet(os.path.join(table_dir, v))
 
 
-def write_table(df: DataFrame, table_dir: str, marker: str | None = None) -> str:
+def write_table(
+    df: DataFrame,
+    table_dir: str,
+    marker: str | None = None,
+    change_feed: bool = True,
+) -> str:
     """Create/replace the table with a fresh snapshot. Returns the version."""
     os.makedirs(table_dir, exist_ok=True)
     v = _next_version(table_dir)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    if change_feed:
+        _write_change_feed(
+            df.sparkSession.read.parquet(os.path.join(table_dir, v)),
+            table_dir,
+            v,
+            "upsert",
+        )
     _commit(table_dir, v, marker)
     return v
 
@@ -105,25 +135,34 @@ def upsert(
     updates: DataFrame,
     key_cols: Sequence[str],
     marker: str | None = None,
+    change_feed: bool = True,
 ) -> str:
     """MERGE: rows matching an update key are replaced, others kept, new keys
     inserted. One anti-join (update keys broadcast when small) + one union;
     the new snapshot commits with a pointer swap. Returns the version."""
     cur_v = _latest(table_dir)
     if cur_v is None:
-        return write_table(updates, table_dir, marker)
+        return write_table(updates, table_dir, marker, change_feed)
     current = spark.read.parquet(os.path.join(table_dir, cur_v))
     keys = updates.select(*key_cols).distinct()
     kept = current.join(keys, list(key_cols), "left_anti")
     merged = kept.unionByName(updates)
     v = _next_version(table_dir)
     merged.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    if change_feed:
+        # the change set IS the updates frame — re-read it from the freshly
+        # written snapshot (semi-join on the update keys) so the feed write
+        # doesn't recompute the caller's arbitrary lineage
+        snap = spark.read.parquet(os.path.join(table_dir, v))
+        _write_change_feed(
+            snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
+        )
     _commit(table_dir, v, marker)
     return v
 
 
 def delete_where(
-    spark: SparkSession, table_dir: str, condition
+    spark: SparkSession, table_dir: str, condition, change_feed: bool = True
 ) -> str:
     """Anti-delete: new snapshot without rows matching ``condition``."""
     current = read_table(spark, table_dir)
@@ -131,6 +170,9 @@ def delete_where(
     current.where(~condition).write.mode("errorifexists").parquet(
         os.path.join(table_dir, v)
     )
+    if change_feed:
+        # deleted rows come from the (immutable) PREVIOUS snapshot scan
+        _write_change_feed(current.where(condition), table_dir, v, "delete")
     _swap_pointer(table_dir, v)
     return v
 

@@ -1,0 +1,200 @@
+"""PySpark-4 Python DataSource over the versioned table (sources/upsert.py):
+batch reads with time travel, and a streaming Change-Data-Feed reader.
+
+    spark.dataSource.register(VersionedTableDataSource)
+
+    # batch (current snapshot, or option("version", "v00001") time travel)
+    spark.read.format("spooky_versioned").option("path", dir).load()
+
+    # streaming CDC: each committed version's _changes log becomes a
+    # micro-batch; offsets are version numbers, so restart-resume is exact
+    spark.readStream.format("spooky_versioned").option("path", dir).load()
+
+Scale shape: one InputPartition per parquet data file (the same
+task-per-file parallelism a native scan gets), rows shipped as Arrow
+RecordBatches — never tuple-at-a-time. The stream reader never diffs
+snapshots: it reads the per-version ``_changes`` logs the writers recorded
+at commit time (Delta CDF protocol), so a micro-batch costs O(changed
+rows), not O(table). Offsets are monotone version numbers; ``commit`` is a
+no-op because version dirs are immutable and vacuum-retention is the
+caller's contract.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from spookystuff_spark.sources import upsert as U
+
+_CHANGES = "_changes"
+
+
+@dataclass
+class _FilePart(InputPartition):
+    path: str
+    change: bool  # True: file carries its own _change column already
+
+
+def _data_files(snapshot_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
+
+
+def _read_arrow(path: str, names: Sequence[str] | None = None):
+    """Iterate a parquet file as Arrow RecordBatches, aligned to ``names``
+    (Spark's expected column order; absent columns filled with nulls — e.g.
+    the ``_change`` column when a consumer reads the feed without it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for batch in pq.ParquetFile(path).iter_batches():
+        if names is None or batch.schema.names == list(names):
+            yield batch
+            continue
+        cols = []
+        for n in names:
+            if n in batch.schema.names:
+                cols.append(batch.column(n))
+            else:
+                cols.append(pa.nulls(batch.num_rows, type=pa.string()))
+        yield pa.RecordBatch.from_arrays(cols, names=list(names))
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, table_dir: str, version: str, names: Sequence[str]):
+        self.snapshot = os.path.join(table_dir, version)
+        self.names = list(names)
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_FilePart(p, False) for p in _data_files(self.snapshot)]
+
+    def read(self, partition: _FilePart) -> Iterator:
+        yield from _read_arrow(partition.path, self.names)
+
+
+class _ChangeFeedReader(DataSourceStreamReader):
+    """Offsets: {"version": int} = highest version whose changes were
+    emitted. A micro-batch (start, end] maps to the ``_changes`` files of
+    every committed version in that range."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        starting_version: int | None,
+        names: Sequence[str],
+    ):
+        self.table_dir = table_dir
+        self.names = list(names)
+        if starting_version is not None:
+            self.start_v = starting_version
+        else:
+            cur = U.committed_versions(table_dir)
+            self.start_v = int(cur[-1][1:]) if cur else 0
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_v}
+
+    def latestOffset(self) -> dict:
+        cur = U.committed_versions(self.table_dir)
+        latest = int(cur[-1][1:]) if cur else 0
+        return {"version": max(latest, self.start_v)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for v in U.committed_versions(self.table_dir):
+            n = int(v[1:])
+            if start["version"] < n <= end["version"]:
+                parts.extend(
+                    _FilePart(p, True)
+                    for p in _data_files(
+                        os.path.join(self.table_dir, v, _CHANGES)
+                    )
+                )
+        # Spark requires >= 1 partition per batch; an empty range (e.g.
+        # compaction-only versions have no _changes) yields a no-row part
+        return parts or [_FilePart("", True)]
+
+    def read(self, partition: _FilePart) -> Iterator:
+        if partition.path:
+            yield from _read_arrow(partition.path, self.names)
+
+    def commit(self, end: dict) -> None:
+        pass  # version dirs are immutable; retention = vacuum policy
+
+    def stop(self) -> None:
+        pass
+
+
+class VersionedTableDataSource(DataSource):
+    """name: ``spooky_versioned``. Options: ``path`` (table dir, required),
+    ``version`` (batch time travel), ``startingVersion`` (stream replay
+    start; default = current version, i.e. only future changes)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "spooky_versioned"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' is required")
+        return path
+
+    def _resolve_version(self) -> str:
+        table_dir = self._table_dir()
+        v = self.options.get("version")
+        committed = U.committed_versions(table_dir)
+        if not committed:
+            raise FileNotFoundError(f"no committed version in {table_dir}")
+        if v is None:
+            return committed[-1]
+        if v not in committed:
+            raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+        return v
+
+    def _snapshot_schema(self, with_change: bool) -> StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = _data_files(
+            os.path.join(self._table_dir(), self._resolve_version())
+        )
+        if not files:
+            raise FileNotFoundError("empty snapshot")
+        schema = from_arrow_schema(pq.read_schema(files[0]))
+        if with_change:
+            schema = StructType(
+                [*schema.fields, StructField("_change", StringType())]
+            )
+        return schema
+
+    def schema(self) -> StructType:
+        # the stream feed carries the extra _change column
+        return self._snapshot_schema(with_change=self._is_stream())
+
+    def _is_stream(self) -> bool:
+        return str(self.options.get("changefeed", "")).lower() == "true"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _BatchReader(
+            self._table_dir(), self._resolve_version(), schema.fieldNames()
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        sv = self.options.get("startingversion")
+        return _ChangeFeedReader(
+            self._table_dir(),
+            int(sv) if sv is not None else None,
+            schema.fieldNames(),
+        )

@@ -1,0 +1,154 @@
+"""Python DataSource over the versioned table: batch + time travel + CDC
+streaming, and the change-feed logs the writers record at commit time."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.versioned_source import VersionedTableDataSource
+
+
+@pytest.fixture()
+def registered(spark):
+    spark.dataSource.register(VersionedTableDataSource)
+    return spark
+
+
+def _mk_table(spark, tdir: str) -> None:
+    U.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), tdir
+    )
+    U.upsert(
+        spark,
+        tdir,
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"),
+        ["k"],
+    )
+
+
+def test_change_feed_written_at_commit(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    feed1 = spark.read.parquet(os.path.join(tdir, "v00001", "_changes"))
+    feed2 = spark.read.parquet(os.path.join(tdir, "v00002", "_changes"))
+    assert {(r["k"], r["_change"]) for r in feed1.collect()} == {
+        (1, "upsert"), (2, "upsert")
+    }
+    assert {(r["k"], r["_change"]) for r in feed2.collect()} == {
+        (2, "upsert"), (3, "upsert")
+    }
+    # snapshot reads must NOT see the hidden _changes dir
+    assert U.read_table(spark, tdir).count() == 3
+
+
+def test_delete_where_logs_deletes(spark, tmp_path):
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    import pyspark.sql.functions as F
+
+    U.delete_where(spark, tdir, F.col("k") == 2)
+    feed = spark.read.parquet(os.path.join(tdir, "v00003", "_changes"))
+    assert {(r["k"], r["_change"]) for r in feed.collect()} == {(2, "delete")}
+    assert U.read_table(spark, tdir).count() == 2
+
+
+def test_batch_read_and_time_travel(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    cur = spark.read.format("spooky_versioned").option("path", tdir).load()
+    assert {(r["k"], r["v"]) for r in cur.collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    old = (
+        spark.read.format("spooky_versioned")
+        .option("path", tdir)
+        .option("version", "v00001")
+        .load()
+    )
+    assert {(r["k"], r["v"]) for r in old.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_stream_cdc_replays_and_follows(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["k"], r["v"], r["_change"])
+            for r in spark.sql("SELECT * FROM cdc_sink").collect()
+        }
+        # full replay: both versions' change sets
+        assert got == {
+            (1, "a", "upsert"),
+            (2, "b", "upsert"),
+            (2, "B", "upsert"),
+            (3, "c", "upsert"),
+        }
+        # a new commit while the stream runs becomes the next micro-batch
+        U.upsert(
+            spark,
+            tdir,
+            spark.createDataFrame([(4, "d")], "k int, v string"),
+            ["k"],
+        )
+        q.processAllAvailable()
+        got2 = {
+            (r["k"], r["v"], r["_change"])
+            for r in spark.sql("SELECT * FROM cdc_sink").collect()
+        }
+        assert (4, "d", "upsert") in got2 and len(got2) == 5
+    finally:
+        q.stop()
+
+
+def test_stream_default_start_skips_history(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_tail")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cdc_tail").count() == 0
+        U.upsert(
+            spark,
+            tdir,
+            spark.createDataFrame([(9, "z")], "k int, v string"),
+            ["k"],
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cdc_tail").collect()
+        assert {(r["k"], r["v"]) for r in rows} == {(9, "z")}
+    finally:
+        q.stop()
