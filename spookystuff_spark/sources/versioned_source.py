@@ -29,31 +29,40 @@ from typing import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
 from spookystuff_spark.sources import upsert as U
 
 _CHANGES = "_changes"
+_KIND = "_kind"  # sidecar: change type for feed files lacking a _change column
 
 
 @dataclass
 class _FilePart(InputPartition):
     path: str
-    change: bool  # True: file carries its own _change column already
+    change: bool  # True: file belongs to a change feed
+    kind: str | None = None  # fill for a missing _change column
 
 
 def _data_files(snapshot_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
 
 
-def _read_arrow(path: str, names: Sequence[str] | None = None):
+def _read_arrow(
+    path: str,
+    names: Sequence[str] | None = None,
+    fill: dict | None = None,
+):
     """Iterate a parquet file as Arrow RecordBatches, aligned to ``names``
-    (Spark's expected column order; absent columns filled with nulls — e.g.
-    the ``_change`` column when a consumer reads the feed without it)."""
+    (Spark's expected column order). An absent column is filled from
+    ``fill`` (constant, e.g. ``_change`` from the version's _kind sidecar)
+    or with nulls."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -65,6 +74,10 @@ def _read_arrow(path: str, names: Sequence[str] | None = None):
         for n in names:
             if n in batch.schema.names:
                 cols.append(batch.column(n))
+            elif fill and fill.get(n) is not None:
+                cols.append(
+                    pa.array([fill[n]] * batch.num_rows, type=pa.string())
+                )
             else:
                 cols.append(pa.nulls(batch.num_rows, type=pa.string()))
         yield pa.RecordBatch.from_arrays(cols, names=list(names))
@@ -114,11 +127,14 @@ class _ChangeFeedReader(DataSourceStreamReader):
         for v in U.committed_versions(self.table_dir):
             n = int(v[1:])
             if start["version"] < n <= end["version"]:
+                feed = os.path.join(self.table_dir, v, _CHANGES)
+                kind = None
+                kind_path = os.path.join(feed, _KIND)
+                if os.path.exists(kind_path):
+                    with open(kind_path) as f:
+                        kind = f.read().strip() or None
                 parts.extend(
-                    _FilePart(p, True)
-                    for p in _data_files(
-                        os.path.join(self.table_dir, v, _CHANGES)
-                    )
+                    _FilePart(p, True, kind) for p in _data_files(feed)
                 )
         # Spark requires >= 1 partition per batch; an empty range (e.g.
         # compaction-only versions have no _changes) yields a no-row part
@@ -126,13 +142,104 @@ class _ChangeFeedReader(DataSourceStreamReader):
 
     def read(self, partition: _FilePart) -> Iterator:
         if partition.path:
-            yield from _read_arrow(partition.path, self.names)
+            yield from _read_arrow(
+                partition.path,
+                self.names,
+                {"_change": partition.kind} if partition.kind else None,
+            )
 
     def commit(self, end: dict) -> None:
         pass  # version dirs are immutable; retention = vacuum policy
 
     def stop(self) -> None:
         pass
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    filename: str | None
+    num_rows: int
+
+
+class _VersionedArrowWriter(DataSourceArrowWriter):
+    """Two-phase commit writer — the Spark commit protocol made explicit:
+
+    1. Every task streams its Arrow batches into ONE parquet file under a
+       private staging dir (unique name; a retried/speculative task stages a
+       different file) and returns the filename as its commit message.
+    2. Only if ALL tasks succeed does the driver ``commit``: the staged
+       files (plus, for append mode, hard links to the previous snapshot's
+       immutable data files — metadata-only, no data copy) become the next
+       version dir, the change feed records the staged files, and the
+       pointer swaps. ``abort`` just deletes staging — a failed job leaves
+       the table byte-identical.
+
+    Append here is a blind append (new rows added, no key dedup) — the
+    keyed MERGE path stays in upsert.upsert(), which needs a join.
+    """
+
+    def __init__(self, table_dir: str, overwrite: bool):
+        import uuid
+
+        self.table_dir = table_dir
+        self.overwrite = overwrite
+        self.staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.staging, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    os.path.join(self.staging, fname), batch.schema
+                )
+            writer.write_batch(batch)
+            n += batch.num_rows
+        if writer is None:
+            return _StagedFile(None, 0)
+        writer.close()
+        return _StagedFile(fname, n)
+
+    def _link(self, src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device / FS without hard links
+            import shutil
+
+            shutil.copy2(src, dst)
+
+    def commit(self, messages) -> None:
+        staged = [m.filename for m in messages if m and m.filename]
+        v = U._next_version(self.table_dir)
+        vdir = os.path.join(self.table_dir, v)
+        feed = os.path.join(vdir, _CHANGES)
+        os.makedirs(feed, exist_ok=True)
+        if not self.overwrite:
+            cur = U.committed_versions(self.table_dir)
+            if cur:
+                prev = os.path.join(self.table_dir, cur[-1])
+                for i, p in enumerate(_data_files(prev)):
+                    self._link(p, os.path.join(vdir, f"prev-{i:05d}.parquet"))
+        for f in staged:
+            self._link(os.path.join(self.staging, f), os.path.join(vdir, f))
+            self._link(os.path.join(self.staging, f), os.path.join(feed, f))
+        with open(os.path.join(feed, _KIND), "w") as fh:
+            fh.write("upsert")
+        with open(os.path.join(vdir, "_SUCCESS"), "w"):
+            pass
+        U._swap_pointer(self.table_dir, v)
+        self.abort(messages)  # staging cleanup (files are linked into vdir)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class VersionedTableDataSource(DataSource):
@@ -198,3 +305,6 @@ class VersionedTableDataSource(DataSource):
             int(sv) if sv is not None else None,
             schema.fieldNames(),
         )
+
+    def writer(self, schema: StructType, overwrite: bool) -> _VersionedArrowWriter:
+        return _VersionedArrowWriter(self._table_dir(), overwrite)

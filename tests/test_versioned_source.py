@@ -152,3 +152,87 @@ def test_stream_default_start_skips_history(registered, tmp_path):
         assert {(r["k"], r["v"]) for r in rows} == {(9, "z")}
     finally:
         q.stop()
+
+
+def test_writer_append_and_overwrite(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df1.write.format("spooky_versioned").option("path", tdir).mode(
+        "overwrite"
+    ).save()
+    assert U.read_table(spark, tdir).count() == 2
+
+    spark.createDataFrame([(3, "c")], "k int, v string").write.format(
+        "spooky_versioned"
+    ).option("path", tdir).mode("append").save()
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # overwrite replaces; history stays time-travelable
+    spark.createDataFrame([(9, "z")], "k int, v string").write.format(
+        "spooky_versioned"
+    ).option("path", tdir).mode("overwrite").save()
+    assert {r["k"] for r in U.read_table(spark, tdir).collect()} == {9}
+    vs = U.committed_versions(tdir)
+    assert len(vs) == 3
+    assert U.read_table(spark, tdir, vs[1]).count() == 3
+
+
+def test_writer_abort_leaves_table_untouched(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    before = U.committed_versions(tdir)
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType
+
+    from pyspark.sql.functions import udf
+
+    @udf(LongType())
+    def boom(k):
+        raise RuntimeError("task failure")
+
+    bad = spark.createDataFrame([(1, "x")], "k int, v string").select(
+        boom(F.col("k")).alias("k"), F.col("v")
+    )
+    with pytest.raises(Exception):
+        bad.write.format("spooky_versioned").option("path", tdir).mode(
+            "append"
+        ).save()
+    assert U.committed_versions(tdir) == before
+    assert not [d for d in os.listdir(tdir) if d.startswith("_staging-")]
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_writer_feeds_cdc_stream(registered, tmp_path):
+    spark = registered
+    tdir = str(tmp_path / "t")
+    _mk_table(spark, tdir)
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("changeFeed", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cdc_w")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame([(7, "w")], "k int, v string").write.format(
+            "spooky_versioned"
+        ).option("path", tdir).mode("append").save()
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM cdc_w").collect()
+        assert {(r["k"], r["v"], r["_change"]) for r in rows} == {
+            (7, "w", "upsert")
+        }
+    finally:
+        q.stop()
