@@ -31,7 +31,10 @@ _POOL: Optional[concurrent.futures.ThreadPoolExecutor] = None
 def _pool() -> concurrent.futures.ThreadPoolExecutor:
     global _POOL
     if _POOL is None:
-        _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=8)
+        # 16 = up to 8 concurrent traces (conf.fetch_concurrency cap), each
+        # with one action in flight, plus headroom for timed-out actions
+        # whose threads are still self-terminating
+        _POOL = concurrent.futures.ThreadPoolExecutor(max_workers=16)
     return _POOL
 
 

@@ -39,6 +39,13 @@ class SpookyConf:
     # per-host politeness: minimum seconds between remote hits to one host
     # (worker-local throttle; combine with Delay actions for global pacing)
     politeness_delay_sec: float = 0.0
+    # concurrent trace executions per partition (narrow/passthrough fetch
+    # localities): remote fetches are IO-bound, so a bounded thread pool
+    # multiplies per-task throughput without more executors. 1 = sequential
+    # (default; keep 1 for traces that borrow pooled web drivers unless the
+    # driver pool is sized to match). Capped at 8 by the per-worker helper
+    # pool that enforces action timeouts.
+    fetch_concurrency: int = 1
 
     # --- fetch locality (ref: SpookyConf.scala:56; dsl/DataLocality.scala)
     # "wide" = full shuffle dedup (groupBy trace_key); "narrow" = per-partition

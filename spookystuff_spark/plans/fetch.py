@@ -225,6 +225,13 @@ def execute_fetch(
         return df_with_traces.join(fetched, on=KEY_COL, how="left")
 
     dedup = locality != "passthrough"
+    # bounded per-partition thread pool: remote fetches are IO-bound, so a
+    # task interleaves N traces' network waits instead of serializing them.
+    # Capped at 8 so concurrent traces can't exhaust the per-worker helper
+    # pool that enforces action timeouts (runtime._pool). Results are
+    # order-preserving and byte-identical to sequential execution — traces
+    # are independent programs and the doc cache is key-addressed.
+    conc = max(1, min(8, int(getattr(conf_copy, "fetch_concurrency", 1))))
 
     def run_partition(batches: Iterator) -> Iterator:
         local: dict[str, list] = {}
@@ -232,15 +239,34 @@ def execute_fetch(
             if not len(pdf):
                 continue
             pdf = sample(pdf)
-            obs_col = []
-            for tj in pdf[TRACE_COL]:
-                if dedup and tj in local:
-                    obs_col.append(local[tj])
+            tjs = list(pdf[TRACE_COL])
+            if conc > 1:
+                import concurrent.futures as cf
+
+                if dedup:
+                    todo = [t for t in dict.fromkeys(tjs) if t not in local]
+                    if todo:
+                        with cf.ThreadPoolExecutor(
+                            max_workers=min(conc, len(todo))
+                        ) as ex:
+                            for t, rows in zip(todo, ex.map(run_one, todo)):
+                                local[t] = rows
+                    obs_col = [local[t] for t in tjs]
                 else:
-                    rows = run_one(tj)
-                    if dedup:
-                        local[tj] = rows
-                    obs_col.append(rows)
+                    with cf.ThreadPoolExecutor(
+                        max_workers=min(conc, len(tjs))
+                    ) as ex:
+                        obs_col = list(ex.map(run_one, tjs))
+            else:
+                obs_col = []
+                for tj in tjs:
+                    if dedup and tj in local:
+                        obs_col.append(local[tj])
+                    else:
+                        rows = run_one(tj)
+                        if dedup:
+                            local[tj] = rows
+                        obs_col.append(rows)
             yield pdf.assign(**{OBS_COL: obs_col})
 
     return df_with_traces.mapInPandas(run_partition, out_schema)
