@@ -207,21 +207,42 @@ def execute_fetch(
         # Strictly better than "wide" when user rows are wide or keys highly
         # duplicated (the fetch exchange no longer carries user columns);
         # costs one extra join when keys are mostly unique.
-        unique = df_with_traces.select(KEY_COL, TRACE_COL).distinct()
+        #
+        # The agent stage is mapInPandas over the already-unique keys (NOT a
+        # per-key applyInPandas): batches of independent traces let
+        # conf.fetch_concurrency interleave their IO waits — the combination
+        # that makes a crawl both dedup-exact and pipeline-parallel. With a
+        # keyby override several traces can share a key; one canonical trace
+        # per key (min) is fetched, matching wide's one-agent-run-per-group.
+        unique = (
+            df_with_traces.groupBy(KEY_COL)
+            .agg(F.min(TRACE_COL).alias(TRACE_COL))
+        )
         fetch_schema = StructType(
             [
                 StructField(KEY_COL, StringType()),
                 StructField(OBS_COL, OBS_ARRAY_SCHEMA),
             ]
         )
+        conc_wj = max(1, min(8, int(getattr(conf_copy, "fetch_concurrency", 1))))
 
-        def fetch_one_key(pdf):
-            obs_rows = run_one(pdf[TRACE_COL].iloc[0])
-            return pdf.iloc[:1][[KEY_COL]].assign(**{OBS_COL: [obs_rows]})
+        def fetch_keys(batches: Iterator) -> Iterator:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                tjs = list(pdf[TRACE_COL])
+                if conc_wj > 1:
+                    import concurrent.futures as cf
 
-        fetched = unique.groupBy(KEY_COL).applyInPandas(
-            fetch_one_key, fetch_schema
-        )
+                    with cf.ThreadPoolExecutor(
+                        max_workers=min(conc_wj, len(tjs))
+                    ) as ex:
+                        obs_col = list(ex.map(run_one, tjs))
+                else:
+                    obs_col = [run_one(t) for t in tjs]
+                yield pdf[[KEY_COL]].assign(**{OBS_COL: obs_col})
+
+        fetched = unique.mapInPandas(fetch_keys, fetch_schema)
         return df_with_traces.join(fetched, on=KEY_COL, how="left")
 
     dedup = locality != "passthrough"

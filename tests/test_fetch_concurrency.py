@@ -81,3 +81,20 @@ def test_dedup_survives_concurrency(spark):
     assert len(out) == 7
     m = sctx.metrics.snapshot()
     assert m["pages_fetched"] == 2  # same + other, not 7
+
+
+def test_wide_join_pools_unique_traces(spark, rows):
+    """wide_join: shuffle-dedup + batched pooled fetch — 8 unique traces in
+    few batches overlap their waits; results identical to narrow."""
+    mem_cache.clear()
+    sctx = SpookyContext(
+        spark, SpookyConf(fetch_concurrency=8, cache_read=False)
+    )
+    dv = sctx.create(rows).fetch(_spec(0.35), locality="wide_join")
+    t0 = time.monotonic()
+    uris = sorted(r["uri"] for r in dv.docs_df().select("uri").collect())
+    took = time.monotonic() - t0
+    assert uris == sorted(f"mock://p{i}" for i in range(8))
+    assert sctx.metrics.snapshot()["pages_fetched"] == 8
+    # 8 x 0.35s sequential = 2.8s of sleep; pooled batches overlap most of it
+    assert took < 2.4, f"no IO overlap in wide_join: {took:.2f}s"

@@ -221,7 +221,7 @@ def test_wide_join_locality_equivalent(sctx, spark, site):
         Wget(f"file://{site}/{{page}}"), locality="wide_join"
     )
     plan = fetched.df._jdf.queryExecution().executedPlan().toString()
-    pandas_input = plan.split("FlatMapGroupsInPandas")[1]
+    pandas_input = plan.split("MapInPandas")[1]
     assert "payload" not in pandas_input.split("Scan")[0]
     # downsampling is a per-group-batch concept — must be rejected here
     import pytest as _pytest
