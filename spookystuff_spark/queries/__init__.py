@@ -75,6 +75,7 @@ def load_all_query_modules() -> None:
         events,
         graph_ops,
         hygiene,
+        lakehouse_q,
         llm_ops,
         melt_suites,
         model_ops,

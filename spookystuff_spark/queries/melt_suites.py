@@ -72,6 +72,7 @@ from spookystuff_spark.queries.graph_ops import (
     q_dsir_select,
     q_pagerank_purchases,
 )
+from spookystuff_spark.queries.lakehouse_q import ORACLE_CDC, q_cdc_upsert
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
@@ -81,7 +82,7 @@ WITH {PAGERANK_CTES},
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
-     zo AS ({ORACLE_ZORDER})
+     zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -108,6 +109,10 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "zo", "q_zorder_key", ["bucket"], ["n", "min_z", "max_z"],
+)}
+UNION ALL {_melt_sql(
+    "cdc", "q_cdc_upsert", ["doc_id", "lang", "source", "_change"],
+    ["n_chars"],
 )}"""
 
 
@@ -169,6 +174,12 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_zorder_key",
             ["bucket"],
             ["n", "min_z", "max_z"],
+        ),
+        _melt(
+            q_cdc_upsert(spark, sf_dir),
+            "q_cdc_upsert",
+            ["doc_id", "lang", "source", "_change"],
+            ["n_chars"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
