@@ -40,6 +40,7 @@ COMMENTARY = {
     "q_zorder_key": "The Morton interleave is one long codegen expression in the scan projection (no UDF, no shuffle before the bucket aggregate); the same expression string is what zorder_write feeds repartitionByRange for the clustered layout.",
     "q_line_dedup": "First-occurrence selection is a map-side-combined min(struct) aggregate keyed on the line (a million-copy boilerplate line costs the exchange one row per map task); the join-back is AQE-skew-splittable; doc rebuild is one ordered aggregate. Blank lines never enter the dedup key space.",
     "q_ccnet_buckets": "Rides the shared trigram-LM plan (see q_char_trigram_logprob); the tercile cut is one ntile window per language over quantized scores — rank-only, nothing wide materializes per partition.",
+    "q_cdc_upsert": "The visible plan reads the eagerly-checkpointed diff (the temp versioned table is already reclaimed). Upstream: two scan-shaped snapshot writes, a MERGE (anti-join on broadcast update keys + union), and one full-outer key join between two immutable snapshots — the diff output is bounded by changed rows, never table size.",
 }
 
 
