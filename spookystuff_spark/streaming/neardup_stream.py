@@ -1,0 +1,130 @@
+"""Incremental NEAR-dup dedup for a document stream — the MinHash twin of
+operators/bloom.py's exact-dedup path.
+
+Exact streaming dedup (bloom / dropDuplicatesWithinWatermark) only catches
+byte-identical docs; a crawl's real redundancy is near-duplicates. Protocol,
+per micro-batch:
+
+1. MinHash-band the BATCH (narrow Arrow stage, batch-sized).
+2. Probe the accumulated band table: ``state ⋈ broadcast(batch_bands)`` on
+   (band, band_hash). The corpus-sized state is scanned, never shuffled,
+   and never rebuilt — the same never-shuffle-the-corpus rule as the Bloom
+   probe (plan-asserted there).
+3. A batch doc whose band collides with ANY accepted doc (or with an
+   earlier doc in the same batch — lower id wins, deterministic) is a
+   near-dup and is dropped.
+4. Survivors' bands APPEND to the state table (versioned-table commit with
+   the batch-id marker → exactly-once under foreachBatch replays).
+
+State is O(accepted docs × bands) longs — the minimal sketch that supports
+collision probing; raw text never lands in state. At 100 TB the state table
+is a parquet table like any other: compact it with ``compact_auto`` and the
+probe stays one broadcast hash join per batch.
+
+Band-collision near-dup (no verify pass) errs toward dropping: with 128
+hashes / 16 bands a single-band collision ≈ jaccard ≥ ~0.5 corpus pair.
+Callers wanting verified drops run the batch pairs through
+``dedup.jaccard`` — the batch side is small, so verification is cheap.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from spookystuff_spark.operators.dedup import minhash_bands
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.streaming.sink import _MARK, last_committed_batch
+
+
+def accepted_ids(spark, state_dir: str) -> DataFrame:
+    """Distinct doc ids currently accepted into the deduped corpus."""
+    return U.read_table(spark, state_dir).select("id").distinct()
+
+
+def streaming_neardup_sink(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 16,
+    on_accept: Callable[[DataFrame], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: drop near-dups of everything accepted so far,
+    append survivors' band sketches to the state table, and (optionally)
+    hand the surviving ROWS to ``on_accept`` (e.g. write to the output
+    corpus) — called before the state commit, so a crash replays the batch
+    and ``on_accept`` must be idempotent like any foreachBatch body."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = last_committed_batch(state_dir)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already folded into state
+        bands_df = minhash_bands(
+            batch_df, id_col, text_col, n_hashes=n_hashes, bands=bands
+        ).localCheckpoint(eager=True)  # reused 3x; tiny (batch-sized)
+
+        # (a) collisions against the accepted corpus: state scan ⋈ broadcast
+        # batch — the state is never shuffled
+        dup_vs_state = None
+        if U.committed_versions(state_dir):
+            state = U.read_table(spark, state_dir)
+            dup_vs_state = (
+                state.join(
+                    F.broadcast(
+                        bands_df.select(
+                            F.col("id").alias("_qid"), "band", "band_hash"
+                        )
+                    ),
+                    ["band", "band_hash"],
+                )
+                .select(F.col("_qid").alias("id"))
+                .distinct()
+            )
+
+        # (b) collisions inside the batch: lower id wins (deterministic)
+        a = bands_df.select(F.col("id").alias("id_a"), "band", "band_hash")
+        b = bands_df.select(F.col("id").alias("id_b"), "band", "band_hash")
+        dup_in_batch = (
+            a.join(b, ["band", "band_hash"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        dups = (
+            dup_in_batch
+            if dup_vs_state is None
+            else dup_in_batch.unionByName(dup_vs_state).distinct()
+        )
+
+        survivors = bands_df.join(dups, "id", "left_anti")
+        if on_accept is not None:
+            kept_rows = batch_df.join(
+                survivors.select("id").distinct().withColumnRenamed(
+                    "id", id_col
+                ),
+                id_col,
+                "leftsemi",
+            )
+            on_accept(kept_rows)
+
+        # append survivors' sketches; exactly-once via the batch marker
+        cur = U._latest(state_dir)
+        if cur is None:
+            U.write_table(
+                survivors, state_dir, marker=f"{_MARK}{batch_id}",
+                change_feed=False,
+            )
+        else:
+            merged = U.read_table(spark, state_dir).unionByName(survivors)
+            v = U._next_version(state_dir)
+            merged.write.mode("errorifexists").parquet(
+                os.path.join(state_dir, v)
+            )
+            U._commit(state_dir, v, f"{_MARK}{batch_id}")
+
+    return sink

@@ -1,0 +1,99 @@
+"""Incremental streaming near-dup dedup: cross-batch detection, in-batch
+lower-id-wins, exactly-once replays, and end-to-end Structured Streaming."""
+
+from __future__ import annotations
+
+import pytest
+
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.streaming.neardup_stream import (
+    accepted_ids,
+    streaming_neardup_sink,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm windowsill in the late afternoon sun of a summer day"
+)
+NEAR = BASE.replace("lazy dog", "lazy dogs")  # near-dup of BASE
+OTHER = (
+    "completely different content about distributed query engines and "
+    "columnar execution with vectorized operators over arrow batches"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cross_batch_and_in_batch_near_dups(spark, tmp_path):
+    sdir = str(tmp_path / "state")
+    out = []
+    sink = streaming_neardup_sink(
+        sdir, on_accept=lambda df: out.extend(r["doc_id"] for r in df.collect())
+    )
+    # batch 0: BASE (id 1) and an in-batch near-dup of it (id 2) + OTHER (3)
+    sink(_df(spark, [(1, BASE), (2, NEAR), (3, OTHER)]), 0)
+    assert sorted(out) == [1, 3]  # 2 dropped in-batch, lower id wins
+    assert {r["id"] for r in accepted_ids(spark, sdir).collect()} == {1, 3}
+
+    # batch 1: another near-dup of BASE (4) and a genuinely fresh doc (5)
+    fresh = (
+        "entirely novel passage describing mountain weather patterns and "
+        "the slow drift of glaciers under a pale winter morning sky"
+    )
+    out.clear()
+    sink(_df(spark, [(4, NEAR), (5, fresh)]), 1)
+    assert out == [5]  # 4 dropped against accepted state
+    assert {r["id"] for r in accepted_ids(spark, sdir).collect()} == {1, 3, 5}
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    sdir = str(tmp_path / "state")
+    calls = []
+    sink = streaming_neardup_sink(
+        sdir, on_accept=lambda df: calls.append(df.count())
+    )
+    sink(_df(spark, [(1, BASE)]), 0)
+    n_versions = len(U.committed_versions(sdir))
+    sink(_df(spark, [(1, BASE)]), 0)  # crash replay of the same batch
+    assert len(U.committed_versions(sdir)) == n_versions
+    assert calls == [1]  # on_accept not re-fired for the replay
+
+
+def test_end_to_end_stream(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    sdir = str(tmp_path / "state")
+    (src / "f0.json").write_text(
+        f'{{"doc_id": 1, "text": "{BASE}"}}\n'
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(streaming_neardup_sink(sdir))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "f1.json").write_text(
+            f'{{"doc_id": 2, "text": "{NEAR}"}}\n'
+            f'{{"doc_id": 3, "text": "{OTHER}"}}\n'
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r["id"] for r in accepted_ids(spark, sdir).collect()} == {1, 3}
+
+
+def test_state_never_holds_text(spark, tmp_path):
+    sdir = str(tmp_path / "state")
+    sink = streaming_neardup_sink(sdir)
+    sink(_df(spark, [(1, BASE), (3, OTHER)]), 0)
+    cols = set(U.read_table(spark, sdir).columns)
+    assert cols == {"id", "band", "band_hash"}  # sketches only, no payload
