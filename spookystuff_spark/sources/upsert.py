@@ -161,6 +161,45 @@ def upsert(
     return v
 
 
+def append_rows(
+    spark: SparkSession,
+    table_dir: str,
+    rows: DataFrame,
+    marker: str | None = None,
+) -> str:
+    """Blind append as a METADATA-ONLY commit: only ``rows`` are written;
+    the previous snapshot's immutable data files are hard-linked into the
+    new version dir (copy fallback off-POSIX). An append-heavy table (e.g.
+    a streaming dedup state) therefore costs O(batch) per commit, not
+    O(table) — the snapshot-rewrite cost stays reserved for keyed upserts,
+    which actually change old rows."""
+    os.makedirs(table_dir, exist_ok=True)
+    cur = _latest(table_dir)
+    v = _next_version(table_dir)
+    vdir = os.path.join(table_dir, v)
+    rows.write.mode("errorifexists").parquet(vdir)
+    if cur is not None:
+        prev = os.path.join(table_dir, cur)
+        files = sorted(
+            e.name
+            for e in os.scandir(prev)
+            if e.name.endswith(".parquet") and e.is_file()
+        )
+        import hashlib
+
+        for i, name in enumerate(files):
+            # fixed-width link names (NOT prev- + old name: chained appends
+            # would grow the filename with every version)
+            tag = hashlib.md5(name.encode()).hexdigest()[:8]
+            dst = os.path.join(vdir, f"prev-{i:05d}-{tag}.parquet")
+            try:
+                os.link(os.path.join(prev, name), dst)
+            except OSError:
+                shutil.copy2(os.path.join(prev, name), dst)
+    _commit(table_dir, v, marker)
+    return v
+
+
 def delete_where(
     spark: SparkSession, table_dir: str, condition, change_feed: bool = True
 ) -> str:

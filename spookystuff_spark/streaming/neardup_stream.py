@@ -112,19 +112,12 @@ def streaming_neardup_sink(
             )
             on_accept(kept_rows)
 
-        # append survivors' sketches; exactly-once via the batch marker
-        cur = U._latest(state_dir)
-        if cur is None:
-            U.write_table(
-                survivors, state_dir, marker=f"{_MARK}{batch_id}",
-                change_feed=False,
-            )
-        else:
-            merged = U.read_table(spark, state_dir).unionByName(survivors)
-            v = U._next_version(state_dir)
-            merged.write.mode("errorifexists").parquet(
-                os.path.join(state_dir, v)
-            )
-            U._commit(state_dir, v, f"{_MARK}{batch_id}")
+        # append survivors' sketches as a metadata-only commit (previous
+        # state files are hard-linked, not rewritten — O(batch) per batch,
+        # O(table) would be the classic streaming-state scale bug);
+        # exactly-once via the batch marker
+        U.append_rows(
+            spark, state_dir, survivors, marker=f"{_MARK}{batch_id}"
+        )
 
     return sink

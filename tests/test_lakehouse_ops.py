@@ -171,3 +171,33 @@ def test_pushed_filters_reach_parquet_scan(spark, tmp_path):
     ).write.parquet(path)
     rep = prune_report(spark.read.parquet(path).where("x > 50").select("id"))
     assert "GreaterThan" in rep["pushed_filters"] or "x" in rep["pushed_filters"]
+
+
+def test_append_rows_is_metadata_only(spark, tmp_path):
+    """Chained appends must not rewrite old data: every version links the
+    previous snapshot's files (same inode on POSIX) and adds only the new
+    batch's files; reads see the union."""
+    tdir = str(tmp_path / "appendtbl")
+    for i in range(3):
+        batch = spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+        U.append_rows(spark, tdir, batch.coalesce(1))
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(0, "v0"), (1, "v1"), (2, "v2")}
+
+    vs = U.committed_versions(tdir)
+    assert len(vs) == 3
+    # version 3 = 1 new file + 2 linked prev files, fixed-width names
+    v3 = os.path.join(tdir, vs[-1])
+    files = sorted(
+        f for f in os.listdir(v3) if f.endswith(".parquet")
+    )
+    linked = [f for f in files if f.startswith("prev-")]
+    assert len(files) == 3 and len(linked) == 2
+    # hard link, not a copy: shares the inode with a file of version 2
+    v2 = os.path.join(tdir, vs[-2])
+    v2_inodes = {
+        os.stat(os.path.join(v2, f)).st_ino
+        for f in os.listdir(v2)
+        if f.endswith(".parquet")
+    }
+    assert os.stat(os.path.join(v3, linked[0])).st_ino in v2_inodes
