@@ -118,6 +118,17 @@ UNION ALL {_melt_sql(
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
 def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the melt re-scans orders/lineitem/customer/events/documents once per
+    # constituent; persist the shared base scans for the suite's lifetime
+    # (same contract as q_text_suite)
+    with shared_scans(
+        spark, sf_dir,
+        ("orders", "lineitem", "customer", "events", "documents"),
+    ):
+        return _scalar_suite_parts(spark, sf_dir)
+
+
+def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = [
         _melt(
             q_string_functions(spark, sf_dir),
