@@ -45,6 +45,38 @@ def accepted_ids(spark, state_dir: str) -> DataFrame:
     return U.read_table(spark, state_dir).select("id").distinct()
 
 
+def near_dup_ids(state: DataFrame | None, bands_df: DataFrame) -> DataFrame:
+    """Ids in ``bands_df`` that band-collide with the accepted corpus
+    (``state``) or with a lower-id doc in the same batch → one ``id``
+    column. The state side is only ever SCANNED and hash-probed against the
+    broadcast batch — asserting this plan shape is a test's job
+    (test_neardup_stream.py): a sort-merge join here would shuffle the
+    corpus-sized state every micro-batch."""
+    a = bands_df.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = bands_df.select(F.col("id").alias("id_b"), "band", "band_hash")
+    # explicit broadcast: the Arrow-stage output has no stats, so Catalyst
+    # would otherwise sort-merge even this micro-batch-sized self-join
+    dup_in_batch = (
+        F.broadcast(a).join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    if state is None:
+        return dup_in_batch
+    dup_vs_state = (
+        state.join(
+            F.broadcast(
+                bands_df.select(F.col("id").alias("_qid"), "band", "band_hash")
+            ),
+            ["band", "band_hash"],
+        )
+        .select(F.col("_qid").alias("id"))
+        .distinct()
+    )
+    return dup_in_batch.unionByName(dup_vs_state).distinct()
+
+
 def streaming_neardup_sink(
     state_dir: str,
     id_col: str = "doc_id",
@@ -68,38 +100,12 @@ def streaming_neardup_sink(
             batch_df, id_col, text_col, n_hashes=n_hashes, bands=bands
         ).localCheckpoint(eager=True)  # reused 3x; tiny (batch-sized)
 
-        # (a) collisions against the accepted corpus: state scan ⋈ broadcast
-        # batch — the state is never shuffled
-        dup_vs_state = None
-        if U.committed_versions(state_dir):
-            state = U.read_table(spark, state_dir)
-            dup_vs_state = (
-                state.join(
-                    F.broadcast(
-                        bands_df.select(
-                            F.col("id").alias("_qid"), "band", "band_hash"
-                        )
-                    ),
-                    ["band", "band_hash"],
-                )
-                .select(F.col("_qid").alias("id"))
-                .distinct()
-            )
-
-        # (b) collisions inside the batch: lower id wins (deterministic)
-        a = bands_df.select(F.col("id").alias("id_a"), "band", "band_hash")
-        b = bands_df.select(F.col("id").alias("id_b"), "band", "band_hash")
-        dup_in_batch = (
-            a.join(b, ["band", "band_hash"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select(F.col("id_b").alias("id"))
-            .distinct()
+        state = (
+            U.read_table(spark, state_dir)
+            if U.committed_versions(state_dir)
+            else None
         )
-        dups = (
-            dup_in_batch
-            if dup_vs_state is None
-            else dup_in_batch.unionByName(dup_vs_state).distinct()
-        )
+        dups = near_dup_ids(state, bands_df)
 
         survivors = bands_df.join(dups, "id", "left_anti")
         if on_accept is not None:

@@ -97,3 +97,26 @@ def test_state_never_holds_text(spark, tmp_path):
     sink(_df(spark, [(1, BASE), (3, OTHER)]), 0)
     cols = set(U.read_table(spark, sdir).columns)
     assert cols == {"id", "band", "band_hash"}  # sketches only, no payload
+
+
+def test_probe_plan_never_shuffles_state(spark, tmp_path):
+    """The state⋈batch probe must be a broadcast hash join of the BATCH side
+    — a SortMergeJoin here would re-shuffle the corpus-sized state every
+    micro-batch (the classic streaming-dedup scale bug)."""
+    from spookystuff_spark.operators.dedup import minhash_bands
+    from spookystuff_spark.streaming.neardup_stream import near_dup_ids
+
+    sdir = str(tmp_path / "state")
+    sink = streaming_neardup_sink(sdir)
+    sink(_df(spark, [(1, BASE), (3, OTHER)]), 0)
+
+    state = U.read_table(spark, sdir)
+    batch = minhash_bands(_df(spark, [(7, NEAR)]), "doc_id", "text", bands=16)
+    plan = (
+        near_dup_ids(state, batch)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the state side must not be sort-merge joined (batch self-join is
+    # batch-sized either way, but assert the strong form: none anywhere)
+    assert "SortMergeJoin" not in plan
