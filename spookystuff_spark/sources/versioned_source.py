@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -214,7 +215,7 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
             shutil.copy2(src, dst)
 
-    def commit(self, messages) -> None:
+    def _commit_files(self, messages, marker: str | None = None) -> None:
         staged = [m.filename for m in messages if m and m.filename]
         v = U._next_version(self.table_dir)
         vdir = os.path.join(self.table_dir, v)
@@ -231,15 +232,55 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             self._link(os.path.join(self.staging, f), os.path.join(feed, f))
         with open(os.path.join(feed, _KIND), "w") as fh:
             fh.write("upsert")
+        if marker:
+            with open(os.path.join(vdir, marker), "w"):
+                pass
         with open(os.path.join(vdir, "_SUCCESS"), "w"):
             pass
         U._swap_pointer(self.table_dir, v)
-        self.abort(messages)  # staging cleanup (files are linked into vdir)
+        self._cleanup()  # staging files are linked into vdir now
 
-    def abort(self, messages) -> None:
+    def _cleanup(self) -> None:
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+    def commit(self, messages) -> None:
+        self._commit_files(messages)
+
+    def abort(self, messages) -> None:
+        self._cleanup()
+
+
+class _VersionedStreamArrowWriter(_VersionedArrowWriter, DataSourceStreamArrowWriter):
+    """Streaming sink twin: same staged-files two-phase commit, plus
+    exactly-once per micro-batch — the version commits with a ``_BATCH_<id>``
+    marker (the streaming/sink.py protocol), and a replayed batch id after a
+    restart cleans its staging and commits nothing. Always append-mode: each
+    micro-batch's rows extend the table; previous snapshot files are linked,
+    never rewritten (O(batch) per batch)."""
+
+    def __init__(self, table_dir: str):
+        super().__init__(table_dir, overwrite=False)
+        # streaming recreates the writer in a separate commit-runner process:
+        # a random staging name would diverge between the write tasks and the
+        # commit, so the stream writer stages under ONE deterministic dir
+        # (safe under the table's single-writer contract; commit links only
+        # the files named in this batch's messages and then clears the dir,
+        # so stale files from a crashed batch are dropped, not committed)
+        self.staging = os.path.join(table_dir, "_staging-stream")
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        from spookystuff_spark.streaming.sink import last_committed_batch
+
+        last = last_committed_batch(self.table_dir)
+        if last is not None and batchId <= last:
+            self._cleanup()  # replay: already committed, drop staged files
+            return
+        self._commit_files(messages, marker=f"_BATCH_{batchId}")
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
+        self._cleanup()
 
 
 class VersionedTableDataSource(DataSource):
@@ -308,3 +349,8 @@ class VersionedTableDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> _VersionedArrowWriter:
         return _VersionedArrowWriter(self._table_dir(), overwrite)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> _VersionedStreamArrowWriter:
+        return _VersionedStreamArrowWriter(self._table_dir())

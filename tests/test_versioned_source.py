@@ -246,3 +246,38 @@ def test_writer_feeds_cdc_stream(registered, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_stream_writer_appends_with_exactly_once(registered, tmp_path):
+    """writeStream.format('spooky_versioned'): each micro-batch commits one
+    appended version with its batch marker; the table is a full streaming
+    sink without foreachBatch."""
+    spark = registered
+    src = tmp_path / "in"
+    src.mkdir()
+    tdir = str(tmp_path / "t")
+    (src / "f0.json").write_text('{"k": 1, "v": "a"}\n')
+    stream = (
+        spark.readStream.schema("k int, v string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "f1.json").write_text('{"k": 2, "v": "b"}\n')
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    from spookystuff_spark.streaming.sink import last_committed_batch
+
+    assert last_committed_batch(tdir) is not None
+    assert len(U.committed_versions(tdir)) >= 2
