@@ -274,3 +274,39 @@ def test_clicknext_pagination_snapshots_every_page():
                 assert f"p{i}-i{j}".encode() in o.content
     finally:
         clear_driver_pool()
+
+
+def test_category_tree_budgets_hold_under_concurrency(spark, site, tmp_path):
+    """The same ITBaseSpec budgets with fetch_concurrency=4 and the pooled
+    narrow locality: interleaving IO waits must not break the
+    zero-redundant-fetch guarantee (each page remote-fetched exactly once,
+    warm pass fully cache-served)."""
+    root, tag = site
+    mem_cache.clear()
+    conf = SpookyConf(
+        dfs_cache_root=str(tmp_path / "dfs"),
+        fetch_retries=1,
+        retry_delay_sec=0,
+        fetch_concurrency=4,
+    )
+    sctx = SpookyContext(spark, conf)
+    seeds = spark.createDataFrame([{"seed": f"file://{root}/{tag}_index.html"}])
+
+    tree = sctx.create(seeds).explore(
+        Wget("{seed}"),
+        expand=S("a.category").hrefs,
+        range=(0, 2),
+        locality="narrow",
+    )
+    rows = tree.select(title=S("title").text).to_df().collect()
+    assert len(rows) == N_TREE_PAGES
+    m = sctx.metrics.snapshot()
+    assert m["pages_from_remote"] == N_TREE_PAGES  # zero redundant fetches
+
+    # warm pass, still concurrent: everything from the cache
+    sctx.create(seeds).explore(
+        Wget("{seed}"), expand=S("a.category").hrefs, range=(0, 2),
+        locality="narrow",
+    ).execute()
+    m2 = sctx.metrics.snapshot()
+    assert m2["pages_from_remote"] == N_TREE_PAGES  # no NEW remote fetches
