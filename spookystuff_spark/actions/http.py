@@ -89,15 +89,13 @@ class Wpost(Action):
 
         scheme = urlparse(self.uri).scheme
         if scheme in ("", "file"):
-            # non-http schemes: POST = DFS write (ref: Wpost.scala:16-102)
-            import os
+            # non-http schemes: POST = DFS write (ref: Wpost.scala:16-102);
+            # fsio → works against any pyarrow.fs-backed store
+            from spookystuff_spark import fsio
 
             path = urlparse(self.uri).path or self.uri
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(self.entity.encode())
-            os.replace(tmp, path)
+            fsio.mkdirs(fsio.parent(path) or ".")
+            fsio.write_bytes(path, self.entity.encode())
             return [
                 Doc(
                     uri=self.uri,

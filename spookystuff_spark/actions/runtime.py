@@ -241,16 +241,17 @@ def fetch_trace(
     )
     if conf.error_dump_root:
         # error-dump audit (ref: Action.scala:109-129): one file per failed
-        # trace, content-addressed → idempotent under task retry
-        import os
+        # trace, content-addressed → idempotent under task retry; fsio so
+        # the dump root may live on DFS/object store like the reference's
+        from spookystuff_spark import fsio
 
         try:
-            os.makedirs(conf.error_dump_root, exist_ok=True)
-            path = os.path.join(conf.error_dump_root, f"{err.uid}.err.txt")
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(f"trace: {trace!r}\nuri: {err.uri}\nerror: {err.error}\n")
-            os.replace(tmp, path)
+            fsio.mkdirs(conf.error_dump_root)
+            path = fsio.join(conf.error_dump_root, f"{err.uid}.err.txt")
+            fsio.write_bytes(
+                path,
+                f"trace: {trace!r}\nuri: {err.uri}\nerror: {err.error}\n".encode(),
+            )
         except OSError:
             pass  # auditing must never fail the fetch path
     return [err]

@@ -2,48 +2,43 @@
 
 Layout: ``{root}/{key[:2]}/{key}/{ts_ms}.json.gz`` — one immutable file per
 fetch, content inline (hex) up to the conf blob cap. Latest-file-in-time-range
-wins (ref: AbstractDocCache.scala:64-96). Writes are atomic (tmp + rename), so
-concurrent executors and Spark task retries are safe: last writer wins, readers
-always see a complete file. Works on any mounted DFS path (local fs now; the
-same layout maps 1:1 onto object stores — scale path: a Delta/parquet doc table
-bucketed by key).
+wins (ref: AbstractDocCache.scala:64-96). All IO goes through fsio
+(pyarrow.fs) — the same code path the reference takes via Hadoop
+``FileSystem`` — so the cache root may live on local disk, HDFS, S3 or GCS.
+Writes publish atomically (fsio.write_bytes: tmp+rename on local, atomic PUT
+on object stores), so concurrent executors and Spark task retries are safe:
+last writer wins, readers always see a complete file.
 """
 
 from __future__ import annotations
 
 import gzip
 import json
-import os
-import uuid
 from typing import Optional
 
+from spookystuff_spark import fsio
 from spookystuff_spark.doc.observation import Observation
 
 
 def _dir_for(root: str, key: str) -> str:
-    return os.path.join(root, key[:2], key)
+    return fsio.join(root, key[:2], key)
 
 
 def put(root: str, key: str, observations: list, ts_ms: int) -> None:
     d = _dir_for(root, key)
-    os.makedirs(d, exist_ok=True)
+    fsio.mkdirs(d)
     payload = json.dumps(
         [_obs_to_json(o) for o in observations], separators=(",", ":")
     ).encode()
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
-    with gzip.open(tmp, "wb") as f:
-        f.write(payload)
-    os.replace(tmp, os.path.join(d, f"{ts_ms}.json.gz"))
+    fsio.write_bytes(fsio.join(d, f"{ts_ms}.json.gz"), gzip.compress(payload))
 
 
 def get(
     root: str, key: str, after_ms: int = 0, before_ms: Optional[int] = None
 ) -> Optional[list]:
     d = _dir_for(root, key)
-    if not os.path.isdir(d):
-        return None
     best_ts = -1
-    for name in os.listdir(d):
+    for name in fsio.ls(d):
         if not name.endswith(".json.gz"):
             continue
         try:
@@ -55,8 +50,8 @@ def get(
     if best_ts < 0:
         return None
     try:
-        with gzip.open(os.path.join(d, f"{best_ts}.json.gz"), "rb") as f:
-            return [_obs_from_json(x) for x in json.loads(f.read())]
+        raw = gzip.decompress(fsio.read_bytes(fsio.join(d, f"{best_ts}.json.gz")))
+        return [_obs_from_json(x) for x in json.loads(raw)]
     except (OSError, ValueError):
         return None
 

@@ -112,15 +112,16 @@ def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
     so tighter per-file ranges = more files skipped. ``tests`` prove the
     Z-order layout tightens every clustered dimension at once vs an
     unsorted write."""
-    import glob as _glob
-    import os as _os
-
     import pyarrow.parquet as _pq
 
+    from spookystuff_spark import fsio
+
     out = []
-    for f in sorted(_glob.glob(_os.path.join(path, "*.parquet"))):
-        md = _pq.ParquetFile(f).metadata
-        row = {"file": _os.path.basename(f), "n_rows": md.num_rows}
+    names = [n for n, _ in fsio.file_infos(path) if n.endswith(".parquet")]
+    for name in names:
+        f = fsio.join(path, name)
+        md = _pq.ParquetFile(fsio.open_input(f)).metadata
+        row = {"file": name, "n_rows": md.num_rows}
         idx = {n: i for i, n in enumerate(md.schema.names)}
         for c in cols:
             lo, hi = None, None

@@ -5,13 +5,15 @@ error dump, conf/SpookyConf.scala:38-50 audit path encoders).
 ``save_docs`` writes each observation's payload to ``{root}/{uid}{ext}`` from
 the executors (one pass, no driver collect); extension derives from the
 detected mime. Writes are idempotent by uid — task retries overwrite the same
-content-addressed file.
+content-addressed file. IO goes through fsio (pyarrow.fs), so ``root`` may be
+local, HDFS or an object store — each executor re-resolves the filesystem
+from the path URI (ref parity: save routes through Hadoop ``FileSystem`` via
+HDFSResolver in the reference, row/AgentContext.scala:134-145).
 """
 
 from __future__ import annotations
 
 import mimetypes
-import os
 from typing import Iterator, Optional
 
 import pyspark.sql.functions as F
@@ -57,7 +59,9 @@ def save_docs(
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        os.makedirs(root, exist_ok=True)
+        from spookystuff_spark import fsio
+
+        fsio.mkdirs(root)
         for pdf in batches:
             rows = []
             for obs_list in pdf[OBS_COL]:
@@ -70,14 +74,11 @@ def save_docs(
                         continue
                     if failed:
                         payload = (d.get("error") or "").encode()
-                        path = os.path.join(root, f"{d['uid']}.err.txt")
+                        path = fsio.join(root, f"{d['uid']}.err.txt")
                     else:
                         payload = bytes(d.get("content") or b"")
-                        path = os.path.join(root, f"{d['uid']}{_ext_for(d.get('mime'))}")
-                    tmp = path + ".tmp"
-                    with open(tmp, "wb") as f:
-                        f.write(payload)
-                    os.replace(tmp, path)
+                        path = fsio.join(root, f"{d['uid']}{_ext_for(d.get('mime'))}")
+                    fsio.write_bytes(path, payload)  # atomic publish
                     rows.append(
                         {
                             "uid": d["uid"],

@@ -4,17 +4,19 @@ conf/SpookyConf.scala:38-50; the reference has no query surface over its cache,
 this is rebuild-native).
 
 Reads the ``{root}/{shard}/{key}/{ts}.json.gz`` layout written by
-caching/dfs.py in one distributed pass (binaryFiles → parse per partition).
-Scale path: the same data as a Delta/parquet doc table; this reader exists so
-local/DFS cache dirs are directly explorable without a migration.
+caching/dfs.py in one distributed pass (driver lists, executors parse per
+partition). All IO goes through fsio (pyarrow.fs), so the cache root may be
+local, HDFS or an object store — executors re-resolve the filesystem from
+the path URI, the cluster-correct pattern. Scale path: the same data as a
+Delta/parquet doc table; this reader exists so local/DFS cache dirs are
+directly explorable without a migration.
 """
 
 from __future__ import annotations
 
 import gzip
 import json
-import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -25,6 +27,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from spookystuff_spark import fsio
 
 CACHE_ENTRY_SCHEMA = StructType(
     [
@@ -42,36 +46,45 @@ CACHE_ENTRY_SCHEMA = StructType(
 )
 
 
+def _cache_files(root: str, latest_only: bool) -> list[str]:
+    paths: list[str] = []
+    for shard in fsio.ls(root):
+        shard_dir = fsio.join(root, shard)
+        if not fsio.is_dir(shard_dir):
+            continue
+        for key in fsio.ls(shard_dir):
+            key_dir = fsio.join(shard_dir, key)
+            files = [f for f in fsio.ls(key_dir) if f.endswith(".json.gz")]
+            if latest_only and files:
+                files = [max(files, key=lambda f: int(f.split(".")[0]))]
+            paths.extend(fsio.join(key_dir, f) for f in files)
+    return paths
+
+
+def _parse_cache_file(p: str) -> tuple[str, int, list] | None:
+    key = fsio.basename(fsio.parent(p))
+    ts = int(fsio.basename(p).split(".")[0])
+    try:
+        entries = json.loads(gzip.decompress(fsio.read_bytes(p)))
+    except (OSError, ValueError):
+        return None
+    return key, ts, entries
+
+
 def read_doc_cache(
     spark: SparkSession, root: str, latest_only: bool = False
 ) -> DataFrame:
     """One row per cached observation (payload sizes, not payloads)."""
-    paths = []
-    for shard in sorted(os.listdir(root)) if os.path.isdir(root) else []:
-        shard_dir = os.path.join(root, shard)
-        if not os.path.isdir(shard_dir):
-            continue
-        for key in os.listdir(shard_dir):
-            key_dir = os.path.join(shard_dir, key)
-            files = [
-                f for f in os.listdir(key_dir) if f.endswith(".json.gz")
-            ]
-            if latest_only and files:
-                files = [max(files, key=lambda f: int(f.split(".")[0]))]
-            paths.extend(os.path.join(key_dir, f) for f in files)
-
+    paths = _cache_files(root, latest_only)
     if not paths:
         return spark.createDataFrame([], CACHE_ENTRY_SCHEMA)
 
     def parse(it: Iterator[str]) -> Iterator[tuple]:
         for p in it:
-            key = os.path.basename(os.path.dirname(p))
-            ts = int(os.path.basename(p).split(".")[0])
-            try:
-                with gzip.open(p, "rb") as f:
-                    entries = json.loads(f.read())
-            except (OSError, ValueError):
+            got = _parse_cache_file(p)
+            if got is None:
                 continue
+            key, ts, entries = got
             for d in entries:
                 content = d.get("content")
                 yield (
@@ -107,21 +120,9 @@ def compact_doc_cache(
 
     Returns the compacted DataFrame (also written to ``table_dir``).
     """
-    import pyspark.sql.functions as F
-
     from pyspark.sql.types import BinaryType
 
-    paths = []
-    for shard in sorted(os.listdir(root)) if os.path.isdir(root) else []:
-        shard_dir = os.path.join(root, shard)
-        if not os.path.isdir(shard_dir):
-            continue
-        for key in os.listdir(shard_dir):
-            key_dir = os.path.join(shard_dir, key)
-            files = [f for f in os.listdir(key_dir) if f.endswith(".json.gz")]
-            if latest_only and files:
-                files = [max(files, key=lambda f: int(f.split(".")[0]))]
-            paths.extend(os.path.join(key_dir, f) for f in files)
+    paths = _cache_files(root, latest_only)
 
     schema = StructType(
         list(CACHE_ENTRY_SCHEMA.fields)
@@ -131,13 +132,10 @@ def compact_doc_cache(
 
     def parse(it: Iterator[str]) -> Iterator[tuple]:
         for p in it:
-            key = os.path.basename(os.path.dirname(p))
-            ts = int(os.path.basename(p).split(".")[0])
-            try:
-                with gzip.open(p, "rb") as f:
-                    entries = json.loads(f.read())
-            except (OSError, ValueError):
+            got = _parse_cache_file(p)
+            if got is None:
                 continue
+            key, ts, entries = got
             for d in entries:
                 content_hex = d.get("content")
                 base = (

@@ -12,10 +12,10 @@ tree works with the ordinary link-extraction path.
 from __future__ import annotations
 
 import html as html_mod
-import os
 from typing import Optional
 from urllib.parse import unquote, urlparse
 
+from spookystuff_spark import fsio
 from spookystuff_spark.doc.content_type import detect_mime
 
 
@@ -30,11 +30,10 @@ class FetchResult:
 
 
 def _dir_listing_doc(path: str, uri: str) -> FetchResult:
-    entries = sorted(os.listdir(path))
     rows = []
-    for name in entries:
-        full = os.path.join(path, name)
-        kind = "dir" if os.path.isdir(full) else "file"
+    for name in fsio.ls(path):
+        full = fsio.join(path, name)
+        kind = "dir" if fsio.is_dir(full) else "file"
         esc = html_mod.escape(name)
         rows.append(f'<a class="{kind}" href="file://{html_mod.escape(full)}">{esc}</a>')
     body = (
@@ -47,10 +46,9 @@ def _dir_listing_doc(path: str, uri: str) -> FetchResult:
 def resolve_file(uri: str) -> FetchResult:
     parsed = urlparse(uri)
     path = unquote(parsed.path) if parsed.scheme else uri
-    if os.path.isdir(path):
+    if fsio.is_dir(path):
         return _dir_listing_doc(path, uri)
-    with open(path, "rb") as f:
-        content = f.read()
+    content = fsio.read_bytes(path)
     return FetchResult(uri, content, detect_mime(content, uri=uri), 200)
 
 

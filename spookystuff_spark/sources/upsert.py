@@ -4,50 +4,59 @@ Plain parquet directories can't be updated in place; the standard fix
 (Delta/Iceberg's core idea) is versioned immutable snapshots + an atomic
 pointer swap. This is that protocol, minimal and dependency-free:
 
-    <dir>/v00001/part-*.parquet     immutable snapshot
-    <dir>/v00002/...
+    <dir>/v00001/part-*.parquet     immutable data files
+    <dir>/v00001/_MANIFEST.json     THE commit record: the snapshot's data
+                                    files (possibly living in EARLIER version
+                                    dirs), the table schema, the commit kind
     <dir>/_LATEST                   one line: the current version name
 
-A writer materializes the next full snapshot (old rows anti-joined against
-the update keys, unioned with updates), then atomically replaces ``_LATEST``
-(os.replace — atomic on POSIX; on HDFS/object stores the same single-object
-swap applies). Readers resolve the pointer then read one immutable directory
-— never a half-written one. Crash mid-write leaves a dangling version dir
-(cleaned by ``vacuum``) and an untouched pointer.
+A version is committed iff its manifest exists AND it is at or below the
+pointer. Appends and clones are metadata-only: the new manifest lists the
+previous snapshot's immutable files plus the new batch's — no hard links, no
+copies — which is what makes the protocol object-store-safe (S3/HDFS/GCS
+have no ``os.link``; the reference's cache likewise goes through Hadoop
+``FileSystem``, module/core/.../caching/DFSDocCache.scala:13-46). All IO is
+routed through :mod:`spookystuff_spark.fsio` (pyarrow.fs), never ``os.path``.
+
+A writer materializes the next snapshot's data files (Spark write), records
+the manifest, then atomically replaces ``_LATEST``. Readers resolve the
+pointer, load the manifest, and read an immutable file list — never a
+half-written directory. Crash mid-write leaves a dangling manifest-less dir
+(cleaned by ``vacuum``, leapfrogged by the next writer) and an untouched
+pointer.
 
 Single-writer optimistic semantics (reference scope: the doc cache's
 compaction story in sources/doc_cache_source.py, generalized to any keyed
-table). ``compact`` rewrites the snapshot into a target file count —
-at 100 TB, snapshotting rewrites only what changed if you partition the
-table and upsert per partition.
+table). ``compact`` rewrites the snapshot into a target file count — at
+100 TB, snapshotting rewrites only what changed if you partition the table
+and upsert per partition.
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-from typing import Sequence
+import json
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from spookystuff_spark import fsio
+
 _POINTER = "_LATEST"
+_MANIFEST = "_MANIFEST.json"
+_CHANGES = "_changes"
+_KIND = "_kind"
 
 
 def _latest(table_dir: str) -> str | None:
-    p = os.path.join(table_dir, _POINTER)
-    if not os.path.exists(p):
+    p = fsio.join(table_dir, _POINTER)
+    if not fsio.exists(p):
         return None
-    with open(p) as f:
-        v = f.read().strip()
+    v = fsio.read_bytes(p).decode().strip()
     return v or None
 
 
 def _swap_pointer(table_dir: str, version: str) -> None:
-    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="._latest-")
-    with os.fdopen(fd, "w") as f:
-        f.write(version)
-    os.replace(tmp, os.path.join(table_dir, _POINTER))  # atomic commit
+    fsio.write_bytes(fsio.join(table_dir, _POINTER), version.encode())
 
 
 def _next_version(table_dir: str) -> str:
@@ -58,24 +67,100 @@ def _next_version(table_dir: str) -> str:
     must self-heal by skipping past dangling dirs instead."""
     cur = _latest(table_dir)
     highest = int(cur[1:]) if cur else 0
-    if os.path.isdir(table_dir):
-        for v in versions(table_dir):
-            highest = max(highest, int(v[1:]))
+    for v in versions(table_dir):
+        highest = max(highest, int(v[1:]))
     return f"v{highest + 1:05d}"
 
 
-_CHANGES = "_changes"
+# --------------------------------------------------------------- manifest
 
 
-def _commit(table_dir: str, version: str, marker: str | None) -> None:
-    """Drop an optional marker file inside the (already fully written)
-    immutable version dir, then swap the pointer. The marker rides the same
-    atomic commit as the data: a crash before the swap leaves a dangling,
-    never-read dir; after it, marker and snapshot are visible together —
-    the hook streaming/sink.py uses for exactly-once batch idempotence."""
+def write_manifest(
+    table_dir: str,
+    version: str,
+    files: Sequence[str],
+    schema_json: str | None,
+    kind: str,
+) -> None:
+    """Record the snapshot's commit manifest: relative (to ``table_dir``)
+    or absolute data-file paths, the Spark schema (StructType.json()), and
+    the commit kind. The manifest IS the commit-complete marker — a crashed
+    writer's dir has data files but no manifest and is never read."""
+    payload = {"files": list(files), "schema": schema_json, "kind": kind}
+    fsio.write_bytes(
+        fsio.join(table_dir, version, _MANIFEST),
+        json.dumps(payload, separators=(",", ":")).encode(),
+    )
+
+
+def read_manifest(table_dir: str, version: str) -> Optional[dict]:
+    p = fsio.join(table_dir, version, _MANIFEST)
+    if not fsio.exists(p):
+        return None
+    return json.loads(fsio.read_bytes(p))
+
+
+def _is_abs_entry(entry: str) -> bool:
+    return "://" in entry or entry.startswith("/")
+
+
+def snapshot_files(table_dir: str, version: str) -> list[str]:
+    """Full paths of a snapshot's data files. Manifest-driven; a
+    manifest-less (legacy) committed dir falls back to listing its own
+    parquet files."""
+    m = read_manifest(table_dir, version)
+    if m is not None:
+        return [
+            e if _is_abs_entry(e) else fsio.join(table_dir, e)
+            for e in m["files"]
+        ]
+    vdir = fsio.join(table_dir, version)
+    return [
+        fsio.join(vdir, name)
+        for name, _ in fsio.file_infos(vdir)
+        if name.endswith(".parquet")
+    ]
+
+
+def snapshot_schema_json(table_dir: str, version: str) -> Optional[str]:
+    m = read_manifest(table_dir, version)
+    return m.get("schema") if m else None
+
+
+def _parquet_names(dir_path: str) -> list[str]:
+    return [
+        name
+        for name, _ in fsio.file_infos(dir_path)
+        if name.endswith(".parquet")
+    ]
+
+
+def _own_entries(table_dir: str, version: str) -> list[str]:
+    """Manifest entries for the parquet files Spark just wrote into the
+    version's own directory."""
+    return [
+        f"{version}/{name}"
+        for name in _parquet_names(fsio.join(table_dir, version))
+    ]
+
+
+def _commit_snapshot(
+    df_schema_json: str | None,
+    table_dir: str,
+    version: str,
+    extra_entries: Sequence[str] = (),
+    kind: str = "upsert",
+    marker: str | None = None,
+) -> None:
+    """Manifest (own files + ``extra_entries``) → optional marker → pointer
+    swap. The marker rides the same commit as the manifest: a crash before
+    the swap leaves a dangling, never-read dir; after it, marker and
+    snapshot are visible together — the hook streaming/sink.py uses for
+    exactly-once batch idempotence."""
+    entries = list(extra_entries) + _own_entries(table_dir, version)
+    write_manifest(table_dir, version, entries, df_schema_json, kind)
     if marker:
-        with open(os.path.join(table_dir, version, marker), "w"):
-            pass
+        fsio.touch(fsio.join(table_dir, version, marker))
     _swap_pointer(table_dir, version)
 
 
@@ -90,22 +175,81 @@ def _write_change_feed(df: DataFrame, table_dir: str, version: str, kind: str) -
     import pyspark.sql.functions as F
 
     df.withColumn("_change", F.lit(kind)).write.mode("errorifexists").parquet(
-        os.path.join(table_dir, version, _CHANGES)
+        fsio.join(table_dir, version, _CHANGES)
     )
+
+
+def _write_change_feed_refs(
+    table_dir: str, version: str, entries: Sequence[str], kind: str
+) -> None:
+    """Metadata-only change feed: the change set IS a set of already-written
+    data files, so the feed is a manifest referencing them plus a ``_kind``
+    sidecar naming the change type (the reader fills the ``_change`` column
+    from it). Zero extra data written — the appended rows are the feed."""
+    feed = fsio.join(table_dir, version, _CHANGES)
+    fsio.mkdirs(feed)
+    fsio.write_bytes(
+        fsio.join(feed, _MANIFEST),
+        json.dumps({"files": list(entries)}, separators=(",", ":")).encode(),
+    )
+    fsio.write_bytes(fsio.join(feed, _KIND), kind.encode())
+
+
+def change_files(table_dir: str, version: str) -> tuple[list[str], str | None]:
+    """(full paths of the version's change-feed parquet files, fill kind).
+
+    ``kind`` is non-None when the feed files lack a ``_change`` column (the
+    metadata-only reference feeds of ``append_rows`` / the DataSource
+    writer) — readers fill the column with it. A version with no feed
+    (compaction) returns ([], None)."""
+    feed = fsio.join(table_dir, version, _CHANGES)
+    kind = None
+    kind_path = fsio.join(feed, _KIND)
+    if fsio.exists(kind_path):
+        kind = fsio.read_bytes(kind_path).decode().strip() or None
+    mpath = fsio.join(feed, _MANIFEST)
+    if fsio.exists(mpath):
+        m = json.loads(fsio.read_bytes(mpath))
+        return (
+            [
+                e if _is_abs_entry(e) else fsio.join(table_dir, e)
+                for e in m["files"]
+            ],
+            kind,
+        )
+    return [fsio.join(feed, n) for n in _parquet_names(feed)], kind
+
+
+# ------------------------------------------------------------ public API
 
 
 def read_table(
     spark: SparkSession, table_dir: str, version: str | None = None
 ) -> DataFrame:
     """Read the current snapshot, or time-travel to an earlier committed
-    ``version`` (any complete dir ≤ the pointer that vacuum hasn't dropped)."""
+    ``version`` (any complete dir ≤ the pointer that vacuum hasn't dropped).
+    The scan is the manifest's file list with the manifest's schema pinned —
+    under additive schema evolution old files simply project missing columns
+    as nulls (parquet is schema-on-read), so a snapshot mixing pre- and
+    post-evolution files reads consistently."""
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
     if v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
-    return spark.read.parquet(os.path.join(table_dir, v))
+    files = snapshot_files(table_dir, v)
+    schema_json = snapshot_schema_json(table_dir, v)
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not files:  # e.g. delete_where emptied the table
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+    if not files:
+        raise FileNotFoundError(f"empty snapshot {v} in {table_dir}")
+    return spark.read.parquet(*files)
 
 
 def write_table(
@@ -115,17 +259,17 @@ def write_table(
     change_feed: bool = True,
 ) -> str:
     """Create/replace the table with a fresh snapshot. Returns the version."""
-    os.makedirs(table_dir, exist_ok=True)
+    fsio.mkdirs(table_dir)
     v = _next_version(table_dir)
-    df.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    df.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     if change_feed:
         _write_change_feed(
-            df.sparkSession.read.parquet(os.path.join(table_dir, v)),
+            df.sparkSession.read.parquet(fsio.join(table_dir, v)),
             table_dir,
             v,
             "upsert",
         )
-    _commit(table_dir, v, marker)
+    _commit_snapshot(df.schema.json(), table_dir, v, (), "upsert", marker)
     return v
 
 
@@ -143,7 +287,7 @@ def upsert(
     cur_v = _latest(table_dir)
     if cur_v is None:
         return write_table(updates, table_dir, marker, change_feed)
-    current = spark.read.parquet(os.path.join(table_dir, cur_v))
+    current = read_table(spark, table_dir)
     keys = updates.select(*key_cols).distinct()
     kept = current.join(keys, list(key_cols), "left_anti")
     # schema evolution (additive, both directions): a column present on only
@@ -151,16 +295,16 @@ def upsert(
     # is the union, old snapshots keep theirs (time travel is schema travel)
     merged = kept.unionByName(updates, allowMissingColumns=True)
     v = _next_version(table_dir)
-    merged.write.mode("errorifexists").parquet(os.path.join(table_dir, v))
+    merged.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     if change_feed:
         # the change set IS the updates frame — re-read it from the freshly
         # written snapshot (semi-join on the update keys) so the feed write
         # doesn't recompute the caller's arbitrary lineage
-        snap = spark.read.parquet(os.path.join(table_dir, v))
+        snap = spark.read.parquet(fsio.join(table_dir, v))
         _write_change_feed(
             snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
         )
-    _commit(table_dir, v, marker)
+    _commit_snapshot(merged.schema.json(), table_dir, v, (), "upsert", marker)
     return v
 
 
@@ -169,64 +313,75 @@ def append_rows(
     table_dir: str,
     rows: DataFrame,
     marker: str | None = None,
+    change_feed: bool = True,
 ) -> str:
-    """Blind append as a METADATA-ONLY commit: only ``rows`` are written;
-    the previous snapshot's immutable data files are hard-linked into the
-    new version dir (copy fallback off-POSIX). An append-heavy table (e.g.
-    a streaming dedup state) therefore costs O(batch) per commit, not
-    O(table) — the snapshot-rewrite cost stays reserved for keyed upserts,
-    which actually change old rows."""
-    os.makedirs(table_dir, exist_ok=True)
+    """Blind append as a METADATA-ONLY commit: only ``rows`` are written; the
+    previous snapshot's immutable data files are carried forward by manifest
+    reference — no links, no copies, object-store-safe. An append-heavy
+    table (e.g. a streaming dedup state) therefore costs O(batch) per
+    commit, not O(table) — the snapshot-rewrite cost stays reserved for
+    keyed upserts, which actually change old rows. The change feed is the
+    same metadata trick: a reference manifest over the new files, so CDC
+    consumers see appends without a second write."""
+    fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
     v = _next_version(table_dir)
-    vdir = os.path.join(table_dir, v)
-    rows.write.mode("errorifexists").parquet(vdir)
+    rows.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
+    prev_entries: list[str] = []
+    schema_json = rows.schema.json()
     if cur is not None:
-        prev = os.path.join(table_dir, cur)
-        files = sorted(
-            e.name
-            for e in os.scandir(prev)
-            if e.name.endswith(".parquet") and e.is_file()
+        m = read_manifest(table_dir, cur)
+        if m is not None:
+            prev_entries = list(m["files"])
+            if m.get("schema"):
+                # appended columns evolve the schema additively, like upsert
+                schema_json = _union_schema_json(m["schema"], rows.schema)
+        else:  # legacy manifest-less snapshot
+            prev_entries = [
+                f"{cur}/{n}" for n in _parquet_names(fsio.join(table_dir, cur))
+            ]
+    if change_feed:
+        _write_change_feed_refs(
+            table_dir, v, _own_entries(table_dir, v), "insert"
         )
-        import hashlib
-
-        for i, name in enumerate(files):
-            # fixed-width link names (NOT prev- + old name: chained appends
-            # would grow the filename with every version)
-            tag = hashlib.md5(name.encode()).hexdigest()[:8]
-            dst = os.path.join(vdir, f"prev-{i:05d}-{tag}.parquet")
-            try:
-                os.link(os.path.join(prev, name), dst)
-            except OSError:
-                shutil.copy2(os.path.join(prev, name), dst)
-    _commit(table_dir, v, marker)
+    _commit_snapshot(schema_json, table_dir, v, prev_entries, "append", marker)
     return v
 
 
+def _union_schema_json(prev_schema_json: str, new_schema) -> str:
+    from pyspark.sql.types import StructType
+
+    prev = StructType.fromJson(json.loads(prev_schema_json))
+    fields = list(prev.fields)
+    have = {f.name for f in fields}
+    for f in new_schema.fields:
+        if f.name not in have:
+            fields.append(f)
+    return StructType(fields).json()
+
+
 def clone_table(src_dir: str, dst_dir: str) -> str:
-    """Zero-copy (shallow) clone: hard-link the current snapshot's data
-    files into a fresh single-version table — the dev/test-sandbox idiom
-    that at 100 TB must be metadata-only, never a data copy. The clone is
-    fully independent afterwards (its own pointer, its own future
-    versions); the shared files are immutable by protocol, so neither side
-    can corrupt the other."""
+    """Zero-copy (shallow) clone: a fresh single-version table whose manifest
+    references the source snapshot's immutable files by absolute path — the
+    dev/test-sandbox idiom that at 100 TB must be metadata-only, never a data
+    copy. The clone is fully independent afterwards (its own pointer, its own
+    future versions); the shared files are immutable by protocol, so neither
+    side can corrupt the other. Caveat (same as Delta's shallow clone):
+    ``vacuum`` on the SOURCE may eventually drop files the clone still
+    references — deep-copy or re-snapshot the clone before vacuuming the
+    source below the cloned version."""
     cur = _latest(src_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {src_dir}")
-    os.makedirs(dst_dir, exist_ok=True)
     v = _next_version(dst_dir)
-    vdir = os.path.join(dst_dir, v)
-    os.makedirs(vdir)
-    src_snap = os.path.join(src_dir, cur)
-    for e in sorted(os.scandir(src_snap), key=lambda e: e.name):
-        if not (e.is_file() and e.name.endswith(".parquet")):
-            continue
-        try:
-            os.link(e.path, os.path.join(vdir, e.name))
-        except OSError:
-            shutil.copy2(e.path, os.path.join(vdir, e.name))
-    with open(os.path.join(vdir, "_SUCCESS"), "w"):
-        pass
+    fsio.mkdirs(fsio.join(dst_dir, v))
+    write_manifest(
+        dst_dir,
+        v,
+        snapshot_files(src_dir, cur),  # absolute paths into src
+        snapshot_schema_json(src_dir, cur),
+        "clone",
+    )
     _swap_pointer(dst_dir, v)
     return v
 
@@ -238,46 +393,44 @@ def delete_where(
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
     current.where(~condition).write.mode("errorifexists").parquet(
-        os.path.join(table_dir, v)
+        fsio.join(table_dir, v)
     )
     if change_feed:
         # deleted rows come from the (immutable) PREVIOUS snapshot scan
         _write_change_feed(current.where(condition), table_dir, v, "delete")
-    _swap_pointer(table_dir, v)
+    _commit_snapshot(current.schema.json(), table_dir, v, (), "delete")
     return v
 
 
 def compact(spark: SparkSession, table_dir: str, num_files: int = 8) -> str:
     """Rewrite the current snapshot into ``num_files`` files (small-file
-    compaction; same pointer-swap commit)."""
+    compaction; same manifest + pointer-swap commit, no change feed — the
+    logical content is unchanged)."""
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
     current.repartition(num_files).write.mode("errorifexists").parquet(
-        os.path.join(table_dir, v)
+        fsio.join(table_dir, v)
     )
-    _swap_pointer(table_dir, v)
+    _commit_snapshot(current.schema.json(), table_dir, v, (), "compact")
     return v
 
 
 def snapshot_file_stats(table_dir: str, version: str | None = None) -> dict:
-    """{n_files, total_bytes, min_bytes, max_bytes} of a snapshot's data
-    files — the observability half of compaction: many small files means
-    task-per-file scheduling overhead and poor scan locality; a few huge
-    ones means no parallelism. (Local/POSIX listing; on a real DFS the same
-    numbers come from one ``FileSystem.listStatus`` call.)"""
+    """{n_files, total_bytes, min_bytes, max_bytes, sizes} of a snapshot's
+    data files — the observability half of compaction: many small files
+    means task-per-file scheduling overhead and poor scan locality; a few
+    huge ones means no parallelism. One batched ``get_file_info`` per
+    filesystem (fsio.sizes)."""
     v = version or _latest(table_dir)
     if v is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    sizes = [
-        e.stat().st_size
-        for e in os.scandir(os.path.join(table_dir, v))
-        if e.name.endswith(".parquet") and e.is_file()
-    ]
+    file_sizes = fsio.sizes(snapshot_files(table_dir, v))
     return {
-        "n_files": len(sizes),
-        "total_bytes": sum(sizes),
-        "min_bytes": min(sizes, default=0),
-        "max_bytes": max(sizes, default=0),
+        "n_files": len(file_sizes),
+        "total_bytes": sum(file_sizes),
+        "min_bytes": min(file_sizes, default=0),
+        "max_bytes": max(file_sizes, default=0),
+        "sizes": sorted(file_sizes),
     }
 
 
@@ -300,12 +453,7 @@ def compact_auto(
     stats = snapshot_file_stats(table_dir)
     if stats["n_files"] == 0:
         return None
-    sizes = sorted(
-        e.stat().st_size
-        for e in os.scandir(os.path.join(table_dir, _latest(table_dir)))
-        if e.name.endswith(".parquet") and e.is_file()
-    )
-    median = sizes[len(sizes) // 2]
+    median = stats["sizes"][stats["n_files"] // 2]
     if stats["n_files"] > 1 and median < threshold * target_file_bytes:
         n = max(1, -(-stats["total_bytes"] // target_file_bytes))
         return compact(spark, table_dir, num_files=int(n))
@@ -314,49 +462,86 @@ def compact_auto(
 
 def versions(table_dir: str) -> list[str]:
     return sorted(
-        d for d in os.listdir(table_dir)
-        if d.startswith("v") and d[1:].isdigit()
+        d for d in fsio.ls(table_dir) if d.startswith("v") and d[1:].isdigit()
     )
 
 
 def committed_versions(table_dir: str) -> list[str]:
-    """Versions safe to read: at or below the pointer AND completely written
-    (Spark's ``_SUCCESS`` marker — a crashed writer's dir lacks it). Since
-    ``_next_version`` self-heals by leapfrogging dangling dirs, a crashed dir
-    can sit BELOW the pointer; the marker check keeps it out of time travel."""
+    """Versions safe to read: at or below the pointer AND carrying a commit
+    manifest (a crashed writer's dir has data files but no manifest — and
+    since ``_next_version`` self-heals by leapfrogging dangling dirs, such a
+    dir can sit BELOW the pointer; the manifest check keeps it out of time
+    travel). Manifest-less dirs below the pointer with a Spark ``_SUCCESS``
+    are accepted as legacy (pre-manifest) commits."""
     cur = _latest(table_dir)
     if cur is None:
         return []
-    return [
-        v
-        for v in versions(table_dir)
-        if v <= cur and os.path.exists(os.path.join(table_dir, v, "_SUCCESS"))
-    ]
+    out = []
+    for v in versions(table_dir):
+        if v > cur:
+            continue
+        if fsio.exists(fsio.join(table_dir, v, _MANIFEST)) or fsio.exists(
+            fsio.join(table_dir, v, "_SUCCESS")
+        ):
+            out.append(v)
+    return out
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[str]:
     """Drop all but the newest ``keep`` committed versions (never the current
     one). Also removes dangling dirs from crashed writers — above OR below
     the pointer (the latter exist because ``_next_version`` leapfrogs them).
-    Returns removed version names."""
+
+    Manifest-aware: a data file physically inside a dropped version dir that
+    a KEPT version's manifest still references (metadata-only appends carry
+    old files forward by reference) is preserved; only unreferenced files
+    and the dropped version's metadata are deleted. A version whose dir
+    still holds referenced files loses its manifest (no longer
+    time-travelable) but keeps the data — a later vacuum frees it once
+    nothing references it. Returns fully removed version names."""
     cur = _latest(table_dir)
     vs = versions(table_dir)
     committed = committed_versions(table_dir)
     dangling = [v for v in vs if v not in committed]
     drop = committed[:-keep] if keep > 0 else committed[:-1]
+    kept_versions = [v for v in vs if v not in drop and v not in dangling]
+    referenced: set[str] = set()
+    for v in kept_versions:
+        m = read_manifest(table_dir, v)
+        entries = (
+            m["files"]
+            if m is not None
+            else [f"{v}/{n}" for n in _parquet_names(fsio.join(table_dir, v))]
+        )
+        for e in entries:
+            if not _is_abs_entry(e):
+                referenced.add(e)
     removed = []
     for v in drop + dangling:
         if v == cur:
             continue
-        shutil.rmtree(os.path.join(table_dir, v))
-        removed.append(v)
+        vdir = fsio.join(table_dir, v)
+        names = [n for n, _ in fsio.file_infos(vdir)]
+        keep_names = [
+            n for n in names if n.endswith(".parquet") and f"{v}/{n}" in referenced
+        ]
+        if not keep_names:
+            fsio.delete_dir(vdir)
+            removed.append(v)
+            continue
+        # referenced data survives; everything else (metadata, feed,
+        # unreferenced files) goes, so the version is no longer readable
+        for n in names:
+            if n not in keep_names:
+                fsio.delete_file(fsio.join(vdir, n))
+        fsio.delete_dir(fsio.join(vdir, _CHANGES), missing_ok=True)
     # stale writer staging dirs: an aborted DataSource write removes its
     # staging, but an in-flight task can recreate the dir after the driver's
     # abort — harmless (underscore paths are invisible to readers) and swept
     # here under the table's single-writer contract
-    for d in os.listdir(table_dir):
+    for d in fsio.ls(table_dir):
         if d.startswith("_staging-"):
-            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            fsio.delete_dir(fsio.join(table_dir, d), missing_ok=True)
             removed.append(d)
     return removed
 

@@ -18,12 +18,18 @@ at commit time (Delta CDF protocol), so a micro-batch costs O(changed
 rows), not O(table). Offsets are monotone version numbers; ``commit`` is a
 no-op because version dirs are immutable and vacuum-retention is the
 caller's contract.
+
+All file IO goes through :mod:`spookystuff_spark.fsio` (pyarrow.fs) and the
+manifest protocol — no ``os.path``/``glob``/hard links — so the source runs
+against local disk, HDFS, or object stores alike. Columns absent from an
+older file (additive schema evolution) are filled with nulls OF THE READER
+SCHEMA'S TYPE; a file column missing from the reader schema fails fast with
+the file name rather than silently dropping data.
 """
 
 from __future__ import annotations
 
-import glob
-import os
+import json
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -38,10 +44,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
+from spookystuff_spark import fsio
 from spookystuff_spark.sources import upsert as U
-
-_CHANGES = "_changes"
-_KIND = "_kind"  # sidecar: change type for feed files lacking a _change column
 
 
 @dataclass
@@ -51,49 +55,61 @@ class _FilePart(InputPartition):
     kind: str | None = None  # fill for a missing _change column
 
 
-def _data_files(snapshot_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(snapshot_dir, "*.parquet")))
+def _arrow_schema(spark_schema: StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(spark_schema)
 
 
-def _read_arrow(
-    path: str,
-    names: Sequence[str] | None = None,
-    fill: dict | None = None,
-):
-    """Iterate a parquet file as Arrow RecordBatches, aligned to ``names``
-    (Spark's expected column order). An absent column is filled from
-    ``fill`` (constant, e.g. ``_change`` from the version's _kind sidecar)
-    or with nulls."""
+def _read_arrow(path: str, expected, fill: dict | None = None):
+    """Iterate a parquet file as Arrow RecordBatches aligned to the reader's
+    ``expected`` Arrow schema (column order AND types). An absent column is
+    filled from ``fill`` (constant — e.g. ``_change`` from the version's
+    ``_kind`` sidecar) or with typed nulls, so a snapshot mixing pre- and
+    post-schema-evolution files yields homogeneous batches. A file column
+    NOT in the reader schema is an error naming the file — silent
+    column-drop on a mismatched footer is the failure mode to refuse."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    for batch in pq.ParquetFile(path).iter_batches():
-        if names is None or batch.schema.names == list(names):
-            yield batch
-            continue
+    names = expected.names
+    for batch in pq.ParquetFile(fsio.open_input(path)).iter_batches():
+        extra = [c for c in batch.schema.names if c not in names]
+        if extra:
+            raise ValueError(
+                f"versioned table file {path} has columns {extra} absent "
+                f"from the reader schema {names} — refusing to drop data"
+            )
         cols = []
         for n in names:
+            typ = expected.field(n).type
             if n in batch.schema.names:
-                cols.append(batch.column(n))
+                col = batch.column(n)
+                if col.type != typ:  # benign footer-level repr differences
+                    col = col.cast(typ)
+                cols.append(col)
             elif fill and fill.get(n) is not None:
-                cols.append(
-                    pa.array([fill[n]] * batch.num_rows, type=pa.string())
-                )
+                cols.append(pa.array([fill[n]] * batch.num_rows, type=typ))
             else:
-                cols.append(pa.nulls(batch.num_rows, type=pa.string()))
+                cols.append(pa.nulls(batch.num_rows, type=typ))
         yield pa.RecordBatch.from_arrays(cols, names=list(names))
 
 
 class _BatchReader(DataSourceReader):
-    def __init__(self, table_dir: str, version: str, names: Sequence[str]):
-        self.snapshot = os.path.join(table_dir, version)
-        self.names = list(names)
+    def __init__(self, table_dir: str, version: str, schema: StructType):
+        self.files = U.snapshot_files(table_dir, version)
+        self.spark_schema = schema
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePart(p, False) for p in _data_files(self.snapshot)]
+        return [_FilePart(p, False) for p in self.files] or [
+            _FilePart("", False)  # empty snapshot still needs >= 1 partition
+        ]
 
     def read(self, partition: _FilePart) -> Iterator:
-        yield from _read_arrow(partition.path, self.names)
+        if partition.path:
+            yield from _read_arrow(
+                partition.path, _arrow_schema(self.spark_schema)
+            )
 
 
 class _ChangeFeedReader(DataSourceStreamReader):
@@ -105,10 +121,10 @@ class _ChangeFeedReader(DataSourceStreamReader):
         self,
         table_dir: str,
         starting_version: int | None,
-        names: Sequence[str],
+        schema: StructType,
     ):
         self.table_dir = table_dir
-        self.names = list(names)
+        self.spark_schema = schema
         if starting_version is not None:
             self.start_v = starting_version
         else:
@@ -128,15 +144,8 @@ class _ChangeFeedReader(DataSourceStreamReader):
         for v in U.committed_versions(self.table_dir):
             n = int(v[1:])
             if start["version"] < n <= end["version"]:
-                feed = os.path.join(self.table_dir, v, _CHANGES)
-                kind = None
-                kind_path = os.path.join(feed, _KIND)
-                if os.path.exists(kind_path):
-                    with open(kind_path) as f:
-                        kind = f.read().strip() or None
-                parts.extend(
-                    _FilePart(p, True, kind) for p in _data_files(feed)
-                )
+                files, kind = U.change_files(self.table_dir, v)
+                parts.extend(_FilePart(p, True, kind) for p in files)
         # Spark requires >= 1 partition per batch; an empty range (e.g.
         # compaction-only versions have no _changes) yields a no-row part
         return parts or [_FilePart("", True)]
@@ -145,7 +154,7 @@ class _ChangeFeedReader(DataSourceStreamReader):
         if partition.path:
             yield from _read_arrow(
                 partition.path,
-                self.names,
+                _arrow_schema(self.spark_schema),
                 {"_change": partition.kind} if partition.kind else None,
             )
 
@@ -169,37 +178,40 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
        private staging dir (unique name; a retried/speculative task stages a
        different file) and returns the filename as its commit message.
     2. Only if ALL tasks succeed does the driver ``commit``: the staged
-       files (plus, for append mode, hard links to the previous snapshot's
-       immutable data files — metadata-only, no data copy) become the next
-       version dir, the change feed records the staged files, and the
-       pointer swaps. ``abort`` just deletes staging — a failed job leaves
-       the table byte-identical.
+       files MOVE into the next version dir (a rename, not a data copy) and
+       the manifest lists them — plus, for append mode, the previous
+       snapshot's immutable files carried forward BY REFERENCE (the
+       metadata-only append of upsert.append_rows; no hard links, so the
+       protocol works on object stores). The change feed is a reference
+       manifest over the same staged files. ``abort`` just deletes staging —
+       a failed job leaves the table byte-identical.
 
     Append here is a blind append (new rows added, no key dedup) — the
     keyed MERGE path stays in upsert.upsert(), which needs a join.
     """
 
-    def __init__(self, table_dir: str, overwrite: bool):
+    def __init__(self, table_dir: str, overwrite: bool, schema_json: str):
         import uuid
 
         self.table_dir = table_dir
         self.overwrite = overwrite
-        self.staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex}")
+        self.schema_json = schema_json
+        self.staging = fsio.join(table_dir, f"_staging-{uuid.uuid4().hex}")
 
     def write(self, iterator) -> _StagedFile:
         import uuid
 
         import pyarrow.parquet as pq
 
-        os.makedirs(self.staging, exist_ok=True)
+        fsio.mkdirs(self.staging)
         fname = f"part-{uuid.uuid4().hex}.parquet"
+        fpath = fsio.join(self.staging, fname)
+        fs, fs_path = fsio.resolve(fpath)
         writer = None
         n = 0
         for batch in iterator:
             if writer is None:
-                writer = pq.ParquetWriter(
-                    os.path.join(self.staging, fname), batch.schema
-                )
+                writer = pq.ParquetWriter(fs_path, batch.schema, filesystem=fs)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is None:
@@ -207,43 +219,45 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         writer.close()
         return _StagedFile(fname, n)
 
-    def _link(self, src: str, dst: str) -> None:
-        try:
-            os.link(src, dst)
-        except OSError:  # cross-device / FS without hard links
-            import shutil
-
-            shutil.copy2(src, dst)
-
     def _commit_files(self, messages, marker: str | None = None) -> None:
         staged = [m.filename for m in messages if m and m.filename]
         v = U._next_version(self.table_dir)
-        vdir = os.path.join(self.table_dir, v)
-        feed = os.path.join(vdir, _CHANGES)
-        os.makedirs(feed, exist_ok=True)
+        vdir = fsio.join(self.table_dir, v)
+        fsio.mkdirs(vdir)
+        for f in staged:
+            fsio.move(fsio.join(self.staging, f), fsio.join(vdir, f))
+        prev_entries: list[str] = []
         if not self.overwrite:
             cur = U.committed_versions(self.table_dir)
             if cur:
-                prev = os.path.join(self.table_dir, cur[-1])
-                for i, p in enumerate(_data_files(prev)):
-                    self._link(p, os.path.join(vdir, f"prev-{i:05d}.parquet"))
-        for f in staged:
-            self._link(os.path.join(self.staging, f), os.path.join(vdir, f))
-            self._link(os.path.join(self.staging, f), os.path.join(feed, f))
-        with open(os.path.join(feed, _KIND), "w") as fh:
-            fh.write("upsert")
+                m = U.read_manifest(self.table_dir, cur[-1])
+                prev_entries = (
+                    list(m["files"])
+                    if m is not None
+                    else [
+                        f"{cur[-1]}/{n}"
+                        for n in U._parquet_names(
+                            fsio.join(self.table_dir, cur[-1])
+                        )
+                    ]
+                )
+        own = [f"{v}/{f}" for f in staged]
+        U._write_change_feed_refs(self.table_dir, v, own, "upsert")
+        fsio.touch(fsio.join(vdir, "_SUCCESS"))
+        U.write_manifest(
+            self.table_dir,
+            v,
+            prev_entries + own,
+            self.schema_json,
+            "upsert" if self.overwrite else "append",
+        )
         if marker:
-            with open(os.path.join(vdir, marker), "w"):
-                pass
-        with open(os.path.join(vdir, "_SUCCESS"), "w"):
-            pass
+            fsio.touch(fsio.join(vdir, marker))
         U._swap_pointer(self.table_dir, v)
-        self._cleanup()  # staging files are linked into vdir now
+        self._cleanup()
 
     def _cleanup(self) -> None:
-        import shutil
-
-        shutil.rmtree(self.staging, ignore_errors=True)
+        fsio.delete_dir(self.staging, missing_ok=True)
 
     def commit(self, messages) -> None:
         self._commit_files(messages)
@@ -254,30 +268,36 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
 class _VersionedStreamArrowWriter(_VersionedArrowWriter, DataSourceStreamArrowWriter):
     """Streaming sink twin: same staged-files two-phase commit, plus
-    exactly-once per micro-batch — the version commits with a ``_BATCH_<id>``
-    marker (the streaming/sink.py protocol), and a replayed batch id after a
-    restart cleans its staging and commits nothing. Always append-mode: each
-    micro-batch's rows extend the table; previous snapshot files are linked,
-    never rewritten (O(batch) per batch)."""
+    exactly-once per micro-batch — the version commits with a
+    ``_BATCH_<app>_<id>`` marker (the streaming/sink.py protocol, keyed on
+    BOTH the app/checkpoint identity and the batch id — batch ids restart at
+    0 with a fresh checkpoint, so id alone would silently drop data), and a
+    replayed batch id after a restart cleans its staging and commits
+    nothing. Always append-mode: each micro-batch's rows extend the table;
+    previous snapshot files are carried by manifest reference, never
+    rewritten (O(batch) per batch)."""
 
-    def __init__(self, table_dir: str):
-        super().__init__(table_dir, overwrite=False)
+    def __init__(self, table_dir: str, schema_json: str, app_id: str | None):
+        super().__init__(table_dir, overwrite=False, schema_json=schema_json)
+        self.app_id = app_id
         # streaming recreates the writer in a separate commit-runner process:
         # a random staging name would diverge between the write tasks and the
         # commit, so the stream writer stages under ONE deterministic dir
-        # (safe under the table's single-writer contract; commit links only
-        # the files named in this batch's messages and then clears the dir,
-        # so stale files from a crashed batch are dropped, not committed)
-        self.staging = os.path.join(table_dir, "_staging-stream")
+        # (safe under the table's single-writer contract; commit moves only
+        # the files named in this batch's messages, so stale files from a
+        # crashed batch are dropped, not committed)
+        self.staging = fsio.join(table_dir, "_staging-stream")
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
-        from spookystuff_spark.streaming.sink import last_committed_batch
+        from spookystuff_spark.streaming.sink import batch_marker_name, last_committed_batch
 
-        last = last_committed_batch(self.table_dir)
+        last = last_committed_batch(self.table_dir, self.app_id)
         if last is not None and batchId <= last:
             self._cleanup()  # replay: already committed, drop staged files
             return
-        self._commit_files(messages, marker=f"_BATCH_{batchId}")
+        self._commit_files(
+            messages, marker=batch_marker_name(batchId, self.app_id)
+        )
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         self._cleanup()
@@ -286,7 +306,10 @@ class _VersionedStreamArrowWriter(_VersionedArrowWriter, DataSourceStreamArrowWr
 class VersionedTableDataSource(DataSource):
     """name: ``spooky_versioned``. Options: ``path`` (table dir, required),
     ``version`` (batch time travel), ``startingVersion`` (stream replay
-    start; default = current version, i.e. only future changes)."""
+    start; default = current version, i.e. only future changes), ``appId``
+    (stream-writer exactly-once namespace — set it per checkpoint so a
+    restart with a FRESH checkpoint, whose batch ids restart at 0, is not
+    mistaken for a replay of the old one)."""
 
     @classmethod
     def name(cls) -> str:
@@ -311,17 +334,34 @@ class VersionedTableDataSource(DataSource):
         return v
 
     def _snapshot_schema(self, with_change: bool) -> StructType:
-        import pyarrow.parquet as pq
+        """Table schema: the manifest's recorded schema when present (the
+        authoritative union under schema evolution), else the UNION of every
+        data file's footer schema in first-seen field order — never
+        files[0] alone, whose answer would depend on filename sort order."""
+        table_dir, version = self._table_dir(), self._resolve_version()
+        schema_json = U.snapshot_schema_json(table_dir, version)
+        if schema_json:
+            schema = StructType.fromJson(json.loads(schema_json))
+        else:
+            import pyarrow.parquet as pq
 
-        from pyspark.sql.pandas.types import from_arrow_schema
+            from pyspark.sql.pandas.types import from_arrow_schema
 
-        files = _data_files(
-            os.path.join(self._table_dir(), self._resolve_version())
-        )
-        if not files:
-            raise FileNotFoundError("empty snapshot")
-        schema = from_arrow_schema(pq.read_schema(files[0]))
-        if with_change:
+            files = U.snapshot_files(table_dir, version)
+            if not files:
+                raise FileNotFoundError("empty snapshot")
+            fields: list[StructField] = []
+            seen: set[str] = set()
+            for f in files:
+                fschema = from_arrow_schema(
+                    pq.read_schema(fsio.open_input(f))
+                )
+                for fld in fschema.fields:
+                    if fld.name not in seen:
+                        seen.add(fld.name)
+                        fields.append(fld)
+            schema = StructType(fields)
+        if with_change and "_change" not in schema.fieldNames():
             schema = StructType(
                 [*schema.fields, StructField("_change", StringType())]
             )
@@ -335,22 +375,22 @@ class VersionedTableDataSource(DataSource):
         return str(self.options.get("changefeed", "")).lower() == "true"
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        return _BatchReader(
-            self._table_dir(), self._resolve_version(), schema.fieldNames()
-        )
+        return _BatchReader(self._table_dir(), self._resolve_version(), schema)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         sv = self.options.get("startingversion")
         return _ChangeFeedReader(
             self._table_dir(),
             int(sv) if sv is not None else None,
-            schema.fieldNames(),
+            schema,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> _VersionedArrowWriter:
-        return _VersionedArrowWriter(self._table_dir(), overwrite)
+        return _VersionedArrowWriter(self._table_dir(), overwrite, schema.json())
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> _VersionedStreamArrowWriter:
-        return _VersionedStreamArrowWriter(self._table_dir())
+        return _VersionedStreamArrowWriter(
+            self._table_dir(), schema.json(), self.options.get("appid")
+        )

@@ -29,7 +29,6 @@ Callers wanting verified drops run the batch pairs through
 
 from __future__ import annotations
 
-import os
 from typing import Callable, Sequence
 
 import pyspark.sql.functions as F
@@ -37,7 +36,7 @@ from pyspark.sql import DataFrame
 
 from spookystuff_spark.operators.dedup import minhash_bands
 from spookystuff_spark.sources import upsert as U
-from spookystuff_spark.streaming.sink import _MARK, last_committed_batch
+from spookystuff_spark.streaming.sink import batch_marker_name, last_committed_batch
 
 
 def accepted_ids(spark, state_dir: str) -> DataFrame:
@@ -84,6 +83,7 @@ def streaming_neardup_sink(
     n_hashes: int = 128,
     bands: int = 16,
     on_accept: Callable[[DataFrame], None] | None = None,
+    app_id: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: drop near-dups of everything accepted so far,
     append survivors' band sketches to the state table, and (optionally)
@@ -93,7 +93,7 @@ def streaming_neardup_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = last_committed_batch(state_dir)
+        last = last_committed_batch(state_dir, app_id)
         if last is not None and batch_id <= last:
             return  # replayed batch: already folded into state
         bands_df = minhash_bands(
@@ -119,11 +119,16 @@ def streaming_neardup_sink(
             on_accept(kept_rows)
 
         # append survivors' sketches as a metadata-only commit (previous
-        # state files are hard-linked, not rewritten — O(batch) per batch,
-        # O(table) would be the classic streaming-state scale bug);
-        # exactly-once via the batch marker
+        # state files are carried forward by manifest reference, not
+        # rewritten — O(batch) per batch, O(table) would be the classic
+        # streaming-state scale bug); exactly-once via the (app, batch)
+        # marker — pass app_id per checkpoint so a fresh checkpoint's
+        # restarted batch ids are not mistaken for replays
         U.append_rows(
-            spark, state_dir, survivors, marker=f"{_MARK}{batch_id}"
+            spark,
+            state_dir,
+            survivors,
+            marker=batch_marker_name(batch_id, app_id),
         )
 
     return sink

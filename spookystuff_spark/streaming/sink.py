@@ -3,71 +3,112 @@
 ``foreachBatch`` gives at-least-once micro-batch delivery — after a crash the
 last batch is REPLAYED with the same ``batch_id``. Exactly-once therefore
 needs an idempotent commit: each snapshot produced by the sink records the
-batch id that wrote it (a ``_BATCH_<id>`` marker dropped inside the immutable
-version dir BEFORE the pointer swap, so marker and data commit atomically
-together), and a replayed batch with id ≤ the last committed marker is a
-no-op. This is precisely the Delta/Iceberg ``txnAppId``/``txnVersion``
-protocol, re-expressed over sources/upsert.py's pointer-swap tables.
+batch id that wrote it (a ``_BATCH_<app>_<id>`` marker dropped inside the
+immutable version dir BEFORE the pointer swap, so marker and data commit
+atomically together), and a replayed batch with id ≤ the last committed
+marker IN THE SAME APP NAMESPACE is a no-op. This is precisely the
+Delta/Iceberg ``txnAppId``/``txnVersion`` protocol, re-expressed over
+sources/upsert.py's manifest tables — BOTH halves: the batch id alone is not
+enough, because restarting a stream with a FRESH checkpoint restarts batch
+ids at 0, and an id-only skip would then silently drop every new batch.
+Callers should pass one ``app_id`` per checkpoint location; with no app_id
+the marker namespace is the legacy id-only one (correct only while a single
+checkpoint ever feeds the table — documented sharp edge).
 
 Scale shape: each micro-batch pays one anti-join + union snapshot write (see
 upsert.py — partition the table and upsert per partition at 100 TB); the
 marker probe is one directory listing of committed versions, O(versions),
-bounded by ``vacuum``.
+bounded by ``vacuum``. All IO goes through fsio (pyarrow.fs), never os.path.
 """
 
 from __future__ import annotations
 
-import os
-from typing import Callable, Sequence
+import re
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
 
+from spookystuff_spark import fsio
 from spookystuff_spark.sources import upsert as U
 
 _MARK = "_BATCH_"
+_APP_SAFE = re.compile(r"[^A-Za-z0-9.-]+")
 
 
-def _batch_marker(table_dir: str, version: str) -> int | None:
-    vdir = os.path.join(table_dir, version)
-    try:
-        for f in os.listdir(vdir):
-            if f.startswith(_MARK):
-                return int(f[len(_MARK):])
-    except FileNotFoundError:
+def batch_marker_name(batch_id: int, app_id: str | None) -> str:
+    """``_BATCH_<id>`` (legacy, no app) or ``_BATCH_<app>_<id>``."""
+    if app_id is None:
+        return f"{_MARK}{batch_id}"
+    return f"{_MARK}{_APP_SAFE.sub('-', app_id)}_{batch_id}"
+
+
+def _parse_marker(name: str) -> tuple[str | None, int] | None:
+    """Marker file name → (app_id or None, batch_id)."""
+    if not name.startswith(_MARK):
         return None
+    rest = name[len(_MARK):]
+    if rest.isdigit():
+        return None, int(rest)
+    app, _, bid = rest.rpartition("_")
+    if app and bid.isdigit():
+        return app, int(bid)
     return None
 
 
-def last_committed_batch(table_dir: str) -> int | None:
-    """Highest stream batch id whose snapshot committed (pointer-visible).
+def _batch_marker(
+    table_dir: str, version: str, app_id: str | None
+) -> Optional[int]:
+    app_key = None if app_id is None else _APP_SAFE.sub("-", app_id)
+    for f in fsio.ls(fsio.join(table_dir, version)):
+        parsed = _parse_marker(f)
+        if parsed is None:
+            continue
+        marker_app, bid = parsed
+        # app_id=None matches ANY marker (legacy single-checkpoint mode);
+        # a named app matches only its own namespace
+        if app_id is None or marker_app == app_key:
+            return bid
+    return None
 
-    Stream batch ids are monotonic, but interleaved NON-stream writes
-    (manual upserts, compaction) create newer versions without markers — so
-    walk committed versions newest-first for the latest marker."""
-    if not os.path.isdir(table_dir):
+
+def last_committed_batch(
+    table_dir: str, app_id: str | None = None
+) -> Optional[int]:
+    """Highest stream batch id whose snapshot committed (pointer-visible)
+    under ``app_id``'s marker namespace (None = legacy: any marker).
+
+    Stream batch ids are monotonic per checkpoint, but interleaved NON-stream
+    writes (manual upserts, compaction) create newer versions without
+    markers — so walk committed versions newest-first for the latest
+    marker."""
+    if not fsio.is_dir(table_dir):
         return None
     for v in reversed(U.committed_versions(table_dir)):
-        b = _batch_marker(table_dir, v)
+        b = _batch_marker(table_dir, v, app_id)
         if b is not None:
             return b
     return None
 
 
 def streaming_upsert_sink(
-    table_dir: str, key_cols: Sequence[str]
+    table_dir: str, key_cols: Sequence[str], app_id: str | None = None
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: MERGE each micro-batch into the
-    versioned table, exactly once per batch id.
+    versioned table, exactly once per (app, batch id). Pass one ``app_id``
+    per checkpoint location (e.g. the checkpoint path itself) so a restart
+    with a fresh checkpoint — batch ids back at 0 — is not mistaken for a
+    replay of the old one.
 
     Usage::
 
         q = (df.writeStream.outputMode("update")
-               .foreachBatch(streaming_upsert_sink(dir, ["user_id"]))
+               .foreachBatch(streaming_upsert_sink(dir, ["user_id"],
+                                                   app_id=ckpt_path))
                .start())
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        last = last_committed_batch(table_dir)
+        last = last_committed_batch(table_dir, app_id)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed batch: exactly-once skip
         U.upsert(
@@ -75,7 +116,7 @@ def streaming_upsert_sink(
             table_dir,
             batch_df,
             key_cols,
-            marker=f"{_MARK}{batch_id}",
+            marker=batch_marker_name(batch_id, app_id),
         )
 
     return sink

@@ -174,9 +174,10 @@ def test_pushed_filters_reach_parquet_scan(spark, tmp_path):
 
 
 def test_append_rows_is_metadata_only(spark, tmp_path):
-    """Chained appends must not rewrite old data: every version links the
-    previous snapshot's files (same inode on POSIX) and adds only the new
-    batch's files; reads see the union."""
+    """Chained appends must not rewrite or copy old data: every version
+    physically contains ONLY the new batch's files; the previous snapshot's
+    files are carried forward by manifest REFERENCE (no hard links — the
+    object-store-safe commit), and reads see the union."""
     tdir = str(tmp_path / "appendtbl")
     for i in range(3):
         batch = spark.createDataFrame([(i, f"v{i}")], "k int, v string")
@@ -186,18 +187,18 @@ def test_append_rows_is_metadata_only(spark, tmp_path):
 
     vs = U.committed_versions(tdir)
     assert len(vs) == 3
-    # version 3 = 1 new file + 2 linked prev files, fixed-width names
+    # version 3's dir holds exactly ONE new data file...
     v3 = os.path.join(tdir, vs[-1])
-    files = sorted(
-        f for f in os.listdir(v3) if f.endswith(".parquet")
-    )
-    linked = [f for f in files if f.startswith("prev-")]
-    assert len(files) == 3 and len(linked) == 2
-    # hard link, not a copy: shares the inode with a file of version 2
-    v2 = os.path.join(tdir, vs[-2])
-    v2_inodes = {
-        os.stat(os.path.join(v2, f)).st_ino
-        for f in os.listdir(v2)
-        if f.endswith(".parquet")
-    }
-    assert os.stat(os.path.join(v3, linked[0])).st_ino in v2_inodes
+    own = sorted(f for f in os.listdir(v3) if f.endswith(".parquet"))
+    assert len(own) == 1
+    # ...but its manifest lists all three snapshot files, the other two
+    # referencing EARLIER version dirs — metadata-only carry-forward
+    files = U.snapshot_files(tdir, vs[-1])
+    assert len(files) == 3
+    parents = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert parents == set(vs)
+    # append versions are CDC-visible: the change feed references the new
+    # file with kind=insert (ADVICE r4: append_rows was feed-invisible)
+    feed_files, kind = U.change_files(tdir, vs[-1])
+    assert kind == "insert"
+    assert [os.path.basename(f) for f in feed_files] == own

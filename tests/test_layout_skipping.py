@@ -62,18 +62,16 @@ def test_clone_table_is_zero_copy_and_independent(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in U.read_table(spark, dst).collect()} == {
         (1, "a"), (2, "b")
     }
-    # shared inode: the clone linked, not copied
-    src_snap = os.path.join(src, U.committed_versions(src)[-1])
+    # metadata-only: the clone's version dir holds ZERO data files; its
+    # manifest references the source snapshot's immutable files by absolute
+    # path (no hard links / copies — the object-store-safe shallow clone)
     dst_snap = os.path.join(dst, U.committed_versions(dst)[-1])
-    src_inodes = {
-        os.stat(os.path.join(src_snap, f)).st_ino
-        for f in os.listdir(src_snap) if f.endswith(".parquet")
-    }
-    dst_inodes = {
-        os.stat(os.path.join(dst_snap, f)).st_ino
-        for f in os.listdir(dst_snap) if f.endswith(".parquet")
-    }
-    assert src_inodes == dst_inodes
+    assert not [f for f in os.listdir(dst_snap) if f.endswith(".parquet")]
+    src_snap = os.path.join(src, U.committed_versions(src)[-1])
+    cloned = U.snapshot_files(dst, U.committed_versions(dst)[-1])
+    assert cloned and all(
+        os.path.dirname(f) == src_snap for f in cloned
+    )
 
     # clones diverge independently: upsert into the clone, source untouched
     U.upsert(
