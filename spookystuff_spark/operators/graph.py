@@ -326,6 +326,16 @@ def pagerank(
     init = scale // n
     base = (scale * (100 - damping_pct)) // (100 * n)
 
+    if iterations <= 0:
+        # zero iterations = the uniform init distribution (ADVICE r4: the
+        # ranks-only rewrite crashed here on a None join)
+        out = nodes.select(
+            "node", F.lit(init).cast("long").alias("rank_nano")
+        ).localCheckpoint(eager=True)
+        for cached in (ed, nodes):
+            cached.unpersist()
+        return out
+
     # Rank state holds ONLY nodes with in-edges (exactly the keys the
     # contribution sum produces); any absent node's rank is by construction
     # exactly `init` before the first iteration and exactly `base` after —

@@ -61,8 +61,29 @@ def dedup_lines(
     # pair is packed into ONE long — min(struct) can only run as a
     # SortAggregate (sort per partition), min(long) stays a partial-agg
     # HashAggregate. 20 bits of line_no bounds docs at ~1M lines and ids at
-    # ~8.7e12, both far beyond any real corpus row.
-    packed = F.shiftleft(F.col(id_col), 20) + F.col("line_no")
+    # ~8.7e12, both far beyond any real corpus row — and ENFORCED: an
+    # out-of-range row raises instead of silently corrupting min() with a
+    # wrapped packing (ADVICE r4). The guard is a codegen'd conditional, no
+    # extra pass.
+    in_range = (
+        (F.col("line_no") < (1 << 20))
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < (1 << 43))
+    )
+    packed = F.when(
+        in_range, F.shiftleft(F.col(id_col), 20) + F.col("line_no")
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("dedup_lines packing overflow: doc_id"),
+                F.col(id_col).cast("string"),
+                F.lit("line_no"),
+                F.col("line_no").cast("string"),
+                F.lit("(need 0 <= doc_id < 2^43, line_no < 2^20)"),
+            )
+        ).cast("long")
+    )
     first = (
         lines.where(dedupable)
         .groupBy("key")

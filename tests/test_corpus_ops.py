@@ -189,3 +189,28 @@ def test_zorder_write_balances_pruning_across_dims(spark, tmp_path):
     got = spark.read.parquet(zed)
     assert got.count() == n * n
     assert got.distinct().count() == n * n
+
+
+def test_dedup_lines_overflow_guard_raises(spark):
+    """A doc_id beyond the 43-bit packing bound must fail LOUDLY, not
+    silently pick a wrong first occurrence (ADVICE r4)."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    docs = _docs(
+        spark,
+        [(1 << 50, "dup line\nunique a"), (2, "dup line\nunique b")],
+    )
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        dedup_lines(docs).collect()
+    assert "packing overflow" in str(ei.value)
+
+
+def test_dedup_lines_guard_accepts_boundary(spark):
+    """Max in-range doc_id (2^43 - 1) still works end-to-end."""
+    big = (1 << 43) - 1
+    docs = _docs(spark, [(big, "x\ny"), (1, "x\nz")])
+    out = {r["doc_id"]: r["text_clean"] for r in dedup_lines(docs).collect()}
+    # first occurrence of "x" belongs to the smaller packed value (doc 1)
+    assert out[1] == "x\nz"
+    assert out[big] == "y"

@@ -164,3 +164,22 @@ def test_dsir_layout_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 20
+
+
+def test_pagerank_zero_iterations_returns_uniform_init(spark):
+    """iterations=0 = the uniform init distribution, not a crash
+    (ADVICE r4 regression)."""
+    from spookystuff_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank_nano"]
+        for r in pagerank(edges, iterations=0).collect()
+    }
+    assert got == {
+        "a": 1_000_000_000 // 3,
+        "b": 1_000_000_000 // 3,
+        "c": 1_000_000_000 // 3,
+    }
