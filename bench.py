@@ -7,6 +7,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced with a noop-sink write (full computation, no driver
 collect). One warmup pass on the smoke SF primes the JVM/codegen caches so the
 numbers measure the plans, not JIT warmup.
+
+The JSON also carries ``suites`` (suite query → constituent list): suite
+timings grow when constituents are ADDED, and the lists make that
+distinguishable from a regression across rounds.
+
+Isolated retime mode (the r4 lesson: batch-mode timings on sub-second
+queries carry up to ~2-3x noise from neighbors' block-store/GC pressure):
+
+    python bench.py q_pii_scrub q_value_histogram     # or
+    SPARK_GRAFT_BENCH_ONLY=q_pii_scrub,q_value_histogram python bench.py
+
+times ONLY those queries (each still warmed at the smoke SF, min-of-N with
+SPARK_GRAFT_BENCH_REPEATS, default 3 in isolated mode) — re-time a
+suspicious query here before calling it a regression.
 """
 
 from __future__ import annotations
@@ -44,12 +58,31 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    from spookystuff_spark.queries import EXTRA_BENCH, QUERIES, load_all_query_modules
+    from spookystuff_spark.queries import (
+        EXTRA_BENCH,
+        QUERIES,
+        SUITE_CONSTITUENTS,
+        load_all_query_modules,
+    )
 
     load_all_query_modules()
     # EXTRA_BENCH: individually-timed queries whose correctness gate is a
     # melted suite query (suite + constituents both timed; totals overlap)
     ALL = {**QUERIES, **EXTRA_BENCH}
+
+    only = [a for a in sys.argv[1:] if not a.startswith("-")] or [
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
+    ]
+    isolated = bool(only)
+    if isolated:
+        unknown = sorted(set(only) - set(ALL))
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+        ALL = {q: ALL[q] for q in only}
+    repeats = int(
+        os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3" if isolated else "2")
+    )
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -79,7 +112,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(ALL):
         best = None
-        for _ in range(2):  # min of 2 — damps scheduler/GC noise
+        for _ in range(repeats):  # min-of-N — damps scheduler/GC noise
             t0 = time.monotonic()
             try:
                 force(ALL[name](spark, sf_dir))
@@ -101,6 +134,12 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "suites": {
+                    s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
+                    if s in timings
+                },
+                "isolated": isolated,
+                "repeats": repeats,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),

@@ -65,6 +65,27 @@ def bench_only(name: str):
     return deco
 
 
+# Suite query → {constituent alias (the melt rows' ``q`` column) →
+# individually-benched query name timing it, or None}. Published in
+# bench.py's JSON so a suite timing that grew because a constituent was
+# ADDED is distinguishable from a regression at a glance (r4 lesson:
+# q_scalar_suite 0.44s→13.4s was pure inventory growth). Declared
+# statically from each suite's definition — a constituent empty at some SF
+# still belongs to the suite; tests assert observed ⊆ declared.
+SUITE_CONSTITUENTS: dict[str, dict[str, str | None]] = {}
+
+
+def register_suite(
+    name: str, constituents: list[str] | dict[str, str | None]
+) -> None:
+    """``constituents``: list when alias == benched query name, else a
+    dict alias → benched name (None for melt-only constituents)."""
+    if isinstance(constituents, dict):
+        SUITE_CONSTITUENTS[name] = dict(sorted(constituents.items()))
+    else:
+        SUITE_CONSTITUENTS[name] = {c: c for c in sorted(constituents)}
+
+
 def load_all_query_modules() -> None:
     # import for side effect: each module registers its queries
     from spookystuff_spark.queries import (  # noqa: F401

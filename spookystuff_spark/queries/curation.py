@@ -451,3 +451,19 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+from spookystuff_spark.queries import register_suite  # noqa: E402
+
+register_suite(
+    "q_curation_suite",
+    {
+        "semdedup": "q_semdedup_prune", "mixture": "q_mixture_sample",
+        "pii": "q_pii_scrub", "pq": "q_pq_topk",
+        "dupremoval": "q_dupspan_removal", "dupspan": "q_longest_dup_span",
+        "embnorms": "q_embedding_norms", "keepbest": "q_dedup_keep_best",
+        "leakage": "q_leakage_split", "bloomnew": "q_bloom_dedup_new",
+        "capstratum": "q_cap_per_source",
+        "clusterbalance": "q_cluster_balanced_sample",
+    },
+)

@@ -38,7 +38,8 @@ ORACLE_CDC = """
 
 @bench_only("q_cdc_upsert")
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spookystuff_spark.sources.upsert import table_diff, upsert, write_table
+    from spookystuff_spark.sources.upsert import frame_diff, read_table, upsert, write_table
+    from spookystuff_spark.sources.versioned_source import VersionedTableDataSource
 
     base = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
@@ -59,7 +60,23 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["doc_id"],
             change_feed=False,
         )
-        diff = table_diff(spark, tdir, v1, v2, key_cols=["doc_id"])
+        # the FROM side time-travels through the Python DataSource reader
+        # (option version=v1) so the DataSource batch + time-travel path is
+        # value-pinned inside the gate, not just pytest'd; the TO side stays
+        # a native manifest scan — both readers must agree for the oracle's
+        # closed-form diff to come out right
+        try:
+            spark.dataSource.register(VersionedTableDataSource)
+        except Exception:
+            pass  # already registered in this session
+        old = (
+            spark.read.format("spooky_versioned")
+            .option("path", tdir)
+            .option("version", v1)
+            .load()
+        )
+        new = read_table(spark, tdir, v2)
+        diff = frame_diff(old, new, key_cols=["doc_id"])
         # eager checkpoint: the diff must outlive the temp table dir
         return diff.select(
             "doc_id", "lang", "source", "n_chars", "_change"

@@ -329,3 +329,37 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the BPE rows are pinned by a GOLDEN_SF parquet — q_text_suite must be
 # compared at the gate SF like the other golden-oracled queries
 GOLDEN_QUERIES.add("q_text_suite")
+
+
+# bench.py publishes these so suite-time growth from ADDED constituents is
+# visible in the BENCH json (see queries/__init__.py register_suite)
+from spookystuff_spark.queries import register_suite  # noqa: E402
+
+register_suite(
+    "q_scalar_suite",
+    [
+        "q_string_functions", "q_date_dimensions", "q_hll_distinct_users",
+        "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
+        "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
+        "q_zorder_key", "q_cdc_upsert",
+    ],
+)
+register_suite(
+    "q_text_suite",
+    {
+        **{
+            c: c
+            for c in [
+                "q_doc_profile", "q_lang_distribution",
+                "q_lang_id_heuristic", "q_token_freq_topk",
+                "q_heavy_hitters_bigrams", "q_ccnet_buckets",
+                "q_dsir_select", "q_line_dedup", "q_text_classifier",
+                "q_textrank_keywords",
+            ]
+        },
+        # BPE rides the suite under two melt aliases, both timed by
+        # the single q_bpe_tokens bench entry
+        "q_bpe_merges": "q_bpe_tokens",
+        "q_bpe_counts": "q_bpe_tokens",
+    },
+)

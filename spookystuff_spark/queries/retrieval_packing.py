@@ -109,3 +109,8 @@ def _pack_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+from spookystuff_spark.queries import register_suite  # noqa: E402
+
+register_suite("q_pack_split_suite", ["q_pack_sequences", "q_train_split"])

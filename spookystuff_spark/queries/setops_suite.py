@@ -79,3 +79,16 @@ def _setops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt_keys(q_active_1995_not_1996_except(spark, sf_dir), "except", ["custkey"]),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+from spookystuff_spark.queries import register_suite  # noqa: E402
+
+register_suite(
+    "q_setops_suite",
+    {
+        "semi": "q_customers_with_orders_semi",
+        "anti": "q_customers_without_orders",
+        "intersect": "q_nation_keys_intersect",
+        "except": "q_active_1995_not_1996_except",
+    },
+)

@@ -234,3 +234,27 @@ def _suite_b_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+from spookystuff_spark.queries import register_suite  # noqa: E402
+
+register_suite(
+    "q_tpch_suite_a",
+    {
+        "q2": "q2_min_cost_supplier", "q7": "q7_volume_shipping",
+        "q8": "q8_market_share", "q9": "q9_product_revenue",
+        "q10": "q10_returned_items", "q11": "q11_important_stock",
+        "q12": "q12_late_lines_by_status",
+        "q13": "q13_order_count_distribution",
+    },
+)
+register_suite(
+    "q_tpch_suite_b",
+    {
+        "q14": "q14_promo_revenue", "q15": "q15_top_suppliers",
+        "q16": "q16_supplier_part_counts",
+        "q17": "q17_small_quantity_revenue", "q18": "q18_large_orders",
+        "q19": "q19_brand_band_revenue", "q20": "q20_excess_shippers",
+        "q21": "q21_waiting_suppliers", "q22": "q22_sales_opportunity",
+    },
+)

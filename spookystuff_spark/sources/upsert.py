@@ -568,11 +568,20 @@ def table_diff(
     standard lakehouse "what changed since v?" primitive for incremental
     downstream pipelines.
     """
-    import pyspark.sql.functions as F
-
     newer = to_version or _latest(table_dir)
     a = read_table(spark, table_dir, from_version)
     b = read_table(spark, table_dir, newer)
+    return frame_diff(a, b, key_cols)
+
+
+def frame_diff(
+    a: DataFrame, b: DataFrame, key_cols: Sequence[str] | None = None
+) -> DataFrame:
+    """``table_diff`` over two already-loaded snapshots — same semantics,
+    any reader (native parquet scan, the ``spooky_versioned`` DataSource,
+    a foreign table)."""
+    import pyspark.sql.functions as F
+
     if key_cols is None:
         ins = b.exceptAll(a).withColumn("_change", F.lit("insert"))
         dels = a.exceptAll(b).withColumn("_change", F.lit("delete"))
