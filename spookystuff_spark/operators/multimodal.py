@@ -557,3 +557,137 @@ def frame_sample(
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+# ------------------------------------------------------------ perceptual hash
+
+
+def _phash_one(px: bytes, h: int, w: int, c: int) -> int:
+    """64-bit DCT perceptual hash of one decoded HWC uint8 buffer.
+
+    Classic pHash recipe: grayscale → 32×32 nearest resize → orthonormal
+    2-D DCT-II → top-left 8×8 low-frequency block → bit i = coeff_i >
+    median. All float64 numpy — bit-deterministic for a given buffer."""
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, c).astype(np.float64)
+    gray = arr.mean(axis=2)
+    n = 32
+    yi = (np.arange(n) * h // n).astype(np.int64)
+    xi = (np.arange(n) * w // n).astype(np.int64)
+    small = gray[yi][:, xi]
+    u = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    t = np.cos(np.pi * (2 * x + 1) * u / (2 * n)) * np.sqrt(2.0 / n)
+    t[0, :] = np.sqrt(1.0 / n)
+    coeffs = (t @ small @ t.T)[:8, :8].ravel()
+    med = np.median(coeffs)
+    bits = 0
+    for i, v in enumerate(coeffs):
+        if v > med:
+            bits |= 1 << (63 - i)
+    return bits
+
+
+def image_phash(df: DataFrame, pixels_col: str = "pixels") -> DataFrame:
+    """Add ``phash`` (signed int64) + ``phash_hex`` to a ``decode_image``
+    output frame; rows that failed decode get nulls. One narrow Arrow
+    stage, no shuffle — hashing co-locates with decoding."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("phash", LongType()), StructField("phash_hex", StringType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            hashes, hexes = [], []
+            for px, h, w, c, ok in zip(
+                pdf[pixels_col], pdf["h"], pdf["w"], pdf["c"], pdf["decode_ok"]
+            ):
+                if ok != "ok" or px is None:
+                    hashes.append(None)
+                    hexes.append(None)
+                    continue
+                v = _phash_one(bytes(px), int(h), int(w), int(c))
+                hexes.append(f"{v:016x}")
+                hashes.append(v - (1 << 64) if v >= (1 << 63) else v)
+            yield pdf.assign(phash=hashes, phash_hex=hexes)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    phash_col: str = "phash",
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    max_bucket: int = 1024,
+) -> tuple[DataFrame, int]:
+    """Image near-dup pairs by banded Hamming join over 64-bit pHashes.
+
+    Same block-and-verify shape as the MinHash/SimHash stacks (dedup.py):
+    the hash splits into ``n_bands`` disjoint bit bands; by pigeonhole two
+    hashes within Hamming distance < n_bands agree EXACTLY on ≥1 band, so
+    the candidate join is equality on (band_idx, band_bits) — never an
+    all-pairs scan. Oversized buckets (≥ max_bucket images sharing a band
+    value — e.g. flat/black images) are dropped with a returned count, the
+    standard cap. Verification is exact: ``bit_count(a XOR b)`` in the JVM.
+
+    → (pairs (id_a, id_b, hamming), n_dropped_buckets). Requires
+    ``max_hamming < n_bands`` (the pigeonhole recall guarantee) and
+    ``64 % n_bands == 0``."""
+    if not (0 < n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands>{max_hamming} for the "
+            "pigeonhole guarantee"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(phash_col).alias("__ph")
+    ).where(F.col(phash_col).isNotNull())
+    bands = base.select(
+        "__id",
+        "__ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"shiftrightunsigned(__ph, {i * width})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "__ph", "b.band_idx", "b.band_bits")
+
+    sizes = bands.groupBy("band_idx", "band_bits").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hot = sizes.filter(F.col("__n") > max_bucket).select("band_idx", "band_bits")
+    n_dropped = hot.count()
+    ok = bands.join(F.broadcast(hot), ["band_idx", "band_bits"], "left_anti")
+    a = ok.select(
+        "band_idx", "band_bits",
+        F.col("__id").alias("id_a"), F.col("__ph").alias("ph_a"),
+    )
+    b = ok.select(
+        "band_idx", "band_bits",
+        F.col("__id").alias("id_b"), F.col("__ph").alias("ph_b"),
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+    return pairs, n_dropped

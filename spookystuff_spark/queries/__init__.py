@@ -98,6 +98,7 @@ def load_all_query_modules() -> None:
         hygiene,
         lakehouse_q,
         llm_ops,
+        media,
         melt_suites,
         model_ops,
         pipeline_demo,

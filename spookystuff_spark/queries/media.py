@@ -1,0 +1,135 @@
+"""Image perceptual-hash near-dup dedup, gate-pinned end-to-end.
+
+``q_image_phash`` drives the full multimodal pipeline — synthesize PGM
+blobs (deterministic per doc_id), ``decode_image`` (the real binary-PGM
+parser), ``image_phash`` (32×32 DCT hash), ``phash_neardup_pairs``
+(banded Hamming join) — and every hash AND every discovered pair is
+value-pinned through ``q_text_suite``'s melt against an independently
+computed golden (tools/gen_goldens.py gold_media). Planted structure:
+every doc_id % 3 == 0 gets an image; doc_id % 12 == 0 additionally gets a
+noise-perturbed variant that pHash must (and, golden-verified, does) find
+within Hamming ≤ 7 while unrelated images stay ≥ 16 apart.
+
+Image synthesis is a dense random low-frequency DCT spectrum (md5-seeded,
+decaying 90/(1+u+v) magnitudes) inverse-transformed to 32×32 and pixel-
+doubled to 64×64 — i.e. photo-like smooth content where pHash's
+coefficient-vs-median bits are far from their decision boundary, unlike
+pure sinusoids whose near-zero coefficients make the hash flip under any
+noise. The noisy variant adds a small (±4) high-frequency sinusoid that
+leaves the low-frequency block nearly untouched.
+
+Scale shape: synthesis/decoding/hashing are one narrow Arrow stage
+(no shuffle); the pair join is band-bucketed (never all-pairs) with the
+standard oversized-bucket cap; verification is JVM ``bit_count``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+from spookystuff_spark.queries import bench_only
+from spookystuff_spark.tables import table
+
+IMG_EVERY = 3  # doc_id % 3 == 0 → one synthetic image
+DUP_EVERY = 12  # doc_id % 12 == 0 → plus a noisy near-duplicate
+
+
+def _synth_pixels(doc_id: int, noisy: bool):
+    """64×64 grayscale uint8 image, deterministic in (doc_id, noisy)."""
+    import hashlib
+
+    import numpy as np
+
+    m = 32
+    C = np.zeros((m, m))
+    for u in range(8):
+        for v in range(8):
+            h = hashlib.md5(f"img-{doc_id}-{u * 8 + v}".encode()).digest()
+            r = int.from_bytes(h[:8], "big") / 2**64 * 2 - 1  # [-1, 1)
+            C[u, v] = r * 90.0 / (1.0 + u + v)
+    t = np.cos(
+        np.pi * (2 * np.arange(m)[None, :] + 1) * np.arange(m)[:, None] / (2 * m)
+    ) * np.sqrt(2.0 / m)
+    t[0, :] = np.sqrt(1.0 / m)
+    img = np.repeat(np.repeat(t.T @ C @ t, 2, 0), 2, 1) + 128.0
+    if noisy:
+        n = 64
+        y = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        img = img + 4 * np.sin(2 * np.pi * 14 * x / n + doc_id % 5) * np.sin(
+            2 * np.pi * 15 * y / n
+        )
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+def synth_image_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(img_id, media): P5 PGM blobs. img_id = doc_id*10 + variant."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % IMG_EVERY == 0)
+    )
+    base = ids.select(
+        (F.col("doc_id") * 10).alias("img_id"), "doc_id", F.lit(0).alias("variant")
+    )
+    noisy = ids.where(F.col("doc_id") % DUP_EVERY == 0).select(
+        (F.col("doc_id") * 10 + 1).alias("img_id"),
+        "doc_id",
+        F.lit(1).alias("variant"),
+    )
+    spec = base.unionByName(noisy)
+    out_schema = StructType(
+        [StructField("img_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                b"P5\n64 64\n255\n"
+                + _synth_pixels(int(d), bool(v)).tobytes()
+                for d, v in zip(pdf["doc_id"], pdf["variant"])
+            ]
+            yield pd.DataFrame({"img_id": pdf["img_id"], "media": blobs})
+
+    return spec.mapInPandas(run, out_schema)
+
+
+def hashed_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.operators.multimodal import decode_image, image_phash
+
+    return image_phash(decode_image(synth_image_frame(spark, sf_dir), "media"))
+
+
+@bench_only("q_image_phash")
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup image pairs (id_a, id_b, hamming) over the synthetic corpus."""
+    from spookystuff_spark.operators.multimodal import phash_neardup_pairs
+
+    pairs, _ = phash_neardup_pairs(
+        hashed_images(spark, sf_dir), "img_id", "phash", max_hamming=7
+    )
+    return pairs
+
+
+def media_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt rows pinning every pHash (alias ``phash``) and every discovered
+    near-dup pair (alias ``phashpairs``) for q_text_suite's gate."""
+    from spookystuff_spark.operators.multimodal import phash_neardup_pairs
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    hashed = hashed_images(spark, sf_dir)
+    pairs, _ = phash_neardup_pairs(hashed, "img_id", "phash", max_hamming=7)
+    hash_rows = _melt(
+        hashed.select("img_id", "phash_hex").withColumn("one", F.lit(1)),
+        "phash",
+        ["img_id", "phash_hex"],
+        ["one"],
+    )
+    pair_rows = _melt(pairs, "phashpairs", ["id_a", "id_b"], ["hamming"])
+    return hash_rows.unionByName(pair_rows)

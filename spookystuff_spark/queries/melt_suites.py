@@ -258,7 +258,9 @@ UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
   '/root/repo/fixtures/golden/{GOLDEN_SF}/q_classifier_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
-  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_textrank_melt.parquet')"""
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_textrank_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num FROM read_parquet(
+  '/root/repo/fixtures/golden/{GOLDEN_SF}/q_media_melt.parquet')"""
 
 
 @query("q_text_suite", oracle=_TEXT_SQL)
@@ -322,8 +324,15 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["rank", "rank_pos"],
         ),
         _bpe_melted(spark, sf_dir),
+        _media_melted_rows(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def _media_melted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.queries.media import media_melted
+
+    return media_melted(spark, sf_dir)
 
 
 # the BPE rows are pinned by a GOLDEN_SF parquet — q_text_suite must be
@@ -361,5 +370,9 @@ register_suite(
         # the single q_bpe_tokens bench entry
         "q_bpe_merges": "q_bpe_tokens",
         "q_bpe_counts": "q_bpe_tokens",
+        # image pHash rides under two aliases (hashes + near-dup pairs),
+        # both timed by q_image_phash
+        "phash": "q_image_phash",
+        "phashpairs": "q_image_phash",
     },
 )

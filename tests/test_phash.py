@@ -1,0 +1,109 @@
+"""Image pHash near-dup: hash robustness/separation, banded-join recall vs
+brute force, bucket cap, and the decode→hash→join pipeline over real PGM
+blobs (operators/multimodal.py; planted-pair corpus from queries/media.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spookystuff_spark.operators.multimodal import (
+    _phash_one,
+    decode_image,
+    image_phash,
+    phash_neardup_pairs,
+)
+from spookystuff_spark.queries.media import _synth_pixels, synth_image_frame
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_noise_robust_and_separating():
+    """Noisy variant stays within hamming 7 of its base; unrelated images
+    stay far apart — the property that makes banded near-dup meaningful."""
+    base = {d: _phash_one(_synth_pixels(d, False).tobytes(), 64, 64, 1) for d in (0, 12, 24, 36)}
+    for d, h in base.items():
+        noisy = _phash_one(_synth_pixels(d, True).tobytes(), 64, 64, 1)
+        assert _ham(h, noisy) <= 7
+    vals = list(base.values())
+    for i in range(len(vals)):
+        for j in range(i + 1, len(vals)):
+            assert _ham(vals[i], vals[j]) > 7
+
+
+def test_phash_scale_invariant():
+    """The 32×32 normalization makes pHash identical across pixel-doubled
+    renditions of the same image (scale near-dup, not just noise)."""
+    import numpy as np
+
+    px = _synth_pixels(6, False)  # 64×64
+    up = np.repeat(np.repeat(px, 2, 0), 2, 1)  # 128×128
+    assert _phash_one(px.tobytes(), 64, 64, 1) == _phash_one(
+        up.tobytes(), 128, 128, 1
+    )
+
+
+def test_banded_join_matches_bruteforce(spark):
+    hashed = image_phash(
+        decode_image(synth_image_frame(spark, "/root/testdata/sf0.001"), "media")
+    )
+    rows = [(r.img_id, r.phash) for r in hashed.select("img_id", "phash").collect()]
+    assert all(ph is not None for _, ph in rows)
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, pa), (ib, pb) = rows[i], rows[j]
+            d = _ham(pa & ((1 << 64) - 1), pb & ((1 << 64) - 1))
+            if d <= 7:
+                brute.add((min(ia, ib), max(ia, ib), d))
+    pairs, dropped = phash_neardup_pairs(hashed, "img_id", "phash", max_hamming=7)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert dropped == 0
+    assert got == brute
+    assert len(got) > 0  # the planted noisy variants are actually found
+
+
+def test_bucket_cap_drops_loudly(spark):
+    # 50 identical hashes → every band bucket holds 50 > cap 10 → all dropped
+    df = spark.createDataFrame(
+        [(i, 0x1234_5678_9ABC_DEF0) for i in range(50)], "img_id long, phash long"
+    )
+    pairs, dropped = phash_neardup_pairs(
+        df, "img_id", "phash", max_hamming=7, max_bucket=10
+    )
+    assert dropped == 8  # all 8 bands oversized
+    assert pairs.count() == 0
+
+
+def test_parameter_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "img_id long, phash long")
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, "img_id", "phash", max_hamming=8, n_bands=8)
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, "img_id", "phash", n_bands=7)
+
+
+def test_failed_decode_rows_get_null_phash(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xffjpeg-not-decodable"))],
+        "img_id long, media binary",
+    )
+    out = image_phash(decode_image(df, "media")).collect()
+    assert out[0].decode_ok == "unsupported"
+    assert out[0].phash is None and out[0].phash_hex is None
+
+
+def test_negative_phash_band_extraction(spark):
+    """Hashes with the top bit set are stored as negative int64 —
+    shiftrightunsigned banding must still work (a sign-extending shift
+    would corrupt the high band)."""
+    h1 = -(1 << 63) + 5  # unsigned 0x8000...0005
+    h2 = -(1 << 63) + 7  # hamming(h1, h2) = ham(5, 7) = 1
+    df = spark.createDataFrame(
+        [(1, h1), (2, h2)], "img_id long, phash long"
+    )
+    pairs, _ = phash_neardup_pairs(df, "img_id", "phash", max_hamming=2)
+    got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
+    assert got == [(1, 2, 1)]

@@ -419,6 +419,87 @@ def gold_multimodal(docs):
     )
 
 
+# ------------------------------------------------------------- image pHash
+
+
+def gold_media(docs):
+    """Independent pHash pipeline replica (queries/media.py semantics):
+    synthesize the same deterministic images, hash with a from-scratch DCT,
+    and find near-dup pairs by BRUTE-FORCE hamming <= 7 over all pairs —
+    deliberately not the banded join, so the golden also proves the band
+    blocking loses no pair (pigeonhole: 7 < 8 bands)."""
+    import itertools
+
+    def synth(doc_id, noisy):
+        m = 32
+        C = np.zeros((m, m))
+        for u in range(8):
+            for v in range(8):
+                h = hashlib.md5(f"img-{doc_id}-{u * 8 + v}".encode()).digest()
+                C[u, v] = (int.from_bytes(h[:8], "big") / 2**64 * 2 - 1) * 90.0 / (1.0 + u + v)
+        t = np.cos(np.pi * (2 * np.arange(m)[None, :] + 1) * np.arange(m)[:, None] / (2 * m)) * np.sqrt(2.0 / m)
+        t[0, :] = np.sqrt(1.0 / m)
+        img = np.repeat(np.repeat(t.T @ C @ t, 2, 0), 2, 1) + 128.0
+        if noisy:
+            n = 64
+            y = np.arange(n)[:, None]
+            x = np.arange(n)[None, :]
+            img = img + 4 * np.sin(2 * np.pi * 14 * x / n + doc_id % 5) * np.sin(2 * np.pi * 15 * y / n)
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+    def phash(gray):
+        h, w = gray.shape
+        n = 32
+        yi = np.arange(n) * h // n
+        xi = np.arange(n) * w // n
+        small = gray.astype(np.float64)[yi][:, xi]
+        u = np.arange(n)[:, None]
+        x = np.arange(n)[None, :]
+        t = np.cos(np.pi * (2 * x + 1) * u / (2 * n)) * np.sqrt(2.0 / n)
+        t[0, :] = np.sqrt(1.0 / n)
+        co = (t @ small @ t.T)[:8, :8].ravel()
+        med = np.median(co)
+        v = 0
+        for i, cv in enumerate(co):
+            if cv > med:
+                v |= 1 << (63 - i)
+        return v
+
+    imgs = []  # (img_id, phash)
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        if d % 3 != 0:
+            continue
+        imgs.append((d * 10, phash(synth(d, False))))
+        if d % 12 == 0:
+            imgs.append((d * 10 + 1, phash(synth(d, True))))
+    imgs.sort()
+    q, rk, ms, vn = [], [], [], []
+    for img_id, ph in imgs:
+        q.append("phash")
+        rk.append(f"{img_id}|{ph:016x}")
+        ms.append("one")
+        vn.append(1.0)
+    for (ia, pa_), (ib, pb) in itertools.combinations(imgs, 2):
+        d = bin(pa_ ^ pb).count("1")
+        if d <= 7:
+            q.append("phashpairs")
+            rk.append(f"{ia}|{ib}")
+            ms.append("hamming")
+            vn.append(float(d))
+    write(
+        "q_media_melt",
+        pa.table(
+            {
+                "q": pa.array(q, pa.string()),
+                "row_key": pa.array(rk, pa.string()),
+                "measure": pa.array(ms, pa.string()),
+                "v_num": pa.array(vn, pa.float64()),
+            }
+        ),
+    )
+
+
 # ---------------------------------------------------------- fetch dir listing
 
 
@@ -941,6 +1022,7 @@ def main():
     gold_neardup_embedding(emb)
     gold_ivf(emb)
     gold_multimodal(docs)
+    gold_media(docs)
     gold_dir_listing()
     gold_semdedup(emb)
     gold_keepbest(docs)
