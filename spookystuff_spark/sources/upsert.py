@@ -402,16 +402,26 @@ def delete_where(
     return v
 
 
-def compact(spark: SparkSession, table_dir: str, num_files: int = 8) -> str:
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    num_files: int = 8,
+    marker: str | None = None,
+) -> str:
     """Rewrite the current snapshot into ``num_files`` files (small-file
     compaction; same manifest + pointer-swap commit, no change feed — the
-    logical content is unchanged)."""
+    logical content is unchanged). ``marker``: carry a stream batch marker
+    into the compacted version so maintenance under a streaming sink keeps
+    replay protection even after ``vacuum`` drops the marker's original
+    append version (streaming/neardup_stream.py)."""
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
     current.repartition(num_files).write.mode("errorifexists").parquet(
         fsio.join(table_dir, v)
     )
-    _commit_snapshot(current.schema.json(), table_dir, v, (), "compact")
+    _commit_snapshot(
+        current.schema.json(), table_dir, v, (), "compact", marker
+    )
     return v
 
 

@@ -84,12 +84,25 @@ def streaming_neardup_sink(
     bands: int = 16,
     on_accept: Callable[[DataFrame], None] | None = None,
     app_id: str | None = None,
+    compact_every: int | None = None,
+    compact_files: int = 8,
+    vacuum_keep: int = 4,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: drop near-dups of everything accepted so far,
     append survivors' band sketches to the state table, and (optionally)
     hand the surviving ROWS to ``on_accept`` (e.g. write to the output
     corpus) — called before the state commit, so a crash replays the batch
-    and ``on_accept`` must be idempotent like any foreachBatch body."""
+    and ``on_accept`` must be idempotent like any foreachBatch body.
+
+    ``compact_every=N`` turns on in-sink maintenance: every N batches the
+    state table is compacted to ``compact_files`` files and vacuumed to
+    ``vacuum_keep`` versions. Metadata-only appends never rewrite data, so
+    without this the state accretes one file AND one version per batch
+    forever — the probe scan slows (task-per-file) and the version list
+    grows unboundedly. The compacted commit CARRIES the current batch
+    marker, so replay protection survives vacuum dropping the marker's
+    original append version; vacuum itself is manifest-aware and never
+    deletes files a kept version still references."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -130,5 +143,16 @@ def streaming_neardup_sink(
             survivors,
             marker=batch_marker_name(batch_id, app_id),
         )
+
+        # periodic maintenance: O(state) rewrite amortized over N O(batch)
+        # appends; the marker rides the compacted version (see docstring)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            U.compact(
+                spark,
+                state_dir,
+                num_files=compact_files,
+                marker=batch_marker_name(batch_id, app_id),
+            )
+            U.vacuum(state_dir, keep=vacuum_keep)
 
     return sink

@@ -120,3 +120,47 @@ def test_probe_plan_never_shuffles_state(spark, tmp_path):
     # the state side must not be sort-merge joined (batch self-join is
     # batch-sized either way, but assert the strong form: none anywhere)
     assert "SortMergeJoin" not in plan
+
+
+def test_in_sink_compaction_and_vacuum(spark, tmp_path):
+    """compact_every bounds BOTH the state file count and the version list
+    while leaving dedup results identical — and replay protection survives
+    vacuum dropping the original marker versions (the compacted commit
+    carries the batch marker forward)."""
+    plain_dir = str(tmp_path / "plain")
+    maint_dir = str(tmp_path / "maint")
+    texts = [
+        (0, BASE), (1, NEAR), (2, OTHER),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3),
+        (4, OTHER.replace("arrow", "feather")),
+        (5, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 2),
+        (6, BASE.replace("summer", "winter")),
+        (7, "unique seventh document with entirely fresh vocabulary tokens"),
+    ]
+    plain = streaming_neardup_sink(plain_dir)
+    maint = streaming_neardup_sink(
+        maint_dir, compact_every=2, compact_files=2, vacuum_keep=2
+    )
+    for b in range(4):  # 4 batches x 2 docs
+        batch = _df(spark, texts[b * 2 : b * 2 + 2])
+        plain(batch, b)
+        maint(batch, b)
+
+    got_plain = {r["id"] for r in accepted_ids(spark, plain_dir).collect()}
+    got_maint = {r["id"] for r in accepted_ids(spark, maint_dir).collect()}
+    assert got_maint == got_plain and len(got_maint) > 0
+
+    # maintenance bounded the physical layout; the plain table accretes
+    assert len(U.committed_versions(maint_dir)) <= 2
+    assert U.snapshot_file_stats(maint_dir)["n_files"] <= 2
+    assert len(U.committed_versions(plain_dir)) == 4
+
+    # replay protection survived the vacuum: every original append version
+    # of batches 0-2 is gone, yet a replay of batch 2 commits nothing
+    n_before = len(U.committed_versions(maint_dir))
+    maint(_df(spark, texts[4:6]), 2)
+    assert len(U.committed_versions(maint_dir)) == n_before
+
+    # and a genuinely new batch still lands
+    maint(_df(spark, [(8, "yet another totally new final document text")]), 4)
+    assert 8 in {r["id"] for r in accepted_ids(spark, maint_dir).collect()}
