@@ -323,8 +323,9 @@ AUDIO_SCHEMA_FIELDS = [
 ]
 
 
-def _decode_wav(blob: bytes):
-    """RIFF/WAVE PCM (8/16-bit) → (rate, ch, depth, n_samples, dur, rms, peak)."""
+def _wav_pcm(blob: bytes):
+    """RIFF/WAVE PCM (8/16-bit) → (rate, ch, depth, interleaved float64 in
+    [-1, 1)) or None on malformed/unsupported headers."""
     import struct
 
     import numpy as np
@@ -354,9 +355,20 @@ def _decode_wav(blob: bytes):
             np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
         ) / 128.0
     n_samples = len(x) // ch
+    return rate, ch, depth, x[: n_samples * ch]
+
+
+def _decode_wav(blob: bytes):
+    """RIFF/WAVE PCM (8/16-bit) → (rate, ch, depth, n_samples, dur, rms, peak)."""
+    import numpy as np
+
+    got = _wav_pcm(blob)
+    if got is None:
+        return None
+    rate, ch, depth, x = got
+    n_samples = len(x) // ch
     if n_samples == 0:
         return rate, ch, depth, 0, 0.0, 0.0, 0.0
-    x = x[: n_samples * ch]
     return (
         rate,
         ch,
@@ -691,3 +703,94 @@ def phash_neardup_pairs(
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
     return pairs, n_dropped
+
+
+# ------------------------------------------------------- audio fingerprint
+
+
+def _afp_one(x, rate: int) -> int:
+    """64-bit Haitsma-Kalker audio fingerprint of mono float64 samples.
+
+    9 equal time frames × 9 linear frequency bands (50 Hz..Nyquist) of
+    Hann-windowed log power; bit(f, b) = sign of the time-and-frequency
+    double difference of band energy — the classic robust-hash recipe
+    (Haitsma & Kalker, ISMIR'02), 8×8 = 64 bits. Stationary-noise and
+    small-amplitude perturbations leave the sign pattern intact; different
+    content flips ~half the bits."""
+    import numpy as np
+
+    frames, bands = 9, 9
+    L = len(x) // frames
+    if L == 0:
+        return 0
+    edges = np.linspace(50, rate / 2, bands + 1)
+    E = np.zeros((frames, bands))
+    win = np.hanning(L)
+    for fidx in range(frames):
+        seg = x[fidx * L : (fidx + 1) * L]
+        spec = np.abs(np.fft.rfft(seg * win)) ** 2
+        freqs = np.fft.rfftfreq(L, 1.0 / rate)
+        for b in range(bands):
+            m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+            E[fidx, b] = np.log1p(spec[m].sum())
+    v, i = 0, 0
+    for fidx in range(1, frames):
+        for b in range(bands - 1):
+            d = (E[fidx, b] - E[fidx, b + 1]) - (E[fidx - 1, b] - E[fidx - 1, b + 1])
+            if d > 0:
+                v |= 1 << (63 - i)
+            i += 1
+    return v
+
+
+def audio_fingerprint(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Decode WAV PCM blobs and add ``afp`` (signed int64 fingerprint) +
+    ``afp_hex`` + ``sample_rate``/``duration_s``/``decode_ok`` in one
+    narrow Arrow stage. Near-dup pairs then come from
+    :func:`hamming64_neardup_pairs` — the same banded join as image pHash."""
+    import numpy as np
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_s", DoubleType()),
+            StructField("afp", LongType()),
+            StructField("afp_hex", StringType()),
+            StructField("decode_ok", StringType()),
+        ]
+    )
+
+    def _one(blob: bytes):
+        if blob[:4] != b"RIFF":
+            return None, None, None, None, "unsupported"
+        got = _wav_pcm(blob)
+        if got is None:
+            return None, None, None, None, "corrupt"
+        rate, ch, _, x = got
+        if len(x) == 0:
+            return rate, 0.0, None, None, "corrupt"
+        mono = x.reshape(-1, ch).mean(axis=1)
+        v = _afp_one(mono, rate)
+        signed = v - (1 << 64) if v >= (1 << 63) else v
+        return rate, round(len(mono) / rate, 6), signed, f"{v:016x}", "ok"
+
+    def run(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            decoded = [
+                _one(bytes(b) if b is not None else b"") for b in pdf[blob_col]
+            ]
+            yield pdf.assign(
+                sample_rate=[d[0] for d in decoded],
+                duration_s=[d[1] for d in decoded],
+                afp=[d[2] for d in decoded],
+                afp_hex=[d[3] for d in decoded],
+                decode_ok=[d[4] for d in decoded],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+# the banded Hamming join is hash-agnostic: same operator serves image
+# pHashes and audio fingerprints (any 64-bit locality-robust hash)
+hamming64_neardup_pairs = phash_neardup_pairs

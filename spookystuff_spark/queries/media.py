@@ -133,3 +133,127 @@ def media_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_rows = _melt(pairs, "phashpairs", ["id_a", "id_b"], ["hamming"])
     return hash_rows.unionByName(pair_rows)
+
+
+# ------------------------------------------------------- audio fingerprint
+
+AUD_EVERY = 5  # doc_id % 5 == 0 → one synthetic WAV clip
+AUD_DUP_EVERY = 20  # doc_id % 20 == 0 → plus a noise-perturbed variant
+AUD_RATE = 4000
+AUD_SECS = 2.0
+_AUD_SEGS = 9  # matches the fingerprint's 9 time frames
+
+
+def _synth_samples(doc_id: int, noisy: bool):
+    """2 s of 4 kHz mono int16 — a 9-segment 'melody' of md5-derived tone
+    chords. Time-VARYING by construction: the Haitsma-Kalker bits are
+    time-and-frequency double differences, which are near-zero (and so
+    noise-fragile) on stationary signals; per-segment chords give every
+    frame a distinct band-energy profile. The noisy variant adds two
+    out-of-chord low/high tones ~30 dB down."""
+    import hashlib
+
+    import numpy as np
+
+    n = int(AUD_RATE * AUD_SECS)
+    t = np.arange(n) / AUD_RATE
+    sig = np.zeros(n)
+    L = n // _AUD_SEGS
+    for s in range(_AUD_SEGS):
+        seg_t = t[s * L : (s + 1) * L]
+        for k in range(4):
+            h = hashlib.md5(f"aud-{doc_id}-{s}-{k}".encode()).digest()
+            f = 80 + int.from_bytes(h[:4], "big") % 1800
+            a = 0.15 + (int.from_bytes(h[4:8], "big") % 1000) / 2000.0
+            p = (int.from_bytes(h[8:12], "big") % 6283) / 1000.0
+            sig[s * L : (s + 1) * L] += a * np.sin(2 * np.pi * f * seg_t + p)
+    if noisy:
+        sig = sig + 0.02 * np.sin(2 * np.pi * 1950 * t) + 0.02 * np.sin(
+            2 * np.pi * 63 * t + 1.0
+        )
+    sig = sig * 0.9 / np.max(np.abs(sig))
+    return np.clip(np.round(sig * 32767), -32768, 32767).astype("<i2")
+
+
+def _wav_blob(samples) -> bytes:
+    import struct
+
+    data = samples.tobytes()
+    n = len(data)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, AUD_RATE, AUD_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + data
+    )
+
+
+def synth_audio_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(clip_id, media): 16-bit PCM WAV blobs. clip_id = doc_id*10+variant."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % AUD_EVERY == 0)
+    )
+    base = ids.select(
+        (F.col("doc_id") * 10).alias("clip_id"), "doc_id", F.lit(0).alias("variant")
+    )
+    noisy = ids.where(F.col("doc_id") % AUD_DUP_EVERY == 0).select(
+        (F.col("doc_id") * 10 + 1).alias("clip_id"),
+        "doc_id",
+        F.lit(1).alias("variant"),
+    )
+    spec = base.unionByName(noisy)
+    out_schema = StructType(
+        [StructField("clip_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                _wav_blob(_synth_samples(int(d), bool(v)))
+                for d, v in zip(pdf["doc_id"], pdf["variant"])
+            ]
+            yield pd.DataFrame({"clip_id": pdf["clip_id"], "media": blobs})
+
+    return spec.mapInPandas(run, out_schema)
+
+
+def fingerprinted_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.operators.multimodal import audio_fingerprint
+
+    return audio_fingerprint(synth_audio_frame(spark, sf_dir), "media")
+
+
+@bench_only("q_audio_fingerprint")
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup audio pairs (id_a, id_b, hamming) over the synthetic clips."""
+    from spookystuff_spark.operators.multimodal import hamming64_neardup_pairs
+
+    pairs, _ = hamming64_neardup_pairs(
+        fingerprinted_audio(spark, sf_dir), "clip_id", "afp", max_hamming=7
+    )
+    return pairs
+
+
+def audio_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt rows pinning every fingerprint (alias ``afp``) and every
+    discovered near-dup pair (alias ``afppairs``)."""
+    from spookystuff_spark.operators.multimodal import hamming64_neardup_pairs
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    fp = fingerprinted_audio(spark, sf_dir)
+    pairs, _ = hamming64_neardup_pairs(fp, "clip_id", "afp", max_hamming=7)
+    fp_rows = _melt(
+        fp.select("clip_id", "afp_hex").withColumn("one", F.lit(1)),
+        "afp",
+        ["clip_id", "afp_hex"],
+        ["one"],
+    )
+    pair_rows = _melt(pairs, "afppairs", ["id_a", "id_b"], ["hamming"])
+    return fp_rows.unionByName(pair_rows)

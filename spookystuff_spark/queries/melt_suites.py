@@ -330,9 +330,9 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_melted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spookystuff_spark.queries.media import media_melted
+    from spookystuff_spark.queries.media import audio_melted, media_melted
 
-    return media_melted(spark, sf_dir)
+    return media_melted(spark, sf_dir).unionByName(audio_melted(spark, sf_dir))
 
 
 # the BPE rows are pinned by a GOLDEN_SF parquet — q_text_suite must be
@@ -374,5 +374,8 @@ register_suite(
         # both timed by q_image_phash
         "phash": "q_image_phash",
         "phashpairs": "q_image_phash",
+        # audio fingerprints likewise, timed by q_audio_fingerprint
+        "afp": "q_audio_fingerprint",
+        "afppairs": "q_audio_fingerprint",
     },
 )

@@ -107,3 +107,60 @@ def test_negative_phash_band_extraction(spark):
     pairs, _ = phash_neardup_pairs(df, "img_id", "phash", max_hamming=2)
     got = [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()]
     assert got == [(1, 2, 1)]
+
+
+# ------------------------------------------------------- audio fingerprint
+
+
+def test_audio_fingerprint_noise_robust_and_separating(spark):
+    from spookystuff_spark.operators.multimodal import audio_fingerprint
+    from spookystuff_spark.queries.media import _synth_samples, _wav_blob
+
+    rows = []
+    for d in (0, 20, 40):
+        rows.append((d * 10, bytearray(_wav_blob(_synth_samples(d, False)))))
+        rows.append((d * 10 + 1, bytearray(_wav_blob(_synth_samples(d, True)))))
+    df = spark.createDataFrame(rows, "clip_id long, media binary")
+    got = {
+        r.clip_id: (r.afp, r.decode_ok, r.sample_rate, r.duration_s)
+        for r in audio_fingerprint(df, "media").collect()
+    }
+    assert all(v[1] == "ok" and v[2] == 4000 and v[3] == 2.0 for v in got.values())
+    for d in (0, 20, 40):
+        assert _ham(got[d * 10][0], got[d * 10 + 1][0]) <= 7  # planted pair
+    bases = [got[d * 10][0] for d in (0, 20, 40)]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert _ham(bases[i], bases[j]) > 7  # different content
+
+
+def test_audio_pipeline_banded_matches_bruteforce(spark):
+    from spookystuff_spark.operators.multimodal import hamming64_neardup_pairs
+    from spookystuff_spark.queries.media import fingerprinted_audio
+
+    fp = fingerprinted_audio(spark, "/root/testdata/sf0.001")
+    rows = [(r.clip_id, r.afp) for r in fp.select("clip_id", "afp").collect()]
+    assert all(a is not None for _, a in rows)
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, va), (ib, vb) = rows[i], rows[j]
+            d = _ham(va & ((1 << 64) - 1), vb & ((1 << 64) - 1))
+            if d <= 7:
+                brute.add((min(ia, ib), max(ia, ib), d))
+    pairs, dropped = hamming64_neardup_pairs(fp, "clip_id", "afp", max_hamming=7)
+    assert dropped == 0
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()} == brute
+    assert len(brute) > 0
+
+
+def test_audio_fingerprint_rejects_non_wav(spark):
+    from spookystuff_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3mp3-payload")), (2, bytearray(b"RIFFxxxxWAVE"))],
+        "clip_id long, media binary",
+    )
+    got = {r.clip_id: (r.decode_ok, r.afp) for r in audio_fingerprint(df, "media").collect()}
+    assert got[1] == ("unsupported", None)
+    assert got[2] == ("corrupt", None)

@@ -487,6 +487,73 @@ def gold_media(docs):
             rk.append(f"{ia}|{ib}")
             ms.append("hamming")
             vn.append(float(d))
+    # audio fingerprints: same independent-replica discipline — synth the
+    # same 9-segment tone melodies, fingerprint with a from-scratch
+    # Haitsma-Kalker implementation, brute-force all pairs
+    RATE, SECS, SEGS = 4000, 2.0, 9
+
+    def synth_audio(doc_id, noisy):
+        n = int(RATE * SECS)
+        t = np.arange(n) / RATE
+        sig = np.zeros(n)
+        L = n // SEGS
+        for s_ in range(SEGS):
+            seg_t = t[s_ * L : (s_ + 1) * L]
+            for k in range(4):
+                h = hashlib.md5(f"aud-{doc_id}-{s_}-{k}".encode()).digest()
+                f = 80 + int.from_bytes(h[:4], "big") % 1800
+                a = 0.15 + (int.from_bytes(h[4:8], "big") % 1000) / 2000.0
+                p = (int.from_bytes(h[8:12], "big") % 6283) / 1000.0
+                sig[s_ * L : (s_ + 1) * L] += a * np.sin(2 * np.pi * f * seg_t + p)
+        if noisy:
+            sig = sig + 0.02 * np.sin(2 * np.pi * 1950 * t) + 0.02 * np.sin(2 * np.pi * 63 * t + 1.0)
+        sig = sig * 0.9 / np.max(np.abs(sig))
+        return np.clip(np.round(sig * 32767), -32768, 32767).astype("<i2")
+
+    def afp(samples):
+        x = samples.astype(np.float64) / 32768.0
+        frames = bands = 9
+        L = len(x) // frames
+        edges = np.linspace(50, RATE / 2, bands + 1)
+        E = np.zeros((frames, bands))
+        win = np.hanning(L)
+        for fi in range(frames):
+            seg = x[fi * L : (fi + 1) * L]
+            spec = np.abs(np.fft.rfft(seg * win)) ** 2
+            freqs = np.fft.rfftfreq(L, 1.0 / RATE)
+            for b in range(bands):
+                m = (freqs >= edges[b]) & (freqs < edges[b + 1])
+                E[fi, b] = np.log1p(spec[m].sum())
+        v = i = 0
+        for fi in range(1, frames):
+            for b in range(bands - 1):
+                if (E[fi, b] - E[fi, b + 1]) - (E[fi - 1, b] - E[fi - 1, b + 1]) > 0:
+                    v |= 1 << (63 - i)
+                i += 1
+        return v
+
+    clips = []
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        if d % 5 != 0:
+            continue
+        clips.append((d * 10, afp(synth_audio(d, False))))
+        if d % 20 == 0:
+            clips.append((d * 10 + 1, afp(synth_audio(d, True))))
+    clips.sort()
+    for clip_id, v in clips:
+        q.append("afp")
+        rk.append(f"{clip_id}|{v:016x}")
+        ms.append("one")
+        vn.append(1.0)
+    for (ia, va), (ib, vb) in itertools.combinations(clips, 2):
+        d = bin(va ^ vb).count("1")
+        if d <= 7:
+            q.append("afppairs")
+            rk.append(f"{ia}|{ib}")
+            ms.append("hamming")
+            vn.append(float(d))
+
     write(
         "q_media_melt",
         pa.table(
