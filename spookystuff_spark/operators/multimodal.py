@@ -658,9 +658,16 @@ def phash_neardup_pairs(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    base = df.select(
-        F.col(id_col).alias("__id"), F.col(phash_col).alias("__ph")
-    ).where(F.col(phash_col).isNotNull())
+    # pin (id, hash) once: the hash usually sits behind decode/hash Arrow
+    # stages, and this frame's lineage is consumed FOUR times (bucket-size
+    # count, hot-list anti-join, both self-join sides) — without the
+    # checkpoint the whole decode pipeline re-runs each time. 16 bytes/row,
+    # spill-safe, fine at any corpus size.
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(phash_col).alias("__ph"))
+        .where(F.col(phash_col).isNotNull())
+        .localCheckpoint(eager=True)
+    )
     bands = base.select(
         "__id",
         "__ph",
