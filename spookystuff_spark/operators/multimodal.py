@@ -801,3 +801,145 @@ def audio_fingerprint(df: DataFrame, blob_col: str = "media") -> DataFrame:
 # the banded Hamming join is hash-agnostic: same operator serves image
 # pHashes and audio fingerprints (any 64-bit locality-robust hash)
 hamming64_neardup_pairs = phash_neardup_pairs
+
+
+# -------------------------------------------------------- video near-dup
+
+
+def video_frame_phash(df: DataFrame, blob_col: str = "media") -> DataFrame:
+    """Per-frame perceptual hashes of Y4M video blobs in one narrow Arrow
+    stage: REAL frame walk (``_y4m_frames``), luma (Y) plane as the
+    grayscale image, same DCT pHash as stills. 1→N explode: one output row
+    per frame — (input cols) + ``frame_idx``, ``fphash``, ``fphash_hex``,
+    ``decode_ok``. Non-Y4M blobs yield a single ``unsupported`` row,
+    malformed streams ``corrupt``."""
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name != blob_col]
+        + [
+            StructField("frame_idx", IntegerType()),
+            StructField("fphash", LongType()),
+            StructField("fphash_hex", StringType()),
+            StructField("decode_ok", StringType()),
+        ]
+    )
+    keep = [f.name for f in df.schema.fields if f.name != blob_col]
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                blob = bytes(rec[blob_col] or b"")
+                base = {k: rec[k] for k in keep}
+                if not blob.startswith(b"YUV4MPEG2"):
+                    rows.append(
+                        {**base, "frame_idx": None, "fphash": None,
+                         "fphash_hex": None, "decode_ok": "unsupported"}
+                    )
+                    continue
+                nl = blob.find(b"\n")
+                w = h = None
+                for tok in blob[9:nl].split():
+                    if tok[:1] == b"W" and tok[1:].isdigit():
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H" and tok[1:].isdigit():
+                        h = int(tok[1:])
+                frames = _y4m_frames(blob)
+                if frames is None or not w or not h:
+                    rows.append(
+                        {**base, "frame_idx": None, "fphash": None,
+                         "fphash_hex": None, "decode_ok": "corrupt"}
+                    )
+                    continue
+                for idx, payload in frames:
+                    v = _phash_one(payload[: w * h], h, w, 1)  # luma plane
+                    rows.append(
+                        {
+                            **base,
+                            "frame_idx": idx,
+                            "fphash": v - (1 << 64) if v >= (1 << 63) else v,
+                            "fphash_hex": f"{v:016x}",
+                            "decode_ok": "ok",
+                        }
+                    )
+            cols = keep + ["frame_idx", "fphash", "fphash_hex", "decode_ok"]
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                columns=cols
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
+def video_neardup_pairs(
+    frames_df: DataFrame,
+    id_col: str,
+    phash_col: str = "fphash",
+    frame_col: str = "frame_idx",
+    max_hamming: int = 7,
+    min_matching_frames: int = 4,
+    n_bands: int = 8,
+    max_bucket: int = 1024,
+) -> tuple[DataFrame, int]:
+    """Video near-dup pairs from per-frame hashes: two videos match when ≥
+    ``min_matching_frames`` distinct (frame_a, frame_b) hash pairs sit
+    within Hamming ``max_hamming`` — shared-scene detection that survives
+    re-encode noise and is robust to a few changed frames.
+
+    Frame identity is packed into one long (id·1024 + frame, loud overflow
+    guard like operators/lines.py) so the frame-level candidate search IS
+    :func:`hamming64_neardup_pairs` — one banded equality join, never
+    all-(video²) or all-(frame²); the video-level verdict is a single
+    count-distinct aggregation over surviving frame pairs.
+
+    → (pairs (id_a, id_b, n_frame_matches), n_dropped_buckets)."""
+    frames = 1 << 10
+    in_range = (
+        (F.col(frame_col) >= 0)
+        & (F.col(frame_col) < frames)
+        & (F.col(id_col) >= 0)
+        & (F.col(id_col) < (1 << 52))
+    )
+    packed = F.when(
+        in_range, F.col(id_col) * frames + F.col(frame_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat_ws(
+                " ",
+                F.lit("video_neardup_pairs packing overflow: id"),
+                F.col(id_col).cast("string"),
+                F.lit("frame"),
+                F.col(frame_col).cast("string"),
+                F.lit("(need 0 <= id < 2^52, frame < 1024)"),
+            )
+        ).cast("long")
+    )
+    keyed = frames_df.where(F.col(phash_col).isNotNull()).select(
+        packed.alias("__fid"), F.col(phash_col).alias("__fph")
+    )
+    fpairs, n_dropped = phash_neardup_pairs(
+        keyed,
+        "__fid",
+        "__fph",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+    )
+    vids = (
+        fpairs.select(
+            F.expr(f"id_a div {frames}").alias("vid_a"),
+            F.expr(f"id_b div {frames}").alias("vid_b"),
+            F.col("id_a").alias("fa"),
+            F.col("id_b").alias("fb"),
+        )
+        .where(F.col("vid_a") != F.col("vid_b"))
+        .groupBy("vid_a", "vid_b")
+        .agg(F.count_distinct("fa", "fb").alias("n_frame_matches"))
+        .where(F.col("n_frame_matches") >= min_matching_frames)
+        .select(
+            F.col("vid_a").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            F.col("n_frame_matches").cast("long").alias("n_frame_matches"),
+        )
+    )
+    return vids, n_dropped

@@ -123,7 +123,13 @@ def media_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spookystuff_spark.operators.multimodal import phash_neardup_pairs
     from spookystuff_spark.queries.tpch_suites import _melt
 
-    hashed = hashed_images(spark, sf_dir)
+    # pin (id, hash) once: the melt consumes it twice (hash rows + pair
+    # join input) and the synth/decode/hash Arrow stages must not re-run
+    hashed = (
+        hashed_images(spark, sf_dir)
+        .select("img_id", "phash", "phash_hex")
+        .localCheckpoint(eager=True)
+    )
     pairs, _ = phash_neardup_pairs(hashed, "img_id", "phash", max_hamming=7)
     hash_rows = _melt(
         hashed.select("img_id", "phash_hex").withColumn("one", F.lit(1)),
@@ -247,7 +253,11 @@ def audio_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spookystuff_spark.operators.multimodal import hamming64_neardup_pairs
     from spookystuff_spark.queries.tpch_suites import _melt
 
-    fp = fingerprinted_audio(spark, sf_dir)
+    fp = (
+        fingerprinted_audio(spark, sf_dir)
+        .select("clip_id", "afp", "afp_hex")
+        .localCheckpoint(eager=True)  # hash once, consume twice
+    )
     pairs, _ = hamming64_neardup_pairs(fp, "clip_id", "afp", max_hamming=7)
     fp_rows = _melt(
         fp.select("clip_id", "afp_hex").withColumn("one", F.lit(1)),
@@ -257,3 +267,105 @@ def audio_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pair_rows = _melt(pairs, "afppairs", ["id_a", "id_b"], ["hamming"])
     return fp_rows.unionByName(pair_rows)
+
+
+# ---------------------------------------------------------- video near-dup
+
+VID_EVERY = 7  # doc_id % 7 == 0 → one synthetic Y4M clip
+VID_DUP_EVERY = 28  # doc_id % 28 == 0 → plus a noise-perturbed variant
+VID_FRAMES = 8
+_VID_W = _VID_H = 64
+
+
+def _y4m_blob(doc_id: int, noisy: bool) -> bytes:
+    """8-frame 64×64 C420 YUV4MPEG2 clip; frame f's luma plane is the
+    spectral synth image seeded by doc_id·101 + f (chroma flat 128). The
+    noisy variant perturbs every frame the same way the image pipeline
+    does — per-frame pHashes stay within Hamming 7 of the base clip's."""
+    import numpy as np
+
+    parts = [f"YUV4MPEG2 W{_VID_W} H{_VID_H} F25:1 C420\n".encode()]
+    uv = bytes([128]) * (_VID_W * _VID_H // 2)
+    for f in range(VID_FRAMES):
+        y = _synth_pixels(doc_id * 101 + f, noisy)
+        parts.append(b"FRAME\n" + y.tobytes() + uv)
+    return b"".join(parts)
+
+
+def synth_video_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vid_id, media): Y4M blobs. vid_id = doc_id*10 + variant."""
+    ids = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % VID_EVERY == 0)
+    )
+    base = ids.select(
+        (F.col("doc_id") * 10).alias("vid_id"), "doc_id", F.lit(0).alias("variant")
+    )
+    noisy = ids.where(F.col("doc_id") % VID_DUP_EVERY == 0).select(
+        (F.col("doc_id") * 10 + 1).alias("vid_id"),
+        "doc_id",
+        F.lit(1).alias("variant"),
+    )
+    spec = base.unionByName(noisy)
+    out_schema = StructType(
+        [StructField("vid_id", LongType()), StructField("media", BinaryType())]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = [
+                _y4m_blob(int(d), bool(v))
+                for d, v in zip(pdf["doc_id"], pdf["variant"])
+            ]
+            yield pd.DataFrame({"vid_id": pdf["vid_id"], "media": blobs})
+
+    return spec.mapInPandas(run, out_schema)
+
+
+def video_frames_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.operators.multimodal import video_frame_phash
+
+    return video_frame_phash(synth_video_frame(spark, sf_dir), "media")
+
+
+@bench_only("q_video_neardup")
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup video pairs (id_a, id_b, n_frame_matches ≥ 6 of 8)."""
+    from spookystuff_spark.operators.multimodal import video_neardup_pairs
+
+    pairs, _ = video_neardup_pairs(
+        video_frames_hashed(spark, sf_dir),
+        "vid_id",
+        max_hamming=7,
+        min_matching_frames=6,
+    )
+    return pairs
+
+
+def video_melted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt rows pinning every frame hash (alias ``vfp``) and every video
+    near-dup pair (alias ``vfppairs``)."""
+    from spookystuff_spark.operators.multimodal import video_neardup_pairs
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    frames = (
+        video_frames_hashed(spark, sf_dir)
+        .select("vid_id", "frame_idx", "fphash", "fphash_hex")
+        .localCheckpoint(eager=True)  # hash once, consume twice
+    )
+    pairs, _ = video_neardup_pairs(
+        frames, "vid_id", max_hamming=7, min_matching_frames=6
+    )
+    frame_rows = _melt(
+        frames.select("vid_id", "frame_idx", "fphash_hex").withColumn(
+            "one", F.lit(1)
+        ),
+        "vfp",
+        ["vid_id", "frame_idx", "fphash_hex"],
+        ["one"],
+    )
+    pair_rows = _melt(pairs, "vfppairs", ["id_a", "id_b"], ["n_frame_matches"])
+    return frame_rows.unionByName(pair_rows)

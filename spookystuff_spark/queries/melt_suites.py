@@ -330,9 +330,17 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_melted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spookystuff_spark.queries.media import audio_melted, media_melted
+    from spookystuff_spark.queries.media import (
+        audio_melted,
+        media_melted,
+        video_melted,
+    )
 
-    return media_melted(spark, sf_dir).unionByName(audio_melted(spark, sf_dir))
+    return (
+        media_melted(spark, sf_dir)
+        .unionByName(audio_melted(spark, sf_dir))
+        .unionByName(video_melted(spark, sf_dir))
+    )
 
 
 # the BPE rows are pinned by a GOLDEN_SF parquet — q_text_suite must be
@@ -377,5 +385,8 @@ register_suite(
         # audio fingerprints likewise, timed by q_audio_fingerprint
         "afp": "q_audio_fingerprint",
         "afppairs": "q_audio_fingerprint",
+        # per-frame video hashes + video pairs, timed by q_video_neardup
+        "vfp": "q_video_neardup",
+        "vfppairs": "q_video_neardup",
     },
 )

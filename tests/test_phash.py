@@ -164,3 +164,80 @@ def test_audio_fingerprint_rejects_non_wav(spark):
     got = {r.clip_id: (r.decode_ok, r.afp) for r in audio_fingerprint(df, "media").collect()}
     assert got[1] == ("unsupported", None)
     assert got[2] == ("corrupt", None)
+
+
+# ---------------------------------------------------------- video near-dup
+
+
+def test_video_neardup_planted_pairs_and_threshold(spark):
+    """Noisy variant matches on all 8 frames; a clip sharing only 4 of 8
+    frames stays below min_matching_frames=6; unrelated clips share none."""
+    from spookystuff_spark.operators.multimodal import (
+        video_frame_phash,
+        video_neardup_pairs,
+    )
+    from spookystuff_spark.queries.media import _y4m_blob, _synth_pixels, VID_FRAMES
+
+    import numpy as np
+
+    uv = bytes([128]) * (64 * 64 // 2)
+
+    def clip(frame_seeds, noisy=False):
+        parts = [b"YUV4MPEG2 W64 H64 F25:1 C420\n"]
+        for sd in frame_seeds:
+            parts.append(b"FRAME\n" + _synth_pixels(sd, noisy).tobytes() + uv)
+        return b"".join(parts)
+
+    base_seeds = [101 * 0 + f for f in range(VID_FRAMES)]
+    half_seeds = base_seeds[:4] + [9000 + f for f in range(4)]  # 4 shared
+    other_seeds = [5000 + f for f in range(VID_FRAMES)]
+    rows = [
+        (1, bytearray(_y4m_blob(0, False))),   # base (seeds 0..7)
+        (2, bytearray(_y4m_blob(0, True))),    # noisy variant: all 8 match
+        (3, bytearray(clip(half_seeds))),      # 4 of 8 shared with 1
+        (4, bytearray(clip(other_seeds))),     # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vid_id long, media binary")
+    frames = video_frame_phash(df, "media")
+    assert frames.where("decode_ok = 'ok'").count() == 4 * VID_FRAMES
+
+    pairs, dropped = video_neardup_pairs(
+        frames, "vid_id", max_hamming=7, min_matching_frames=6
+    )
+    assert dropped == 0
+    got = {(r.id_a, r.id_b): r.n_frame_matches for r in pairs.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 6
+
+    # lowering the threshold to 4 surfaces the half-overlap clip too
+    pairs4, _ = video_neardup_pairs(
+        frames, "vid_id", max_hamming=7, min_matching_frames=4
+    )
+    got4 = {(r.id_a, r.id_b) for r in pairs4.collect()}
+    assert (1, 3) in got4 and (1, 2) in got4 and (1, 4) not in got4
+
+
+def test_video_frame_phash_rejects_bad_blobs(spark):
+    from spookystuff_spark.operators.multimodal import video_frame_phash
+
+    rows = [
+        (1, bytearray(b"\x1aE\xdf\xa3webm-payload")),
+        (2, bytearray(b"YUV4MPEG2 W64 H64 C420\nFRAME\nshort")),
+    ]
+    df = spark.createDataFrame(rows, "vid_id long, media binary")
+    got = {r.vid_id: r.decode_ok for r in video_frame_phash(df, "media").collect()}
+    assert got == {1: "unsupported", 2: "corrupt"}
+
+
+def test_video_packing_overflow_guard(spark):
+    from spookystuff_spark.operators.multimodal import video_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1 << 60, 0, 5), (2, 0, 5)],
+        "vid_id long, frame_idx int, fphash long",
+    )
+    # the banded join pins its input eagerly, so the guard fires at call time
+    with pytest.raises(Exception) as ei:
+        pairs, _ = video_neardup_pairs(df, "vid_id")
+        pairs.collect()
+    assert "packing overflow" in str(ei.value)

@@ -554,6 +554,39 @@ def gold_media(docs):
             ms.append("hamming")
             vn.append(float(d))
 
+    # video: per-frame hashes of the same spectral frames (seed doc_id*101+f)
+    # + brute-force frame matching aggregated per video pair (>= 6 of 8) —
+    # again NOT the banded join, independently proving its recall
+    vids = []  # (vid_id, [frame hashes])
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        if d % 7 != 0:
+            continue
+        vids.append((d * 10, [phash(synth(d * 101 + f, False)) for f in range(8)]))
+        if d % 28 == 0:
+            vids.append(
+                (d * 10 + 1, [phash(synth(d * 101 + f, True)) for f in range(8)])
+            )
+    vids.sort()
+    for vid_id, hs in vids:
+        for fi, hv in enumerate(hs):
+            q.append("vfp")
+            rk.append(f"{vid_id}|{fi}|{hv:016x}")
+            ms.append("one")
+            vn.append(1.0)
+    for (ia, ha), (ib, hb) in itertools.combinations(vids, 2):
+        n = sum(
+            1
+            for fa in range(8)
+            for fb in range(8)
+            if bin(ha[fa] ^ hb[fb]).count("1") <= 7
+        )
+        if n >= 6:
+            q.append("vfppairs")
+            rk.append(f"{ia}|{ib}")
+            ms.append("n_frame_matches")
+            vn.append(float(n))
+
     write(
         "q_media_melt",
         pa.table(
