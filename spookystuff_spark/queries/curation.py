@@ -303,7 +303,21 @@ cap AS (
 bloom AS (
   SELECT b.doc_id, 1.0 AS is_new FROM {_DOCS} b
   WHERE b.doc_id % 7 = 0 AND NOT EXISTS (
-    SELECT 1 FROM {_DOCS} c WHERE c.doc_id % 7 <> 0 AND c.text = b.text))
+    SELECT 1 FROM {_DOCS} c WHERE c.doc_id % 7 <> 0 AND c.text = b.text)),
+fzk AS (
+  SELECT doc_id * 10 AS fid,
+         substr(md5('fz-' || CAST(doc_id AS VARCHAR)), 1, 12) AS key
+  FROM {_DOCS} WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id * 10 + 1,
+         substr(md5('fz-' || CAST(doc_id AS VARCHAR)), 1, 5) || 'zz' ||
+         substr(md5('fz-' || CAST(doc_id AS VARCHAR)), 8, 5)
+  FROM {_DOCS} WHERE doc_id % 8 = 0),
+fz AS (
+  SELECT a.fid AS id_a, b.fid AS id_b,
+         CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+  FROM fzk a JOIN fzk b ON a.fid < b.fid
+  WHERE levenshtein(a.key, b.key) <= 2)
 {_melt_sql("sd", "semdedup", ["vec_id", "cell", "dup_of"], ["cos_sim"])}
 UNION ALL {_melt_sql("mx", "mixture", ["doc_id", "lang"], ["sampled"])}
 UNION ALL {
@@ -320,6 +334,7 @@ UNION ALL {
 }
 UNION ALL {_melt_sql("cbs", "clusterbalance", ["vec_id", "cluster"], ["kept"])}
 UNION ALL {_melt_sql("bloom", "bloomnew", ["doc_id"], ["is_new"])}
+UNION ALL {_melt_sql("fz", "fuzzy", ["id_a", "id_b"], ["dist"])}
 UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_pq_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num
@@ -370,6 +385,44 @@ def _kb_leakage_shared(spark, sf_dir):
         .orderBy("doc_id")
     )
     return kb, leak
+
+
+def _fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic entity-resolution corpus both engines construct in
+    SQL: 12-hex-char keys (md5 of the doc id — dense alphabet, so q-gram
+    blocks stay small and SELECTIVE) plus planted dist-2 typo variants
+    (chars 6-7 replaced by 'zz', never hex). Random hex pairs sit at edit
+    distance ~10, so the expected answer is exactly the planted pairs —
+    and the DuckDB oracle brute-forces ALL pairs with its own
+    ``levenshtein``, pinning the blocking join's exhaustive recall."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    kv = F.md5(F.concat(F.lit("fz-"), F.col("doc_id").cast("string")))
+    base = docs.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") * 10).alias("fid"), F.substring(kv, 1, 12).alias("key")
+    )
+    var = docs.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") * 10 + 1).alias("fid"),
+        F.concat(
+            F.substring(kv, 1, 5), F.lit("zz"), F.substring(kv, 8, 5)
+        ).alias("key"),
+    )
+    return base.unionByName(var)
+
+
+@bench_only("q_fuzzy_join")
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (q-gram block + levenshtein verify) over the
+    synthetic key corpus → (id_a, id_b, dist ≤ 2)."""
+    from spookystuff_spark.operators.fuzzy import edit_distance_pairs
+
+    # q=3: hex alphabet means only 256 bigram values — blocks of ~n/256
+    # strings and a near-quadratic candidate set. Trigrams give 4096 block
+    # values (~16x smaller blocks, ~12x fewer candidates) and the recall
+    # guarantee still holds from len 5 up (keys are 12 chars).
+    pairs, _ = edit_distance_pairs(
+        _fuzzy_corpus(spark, sf_dir), "fid", "key", max_dist=2, q=3
+    )
+    return pairs
 
 
 def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +502,7 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["vec_id", "cluster"],
             ["kept"],
         ),
+        _melt(q_fuzzy_join(spark, sf_dir), "fuzzy", ["id_a", "id_b"], ["dist"]),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -465,5 +519,6 @@ register_suite(
         "leakage": "q_leakage_split", "bloomnew": "q_bloom_dedup_new",
         "capstratum": "q_cap_per_source",
         "clusterbalance": "q_cluster_balanced_sample",
+        "fuzzy": "q_fuzzy_join",
     },
 )
