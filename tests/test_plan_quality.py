@@ -99,3 +99,22 @@ def test_pushdown_reaches_scan(spark):
     assert "l_comment" not in plan  # pruned (column doesn't even exist — sanity)
     # projection pruning: only 4 columns read
     assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+
+
+def test_banded_hamming_join_plan(spark):
+    """The media near-dup joins must stay equality-join shaped: the
+    oversized-bucket list is BROADCAST (it is bounded by corpus/max_bucket),
+    and no CartesianProduct/BroadcastNestedLoopJoin may appear anywhere —
+    all-pairs is exactly what the banding exists to avoid."""
+    from spookystuff_spark.operators.multimodal import phash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(200)],
+        "img_id long, phash long",
+    )
+    pairs, _ = phash_neardup_pairs(df, "img_id", "phash", max_hamming=7)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # anti-join against the hot list rides a broadcast exchange
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
