@@ -81,12 +81,21 @@ def write_manifest(
     files: Sequence[str],
     schema_json: str | None,
     kind: str,
+    parent: str | None = None,
 ) -> None:
     """Record the snapshot's commit manifest: relative (to ``table_dir``)
-    or absolute data-file paths, the Spark schema (StructType.json()), and
-    the commit kind. The manifest IS the commit-complete marker — a crashed
-    writer's dir has data files but no manifest and is never read."""
-    payload = {"files": list(files), "schema": schema_json, "kind": kind}
+    or absolute data-file paths, the Spark schema (StructType.json()), the
+    commit kind, and the PARENT version this snapshot was derived from.
+    The manifest + pointer swap define the commit: committed history is
+    the parent chain walked back from ``_LATEST``, so a crashed writer's
+    dir — even one that got as far as its manifest, or that carries
+    Spark's ``_SUCCESS`` — is unreachable debris, never readable state."""
+    payload = {
+        "files": list(files),
+        "schema": schema_json,
+        "kind": kind,
+        "parent": parent,
+    }
     fsio.write_bytes(
         fsio.join(table_dir, version, _MANIFEST),
         json.dumps(payload, separators=(",", ":")).encode(),
@@ -158,7 +167,11 @@ def _commit_snapshot(
     snapshot are visible together — the hook streaming/sink.py uses for
     exactly-once batch idempotence."""
     entries = list(extra_entries) + _own_entries(table_dir, version)
-    write_manifest(table_dir, version, entries, df_schema_json, kind)
+    # parent = the version the pointer names NOW: the chain link that makes
+    # this version committed once (and only once) the swap lands
+    write_manifest(
+        table_dir, version, entries, df_schema_json, kind, parent=_latest(table_dir)
+    )
     if marker:
         fsio.touch(fsio.join(table_dir, version, marker))
     _swap_pointer(table_dir, version)
@@ -381,6 +394,7 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
         snapshot_files(src_dir, cur),  # absolute paths into src
         snapshot_schema_json(src_dir, cur),
         "clone",
+        parent=_latest(dst_dir),  # None for a fresh clone dir
     )
     _swap_pointer(dst_dir, v)
     return v
@@ -477,24 +491,37 @@ def versions(table_dir: str) -> list[str]:
 
 
 def committed_versions(table_dir: str) -> list[str]:
-    """Versions safe to read: at or below the pointer AND carrying a commit
-    manifest (a crashed writer's dir has data files but no manifest — and
-    since ``_next_version`` self-heals by leapfrogging dangling dirs, such a
-    dir can sit BELOW the pointer; the manifest check keeps it out of time
-    travel). Manifest-less dirs below the pointer with a Spark ``_SUCCESS``
-    are accepted as legacy (pre-manifest) commits."""
+    """Versions safe to read: the manifest PARENT CHAIN walked back from the
+    ``_LATEST`` pointer (the commit-log rule). Dirs outside the chain are
+    crashed-writer debris regardless of what they contain — data files,
+    Spark's ``_SUCCESS``, even a complete manifest whose pointer swap never
+    happened (``_next_version`` leapfrogs them, so they can sit below the
+    pointer looking exactly like history that never was). A chain manifest
+    without a ``parent`` key (written before the chain rule) falls back to
+    accepting every earlier manifest-bearing version as its legacy prefix."""
     cur = _latest(table_dir)
     if cur is None:
         return []
-    out = []
-    for v in versions(table_dir):
-        if v > cur:
-            continue
-        if fsio.exists(fsio.join(table_dir, v, _MANIFEST)) or fsio.exists(
-            fsio.join(table_dir, v, "_SUCCESS")
-        ):
-            out.append(v)
-    return out
+    out: list[str] = []
+    seen: set[str] = set()
+    v: str | None = cur
+    while v and v not in seen:
+        m = read_manifest(table_dir, v)
+        if m is None:
+            break  # torn tip (corrupt pointer) or pre-manifest table end
+        out.append(v)
+        seen.add(v)
+        if "parent" not in m:  # legacy manifest: no chain info recorded
+            out.extend(
+                w
+                for w in versions(table_dir)
+                if w < v
+                and w not in seen
+                and fsio.exists(fsio.join(table_dir, w, _MANIFEST))
+            )
+            break
+        v = m["parent"]
+    return sorted(out)
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[str]:

@@ -250,6 +250,7 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             prev_entries + own,
             self.schema_json,
             "upsert" if self.overwrite else "append",
+            parent=U._latest(self.table_dir),  # chain link; swap commits it
         )
         if marker:
             fsio.touch(fsio.join(vdir, marker))

@@ -125,6 +125,7 @@ def test_manifest_protocol_on_mock_fs(mockfs):
         ["v00001/part-0.parquet", "v00002/part-0.parquet"],
         None,
         "append",
+        parent="v00001",
     )
     U._swap_pointer(tdir, "v00002")
     assert U.committed_versions(tdir) == ["v00001", "v00002"]

@@ -1,0 +1,140 @@
+"""Crash-safety matrix for the manifest commit protocol (sources/upsert.py).
+
+A writer commits in three steps: (1) write data files into the next
+version dir, (2) write ``_MANIFEST.json`` (+ optional marker), (3) swap
+the ``_LATEST`` pointer. This matrix kills a simulated writer after each
+step and asserts, for every crash point: readers still see exactly the
+old committed state; ``committed_versions`` never exposes the torn
+version; the NEXT writer leapfrogs the debris and commits cleanly; and
+``vacuum`` removes the debris without touching live data — including
+data files that later versions carry forward by manifest reference.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from spookystuff_spark import fsio
+from spookystuff_spark.sources import upsert as U
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string")
+
+
+def _state(spark, tdir):
+    return {
+        (r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()
+    }
+
+
+@pytest.fixture
+def seeded(spark, tmp_path):
+    tdir = str(tmp_path / "tbl")
+    U.write_table(_mk(spark, [(1, "a"), (2, "b")]), tdir)
+    return tdir
+
+
+def test_crash_after_data_files_only(spark, seeded):
+    """Step-1 crash: data files exist, no manifest, no pointer move."""
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
+
+    assert U.committed_versions(tdir) == ["v00001"]
+    assert _state(spark, tdir) == {(1, "a"), (2, "b")}
+    # next writer leapfrogs the torn dir
+    v2 = U.upsert(spark, tdir, _mk(spark, [(3, "c")]), ["k"])
+    assert v2 > v
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+    # vacuum sweeps the dangling dir
+    removed = U.vacuum(tdir, keep=10)
+    assert v in removed
+    assert not fsio.exists(fsio.join(tdir, v))
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_crash_after_manifest_before_pointer(spark, seeded):
+    """Step-2 crash: manifest written but the pointer still names v1. The
+    version is complete-but-uncommitted: readers stay on v1; the next
+    writer must NOT reuse the version number (single-writer contract makes
+    the stale dir vacuumable debris, not a commit)."""
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
+    U.write_manifest(
+        tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
+        None, "upsert",
+    )
+    # pointer NOT swapped — crash here
+    assert U._latest(tdir) == "v00001"
+    assert U.committed_versions(tdir) == ["v00001"]  # above the pointer
+    assert _state(spark, tdir) == {(1, "a"), (2, "b")}
+
+    v2 = U.upsert(spark, tdir, _mk(spark, [(3, "c")]), ["k"])
+    assert v2 > v
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+    removed = U.vacuum(tdir, keep=10)
+    assert v in removed
+
+
+def test_crash_between_append_chain_preserves_references(spark, seeded):
+    """A torn append must not confuse reference carry-forward: commit two
+    real appends, tear a third, vacuum — the kept snapshot still reads all
+    three committed generations' files."""
+    tdir = seeded
+    U.append_rows(spark, tdir, _mk(spark, [(3, "c")]))
+    U.append_rows(spark, tdir, _mk(spark, [(4, "d")]))
+    torn = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, torn))
+
+    expect = {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert _state(spark, tdir) == expect
+    U.vacuum(tdir, keep=1)
+    assert not fsio.exists(fsio.join(tdir, torn))
+    # earliest version dir lost its manifest but its FILES survive (the
+    # kept snapshot references them)
+    assert _state(spark, tdir) == expect
+    assert U.committed_versions(tdir) == [U._latest(tdir)]
+
+
+def test_corrupt_pointer_refuses_loudly(spark, seeded, tmp_path):
+    """The pointer swap is atomic (fsio tmp+rename), so a pointer naming a
+    manifest-less dir can only mean external corruption or a non-protocol
+    writer. The table must refuse EVERY read — fail loudly, never serve
+    torn data or silently guess an older tip; recovery is an operator
+    repoint of ``_LATEST`` to a manifest-bearing version, after which reads
+    work again."""
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
+    U._swap_pointer(tdir, v)  # pointer says v2 but v2 has no manifest
+    assert U.committed_versions(tdir) == []
+    with pytest.raises(FileNotFoundError):
+        U.read_table(spark, tdir, v)
+    with pytest.raises(FileNotFoundError):
+        U.read_table(spark, tdir, "v00001")
+    # operator recovery: repoint to the last good version
+    U._swap_pointer(tdir, "v00001")
+    assert {
+        (r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()
+    } == {(1, "a"), (2, "b")}
+
+
+def test_stream_marker_rides_the_manifest_commit(spark, seeded):
+    """A marker dropped before the pointer swap is invisible until the
+    commit completes — exactly-once bookkeeping can't run ahead of data."""
+    from spookystuff_spark.streaming.sink import last_committed_batch
+
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
+    U.write_manifest(
+        tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
+        None, "upsert",
+    )
+    fsio.touch(fsio.join(tdir, v, "_BATCH_app_7"))
+    # crash before pointer swap: the marker must NOT count
+    assert last_committed_batch(tdir, "app") is None
