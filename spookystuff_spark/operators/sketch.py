@@ -235,3 +235,75 @@ def sample_quantiles(
     return F.broadcast(targets).join(ranked, cond).select(
         *[targets[g] for g in grp], "q", F.col("v").alias("value")
     )
+
+
+def kmv_pairwise_overlap(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Set-overlap profiling between every pair of groups from their KMV
+    sketches (Beyer et al., SIGMOD'07) — the data-discovery/joinability
+    primitive: which columns/partitions share values, and how much.
+
+    Per group, the k smallest 60-bit md5 value hashes form the sketch; for
+    a pair, the k smallest of the union estimate ``|A∪B|``, the fraction
+    of that combined sketch present in BOTH input sketches estimates
+    Jaccard, and ``|A∩B| = jaccard·|A∪B|``, ``containment(A⊆B) =
+    |A∩B|/|A|``. Everything below k distinct values is exact.
+
+    Scale shape: ONE corpus aggregation builds all sketches (map-side
+    combined (group, hash) distinct, then a k-bounded window); the
+    pairwise stage touches only the sketch table — groups × k hashes, 15
+    bytes each — broadcast into a groups² loop that never sees the corpus.
+    Deterministic md5 hashing → the DuckDB oracle replays every estimate
+    bit-for-bit (same rule as ``kmv_estimate``).
+
+    → (group_a, group_b, est_a, est_b, est_union, est_intersection,
+    jaccard, containment_a_in_b) for group_a < group_b."""
+    h = F.substring(F.md5(F.col(value_col).cast("string")), 1, 15)
+    g = df.groupBy(F.col(group_col).alias("g"), h.alias("h")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    sk = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("g")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+    )
+
+    def _est(arr):
+        sz = F.size(arr)
+        hk_num = F.conv(F.element_at(arr, sz), 16, 10).cast("double")
+        return F.when(sz < k, sz.cast("double")).otherwise(
+            F.lit(float((k - 1) * (1 << 60))) / hk_num
+        )
+
+    a = sk.select(F.col("g").alias("group_a"), F.col("hs").alias("hs_a"))
+    b = sk.select(F.col("g").alias("group_b"), F.col("hs").alias("hs_b"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    u = F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, k)
+    out = (
+        pairs.withColumn("u", u)
+        .withColumn("un", F.size("u"))
+        .withColumn(
+            "rho_n",
+            F.size(F.array_intersect(F.array_intersect("hs_a", "hs_b"), "u")),
+        )
+        .withColumn("est_a", _est(F.col("hs_a")))
+        .withColumn("est_b", _est(F.col("hs_b")))
+        .withColumn("est_union", _est(F.col("u")))
+        .withColumn("jac", F.col("rho_n") / F.col("un"))
+        .withColumn("est_int", F.col("jac") * F.col("est_union"))
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        round_stable(F.col("est_a"), 2).alias("est_a"),
+        round_stable(F.col("est_b"), 2).alias("est_b"),
+        round_stable(F.col("est_union"), 2).alias("est_union"),
+        round_stable(F.col("est_int"), 2).alias("est_intersection"),
+        round_stable(F.col("jac"), 6).alias("jaccard"),
+        round_stable(
+            F.col("est_int") / F.col("est_a"), 6
+        ).alias("containment_a_in_b"),
+    )

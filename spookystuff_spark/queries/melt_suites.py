@@ -34,12 +34,14 @@ from spookystuff_spark.queries.scalar_funcs import (
 from spookystuff_spark.queries.sketches import (
     ORACLE_CMS_TOKENS,
     ORACLE_HLL_USERS,
+    ORACLE_KMV_OVERLAP,
     ORACLE_KMV_VOCAB,
     ORACLE_SAMPLE_QUANTILES,
     ORACLE_WEIGHTED_SAMPLE,
     q_cms_token_freq,
     q_hll_distinct_users,
     q_kmv_distinct_vocab,
+    q_kmv_overlap,
     q_sample_quantiles,
     q_weighted_sample,
 )
@@ -82,7 +84,8 @@ WITH {PAGERANK_CTES},
      hll AS ({ORACLE_HLL_USERS}), cms AS ({ORACLE_CMS_TOKENS}),
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
-     zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC})
+     zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
+     kvo AS ({ORACLE_KMV_OVERLAP})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -113,6 +116,11 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql(
     "cdc", "q_cdc_upsert", ["doc_id", "lang", "source", "_change"],
     ["n_chars"],
+)}
+UNION ALL {_melt_sql(
+    "kvo", "q_kmv_overlap", ["group_a", "group_b"],
+    ["est_a", "est_b", "est_union", "est_intersection", "jaccard",
+     "containment_a_in_b"],
 )}"""
 
 
@@ -191,6 +199,13 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_cdc_upsert",
             ["doc_id", "lang", "source", "_change"],
             ["n_chars"],
+        ),
+        _melt(
+            q_kmv_overlap(spark, sf_dir),
+            "q_kmv_overlap",
+            ["group_a", "group_b"],
+            ["est_a", "est_b", "est_union", "est_intersection", "jaccard",
+             "containment_a_in_b"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -358,7 +373,7 @@ register_suite(
         "q_string_functions", "q_date_dimensions", "q_hll_distinct_users",
         "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
         "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
-        "q_zorder_key", "q_cdc_upsert",
+        "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap",
     ],
 )
 register_suite(

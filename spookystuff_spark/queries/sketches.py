@@ -228,3 +228,96 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         docs, ["lang"], "doc_id", "n_chars", k=_WS_K, salt=_WS_SALT
     )
+
+
+_KMVSET_K = 64
+
+ORACLE_KMV_OVERLAP = f"""
+    WITH t AS (
+      SELECT lang, regexp_extract_all(lower(text), '(\\S+)', 1) AS ts
+      FROM documents
+    ), toks AS (
+      SELECT lang, ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2] AS tok
+      FROM t, unnest(range(1, len(ts) - 1)) AS r(i)
+      WHERE len(ts) >= 3
+    ), g AS (
+      SELECT lang, substr(md5(tok), 1, 15) AS h
+      FROM toks GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM g
+    ), sk AS (
+      SELECT lang, list_sort(list(h)) AS hs
+      FROM ranked WHERE rn <= {_KMVSET_K} GROUP BY 1
+    ), p AS (
+      SELECT a.lang AS group_a, b.lang AS group_b, a.hs AS ha, b.hs AS hb
+      FROM sk a JOIN sk b ON a.lang < b.lang
+    ), c AS (
+      SELECT group_a, group_b, ha, hb,
+             (list_sort(list_distinct(list_concat(ha, hb))))[1:{_KMVSET_K}] AS u
+      FROM p
+    ), m AS (
+      SELECT group_a, group_b,
+             len(ha) AS na, ha[len(ha)] AS hk_a,
+             len(hb) AS nb, hb[len(hb)] AS hk_b,
+             len(u) AS un, u[len(u)] AS hk_u,
+             len(list_intersect(list_intersect(ha, hb), u)) AS rho_n
+      FROM c
+    ), e AS (
+      SELECT group_a, group_b, rho_n, un,
+        CASE WHEN na < {_KMVSET_K} THEN CAST(na AS DOUBLE)
+             ELSE {float((_KMVSET_K - 1) * (1 << 60))}
+                  / CAST(('0x' || hk_a)::BIGINT AS DOUBLE) END AS est_a,
+        CASE WHEN nb < {_KMVSET_K} THEN CAST(nb AS DOUBLE)
+             ELSE {float((_KMVSET_K - 1) * (1 << 60))}
+                  / CAST(('0x' || hk_b)::BIGINT AS DOUBLE) END AS est_b,
+        CASE WHEN un < {_KMVSET_K} THEN CAST(un AS DOUBLE)
+             ELSE {float((_KMVSET_K - 1) * (1 << 60))}
+                  / CAST(('0x' || hk_u)::BIGINT AS DOUBLE) END AS est_union
+      FROM m
+    )
+    SELECT group_a, group_b,
+           round(1e-6 + est_a, 2) AS est_a,
+           round(1e-6 + est_b, 2) AS est_b,
+           round(1e-6 + est_union, 2) AS est_union,
+           round(1e-6 + (CAST(rho_n AS DOUBLE) / un) * est_union, 2)
+             AS est_intersection,
+           round(1e-6 + CAST(rho_n AS DOUBLE) / un, 6) AS jaccard,
+           round(1e-6 + ((CAST(rho_n AS DOUBLE) / un) * est_union) / est_a, 6)
+             AS containment_a_in_b
+    FROM e
+    """
+
+
+@bench_only("q_kmv_overlap")
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-vocabulary overlap between languages from KMV
+    sketches (union / intersection / Jaccard / containment estimates) —
+    the data-discovery joinability profile, value-pinned through
+    ``q_scalar_suite``'s melt (the DuckDB oracle replays the sketch
+    arithmetic exactly)."""
+    from spookystuff_spark.operators.sketch import kmv_pairwise_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    # word TRIGRAM vocabularies: the synthetic corpus shares one unigram
+    # wordlist across languages (jaccard 1.0 — degenerate); trigram sets
+    # separate (~0.07-0.11 true jaccard, asymmetric containment), so the
+    # estimates are actually informative
+    toks = (
+        docs.select(
+            "lang",
+            F.expr(r"regexp_extract_all(lower(text), '(\\S+)', 1)").alias("ts"),
+        )
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ts) >= 3 THEN transform("
+                    "  sequence(0, size(ts) - 3),"
+                    "  i -> concat_ws(' ', ts[i], ts[i + 1], ts[i + 2]))"
+                    "ELSE array() END"
+                )
+            ).alias("tok"),
+        )
+    )
+    return kmv_pairwise_overlap(toks, "lang", "tok", k=_KMVSET_K)
