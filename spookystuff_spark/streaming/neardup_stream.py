@@ -156,3 +156,145 @@ def streaming_neardup_sink(
             U.vacuum(state_dir, keep=vacuum_keep)
 
     return sink
+
+
+# ------------------------------------------------- 64-bit-signature twin
+
+
+def _bands_of(df: DataFrame, id_col: str, hash_col: str, n_bands: int) -> DataFrame:
+    """(id, hash) → (id, hash, band_idx, band_bits) — the same disjoint-band
+    split as operators/multimodal.hamming64_neardup_pairs, inline so the
+    state side stays a narrow explode (never shuffled)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.expr(f"shiftrightunsigned({hash_col}, {i * width})")
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_bits"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", "b.band_idx", "b.band_bits")
+
+
+def streaming_hash_neardup_sink(
+    state_dir: str,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+    on_accept: Callable[[DataFrame], None] | None = None,
+    app_id: str | None = None,
+    compact_every: int | None = None,
+    compact_files: int = 8,
+    vacuum_keep: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """Incremental near-dup dedup for a MEDIA stream — the 64-bit-signature
+    twin of :func:`streaming_neardup_sink` (MinHash/text). The stream
+    carries perceptual signatures (``image_phash`` / ``audio_fingerprint``
+    / per-frame hashes run fine on streaming DataFrames — one narrow Arrow
+    stage); this foreachBatch sink drops batch rows within Hamming
+    ``max_hamming`` of anything accepted so far, using the banded equality
+    probe: state is SCANNED and band-exploded in place (narrow), the
+    micro-batch side is broadcast — the corpus-sized state is never
+    shuffled, same rule as the text sink. Survivors' (id, sig) rows append
+    as metadata-only commits with (app, batch) exactly-once markers, and
+    the same ``compact_every`` maintenance bounds files/versions with
+    replay protection intact. Requires ``max_hamming < n_bands``
+    (pigeonhole recall)."""
+    if max_hamming >= n_bands or 64 % n_bands != 0:
+        raise ValueError("need max_hamming < n_bands and n_bands | 64")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = last_committed_batch(state_dir, app_id)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already folded into state
+        sigs = (
+            batch_df.select(
+                F.col(id_col).alias("id"), F.col(hash_col).alias("sig")
+            )
+            .where(F.col("sig").isNotNull())
+            .localCheckpoint(eager=True)  # tiny; reused for probe + append
+        )
+        bands = _bands_of(sigs, "id", "sig", n_bands)
+
+        # in-batch: lower id wins among colliding pairs
+        a = bands.select(
+            F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+            "band_idx", "band_bits",
+        )
+        b = bands.select(
+            F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+            "band_idx", "band_bits",
+        )
+        dup_in_batch = (
+            F.broadcast(a)
+            .join(b, ["band_idx", "band_bits"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                F.bit_count(F.expr("sig_a ^ sig_b")) <= max_hamming
+            )
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+        )
+        dups = dup_in_batch
+        if U.committed_versions(state_dir):
+            state = U.read_table(spark, state_dir)
+            state_bands = _bands_of(state, "id", "sig", n_bands).select(
+                F.col("sig").alias("sig_s"), "band_idx", "band_bits"
+            )
+            dup_vs_state = (
+                state_bands.join(
+                    F.broadcast(
+                        bands.select(
+                            F.col("id").alias("_qid"),
+                            F.col("sig").alias("sig_q"),
+                            "band_idx",
+                            "band_bits",
+                        )
+                    ),
+                    ["band_idx", "band_bits"],
+                )
+                .where(
+                    F.bit_count(F.expr("sig_s ^ sig_q")) <= max_hamming
+                )
+                .select(F.col("_qid").alias("id"))
+                .distinct()
+            )
+            dups = dup_in_batch.unionByName(dup_vs_state).distinct()
+
+        survivors = sigs.join(dups, "id", "left_anti")
+        if on_accept is not None:
+            kept_rows = batch_df.join(
+                survivors.select("id").withColumnRenamed("id", id_col),
+                id_col,
+                "leftsemi",
+            )
+            on_accept(kept_rows)
+
+        U.append_rows(
+            spark,
+            state_dir,
+            survivors,
+            marker=batch_marker_name(batch_id, app_id),
+        )
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            U.compact(
+                spark,
+                state_dir,
+                num_files=compact_files,
+                marker=batch_marker_name(batch_id, app_id),
+            )
+            U.vacuum(state_dir, keep=vacuum_keep)
+
+    return sink

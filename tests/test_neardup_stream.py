@@ -164,3 +164,108 @@ def test_in_sink_compaction_and_vacuum(spark, tmp_path):
     # and a genuinely new batch still lands
     maint(_df(spark, [(8, "yet another totally new final document text")]), 4)
     assert 8 in {r["id"] for r in accepted_ids(spark, maint_dir).collect()}
+
+
+# -------------------------------------------- 64-bit-signature media twin
+
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(rows, "img_id long, phash long")
+
+
+def test_hash_sink_cross_batch_and_in_batch(spark, tmp_path):
+    from spookystuff_spark.streaming.neardup_stream import (
+        streaming_hash_neardup_sink,
+    )
+
+    sdir = str(tmp_path / "hstate")
+    out = []
+    sink = streaming_hash_neardup_sink(
+        sdir, "img_id", "phash", max_hamming=7,
+        on_accept=lambda df: out.extend(r["img_id"] for r in df.collect()),
+    )
+    H = 0x0123_4567_89AB_CDEF
+    # batch 0: base, near-dup (1 bit flipped), and a far hash
+    sink(_sig_df(spark, [(1, H), (2, H ^ 0b1), (3, ~H)]), 0)
+    assert sorted(out) == [1, 3]
+    # batch 1: near-dup of accepted 1 (2 bits) + genuinely new
+    out.clear()
+    sink(_sig_df(spark, [(4, H ^ 0b11), (5, 0x0F0F_0F0F_0F0F_0F0F)]), 1)
+    assert out == [5]
+    assert {r["id"] for r in accepted_ids(spark, sdir).collect()} == {1, 3, 5}
+
+
+def test_hash_sink_replay_and_maintenance(spark, tmp_path):
+    from spookystuff_spark.streaming.neardup_stream import (
+        streaming_hash_neardup_sink,
+    )
+
+    sdir = str(tmp_path / "hstate")
+    sink = streaming_hash_neardup_sink(
+        sdir, "img_id", "phash", app_id="ck1",
+        compact_every=2, compact_files=1, vacuum_keep=2,
+    )
+    for b in range(4):
+        sink(_sig_df(spark, [(b * 10, b * 0x1111_1111_1111)]), b)
+    assert len(U.committed_versions(sdir)) <= 2
+    assert U.snapshot_file_stats(sdir)["n_files"] <= 1
+    n = len(U.committed_versions(sdir))
+    sink(_sig_df(spark, [(99, 0x7777)]), 2)  # replay after vacuum: no-op
+    assert len(U.committed_versions(sdir)) == n
+    assert 99 not in {r["id"] for r in accepted_ids(spark, sdir).collect()}
+
+
+def test_hash_sink_validates_banding(spark, tmp_path):
+    from spookystuff_spark.streaming.neardup_stream import (
+        streaming_hash_neardup_sink,
+    )
+
+    with pytest.raises(ValueError):
+        streaming_hash_neardup_sink(str(tmp_path), "i", "h", max_hamming=8)
+
+
+def test_hash_sink_end_to_end_with_phash_stream(spark, tmp_path):
+    """Full composition: a STREAM of image blobs → image_phash on the
+    streaming frame (narrow Arrow stage) → foreachBatch hash sink — the
+    media mirror of the text E2E stream test."""
+    from spookystuff_spark.operators.multimodal import decode_image, image_phash
+    from spookystuff_spark.queries.media import _synth_pixels
+    from spookystuff_spark.streaming.neardup_stream import (
+        streaming_hash_neardup_sink,
+    )
+
+    src = tmp_path / "imgs"
+    src.mkdir()
+    import json as _json
+
+    rows = []
+    for d in (0, 1, 2):
+        rows.append({"img_id": d * 10,
+                     "blob_hex": (b"P5\n64 64\n255\n" + _synth_pixels(d, False).tobytes()).hex()})
+    rows.append({"img_id": 5,
+                 "blob_hex": (b"P5\n64 64\n255\n" + _synth_pixels(0, True).tobytes()).hex()})
+    (src / "batch.jsonl").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    import pyspark.sql.functions as F
+
+    stream = (
+        spark.readStream.schema("img_id long, blob_hex string")
+        .json(str(src))
+        .withColumn("media", F.unhex("blob_hex"))
+    )
+    hashed = image_phash(decode_image(stream, "media"))
+    sdir = str(tmp_path / "state")
+    q = (
+        hashed.writeStream.foreachBatch(
+            streaming_hash_neardup_sink(sdir, "img_id", "phash")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["id"] for r in accepted_ids(spark, sdir).collect()}
+    # the noisy variant of image 0 (id 5) must be dropped as a near-dup
+    assert got == {0, 10, 20}

@@ -281,3 +281,47 @@ def test_stream_writer_appends_with_exactly_once(registered, tmp_path):
 
     assert last_committed_batch(tdir) is not None
     assert len(U.committed_versions(tdir)) >= 2
+
+
+def test_typed_null_fill_under_schema_evolution(registered, tmp_path):
+    """Non-string additive evolution (r4 ADVICE regression): a DOUBLE column
+    added by a later upsert must read as typed DOUBLE nulls on pre-evolution
+    files — not string nulls — through both the DataSource batch reader and
+    the native manifest scan, at every version's own schema."""
+    import math
+
+    tdir = str(tmp_path / "evo")
+    U.write_table(
+        registered.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        tdir,
+    )
+    U.upsert(
+        registered,
+        tdir,
+        registered.createDataFrame(
+            [(2, "B", 0.5), (3, "c", 1.5)], "k int, v string, score double"
+        ),
+        ["k"],
+    )
+
+    df = (
+        registered.read.format("spooky_versioned")
+        .option("path", tdir)
+        .load()
+    )
+    assert dict(df.dtypes)["score"] == "double"
+    got = {r["k"]: r["score"] for r in df.collect()}
+    assert got[2] == 0.5 and got[3] == 1.5 and got[1] is None
+    # native scan agrees
+    nat = {r["k"]: r["score"] for r in U.read_table(registered, tdir).collect()}
+    assert nat == got
+    # time travel to v1: pre-evolution schema has NO score column
+    v1 = U.committed_versions(tdir)[0]
+    old = (
+        registered.read.format("spooky_versioned")
+        .option("path", tdir)
+        .option("version", v1)
+        .load()
+    )
+    assert "score" not in old.columns
+    assert {r["k"] for r in old.collect()} == {1, 2}
