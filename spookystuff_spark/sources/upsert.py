@@ -421,18 +421,37 @@ def compact(
     table_dir: str,
     num_files: int = 8,
     marker: str | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> str:
     """Rewrite the current snapshot into ``num_files`` files (small-file
     compaction; same manifest + pointer-swap commit, no change feed — the
     logical content is unchanged). ``marker``: carry a stream batch marker
     into the compacted version so maintenance under a streaming sink keeps
     replay protection even after ``vacuum`` drops the marker's original
-    append version (streaming/neardup_stream.py)."""
+    append version (streaming/neardup_stream.py).
+
+    ``zorder_by``: cluster the rewrite on the Z-curve over those columns
+    (Delta's ``OPTIMIZE ... ZORDER BY`` for this table format): range
+    partitioning + an in-partition sort on the interleaved key, so every
+    output file's parquet min/max footprint is tight in EVERY clustered
+    dimension and selective filters on any of them prune files at scan
+    planning (operators/layout.py's skipping proof applies verbatim)."""
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
-    current.repartition(num_files).write.mode("errorifexists").parquet(
-        fsio.join(table_dir, v)
-    )
+    vdir = fsio.join(table_dir, v)
+    if zorder_by:
+        from spookystuff_spark.operators.layout import zorder_key
+
+        (
+            current.withColumn("__z", zorder_key(list(zorder_by)))
+            .repartitionByRange(num_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("errorifexists")
+            .parquet(vdir)
+        )
+    else:
+        current.repartition(num_files).write.mode("errorifexists").parquet(vdir)
     _commit_snapshot(
         current.schema.json(), table_dir, v, (), "compact", marker
     )

@@ -202,3 +202,37 @@ def test_append_rows_is_metadata_only(spark, tmp_path):
     feed_files, kind = U.change_files(tdir, vs[-1])
     assert kind == "insert"
     assert [os.path.basename(f) for f in feed_files] == own
+
+
+def test_compact_zorder_enables_file_skipping(spark, tmp_path):
+    """OPTIMIZE-ZORDER parity for the versioned table: after
+    compact(zorder_by=[x, y]), a selective range filter on EITHER clustered
+    column skips most files on parquet footer stats, while a plain compact
+    of the same table skips none — and the logical content is unchanged."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.operators.layout import skipping_ratio
+
+    df = spark.range(0, 40_000).select(
+        F.col("id").alias("pk"),
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") / 200).cast("long") % 200).alias("y"),
+    )
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zord")
+    for tdir in (plain_dir, z_dir):
+        U.write_table(df.repartition(16), tdir, change_feed=False)
+    U.compact(spark, plain_dir, num_files=16)
+    U.compact(spark, z_dir, num_files=16, zorder_by=["x", "y"])
+
+    assert (
+        U.read_table(spark, z_dir).orderBy("pk").collect()
+        == U.read_table(spark, plain_dir).orderBy("pk").collect()
+    )
+    plain_snap = os.path.join(plain_dir, U.committed_versions(plain_dir)[-1])
+    z_snap = os.path.join(z_dir, U.committed_versions(z_dir)[-1])
+    for col in ("x", "y"):
+        r_plain = skipping_ratio(plain_snap, col, 10, 19)  # 5% selectivity
+        r_z = skipping_ratio(z_snap, col, 10, 19)
+        assert r_plain == 0.0
+        assert r_z >= 0.5, f"z-order compact should skip files on {col}: {r_z}"
