@@ -68,3 +68,76 @@ def _obs_from_json(d: dict) -> Observation:
     if d.get("content") is not None:
         d["content"] = bytes.fromhex(d["content"])
     return Observation.from_row(d)
+
+
+def vacuum_cache(
+    spark,
+    root: str,
+    older_than_ms: int,
+    keep_latest_per_key: bool = True,
+) -> dict:
+    """Distributed TTL garbage collection of the DFS doc cache: delete every
+    cache generation older than ``older_than_ms``, optionally always
+    keeping each key's newest generation (so a warm key never goes fully
+    cold even past TTL — reads already ignore expired entries, this
+    reclaims the bytes). One task per shard (256 two-hex prefixes), each
+    listing and deleting through fsio from the executor — the driver never
+    walks the tree, which is what makes this viable on a cache with
+    millions of keys. Wayback note: time-travel reads only reach
+    generations that still exist — size retention against wayback depth
+    like any lakehouse vacuum. Returns {n_deleted, n_kept, n_keys}."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    shards = [s for s in fsio.ls(root) if fsio.is_dir(fsio.join(root, s))]
+    if not shards:
+        return {"n_deleted": 0, "n_kept": 0, "n_keys": 0}
+    schema = StructType(
+        [
+            StructField("n_deleted", LongType()),
+            StructField("n_kept", LongType()),
+            StructField("n_keys", LongType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            deleted = kept = keys = 0
+            for shard in pdf["shard"]:
+                shard_dir = fsio.join(root, shard)
+                for key in fsio.ls(shard_dir):
+                    key_dir = fsio.join(shard_dir, key)
+                    gens = []
+                    for name in fsio.ls(key_dir):
+                        if not name.endswith(".json.gz"):
+                            continue
+                        try:
+                            gens.append((int(name.split(".")[0]), name))
+                        except ValueError:
+                            continue
+                    if not gens:
+                        continue
+                    keys += 1
+                    gens.sort()
+                    newest = gens[-1][0]
+                    for ts, name in gens:
+                        if ts >= older_than_ms or (
+                            keep_latest_per_key and ts == newest
+                        ):
+                            kept += 1
+                        else:
+                            fsio.delete_file(fsio.join(key_dir, name))
+                            deleted += 1
+            yield pd.DataFrame(
+                [{"n_deleted": deleted, "n_kept": kept, "n_keys": keys}]
+            )
+
+    df = spark.createDataFrame([(s,) for s in shards], "shard string")
+    parts = min(len(shards), 64)
+    rows = df.repartition(parts).mapInPandas(run, schema).collect()
+    return {
+        "n_deleted": sum(r["n_deleted"] for r in rows),
+        "n_kept": sum(r["n_kept"] for r in rows),
+        "n_keys": sum(r["n_keys"] for r in rows),
+    }

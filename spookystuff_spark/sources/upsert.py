@@ -46,6 +46,16 @@ _MANIFEST = "_MANIFEST.json"
 _CHANGES = "_changes"
 _KIND = "_kind"
 
+_UNCHECKED = object()  # sentinel: commit without a conflict check
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The table advanced between this writer's snapshot read and its
+    commit — committing would silently drop the interleaved writer's rows
+    (lost update). Best-effort detection under the single-writer contract:
+    the check closes all but a tiny pre-swap window; retry the operation
+    against the new state."""
+
 
 def _latest(table_dir: str) -> str | None:
     p = fsio.join(table_dir, _POINTER)
@@ -160,17 +170,34 @@ def _commit_snapshot(
     extra_entries: Sequence[str] = (),
     kind: str = "upsert",
     marker: str | None = None,
+    expected_parent=_UNCHECKED,
 ) -> None:
     """Manifest (own files + ``extra_entries``) → optional marker → pointer
     swap. The marker rides the same commit as the manifest: a crash before
     the swap leaves a dangling, never-read dir; after it, marker and
     snapshot are visible together — the hook streaming/sink.py uses for
-    exactly-once batch idempotence."""
+    exactly-once batch idempotence.
+
+    ``expected_parent``: the version the WRITER read its input snapshot
+    from. If the pointer no longer names it at commit time, another writer
+    committed in between and this snapshot would erase their rows —
+    :class:`ConcurrentWriteError` is raised instead, the pointer stays
+    untouched, and the torn dir is ordinary vacuumable debris. The
+    manifest's chain link is the EXPECTED parent (the state the data was
+    derived from), never a re-read."""
+    if expected_parent is _UNCHECKED:
+        parent = _latest(table_dir)
+    else:
+        parent = expected_parent
+        now = _latest(table_dir)
+        if now != expected_parent:
+            raise ConcurrentWriteError(
+                f"{table_dir}: expected parent {expected_parent!r} but the "
+                f"table advanced to {now!r} — retry against the new state"
+            )
     entries = list(extra_entries) + _own_entries(table_dir, version)
-    # parent = the version the pointer names NOW: the chain link that makes
-    # this version committed once (and only once) the swap lands
     write_manifest(
-        table_dir, version, entries, df_schema_json, kind, parent=_latest(table_dir)
+        table_dir, version, entries, df_schema_json, kind, parent=parent
     )
     if marker:
         fsio.touch(fsio.join(table_dir, version, marker))
@@ -317,7 +344,10 @@ def upsert(
         _write_change_feed(
             snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
         )
-    _commit_snapshot(merged.schema.json(), table_dir, v, (), "upsert", marker)
+    _commit_snapshot(
+        merged.schema.json(), table_dir, v, (), "upsert", marker,
+        expected_parent=cur_v,
+    )
     return v
 
 
@@ -357,7 +387,10 @@ def append_rows(
         _write_change_feed_refs(
             table_dir, v, _own_entries(table_dir, v), "insert"
         )
-    _commit_snapshot(schema_json, table_dir, v, prev_entries, "append", marker)
+    _commit_snapshot(
+        schema_json, table_dir, v, prev_entries, "append", marker,
+        expected_parent=cur,
+    )
     return v
 
 
@@ -404,6 +437,7 @@ def delete_where(
     spark: SparkSession, table_dir: str, condition, change_feed: bool = True
 ) -> str:
     """Anti-delete: new snapshot without rows matching ``condition``."""
+    cur = _latest(table_dir)
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
     current.where(~condition).write.mode("errorifexists").parquet(
@@ -412,7 +446,10 @@ def delete_where(
     if change_feed:
         # deleted rows come from the (immutable) PREVIOUS snapshot scan
         _write_change_feed(current.where(condition), table_dir, v, "delete")
-    _commit_snapshot(current.schema.json(), table_dir, v, (), "delete")
+    _commit_snapshot(
+        current.schema.json(), table_dir, v, (), "delete",
+        expected_parent=cur,
+    )
     return v
 
 
@@ -436,6 +473,7 @@ def compact(
     output file's parquet min/max footprint is tight in EVERY clustered
     dimension and selective filters on any of them prune files at scan
     planning (operators/layout.py's skipping proof applies verbatim)."""
+    cur = _latest(table_dir)
     current = read_table(spark, table_dir)
     v = _next_version(table_dir)
     vdir = fsio.join(table_dir, v)
@@ -453,7 +491,8 @@ def compact(
     else:
         current.repartition(num_files).write.mode("errorifexists").parquet(vdir)
     _commit_snapshot(
-        current.schema.json(), table_dir, v, (), "compact", marker
+        current.schema.json(), table_dir, v, (), "compact", marker,
+        expected_parent=cur,
     )
     return v
 

@@ -217,3 +217,33 @@ def test_per_scheme_cache_levels(spark, tmp_path):
     # wildcard default applies to unlisted schemes
     mem_cache.clear()
     assert run(SpookyConf(cache_levels={"http": "all", "*": "none"})) == 2
+
+
+def test_vacuum_cache_ttl_gc(spark, tmp_path):
+    """Distributed cache GC: old generations are deleted, each key's newest
+    survives (keep_latest_per_key), fresh generations untouched — and
+    reads still work afterwards."""
+    from spookystuff_spark.caching.dfs import vacuum_cache
+    from spookystuff_spark.doc.observation import Observation
+
+    root = str(tmp_path / "dfs")
+    obs = lambda body: [Observation(uri="http://x", content=body, mime="text/plain")]
+    # key A: three generations, two stale; key B: single stale generation
+    dfs_cache.put(root, "a" * 32, obs(b"g1"), 1000)
+    dfs_cache.put(root, "a" * 32, obs(b"g2"), 2000)
+    dfs_cache.put(root, "a" * 32, obs(b"g3"), 9000)
+    dfs_cache.put(root, "b" * 32, obs(b"old"), 1500)
+
+    stats = vacuum_cache(spark, root, older_than_ms=5000)
+    assert stats == {"n_deleted": 2, "n_kept": 2, "n_keys": 2}
+    # key A: only g3 remains; key B's only (stale) generation was kept
+    got_a = dfs_cache.get(root, "a" * 32)
+    assert got_a is not None and got_a[0].bytes() == b"g3"
+    assert dfs_cache.get(root, "a" * 32, before_ms=2500) is None  # g1/g2 gone
+    got_b = dfs_cache.get(root, "b" * 32)
+    assert got_b is not None and got_b[0].bytes() == b"old"
+
+    # strict GC without the keep-latest floor removes B entirely
+    stats2 = vacuum_cache(spark, root, older_than_ms=5000, keep_latest_per_key=False)
+    assert stats2["n_deleted"] == 1
+    assert dfs_cache.get(root, "b" * 32) is None

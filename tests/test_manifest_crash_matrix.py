@@ -138,3 +138,28 @@ def test_stream_marker_rides_the_manifest_commit(spark, seeded):
     fsio.touch(fsio.join(tdir, v, "_BATCH_app_7"))
     # crash before pointer swap: the marker must NOT count
     assert last_committed_batch(tdir, "app") is None
+
+
+def test_concurrent_writer_conflict_detected(spark, seeded):
+    """Lost-update guard: a writer whose snapshot read predates another
+    writer's commit must FAIL at commit time, not silently erase the
+    interleaved rows. Simulated via the internal commit hook with a stale
+    expected parent; the pointer stays untouched and the debris vacuums."""
+    tdir = seeded
+    stale_parent = U._latest(tdir)  # v00001 — what the slow writer read
+    # a fast writer lands first
+    U.upsert(spark, tdir, _mk(spark, [(3, "c")]), ["k"])
+    # the slow writer now tries to commit a snapshot derived from v00001
+    v = U._next_version(tdir)
+    _mk(spark, [(1, "a"), (2, "b"), (4, "slow")]).write.parquet(
+        fsio.join(tdir, v)
+    )
+    with pytest.raises(U.ConcurrentWriteError):
+        U._commit_snapshot(
+            None, tdir, v, (), "upsert", expected_parent=stale_parent
+        )
+    # nothing moved: the fast writer's state is intact, debris vacuums
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+    assert v not in U.committed_versions(tdir)
+    U.vacuum(tdir, keep=10)
+    assert not fsio.exists(fsio.join(tdir, v))
