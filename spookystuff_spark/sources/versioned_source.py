@@ -221,26 +221,29 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
     def _commit_files(self, messages, marker: str | None = None) -> None:
         staged = [m.filename for m in messages if m and m.filename]
+        # the parent captured HERE is both the chain link and the
+        # lost-update guard: prev_entries derive from it, and the pointer
+        # must still name it at swap time (upsert.ConcurrentWriteError
+        # otherwise — same best-effort OCC as the native writers)
+        parent = U._latest(self.table_dir)
         v = U._next_version(self.table_dir)
         vdir = fsio.join(self.table_dir, v)
         fsio.mkdirs(vdir)
         for f in staged:
             fsio.move(fsio.join(self.staging, f), fsio.join(vdir, f))
         prev_entries: list[str] = []
-        if not self.overwrite:
-            cur = U.committed_versions(self.table_dir)
-            if cur:
-                m = U.read_manifest(self.table_dir, cur[-1])
-                prev_entries = (
-                    list(m["files"])
-                    if m is not None
-                    else [
-                        f"{cur[-1]}/{n}"
-                        for n in U._parquet_names(
-                            fsio.join(self.table_dir, cur[-1])
-                        )
-                    ]
-                )
+        if not self.overwrite and parent is not None:
+            m = U.read_manifest(self.table_dir, parent)
+            prev_entries = (
+                list(m["files"])
+                if m is not None
+                else [
+                    f"{parent}/{n}"
+                    for n in U._parquet_names(
+                        fsio.join(self.table_dir, parent)
+                    )
+                ]
+            )
         own = [f"{v}/{f}" for f in staged]
         U._write_change_feed_refs(self.table_dir, v, own, "upsert")
         fsio.touch(fsio.join(vdir, "_SUCCESS"))
@@ -250,10 +253,17 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             prev_entries + own,
             self.schema_json,
             "upsert" if self.overwrite else "append",
-            parent=U._latest(self.table_dir),  # chain link; swap commits it
+            parent=parent,
         )
         if marker:
             fsio.touch(fsio.join(vdir, marker))
+        now = U._latest(self.table_dir)
+        if now != parent:
+            self._cleanup()
+            raise U.ConcurrentWriteError(
+                f"{self.table_dir}: expected parent {parent!r} but the table "
+                f"advanced to {now!r} — retry the write"
+            )
         U._swap_pointer(self.table_dir, v)
         self._cleanup()
 
