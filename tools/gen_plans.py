@@ -41,6 +41,11 @@ COMMENTARY = {
     "q_line_dedup": "First-occurrence selection is a map-side-combined min(struct) aggregate keyed on the line (a million-copy boilerplate line costs the exchange one row per map task); the join-back is AQE-skew-splittable; doc rebuild is one ordered aggregate. Blank lines never enter the dedup key space.",
     "q_ccnet_buckets": "Rides the shared trigram-LM plan (see q_char_trigram_logprob); the tercile cut is one ntile window per language over quantized scores — rank-only, nothing wide materializes per partition.",
     "q_cdc_upsert": "The visible plan reads the eagerly-checkpointed diff (the temp versioned table is already reclaimed). Upstream: two scan-shaped snapshot writes, a MERGE (anti-join on broadcast update keys + union), and one full-outer key join between two immutable snapshots — the diff output is bounded by changed rows, never table size.",
+    "q_image_phash": "The synth→decode→pHash Arrow stages sit behind the eager (id, hash) checkpoint (Scan ExistingRDD — they run exactly once for the four consumers). The candidate search is a band-equality ShuffledHashJoin/SortMergeJoin over 8-per-image band rows with the oversized-bucket list arriving via a broadcast LEFT-ANTI join; verification is codegen bit_count(XOR). No CartesianProduct anywhere — plan-asserted.",
+    "q_audio_fingerprint": "Identical join shape to q_image_phash (the banded Hamming join is hash-agnostic); upstream the WAV synth + PCM decode + 9x9 FFT fingerprint run as one narrow Arrow stage per partition, pinned once by the checkpoint.",
+    "q_video_neardup": "Per-frame hashes explode 1→N inside the same Arrow stage as the Y4M frame walk; frame identity packs to one long (video*1024+frame, codegen overflow guard), so the frame-level search IS the banded join, and the video verdict is one count_distinct aggregate over surviving frame pairs — never all-(videos²) or all-(frames²).",
+    "q_fuzzy_join": "Trigram blocking keys (padded substrings + length-band keys) generate in scan-stage codegen; the oversized-block list broadcasts into a LEFT-ANTI join; candidates meet in a block-equality join, dedup once, then the length prefilter and the exact JVM levenshtein verify run in codegen. Hex alphabet note: 4096 trigram values keep blocks ~n/4096 (bigrams would be ~n/256 — near-quadratic candidates).",
+    "q_kmv_overlap": "One corpus aggregation builds every group's sketch (map-side combined (group, hash) distinct + k-bounded rank window); the pairwise stage consumes only the groups x k sketch table and broadcasts it into the groups² comparison — array_union/intersect/slice all codegen, the corpus is scanned exactly once.",
 }
 
 
