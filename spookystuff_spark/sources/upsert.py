@@ -320,10 +320,18 @@ def upsert(
     key_cols: Sequence[str],
     marker: str | None = None,
     change_feed: bool = True,
+    feed_preimages: bool = False,
 ) -> str:
     """MERGE: rows matching an update key are replaced, others kept, new keys
     inserted. One anti-join (update keys broadcast when small) + one union;
-    the new snapshot commits with a pointer swap. Returns the version."""
+    the new snapshot commits with a pointer swap. Returns the version.
+
+    ``feed_preimages=True`` additionally logs the REPLACED rows (the old
+    values of matched update keys) to the change feed as
+    ``_change='update_preimage'`` — Delta CDF's preimage rows, which is
+    what makes decomposable aggregates incrementally maintainable from the
+    feed alone (sources/incremental.py): an update contributes
+    postimage − preimage instead of requiring a snapshot diff."""
     cur_v = _latest(table_dir)
     if cur_v is None:
         return write_table(updates, table_dir, marker, change_feed)
@@ -344,6 +352,13 @@ def upsert(
         _write_change_feed(
             snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
         )
+        if feed_preimages:
+            import pyspark.sql.functions as F
+
+            pre = current.join(keys, list(key_cols), "leftsemi")
+            pre.withColumn("_change", F.lit("update_preimage")).write.mode(
+                "append"
+            ).parquet(fsio.join(table_dir, v, _CHANGES))
     _commit_snapshot(
         merged.schema.json(), table_dir, v, (), "upsert", marker,
         expected_parent=cur_v,

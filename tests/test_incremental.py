@@ -1,0 +1,117 @@
+"""Incremental materialized aggregates from the change feed
+(sources/incremental.py): fold-vs-recompute equality across upserts with
+preimages, deletes, metadata-only appends and compactions; exactly-once
+refresh markers; loud refusal when preimages are missing."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.incremental import (
+    last_processed_version,
+    refresh_aggregate,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k int, grp string, val long")
+
+
+def _expected(spark, src):
+    return {
+        (r["grp"], r["val_sum"], r["n_rows"])
+        for r in U.read_table(spark, src)
+        .groupBy("grp")
+        .agg(F.sum("val").alias("val_sum"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+
+
+def _got(spark, dst):
+    return {
+        (r["grp"], r["val_sum"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+
+
+def test_fold_tracks_recompute_through_all_commit_kinds(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    # v1 baseline
+    U.write_table(
+        _rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]), src
+    )
+    assert refresh_aggregate(spark, src, dst, ["grp"], ["val"]) is not None
+    assert _got(spark, dst) == _expected(spark, src) == {
+        ("a", 30, 2), ("b", 5, 1)
+    }
+
+    # v2: upsert WITH preimages — update k=2 (a: 20→25), insert k=4 (b)
+    U.upsert(
+        spark, src, _rows(spark, [(2, "a", 25), (4, "b", 7)]), ["k"],
+        feed_preimages=True,
+    )
+    # v3: metadata-only append
+    U.append_rows(spark, src, _rows(spark, [(5, "c", 100)]))
+    # v4: delete a whole group
+    U.delete_where(spark, src, F.col("grp") == "c")
+    # v5: compaction (no logical change, no feed)
+    U.compact(spark, src, num_files=2)
+
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert _got(spark, dst) == _expected(spark, src) == {
+        ("a", 35, 2), ("b", 12, 2)
+    }
+    assert last_processed_version(dst) == U.committed_versions(src)[-1]
+
+    # idempotence: nothing new → no-op, no new derived version
+    n = len(U.committed_versions(dst))
+    assert refresh_aggregate(spark, src, dst, ["grp"], ["val"]) is None
+    assert len(U.committed_versions(dst)) == n
+
+
+def test_group_vanishes_at_zero_count(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 1), (2, "b", 2)]), src)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    U.delete_where(spark, src, F.col("grp") == "b")
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert _got(spark, dst) == {("a", 1, 1)}
+
+
+def test_upsert_without_preimages_refuses(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 1)]), src)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    # an update whose old value the fold can't subtract
+    U.upsert(spark, src, _rows(spark, [(1, "a", 9)]), ["k"])
+    with pytest.raises(ValueError, match="preimage"):
+        refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    # the derived table did not drift
+    assert _got(spark, dst) == {("a", 1, 1)}
+
+
+def test_refresh_is_incremental_not_a_rescan(spark, tmp_path):
+    """The fold must read feed files only — prove it by destroying the
+    ability to rescan: once a feed has been CONSUMED (refreshed), vacuum
+    the source down to the newest version (dropping every old snapshot and
+    consumed feed), append more rows, and the next refresh still lands
+    exactly because it needs only the NEW feed. (Retention contract, same
+    as Delta CDF: never vacuum a feed a consumer has not processed yet —
+    the processed watermark in the derived table is what you check.)"""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 10)]), src)
+    U.append_rows(spark, src, _rows(spark, [(2, "a", 5), (3, "b", 1)]))
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])  # consumes v1+v2
+    U.compact(spark, src, num_files=1)
+    U.vacuum(src, keep=1)  # consumed snapshots and feeds are gone
+    U.append_rows(spark, src, _rows(spark, [(4, "b", 2)]))
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert _got(spark, dst) == _expected(spark, src) == {
+        ("a", 15, 2), ("b", 3, 2)
+    }
