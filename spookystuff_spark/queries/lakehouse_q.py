@@ -83,3 +83,65 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+ORACLE_IVM = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+           COUNT(*) AS n_rows
+    FROM base WHERE lang <> 'de' GROUP BY lang
+"""
+
+
+@bench_only("q_ivm_refresh")
+def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance fold, gate-pinned end-to-end: build a
+    versioned source from the documents corpus, refresh a derived
+    per-language sum/count table after EACH commit (baseline insert →
+    preimage-logging MERGE → delete), and return the final derived state.
+    Each refresh folds only that commit's change feed (never rescanning
+    the source — sources/incremental.py), so the oracle's closed-form
+    recompute passing means three successive incremental deltas composed
+    exactly. Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+    from spookystuff_spark.sources.upsert import delete_where, upsert, write_table
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = base.where(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    inserts = base.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = tempfile.mkdtemp(prefix="spooky-ivm-src-")
+    dst = tempfile.mkdtemp(prefix="spooky-ivm-dst-")
+    try:
+        write_table(base, src)
+        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        upsert(
+            spark, src, updates.unionByName(inserts), ["doc_id"],
+            feed_preimages=True,
+        )
+        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        delete_where(spark, src, F.col("lang") == "de")
+        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        from spookystuff_spark.sources.upsert import read_table
+
+        out = read_table(spark, dst).select(
+            "lang",
+            F.col("n_chars_sum").cast("long").alias("n_chars_sum"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dirs
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)

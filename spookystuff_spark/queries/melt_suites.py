@@ -74,7 +74,12 @@ from spookystuff_spark.queries.graph_ops import (
     q_dsir_select,
     q_pagerank_purchases,
 )
-from spookystuff_spark.queries.lakehouse_q import ORACLE_CDC, q_cdc_upsert
+from spookystuff_spark.queries.lakehouse_q import (
+    ORACLE_CDC,
+    ORACLE_IVM,
+    q_cdc_upsert,
+    q_ivm_refresh,
+)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
@@ -85,7 +90,7 @@ WITH {PAGERANK_CTES},
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
-     kvo AS ({ORACLE_KMV_OVERLAP})
+     kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -121,6 +126,9 @@ UNION ALL {_melt_sql(
     "kvo", "q_kmv_overlap", ["group_a", "group_b"],
     ["est_a", "est_b", "est_union", "est_intersection", "jaccard",
      "containment_a_in_b"],
+)}
+UNION ALL {_melt_sql(
+    "ivm", "q_ivm_refresh", ["lang"], ["n_chars_sum", "n_rows"],
 )}"""
 
 
@@ -206,6 +214,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["group_a", "group_b"],
             ["est_a", "est_b", "est_union", "est_intersection", "jaccard",
              "containment_a_in_b"],
+        ),
+        _melt(
+            q_ivm_refresh(spark, sf_dir),
+            "q_ivm_refresh",
+            ["lang"],
+            ["n_chars_sum", "n_rows"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -373,7 +387,7 @@ register_suite(
         "q_string_functions", "q_date_dimensions", "q_hll_distinct_users",
         "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
         "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
-        "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap",
+        "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap", "q_ivm_refresh",
     ],
 )
 register_suite(
