@@ -118,11 +118,21 @@ def refresh_aggregate(
     dst_dir: str,
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
 ) -> str | None:
     """Fold source changes since the last refresh into the derived
     aggregate table at ``dst_dir`` (schema: group_cols, ``<c>_sum`` per sum
-    col, ``n_rows``). Returns the new derived version, or None if the
-    source had nothing new. Groups whose count reaches zero are removed."""
+    col, ``<c>_min``/``<c>_max`` per min/max col, ``n_rows``). Returns the
+    new derived version, or None if the source had nothing new. Groups
+    whose count reaches zero are removed.
+
+    ``min_cols``/``max_cols`` are only foldable on INSERT-ONLY feeds
+    (mins/maxes don't decompose under subtraction: deleting the current
+    minimum would require a rescan). A batch containing preimage/delete
+    rows while min/max maintenance is requested raises — use a full
+    recompute for those tables, exactly the trade-off Delta documents for
+    aggregate-by-design materializations."""
     after = last_processed_version(dst_dir)
     changes, newest = _changes_since(spark, src_dir, after)
     if newest is None:
@@ -130,6 +140,17 @@ def refresh_aggregate(
 
     gcols = list(group_cols)
     if changes is not None:
+        if min_cols or max_cols:
+            neg = (
+                changes.where(F.col("_change").isin(*_NEG)).limit(1).count()
+            )
+            if neg:
+                raise ValueError(
+                    f"{src_dir}: min/max maintenance requires an "
+                    "insert-only feed — this batch contains "
+                    "preimage/delete rows (mins and maxes do not "
+                    "decompose under subtraction)"
+                )
         sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
             F.lit(-1)
         )
@@ -138,6 +159,8 @@ def refresh_aggregate(
                 F.sum(F.col(c) * sign).alias(f"{c}_sum")
                 for c in sum_cols
             ],
+            *[F.min(F.col(c)).alias(f"{c}_min") for c in min_cols],
+            *[F.max(F.col(c)).alias(f"{c}_max") for c in max_cols],
             F.sum(sign).alias("n_rows"),
         )
     else:
@@ -158,6 +181,8 @@ def refresh_aggregate(
         d = delta.select(
             *gcols,
             *[F.col(f"{c}_sum").alias(f"_d_{c}_sum") for c in sum_cols],
+            *[F.col(f"{c}_min").alias(f"_d_{c}_min") for c in min_cols],
+            *[F.col(f"{c}_max").alias(f"_d_{c}_max") for c in max_cols],
             F.col("n_rows").alias("_d_n"),
         )
         joined = current.join(d, gcols, "full_outer")
@@ -169,6 +194,24 @@ def refresh_aggregate(
                     + F.coalesce(F.col(f"_d_{c}_sum"), F.lit(0))
                 ).alias(f"{c}_sum")
                 for c in sum_cols
+            ],
+            *[
+                # least/greatest return null only when BOTH sides are null;
+                # a group present on one side only keeps its own extreme
+                F.coalesce(
+                    F.least(F.col(f"{c}_min"), F.col(f"_d_{c}_min")),
+                    F.col(f"{c}_min"),
+                    F.col(f"_d_{c}_min"),
+                ).alias(f"{c}_min")
+                for c in min_cols
+            ],
+            *[
+                F.coalesce(
+                    F.greatest(F.col(f"{c}_max"), F.col(f"_d_{c}_max")),
+                    F.col(f"{c}_max"),
+                    F.col(f"_d_{c}_max"),
+                ).alias(f"{c}_max")
+                for c in max_cols
             ],
             (
                 F.coalesce(F.col("n_rows"), F.lit(0))
@@ -185,3 +228,40 @@ def refresh_aggregate(
         marker=f"{_SRC_MARK}{newest}",
         change_feed=False,
     )
+
+
+def streaming_refresh_sink(
+    src_dir: str,
+    dst_dir: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    **refresh_kwargs,
+):
+    """``foreachBatch`` body turning the ``spooky_versioned`` CDC stream
+    into a CONTINUOUSLY-maintained aggregate: every micro-batch triggers
+    :func:`refresh_aggregate`. The batch DataFrame is only the trigger —
+    the fold reads the feed itself from the ``_SRC_`` watermark, so
+    replayed micro-batches, overlapping triggers and stream restarts are
+    all naturally exactly-once (the watermark, not the stream checkpoint,
+    is the source of truth).
+
+    Usage::
+
+        (spark.readStream.format("spooky_versioned")
+           .option("path", src).option("changeFeed", "true").load()
+           .writeStream
+           .foreachBatch(streaming_refresh_sink(src, dst, ["g"], ["v"]))
+           .start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_aggregate(
+            batch_df.sparkSession,
+            src_dir,
+            dst_dir,
+            group_cols,
+            sum_cols,
+            **refresh_kwargs,
+        )
+
+    return sink

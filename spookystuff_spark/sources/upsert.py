@@ -100,11 +100,14 @@ def write_manifest(
     the parent chain walked back from ``_LATEST``, so a crashed writer's
     dir — even one that got as far as its manifest, or that carries
     Spark's ``_SUCCESS`` — is unreachable debris, never readable state."""
+    import time
+
     payload = {
         "files": list(files),
         "schema": schema_json,
         "kind": kind,
         "parent": parent,
+        "ts_ms": int(time.time() * 1000),
     }
     fsio.write_bytes(
         fsio.join(table_dir, version, _MANIFEST),
@@ -264,7 +267,10 @@ def change_files(table_dir: str, version: str) -> tuple[list[str], str | None]:
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, version: str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read the current snapshot, or time-travel to an earlier committed
     ``version`` (any complete dir ≤ the pointer that vacuum hasn't dropped).
@@ -275,6 +281,10 @@ def read_table(
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
+    if as_of_ms is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ms, not both")
+        version = version_at(table_dir, as_of_ms)
     v = version or cur
     if v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
@@ -720,3 +730,43 @@ def frame_diff(
             "_change",
         )
     )
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit history, oldest first (the Delta ``DESCRIBE HISTORY`` shape):
+    one dict per committed version — version, kind, parent, ts_ms (commit
+    wall-clock, None on pre-timestamp manifests), n_files (snapshot width)
+    and n_own_files (files physically written by that commit). Reads only
+    manifests — O(versions), bounded by vacuum."""
+    out = []
+    for v in committed_versions(table_dir):
+        m = read_manifest(table_dir, v) or {}
+        files = m.get("files", [])
+        out.append(
+            {
+                "version": v,
+                "kind": m.get("kind"),
+                "parent": m.get("parent"),
+                "ts_ms": m.get("ts_ms"),
+                "n_files": len(files),
+                "n_own_files": sum(
+                    1 for e in files if e.startswith(f"{v}/")
+                ),
+            }
+        )
+    return out
+
+
+def version_at(table_dir: str, ts_ms: int) -> str:
+    """Newest committed version whose commit timestamp is ≤ ``ts_ms`` —
+    the ``TIMESTAMP AS OF`` resolution rule. Raises when the table has no
+    commit that old (all newer, or timestamps unrecorded)."""
+    best = None
+    for h in history(table_dir):
+        if h["ts_ms"] is not None and h["ts_ms"] <= ts_ms:
+            best = h["version"]
+    if best is None:
+        raise FileNotFoundError(
+            f"no commit in {table_dir} at or before ts_ms={ts_ms}"
+        )
+    return best

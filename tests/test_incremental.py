@@ -115,3 +115,87 @@ def test_refresh_is_incremental_not_a_rescan(spark, tmp_path):
     assert _got(spark, dst) == _expected(spark, src) == {
         ("a", 15, 2), ("b", 3, 2)
     }
+
+
+def test_minmax_fold_on_insert_only_source(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 10), (2, "b", 7)]), src)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    U.append_rows(spark, src, _rows(spark, [(3, "a", 3), (4, "c", 99)]))
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    got = {
+        (r["grp"], r["val_sum"], r["val_min"], r["val_max"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {
+        ("a", 13, 3, 10, 2),
+        ("b", 7, 7, 7, 1),
+        ("c", 99, 99, 99, 1),
+    }
+
+
+def test_minmax_refuses_non_insert_feed(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 10)]), src)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"]
+    )
+    U.delete_where(spark, src, F.col("k") == 1)
+    with pytest.raises(ValueError, match="insert-only"):
+        refresh_aggregate(
+            spark, src, dst, ["grp"], ["val"], min_cols=["val"]
+        )
+    # sum/count-only fold over the same feed is fine
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert U.read_table(spark, dst).count() == 0
+
+
+def test_streaming_refresh_follows_cdc(spark, tmp_path):
+    """CDC stream → foreachBatch refresh: the derived aggregate follows
+    source commits continuously, exactly-once via the _SRC_ watermark."""
+    from spookystuff_spark.sources.incremental import streaming_refresh_sink
+    from spookystuff_spark.sources.versioned_source import (
+        VersionedTableDataSource,
+    )
+
+    spark.dataSource.register(VersionedTableDataSource)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 10)]), src)
+
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            streaming_refresh_sink(src, dst, ["grp"], ["val"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert _got(spark, dst) == {("a", 10, 1)}
+        U.append_rows(spark, src, _rows(spark, [(2, "a", 5), (3, "b", 2)]))
+        q.processAllAvailable()
+        assert _got(spark, dst) == {("a", 15, 2), ("b", 2, 1)}
+        U.upsert(
+            spark, src, _rows(spark, [(3, "b", 4)]), ["k"],
+            feed_preimages=True,
+        )
+        q.processAllAvailable()
+        assert _got(spark, dst) == _expected(spark, src) == {
+            ("a", 15, 2), ("b", 4, 1)
+        }
+    finally:
+        q.stop()

@@ -236,3 +236,49 @@ def test_compact_zorder_enables_file_skipping(spark, tmp_path):
         r_z = skipping_ratio(z_snap, col, 10, 19)
         assert r_plain == 0.0
         assert r_z >= 0.5, f"z-order compact should skip files on {col}: {r_z}"
+
+
+def test_history_and_timestamp_time_travel(spark, tmp_path):
+    """DESCRIBE-HISTORY parity: per-commit kind/parent/timestamps/file
+    counts, and TIMESTAMP-AS-OF reads resolving to the newest commit at or
+    before the asked instant."""
+    import time
+
+    tdir = str(tmp_path / "tbl")
+    U.write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), tdir
+    )
+    t_after_v1 = int(time.time() * 1000)
+    time.sleep(0.05)
+    U.append_rows(
+        spark, tdir, spark.createDataFrame([(2, "b")], "k int, v string")
+    )
+    U.upsert(
+        spark, tdir,
+        spark.createDataFrame([(1, "A")], "k int, v string"), ["k"],
+    )
+
+    h = U.history(tdir)
+    assert [x["version"] for x in h] == ["v00001", "v00002", "v00003"]
+    assert [x["kind"] for x in h] == ["upsert", "append", "upsert"]
+    assert [x["parent"] for x in h] == [None, "v00001", "v00002"]
+    assert all(x["ts_ms"] is not None for x in h)
+    assert h[0]["ts_ms"] <= h[1]["ts_ms"] <= h[2]["ts_ms"]
+    # the append's snapshot = its own new files + v1's carried references
+    assert h[1]["n_files"] == h[1]["n_own_files"] + h[0]["n_files"]
+    assert h[1]["n_own_files"] >= 1
+
+    got = {
+        (r["k"], r["v"])
+        for r in U.read_table(spark, tdir, as_of_ms=t_after_v1).collect()
+    }
+    assert got == {(1, "a")}
+    now = {
+        (r["k"], r["v"])
+        for r in U.read_table(spark, tdir, as_of_ms=int(time.time() * 1000)).collect()
+    }
+    assert now == {(1, "A"), (2, "b")}
+    with pytest.raises(FileNotFoundError):
+        U.version_at(tdir, h[0]["ts_ms"] - 10_000)
+    with pytest.raises(ValueError):
+        U.read_table(spark, tdir, version="v00001", as_of_ms=t_after_v1)
