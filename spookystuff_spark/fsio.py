@@ -217,3 +217,16 @@ def open_input(path: str):
     """Random-access input file (what ``pq.ParquetFile`` wants)."""
     fs, p = resolve(path)
     return fs.open_input_file(p)
+
+
+def list_files_recursive(path: str) -> List[str]:
+    """Paths of all FILES under ``path`` (any depth), relative to it,
+    sorted. [] when the directory is missing."""
+    fs, p = resolve(path)
+    sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+    base = p.rstrip("/") + "/"
+    return sorted(
+        fi.path[len(base):]
+        for fi in fs.get_file_info(sel)
+        if fi.type == pafs.FileType.File
+    )

@@ -1,0 +1,209 @@
+"""Partition-aware versioned table: MERGE that rewrites ONLY the touched
+partitions — the O(changed-partitions) upsert the plain snapshot rewrite
+cannot give at 100 TB.
+
+Layout: each version's data files live under hive-style subdirs
+``v000NN/__part=<value>/part-*.parquet`` (``__part`` is a throwaway COPY of
+the partition column made just for ``partitionBy`` layout — the real column
+stays inside the files, so manifest-driven file reads need no partition
+discovery). Every manifest entry therefore carries its partition value in
+its own path; carry-forward and pruning are pure string operations on the
+manifest.
+
+``upsert_partitioned``:
+
+1. collect the distinct partition values present in the updates (bounded
+   by touched partitions — raise if the caller exceeds ``max_touched``);
+2. read ONLY the current snapshot files of those partitions (manifest
+   pruning: untouched partitions cost zero IO);
+3. anti-join + union within the touched slice, write it back
+   ``partitionBy``-style into the new version dir;
+4. manifest = untouched entries carried BY REFERENCE + the new files;
+   commit with the usual chain/OCC/pointer-swap semantics.
+
+``read_table_partitions`` is the matching pruned reader: a partition-value
+filter answered from the manifest alone — the scan never lists or opens
+any other partition's files (stronger than parquet min/max skipping, which
+still enumerates every file).
+
+Same protocol as sources/upsert.py otherwise: immutable files, manifest
+parent chain, vacuum reference-safety, ConcurrentWriteError. The partition
+column must be stable per key (a key never moves between partitions) — the
+standard partitioned-MERGE contract; violating it leaves the old row in
+the old partition (documented, not detected — detection would need the
+full-table scan this exists to avoid).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark import fsio
+from spookystuff_spark.sources import upsert as U
+
+_P = "__part="
+
+
+def _part_of(entry: str) -> str | None:
+    """Partition value encoded in a manifest entry's path, or None."""
+    for seg in entry.split("/"):
+        if seg.startswith(_P):
+            return seg[len(_P):]
+    return None
+
+
+def _write_partitioned(df: DataFrame, pcol: str, vdir: str) -> None:
+    (
+        df.withColumn("__part", F.col(pcol).cast("string"))
+        .write.partitionBy("__part")
+        .mode("errorifexists")
+        .parquet(vdir)
+    )
+
+
+def _own_entries_recursive(table_dir: str, version: str) -> list[str]:
+    vdir = fsio.join(table_dir, version)
+    return [
+        f"{version}/{rel}"
+        for rel in fsio.list_files_recursive(vdir)
+        if rel.endswith(".parquet")
+    ]
+
+
+def write_table_partitioned(
+    df: DataFrame, table_dir: str, partition_col: str
+) -> str:
+    """Create/replace the table with a partition-laid-out snapshot."""
+    fsio.mkdirs(table_dir)
+    parent = U._latest(table_dir)
+    v = U._next_version(table_dir)
+    _write_partitioned(df, partition_col, fsio.join(table_dir, v))
+    U.write_manifest(
+        table_dir,
+        v,
+        _own_entries_recursive(table_dir, v),
+        df.schema.json(),
+        "upsert",
+        parent=parent,
+    )
+    U._swap_pointer(table_dir, v)
+    return v
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    max_touched: int = 10_000,
+) -> str:
+    """MERGE rewriting only the partitions the updates touch. Returns the
+    new version. Requires a table written by this module (every manifest
+    entry must carry a partition path — a mixed table raises)."""
+    cur = U._latest(table_dir)
+    if cur is None:
+        return write_table_partitioned(updates, table_dir, partition_col)
+
+    touched_rows = updates.select(partition_col).distinct().limit(
+        max_touched + 1
+    ).collect()
+    if len(touched_rows) > max_touched:
+        raise ValueError(
+            f"updates touch more than {max_touched} partitions — use the "
+            "full-snapshot upsert or raise max_touched"
+        )
+    touched = {str(r[0]) for r in touched_rows}
+
+    entries = U.snapshot_files(table_dir, cur)
+    manifest = U.read_manifest(table_dir, cur)
+    rel_entries = manifest["files"] if manifest else []
+    unattributed = [e for e in rel_entries if _part_of(e) is None]
+    if unattributed:
+        raise ValueError(
+            f"{table_dir}: {len(unattributed)} manifest entries carry no "
+            "partition path — not a partitioned table "
+            "(write it with write_table_partitioned)"
+        )
+    untouched_entries = [e for e in rel_entries if _part_of(e) not in touched]
+    touched_files = [
+        full
+        for full, rel in zip(entries, rel_entries)
+        if _part_of(rel) in touched
+    ]
+
+    schema_json = U.snapshot_schema_json(table_dir, cur)
+    keys = updates.select(*key_cols).distinct()
+    if touched_files:
+        import json
+
+        from pyspark.sql.types import StructType
+
+        reader = spark.read
+        if schema_json:
+            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+        current_slice = reader.parquet(*touched_files)
+        kept = current_slice.join(keys, list(key_cols), "left_anti")
+        merged_slice = kept.unionByName(updates, allowMissingColumns=True)
+    else:  # all touched partitions are brand new
+        merged_slice = updates
+
+    v = U._next_version(table_dir)
+    _write_partitioned(merged_slice, partition_col, fsio.join(table_dir, v))
+    U._write_change_feed_refs(
+        table_dir, v, _own_entries_recursive(table_dir, v), "upsert"
+    )
+    now = U._latest(table_dir)
+    if now != cur:
+        raise U.ConcurrentWriteError(
+            f"{table_dir}: expected parent {cur!r} but the table advanced "
+            f"to {now!r} — retry against the new state"
+        )
+    U.write_manifest(
+        table_dir,
+        v,
+        untouched_entries + _own_entries_recursive(table_dir, v),
+        merged_slice.schema.json(),
+        "upsert",
+        parent=cur,
+    )
+    U._swap_pointer(table_dir, v)
+    return v
+
+
+def read_table_partitions(
+    spark: SparkSession,
+    table_dir: str,
+    partition_values: Sequence,
+    version: str | None = None,
+) -> DataFrame:
+    """Manifest-pruned read: only the named partitions' files reach the
+    scan — no listing, no footer reads, no row-group skipping needed for
+    the rest of the table."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    cur = U._latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    v = version or cur
+    if v not in U.committed_versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    wanted = {str(x) for x in partition_values}
+    manifest = U.read_manifest(table_dir, v) or {"files": []}
+    rel = manifest["files"]
+    full = U.snapshot_files(table_dir, v)
+    files = [f for f, r in zip(full, rel) if _part_of(r) in wanted]
+    schema_json = U.snapshot_schema_json(table_dir, v)
+    if schema_json:
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*files)
+    if not files:
+        raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
+    return spark.read.parquet(*files)

@@ -641,7 +641,8 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
         if v == cur:
             continue
         vdir = fsio.join(table_dir, v)
-        names = [n for n, _ in fsio.file_infos(vdir)]
+        # recursive: partitioned layouts nest files under __part=*/ subdirs
+        names = fsio.list_files_recursive(vdir)
         keep_names = [
             n for n in names if n.endswith(".parquet") and f"{v}/{n}" in referenced
         ]

@@ -1,0 +1,134 @@
+"""Partition-aware MERGE (sources/partitioned_table.py): only touched
+partitions rewrite, untouched files carry by reference, manifest-pruned
+partition reads, and equivalence with the full-snapshot upsert."""
+
+from __future__ import annotations
+
+import pytest
+
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.partitioned_table import (
+    _part_of,
+    read_table_partitions,
+    upsert_partitioned,
+    write_table_partitioned,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k int, region string, val long")
+
+
+BASE = [
+    (1, "eu", 10), (2, "eu", 20),
+    (3, "us", 30), (4, "us", 40),
+    (5, "ap", 50),
+]
+
+
+@pytest.fixture
+def seeded(spark, tmp_path):
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_rows(spark, BASE), tdir, "region")
+    return tdir
+
+
+def test_merge_rewrites_only_touched_partitions(spark, seeded):
+    tdir = seeded
+    v1 = U.committed_versions(tdir)[-1]
+    m1 = U.read_manifest(tdir, v1)
+    eu_before = sorted(e for e in m1["files"] if _part_of(e) == "eu")
+    us_before = sorted(e for e in m1["files"] if _part_of(e) == "us")
+
+    # touch eu only: update k=1, insert k=6
+    upsert_partitioned(
+        spark, tdir,
+        _rows(spark, [(1, "eu", 11), (6, "eu", 60)]),
+        ["k"], "region",
+    )
+    v2 = U.committed_versions(tdir)[-1]
+    m2 = U.read_manifest(tdir, v2)
+    eu_after = sorted(e for e in m2["files"] if _part_of(e) == "eu")
+    us_after = sorted(e for e in m2["files"] if _part_of(e) == "us")
+
+    # untouched partitions: EXACT same entries (old version paths — carried
+    # by reference, zero rewrite); touched partition: all-new entries
+    assert us_after == us_before
+    assert all(e.startswith(f"{v1}/") for e in us_after)
+    assert eu_after != eu_before
+    assert all(e.startswith(f"{v2}/") for e in eu_after)
+
+    got = {
+        (r["k"], r["region"], r["val"])
+        for r in U.read_table(spark, tdir).collect()
+    }
+    assert got == {
+        (1, "eu", 11), (2, "eu", 20), (6, "eu", 60),
+        (3, "us", 30), (4, "us", 40), (5, "ap", 50),
+    }
+
+
+def test_matches_full_snapshot_upsert(spark, tmp_path):
+    """Partitioned MERGE ≡ plain MERGE, logically."""
+    part = str(tmp_path / "part")
+    full = str(tmp_path / "full")
+    updates = [(2, "eu", 99), (7, "ap", 70), (8, "sa", 80)]  # new partition!
+    write_table_partitioned(_rows(spark, BASE), part, "region")
+    U.write_table(_rows(spark, BASE), full)
+    upsert_partitioned(spark, part, _rows(spark, updates), ["k"], "region")
+    U.upsert(spark, full, _rows(spark, updates), ["k"])
+    key = lambda r: r["k"]
+    assert sorted(U.read_table(spark, part).collect(), key=key) == sorted(
+        U.read_table(spark, full).collect(), key=key
+    )
+
+
+def test_manifest_pruned_partition_read(spark, seeded):
+    tdir = seeded
+    df = read_table_partitions(spark, tdir, ["eu"])
+    assert {r["k"] for r in df.collect()} == {1, 2}
+    # the scan's file list is exactly the eu files — nothing else reaches it
+    files = df.inputFiles()
+    assert files and all("__part=eu" in f for f in files)
+    # missing partition → empty frame with the table schema
+    assert read_table_partitions(spark, tdir, ["nope"]).count() == 0
+
+
+def test_time_travel_and_vacuum_keep_references_alive(spark, seeded):
+    tdir = seeded
+    upsert_partitioned(
+        spark, tdir, _rows(spark, [(1, "eu", 11)]), ["k"], "region"
+    )
+    upsert_partitioned(
+        spark, tdir, _rows(spark, [(3, "us", 31)]), ["k"], "region"
+    )
+    vs = U.committed_versions(tdir)
+    # time travel reads each version's own state
+    assert {r["val"] for r in U.read_table(spark, tdir, vs[0]).collect()} == {
+        10, 20, 30, 40, 50
+    }
+    U.vacuum(tdir, keep=1)
+    # old versions gone from time travel, but files the live snapshot still
+    # references (e.g. v1's untouched 'ap' partition) survived
+    assert U.committed_versions(tdir) == [vs[-1]]
+    got = {
+        (r["k"], r["val"]) for r in U.read_table(spark, tdir).collect()
+    }
+    assert got == {(1, 11), (2, 20), (3, 31), (4, 40), (5, 50)}
+
+
+def test_refuses_unpartitioned_table(spark, tmp_path):
+    tdir = str(tmp_path / "plain")
+    U.write_table(_rows(spark, BASE), tdir)
+    with pytest.raises(ValueError, match="partition"):
+        upsert_partitioned(
+            spark, tdir, _rows(spark, [(1, "eu", 11)]), ["k"], "region"
+        )
+
+
+def test_touched_partition_cap(spark, seeded):
+    with pytest.raises(ValueError, match="partitions"):
+        upsert_partitioned(
+            spark, seeded, _rows(spark, [(9, "xx", 1), (10, "yy", 2)]),
+            ["k"], "region", max_touched=1,
+        )
