@@ -65,11 +65,25 @@ def _write_partitioned(df: DataFrame, pcol: str, vdir: str) -> None:
 
 
 def _own_entries_recursive(table_dir: str, version: str) -> list[str]:
+    """Data-file manifest entries for a partition-laid-out version dir.
+    Spark's hidden-path convention applies: any path segment starting with
+    ``_`` or ``.`` (the ``_changes`` feed, ``_SUCCESS``, staging debris) is
+    NOT data — except the ``__part=`` layout dirs themselves."""
     vdir = fsio.join(table_dir, version)
+
+    def is_data(rel: str) -> bool:
+        if not rel.endswith(".parquet"):
+            return False
+        return not any(
+            seg.startswith(("_", "."))
+            for seg in rel.split("/")
+            if not seg.startswith(_P)
+        )
+
     return [
         f"{version}/{rel}"
         for rel in fsio.list_files_recursive(vdir)
-        if rel.endswith(".parquet")
+        if is_data(rel)
     ]
 
 
@@ -153,8 +167,12 @@ def upsert_partitioned(
 
     v = U._next_version(table_dir)
     _write_partitioned(merged_slice, partition_col, fsio.join(table_dir, v))
-    U._write_change_feed_refs(
-        table_dir, v, _own_entries_recursive(table_dir, v), "upsert"
+    # a REAL change feed: the rewritten slice contains kept rows too, so a
+    # reference feed over the new files would overreport — log exactly the
+    # update rows (semi-join on the update keys against the fresh slice)
+    snap = spark.read.parquet(fsio.join(table_dir, v))
+    U._write_change_feed(
+        snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
     )
     now = U._latest(table_dir)
     if now != cur:

@@ -132,3 +132,17 @@ def test_touched_partition_cap(spark, seeded):
             spark, seeded, _rows(spark, [(9, "xx", 1), (10, "yy", 2)]),
             ["k"], "region", max_touched=1,
         )
+
+
+def test_change_feed_holds_only_update_rows(spark, seeded):
+    """The rewritten slice carries kept rows; the feed must not — only the
+    actual update rows are CDC-visible (and the IVM fold composes)."""
+    tdir = seeded
+    upsert_partitioned(
+        spark, tdir, _rows(spark, [(1, "eu", 11), (6, "eu", 60)]),
+        ["k"], "region",
+    )
+    v = U.committed_versions(tdir)[-1]
+    files, kind = U.change_files(tdir, v)
+    feed = spark.read.parquet(*files)
+    assert {(r["k"], r["val"]) for r in feed.collect()} == {(1, 11), (6, 60)}
