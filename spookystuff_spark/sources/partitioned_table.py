@@ -88,7 +88,7 @@ def _own_entries_recursive(table_dir: str, version: str) -> list[str]:
 
 
 def write_table_partitioned(
-    df: DataFrame, table_dir: str, partition_col: str
+    df: DataFrame, table_dir: str, partition_col: str, marker: str | None = None
 ) -> str:
     """Create/replace the table with a partition-laid-out snapshot."""
     fsio.mkdirs(table_dir)
@@ -103,6 +103,8 @@ def write_table_partitioned(
         "upsert",
         parent=parent,
     )
+    if marker:
+        fsio.touch(fsio.join(table_dir, v, marker))
     U._swap_pointer(table_dir, v)
     return v
 
@@ -114,13 +116,16 @@ def upsert_partitioned(
     key_cols: Sequence[str],
     partition_col: str,
     max_touched: int = 10_000,
+    marker: str | None = None,
 ) -> str:
     """MERGE rewriting only the partitions the updates touch. Returns the
     new version. Requires a table written by this module (every manifest
     entry must carry a partition path — a mixed table raises)."""
     cur = U._latest(table_dir)
     if cur is None:
-        return write_table_partitioned(updates, table_dir, partition_col)
+        return write_table_partitioned(
+            updates, table_dir, partition_col, marker=marker
+        )
 
     touched_rows = updates.select(partition_col).distinct().limit(
         max_touched + 1
@@ -188,6 +193,8 @@ def upsert_partitioned(
         "upsert",
         parent=cur,
     )
+    if marker:
+        fsio.touch(fsio.join(table_dir, v, marker))
     U._swap_pointer(table_dir, v)
     return v
 

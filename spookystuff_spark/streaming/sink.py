@@ -120,3 +120,32 @@ def streaming_upsert_sink(
         )
 
     return sink
+
+
+def streaming_partitioned_upsert_sink(
+    table_dir: str,
+    key_cols: Sequence[str],
+    partition_col: str,
+    app_id: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` MERGE into a PARTITION-laid-out versioned table
+    (sources/partitioned_table.py): each micro-batch rewrites only the
+    partitions it touches — O(batch partitions) per commit instead of the
+    plain sink's O(table) snapshot rewrite — under the same per-(app,
+    batch) exactly-once markers."""
+    from spookystuff_spark.sources.partitioned_table import upsert_partitioned
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_batch(table_dir, app_id)
+        if last is not None and batch_id <= last:
+            return  # replay: exactly-once skip
+        upsert_partitioned(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            key_cols,
+            partition_col,
+            marker=batch_marker_name(batch_id, app_id),
+        )
+
+    return sink

@@ -146,3 +146,23 @@ def test_change_feed_holds_only_update_rows(spark, seeded):
     files, kind = U.change_files(tdir, v)
     feed = spark.read.parquet(*files)
     assert {(r["k"], r["val"]) for r in feed.collect()} == {(1, 11), (6, 60)}
+
+
+def test_streaming_partitioned_sink_exactly_once(spark, tmp_path):
+    from spookystuff_spark.streaming.sink import (
+        streaming_partitioned_upsert_sink,
+    )
+
+    tdir = str(tmp_path / "stbl")
+    sink = streaming_partitioned_upsert_sink(tdir, ["k"], "region", app_id="ck")
+    sink(_rows(spark, BASE), 0)
+    v1 = U.committed_versions(tdir)[-1]
+    sink(_rows(spark, [(1, "eu", 11)]), 1)  # touches eu only
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    us = [e for e in m["files"] if _part_of(e) == "us"]
+    assert us and all(e.startswith(f"{v1}/") for e in us)  # carried, not rewritten
+    n = len(U.committed_versions(tdir))
+    sink(_rows(spark, [(1, "eu", 99)]), 1)  # replay: no-op
+    assert len(U.committed_versions(tdir)) == n
+    got = {(r["k"], r["val"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, 11), (2, 20), (3, 30), (4, 40), (5, 50)}
