@@ -771,3 +771,135 @@ def version_at(table_dir: str, ts_ms: int) -> str:
             f"no commit in {table_dir} at or before ts_ms={ts_ms}"
         )
     return best
+
+
+# ---------------------------------------------------------- manifest stats
+
+
+def collect_file_stats(
+    table_dir: str, version: str, cols: Sequence[str]
+) -> dict:
+    """Per-file footer statistics for a snapshot's OWN files → {relative
+    entry: {"n_rows": n, "<col>": [min, max] | None}}. One footer read per
+    file through fsio (works on any store); meant to run ONCE at commit /
+    OPTIMIZE time so readers never touch footers again — the Delta
+    stats-in-log idea. None for a column with no usable min/max."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    m = read_manifest(table_dir, version)
+    entries = (
+        [e for e in m["files"] if e.startswith(f"{version}/")]
+        if m is not None
+        else [f"{version}/{n}" for n in _parquet_names(fsio.join(table_dir, version))]
+    )
+    for e in entries:
+        md = pq.ParquetFile(fsio.open_input(fsio.join(table_dir, e))).metadata
+        idx = {name: i for i, name in enumerate(md.schema.names)}
+        rec: dict = {"n_rows": md.num_rows}
+        for c in cols:
+            if c not in idx:
+                rec[c] = None
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[c] = [lo, hi] if ok and lo is not None else None
+        out[e] = rec
+    return out
+
+
+def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
+    """Record per-file stats for the CURRENT version's own files in its
+    manifest (atomic rewrite; inherited entries keep the stats their OWN
+    version recorded — look them up chain-wise via ``entry_stats``).
+    Returns the number of files profiled."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, cur)
+    if m is None:
+        raise FileNotFoundError(f"{cur} has no manifest")
+    stats = collect_file_stats(table_dir, cur, cols)
+    m["stats"] = stats
+    fsio.write_bytes(
+        fsio.join(table_dir, cur, _MANIFEST),
+        json.dumps(m, separators=(",", ":")).encode(),
+    )
+    return len(stats)
+
+
+def entry_stats(table_dir: str, version: str) -> dict:
+    """Stats for EVERY entry of a snapshot, resolved chain-wise: an
+    inherited entry's stats live in the manifest of the version that wrote
+    it (its path prefix). {} values for entries never profiled."""
+    m = read_manifest(table_dir, version)
+    if m is None:
+        return {}
+    out: dict = {}
+    cache: dict = {version: m}
+    for e in m["files"]:
+        if _is_abs_entry(e):
+            out[e] = {}
+            continue
+        owner = e.split("/", 1)[0]
+        if owner not in cache:
+            cache[owner] = read_manifest(table_dir, owner) or {}
+        out[e] = (cache[owner].get("stats") or {}).get(e) or {}
+    return out
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Range read ``lo <= col <= hi`` with MANIFEST-stats file pruning: a
+    file whose recorded [min, max] excludes the range never reaches the
+    scan (zero footer IO at plan time — at millions of files this is the
+    difference between instant planning and a listing storm). Files
+    without stats are scanned conservatively; the residual filter applies
+    either way. Returns (frame, {"scanned": n, "skipped": m})."""
+    import pyspark.sql.functions as F
+
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    v = version or cur
+    if v not in committed_versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    stats = entry_stats(table_dir, v)
+    m = read_manifest(table_dir, v)
+    keep, skipped = [], 0
+    for e in m["files"]:
+        s = stats.get(e) or {}
+        rng = s.get(col)
+        if rng and (rng[1] < lo or rng[0] > hi):
+            skipped += 1
+            continue
+        keep.append(e if _is_abs_entry(e) else fsio.join(table_dir, e))
+    schema_json = snapshot_schema_json(table_dir, v)
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_json))
+        df = (
+            spark.createDataFrame([], schema)
+            if not keep
+            else spark.read.schema(schema).parquet(*keep)
+        )
+    else:
+        df = spark.read.parquet(*keep)
+    return (
+        df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
+        {"scanned": len(keep), "skipped": skipped},
+    )

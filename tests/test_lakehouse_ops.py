@@ -282,3 +282,48 @@ def test_history_and_timestamp_time_travel(spark, tmp_path):
         U.version_at(tdir, h[0]["ts_ms"] - 10_000)
     with pytest.raises(ValueError):
         U.read_table(spark, tdir, version="v00001", as_of_ms=t_after_v1)
+
+
+def test_manifest_stats_prune_files_without_footer_reads(spark, tmp_path):
+    """Delta-style stats-in-log: attach per-file min/max once, then range
+    reads prune files from the MANIFEST alone — correct results, most
+    files skipped, and inherited (appended-by-reference) entries resolve
+    their stats chain-wise from the version that wrote them."""
+    import pyspark.sql.functions as F
+
+    tdir = str(tmp_path / "stats")
+    # v1: values 0..9999 range-partitioned into 10 tight files
+    df = spark.range(0, 10_000).select(F.col("id").alias("x"))
+    U.write_table(
+        df.repartitionByRange(10, "x").sortWithinPartitions("x"),
+        tdir,
+        change_feed=False,
+    )
+    assert U.attach_stats(tdir, ["x"]) == 10
+    # v2: metadata-only append of a far-away range, then profile it too
+    U.append_rows(
+        spark,
+        tdir,
+        spark.range(50_000, 50_100).select(F.col("id").alias("x")).coalesce(1),
+        change_feed=False,
+    )
+    U.attach_stats(tdir, ["x"])
+
+    got, info = U.read_table_pruned(spark, tdir, "x", 2_000, 2_099)
+    assert got.count() == 100
+    assert info["skipped"] >= 9  # only ~1 of 11 files overlaps the range
+    assert info["scanned"] + info["skipped"] == 11
+
+    # the appended far range is found through its own version's stats
+    far, finfo = U.read_table_pruned(spark, tdir, "x", 50_000, 50_049)
+    assert far.count() == 50
+    assert finfo["scanned"] == 1 and finfo["skipped"] == 10
+
+    # files without stats are scanned conservatively, never skipped
+    U.append_rows(
+        spark, tdir,
+        spark.range(2_050, 2_060).select(F.col("id").alias("x")).coalesce(1),
+        change_feed=False,
+    )  # NOT profiled
+    got2, info2 = U.read_table_pruned(spark, tdir, "x", 2_000, 2_099)
+    assert got2.count() == 110
