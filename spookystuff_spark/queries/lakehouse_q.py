@@ -145,3 +145,62 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
+
+
+ORACLE_PMERGE = """
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars * 10 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000, 'xx', n_chars
+      FROM documents WHERE doc_id % 83 = 0
+    )
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+           COUNT(*) AS n_rows
+    FROM merged GROUP BY lang
+"""
+
+
+@bench_only("q_partitioned_merge")
+def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-aware MERGE, gate-pinned: lay the documents corpus out
+    partitioned by language, MERGE a batch touching every language plus a
+    brand-new 'xx' partition, and return the per-language aggregate of the
+    final table. The oracle recomputes closed-form, so the partition-slice
+    anti-join/union, the new-partition path, and the untouched-file
+    carry-forward must all compose exactly. Rides ``q_scalar_suite``."""
+    from spookystuff_spark.sources.partitioned_table import (
+        upsert_partitioned,
+        write_table_partitioned,
+    )
+    from spookystuff_spark.sources.upsert import read_table
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = base.where(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 10
+    )
+    inserts = (
+        base.where(F.col("doc_id") % 83 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("lang", F.lit("xx"))
+    )
+    tdir = tempfile.mkdtemp(prefix="spooky-pmerge-")
+    try:
+        write_table_partitioned(base, tdir, "lang")
+        upsert_partitioned(
+            spark, tdir, updates.unionByName(inserts), ["doc_id"], "lang"
+        )
+        out = (
+            read_table(spark, tdir)
+            .groupBy("lang")
+            .agg(
+                F.sum("n_chars").cast("long").alias("n_chars_sum"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dir
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

@@ -77,8 +77,10 @@ from spookystuff_spark.queries.graph_ops import (
 from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_CDC,
     ORACLE_IVM,
+    ORACLE_PMERGE,
     q_cdc_upsert,
     q_ivm_refresh,
+    q_partitioned_merge,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
@@ -90,7 +92,8 @@ WITH {PAGERANK_CTES},
      kmv AS ({ORACLE_KMV_VOCAB}), sq AS ({ORACLE_SAMPLE_QUANTILES}),
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
-     kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM})
+     kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
+     pmg AS ({ORACLE_PMERGE})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -129,6 +132,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "ivm", "q_ivm_refresh", ["lang"], ["n_chars_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "pmg", "q_partitioned_merge", ["lang"], ["n_chars_sum", "n_rows"],
 )}"""
 
 
@@ -218,6 +224,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(
             q_ivm_refresh(spark, sf_dir),
             "q_ivm_refresh",
+            ["lang"],
+            ["n_chars_sum", "n_rows"],
+        ),
+        _melt(
+            q_partitioned_merge(spark, sf_dir),
+            "q_partitioned_merge",
             ["lang"],
             ["n_chars_sum", "n_rows"],
         ),
@@ -388,6 +400,7 @@ register_suite(
         "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
         "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
         "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap", "q_ivm_refresh",
+        "q_partitioned_merge",
     ],
 )
 register_suite(
