@@ -139,6 +139,12 @@ def upsert_partitioned(
 
     entries = U.snapshot_files(table_dir, cur)
     manifest = U.read_manifest(table_dir, cur)
+    if manifest and manifest.get("dv"):
+        raise ValueError(
+            f"{table_dir}: table carries deletion vectors — compact() first "
+            "to materialize them (the partition-slice reader scans raw "
+            "files and would resurrect deleted rows)"
+        )
     rel_entries = manifest["files"] if manifest else []
     unattributed = [e for e in rel_entries if _part_of(e) is None]
     if unattributed:

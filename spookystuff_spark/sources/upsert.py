@@ -92,6 +92,7 @@ def write_manifest(
     schema_json: str | None,
     kind: str,
     parent: str | None = None,
+    extra_fields: dict | None = None,
 ) -> None:
     """Record the snapshot's commit manifest: relative (to ``table_dir``)
     or absolute data-file paths, the Spark schema (StructType.json()), the
@@ -109,6 +110,8 @@ def write_manifest(
         "parent": parent,
         "ts_ms": int(time.time() * 1000),
     }
+    if extra_fields:
+        payload.update(extra_fields)
     fsio.write_bytes(
         fsio.join(table_dir, version, _MANIFEST),
         json.dumps(payload, separators=(",", ":")).encode(),
@@ -174,6 +177,7 @@ def _commit_snapshot(
     kind: str = "upsert",
     marker: str | None = None,
     expected_parent=_UNCHECKED,
+    extra_fields: dict | None = None,
 ) -> None:
     """Manifest (own files + ``extra_entries``) → optional marker → pointer
     swap. The marker rides the same commit as the manifest: a crash before
@@ -200,7 +204,8 @@ def _commit_snapshot(
             )
     entries = list(extra_entries) + _own_entries(table_dir, version)
     write_manifest(
-        table_dir, version, entries, df_schema_json, kind, parent=parent
+        table_dir, version, entries, df_schema_json, kind, parent=parent,
+        extra_fields=extra_fields,
     )
     if marker:
         fsio.touch(fsio.join(table_dir, version, marker))
@@ -296,10 +301,13 @@ def read_table(
         schema = StructType.fromJson(json.loads(schema_json))
         if not files:  # e.g. delete_where emptied the table
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
-    if not files:
-        raise FileNotFoundError(f"empty snapshot {v} in {table_dir}")
-    return spark.read.parquet(*files)
+        df = spark.read.schema(schema).parquet(*files)
+    else:
+        if not files:
+            raise FileNotFoundError(f"empty snapshot {v} in {table_dir}")
+        df = spark.read.parquet(*files)
+    # merge-on-read: apply this version's accumulated deletion vectors
+    return _apply_deletion_vectors(spark, table_dir, v, df)
 
 
 def write_table(
@@ -412,9 +420,17 @@ def append_rows(
         _write_change_feed_refs(
             table_dir, v, _own_entries(table_dir, v), "insert"
         )
+    # a metadata-only append must CARRY any accumulated deletion vectors —
+    # it never materializes the snapshot, so dropping them would resurrect
+    # deleted rows
+    dv_fields = None
+    if cur is not None:
+        pm = read_manifest(table_dir, cur)
+        if pm and pm.get("dv"):
+            dv_fields = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
     _commit_snapshot(
         schema_json, table_dir, v, prev_entries, "append", marker,
-        expected_parent=cur,
+        expected_parent=cur, extra_fields=dv_fields,
     )
     return v
 
@@ -629,7 +645,7 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
     for v in kept_versions:
         m = read_manifest(table_dir, v)
         entries = (
-            m["files"]
+            m["files"] + m.get("dv", [])
             if m is not None
             else [f"{v}/{n}" for n in _parquet_names(fsio.join(table_dir, v))]
         )
@@ -903,3 +919,86 @@ def read_table_pruned(
         df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
         {"scanned": len(keep), "skipped": skipped},
     )
+
+
+# -------------------------------------------------------- deletion vectors
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    key_cols: Sequence[str],
+    change_feed: bool = True,
+) -> str:
+    """Merge-on-read delete: instead of rewriting the snapshot without the
+    matching rows (O(table)), write ONLY the deleted rows' keys as a
+    deletion vector under ``<version>/_dv/`` and carry every data file
+    forward by reference — O(deleted) per delete, the Delta/Iceberg
+    deletion-vector idea expressed as a key anti-join (row-level positions
+    need format hooks; keys need nothing). Readers apply the accumulated
+    vectors as one broadcast-able anti-join; ``compact`` MATERIALIZES them
+    (it reads through ``read_table`` and writes a plain snapshot), which
+    is the standard DV-compaction contract. ``key_cols`` must stay
+    consistent across chained DV deletes (validated)."""
+    import pyspark.sql.functions as F
+
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, cur) or {}
+    prev_keys = m.get("dv_keys")
+    if prev_keys and list(prev_keys) != list(key_cols):
+        raise ValueError(
+            f"deletion-vector key mismatch: table uses {prev_keys}, got "
+            f"{list(key_cols)}"
+        )
+    current = read_table(table_dir=table_dir, spark=spark)
+    deleted = current.where(condition)
+    v = _next_version(table_dir)
+    deleted.select(*key_cols).distinct().write.mode("errorifexists").parquet(
+        fsio.join(table_dir, v, "_dv")
+    )
+    if change_feed:
+        _write_change_feed(deleted, table_dir, v, "delete")
+    now = _latest(table_dir)
+    if now != cur:
+        raise ConcurrentWriteError(
+            f"{table_dir}: expected parent {cur!r} but the table advanced "
+            f"to {now!r} — retry against the new state"
+        )
+    dv_entries = list(m.get("dv", [])) + [
+        f"{v}/_dv/{n}" for n in _parquet_names(fsio.join(table_dir, v, "_dv"))
+    ]
+    payload_files = list(m.get("files", []))
+    import time
+
+    fsio.write_bytes(
+        fsio.join(table_dir, v, _MANIFEST),
+        json.dumps(
+            {
+                "files": payload_files,
+                "schema": m.get("schema"),
+                "kind": "delete_dv",
+                "parent": cur,
+                "ts_ms": int(time.time() * 1000),
+                "dv": dv_entries,
+                "dv_keys": list(key_cols),
+            },
+            separators=(",", ":"),
+        ).encode(),
+    )
+    _swap_pointer(table_dir, v)
+    return v
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, table_dir: str, version: str, df: DataFrame
+) -> DataFrame:
+    m = read_manifest(table_dir, version) or {}
+    dv = m.get("dv")
+    if not dv:
+        return df
+    paths = [fsio.join(table_dir, e) for e in dv]
+    keys = spark.read.parquet(*paths).distinct()
+    return df.join(keys, list(m["dv_keys"]), "left_anti")
