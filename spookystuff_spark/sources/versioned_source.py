@@ -99,17 +99,47 @@ class _BatchReader(DataSourceReader):
     def __init__(self, table_dir: str, version: str, schema: StructType):
         self.files = U.snapshot_files(table_dir, version)
         self.spark_schema = schema
+        # merge-on-read: deletion vectors (if any) apply per batch — the
+        # DataSource scans raw files, so skipping this would resurrect
+        # deleted rows the native read_table correctly hides
+        m = U.read_manifest(table_dir, version) or {}
+        self.dv_paths = [fsio.join(table_dir, e) for e in m.get("dv", [])]
+        self.dv_keys = m.get("dv_keys") or []
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_FilePart(p, False) for p in self.files] or [
             _FilePart("", False)  # empty snapshot still needs >= 1 partition
         ]
 
+    def _deleted_keyset(self):
+        import pyarrow.parquet as pq
+
+        keys = set()
+        for p in self.dv_paths:
+            t = pq.ParquetFile(fsio.open_input(p)).read(columns=self.dv_keys)
+            cols = [t.column(c).to_pylist() for c in self.dv_keys]
+            keys.update(zip(*cols))
+        return keys
+
     def read(self, partition: _FilePart) -> Iterator:
-        if partition.path:
+        if not partition.path:
+            return
+        if not self.dv_paths:
             yield from _read_arrow(
                 partition.path, _arrow_schema(self.spark_schema)
             )
+            return
+        import pyarrow as pa
+
+        deleted = self._deleted_keyset()  # small by DV contract
+        for batch in _read_arrow(
+            partition.path, _arrow_schema(self.spark_schema)
+        ):
+            cols = [batch.column(c).to_pylist() for c in self.dv_keys]
+            mask = pa.array(
+                [t not in deleted for t in zip(*cols)], type=pa.bool_()
+            )
+            yield batch.filter(mask)
 
 
 class _ChangeFeedReader(DataSourceStreamReader):

@@ -122,3 +122,34 @@ def test_partitioned_merge_refuses_dv_tables(spark, tmp_path):
     # so re-lay it out) — documented workflow
     U.compact(spark, tdir, num_files=2)
     assert _ks(spark, tdir) == {2, 3, 4, 5, 6, 7, 8}
+
+
+def test_datasource_reader_applies_vectors(spark, seeded):
+    """format('spooky_versioned') must agree with read_table on DV tables —
+    a raw-file scan would resurrect deleted rows."""
+    from spookystuff_spark.sources.versioned_source import (
+        VersionedTableDataSource,
+    )
+
+    tdir = seeded
+    U.delete_where_dv(spark, tdir, F.col("k") <= 3, ["k"])
+    spark.dataSource.register(VersionedTableDataSource)
+    via_ds = {
+        r["k"]
+        for r in spark.read.format("spooky_versioned")
+        .option("path", tdir)
+        .load()
+        .collect()
+    }
+    assert via_ds == _ks(spark, tdir) == {4, 5, 6, 7, 8}
+    # pre-delete time travel through the DataSource still sees everything
+    v1 = U.committed_versions(tdir)[0]
+    old = {
+        r["k"]
+        for r in spark.read.format("spooky_versioned")
+        .option("path", tdir)
+        .option("version", v1)
+        .load()
+        .collect()
+    }
+    assert old == set(range(1, 9))
