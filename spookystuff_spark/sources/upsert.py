@@ -7,29 +7,42 @@ pointer swap. This is that protocol, minimal and dependency-free:
     <dir>/v00001/part-*.parquet     immutable data files
     <dir>/v00001/_MANIFEST.json     THE commit record: the snapshot's data
                                     files (possibly living in EARLIER version
-                                    dirs), the table schema, the commit kind
+                                    dirs), schema, kind, PARENT version,
+                                    commit timestamp, optional per-file
+                                    stats and deletion vectors
+    <dir>/v00002/_dv/*.parquet      deletion vectors (deleted-row keys)
     <dir>/_LATEST                   one line: the current version name
 
-A version is committed iff its manifest exists AND it is at or below the
-pointer. Appends and clones are metadata-only: the new manifest lists the
-previous snapshot's immutable files plus the new batch's — no hard links, no
+COMMITTED HISTORY IS THE MANIFEST PARENT CHAIN walked back from the
+pointer (the commit-log rule, as in Delta): a dir outside the chain —
+torn data, a Spark ``_SUCCESS``, even a complete manifest whose pointer
+swap never happened — is vacuumable debris, never readable state. Appends
+and clones are metadata-only: the new manifest lists the previous
+snapshot's immutable files plus the new batch's — no hard links, no
 copies — which is what makes the protocol object-store-safe (S3/HDFS/GCS
 have no ``os.link``; the reference's cache likewise goes through Hadoop
 ``FileSystem``, module/core/.../caching/DFSDocCache.scala:13-46). All IO is
 routed through :mod:`spookystuff_spark.fsio` (pyarrow.fs), never ``os.path``.
 
 A writer materializes the next snapshot's data files (Spark write), records
-the manifest, then atomically replaces ``_LATEST``. Readers resolve the
-pointer, load the manifest, and read an immutable file list — never a
-half-written directory. Crash mid-write leaves a dangling manifest-less dir
-(cleaned by ``vacuum``, leapfrogged by the next writer) and an untouched
-pointer.
+the manifest (chain link = the parent it READ from; a moved pointer at
+commit time raises :class:`ConcurrentWriteError` instead of losing the
+interleaved writer's rows), then atomically replaces ``_LATEST``. Readers
+resolve the pointer, load the manifest, read an immutable file list, and
+apply any accumulated deletion vectors (``delete_where_dv`` — O(deleted)
+merge-on-read deletes) — never a half-written directory. Crash mid-write
+leaves debris ``vacuum`` reclaims (reference-aware: files or vectors a
+kept manifest still names survive).
+
+Extras over the core protocol: ``history()``/``version_at`` (DESCRIBE
+HISTORY + TIMESTAMP AS OF), ``attach_stats``/``read_table_pruned``
+(stats-in-manifest file pruning with zero footer IO at plan time),
+``compact(zorder_by=...)`` (OPTIMIZE ZORDER), and the partition-aware
+O(touched) MERGE in sources/partitioned_table.py.
 
 Single-writer optimistic semantics (reference scope: the doc cache's
 compaction story in sources/doc_cache_source.py, generalized to any keyed
-table). ``compact`` rewrites the snapshot into a target file count — at
-100 TB, snapshotting rewrites only what changed if you partition the table
-and upsert per partition.
+table); the OCC check closes all but a tiny pre-swap window.
 """
 
 from __future__ import annotations
