@@ -1015,3 +1015,33 @@ def _apply_deletion_vectors(
     paths = [fsio.join(table_dir, e) for e in dv]
     keys = spark.read.parquet(*paths).distinct()
     return df.join(keys, list(m["dv_keys"]), "left_anti")
+
+
+def restore(table_dir: str, version: str) -> str:
+    """Roll the table back to an earlier committed ``version`` — as a NEW
+    commit (Delta RESTORE): the new manifest simply references the target
+    snapshot's immutable files (and deletion vectors), so the rollback is
+    metadata-only and itself time-travelable/undoable. History is never
+    rewritten; the mistaken versions stay on the chain until vacuum."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    if version not in committed_versions(table_dir):
+        raise FileNotFoundError(f"version {version} not committed in {table_dir}")
+    m = read_manifest(table_dir, version) or {}
+    v = _next_version(table_dir)
+    fsio.mkdirs(fsio.join(table_dir, v))
+    extra = None
+    if m.get("dv"):
+        extra = {"dv": m["dv"], "dv_keys": m["dv_keys"]}
+    write_manifest(
+        table_dir,
+        v,
+        list(m.get("files", [])),
+        m.get("schema"),
+        "restore",
+        parent=cur,
+        extra_fields=extra,
+    )
+    _swap_pointer(table_dir, v)
+    return v

@@ -327,3 +327,49 @@ def test_manifest_stats_prune_files_without_footer_reads(spark, tmp_path):
     )  # NOT profiled
     got2, info2 = U.read_table_pruned(spark, tdir, "x", 2_000, 2_099)
     assert got2.count() == 110
+
+
+def test_restore_rolls_back_metadata_only(spark, tmp_path):
+    """RESTORE = a new commit referencing an old snapshot's files: the
+    mistaken versions stay on the chain (undoable), nothing is rewritten,
+    and restoring a DV version carries its vectors."""
+    tdir = str(tmp_path / "tbl")
+    U.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), tdir
+    )
+    v1 = U.committed_versions(tdir)[-1]
+    U.upsert(
+        spark, tdir,
+        spark.createDataFrame([(1, "OOPS"), (3, "x")], "k int, v string"),
+        ["k"],
+    )
+    v_restore = U.restore(tdir, v1)
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    m = U.read_manifest(tdir, v_restore)
+    assert m["kind"] == "restore"
+    # metadata-only: the restore dir holds no data files of its own
+    assert not [
+        f for f in os.listdir(os.path.join(tdir, v_restore))
+        if f.endswith(".parquet")
+    ]
+    # the mistake is still on the chain — the restore is itself undoable
+    assert len(U.committed_versions(tdir)) == 3
+    U.restore(tdir, U.committed_versions(tdir)[1])
+    assert {r["k"] for r in U.read_table(spark, tdir).collect()} == {1, 2, 3}
+
+    # restoring a DV version carries the vectors
+    tdir2 = str(tmp_path / "tbl2")
+    U.write_table(
+        spark.createDataFrame([(i, "x") for i in range(4)], "k int, v string"),
+        tdir2, change_feed=False,
+    )
+    U.delete_where_dv(spark, tdir2, F.col("k") == 0, ["k"])
+    dv_v = U.committed_versions(tdir2)[-1]
+    U.append_rows(
+        spark, tdir2,
+        spark.createDataFrame([(9, "z")], "k int, v string"),
+        change_feed=False,
+    )
+    U.restore(tdir2, dv_v)
+    assert {r["k"] for r in U.read_table(spark, tdir2).collect()} == {1, 2, 3}
