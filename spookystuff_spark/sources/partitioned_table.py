@@ -32,6 +32,14 @@ column must be stable per key (a key never moves between partitions) — the
 standard partitioned-MERGE contract; violating it leaves the old row in
 the old partition (documented, not detected — detection would need the
 full-table scan this exists to avoid).
+
+Deletion vectors compose: ``upsert_partitioned`` on a table carrying
+merge-keyed vectors (``delete_where_dv`` with the same key columns)
+materializes them into the rewritten touched slice and carries them
+forward MINUS the upserted keys — partition stability makes that exact
+(see the inline proof). Vectors keyed on anything else still require a
+``compact()`` first. ``read_table_partitions`` applies vectors like
+``read_table``.
 """
 
 from __future__ import annotations
@@ -139,11 +147,16 @@ def upsert_partitioned(
 
     entries = U.snapshot_files(table_dir, cur)
     manifest = U.read_manifest(table_dir, cur)
-    if manifest and manifest.get("dv"):
+    # DV-aware merge: vectors keyed on the MERGE keys compose — the touched
+    # slice materializes them during its rewrite, untouched partitions keep
+    # them by reference (see below). Differently-keyed vectors can't be
+    # subtracted per-update-key, so those still require a compact() first.
+    dv = (manifest or {}).get("dv")
+    if dv and list(manifest.get("dv_keys", [])) != list(key_cols):
         raise ValueError(
-            f"{table_dir}: table carries deletion vectors — compact() first "
-            "to materialize them (the partition-slice reader scans raw "
-            "files and would resurrect deleted rows)"
+            f"{table_dir}: deletion vectors are keyed on "
+            f"{manifest.get('dv_keys')} but the merge keys are "
+            f"{list(key_cols)} — compact() first to materialize them"
         )
     rel_entries = manifest["files"] if manifest else []
     unattributed = [e for e in rel_entries if _part_of(e) is None]
@@ -162,6 +175,11 @@ def upsert_partitioned(
 
     schema_json = U.snapshot_schema_json(table_dir, cur)
     keys = updates.select(*key_cols).distinct()
+    dv_keys_df = (
+        spark.read.parquet(*[fsio.join(table_dir, e) for e in dv]).distinct()
+        if dv
+        else None
+    )
     if touched_files:
         import json
 
@@ -171,6 +189,11 @@ def upsert_partitioned(
         if schema_json:
             reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
         current_slice = reader.parquet(*touched_files)
+        if dv_keys_df is not None:
+            # materialize the vectors for the slice being rewritten anyway
+            current_slice = current_slice.join(
+                dv_keys_df, list(key_cols), "left_anti"
+            )
         kept = current_slice.join(keys, list(key_cols), "left_anti")
         merged_slice = kept.unionByName(updates, allowMissingColumns=True)
     else:  # all touched partitions are brand new
@@ -180,11 +203,35 @@ def upsert_partitioned(
     _write_partitioned(merged_slice, partition_col, fsio.join(table_dir, v))
     # a REAL change feed: the rewritten slice contains kept rows too, so a
     # reference feed over the new files would overreport — log exactly the
-    # update rows (semi-join on the update keys against the fresh slice)
-    snap = spark.read.parquet(fsio.join(table_dir, v))
+    # update rows (semi-join on the update keys against the fresh slice).
+    # Reading the __part=-laid-out dir triggers partition discovery, which
+    # re-adds __part as a column — drop it, or the feed files would carry an
+    # extra column the changefeed stream reader (versioned_source._read_arrow)
+    # refuses.
+    snap = spark.read.parquet(fsio.join(table_dir, v)).drop("__part")
     U._write_change_feed(
         snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
     )
+    dv_fields = None
+    if dv_keys_df is not None:
+        # vectors carried forward MINUS the update keys: an upserted key is
+        # live again, and by the partition-stability contract a merge key
+        # lives in exactly one partition — so every other row it could have
+        # hidden was just materialized out of the rewritten slice. Keys NOT
+        # upserted stay in the vector (still needed for untouched
+        # partitions; a no-op against the rewritten ones).
+        remaining = dv_keys_df.join(keys, list(key_cols), "left_anti")
+        if remaining.limit(1).count():  # DVs are small by contract
+            remaining.write.mode("errorifexists").parquet(
+                fsio.join(table_dir, v, "_dv")
+            )
+            dv_fields = {
+                "dv": [
+                    f"{v}/_dv/{n}"
+                    for n in U._parquet_names(fsio.join(table_dir, v, "_dv"))
+                ],
+                "dv_keys": list(key_cols),
+            }
     now = U._latest(table_dir)
     if now != cur:
         raise U.ConcurrentWriteError(
@@ -198,6 +245,7 @@ def upsert_partitioned(
         merged_slice.schema.json(),
         "upsert",
         parent=cur,
+        extra_fields=dv_fields,
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
@@ -232,9 +280,15 @@ def read_table_partitions(
     schema_json = U.snapshot_schema_json(table_dir, v)
     if schema_json:
         schema = StructType.fromJson(json.loads(schema_json))
+        df = (
+            spark.createDataFrame([], schema)
+            if not files
+            else spark.read.schema(schema).parquet(*files)
+        )
+    else:
         if not files:
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*files)
-    if not files:
-        raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
-    return spark.read.parquet(*files)
+            raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
+        df = spark.read.parquet(*files)
+    # merge-on-read: the pruned read must hide DV-deleted rows exactly like
+    # read_table — key vectors apply unchanged to any partition subset
+    return U._apply_deletion_vectors(spark, table_dir, v, df)

@@ -928,6 +928,10 @@ def read_table_pruned(
         )
     else:
         df = spark.read.parquet(*keep)
+    # merge-on-read: a stats-pruned read must hide DV-deleted rows exactly
+    # like read_table — the vectors are keyed, not per-file, so they apply
+    # unchanged to any file subset
+    df = _apply_deletion_vectors(spark, table_dir, v, df)
     return (
         df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
         {"scanned": len(keep), "skipped": skipped},

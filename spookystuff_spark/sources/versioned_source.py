@@ -262,6 +262,7 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         for f in staged:
             fsio.move(fsio.join(self.staging, f), fsio.join(vdir, f))
         prev_entries: list[str] = []
+        dv_fields = None
         if not self.overwrite and parent is not None:
             m = U.read_manifest(self.table_dir, parent)
             prev_entries = (
@@ -274,6 +275,12 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
                     )
                 ]
             )
+            # an append is metadata-only: like upsert.append_rows, it must
+            # CARRY the parent's accumulated deletion vectors — dropping
+            # them would resurrect deleted rows (and leave the vector files
+            # unreferenced for vacuum to destroy)
+            if m and m.get("dv"):
+                dv_fields = {"dv": m["dv"], "dv_keys": m["dv_keys"]}
         own = [f"{v}/{f}" for f in staged]
         U._write_change_feed_refs(self.table_dir, v, own, "upsert")
         fsio.touch(fsio.join(vdir, "_SUCCESS"))
@@ -284,6 +291,7 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             self.schema_json,
             "upsert" if self.overwrite else "append",
             parent=parent,
+            extra_fields=dv_fields,
         )
         if marker:
             fsio.touch(fsio.join(vdir, marker))

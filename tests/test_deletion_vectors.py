@@ -105,7 +105,61 @@ def test_vacuum_preserves_referenced_vectors(spark, seeded):
     assert _ks(spark, tdir) == {2, 3, 4, 5, 6, 7, 8, 9, 10}
 
 
-def test_partitioned_merge_refuses_dv_tables(spark, tmp_path):
+def test_partitioned_merge_composes_with_dvs(spark, tmp_path):
+    """DV-aware partitioned MERGE: the touched slice materializes the
+    vectors, upserted keys come back to life, non-upserted deleted keys
+    stay deleted — and the result matches the full-snapshot upsert on the
+    same inputs (compose-and-match)."""
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions,
+        upsert_partitioned,
+        write_table_partitioned,
+    )
+
+    updates = [(2, "b", 21), (3, "a", 31), (9, "a", 90)]  # 3 was DV-deleted
+
+    # reference: plain full-snapshot table, DV delete, plain upsert
+    ref_dir = str(tmp_path / "ref")
+    U.write_table(_mk(spark, BASE), ref_dir, change_feed=False)
+    U.delete_where_dv(spark, ref_dir, F.col("k").isin(1, 3), ["k"])
+    U.upsert(spark, ref_dir, _mk(spark, updates), ["k"])
+    expect = {
+        (r["k"], r["grp"], r["val"])
+        for r in U.read_table(spark, ref_dir).collect()
+    }
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_mk(spark, BASE), tdir, "grp")
+    U.delete_where_dv(spark, tdir, F.col("k").isin(1, 3), ["k"])
+    upsert_partitioned(spark, tdir, _mk(spark, updates), ["k"], "grp")
+    got = {
+        (r["k"], r["grp"], r["val"])
+        for r in U.read_table(spark, tdir).collect()
+    }
+    assert got == expect
+    assert {k for (k, _, _) in got} == {2, 3, 4, 5, 6, 7, 8, 9}
+
+    # the carried vector shrank to the non-upserted deleted key (1) only,
+    # and the pruned partition reader applies it
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    assert m["dv_keys"] == ["k"]
+    remaining = {
+        r["k"]
+        for r in spark.read.parquet(
+            *[fsio.join(tdir, e) for e in m["dv"]]
+        ).collect()
+    }
+    assert remaining == {1}
+    got_a = {
+        r["k"]
+        for r in read_table_partitions(spark, tdir, ["a"]).collect()
+    }
+    assert got_a == {3, 5, 7, 9}  # 1 stays deleted, 3 resurrected by upsert
+
+
+def test_partitioned_merge_refuses_mismatched_dv_keys(spark, tmp_path):
+    """Vectors keyed differently from the merge keys can't be subtracted
+    per-update-key — still a compact-first refusal."""
     from spookystuff_spark.sources.partitioned_table import (
         upsert_partitioned,
         write_table_partitioned,
@@ -113,15 +167,102 @@ def test_partitioned_merge_refuses_dv_tables(spark, tmp_path):
 
     tdir = str(tmp_path / "ptbl")
     write_table_partitioned(_mk(spark, BASE), tdir, "grp")
-    U.delete_where_dv(spark, tdir, F.col("k") == 1, ["k"])
-    with pytest.raises(ValueError, match="deletion vectors"):
+    U.delete_where_dv(spark, tdir, F.col("val") == 10, ["val"])
+    with pytest.raises(ValueError, match="keyed on"):
         upsert_partitioned(
             spark, tdir, _mk(spark, [(2, "b", 21)]), ["k"], "grp"
         )
-    # compacting materializes... (plain compact loses the partition layout,
-    # so re-lay it out) — documented workflow
-    U.compact(spark, tdir, num_files=2)
-    assert _ks(spark, tdir) == {2, 3, 4, 5, 6, 7, 8}
+
+
+def test_read_table_partitions_applies_vectors(spark, tmp_path):
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions,
+        write_table_partitioned,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_mk(spark, BASE), tdir, "grp")
+    U.delete_where_dv(spark, tdir, F.col("k").isin(2, 5), ["k"])
+    got = {
+        r["k"]
+        for r in read_table_partitions(spark, tdir, ["a", "b"]).collect()
+    }
+    assert got == _ks(spark, tdir) == {1, 3, 4, 6, 7, 8}
+
+
+def test_read_table_pruned_applies_vectors(spark, seeded):
+    tdir = seeded
+    U.attach_stats(tdir, ["k"])
+    U.delete_where_dv(spark, tdir, F.col("k") == 4, ["k"])
+    df, _ = U.read_table_pruned(spark, tdir, "k", 1, 8)
+    assert {r["k"] for r in df.collect()} == {1, 2, 3, 5, 6, 7, 8}
+
+
+def test_datasource_append_carries_vectors(spark, seeded):
+    """A spooky_versioned append on a DV table must carry the parent's
+    vectors by reference (versioned_source._commit_files) — dropping them
+    silently resurrects every deleted row on the next read."""
+    from spookystuff_spark.sources.versioned_source import (
+        VersionedTableDataSource,
+    )
+
+    tdir = seeded
+    U.delete_where_dv(spark, tdir, F.col("k") <= 3, ["k"])
+    spark.dataSource.register(VersionedTableDataSource)
+    _mk(spark, [(9, "a", 90)]).write.format("spooky_versioned").option(
+        "path", tdir
+    ).mode("append").save()
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    assert m["kind"] == "append" and m["dv"] and m["dv_keys"] == ["k"]
+    assert _ks(spark, tdir) == {4, 5, 6, 7, 8, 9}
+    # vacuum keeps the still-referenced vector files alive
+    U.append_rows(spark, tdir, _mk(spark, [(10, "b", 100)]), change_feed=False)
+    U.vacuum(tdir, keep=1)
+    assert _ks(spark, tdir) == {4, 5, 6, 7, 8, 9, 10}
+
+
+def test_changefeed_stream_over_partitioned_merge(spark, tmp_path):
+    """The partitioned MERGE change feed must not carry the __part layout
+    column — the spooky_versioned changefeed reader refuses extra columns
+    (silent column-drop is the failure mode), so a stray __part would break
+    CDC streaming from every partitioned-MERGE table."""
+    from spookystuff_spark.sources.partitioned_table import (
+        upsert_partitioned,
+        write_table_partitioned,
+    )
+    from spookystuff_spark.sources.versioned_source import (
+        VersionedTableDataSource,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_mk(spark, BASE), tdir, "grp")
+    upsert_partitioned(
+        spark, tdir, _mk(spark, [(2, "b", 21), (9, "a", 90)]), ["k"], "grp"
+    )
+    files, _ = U.change_files(tdir, U.committed_versions(tdir)[-1])
+    feed = spark.read.parquet(*files)
+    assert "__part" not in feed.columns
+
+    spark.dataSource.register(VersionedTableDataSource)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("changefeed", "true")
+        .option("startingVersion", 1)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out)
+    assert {(r["k"], r["_change"]) for r in rows.collect()} == {
+        (2, "upsert"), (9, "upsert")
+    }
 
 
 def test_datasource_reader_applies_vectors(spark, seeded):
