@@ -147,36 +147,113 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(dst, ignore_errors=True)
 
 
+ORACLE_DV = """
+    WITH live AS (
+      SELECT lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 89 = 0
+    ), agg AS (
+      SELECT lang,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+             COUNT(*) AS n_rows
+      FROM live GROUP BY lang
+    )
+    SELECT 'native' AS reader, lang, n_chars_sum, n_rows FROM agg
+    UNION ALL
+    SELECT 'datasource' AS reader, lang, n_chars_sum, n_rows FROM agg
+"""
+
+
+@bench_only("q_dv_delete")
+def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletes, gate-pinned end-to-end: build a versioned
+    table from the documents corpus, ``delete_where_dv`` a closed-form
+    predicate (O(deleted) key-vector commit, zero data files rewritten),
+    append fresh rows THROUGH THE spooky_versioned DataSource writer (whose
+    metadata-only commit must carry the vectors forward), then aggregate
+    the final state through BOTH readers — the native manifest scan and the
+    DataSource batch reader. The oracle recomputes closed-form, so vector
+    application, carry-forward-on-append, and reader agreement are all
+    value-pinned. Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.upsert import delete_where_dv, read_table, write_table
+    from spookystuff_spark.sources.versioned_source import VersionedTableDataSource
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    appended = base.where(F.col("doc_id") % 89 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3_000_000
+    )
+    tdir = tempfile.mkdtemp(prefix="spooky-dv-")
+    try:
+        write_table(base, tdir, change_feed=False)
+        delete_where_dv(
+            spark, tdir, F.col("doc_id") % 3 == 0, ["doc_id"],
+            change_feed=False,
+        )
+        try:
+            spark.dataSource.register(VersionedTableDataSource)
+        except Exception:
+            pass  # already registered in this session
+        appended.write.format("spooky_versioned").option("path", tdir).mode(
+            "append"
+        ).save()
+
+        def agg(df: DataFrame, reader: str) -> DataFrame:
+            return df.groupBy("lang").agg(
+                F.sum("n_chars").cast("long").alias("n_chars_sum"),
+                F.count("*").alias("n_rows"),
+            ).select(F.lit(reader).alias("reader"), "lang", "n_chars_sum", "n_rows")
+
+        native = agg(read_table(spark, tdir), "native")
+        via_ds = agg(
+            spark.read.format("spooky_versioned").option("path", tdir).load(),
+            "datasource",
+        )
+        return native.unionByName(via_ds).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
 ORACLE_PMERGE = """
     WITH merged AS (
       SELECT doc_id, lang,
              CASE WHEN doc_id % 5 = 0 THEN n_chars * 10 ELSE n_chars END
                AS n_chars
       FROM documents
+      WHERE doc_id % 5 = 0 OR doc_id % 11 <> 0
       UNION ALL
       SELECT doc_id + 2000000, 'xx', n_chars
       FROM documents WHERE doc_id % 83 = 0
+    ), agg AS (
+      SELECT lang,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+             COUNT(*) AS n_rows
+      FROM merged GROUP BY lang
     )
-    SELECT lang,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
-           COUNT(*) AS n_rows
-    FROM merged GROUP BY lang
+    SELECT 'native' AS reader, lang, n_chars_sum, n_rows FROM agg
+    UNION ALL
+    SELECT 'partitions' AS reader, lang, n_chars_sum, n_rows FROM agg
 """
 
 
 @bench_only("q_partitioned_merge")
 def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partition-aware MERGE, gate-pinned: lay the documents corpus out
-    partitioned by language, MERGE a batch touching every language plus a
-    brand-new 'xx' partition, and return the per-language aggregate of the
-    final table. The oracle recomputes closed-form, so the partition-slice
-    anti-join/union, the new-partition path, and the untouched-file
+    """Partition-aware MERGE composed with deletion vectors, gate-pinned:
+    lay the documents corpus out partitioned by language, ``delete_where_dv``
+    a closed-form predicate (merge-keyed vectors), then MERGE a batch
+    touching every language plus a brand-new 'xx' partition — re-upserting
+    some deleted keys, which must come back to life while the rest stay
+    deleted. The final per-language aggregate is read through BOTH the
+    native snapshot reader and the manifest-pruned partition reader (which
+    must apply the carried vectors). The oracle recomputes closed-form, so
+    the DV-materializing slice rewrite, the vector carry-forward-minus-
+    upserted-keys, the new-partition path, and the untouched-file
     carry-forward must all compose exactly. Rides ``q_scalar_suite``."""
     from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions,
         upsert_partitioned,
         write_table_partitioned,
     )
-    from spookystuff_spark.sources.upsert import read_table
+    from spookystuff_spark.sources.upsert import delete_where_dv, read_table
 
     base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     updates = base.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -190,17 +267,25 @@ def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = tempfile.mkdtemp(prefix="spooky-pmerge-")
     try:
         write_table_partitioned(base, tdir, "lang")
+        delete_where_dv(
+            spark, tdir, F.col("doc_id") % 11 == 0, ["doc_id"],
+            change_feed=False,
+        )
         upsert_partitioned(
             spark, tdir, updates.unionByName(inserts), ["doc_id"], "lang"
         )
-        out = (
-            read_table(spark, tdir)
-            .groupBy("lang")
-            .agg(
+
+        def agg(df: DataFrame, reader: str) -> DataFrame:
+            return df.groupBy("lang").agg(
                 F.sum("n_chars").cast("long").alias("n_chars_sum"),
                 F.count("*").alias("n_rows"),
-            )
+            ).select(F.lit(reader).alias("reader"), "lang", "n_chars_sum", "n_rows")
+
+        native = agg(read_table(spark, tdir), "native")
+        langs = [r[0] for r in base.select("lang").distinct().collect()]
+        pruned = agg(
+            read_table_partitions(spark, tdir, [*langs, "xx"]), "partitions"
         )
-        return out.localCheckpoint(eager=True)  # outlive the temp dir
+        return native.unionByName(pruned).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)

@@ -76,9 +76,11 @@ from spookystuff_spark.queries.graph_ops import (
 )
 from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_CDC,
+    ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
     q_cdc_upsert,
+    q_dv_delete,
     q_ivm_refresh,
     q_partitioned_merge,
 )
@@ -93,7 +95,7 @@ WITH {PAGERANK_CTES},
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
-     pmg AS ({ORACLE_PMERGE})
+     pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -134,7 +136,11 @@ UNION ALL {_melt_sql(
     "ivm", "q_ivm_refresh", ["lang"], ["n_chars_sum", "n_rows"],
 )}
 UNION ALL {_melt_sql(
-    "pmg", "q_partitioned_merge", ["lang"], ["n_chars_sum", "n_rows"],
+    "pmg", "q_partitioned_merge", ["reader", "lang"],
+    ["n_chars_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "dvd", "q_dv_delete", ["reader", "lang"], ["n_chars_sum", "n_rows"],
 )}"""
 
 
@@ -230,7 +236,13 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(
             q_partitioned_merge(spark, sf_dir),
             "q_partitioned_merge",
-            ["lang"],
+            ["reader", "lang"],
+            ["n_chars_sum", "n_rows"],
+        ),
+        _melt(
+            q_dv_delete(spark, sf_dir),
+            "q_dv_delete",
+            ["reader", "lang"],
             ["n_chars_sum", "n_rows"],
         ),
     ]
@@ -400,7 +412,7 @@ register_suite(
         "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
         "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
         "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap", "q_ivm_refresh",
-        "q_partitioned_merge",
+        "q_partitioned_merge", "q_dv_delete",
     ],
 )
 register_suite(
