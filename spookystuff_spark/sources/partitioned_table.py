@@ -95,21 +95,42 @@ def _own_entries_recursive(table_dir: str, version: str) -> list[str]:
     ]
 
 
+def _stats_fields(
+    table_dir: str, own_entries: Sequence[str], stats_cols
+) -> dict | None:
+    """Manifest ``stats`` extra-field for a commit's own files (the files
+    were just written, so this is the one moment profiling costs only a
+    footer read per new file — inherited entries keep the stats their own
+    version recorded, resolved chain-wise by ``entry_stats``)."""
+    if not stats_cols:
+        return None
+    return {"stats": U.profile_entries(table_dir, own_entries, stats_cols)}
+
+
 def write_table_partitioned(
-    df: DataFrame, table_dir: str, partition_col: str, marker: str | None = None
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str,
+    marker: str | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> str:
-    """Create/replace the table with a partition-laid-out snapshot."""
+    """Create/replace the table with a partition-laid-out snapshot.
+    ``stats_cols``: record per-file min/max stats in the manifest at commit
+    time so partition pruning AND stats skipping compose
+    (``read_table_partitions_pruned``)."""
     fsio.mkdirs(table_dir)
     parent = U._latest(table_dir)
     v = U._next_version(table_dir)
     _write_partitioned(df, partition_col, fsio.join(table_dir, v))
+    own = _own_entries_recursive(table_dir, v)
     U.write_manifest(
         table_dir,
         v,
-        _own_entries_recursive(table_dir, v),
+        own,
         df.schema.json(),
         "upsert",
         parent=parent,
+        extra_fields=_stats_fields(table_dir, own, stats_cols),
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
@@ -125,14 +146,18 @@ def upsert_partitioned(
     partition_col: str,
     max_touched: int = 10_000,
     marker: str | None = None,
+    stats_cols: Sequence[str] | None = None,
 ) -> str:
     """MERGE rewriting only the partitions the updates touch. Returns the
     new version. Requires a table written by this module (every manifest
-    entry must carry a partition path — a mixed table raises)."""
+    entry must carry a partition path — a mixed table raises).
+    ``stats_cols``: profile the commit's own (rewritten) files into the
+    manifest; untouched entries keep their own versions' stats."""
     cur = U._latest(table_dir)
     if cur is None:
         return write_table_partitioned(
-            updates, table_dir, partition_col, marker=marker
+            updates, table_dir, partition_col, marker=marker,
+            stats_cols=stats_cols,
         )
 
     touched_rows = updates.select(partition_col).distinct().limit(
@@ -238,14 +263,17 @@ def upsert_partitioned(
             f"{table_dir}: expected parent {cur!r} but the table advanced "
             f"to {now!r} — retry against the new state"
         )
+    own = _own_entries_recursive(table_dir, v)
+    extra = dict(dv_fields or {})
+    extra.update(_stats_fields(table_dir, own, stats_cols) or {})
     U.write_manifest(
         table_dir,
         v,
-        untouched_entries + _own_entries_recursive(table_dir, v),
+        untouched_entries + own,
         merged_slice.schema.json(),
         "upsert",
         parent=cur,
-        extra_fields=dv_fields,
+        extra_fields=extra or None,
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
@@ -292,3 +320,66 @@ def read_table_partitions(
     # merge-on-read: the pruned read must hide DV-deleted rows exactly like
     # read_table — key vectors apply unchanged to any partition subset
     return U._apply_deletion_vectors(spark, table_dir, v, df)
+
+
+def read_table_partitions_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    partition_values: Sequence,
+    col: str,
+    lo,
+    hi,
+    version: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Partition pruning AND manifest-stats file skipping composed: only
+    the named partitions' files whose recorded [min, max] intersects
+    ``lo <= col <= hi`` reach the scan — zero listing, zero footer IO at
+    plan time. At 100 TB the within-partition file count is exactly where
+    stats skipping pays ON TOP of partition pruning; either alone reads
+    every file of the other dimension. Files without recorded stats scan
+    conservatively; the residual range filter applies either way; deletion
+    vectors apply like every other reader. Returns
+    (frame, {"scanned": n, "skipped_partition": p, "skipped_stats": s})."""
+    import json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cur = U._latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    v = version or cur
+    if v not in U.committed_versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    wanted = {str(x) for x in partition_values}
+    manifest = U.read_manifest(table_dir, v) or {"files": []}
+    stats = U.entry_stats(table_dir, v)
+    keep, skipped_part, skipped_stats = [], 0, 0
+    for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
+        if _part_of(e) not in wanted:
+            skipped_part += 1
+            continue
+        rng = (stats.get(e) or {}).get(col)
+        if rng and (rng[1] < lo or rng[0] > hi):
+            skipped_stats += 1
+            continue
+        keep.append(full)
+    schema_json = U.snapshot_schema_json(table_dir, v)
+    if schema_json:
+        schema = StructType.fromJson(json.loads(schema_json))
+        df = (
+            spark.createDataFrame([], schema)
+            if not keep
+            else spark.read.schema(schema).parquet(*keep)
+        )
+    else:
+        df = spark.read.parquet(*keep)
+    df = U._apply_deletion_vectors(spark, table_dir, v, df)
+    return (
+        df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
+        {
+            "scanned": len(keep),
+            "skipped_partition": skipped_part,
+            "skipped_stats": skipped_stats,
+        },
+    )

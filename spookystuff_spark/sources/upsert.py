@@ -805,23 +805,17 @@ def version_at(table_dir: str, ts_ms: int) -> str:
 # ---------------------------------------------------------- manifest stats
 
 
-def collect_file_stats(
-    table_dir: str, version: str, cols: Sequence[str]
+def profile_entries(
+    table_dir: str, entries: Sequence[str], cols: Sequence[str]
 ) -> dict:
-    """Per-file footer statistics for a snapshot's OWN files → {relative
-    entry: {"n_rows": n, "<col>": [min, max] | None}}. One footer read per
-    file through fsio (works on any store); meant to run ONCE at commit /
-    OPTIMIZE time so readers never touch footers again — the Delta
-    stats-in-log idea. None for a column with no usable min/max."""
+    """Per-file footer statistics for the given manifest entries →
+    {relative entry: {"n_rows": n, "<col>": [min, max] | None}}. One footer
+    read per file through fsio (works on any store); meant to run ONCE at
+    commit / OPTIMIZE time so readers never touch footers again — the
+    Delta stats-in-log idea. None for a column with no usable min/max."""
     import pyarrow.parquet as pq
 
     out: dict = {}
-    m = read_manifest(table_dir, version)
-    entries = (
-        [e for e in m["files"] if e.startswith(f"{version}/")]
-        if m is not None
-        else [f"{version}/{n}" for n in _parquet_names(fsio.join(table_dir, version))]
-    )
     for e in entries:
         md = pq.ParquetFile(fsio.open_input(fsio.join(table_dir, e))).metadata
         idx = {name: i for i, name in enumerate(md.schema.names)}
@@ -842,6 +836,19 @@ def collect_file_stats(
             rec[c] = [lo, hi] if ok and lo is not None else None
         out[e] = rec
     return out
+
+
+def collect_file_stats(
+    table_dir: str, version: str, cols: Sequence[str]
+) -> dict:
+    """:func:`profile_entries` over a committed snapshot's OWN files."""
+    m = read_manifest(table_dir, version)
+    entries = (
+        [e for e in m["files"] if e.startswith(f"{version}/")]
+        if m is not None
+        else [f"{version}/{n}" for n in _parquet_names(fsio.join(table_dir, version))]
+    )
+    return profile_entries(table_dir, entries, cols)
 
 
 def attach_stats(table_dir: str, cols: Sequence[str]) -> int:

@@ -166,3 +166,75 @@ def test_streaming_partitioned_sink_exactly_once(spark, tmp_path):
     assert len(U.committed_versions(tdir)) == n
     got = {(r["k"], r["val"]) for r in U.read_table(spark, tdir).collect()}
     assert got == {(1, 11), (2, 20), (3, 30), (4, 40), (5, 50)}
+
+
+def _clustered(spark, n=400):
+    """k 1..n across two partitions, range-clustered so each output file's
+    k-footprint is tight (4 files per partition with disjoint k ranges)."""
+    rows = [(k, "a" if k % 2 else "b", k * 10) for k in range(1, n + 1)]
+    return _rows_kgv(spark, rows).repartitionByRange(4, "k")
+
+
+def _rows_kgv(spark, data):
+    return spark.createDataFrame(data, "k int, grp string, val long")
+
+
+def test_partition_and_stats_pruning_compose(spark, tmp_path):
+    """Filter on (partition, clustered col): files read < files in the
+    partition — partition pruning alone or stats skipping alone each read
+    more."""
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions_pruned,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_clustered(spark), tdir, "grp", stats_cols=["k"])
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    files_in_a = [e for e in m["files"] if _part_of(e) == "a"]
+    assert len(files_in_a) >= 3  # the composition has something to skip
+    assert m.get("stats")  # stats recorded AT COMMIT, no attach_stats call
+
+    df, info = read_table_partitions_pruned(spark, tdir, ["a"], "k", 10, 60)
+    got = {r["k"] for r in df.collect()}
+    assert got == {k for k in range(10, 61) if k % 2}
+    assert info["scanned"] < len(files_in_a)  # stats skipped within the part
+    assert info["skipped_stats"] >= 1
+    assert info["skipped_partition"] == len(m["files"]) - len(files_in_a)
+
+
+def test_merge_keeps_stats_for_untouched_and_profiles_new(spark, tmp_path):
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions_pruned,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_clustered(spark), tdir, "grp", stats_cols=["k"])
+    # touch partition b only
+    upsert_partitioned(
+        spark, tdir, _rows_kgv(spark, [(2, "b", 21), (500, "b", 5000)]),
+        ["k"], "grp", stats_cols=["k"],
+    )
+    stats = U.entry_stats(tdir, U.committed_versions(tdir)[-1])
+    assert stats and all(s.get("k") for s in stats.values())
+    # untouched partition a still skips on stats through the chain lookup
+    df, info = read_table_partitions_pruned(spark, tdir, ["a"], "k", 10, 60)
+    assert {r["k"] for r in df.collect()} == {k for k in range(10, 61) if k % 2}
+    assert info["skipped_stats"] >= 1
+    # and the rewritten partition b prunes on its freshly profiled files
+    df_b, info_b = read_table_partitions_pruned(spark, tdir, ["b"], "k", 480, 600)
+    assert {r["k"] for r in df_b.collect()} == {500}
+    assert info_b["skipped_stats"] >= 1
+
+
+def test_pruned_partition_reader_applies_dvs(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions_pruned,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_clustered(spark), tdir, "grp", stats_cols=["k"])
+    U.delete_where_dv(spark, tdir, F.col("k") == 11, ["k"])
+    df, _ = read_table_partitions_pruned(spark, tdir, ["a"], "k", 10, 20)
+    assert {r["k"] for r in df.collect()} == {13, 15, 17, 19}
