@@ -126,29 +126,40 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    payload = {
+        "queries": timings,
+        "suites": {
+            s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
+            if s in timings
+        },
+        "isolated": isolated,
+        "repeats": repeats,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for t in timings.values() if t < 0),
+        "metric": "query_suite_total_sec",
+        "value": total,
+    }
+    # Persist the full per-query map next to the script on every full run:
+    # the driver's artifact keeps only the TAIL of stdout, which has
+    # destroyed the per-query data before — a committed BENCH_DETAIL.json
+    # makes cross-round analysis possible from the repo alone (git history
+    # keeps every round's copy).
+    if not isolated:
+        detail = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        try:
+            with open(detail, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError as ex:  # read-only checkout: still print the line
+            print(f"# bench detail not written: {ex}", file=sys.stderr)
     # headline fields LAST: the driver keeps the tail of the output, so a
     # front-truncated line must still carry metric/value/sf (BENCH_r03 lost
     # its total to the old field order) — plus a short all-totals line after,
     # which survives any truncation whole.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "suites": {
-                    s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
-                    if s in timings
-                },
-                "isolated": isolated,
-                "repeats": repeats,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "n_errors": sum(1 for t in timings.values() if t < 0),
-                "metric": "query_suite_total_sec",
-                "value": total,
-            }
-        )
-    )
+    print(json.dumps(payload))
     print(
         json.dumps(
             {

@@ -176,6 +176,45 @@ def touch(path: str) -> None:
     write_bytes(path, b"")
 
 
+def create_exclusive(path: str, data: bytes) -> None:
+    """Create-if-absent — the commit-arbitration primitive: when N writers
+    race to create the same path, exactly one succeeds and the rest get
+    :class:`FileExistsError` deterministically.
+
+    Local: write a temp file, then hard-link it to the target name —
+    ``link(2)`` is atomic and fails with EEXIST, so the winner's file
+    appears complete (no torn content) and losers never clobber it. (This
+    is a same-directory POSIX primitive internal to one backend, not a
+    cross-store data-sharing mechanism.) Object stores / registered test
+    filesystems: existence check + atomic PUT — true put-if-absent needs a
+    store-side conditional write (S3 ``If-None-Match``, GCS preconditions)
+    that pyarrow.fs does not expose, so on those stores a sub-millisecond
+    check-to-put window remains; single-writer-per-table deployments are
+    unaffected, and the window is strictly narrower than the
+    check-then-swap it replaces."""
+    import errno
+    import os
+
+    fs, p = resolve(path)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{p}.cas-{uuid.uuid4().hex}"
+        with fs.open_output_stream(tmp, compression=None) as f:
+            f.write(data)
+        try:
+            os.link(tmp, p)
+        except OSError as ex:
+            if ex.errno == errno.EEXIST:
+                raise FileExistsError(path) from None
+            raise
+        finally:
+            fs.delete_file(tmp)
+        return
+    if exists(path):
+        raise FileExistsError(path)
+    with fs.open_output_stream(p, compression=None) as f:
+        f.write(data)
+
+
 def delete_file(path: str, missing_ok: bool = True) -> None:
     fs, p = resolve(path)
     try:

@@ -134,7 +134,7 @@ def write_table_partitioned(
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
-    U._swap_pointer(table_dir, v)
+    U._finalize_commit(table_dir, v, parent)
     return v
 
 
@@ -257,12 +257,6 @@ def upsert_partitioned(
                 ],
                 "dv_keys": list(key_cols),
             }
-    now = U._latest(table_dir)
-    if now != cur:
-        raise U.ConcurrentWriteError(
-            f"{table_dir}: expected parent {cur!r} but the table advanced "
-            f"to {now!r} — retry against the new state"
-        )
     own = _own_entries_recursive(table_dir, v)
     extra = dict(dv_fields or {})
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
@@ -277,7 +271,7 @@ def upsert_partitioned(
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
-    U._swap_pointer(table_dir, v)
+    U._finalize_commit(table_dir, v, cur)
     return v
 
 

@@ -57,6 +57,7 @@ from spookystuff_spark import fsio
 _POINTER = "_LATEST"
 _MANIFEST = "_MANIFEST.json"
 _CHANGES = "_changes"
+_COMMITS = "_commits"
 _KIND = "_kind"
 
 _UNCHECKED = object()  # sentinel: commit without a conflict check
@@ -65,12 +66,31 @@ _UNCHECKED = object()  # sentinel: commit without a conflict check
 class ConcurrentWriteError(RuntimeError):
     """The table advanced between this writer's snapshot read and its
     commit — committing would silently drop the interleaved writer's rows
-    (lost update). Best-effort detection under the single-writer contract:
-    the check closes all but a tiny pre-swap window; retry the operation
+    (lost update). Detection is the per-version commit-file CAS
+    (:func:`_finalize_commit`): two writers racing for the same version
+    name lose deterministically (exactly one ``_commits/vNNNNN`` create
+    succeeds), on top of the expected-parent re-check. Retry the operation
     against the new state."""
 
 
+def _commit_names(table_dir: str) -> list[str]:
+    return [
+        n
+        for n in fsio.ls(fsio.join(table_dir, _COMMITS))
+        if n.startswith("v") and n[1:].isdigit()
+    ]
+
+
 def _latest(table_dir: str) -> str | None:
+    """Current version: max of the per-version commit files (the Delta-log
+    rule — a commit IS the ``_commits/vNNNNN`` entry, created exclusively),
+    falling back to the legacy ``_LATEST`` pointer for tables written
+    before the commit dir existed. ``_LATEST`` is maintained as a cache for
+    humans and old readers; it is never authoritative once ``_commits``
+    has entries."""
+    names = _commit_names(table_dir)
+    if names:
+        return max(names)
     p = fsio.join(table_dir, _POINTER)
     if not fsio.exists(p):
         return None
@@ -80,6 +100,40 @@ def _latest(table_dir: str) -> str | None:
 
 def _swap_pointer(table_dir: str, version: str) -> None:
     fsio.write_bytes(fsio.join(table_dir, _POINTER), version.encode())
+
+
+def _finalize_commit(
+    table_dir: str, version: str, parent: str | None
+) -> None:
+    """THE commit point: create ``_commits/<version>`` exclusively (content
+    = parent, informational). The manifest is already on disk, so the
+    instant the commit file appears the snapshot is fully readable; a crash
+    one line earlier leaves an invisible dangling dir. Arbitration: the
+    expected-parent re-check catches a writer whose table moved underneath
+    it, and the create-exclusive catches two writers racing the same
+    version name — exactly one wins, the loser's dir is ordinary vacuum
+    debris. (Residual window: two same-parent writers that chose DIFFERENT
+    version names — possible only when crashed-writer debris occupies the
+    lower name — can both pass; the later name orphans the earlier. The
+    parent re-check closes that unless both commits land within the same
+    few milliseconds.) The legacy pointer is then refreshed as a cache."""
+    now = _latest(table_dir)
+    if now != parent:
+        raise ConcurrentWriteError(
+            f"{table_dir}: expected parent {parent!r} but the table advanced "
+            f"to {now!r} — retry against the new state"
+        )
+    fsio.mkdirs(fsio.join(table_dir, _COMMITS))
+    try:
+        fsio.create_exclusive(
+            fsio.join(table_dir, _COMMITS, version), (parent or "").encode()
+        )
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"{table_dir}: version {version} was committed by another "
+            "writer — retry against the new state"
+        ) from None
+    _swap_pointer(table_dir, version)
 
 
 def _next_version(table_dir: str) -> str:
@@ -222,7 +276,7 @@ def _commit_snapshot(
     )
     if marker:
         fsio.touch(fsio.join(table_dir, version, marker))
-    _swap_pointer(table_dir, version)
+    _finalize_commit(table_dir, version, parent)
 
 
 def _write_change_feed(df: DataFrame, table_dir: str, version: str, kind: str) -> None:
@@ -473,6 +527,7 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
     cur = _latest(src_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {src_dir}")
+    parent = _latest(dst_dir)  # None for a fresh clone dir
     v = _next_version(dst_dir)
     fsio.mkdirs(fsio.join(dst_dir, v))
     write_manifest(
@@ -481,9 +536,9 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
         snapshot_files(src_dir, cur),  # absolute paths into src
         snapshot_schema_json(src_dir, cur),
         "clone",
-        parent=_latest(dst_dir),  # None for a fresh clone dir
+        parent=parent,
     )
-    _swap_pointer(dst_dir, v)
+    _finalize_commit(dst_dir, v, parent)
     return v
 
 
@@ -669,6 +724,9 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
     for v in drop + dangling:
         if v == cur:
             continue
+        # the per-version commit file goes with the version (keeps the
+        # _commits listing O(kept); never the tip's, which cur excludes)
+        fsio.delete_file(fsio.join(table_dir, _COMMITS, v), missing_ok=True)
         vdir = fsio.join(table_dir, v)
         # recursive: partitioned layouts nest files under __part=*/ subdirs
         names = fsio.list_files_recursive(vdir)
@@ -985,12 +1043,6 @@ def delete_where_dv(
     )
     if change_feed:
         _write_change_feed(deleted, table_dir, v, "delete")
-    now = _latest(table_dir)
-    if now != cur:
-        raise ConcurrentWriteError(
-            f"{table_dir}: expected parent {cur!r} but the table advanced "
-            f"to {now!r} — retry against the new state"
-        )
     dv_entries = list(m.get("dv", [])) + [
         f"{v}/_dv/{n}" for n in _parquet_names(fsio.join(table_dir, v, "_dv"))
     ]
@@ -1012,7 +1064,7 @@ def delete_where_dv(
             separators=(",", ":"),
         ).encode(),
     )
-    _swap_pointer(table_dir, v)
+    _finalize_commit(table_dir, v, cur)
     return v
 
 
@@ -1054,5 +1106,5 @@ def restore(table_dir: str, version: str) -> str:
         parent=cur,
         extra_fields=extra,
     )
-    _swap_pointer(table_dir, v)
+    _finalize_commit(table_dir, v, cur)
     return v

@@ -295,14 +295,13 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         )
         if marker:
             fsio.touch(fsio.join(vdir, marker))
-        now = U._latest(self.table_dir)
-        if now != parent:
+        try:
+            # expected-parent re-check + per-version commit-file CAS — the
+            # same arbitration as the native writers
+            U._finalize_commit(self.table_dir, v, parent)
+        except U.ConcurrentWriteError:
             self._cleanup()
-            raise U.ConcurrentWriteError(
-                f"{self.table_dir}: expected parent {parent!r} but the table "
-                f"advanced to {now!r} — retry the write"
-            )
-        U._swap_pointer(self.table_dir, v)
+            raise
         self._cleanup()
 
     def _cleanup(self) -> None:

@@ -100,14 +100,28 @@ def test_crash_between_append_chain_preserves_references(spark, seeded):
     assert U.committed_versions(tdir) == [U._latest(tdir)]
 
 
-def test_corrupt_pointer_refuses_loudly(spark, seeded, tmp_path):
-    """The pointer swap is atomic (fsio tmp+rename), so a pointer naming a
-    manifest-less dir can only mean external corruption or a non-protocol
-    writer. The table must refuse EVERY read — fail loudly, never serve
-    torn data or silently guess an older tip; recovery is an operator
-    repoint of ``_LATEST`` to a manifest-bearing version, after which reads
-    work again."""
+def test_corrupt_pointer_self_heals_via_commit_files(spark, seeded):
+    """``_LATEST`` is only a cache once per-version commit files exist: a
+    corrupted pointer (external damage, non-protocol writer) is simply
+    ignored — the tip is max(``_commits``) and every read still works."""
     tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
+    U._swap_pointer(tdir, v)  # cache corrupted: names a manifest-less dir
+    assert U._latest(tdir) == "v00001"  # commit files win
+    assert U.committed_versions(tdir) == ["v00001"]
+    assert {
+        (r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()
+    } == {(1, "a"), (2, "b")}
+
+
+def test_corrupt_pointer_refuses_loudly_on_legacy_table(spark, seeded):
+    """A pre-commit-file (legacy) table has only the pointer: naming a
+    manifest-less dir can only mean corruption, and the table must refuse
+    EVERY read — fail loudly, never serve torn data or silently guess an
+    older tip; recovery is an operator repoint of ``_LATEST``."""
+    tdir = seeded
+    fsio.delete_dir(fsio.join(tdir, "_commits"))  # simulate a legacy table
     v = U._next_version(tdir)
     _mk(spark, [(9, "torn")]).write.parquet(fsio.join(tdir, v))
     U._swap_pointer(tdir, v)  # pointer says v2 but v2 has no manifest
@@ -163,3 +177,77 @@ def test_concurrent_writer_conflict_detected(spark, seeded):
     assert v not in U.committed_versions(tdir)
     U.vacuum(tdir, keep=10)
     assert not fsio.exists(fsio.join(tdir, v))
+
+
+def test_crash_after_commit_file_before_pointer_update(spark, seeded):
+    """The commit file IS the commit: a writer that dies between creating
+    ``_commits/vN`` and refreshing the pointer cache has still committed —
+    the snapshot is visible and the stale cache self-heals on the next
+    commit."""
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(3, "c")]).write.parquet(fsio.join(tdir, v))
+    U.write_manifest(
+        tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
+        None, "upsert", parent="v00001",
+    )
+    fsio.create_exclusive(fsio.join(tdir, "_commits", v), b"v00001")
+    # pointer cache still says v00001 — the commit file wins
+    assert U._latest(tdir) == v
+    assert U.committed_versions(tdir) == ["v00001", v]
+    assert _state(spark, tdir) == {(3, "c")}  # the manifest is an overwrite
+    # the next commit proceeds normally from the true tip
+    U.upsert(spark, tdir, _mk(spark, [(4, "d")]), ["k"])
+    assert _state(spark, tdir) == {(3, "c"), (4, "d")}
+
+
+def test_concurrent_commit_exactly_one_wins(spark, seeded):
+    """Two writers race the FULL commit path for the same parent and the
+    same version name: the create-exclusive commit file arbitrates —
+    exactly one succeeds, the loser gets ConcurrentWriteError, and the
+    surviving state is the winner's."""
+    import threading
+
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(3, "c")]).write.parquet(fsio.join(tdir, v))
+
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def commit():
+        barrier.wait()
+        try:
+            U._commit_snapshot(
+                None, tdir, v, (), "upsert", expected_parent="v00001"
+            )
+            outcomes.append("ok")
+        except U.ConcurrentWriteError:
+            outcomes.append("conflict")
+
+    ts = [threading.Thread(target=commit) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(outcomes) == ["conflict", "ok"]
+    assert U._latest(tdir) == v
+    assert _state(spark, tdir) == {(3, "c")}  # the staged overwrite landed
+
+
+def test_stale_writer_loses_to_committed_child(spark, seeded):
+    """A slow writer whose parent already has a committed child fails the
+    expected-parent re-check inside the finalize step even when it picked
+    a FRESH version name."""
+    tdir = seeded
+    U.upsert(spark, tdir, _mk(spark, [(3, "c")]), ["k"])  # fast writer
+    v = U._next_version(tdir)
+    _mk(spark, [(9, "slow")]).write.parquet(fsio.join(tdir, v))
+    U.write_manifest(
+        tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
+        None, "upsert", parent="v00001",
+    )
+    with pytest.raises(U.ConcurrentWriteError):
+        U._finalize_commit(tdir, v, "v00001")
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+    assert v not in U.committed_versions(tdir)
