@@ -213,6 +213,86 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tdir, ignore_errors=True)
 
 
+ORACLE_STREAM_INGEST = """
+    SELECT event_type,
+           round(SUM(value) + 1e-6, 2) AS value_sum,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+"""
+
+
+@bench_only("q_stream_ingest")
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained streaming ingest, gate-pinned end-to-end: the events
+    corpus is replayed as rate-bounded micro-batches (one landing file per
+    trigger) through a REAL Structured Streaming query into the
+    exactly-once upsert sink, with the incremental-view-maintenance
+    refresh riding every batch's change feed — then the final DERIVED
+    state (per-type sum/count, folded incrementally, never a source
+    rescan) is compared against the closed-form batch recompute. Pins the
+    multi-batch sink markers, preimage-logged feeds, and the IVM fold
+    under a live stream rather than toy batches. Rides ``q_scalar_suite``."""
+    import os
+
+    from spookystuff_spark.functions.rounding import round_stable
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+    from spookystuff_spark.sources.upsert import read_table
+    from spookystuff_spark.streaming.sink import streaming_upsert_sink
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    root = tempfile.mkdtemp(prefix="spooky-ingest-")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    tdir = os.path.join(root, "table")
+    dst = os.path.join(root, "derived")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        # rate-bound: the corpus lands as 3 files → 3 micro-batches
+        for i in range(3):
+            stage = os.path.join(root, f"stage{i}")
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(stage)
+            part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+            os.rename(
+                os.path.join(stage, part),
+                os.path.join(landing, f"b{i}.parquet"),
+            )
+        upsert_sink = streaming_upsert_sink(
+            tdir, ["event_id"], app_id=ckpt, feed_preimages=True
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            upsert_sink(batch_df, batch_id)
+            refresh_aggregate(
+                batch_df.sparkSession, tdir, dst, ["event_type"], ["value"]
+            )
+
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # final-state equality: the ingested table is the batch corpus
+        n_tbl = read_table(spark, tdir).count()
+        n_src = ev.count()
+        if n_tbl != n_src:
+            raise AssertionError(
+                f"stream ingest lost rows: table={n_tbl} source={n_src}"
+            )
+        out = read_table(spark, dst).select(
+            "event_type",
+            round_stable(F.col("value_sum"), 2).alias("value_sum"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dirs
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 ORACLE_PMERGE = """
     WITH merged AS (
       SELECT doc_id, lang,

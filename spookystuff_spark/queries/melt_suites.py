@@ -79,10 +79,12 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
+    ORACLE_STREAM_INGEST,
     q_cdc_upsert,
     q_dv_delete,
     q_ivm_refresh,
     q_partitioned_merge,
+    q_stream_ingest,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
@@ -95,7 +97,8 @@ WITH {PAGERANK_CTES},
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
-     pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV})
+     pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
+     sti AS ({ORACLE_STREAM_INGEST})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -141,6 +144,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "dvd", "q_dv_delete", ["reader", "lang"], ["n_chars_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "sti", "q_stream_ingest", ["event_type"], ["value_sum", "n_rows"],
 )}"""
 
 
@@ -244,6 +250,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_dv_delete",
             ["reader", "lang"],
             ["n_chars_sum", "n_rows"],
+        ),
+        _melt(
+            q_stream_ingest(spark, sf_dir),
+            "q_stream_ingest",
+            ["event_type"],
+            ["value_sum", "n_rows"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -412,7 +424,7 @@ register_suite(
         "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
         "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
         "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap", "q_ivm_refresh",
-        "q_partitioned_merge", "q_dv_delete",
+        "q_partitioned_merge", "q_dv_delete", "q_stream_ingest",
     ],
 )
 register_suite(

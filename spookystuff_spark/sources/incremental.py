@@ -98,11 +98,21 @@ def _changes_since(
                     "incremental fold cannot apply"
                 )
             if "upsert" in kinds and "update_preimage" not in kinds:
-                raise ValueError(
-                    f"{src_dir}/{v}: upsert feed without preimage rows — "
-                    "maintain the source with upsert(..., "
-                    "feed_preimages=True) to make it incrementally foldable"
+                # an insert-only preimage-logged batch has zero preimage
+                # ROWS; the _PREIMAGED sidecar distinguishes it from a feed
+                # that never logged them (which would drift)
+                from spookystuff_spark import fsio
+
+                preimaged = fsio.exists(
+                    fsio.join(src_dir, v, U._CHANGES, U._PREIMAGED)
                 )
+                if not preimaged:
+                    raise ValueError(
+                        f"{src_dir}/{v}: upsert feed without preimage rows — "
+                        "maintain the source with upsert(..., "
+                        "feed_preimages=True) to make it incrementally "
+                        "foldable"
+                    )
         frames.append(df)
     if not frames:
         return None, newest
@@ -120,6 +130,7 @@ def refresh_aggregate(
     sum_cols: Sequence[str],
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
+    src_partition_col: str | None = None,
 ) -> str | None:
     """Fold source changes since the last refresh into the derived
     aggregate table at ``dst_dir`` (schema: group_cols, ``<c>_sum`` per sum
@@ -127,40 +138,45 @@ def refresh_aggregate(
     new derived version, or None if the source had nothing new. Groups
     whose count reaches zero are removed.
 
-    ``min_cols``/``max_cols`` are only foldable on INSERT-ONLY feeds
-    (mins/maxes don't decompose under subtraction: deleting the current
-    minimum would require a rescan). A batch containing preimage/delete
-    rows while min/max maintenance is requested raises — use a full
-    recompute for those tables, exactly the trade-off Delta documents for
-    aggregate-by-design materializations."""
+    Sums and counts fold exactly from signed deltas on ANY feed. Mins and
+    maxes don't decompose under subtraction (deleting a group's current
+    minimum leaves no way to know the runner-up from the feed alone), so a
+    batch containing preimage/delete rows triggers TARGETED RE-DERIVATION
+    for just the AFFECTED groups (those with negative rows): their min/max
+    is recomputed from the current source snapshot restricted to those
+    groups — O(affected groups' rows), never a full recompute — while
+    unaffected groups keep folding insert-side extremes. When the source
+    is a partitioned table laid out BY the (single) group column, pass
+    ``src_partition_col`` and the rescan reads only the affected
+    partitions' files via the manifest (zero IO for everything else);
+    otherwise the rescan is a semi-join-filtered scan (still one pass,
+    column-pruned)."""
     after = last_processed_version(dst_dir)
     changes, newest = _changes_since(spark, src_dir, after)
     if newest is None:
         return None  # nothing new
 
     gcols = list(group_cols)
+    affected = None
     if changes is not None:
+        is_neg = F.col("_change").isin(*_NEG)
         if min_cols or max_cols:
-            neg = (
-                changes.where(F.col("_change").isin(*_NEG)).limit(1).count()
-            )
+            neg = changes.where(is_neg).limit(1).count()
             if neg:
-                raise ValueError(
-                    f"{src_dir}: min/max maintenance requires an "
-                    "insert-only feed — this batch contains "
-                    "preimage/delete rows (mins and maxes do not "
-                    "decompose under subtraction)"
-                )
+                affected = changes.where(is_neg).select(*gcols).distinct()
         sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
             F.lit(-1)
         )
+        # min/max fold over INSERT-side rows only: negative rows are
+        # handled by the targeted re-derivation below
+        pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
         delta = changes.groupBy(*gcols).agg(
             *[
                 F.sum(F.col(c) * sign).alias(f"{c}_sum")
                 for c in sum_cols
             ],
-            *[F.min(F.col(c)).alias(f"{c}_min") for c in min_cols],
-            *[F.max(F.col(c)).alias(f"{c}_max") for c in max_cols],
+            *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],
+            *[F.max(pos_val(c)).alias(f"{c}_max") for c in max_cols],
             F.sum(sign).alias("n_rows"),
         )
     else:
@@ -219,6 +235,49 @@ def refresh_aggregate(
             ).alias("n_rows"),
         )
     merged = merged.where(F.col("n_rows") > 0)
+
+    if affected is not None:
+        # targeted re-derivation: recompute min/max for ONLY the groups the
+        # negative rows touched, from the current source snapshot restricted
+        # to those groups — the authoritative value after any mix of
+        # updates/deletes; every other group keeps its folded extremes
+        if src_partition_col and gcols == [src_partition_col]:
+            from spookystuff_spark.sources.partitioned_table import (
+                read_table_partitions,
+            )
+
+            vals = [r[0] for r in affected.collect()]  # O(affected groups)
+            src_slice = read_table_partitions(spark, src_dir, vals)
+        else:
+            src_slice = U.read_table(spark, src_dir).join(
+                affected, gcols, "leftsemi"
+            )
+        rescan = src_slice.groupBy(*gcols).agg(
+            *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
+            *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
+        )
+        aff = affected.withColumn("_aff", F.lit(True))
+        merged = (
+            merged.join(rescan, gcols, "left")
+            .join(aff, gcols, "left")
+            .select(
+                *gcols,
+                *[F.col(f"{c}_sum") for c in sum_cols],
+                *[
+                    F.when(F.col("_aff"), F.col(f"_r_{c}_min"))
+                    .otherwise(F.col(f"{c}_min"))
+                    .alias(f"{c}_min")
+                    for c in min_cols
+                ],
+                *[
+                    F.when(F.col("_aff"), F.col(f"_r_{c}_max"))
+                    .otherwise(F.col(f"{c}_max"))
+                    .alias(f"{c}_max")
+                    for c in max_cols
+                ],
+                F.col("n_rows"),
+            )
+        )
 
     # the derived table is itself a versioned table; the _SRC_ marker rides
     # its atomic commit, making the refresh exactly-once per source version

@@ -439,6 +439,17 @@ class VersionedTableDataSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> _VersionedStreamArrowWriter:
+        # exactly-once namespace: explicit appId wins (empty string =
+        # legacy app-less markers, the escape hatch); otherwise default to
+        # the query's checkpointLocation, which Spark passes through the
+        # writer options — one namespace per checkpoint is precisely the
+        # contract, so a restart with a FRESH checkpoint (batch ids back
+        # at 0) lands in a fresh namespace and appends instead of being
+        # silently skipped as a replay of the old one
+        if "appid" in self.options:
+            app_id = self.options.get("appid") or None
+        else:
+            app_id = self.options.get("checkpointlocation")
         return _VersionedStreamArrowWriter(
-            self._table_dir(), schema.json(), self.options.get("appid")
+            self._table_dir(), schema.json(), app_id
         )

@@ -11,9 +11,14 @@ Delta/Iceberg ``txnAppId``/``txnVersion`` protocol, re-expressed over
 sources/upsert.py's manifest tables — BOTH halves: the batch id alone is not
 enough, because restarting a stream with a FRESH checkpoint restarts batch
 ids at 0, and an id-only skip would then silently drop every new batch.
-Callers should pass one ``app_id`` per checkpoint location; with no app_id
-the marker namespace is the legacy id-only one (correct only while a single
-checkpoint ever feeds the table — documented sharp edge).
+Callers should pass one ``app_id`` per checkpoint location (the
+``spooky_versioned`` stream writer defaults to exactly that, via the
+query's ``checkpointLocation`` option). Namespaces are strict both ways: a
+named app honors only its own markers, ``app_id=None`` only app-less ones —
+mixing named and unnamed writers on one table is unsupported, and toggling
+``app_id`` mid-life re-commits the one in-flight replayed batch (a no-op
+for the keyed MERGE sinks; set it from the table's first batch for
+append-style writers).
 
 Scale shape: each micro-batch pays one anti-join + union snapshot write (see
 upsert.py — partition the table and upsert per partition at 100 TB); the
@@ -64,9 +69,16 @@ def _batch_marker(
         if parsed is None:
             continue
         marker_app, bid = parsed
-        # app_id=None matches ANY marker (legacy single-checkpoint mode);
-        # a named app matches only its own namespace
-        if app_id is None or marker_app == app_key:
+        # strict namespace match BOTH ways: a named app sees only its own
+        # markers, and app_id=None sees only app-less ones. (Previously
+        # None matched ANY marker, so an unnamed writer sharing a table
+        # with a named one silently SKIPPED batches whose ids collided
+        # with the other app's — wrong-skip is data loss, wrong-replay is
+        # at worst a duplicate. Enabling app_id on a live checkpoint
+        # re-commits the one in-flight replayed batch — a no-op for the
+        # keyed MERGE sinks; set it from the table's first batch and never
+        # toggle for the append-style writer.)
+        if marker_app == app_key:
             return bid
     return None
 
@@ -91,7 +103,10 @@ def last_committed_batch(
 
 
 def streaming_upsert_sink(
-    table_dir: str, key_cols: Sequence[str], app_id: str | None = None
+    table_dir: str,
+    key_cols: Sequence[str],
+    app_id: str | None = None,
+    feed_preimages: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: MERGE each micro-batch into the
     versioned table, exactly once per (app, batch id). Pass one ``app_id``
@@ -117,6 +132,7 @@ def streaming_upsert_sink(
             batch_df,
             key_cols,
             marker=batch_marker_name(batch_id, app_id),
+            feed_preimages=feed_preimages,
         )
 
     return sink
@@ -127,6 +143,8 @@ def streaming_partitioned_upsert_sink(
     key_cols: Sequence[str],
     partition_col: str,
     app_id: str | None = None,
+    stats_cols: Sequence[str] | None = None,
+    feed_preimages: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` MERGE into a PARTITION-laid-out versioned table
     (sources/partitioned_table.py): each micro-batch rewrites only the
@@ -146,6 +164,8 @@ def streaming_partitioned_upsert_sink(
             key_cols,
             partition_col,
             marker=batch_marker_name(batch_id, app_id),
+            stats_cols=stats_cols,
+            feed_preimages=feed_preimages,
         )
 
     return sink

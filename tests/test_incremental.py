@@ -139,21 +139,93 @@ def test_minmax_fold_on_insert_only_source(spark, tmp_path):
     }
 
 
-def test_minmax_refuses_non_insert_feed(spark, tmp_path):
+def test_minmax_rederives_affected_groups_under_deletes(spark, tmp_path):
+    """Deleting a group's current max re-derives THAT group's min/max from
+    the source (targeted rescan); untouched groups keep folding; a fully
+    deleted group disappears."""
     src = str(tmp_path / "src")
     dst = str(tmp_path / "agg")
-    U.write_table(_rows(spark, [(1, "a", 10)]), src)
-    refresh_aggregate(
-        spark, src, dst, ["grp"], ["val"], min_cols=["val"]
+    U.write_table(
+        _rows(spark, [(1, "a", 10), (2, "a", 3), (3, "b", 7), (4, "c", 1)]),
+        src,
     )
-    U.delete_where(spark, src, F.col("k") == 1)
-    with pytest.raises(ValueError, match="insert-only"):
-        refresh_aggregate(
-            spark, src, dst, ["grp"], ["val"], min_cols=["val"]
-        )
-    # sum/count-only fold over the same feed is fine
-    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
-    assert U.read_table(spark, dst).count() == 0
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    # delete a's max (10) and all of c; append to b in the same feed range
+    U.delete_where(spark, src, F.col("k").isin(1, 4))
+    U.append_rows(spark, src, _rows(spark, [(5, "b", 99)]))
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    got = {
+        (r["grp"], r["val_sum"], r["val_min"], r["val_max"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {
+        ("a", 3, 3, 3, 1),     # max re-derived after losing 10
+        ("b", 106, 7, 99, 2),  # untouched by deletes: pure fold
+    }
+
+
+def test_minmax_rederives_update_preimages(spark, tmp_path):
+    """An update that REPLACES a group's extreme value (preimage-logged
+    MERGE) re-derives that group exactly."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, [(1, "a", 10), (2, "a", 3)]), src)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    U.upsert(spark, src, _rows(spark, [(1, "a", 5)]), ["k"], feed_preimages=True)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    got = {
+        (r["grp"], r["val_sum"], r["val_min"], r["val_max"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("a", 8, 3, 5, 2)}
+
+
+def test_minmax_rescan_prunes_to_affected_partitions(spark, tmp_path, monkeypatch):
+    """With a group-partitioned source and src_partition_col set, the
+    re-derivation rescan goes through the manifest-pruned partition reader
+    with ONLY the affected groups — untouched partitions cost zero IO."""
+    from spookystuff_spark.sources import partitioned_table as PT
+    from spookystuff_spark.sources import incremental as INC
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    PT.write_table_partitioned(
+        _rows(spark, [(1, "a", 10), (2, "a", 3), (3, "b", 7), (4, "b", 9)]),
+        src,
+        "grp",
+    )
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"],
+        src_partition_col="grp",
+    )
+    U.delete_where_dv(spark, src, F.col("k") == 2, ["k"])
+
+    calls = []
+    real = PT.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, version=None):
+        calls.append(sorted(str(v) for v in partition_values))
+        return real(spark_, table_dir, partition_values, version)
+
+    monkeypatch.setattr(PT, "read_table_partitions", spy)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"],
+        src_partition_col="grp",
+    )
+    assert calls == [["a"]]  # only the affected partition was read
+    got = {
+        (r["grp"], r["val_sum"], r["val_min"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("a", 10, 10, 1), ("b", 16, 7, 2)}
 
 
 def test_streaming_refresh_follows_cdc(spark, tmp_path):

@@ -279,8 +279,63 @@ def test_stream_writer_appends_with_exactly_once(registered, tmp_path):
     assert got == {(1, "a"), (2, "b")}
     from spookystuff_spark.streaming.sink import last_committed_batch
 
-    assert last_committed_batch(tdir) is not None
+    # the default exactly-once namespace is the checkpoint location
+    assert last_committed_batch(tdir, str(tmp_path / "ckpt_sw")) is not None
+    assert last_committed_batch(tdir) is None  # no app-less markers written
     assert len(U.committed_versions(tdir)) >= 2
+
+
+def test_stream_writer_fresh_checkpoint_appends(registered, tmp_path):
+    """Restarting a stream with a FRESH checkpoint dir (batch ids back at 0)
+    against an existing sink table must APPEND, not be silently skipped as
+    a replay of the old checkpoint — the writer's default marker namespace
+    is the checkpoint location, so each checkpoint gets its own batch-id
+    history."""
+    spark = registered
+    tdir = str(tmp_path / "t")
+
+    def run(src_name: str, ckpt_name: str, payload: str) -> None:
+        src = tmp_path / src_name
+        src.mkdir()
+        (src / "f.json").write_text(payload)
+        stream = spark.readStream.schema("k int, v string").json(str(src))
+        q = (
+            stream.writeStream.format("spooky_versioned")
+            .option("path", tdir)
+            .option("checkpointLocation", str(tmp_path / ckpt_name))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run("in1", "ckpt_a", '{"k": 1, "v": "a"}\n')
+    # second stream, fresh checkpoint, batch id 0 again
+    run("in2", "ckpt_b", '{"k": 2, "v": "b"}\n')
+    got = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}  # nothing skipped
+
+
+def test_unnamed_sink_ignores_named_markers(registered, tmp_path):
+    """app_id=None must match only app-less markers: a named writer's
+    markers on the same table must not make an unnamed sink skip its own
+    batches (wrong-skip is data loss)."""
+    from spookystuff_spark.streaming.sink import (
+        batch_marker_name,
+        last_committed_batch,
+    )
+
+    spark = registered
+    tdir = str(tmp_path / "t")
+    U.write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        tdir,
+        marker=batch_marker_name(7, "other-app"),
+    )
+    assert last_committed_batch(tdir, "other-app") == 7
+    assert last_committed_batch(tdir, None) is None
 
 
 def test_typed_null_fill_under_schema_evolution(registered, tmp_path):
