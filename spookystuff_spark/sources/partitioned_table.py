@@ -113,16 +113,22 @@ def write_table_partitioned(
     partition_col: str,
     marker: str | None = None,
     stats_cols: Sequence[str] | None = None,
+    change_feed: bool = True,
 ) -> str:
     """Create/replace the table with a partition-laid-out snapshot.
     ``stats_cols``: record per-file min/max stats in the manifest at commit
     time so partition pruning AND stats skipping compose
-    (``read_table_partitions_pruned``)."""
+    (``read_table_partitions_pruned``). The change feed is metadata-only —
+    a reference manifest over the just-written files (the layout dirs keep
+    ``__part`` OUT of the files, so feed readers see the table schema
+    exactly)."""
     fsio.mkdirs(table_dir)
     parent = U._latest(table_dir)
     v = U._next_version(table_dir)
     _write_partitioned(df, partition_col, fsio.join(table_dir, v))
     own = _own_entries_recursive(table_dir, v)
+    if change_feed:
+        U._write_change_feed_refs(table_dir, v, own, "insert")
     U.write_manifest(
         table_dir,
         v,
@@ -147,12 +153,18 @@ def upsert_partitioned(
     max_touched: int = 10_000,
     marker: str | None = None,
     stats_cols: Sequence[str] | None = None,
+    feed_preimages: bool = False,
 ) -> str:
     """MERGE rewriting only the partitions the updates touch. Returns the
     new version. Requires a table written by this module (every manifest
     entry must carry a partition path — a mixed table raises).
     ``stats_cols``: profile the commit's own (rewritten) files into the
-    manifest; untouched entries keep their own versions' stats."""
+    manifest; untouched entries keep their own versions' stats.
+    ``feed_preimages``: additionally log the replaced rows' old values to
+    the change feed (Delta CDF preimages) so incremental view maintenance
+    (sources/incremental.py) can fold partitioned-MERGE sources — the
+    preimages come from the touched slice already being read, so the cost
+    is one extra semi-join, never a table scan."""
     cur = U._latest(table_dir)
     if cur is None:
         return write_table_partitioned(
@@ -237,6 +249,16 @@ def upsert_partitioned(
     U._write_change_feed(
         snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
     )
+    if feed_preimages and touched_files:
+        pre = current_slice.join(keys, list(key_cols), "leftsemi")
+        pre.withColumn("_change", F.lit("update_preimage")).write.mode(
+            "append"
+        ).parquet(fsio.join(table_dir, v, U._CHANGES))
+        fsio.touch(fsio.join(table_dir, v, U._CHANGES, U._PREIMAGED))
+    elif feed_preimages:
+        # all-new partitions: zero preimages by construction, but the
+        # sidecar still marks the feed complete for IVM consumers
+        fsio.touch(fsio.join(table_dir, v, U._CHANGES, U._PREIMAGED))
     dv_fields = None
     if dv_keys_df is not None:
         # vectors carried forward MINUS the update keys: an upserted key is
@@ -314,6 +336,71 @@ def read_table_partitions(
     # merge-on-read: the pruned read must hide DV-deleted rows exactly like
     # read_table — key vectors apply unchanged to any partition subset
     return U._apply_deletion_vectors(spark, table_dir, v, df)
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    marker: str | None = None,
+    stats_cols: Sequence[str] | None = None,
+    zorder_by: Sequence[str] | None = None,
+    files_per_partition: int = 1,
+) -> str:
+    """Layout-preserving OPTIMIZE: rewrite the current snapshot back into
+    the hive-style partition layout, one file per partition value (each
+    value hashes to exactly one shuffle task, so ``partitionBy`` emits
+    exactly one file for it) — the small-file compaction a partitioned
+    table accumulates after many touched-slice MERGEs. Reads through
+    ``read_table``, so any accumulated deletion vectors MATERIALIZE here
+    (the DV-compaction contract), unlike ``upsert.compact`` which would
+    flatten the partition layout away. No change feed: the logical content
+    is unchanged.
+
+    ``zorder_by`` (+ ``files_per_partition`` + ``stats_cols``): cluster
+    each partition's rewrite on the Z-curve over those columns — range
+    partitioning on (partition value, z-key) makes every output file's
+    footprint tight in every clustered dimension WITHIN its partition, so
+    a ``read_table_partitions_pruned`` filter composes all three pruning
+    layers: partition → manifest stats → parquet row groups."""
+    import pyspark.sql.functions as F  # noqa: F811 (module alias shadow)
+
+    cur = U._latest(table_dir)
+    current = U.read_table(spark, table_dir)  # applies deletion vectors
+    if zorder_by:
+        from spookystuff_spark.operators.layout import zorder_key
+
+        # bounded driver count: one value per partition, the same
+        # cardinality the layout itself materializes as directories
+        n_vals = current.select(partition_col).distinct().count()
+        df = (
+            current.withColumn("__z", zorder_key(list(zorder_by)))
+            .repartitionByRange(
+                max(1, int(n_vals) * max(1, files_per_partition)),
+                F.col(partition_col),
+                F.col("__z"),
+            )
+            .sortWithinPartitions(partition_col, "__z")
+            .drop("__z")
+        )
+    else:
+        df = current.repartition(F.col(partition_col))
+    v = U._next_version(table_dir)
+    _write_partitioned(df, partition_col, fsio.join(table_dir, v))
+    own = _own_entries_recursive(table_dir, v)
+    U.write_manifest(
+        table_dir,
+        v,
+        own,
+        current.schema.json(),
+        "compact",
+        parent=cur,
+        extra_fields=_stats_fields(table_dir, own, stats_cols),
+    )
+    if marker:
+        fsio.touch(fsio.join(table_dir, v, marker))
+    U._finalize_commit(table_dir, v, cur)
+    return v
 
 
 def read_table_partitions_pruned(

@@ -59,6 +59,7 @@ _MANIFEST = "_MANIFEST.json"
 _CHANGES = "_changes"
 _COMMITS = "_commits"
 _KIND = "_kind"
+_PREIMAGED = "_PREIMAGED"  # feed sidecar: update preimages were logged
 
 _UNCHECKED = object()  # sentinel: commit without a conflict check
 
@@ -134,6 +135,37 @@ def _finalize_commit(
             "writer — retry against the new state"
         ) from None
     _swap_pointer(table_dir, version)
+
+
+def retry_on_conflict(op, attempts: int = 3, backoff_s: float = 0.05):
+    """Multi-writer liveness on top of the CAS safety: re-run ``op`` (a
+    zero-arg closure performing ONE full table operation — it must re-read
+    the table state each call, which every writer in this module does) when
+    it loses commit arbitration, with a small jittered backoff. The loser's
+    torn dir is ordinary vacuum debris; the final attempt's
+    :class:`ConcurrentWriteError` propagates.
+
+        retry_on_conflict(lambda: upsert(spark, dir, batch, ["k"]))
+    """
+    import random
+    import time
+
+    def is_conflict(ex: Exception) -> bool:
+        if isinstance(ex, ConcurrentWriteError):
+            return True
+        # two writers race the same next-version DATA dir before either
+        # commits: the loser's errorifexists write fails on the winner's
+        # dir — equally a concurrency conflict; the retry re-derives a
+        # fresh version name past it
+        return "PATH_ALREADY_EXISTS" in str(ex) or "already exists" in str(ex)
+
+    for i in range(attempts):
+        try:
+            return op()
+        except Exception as ex:  # noqa: BLE001 — filtered by is_conflict
+            if not is_conflict(ex) or i == attempts - 1:
+                raise
+            time.sleep(backoff_s * (2**i) * (0.5 + random.random()))
 
 
 def _next_version(table_dir: str) -> str:
@@ -444,6 +476,11 @@ def upsert(
             pre.withColumn("_change", F.lit("update_preimage")).write.mode(
                 "append"
             ).parquet(fsio.join(table_dir, v, _CHANGES))
+            # an insert-only batch logs ZERO preimage rows, which is
+            # indistinguishable from "preimages never logged" by row
+            # inspection — the sidecar tells IVM consumers the feed is
+            # complete (sources/incremental.py accepts it)
+            fsio.touch(fsio.join(table_dir, v, _CHANGES, _PREIMAGED))
     _commit_snapshot(
         merged.schema.json(), table_dir, v, (), "upsert", marker,
         expected_parent=cur_v,

@@ -251,3 +251,33 @@ def test_stale_writer_loses_to_committed_child(spark, seeded):
         U._finalize_commit(tdir, v, "v00001")
     assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
     assert v not in U.committed_versions(tdir)
+
+
+def test_retry_on_conflict_gives_multi_writer_liveness(spark, seeded):
+    """Two writers upserting DISJOINT keys concurrently, each wrapped in
+    retry_on_conflict: the CAS makes one lose each round, the retry re-runs
+    it against the fresh state — both batches land, nothing lost."""
+    import threading
+
+    tdir = seeded
+    errs = []
+
+    def writer(k, v):
+        try:
+            U.retry_on_conflict(
+                lambda: U.upsert(spark, tdir, _mk(spark, [(k, v)]), ["k"]),
+                attempts=5,
+            )
+        except Exception as ex:  # noqa: BLE001 — surface to the assert
+            errs.append(ex)
+
+    ts = [
+        threading.Thread(target=writer, args=(3, "c")),
+        threading.Thread(target=writer, args=(4, "d")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}

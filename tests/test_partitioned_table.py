@@ -238,3 +238,87 @@ def test_pruned_partition_reader_applies_dvs(spark, tmp_path):
     U.delete_where_dv(spark, tdir, F.col("k") == 11, ["k"])
     df, _ = read_table_partitions_pruned(spark, tdir, ["a"], "k", 10, 20)
     assert {r["k"] for r in df.collect()} == {13, 15, 17, 19}
+
+
+def test_compact_partitioned_materializes_dvs_keeps_layout(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_partitioned,
+    )
+
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_clustered(spark, 40), tdir, "grp")
+    U.delete_where_dv(spark, tdir, F.col("k") <= 4, ["k"])
+    compact_partitioned(spark, tdir, "grp", stats_cols=["k"])
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    assert m["kind"] == "compact" and not m.get("dv")  # vectors materialized
+    assert all(_part_of(e) in ("a", "b") for e in m["files"])  # layout kept
+    # exactly one file per partition value
+    from collections import Counter
+
+    per_part = Counter(_part_of(e) for e in m["files"])
+    assert per_part == {"a": 1, "b": 1}
+    assert m.get("stats")
+    got = {r["k"] for r in read_table_partitions(spark, tdir, ["a"]).collect()}
+    assert got == {k for k in range(5, 41) if k % 2}
+    # MERGE works normally afterwards
+    upsert_partitioned(spark, tdir, _rows_kgv(spark, [(2, "b", 22)]), ["k"], "grp")
+    assert {
+        r["k"] for r in read_table_partitions(spark, tdir, ["b"]).collect()
+    } == {k for k in range(5, 41) if k % 2 == 0} | {2}
+
+
+def test_ivm_folds_partitioned_merge_with_preimages(spark, tmp_path):
+    """feed_preimages on the partitioned MERGE makes the source
+    incrementally foldable — the derived aggregate follows without ever
+    rescanning untouched partitions."""
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    write_table_partitioned(
+        _rows_kgv(spark, [(1, "a", 10), (2, "a", 3), (3, "b", 7)]), src, "grp"
+    )
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    upsert_partitioned(
+        spark, src, _rows_kgv(spark, [(1, "a", 5), (4, "b", 2)]), ["k"],
+        "grp", feed_preimages=True,
+    )
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    got = {
+        (r["grp"], r["val_sum"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("a", 8, 2), ("b", 9, 2)}
+
+
+def test_zorder_compact_partitioned_triple_pruning(spark, tmp_path):
+    """Z-order within partitions + manifest stats: a (partition, range)
+    filter skips files INSIDE the partition after the clustered rewrite."""
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_partitioned,
+        read_table_partitions_pruned,
+    )
+
+    rows = [(k, "a" if k % 2 else "b", (k * 37) % 100) for k in range(1, 201)]
+    tdir = str(tmp_path / "ptbl")
+    write_table_partitioned(
+        spark.createDataFrame(rows, "k int, grp string, val long")
+        .repartition(8),
+        tdir,
+        "grp",
+    )
+    compact_partitioned(
+        spark, tdir, "grp", stats_cols=["k"], zorder_by=["k"],
+        files_per_partition=4,
+    )
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    from collections import Counter
+
+    per_part = Counter(_part_of(e) for e in m["files"])
+    assert per_part["a"] >= 3  # multiple clustered files per partition
+    df, info = read_table_partitions_pruned(spark, tdir, ["a"], "k", 1, 40)
+    assert {r["k"] for r in df.collect()} == {k for k in range(1, 41) if k % 2}
+    assert info["skipped_stats"] >= 1  # intra-partition file skipping
+    assert info["skipped_partition"] >= per_part["b"]
