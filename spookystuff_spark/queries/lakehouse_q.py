@@ -39,7 +39,7 @@ ORACLE_CDC = """
 @bench_only("q_cdc_upsert")
 def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spookystuff_spark.sources.upsert import frame_diff, read_table, upsert, write_table
-    from spookystuff_spark.sources.versioned_source import VersionedTableDataSource
+    from spookystuff_spark.sources.versioned_source import register as register_versioned
 
     base = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
@@ -65,10 +65,7 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value-pinned inside the gate, not just pytest'd; the TO side stays
         # a native manifest scan — both readers must agree for the oracle's
         # closed-form diff to come out right
-        try:
-            spark.dataSource.register(VersionedTableDataSource)
-        except Exception:
-            pass  # already registered in this session
+        register_versioned(spark)
         old = (
             spark.read.format("spooky_versioned")
             .option("path", tdir)
@@ -176,7 +173,7 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     application, carry-forward-on-append, and reader agreement are all
     value-pinned. Rides ``q_scalar_suite``'s melt."""
     from spookystuff_spark.sources.upsert import delete_where_dv, read_table, write_table
-    from spookystuff_spark.sources.versioned_source import VersionedTableDataSource
+    from spookystuff_spark.sources.versioned_source import register as register_versioned
 
     base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     appended = base.where(F.col("doc_id") % 89 == 0).withColumn(
@@ -189,10 +186,7 @@ def q_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, tdir, F.col("doc_id") % 3 == 0, ["doc_id"],
             change_feed=False,
         )
-        try:
-            spark.dataSource.register(VersionedTableDataSource)
-        except Exception:
-            pass  # already registered in this session
+        register_versioned(spark)
         appended.write.format("spooky_versioned").option("path", tdir).mode(
             "append"
         ).save()

@@ -136,7 +136,10 @@ def write_table_partitioned(
         df.schema.json(),
         "upsert",
         parent=parent,
-        extra_fields=_stats_fields(table_dir, own, stats_cols),
+        extra_fields={
+            "partition_col": partition_col,
+            **(_stats_fields(table_dir, own, stats_cols) or {}),
+        },
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
@@ -280,7 +283,7 @@ def upsert_partitioned(
                 "dv_keys": list(key_cols),
             }
     own = _own_entries_recursive(table_dir, v)
-    extra = dict(dv_fields or {})
+    extra = {"partition_col": partition_col, **(dv_fields or {})}
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
     U.write_manifest(
         table_dir,
@@ -289,7 +292,7 @@ def upsert_partitioned(
         merged_slice.schema.json(),
         "upsert",
         parent=cur,
-        extra_fields=extra or None,
+        extra_fields=extra,
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
@@ -395,7 +398,10 @@ def compact_partitioned(
         current.schema.json(),
         "compact",
         parent=cur,
-        extra_fields=_stats_fields(table_dir, own, stats_cols),
+        extra_fields={
+            "partition_col": partition_col,
+            **(_stats_fields(table_dir, own, stats_cols) or {}),
+        },
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))

@@ -527,14 +527,14 @@ def append_rows(
     # a metadata-only append must CARRY any accumulated deletion vectors —
     # it never materializes the snapshot, so dropping them would resurrect
     # deleted rows
-    dv_fields = None
+    carried = {}
     if cur is not None:
         pm = read_manifest(table_dir, cur)
         if pm and pm.get("dv"):
-            dv_fields = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
+            carried = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
     _commit_snapshot(
         schema_json, table_dir, v, prev_entries, "append", marker,
-        expected_parent=cur, extra_fields=dv_fields,
+        expected_parent=cur, extra_fields=carried or None,
     )
     return v
 
@@ -728,10 +728,18 @@ def committed_versions(table_dir: str) -> list[str]:
     return sorted(out)
 
 
-def vacuum(table_dir: str, keep: int = 2) -> list[str]:
+def vacuum(
+    table_dir: str, keep: int = 2, retain_ms: int | None = None
+) -> list[str]:
     """Drop all but the newest ``keep`` committed versions (never the current
     one). Also removes dangling dirs from crashed writers — above OR below
     the pointer (the latter exist because ``_next_version`` leapfrogs them).
+
+    ``retain_ms``: additionally PROTECT every version committed within the
+    last ``retain_ms`` milliseconds regardless of ``keep`` (Delta's
+    ``VACUUM ... RETAIN`` contract) — the guard that keeps time travel and
+    in-flight readers alive under an aggressive ``keep``. A version with no
+    recorded timestamp is conservatively retained.
 
     Manifest-aware: a data file physically inside a dropped version dir that
     a KEPT version's manifest still references (metadata-only appends carry
@@ -745,6 +753,17 @@ def vacuum(table_dir: str, keep: int = 2) -> list[str]:
     committed = committed_versions(table_dir)
     dangling = [v for v in vs if v not in committed]
     drop = committed[:-keep] if keep > 0 else committed[:-1]
+    if retain_ms is not None:
+        import time
+
+        cutoff = int(time.time() * 1000) - retain_ms
+        recent = set()
+        for v in drop:
+            m = read_manifest(table_dir, v) or {}
+            ts = m.get("ts_ms")
+            if ts is None or ts >= cutoff:
+                recent.add(v)
+        drop = [v for v in drop if v not in recent]
     kept_versions = [v for v in vs if v not in drop and v not in dangling]
     referenced: set[str] = set()
     for v in kept_versions:
@@ -880,6 +899,47 @@ def history(table_dir: str) -> list[dict]:
             }
         )
     return out
+
+
+def table_detail(table_dir: str, version: str | None = None) -> dict:
+    """One-shot table observability (the Delta ``DESCRIBE DETAIL`` shape):
+    version, kind, commit ts, file/byte footprint, deletion-vector state,
+    partition layout, chain depth and stats coverage — all answered from
+    manifests + one batched size lookup, zero data-file reads."""
+    v = version or _latest(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, v) or {}
+    files = m.get("files", [])
+    sizes = fsio.sizes(
+        [e if _is_abs_entry(e) else fsio.join(table_dir, e) for e in files]
+    )
+    stats = entry_stats(table_dir, v)
+    from collections import Counter
+
+    parts = Counter()
+    for e in files:
+        for seg in e.split("/"):
+            if seg.startswith("__part="):
+                parts[seg[len("__part="):]] += 1
+                break
+    return {
+        "version": v,
+        "kind": m.get("kind"),
+        "ts_ms": m.get("ts_ms"),
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "n_own_files": sum(1 for e in files if e.startswith(f"{v}/")),
+        "n_committed_versions": len(committed_versions(table_dir)),
+        "partition_col": m.get("partition_col"),
+        "n_partitions": len(parts) or None,
+        "dv_files": len(m.get("dv", [])),
+        "dv_keys": m.get("dv_keys"),
+        "stats_covered_files": sum(1 for e in files if stats.get(e)),
+        "schema_cols": (
+            len(json.loads(m["schema"])["fields"]) if m.get("schema") else None
+        ),
+    }
 
 
 def version_at(table_dir: str, ts_ms: int) -> str:
@@ -1097,6 +1157,11 @@ def delete_where_dv(
                 "ts_ms": int(time.time() * 1000),
                 "dv": dv_entries,
                 "dv_keys": list(key_cols),
+                # metadata-only commit: carry layout metadata forward, or a
+                # partitioned table would stop partition-pruning after a DV
+                # delete
+                **({"partition_col": m["partition_col"]}
+                   if m.get("partition_col") else {}),
             },
             separators=(",", ":"),
         ).encode(),
@@ -1131,9 +1196,12 @@ def restore(table_dir: str, version: str) -> str:
     m = read_manifest(table_dir, version) or {}
     v = _next_version(table_dir)
     fsio.mkdirs(fsio.join(table_dir, v))
-    extra = None
+    extra = {}
     if m.get("dv"):
         extra = {"dv": m["dv"], "dv_keys": m["dv_keys"]}
+    if m.get("partition_col"):  # restore of a partitioned snapshot
+        extra["partition_col"] = m["partition_col"]
+    extra = extra or None
     write_manifest(
         table_dir,
         v,

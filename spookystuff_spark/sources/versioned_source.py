@@ -55,6 +55,18 @@ class _FilePart(InputPartition):
     kind: str | None = None  # fill for a missing _change column
 
 
+def _entry_partition(entry: str) -> str | None:
+    """Partition value encoded in a manifest entry's ``__part=`` path."""
+    for seg in entry.split("/"):
+        if seg.startswith("__part="):
+            return seg[len("__part="):]
+    return None
+
+
+def _is_feed_entry(entry: str) -> bool:
+    return "/_changes/" in entry
+
+
 def _arrow_schema(spark_schema: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -105,6 +117,84 @@ class _BatchReader(DataSourceReader):
         m = U.read_manifest(table_dir, version) or {}
         self.dv_paths = [fsio.join(table_dir, e) for e in m.get("dv", [])]
         self.dv_keys = m.get("dv_keys") or []
+        # planning metadata for pushFilters: per-entry manifest stats
+        # (Delta stats-in-log) and the partition value encoded in each
+        # entry's path — both resolved WITHOUT touching any data file
+        self._entries = (m.get("files") or [None] * len(self.files))
+        self._stats = U.entry_stats(table_dir, version)
+        self._partition_col = m.get("partition_col")
+        self.files_skipped = 0  # observability / tests
+
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        """File-level skipping from Catalyst's pushed predicates: a file
+        whose manifest-recorded [min, max] (or partition path) cannot
+        satisfy a conjunct never becomes an InputPartition — the same
+        zero-footer-IO planning as read_table_pruned, driven by the
+        engine's own filters. EVERY filter is returned as unhandled, so
+        Spark still applies them post-scan: pruning here is pure plan-time
+        optimization with no correctness exposure, and unknown filter
+        shapes simply don't prune."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        def keeps(entry: str | None, f) -> bool:
+            if entry is None:
+                return True
+            col = f.attribute[0] if len(f.attribute) == 1 else None
+            if col is None:
+                return True
+            if (
+                self._partition_col == col
+                and not _is_feed_entry(entry)
+            ):
+                # the layout encodes str-cast values; prune only on exact
+                # string predicates (a formatting mismatch must err on
+                # KEEP — a wrongly dropped file can't be re-added by
+                # Spark's post-scan filter)
+                pv = _entry_partition(entry)
+                if pv is not None:
+                    if isinstance(f, EqualTo) and isinstance(f.value, str):
+                        return pv == f.value
+                    if isinstance(f, In) and all(
+                        isinstance(v, str) for v in f.value
+                    ):
+                        return pv in set(f.value)
+            rng = (self._stats.get(entry) or {}).get(col)
+            if not rng or rng[0] is None:
+                return True
+            lo, hi = rng
+            try:
+                if isinstance(f, EqualTo):
+                    return lo <= f.value <= hi
+                if isinstance(f, GreaterThan):
+                    return hi > f.value
+                if isinstance(f, GreaterThanOrEqual):
+                    return hi >= f.value
+                if isinstance(f, LessThan):
+                    return lo < f.value
+                if isinstance(f, LessThanOrEqual):
+                    return lo <= f.value
+                if isinstance(f, In):
+                    return any(lo <= v <= hi for v in f.value)
+            except TypeError:
+                return True  # incomparable JSON repr vs filter value
+            return True
+
+        kept_files, kept_entries = [], []
+        for path, entry in zip(self.files, self._entries):
+            if all(keeps(entry, f) for f in filters):
+                kept_files.append(path)
+                kept_entries.append(entry)
+            else:
+                self.files_skipped += 1
+        self.files, self._entries = kept_files, kept_entries
+        return filters  # all unhandled: Spark re-applies every predicate
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_FilePart(p, False) for p in self.files] or [
@@ -349,6 +439,20 @@ class _VersionedStreamArrowWriter(_VersionedArrowWriter, DataSourceStreamArrowWr
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API name)
         self._cleanup()
+
+
+def register(spark) -> None:
+    """Register ``spooky_versioned`` AND enable Python-DataSource filter
+    pushdown (runtime SQL conf): the batch reader implements
+    ``pushFilters`` for manifest-stats / partition file skipping, and
+    Spark refuses to silently ignore an implemented ``pushFilters`` while
+    the conf is off — registering through this helper keeps the two in
+    lockstep."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(VersionedTableDataSource)
+    except Exception:
+        pass  # already registered in this session
 
 
 class VersionedTableDataSource(DataSource):

@@ -208,7 +208,7 @@ def test_datasource_append_carries_vectors(spark, seeded):
 
     tdir = seeded
     U.delete_where_dv(spark, tdir, F.col("k") <= 3, ["k"])
-    spark.dataSource.register(VersionedTableDataSource)
+    from spookystuff_spark.sources.versioned_source import register as _reg; _reg(spark)
     _mk(spark, [(9, "a", 90)]).write.format("spooky_versioned").option(
         "path", tdir
     ).mode("append").save()
@@ -243,7 +243,7 @@ def test_changefeed_stream_over_partitioned_merge(spark, tmp_path):
     feed = spark.read.parquet(*files)
     assert "__part" not in feed.columns
 
-    spark.dataSource.register(VersionedTableDataSource)
+    from spookystuff_spark.sources.versioned_source import register as _reg; _reg(spark)
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
     q = (
@@ -274,7 +274,7 @@ def test_datasource_reader_applies_vectors(spark, seeded):
 
     tdir = seeded
     U.delete_where_dv(spark, tdir, F.col("k") <= 3, ["k"])
-    spark.dataSource.register(VersionedTableDataSource)
+    from spookystuff_spark.sources.versioned_source import register as _reg; _reg(spark)
     via_ds = {
         r["k"]
         for r in spark.read.format("spooky_versioned")

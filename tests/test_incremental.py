@@ -236,7 +236,7 @@ def test_streaming_refresh_follows_cdc(spark, tmp_path):
         VersionedTableDataSource,
     )
 
-    spark.dataSource.register(VersionedTableDataSource)
+    from spookystuff_spark.sources.versioned_source import register as _reg; _reg(spark)
     src = str(tmp_path / "src")
     dst = str(tmp_path / "agg")
     U.write_table(_rows(spark, [(1, "a", 10)]), src)

@@ -373,3 +373,49 @@ def test_restore_rolls_back_metadata_only(spark, tmp_path):
     )
     U.restore(tdir2, dv_v)
     assert {r["k"] for r in U.read_table(spark, tdir2).collect()} == {1, 2, 3}
+
+
+def test_vacuum_retain_ms_protects_recent_versions(spark, tmp_path):
+    from spookystuff_spark.sources import upsert as U
+
+    tdir = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    U.write_table(df, tdir)
+    U.append_rows(spark, tdir, spark.createDataFrame([(2, "b")], "k int, v string"))
+    U.append_rows(spark, tdir, spark.createDataFrame([(3, "c")], "k int, v string"))
+    # keep=1 would normally drop v1+v2, but everything committed in the
+    # last hour is protected
+    removed = U.vacuum(tdir, keep=1, retain_ms=3_600_000)
+    assert removed == []
+    assert len(U.committed_versions(tdir)) == 3
+    # with zero retention the same call drops them
+    removed = U.vacuum(tdir, keep=1, retain_ms=0)
+    assert len(U.committed_versions(tdir)) == 1
+
+
+def test_table_detail_reports_layout_and_dvs(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.sources import upsert as U
+    from spookystuff_spark.sources.partitioned_table import (
+        write_table_partitioned,
+    )
+
+    tdir = str(tmp_path / "pt")
+    write_table_partitioned(
+        spark.createDataFrame(
+            [(k, "a" if k % 2 else "b", k) for k in range(1, 9)],
+            "k int, grp string, val long",
+        ),
+        tdir,
+        "grp",
+        stats_cols=["k"],
+    )
+    U.delete_where_dv(spark, tdir, F.col("k") == 2, ["k"])
+    d = U.table_detail(tdir)
+    assert d["kind"] == "delete_dv"
+    assert d["partition_col"] == "grp" and d["n_partitions"] == 2
+    assert d["dv_files"] >= 1 and d["dv_keys"] == ["k"]
+    assert d["n_files"] >= 2 and d["total_bytes"] > 0
+    assert d["stats_covered_files"] == d["n_files"]  # chain-resolved stats
+    assert d["schema_cols"] == 3 and d["n_committed_versions"] == 2
