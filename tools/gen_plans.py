@@ -41,6 +41,10 @@ COMMENTARY = {
     "q_line_dedup": "First-occurrence selection is a map-side-combined min(struct) aggregate keyed on the line (a million-copy boilerplate line costs the exchange one row per map task); the join-back is AQE-skew-splittable; doc rebuild is one ordered aggregate. Blank lines never enter the dedup key space.",
     "q_ccnet_buckets": "Rides the shared trigram-LM plan (see q_char_trigram_logprob); the tercile cut is one ntile window per language over quantized scores — rank-only, nothing wide materializes per partition.",
     "q_cdc_upsert": "The visible plan reads the eagerly-checkpointed diff (the temp versioned table is already reclaimed). Upstream: two scan-shaped snapshot writes, a MERGE (anti-join on broadcast update keys + union), and one full-outer key join between two immutable snapshots — the diff output is bounded by changed rows, never table size.",
+    "q_dv_delete": "Checkpointed aggregate over a DV table read twice (native manifest scan + spooky_versioned Arrow reader). Upstream cost: the delete wrote ONLY the deleted keys' vector (O(deleted), zero data files); each reader applies the vector as one broadcast-able anti-join. At 100 TB deletes stay metadata-sized until a compaction materializes them.",
+    "q_partitioned_merge": "Checkpointed per-language aggregates through two readers of the merged table. Upstream: the MERGE read only the touched partitions' files (manifest pruning), applied the deletion vector to that slice during its rewrite, and carried untouched partitions + the shrunken vector by reference — O(touched + deleted), never O(table).",
+    "q_ivm_refresh": "Checkpointed read of the derived table. Upstream: three incremental folds, each reading ONLY that commit's change feed (insert/postimage +, preimage/delete −) joined full-outer against the group-cardinality derived table — the source is never rescanned, which is the property that keeps refresh O(changed rows) at 100 TB.",
+    "q_stream_ingest": "Checkpointed read of the IVM-derived table after a real Structured Streaming run: three file-trigger micro-batches through the exactly-once upsert sink, refresh riding each batch's feed. Per batch: one anti-join + union snapshot write and one feed-sized fold — the stream never rescans the table it builds.",
     "q_image_phash": "The synth→decode→pHash Arrow stages sit behind the eager (id, hash) checkpoint (Scan ExistingRDD — they run exactly once for the four consumers). The candidate search is a band-equality ShuffledHashJoin/SortMergeJoin over 8-per-image band rows with the oversized-bucket list arriving via a broadcast LEFT-ANTI join; verification is codegen bit_count(XOR). No CartesianProduct anywhere — plan-asserted.",
     "q_audio_fingerprint": "Identical join shape to q_image_phash (the banded Hamming join is hash-agnostic); upstream the WAV synth + PCM decode + 9x9 FFT fingerprint run as one narrow Arrow stage per partition, pinned once by the checkpoint.",
     "q_video_neardup": "Per-frame hashes explode 1→N inside the same Arrow stage as the Y4M frame walk; frame identity packs to one long (video*1024+frame, codegen overflow guard), so the frame-level search IS the banded join, and the video verdict is one count_distinct aggregate over surviving frame pairs — never all-(videos²) or all-(frames²).",
