@@ -118,3 +118,26 @@ def test_banded_hamming_join_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # anti-join against the hot list rides a broadcast exchange
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_dv_read_plan_broadcasts_the_vector(spark, tmp_path):
+    """Reading a DV table must anti-join the (small by contract) key vector
+    as a BROADCAST — shuffling the table to apply a deletion vector would
+    turn the O(deleted) design into an O(table) exchange at every read."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.sources import upsert as U
+
+    tdir = str(tmp_path / "t")
+    U.write_table(
+        spark.range(0, 2000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        ),
+        tdir,
+        change_feed=False,
+    )
+    U.delete_where_dv(spark, tdir, F.col("k") % 100 == 0, ["k"])
+    plan = _plan(U.read_table(spark, tdir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -1,6 +1,6 @@
 """Model-based property test for the versioned table: a random sequence of
-upsert / delete / append / compact / clone operations must always agree with
-a plain in-memory dict model, and every historical version must replay
+upsert / delete / DV-delete / append / compact / restore operations must
+always agree with a plain in-memory dict model, and every historical version must replay
 exactly via time travel.
 
 Hypothesis drives the op sequences; the Spark side is the implementation
@@ -37,11 +37,13 @@ op_st = st.one_of(
         ),
     ),
     st.tuples(st.just("delete"), st.sampled_from(KEYS)),
+    st.tuples(st.just("delete_dv"), st.sampled_from(KEYS)),
     st.tuples(
         st.just("append"),
         st.tuples(st.integers(min_value=100, max_value=120), st.sampled_from(VALS)),
     ),
     st.tuples(st.just("compact"), st.none()),
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=100)),
 )
 
 
@@ -70,6 +72,14 @@ def test_versioned_table_matches_dict_model(spark, tmp_path_factory, ops):
         elif kind == "delete":
             U.delete_where(spark, tdir, F.col("k") == arg)
             model.pop(arg, None)
+        elif kind == "delete_dv":
+            # merge-on-read: same observable semantics, metadata-only commit
+            U.delete_where_dv(spark, tdir, F.col("k") == arg, ["k"])
+            model.pop(arg, None)
+        elif kind == "restore":
+            target_v, target_snap = history[arg % len(history)]
+            U.restore(tdir, target_v)
+            model = dict(target_snap)
         elif kind == "append":
             # blind append of a fresh key (ids >= 100 never collide)
             k, v = arg
@@ -136,3 +146,73 @@ def test_streaming_sink_replays_any_prefix(spark, tmp_path_factory, batches):
     assert len(U.committed_versions(tdir)) == n_versions
     after = {(r["k"], r["v"]) for r in U.read_table(spark, tdir).collect()}
     assert after == before
+
+
+part_op_st = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.sampled_from(KEYS), st.sampled_from(VALS)),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete_dv"), st.sampled_from(KEYS)),
+    st.tuples(st.just("compact"), st.none()),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(part_op_st, min_size=1, max_size=5))
+def test_partitioned_table_matches_dict_model(spark, tmp_path_factory, ops):
+    """The DV-composing partitioned MERGE against the executable dict spec:
+    any interleaving of touched-slice merges, key-vector deletes and
+    layout-preserving compactions must agree with the model through BOTH
+    the snapshot reader and the partition-pruned reader."""
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_partitioned,
+        read_table_partitions,
+        upsert_partitioned,
+        write_table_partitioned,
+    )
+
+    def grp(k: int) -> str:  # partition stability: key → fixed partition
+        return f"p{k % 3}"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(k, grp(k), v) for k, v in rows], "k int, grp string, v string"
+        )
+
+    tdir = str(tmp_path_factory.mktemp("pmodel") / "t")
+    model: dict[int, str] = {0: "init"}
+    write_table_partitioned(mk([(0, "init")]), tdir, "grp")
+
+    for kind, arg in ops:
+        if kind == "merge":
+            upsert_partitioned(spark, tdir, mk(arg), ["k"], "grp")
+            model.update(dict(arg))
+        elif kind == "delete_dv":
+            U.delete_where_dv(spark, tdir, F.col("k") == arg, ["k"])
+            model.pop(arg, None)
+        elif kind == "compact":
+            compact_partitioned(spark, tdir, "grp")
+
+    expect = {(k, grp(k), v) for k, v in model.items()}
+    got = {
+        (r["k"], r["grp"], r["v"])
+        for r in U.read_table(spark, tdir).collect()
+    }
+    assert got == expect
+    pruned = {
+        (r["k"], r["grp"], r["v"])
+        for r in read_table_partitions(
+            spark, tdir, ["p0", "p1", "p2"]
+        ).collect()
+    }
+    assert pruned == expect
