@@ -1170,6 +1170,49 @@ def delete_where_dv(
     return v
 
 
+def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
+    """Vector-only OPTIMIZE: fold the accumulated deletion-vector files
+    (one per chained delete) into a single distinct key file as a
+    METADATA-ONLY commit — every data file carries by reference, so this
+    is O(deleted keys) maintenance that keeps the per-read anti-join probe
+    one small file instead of a growing list, WITHOUT the full data
+    rewrite ``compact`` pays to materialize. Returns the new version, or
+    None when there is at most one vector file (nothing to fold)."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, cur) or {}
+    dv = m.get("dv") or []
+    if len(dv) <= 1:
+        return None
+    keys = spark.read.parquet(
+        *[fsio.join(table_dir, e) for e in dv]
+    ).distinct()
+    v = _next_version(table_dir)
+    keys.coalesce(1).write.mode("errorifexists").parquet(
+        fsio.join(table_dir, v, "_dv")
+    )
+    extra = {
+        "dv": [
+            f"{v}/_dv/{n}" for n in _parquet_names(fsio.join(table_dir, v, "_dv"))
+        ],
+        "dv_keys": m["dv_keys"],
+    }
+    if m.get("partition_col"):
+        extra["partition_col"] = m["partition_col"]
+    write_manifest(
+        table_dir,
+        v,
+        list(m.get("files", [])),
+        m.get("schema"),
+        "compact_dv",
+        parent=cur,
+        extra_fields=extra,
+    )
+    _finalize_commit(table_dir, v, cur)
+    return v
+
+
 def _apply_deletion_vectors(
     spark: SparkSession, table_dir: str, version: str, df: DataFrame
 ) -> DataFrame:

@@ -235,21 +235,32 @@ class _BatchReader(DataSourceReader):
 class _ChangeFeedReader(DataSourceStreamReader):
     """Offsets: {"version": int} = highest version whose changes were
     emitted. A micro-batch (start, end] maps to the ``_changes`` files of
-    every committed version in that range."""
+    every committed version in that range. ``max_versions_per_batch``
+    rate-bounds catch-up: a consumer restarting far behind the table
+    advances at most that many versions per trigger instead of replaying
+    the whole backlog as one giant micro-batch (the Delta
+    ``maxFilesPerTrigger`` idea at version granularity). Use it with a
+    continuous trigger: ``Trigger.AvailableNow`` snapshots the available
+    offset ONCE at query start, so a rate-limited available-now run drains
+    only the first window, then terminates (re-run to continue — each run
+    resumes from the checkpoint)."""
 
     def __init__(
         self,
         table_dir: str,
         starting_version: int | None,
         schema: StructType,
+        max_versions_per_batch: int | None = None,
     ):
         self.table_dir = table_dir
         self.spark_schema = schema
+        self.max_versions = max_versions_per_batch
         if starting_version is not None:
             self.start_v = starting_version
         else:
             cur = U.committed_versions(table_dir)
             self.start_v = int(cur[-1][1:]) if cur else 0
+        self._last_end = self.start_v
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -257,9 +268,19 @@ class _ChangeFeedReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         cur = U.committed_versions(self.table_dir)
         latest = int(cur[-1][1:]) if cur else 0
-        return {"version": max(latest, self.start_v)}
+        latest = max(latest, self.start_v)
+        if self.max_versions is not None:
+            # advance the window from the previous end, never past latest
+            capped = min(latest, self._last_end + self.max_versions)
+            self._last_end = capped
+            return {"version": capped}
+        self._last_end = latest
+        return {"version": latest}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # learn the true stream position (e.g. a restart replaying the last
+        # offset-log batch) so the rate-limit window resumes from there
+        self._last_end = max(self._last_end, end["version"])
         parts: list[InputPartition] = []
         for v in U.committed_versions(self.table_dir):
             n = int(v[1:])
@@ -458,10 +479,11 @@ def register(spark) -> None:
 class VersionedTableDataSource(DataSource):
     """name: ``spooky_versioned``. Options: ``path`` (table dir, required),
     ``version`` (batch time travel), ``startingVersion`` (stream replay
-    start; default = current version, i.e. only future changes), ``appId``
-    (stream-writer exactly-once namespace — set it per checkpoint so a
-    restart with a FRESH checkpoint, whose batch ids restart at 0, is not
-    mistaken for a replay of the old one)."""
+    start; default = current version, i.e. only future changes),
+    ``maxVersionsPerBatch`` (stream rate limit: cap how many table versions
+    one micro-batch may cover during catch-up), ``appId`` (stream-writer
+    exactly-once namespace; default = the query's checkpointLocation —
+    empty string forces the legacy app-less namespace)."""
 
     @classmethod
     def name(cls) -> str:
@@ -531,10 +553,12 @@ class VersionedTableDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         sv = self.options.get("startingversion")
+        mv = self.options.get("maxversionsperbatch")
         return _ChangeFeedReader(
             self._table_dir(),
             int(sv) if sv is not None else None,
             schema,
+            int(mv) if mv is not None else None,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> _VersionedArrowWriter:

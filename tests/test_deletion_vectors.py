@@ -294,3 +294,61 @@ def test_datasource_reader_applies_vectors(spark, seeded):
         .collect()
     }
     assert old == set(range(1, 9))
+
+
+def test_compact_dv_folds_vectors_metadata_only(spark, seeded):
+    tdir = seeded
+    U.delete_where_dv(spark, tdir, F.col("k") == 1, ["k"])
+    U.delete_where_dv(spark, tdir, F.col("k") == 5, ["k"])
+    U.delete_where_dv(spark, tdir, F.col("k") == 7, ["k"])
+    m_before = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    assert len(m_before["dv"]) >= 3
+
+    v = U.compact_dv(spark, tdir)
+    m = U.read_manifest(tdir, v)
+    assert m["kind"] == "compact_dv"
+    assert m["files"] == m_before["files"]  # zero data files rewritten
+    assert len(m["dv"]) == 1 and m["dv_keys"] == ["k"]
+    assert _ks(spark, tdir) == {2, 3, 4, 6, 8}
+    # vacuum keeps the folded vector, drops the old generations' files
+    U.append_rows(spark, tdir, _mk(spark, [(9, "a", 90)]), change_feed=False)
+    U.vacuum(tdir, keep=1)
+    assert _ks(spark, tdir) == {2, 3, 4, 6, 8, 9}
+    # idempotent: a single vector file is already folded
+    assert U.compact_dv(spark, tdir) is None
+
+
+def test_cdc_stream_rate_limit_caps_batches(spark, tmp_path):
+    """maxVersionsPerBatch: a consumer starting far behind advances at most
+    N versions per micro-batch instead of one giant catch-up batch — and
+    still reaches the complete feed."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+    _reg(spark)
+
+    tdir = str(tmp_path / "t")
+    U.write_table(_mk(spark, [(1, "a", 10)]), tdir)
+    for i in range(2, 7):  # five more commits
+        U.append_rows(spark, tdir, _mk(spark, [(i, "a", i * 10)]))
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", tdir)
+        .option("changefeed", "true")
+        .option("startingVersion", 0)
+        .option("maxVersionsPerBatch", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drains the window batch by batch
+        progress = q.recentProgress
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out)
+    assert {r["k"] for r in rows.collect()} == {1, 2, 3, 4, 5, 6}
+    # the 6-version backlog needed >= 3 triggers at 2 versions each
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 3
