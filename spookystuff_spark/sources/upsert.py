@@ -113,11 +113,15 @@ def _finalize_commit(
     expected-parent re-check catches a writer whose table moved underneath
     it, and the create-exclusive catches two writers racing the same
     version name — exactly one wins, the loser's dir is ordinary vacuum
-    debris. (Residual window: two same-parent writers that chose DIFFERENT
-    version names — possible only when crashed-writer debris occupies the
-    lower name — can both pass; the later name orphans the earlier. The
-    parent re-check closes that unless both commits land within the same
-    few milliseconds.) The legacy pointer is then refreshed as a cache."""
+    debris. Two same-parent writers that chose DIFFERENT version names
+    (possible only when crashed-writer debris occupies the lower name) are
+    resolved by the post-CAS sibling check: commit files record their
+    parent, the HIGHER version deterministically wins (it is the tip by
+    the max rule already), the lower one RETRACTS its commit file and
+    raises — both racers reach the same verdict from the listing alone.
+    (A reader in the few-ms window before a retraction can observe the
+    retracted snapshot — stale-but-consistent, never torn.) The legacy
+    pointer is then refreshed as a cache."""
     now = _latest(table_dir)
     if now != parent:
         raise ConcurrentWriteError(
@@ -134,6 +138,24 @@ def _finalize_commit(
             f"{table_dir}: version {version} was committed by another "
             "writer — retry against the new state"
         ) from None
+    # post-CAS sibling check (see docstring): a HIGHER-named commit with
+    # the SAME parent means a different-name racer beat us to the tip —
+    # retract our commit file so exactly one child of any parent survives
+    for sib in _commit_names(table_dir):
+        if sib <= version:
+            continue
+        sib_parent = (
+            fsio.read_bytes(fsio.join(table_dir, _COMMITS, sib))
+            .decode()
+            .strip()
+            or None
+        )
+        if sib_parent == parent:
+            fsio.delete_file(fsio.join(table_dir, _COMMITS, version))
+            raise ConcurrentWriteError(
+                f"{table_dir}: concurrent writer committed {sib} from the "
+                f"same parent {parent!r} — retry against the new state"
+            )
     _swap_pointer(table_dir, version)
 
 

@@ -281,3 +281,45 @@ def test_retry_on_conflict_gives_multi_writer_liveness(spark, seeded):
         t.join()
     assert not errs
     assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_different_name_same_parent_race_one_winner(spark, seeded):
+    """The nastier race: debris occupies the lower version name, so two
+    same-parent writers stage DIFFERENT names. The post-CAS sibling check
+    resolves it deterministically — exactly one survives, and the survivor
+    is the chain tip."""
+    import threading
+
+    tdir = seeded
+    for v in ("v00002", "v00003"):
+        _mk(spark, [(int(v[-1]), v)]).write.parquet(fsio.join(tdir, v))
+
+    barrier = threading.Barrier(2)
+    outcomes = {}
+
+    def commit(v):
+        barrier.wait()
+        try:
+            U._commit_snapshot(
+                None, tdir, v, (), "upsert", expected_parent="v00001"
+            )
+            outcomes[v] = "ok"
+        except U.ConcurrentWriteError:
+            outcomes[v] = "conflict"
+
+    ts = [
+        threading.Thread(target=commit, args=(v,))
+        for v in ("v00002", "v00003")
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(outcomes.values()) == ["conflict", "ok"]
+    winner = next(v for v, o in outcomes.items() if o == "ok")
+    assert U._latest(tdir) == winner
+    # the chain is consistent: tip's parent is the shared parent, the
+    # loser's commit file is gone (retracted or never created)
+    assert U.committed_versions(tdir)[-1] == winner
+    loser = next(v for v, o in outcomes.items() if o == "conflict")
+    assert not fsio.exists(fsio.join(tdir, "_commits", loser))
