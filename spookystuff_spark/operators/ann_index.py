@@ -1,0 +1,242 @@
+"""Incremental ANN (IVF) index maintenance over the lakehouse.
+
+The index IS a partitioned versioned table: one row per vector, laid out
+by its coarse-quantizer cell (``sources/partitioned_table.py``, partition
+col = ``cell``), with the trained centroids stored as a small sidecar in
+the index dir. Maintenance reads the EMBEDDING SOURCE'S CHANGE FEED — a
+new batch of vectors costs one O(batch) assignment pass plus an
+O(touched-cells) partitioned MERGE, never an index rebuild; queries probe
+``nprobe`` cells through the manifest-pruned partition reader, so a
+lookup touches only the probed cells' files. At 100 TB this is the
+difference between an index you can keep current and one you rebuild
+nightly: the corpus is never rescanned after the initial build.
+
+Freshness/refresh is exactly-once per source version via the same
+``_SRC_<version>`` watermark idiom as sources/incremental.py (the marker
+rides the index table's atomic commit). Feeds must be INSERT-shaped for
+the incremental path — re-embedding an existing id could move it between
+cells, which would break the partitioned-MERGE stability contract, so a
+feed containing preimage/delete rows raises and the caller rebuilds (or
+DV-deletes then re-inserts under a new id).
+
+Centroids are deterministic (the canonical smallest-md5 sample +
+fixed-iteration Lloyd's of operators/similarity.ivf_assign), so an
+incrementally maintained index is BIT-IDENTICAL to a from-scratch rebuild
+over the same corpus — the property the tests pin.
+
+Reference scope: the reference has no ANN machinery; this composes the
+rebuild's own IVF quantizer with its lakehouse (public FAISS-IVF and
+Delta-CDF ideas only).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark import fsio
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.incremental import (
+    _SRC_MARK,
+    _changes_since,
+    last_processed_version,
+)
+from spookystuff_spark.sources.partitioned_table import (
+    read_table_partitions,
+    upsert_partitioned,
+    write_table_partitioned,
+)
+
+_CENTROIDS = "_CENTROIDS.json"
+
+
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, centroids
+) -> DataFrame:
+    """(id, cell, vec): nearest centroid per vector — one vectorized Arrow
+    stage, centroids broadcast via the UDF closure (k·d floats)."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+    out_schema = f"{id_col} long, cell string, vec array<double>"
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + c_sq[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cell": [f"c{int(i)}" for i in cells],
+                    "vec": pdf[vec_col].values,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def _save_centroids(index_dir: str, centroids) -> None:
+    fsio.mkdirs(index_dir)
+    fsio.write_bytes(
+        fsio.join(index_dir, _CENTROIDS),
+        json.dumps([list(map(float, row)) for row in centroids]).encode(),
+    )
+
+
+def load_centroids(index_dir: str):
+    import numpy as np
+
+    return np.array(
+        json.loads(fsio.read_bytes(fsio.join(index_dir, _CENTROIDS))),
+        dtype=np.float64,
+    )
+
+
+def build_ann_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    n_iters: int = 5,
+    sample_cap: int = 10_000,
+) -> str:
+    """Train the coarse quantizer on the current source snapshot (bounded
+    canonical sample, deterministic) and lay the full corpus out as the
+    cell-partitioned index table. Returns the index version. The source
+    watermark rides the commit, so a follow-up :func:`refresh_ann_index`
+    starts exactly after this snapshot."""
+    from spookystuff_spark.operators.similarity import ivf_assign
+
+    src_v = U.committed_versions(src_dir)[-1]
+    emb = U.read_table(spark, src_dir)
+    dim = len(emb.select(vec_col).first()[0])
+    _, centroids = ivf_assign(
+        emb, id_col, vec_col, dim,
+        n_cells=n_cells, n_iters=n_iters, sample_cap=sample_cap,
+    )
+    _save_centroids(index_dir, centroids)
+    assigned = _assign_cells(emb, id_col, vec_col, centroids)
+    write_table_partitioned(
+        assigned, index_dir, "cell",
+        marker=f"{_SRC_MARK}{src_v}", change_feed=False,
+    )
+    return U.committed_versions(index_dir)[-1]
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+) -> str | None:
+    """Fold source changes since the watermark into the index: assign ONLY
+    the new vectors (the centroids never move — FAISS's add-to-index
+    contract) and merge them through the O(touched-cells) partitioned
+    upsert. Returns the new index version, or None when the source has
+    nothing new. Insert-shaped feeds only (see module docstring)."""
+    after = last_processed_version(index_dir)
+    changes, newest = _changes_since(spark, src_dir, after)
+    if newest is None:
+        return None
+    if changes is None:  # feed-less versions only (e.g. compaction)
+        return None
+    kinds = {r[0] for r in changes.select("_change").distinct().collect()}
+    if kinds - {"insert", "upsert"}:
+        raise ValueError(
+            f"{src_dir}: ANN index refresh needs an insert-shaped feed — "
+            f"got kinds {sorted(kinds)}; re-embedding moves vectors between "
+            "cells, rebuild instead"
+        )
+    centroids = load_centroids(index_dir)
+    # the feed rows carry the source schema; find the embedding column name
+    src_schema_cols = [c for c in changes.columns if c != "_change"]
+    emb_col = [c for c in src_schema_cols if c != id_col][0]
+    assigned = _assign_cells(
+        changes.select(id_col, emb_col), id_col, emb_col, centroids
+    )
+    upsert_partitioned(
+        spark, index_dir, assigned, [id_col], "cell",
+        marker=f"{_SRC_MARK}{newest}",
+    )
+    return U.committed_versions(index_dir)[-1]
+
+
+def ann_query(
+    spark: SparkSession,
+    index_dir: str,
+    queries: Sequence[tuple],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector, probing only ``nprobe``
+    cells per query: probe cells resolve driver-side against the local
+    centroids (queries are small by contract), the probed cells' files
+    come through the manifest-pruned partition reader (zero IO on every
+    other cell), and the scoring join is query-broadcast — the index is
+    never shuffled. ``queries``: [(query_id, vector), ...]."""
+    import numpy as np
+
+    c = load_centroids(index_dir)
+    qids = [q[0] for q in queries]
+    qvecs = np.array([q[1] for q in queries], dtype=np.float64)
+    d2 = (
+        (qvecs * qvecs).sum(axis=1)[:, None]
+        - 2.0 * (qvecs @ c.T)
+        + (c * c).sum(axis=1)[None, :]
+    )
+    order = np.argsort(d2, axis=1)[:, :nprobe]
+    probe_cells = sorted({f"c{int(i)}" for row in order for i in row})
+    pairs = [
+        (qid, f"c{int(cell)}")
+        for qid, row in zip(qids, order)
+        for cell in row
+    ]
+    slice_df = read_table_partitions(spark, index_dir, probe_cells)
+    qdf = spark.createDataFrame(
+        [
+            (qid, [float(x) for x in vec])
+            for qid, vec in zip(qids, qvecs)
+        ],
+        "query_id long, qvec array<double>",
+    )
+    probe_df = spark.createDataFrame(pairs, "query_id long, cell string")
+    from pyspark.sql.window import Window
+
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = (
+        slice_df.join(F.broadcast(probe_df), "cell")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("cosine", dot / (norm(F.col("qvec")) * norm(F.col("vec"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )

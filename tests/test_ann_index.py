@@ -1,0 +1,119 @@
+"""Incremental IVF index over the lakehouse (operators/ann_index.py):
+incrementally maintained index ≡ from-scratch rebuild, queries probe only
+their cells, refresh is exactly-once, non-insert feeds refuse."""
+
+from __future__ import annotations
+
+import pytest
+
+from spookystuff_spark.operators import ann_index as A
+from spookystuff_spark.sources import upsert as U
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # deterministic, spread across two obvious clusters
+    base = [0.0] * dim
+    base[i % dim] = 1.0
+    base[(i * 3) % dim] += 0.25
+    if i % 2 == 0:
+        base = [x + 5.0 for x in base]
+    return base
+
+
+def _emb(spark, ids):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in ids], "vec_id long, embedding array<double>"
+    )
+
+
+@pytest.fixture
+def built(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_emb(spark, range(40)), src)
+    A.build_ann_index(spark, src, idx, n_cells=4)
+    return src, idx
+
+
+def _index_state(spark, idx):
+    return {
+        (r["vec_id"], r["cell"])
+        for r in U.read_table(spark, idx).select("vec_id", "cell").collect()
+    }
+
+
+def test_incremental_equals_rebuild(spark, built, tmp_path):
+    src, idx = built
+    U.append_rows(spark, src, _emb(spark, range(100, 120)))
+    U.append_rows(spark, src, _emb(spark, range(200, 210)))
+    assert A.refresh_ann_index(spark, src, idx) is not None
+
+    # from-scratch index over the SAME corpus with the SAME centroids
+    idx2 = str(tmp_path / "idx2")
+    A._save_centroids(idx2, A.load_centroids(idx))
+    from spookystuff_spark.sources.partitioned_table import (
+        write_table_partitioned,
+    )
+
+    assigned = A._assign_cells(
+        U.read_table(spark, src), "vec_id", "embedding",
+        A.load_centroids(idx),
+    )
+    write_table_partitioned(assigned, idx2, "cell", change_feed=False)
+    assert _index_state(spark, idx) == _index_state(spark, idx2)
+
+    # exactly-once: nothing new → no-op
+    n = len(U.committed_versions(idx))
+    assert A.refresh_ann_index(spark, src, idx) is None
+    assert len(U.committed_versions(idx)) == n
+
+
+def test_query_matches_bruteforce_and_prunes(spark, built, monkeypatch):
+    import numpy as np
+
+    src, idx = built
+    queries = [(0, _vec(3)), (1, _vec(10))]
+
+    calls = []
+    from spookystuff_spark.operators import ann_index as mod
+    from spookystuff_spark.sources import partitioned_table as PT
+
+    real = PT.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, version=None):
+        calls.append(sorted(partition_values))
+        return real(spark_, table_dir, partition_values, version)
+
+    monkeypatch.setattr(mod, "read_table_partitions", spy)
+    got = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in A.ann_query(spark, idx, queries, k=3, nprobe=4).collect()
+    }
+    # nprobe=4 == n_cells → exhaustive: must equal full brute force
+    emb = {r["vec_id"]: r["embedding"] for r in U.read_table(spark, src).collect()}
+    for qid, qv in queries:
+        q = np.array(qv)
+        scores = sorted(
+            (
+                (float(q @ np.array(v)) / (np.linalg.norm(q) * np.linalg.norm(v)), i)
+                for i, v in emb.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, i) in enumerate(scores[:3], start=1):
+            assert got[(qid, rank)] == i
+    assert calls and all(len(c) <= 4 for c in calls)
+
+    # pruned probe: nprobe=1 touches exactly the queries' home cells
+    calls.clear()
+    A.ann_query(spark, idx, queries, k=3, nprobe=1).collect()
+    assert calls and len(calls[0]) <= 2  # ≤ one cell per query
+
+
+def test_refresh_refuses_non_insert_feed(spark, built):
+    import pyspark.sql.functions as F
+
+    src, idx = built
+    U.delete_where(spark, src, F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="insert-shaped"):
+        A.refresh_ann_index(spark, src, idx)
