@@ -199,7 +199,7 @@ def ann_query(
         - 2.0 * (qvecs @ c.T)
         + (c * c).sum(axis=1)[None, :]
     )
-    order = np.argsort(d2, axis=1)[:, :nprobe]
+    order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
     probe_cells = sorted({f"c{int(i)}" for row in order for i in row})
     pairs = [
         (qid, f"c{int(cell)}")
@@ -230,7 +230,15 @@ def ann_query(
     scored = (
         slice_df.join(F.broadcast(probe_df), "cell")
         .join(F.broadcast(qdf), "query_id")
-        .withColumn("cosine", dot / (norm(F.col("qvec")) * norm(F.col("vec"))))
+        # rounded (repo-wide cross-engine recipe): ranking on the rounded
+        # value with the id tiebreak makes the top-k reproducible against
+        # any independent replica of the arithmetic
+        .withColumn(
+            "cosine",
+            F.round(
+                dot / (norm(F.col("qvec")) * norm(F.col("vec"))) + 1e-6, 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col(id_col)

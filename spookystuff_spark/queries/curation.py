@@ -339,6 +339,8 @@ UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_pq_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_leakage_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num
+          FROM read_parquet('{_GOLD}/q_ann_index_melt.parquet')
 """
 
 
@@ -503,15 +505,24 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["kept"],
         ),
         _melt(q_fuzzy_join(spark, sf_dir), "fuzzy", ["id_a", "id_b"], ["dist"]),
+        _ann_index_melted(spark, sf_dir),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 from spookystuff_spark.queries import register_suite  # noqa: E402
 
+def _ann_index_melted(spark, sf_dir):
+    # q_ann_index already returns melt-shaped rows (anncells + annidx)
+    from spookystuff_spark.queries.llm_ops import q_ann_index
+
+    return q_ann_index(spark, sf_dir)
+
+
 register_suite(
     "q_curation_suite",
     {
+        "anncells": "q_ann_index", "annidx": "q_ann_index",
         "semdedup": "q_semdedup_prune", "mixture": "q_mixture_sample",
         "pii": "q_pii_scrub", "pq": "q_pq_topk",
         "dupremoval": "q_dupspan_removal", "dupspan": "q_longest_dup_span",

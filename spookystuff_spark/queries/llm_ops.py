@@ -143,6 +143,58 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_pairs(emb, "vec_id", "embedding", dim=64, k=5, n_cells=None)
 
 
+@bench_only("q_ann_index")
+def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index over the lakehouse, gate-pinned end-to-end
+    (operators/ann_index.py): build the cell-partitioned index on the
+    vec_id%4!=0 base corpus, fold the %4==0 batch in FROM THE CHANGE FEED
+    (O(batch) assignment + O(touched-cells) partitioned MERGE — never a
+    rebuild), then answer nprobe=2 top-5 queries for the %97 ids through
+    the manifest-pruned partition reader. Returns melted rows: every
+    vector's final cell assignment (``anncells`` — pins the incremental
+    fold) and every query's ranked neighbors (``annidx`` — pins the probe
+    path), compared against an independent numpy replica golden
+    (tools/gen_goldens.py::gold_ann_index) via ``q_curation_suite``."""
+    import shutil
+    import tempfile
+
+    from spookystuff_spark.operators import ann_index as A
+    from spookystuff_spark.sources.upsert import append_rows, read_table, write_table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tempfile.mkdtemp(prefix="spooky-annsrc-")
+    idx = tempfile.mkdtemp(prefix="spooky-annidx-")
+    try:
+        write_table(emb.where(F.col("vec_id") % 4 != 0), src)
+        A.build_ann_index(spark, src, idx, n_cells=8)
+        append_rows(spark, src, emb.where(F.col("vec_id") % 4 == 0))
+        A.refresh_ann_index(spark, src, idx)
+
+        cells = read_table(spark, idx).select(
+            F.lit("anncells").alias("q"),
+            F.col("vec_id").cast("string").alias("row_key"),
+            F.lit("cell_num").alias("measure"),
+            F.substring("cell", 2, 10).cast("double").alias("v_num"),
+        )
+        queries = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.where(F.col("vec_id") % 97 == 0).collect()
+        ]
+        res = A.ann_query(spark, idx, queries, k=5, nprobe=2)
+        annidx = res.select(
+            F.lit("annidx").alias("q"),
+            F.concat_ws(
+                "|", F.col("query_id"), F.col("vec_id"), F.col("rn")
+            ).alias("row_key"),
+            F.lit("cosine").alias("measure"),
+            F.col("cosine").alias("v_num"),
+        )
+        return cells.unionByName(annidx).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @query("q_kmeans_assign", oracle=golden_oracle("q_kmeans_assign"))
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (operators/kmeans.py): every point in every

@@ -95,7 +95,15 @@ def test_query_matches_bruteforce_and_prunes(spark, built, monkeypatch):
         q = np.array(qv)
         scores = sorted(
             (
-                (float(q @ np.array(v)) / (np.linalg.norm(q) * np.linalg.norm(v)), i)
+                (
+                    round(
+                        float(q @ np.array(v))
+                        / (np.linalg.norm(q) * np.linalg.norm(v))
+                        + 1e-6,
+                        4,
+                    ),
+                    i,
+                )
                 for i, v in emb.items()
             ),
             key=lambda t: (-t[0], t[1]),

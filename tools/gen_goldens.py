@@ -375,6 +375,95 @@ def gold_ivf(emb, dim=64, k=5, n_cells=None, n_iters=5, sample_cap=10_000):
     )
 
 
+def gold_ann_index(
+    emb, n_cells=8, n_iters=5, sample_cap=10_000, k=5, nprobe=2
+):
+    """Independent replica of the incremental ANN index gate
+    (queries/llm_ops.q_ann_index over operators/ann_index.py): centroids
+    train on the vec_id%4!=0 BASE exactly like ivf_assign (the gold_ivf
+    replica), every vector's cell comes from the module's own distance
+    expression, and the %97 query ids rank probed-cell neighbors by the
+    rounded cosine with the id tiebreak. Pins BOTH the incremental fold's
+    final cell assignments and the nprobe query path."""
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    base = ids % 4 != 0
+    sample = canonical_sample_np(ids[base], mat[base], sample_cap)
+
+    def pairwise_d2(a, b):
+        return (
+            (a * a).sum(axis=1)[:, None]
+            + (b * b).sum(axis=1)[None, :]
+            - 2.0 * (a @ b.T)
+        )
+
+    k_eff = min(n_cells, len(sample))
+    centroids = sample[:1].copy()
+    d2min = pairwise_d2(sample, centroids).min(axis=1)
+    for _ in range(k_eff - 1):
+        nxt = sample[d2min.argmax()][None, :]
+        centroids = np.vstack([centroids, nxt])
+        d2min = np.minimum(d2min, pairwise_d2(sample, nxt)[:, 0])
+    for _ in range(n_iters):
+        assign = pairwise_d2(sample, centroids).argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    # assignment: ann_index._assign_cells' exact expression order
+    c_sq = (centroids * centroids).sum(axis=1)
+    d2 = (
+        (mat * mat).sum(axis=1)[:, None]
+        - 2.0 * (mat @ centroids.T)
+        + c_sq[None, :]
+    )
+    cells = d2.argmin(axis=1)
+
+    rows = [
+        ("anncells", str(int(i)), "cell_num", float(int(c)))
+        for i, c in zip(ids, cells)
+    ]
+
+    qmask = ids % 97 == 0
+    for qid, qvec in zip(ids[qmask], mat[qmask]):
+        qd2 = (
+            (qvec * qvec).sum()
+            - 2.0 * (qvec @ centroids.T)
+            + c_sq
+        )
+        probed = set(np.argsort(qd2, kind="stable")[:nprobe].tolist())
+        member = np.isin(cells, list(probed))
+        cand_ids = ids[member]
+        cand = mat[member]
+        qn = np.sqrt((qvec * qvec).sum())
+        vn = np.sqrt((cand * cand).sum(axis=1))
+        cos = np.round((cand @ qvec) / (qn * vn) + 1e-6, 4)
+        order = sorted(
+            range(len(cand_ids)), key=lambda j: (-cos[j], int(cand_ids[j]))
+        )[:k]
+        for rn, j in enumerate(order, start=1):
+            rows.append(
+                (
+                    "annidx",
+                    f"{int(qid)}|{int(cand_ids[j])}|{rn}",
+                    "cosine",
+                    float(cos[j]),
+                )
+            )
+    write(
+        "q_ann_index_melt",
+        pa.table(
+            {
+                "q": pa.array([r[0] for r in rows], pa.string()),
+                "row_key": pa.array([r[1] for r in rows], pa.string()),
+                "measure": pa.array([r[2] for r in rows], pa.string()),
+                "v_num": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -1121,6 +1210,7 @@ def main():
     gold_lsh(emb)
     gold_neardup_embedding(emb)
     gold_ivf(emb)
+    gold_ann_index(emb)
     gold_multimodal(docs)
     gold_media(docs)
     gold_dir_listing()
