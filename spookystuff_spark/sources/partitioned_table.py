@@ -114,6 +114,7 @@ def write_table_partitioned(
     marker: str | None = None,
     stats_cols: Sequence[str] | None = None,
     change_feed: bool = True,
+    extra_fields: dict | None = None,
 ) -> str:
     """Create/replace the table with a partition-laid-out snapshot.
     ``stats_cols``: record per-file min/max stats in the manifest at commit
@@ -139,11 +140,90 @@ def write_table_partitioned(
         extra_fields={
             "partition_col": partition_col,
             **(_stats_fields(table_dir, own, stats_cols) or {}),
+            **(extra_fields or {}),
         },
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
     U._finalize_commit(table_dir, v, parent)
+    return v
+
+
+def append_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    rows: DataFrame,
+    partition_col: str,
+    marker: str | None = None,
+    stats_cols: Sequence[str] | None = None,
+    change_feed: bool = True,
+    extra_fields: dict | None = None,
+) -> str:
+    """Blind append keeping the partition LAYOUT: only ``rows`` are written
+    (laid out by ``partition_col`` like every other commit of this module);
+    every previous entry is carried forward by manifest reference. The cost
+    is O(batch) no matter how many partitions the batch touches — the
+    append-shaped complement of :func:`upsert_partitioned`, whose
+    touched-slice rewrite would degrade to a full-table rewrite for a
+    batch that scatters across all partitions (e.g. an inverted index,
+    where one document's terms hash into every bucket). Parent deletion
+    vectors and ``partition_col`` are carried; ``stats_cols`` profiles the
+    new files only; ``extra_fields`` lets an index maintained on top store
+    its own incremental metadata (e.g. corpus stats) in the same atomic
+    commit."""
+    fsio.mkdirs(table_dir)
+    cur = U._latest(table_dir)
+    if cur is None:
+        return write_table_partitioned(
+            rows, table_dir, partition_col, marker=marker,
+            stats_cols=stats_cols, change_feed=change_feed,
+            extra_fields=extra_fields,
+        )
+    manifest = U.read_manifest(table_dir, cur)
+    prev_entries = list(manifest["files"]) if manifest else [
+        f"{cur}/{n}" for n in U._parquet_names(fsio.join(table_dir, cur))
+    ]
+    parent_pcol = (manifest or {}).get("partition_col")
+    if parent_pcol is not None and parent_pcol != partition_col:
+        raise ValueError(
+            f"{table_dir}: table is partitioned by {parent_pcol!r}, "
+            f"append requested {partition_col!r}"
+        )
+    unattributed = [e for e in prev_entries if _part_of(e) is None]
+    if unattributed:
+        raise ValueError(
+            f"{table_dir}: {len(unattributed)} manifest entries carry no "
+            "partition path — not a partitioned table "
+            "(write it with write_table_partitioned)"
+        )
+    schema_json = rows.schema.json()
+    if manifest and manifest.get("schema"):
+        schema_json = U._union_schema_json(manifest["schema"], rows.schema)
+    v = U._next_version(table_dir)
+    _write_partitioned(rows, partition_col, fsio.join(table_dir, v))
+    own = _own_entries_recursive(table_dir, v)
+    if change_feed:
+        U._write_change_feed_refs(table_dir, v, own, "insert")
+    carried = {}
+    if manifest and manifest.get("dv"):
+        # metadata-only commits must carry accumulated vectors or deleted
+        # rows resurrect (the append_rows contract, upsert.py:549-556)
+        carried = {"dv": manifest["dv"], "dv_keys": manifest["dv_keys"]}
+    extra = {"partition_col": partition_col, **carried}
+    extra.update(_stats_fields(table_dir, own, stats_cols) or {})
+    extra.update(extra_fields or {})
+    U.write_manifest(
+        table_dir,
+        v,
+        prev_entries + own,
+        schema_json,
+        "append",
+        parent=cur,
+        extra_fields=extra,
+    )
+    if marker:
+        fsio.touch(fsio.join(table_dir, v, marker))
+    U._finalize_commit(table_dir, v, cur)
     return v
 
 

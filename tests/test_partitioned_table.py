@@ -322,3 +322,72 @@ def test_zorder_compact_partitioned_triple_pruning(spark, tmp_path):
     assert {r["k"] for r in df.collect()} == {k for k in range(1, 41) if k % 2}
     assert info["skipped_stats"] >= 1  # intra-partition file skipping
     assert info["skipped_partition"] >= per_part["b"]
+
+
+# --------------------------------------------------------------- append
+
+
+def test_append_partitioned_is_metadata_only(spark, seeded):
+    from spookystuff_spark.sources.partitioned_table import append_partitioned
+
+    tdir = seeded
+    v1 = U.committed_versions(tdir)[-1]
+    m1 = U.read_manifest(tdir, v1)
+    append_partitioned(
+        spark, tdir,
+        _rows(spark, [(6, "eu", 60), (7, "sa", 70)]),
+        "region",
+    )
+    v2 = U.committed_versions(tdir)[-1]
+    m2 = U.read_manifest(tdir, v2)
+    # EVERY parent entry carried verbatim — zero rewrite anywhere
+    assert set(m1["files"]) <= set(m2["files"])
+    own = [e for e in m2["files"] if e.startswith(f"{v2}/")]
+    assert own and {_part_of(e) for e in own} == {"eu", "sa"}
+    assert m2["kind"] == "append"
+    got = {(r["k"], r["val"]) for r in U.read_table(spark, tdir).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60), (7, 70)}
+    # pruned read sees carried + appended files of the partition
+    eu = read_table_partitions(spark, tdir, ["eu"])
+    assert {r["k"] for r in eu.collect()} == {1, 2, 6}
+    # change feed holds exactly the appended rows (metadata refs, kind fill)
+    files, kind = U.change_files(tdir, v2)
+    assert kind == "insert"
+    feed = spark.read.parquet(*files)
+    assert "__part" not in feed.columns
+    assert {r["k"] for r in feed.collect()} == {6, 7}
+
+
+def test_append_partitioned_carries_dvs_and_extras(spark, seeded):
+    from spookystuff_spark.sources.partitioned_table import append_partitioned
+
+    tdir = seeded
+    U.delete_where_dv(spark, tdir, "k = 2", ["k"])
+    append_partitioned(
+        spark, tdir, _rows(spark, [(8, "eu", 80)]), "region",
+        stats_cols=["k"], extra_fields={"corpus_stats": {"n": 6}},
+    )
+    v = U.committed_versions(tdir)[-1]
+    m = U.read_manifest(tdir, v)
+    assert m["dv"] and m["dv_keys"] == ["k"]
+    assert m["corpus_stats"] == {"n": 6}
+    # deleted row stays hidden through both readers
+    assert 2 not in {r["k"] for r in U.read_table(spark, tdir).collect()}
+    assert {r["k"] for r in read_table_partitions(spark, tdir, ["eu"]).collect()} == {1, 8}
+    # stats recorded for the new file(s) only, resolved chain-wise
+    stats = U.entry_stats(tdir, v)
+    own = [e for e in m["files"] if e.startswith(f"{v}/")]
+    assert all(stats.get(e, {}).get("k") == [8, 8] for e in own)
+
+
+def test_append_partitioned_refusals(spark, tmp_path):
+    from spookystuff_spark.sources.partitioned_table import append_partitioned
+
+    flat = str(tmp_path / "flat")
+    U.write_table(_rows(spark, BASE), flat)
+    with pytest.raises(ValueError, match="no partition path"):
+        append_partitioned(spark, flat, _rows(spark, [(9, "eu", 90)]), "region")
+    part = str(tmp_path / "part")
+    write_table_partitioned(_rows(spark, BASE), part, "region")
+    with pytest.raises(ValueError, match="partitioned by"):
+        append_partitioned(spark, part, _rows(spark, [(9, "eu", 90)]), "val")
