@@ -1,0 +1,222 @@
+"""Incremental BM25 (inverted-index) maintenance over the lakehouse.
+
+The index IS a partitioned versioned table of postings
+``(doc_id, term, tf, dl)`` laid out by TERM-HASH BUCKET
+(``sources/partitioned_table.py``, partition col = ``bucket``), with the
+corpus-global scoring stats (``n_docs``, ``total_dl``) recorded in the
+same manifest the data commit writes — stats and postings can never
+drift. Maintenance reads the DOCUMENT SOURCE'S CHANGE FEED: a new batch
+of documents costs one O(batch) tokenize pass plus one O(batch)
+``append_partitioned`` commit (postings for new docs are pure inserts —
+a document's terms hash into every bucket, which is exactly why the
+append primitive exists: a touched-slice MERGE would rewrite the whole
+index per batch). Queries resolve their terms' buckets driver-side and
+read ONLY those buckets' files through the manifest-pruned partition
+reader, so a lookup never lists or opens the rest of the index.
+
+Because BM25 needs exact per-term document frequencies, bucketing by
+``hash(term)`` guarantees every posting of a term lives in one bucket —
+df(term) computed inside the probed slice is exact, and with the
+manifest-carried (n_docs, total_dl) the scores are BIT-IDENTICAL to a
+full-corpus :func:`operators.retrieval.bm25_topk` pass (the property the
+tests and the correctness gate pin).
+
+Freshness is exactly-once per source version via the same
+``_SRC_<version>`` watermark idiom as sources/incremental.py. Feeds must
+be INSERT-shaped: a re-written document would need its old postings
+deleted, which an append cannot express — such feeds raise and the
+caller rebuilds (or DV-deletes the doc's postings first).
+
+Reference scope: the reference fetches documents but has no ranking
+surface (operators/retrieval.py docstring); this composes the rebuild's
+own BM25 scorer with its lakehouse — public Lucene/Delta ideas only.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark.functions.rounding import round_stable
+from spookystuff_spark.operators.retrieval import B, K1, WORD_RE, postings
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.incremental import (
+    _SRC_MARK,
+    _changes_since,
+    last_processed_version,
+)
+from spookystuff_spark.sources.partitioned_table import (
+    append_partitioned,
+    read_table_partitions,
+    write_table_partitioned,
+)
+
+_STATS = "bm25_stats"
+
+
+def _bucket_py(term: str, n_buckets: int) -> str:
+    """zlib.crc32 == Spark's crc32 (both CRC-32/ISO-HDLC over utf-8)."""
+    return f"b{zlib.crc32(term.encode('utf-8')) % n_buckets}"
+
+
+def _bucketed_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    return postings(docs, id_col, text_col).withColumn(
+        "bucket",
+        F.concat(F.lit("b"), (F.crc32(F.col("term")) % n_buckets).cast("string")),
+    )
+
+
+def _stats_of(post: DataFrame) -> dict:
+    """{n_docs, total_dl} for a postings frame — docs with ≥1 token only
+    (the same universe bm25_topk's length frame spans). One tiny agg."""
+    row = (
+        post.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+        )
+        .first()
+    )
+    return {"n_docs": int(row["n"]), "total_dl": int(row["t"])}
+
+
+def index_stats(index_dir: str) -> dict:
+    m = U.read_manifest(index_dir, U.committed_versions(index_dir)[-1])
+    return m[_STATS]
+
+
+def build_bm25_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+) -> str:
+    """Tokenize the current source snapshot into the bucket-partitioned
+    postings table. Returns the index version; the source watermark rides
+    the commit so a follow-up :func:`refresh_bm25_index` starts exactly
+    after this snapshot."""
+    src_v = U.committed_versions(src_dir)[-1]
+    docs = U.read_table(spark, src_dir)
+    post = _bucketed_postings(docs, id_col, text_col, n_buckets)
+    # the frame feeds both the stats agg and the layout write — pin it so
+    # tokenization runs once (repo-wide eager-checkpoint recipe)
+    post = post.localCheckpoint(eager=True)
+    write_table_partitioned(
+        post, index_dir, "bucket",
+        marker=f"{_SRC_MARK}{src_v}", change_feed=False,
+        extra_fields={_STATS: _stats_of(post), "n_buckets": n_buckets},
+    )
+    return U.committed_versions(index_dir)[-1]
+
+
+def refresh_bm25_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str | None:
+    """Fold source changes since the watermark into the index: postings
+    for ONLY the new documents, committed as one O(batch) partitioned
+    append with the stats advanced additively in the same manifest.
+    Returns the new index version, or None when the source has nothing
+    new. Insert-shaped feeds only (see module docstring)."""
+    after = last_processed_version(index_dir)
+    changes, newest = _changes_since(spark, src_dir, after)
+    if newest is None:
+        return None
+    if changes is None:  # feed-less versions only (e.g. compaction)
+        return None
+    kinds = {r[0] for r in changes.select("_change").distinct().collect()}
+    if kinds - {"insert"}:
+        raise ValueError(
+            f"{src_dir}: BM25 index refresh needs an insert-shaped feed — "
+            f"got kinds {sorted(kinds)}; a rewritten document would need "
+            "its old postings deleted, rebuild instead"
+        )
+    cur = U.committed_versions(index_dir)[-1]
+    m = U.read_manifest(index_dir, cur)
+    prev, n_buckets = m[_STATS], m["n_buckets"]
+    post = _bucketed_postings(
+        changes.select(id_col, text_col), id_col, text_col, n_buckets
+    ).localCheckpoint(eager=True)
+    delta = _stats_of(post)
+    append_partitioned(
+        spark, index_dir, post, "bucket",
+        marker=f"{_SRC_MARK}{newest}", change_feed=False,
+        extra_fields={
+            _STATS: {
+                "n_docs": prev["n_docs"] + delta["n_docs"],
+                "total_dl": prev["total_dl"] + delta["total_dl"],
+            },
+            "n_buckets": n_buckets,
+        },
+    )
+    return U.committed_versions(index_dir)[-1]
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: Sequence[tuple[int, str]],
+    k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k per query, answered FROM THE INDEX: query terms
+    resolve to their buckets driver-side (queries are small by contract),
+    the probed buckets' files come through the manifest-pruned partition
+    reader (zero IO on every other bucket), df(term) is exact within the
+    slice (a term's postings all share its bucket), and (n_docs, avgdl)
+    come from the manifest — no corpus scan anywhere. Output
+    (query_id, rank, doc_id, score) is bit-identical to
+    ``bm25_topk(corpus, queries, k)``."""
+    from pyspark.sql.window import Window
+
+    cur = U.committed_versions(index_dir)[-1]
+    m = U.read_manifest(index_dir, cur)
+    stats, n_buckets = m[_STATS], m["n_buckets"]
+    qpairs = {
+        (qid, t)
+        for qid, qtext in queries
+        for t in set(re.findall(WORD_RE, qtext.lower()))
+    }
+    buckets = sorted({_bucket_py(t, n_buckets) for _, t in qpairs})
+    slice_df = read_table_partitions(spark, index_dir, buckets)
+    qterms = spark.createDataFrame(
+        sorted(qpairs), "query_id int, term string"
+    )
+    tf_q = slice_df.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "leftsemi"
+    )
+    df_term = tf_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(stats["n_docs"]) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = float(stats["total_dl"]) / stats["n_docs"]
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_term), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(round_stable(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -69,6 +69,37 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@bench_only("q_bm25_index")
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 inverted index over the lakehouse, gate-pinned
+    end-to-end (operators/bm25_index.py): build the bucket-partitioned
+    postings table on the doc_id%4!=0 base corpus, fold the %4==0 batch in
+    FROM THE CHANGE FEED (one O(batch) tokenize + one O(batch) partitioned
+    append — never an index rewrite), then answer the standard BM25_QUERIES
+    through the manifest-pruned bucket reader. The oracle is the SAME
+    full-corpus SQL as q_retrieval_bm25 — the index must be score-for-score
+    indistinguishable from a corpus scan."""
+    import shutil
+    import tempfile
+
+    from spookystuff_spark.operators import bm25_index as BX
+    from spookystuff_spark.sources.upsert import append_rows, write_table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="spooky-bmsrc-")
+    idx = tempfile.mkdtemp(prefix="spooky-bmidx-")
+    try:
+        write_table(docs.where(F.col("doc_id") % 4 != 0), src)
+        BX.build_bm25_index(spark, src, idx, n_buckets=8)
+        append_rows(spark, src, docs.where(F.col("doc_id") % 4 == 0))
+        BX.refresh_bm25_index(spark, src, idx)
+        res = BX.bm25_index_topk(spark, idx, BM25_QUERIES, k=10)
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 _SPLIT_SQL = f"""
     SELECT {hash_split_case_sql('doc_id')} AS split, lang,
            count(*) AS n_docs,
@@ -78,13 +109,16 @@ _SPLIT_SQL = f"""
 
 _PACK_SPLIT_SQL = f"""
 WITH pk AS ({pack_sequences_sql("SELECT * FROM documents", SEQ_LEN, N_SHARDS)}),
-     sp AS ({_SPLIT_SQL})
+     sp AS ({_SPLIT_SQL}),
+     bmx AS ({bm25_topk_sql("SELECT * FROM documents", BM25_QUERIES, k=10)})
 {_melt_sql(
     "pk", "q_pack_sequences", ["shard", "seq_id", "doc_id"],
     ["seq_off", "tok_start", "tok_end", "n_tok"],
 )}
 UNION ALL {_melt_sql("sp", "q_train_split", ["split", "lang"],
-                     ["n_docs", "n_tokens"])}"""
+                     ["n_docs", "n_tokens"])}
+UNION ALL {_melt_sql("bmx", "q_bm25_index", ["query_id", "rank", "doc_id"],
+                     ["score"])}"""
 
 
 @query("q_pack_split_suite", oracle=_PACK_SPLIT_SQL)
@@ -107,10 +141,19 @@ def _pack_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["split", "lang"],
             ["n_docs", "n_tokens"],
         ),
+        _melt(
+            q_bm25_index(spark, sf_dir),
+            "q_bm25_index",
+            ["query_id", "rank", "doc_id"],
+            ["score"],
+        ),
     ]
     return reduce(DataFrame.unionByName, parts)
 
 
 from spookystuff_spark.queries import register_suite  # noqa: E402
 
-register_suite("q_pack_split_suite", ["q_pack_sequences", "q_train_split"])
+register_suite(
+    "q_pack_split_suite",
+    ["q_pack_sequences", "q_train_split", "q_bm25_index"],
+)

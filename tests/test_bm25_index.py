@@ -1,0 +1,102 @@
+"""Incremental BM25 index (operators/bm25_index.py): incremental fold ==
+from-scratch rebuild bit-identically, index answers == full-corpus
+bm25_topk, bucket pruning at query time, exactly-once refresh, and the
+insert-shape contract."""
+
+from __future__ import annotations
+
+import pytest
+
+import spookystuff_spark.operators.bm25_index as B
+from spookystuff_spark.operators.retrieval import bm25_topk
+from spookystuff_spark.sources import upsert as U
+
+DOCS = [
+    (1, "hash join beats sort merge join on small build side"),
+    (2, "window aggregation over a sliding stream of events"),
+    (3, "a slow full scan hides behind the missing filter"),
+    (4, "vectorized batch execution in spark and duckdb"),
+    (5, "the optimizer picks a hash join for the star schema"),
+    (6, "stream stream join needs a watermark on both sides"),
+    (7, "filter pushdown makes the scan cheap"),
+    (8, "batch size tuning for the vector engine"),
+    (9, "join join join"),
+    (10, "spark window functions rank rows per partition"),
+]
+QUERIES = [(1, "hash join"), (2, "window stream"), (3, "scan filter")]
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture
+def built(spark, tmp_path):
+    """Source table seeded with the odd docs, index built, even docs
+    appended, index refreshed from the change feed."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    U.append_rows(spark, src, _docs_df(spark, [d for d in DOCS if d[0] % 2 == 0]))
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    return src, idx
+
+
+def test_incremental_equals_rebuild(spark, tmp_path, built):
+    _, idx = built
+    full = str(tmp_path / "srcfull")
+    idx2 = str(tmp_path / "idxfull")
+    U.write_table(_docs_df(spark, DOCS), full)
+    B.build_bm25_index(spark, full, idx2, n_buckets=4)
+    key = lambda r: (r["doc_id"], r["term"])
+    assert sorted(U.read_table(spark, idx).collect(), key=key) == sorted(
+        U.read_table(spark, idx2).collect(), key=key
+    )
+    assert B.index_stats(idx) == B.index_stats(idx2)
+
+
+def test_query_matches_full_corpus_bm25(spark, built):
+    _, idx = built
+    got = B.bm25_index_topk(spark, idx, QUERIES, k=5)
+    want = bm25_topk(_docs_df(spark, DOCS), QUERIES, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_query_reads_only_probed_buckets(spark, built):
+    _, idx = built
+    import re
+    import zlib
+
+    one = [(3, "scan filter")]  # terms hash to 2 of the 4 buckets
+    terms = {t for _, q in one for t in re.findall("([a-z0-9]+)", q.lower())}
+    probed = {f"__part=b{zlib.crc32(t.encode()) % 4}" for t in terms}
+    assert len(probed) < 4
+    files = B.bm25_index_topk(spark, idx, one, k=5).inputFiles()
+    assert files
+    assert all(any(p in f for p in probed) for f in files)
+    # and the probe is a strict subset of the table's buckets
+    all_files = U.read_table(spark, idx).inputFiles()
+    assert len(files) < len(all_files)
+
+
+def test_refresh_exactly_once_and_insert_only(spark, built):
+    src, idx = built
+    assert B.refresh_bm25_index(spark, src, idx) is None  # nothing new
+    U.upsert(
+        spark, src, _docs_df(spark, [(1, "rewritten text")]), ["doc_id"],
+        feed_preimages=True,
+    )
+    with pytest.raises(ValueError, match="insert-shaped"):
+        B.refresh_bm25_index(spark, src, idx)
+
+
+def test_stats_ride_the_commit(spark, built):
+    _, idx = built
+    m = U.read_manifest(idx, U.committed_versions(idx)[-1])
+    post = U.read_table(spark, idx)
+    n = post.select("doc_id").distinct().count()
+    total = sum(r["dl"] for r in post.select("doc_id", "dl").distinct().collect())
+    assert m["bm25_stats"] == {"n_docs": n, "total_dl": total}
+    assert m["n_buckets"] == 4
