@@ -12,7 +12,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from spookystuff_spark.functions.rounding import round_stable
-from spookystuff_spark.queries import query
+from spookystuff_spark.queries import bench_only, query
 from spookystuff_spark.tables import table
 
 SESSION_GAP_SEC = 1800
@@ -117,3 +117,51 @@ def sessionize_counts(ev: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ------------------------------------------------------- resample/gap-fill
+
+GAPFILL_INTERVAL = 3 * 3600
+GAPFILL_USER_FILTER = "user_id % 5 = 0"
+
+
+@bench_only("q_gapfill")
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket resample + gap-fill (operators/timeseries.py): per-user
+    3-hour value rollups densified onto each user's full bucket spine, the
+    holes filled by BOTH methods — last-observation-carried-forward and
+    linear interpolation — and melted one gate row per (user, bucket,
+    method). TimescaleDB time_bucket_gapfill / QuestDB SAMPLE-BY-FILL
+    semantics; rides q_scalar_suite's oracle."""
+    from functools import reduce
+
+    from spookystuff_spark.operators.timeseries import gap_fill, resample
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    ev = table(spark, sf_dir, "events").where(F.expr(GAPFILL_USER_FILTER))
+    rs = resample(
+        ev, ["user_id"], "ts", "value", GAPFILL_INTERVAL, agg="sum"
+    ).localCheckpoint(eager=True)  # both fills consume the same rollup
+    parts = [
+        _melt(
+            gap_fill(rs, ["user_id"], GAPFILL_INTERVAL, method),
+            f"gapfill_{method}",
+            ["user_id", "bucket_s", "filled"],
+            ["v"],
+        )
+        for method in ("locf", "linear")
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _gapfill_oracle(method: str) -> str:
+    from spookystuff_spark.operators.timeseries import gapfill_sql
+
+    return gapfill_sql(
+        f"SELECT * FROM events WHERE {GAPFILL_USER_FILTER}",
+        "user_id", "ts", "value", GAPFILL_INTERVAL, method,
+    )
+
+
+ORACLE_GAPFILL_LOCF = _gapfill_oracle("locf")
+ORACLE_GAPFILL_LINEAR = _gapfill_oracle("linear")

@@ -86,6 +86,11 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_partitioned_merge,
     q_stream_ingest,
 )
+from spookystuff_spark.queries.events import (
+    ORACLE_GAPFILL_LINEAR,
+    ORACLE_GAPFILL_LOCF,
+    q_gapfill,
+)
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
 _SCALAR_SQL = f"""
@@ -98,7 +103,8 @@ WITH {PAGERANK_CTES},
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
-     sti AS ({ORACLE_STREAM_INGEST})
+     sti AS ({ORACLE_STREAM_INGEST}),
+     gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -147,6 +153,12 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "sti", "q_stream_ingest", ["event_type"], ["value_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "gfl", "gapfill_locf", ["k", "bucket_s", "filled"], ["v"],
+)}
+UNION ALL {_melt_sql(
+    "gfi", "gapfill_linear", ["k", "bucket_s", "filled"], ["v"],
 )}"""
 
 
@@ -257,6 +269,8 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_type"],
             ["value_sum", "n_rows"],
         ),
+        # q_gapfill already returns melt-shaped rows for both fill methods
+        q_gapfill(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -419,13 +433,24 @@ from spookystuff_spark.queries import register_suite  # noqa: E402
 
 register_suite(
     "q_scalar_suite",
-    [
-        "q_string_functions", "q_date_dimensions", "q_hll_distinct_users",
-        "q_cms_token_freq", "q_kmv_distinct_vocab", "q_sample_quantiles",
-        "q_weighted_sample", "q_pagerank_purchases", "q_triangle_stats",
-        "q_zorder_key", "q_cdc_upsert", "q_kmv_overlap", "q_ivm_refresh",
-        "q_partitioned_merge", "q_dv_delete", "q_stream_ingest",
-    ],
+    {
+        **{
+            c: c
+            for c in [
+                "q_string_functions", "q_date_dimensions",
+                "q_hll_distinct_users", "q_cms_token_freq",
+                "q_kmv_distinct_vocab", "q_sample_quantiles",
+                "q_weighted_sample", "q_pagerank_purchases",
+                "q_triangle_stats", "q_zorder_key", "q_cdc_upsert",
+                "q_kmv_overlap", "q_ivm_refresh", "q_partitioned_merge",
+                "q_dv_delete", "q_stream_ingest",
+            ]
+        },
+        # resample + gap-fill rides under one melt row per fill method,
+        # both timed by the single q_gapfill bench entry
+        "gapfill_locf": "q_gapfill",
+        "gapfill_linear": "q_gapfill",
+    },
 )
 register_suite(
     "q_text_suite",

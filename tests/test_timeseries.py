@@ -1,0 +1,98 @@
+"""Resample + gap-fill (operators/timeseries.py): closed-form fills on a
+hand-built gappy series, spine density invariants, and Spark↔DuckDB parity
+of the full pipeline on the real events table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import pyspark.sql.functions as F
+from spookystuff_spark.operators.timeseries import (
+    gap_fill,
+    gapfill_sql,
+    resample,
+    time_bucket,
+)
+
+ROWS = [  # key, epoch-seconds, value — key a has holes at 20 and 30
+    ("a", 5, 1.0), ("a", 12, 3.0), ("a", 41, 9.0), ("a", 44, 11.0),
+    ("b", 100, 5.0),
+]
+
+
+def _series(spark):
+    return spark.createDataFrame(
+        [(k, s, v) for k, s, v in ROWS], "k string, ts_s long, value double"
+    ).withColumn("ts", F.timestamp_seconds("ts_s"))
+
+
+@pytest.fixture
+def rs(spark):
+    return resample(_series(spark), ["k"], "ts", "value", 10, agg="sum")
+
+
+def test_resample_buckets_and_sums(rs):
+    got = {(r["k"], r["bucket_s"]): r["v"] for r in rs.collect()}
+    assert got == {("a", 0): 1.0, ("a", 10): 3.0, ("a", 40): 20.0,
+                   ("b", 100): 5.0}
+
+
+def test_gap_fill_locf_linear_zero(spark, rs):
+    locf = {
+        (r["k"], r["bucket_s"]): (r["v"], r["filled"])
+        for r in gap_fill(rs, ["k"], 10, "locf").collect()
+    }
+    assert locf[("a", 20)] == (3.0, 1) and locf[("a", 30)] == (3.0, 1)
+    assert locf[("a", 40)] == (20.0, 0) and locf[("b", 100)] == (5.0, 0)
+    lin = {
+        (r["k"], r["bucket_s"]): r["v"]
+        for r in gap_fill(rs, ["k"], 10, "linear").collect()
+    }
+    # interpolate 3.0 → 20.0 over buckets 10..40
+    assert lin[("a", 20)] == pytest.approx(8.67) and lin[("a", 30)] == pytest.approx(14.33)
+    assert lin[("a", 0)] == 1.0 and lin[("a", 40)] == 20.0  # observed untouched
+    zero = {
+        (r["k"], r["bucket_s"]): r["v"]
+        for r in gap_fill(rs, ["k"], 10, "zero").collect()
+    }
+    assert zero[("a", 20)] == 0.0 and zero[("a", 40)] == 20.0
+
+
+def test_spine_is_dense_per_key(spark, rs):
+    out = gap_fill(rs, ["k"], 10, "locf")
+    per_key = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_key == {"a": 5, "b": 1}  # a: 0..40 step 10; b: single bucket
+    with pytest.raises(ValueError, match="fill method"):
+        gap_fill(rs, ["k"], 10, "bogus")
+
+
+@pytest.mark.parametrize("method", ["locf", "linear", "zero"])
+def test_matches_duckdb_on_events(spark, method):
+    """Full pipeline parity on the real table — the same comparison the
+    correctness gate runs, per fill method."""
+    from spookystuff_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events")
+    got = gap_fill(
+        resample(ev, ["user_id"], "ts", "value", 3600, agg="sum"),
+        ["user_id"], 3600, method,
+    )
+    sql = gapfill_sql(
+        f"SELECT * FROM read_parquet('{sf}/events.parquet')",
+        "user_id", "ts", "value", 3600, method,
+    )
+    want = duckdb.connect().execute(sql).fetchdf()
+    g = {
+        (r["user_id"], r["bucket_s"]): (round(r["v"], 2), r["filled"])
+        for r in got.collect()
+    }
+    w = {
+        (int(r.k), int(r.bucket_s)): (round(float(r.v), 2), int(r.filled))
+        for r in want.itertuples()
+    }
+    assert g == w and len(g) > 100
