@@ -165,3 +165,52 @@ def _gapfill_oracle(method: str) -> str:
 
 ORACLE_GAPFILL_LOCF = _gapfill_oracle("locf")
 ORACLE_GAPFILL_LINEAR = _gapfill_oracle("linear")
+
+
+# ------------------------------------------------- funnel / cohort retention
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+RETENTION_MAX_OFFSET = 26
+
+
+@bench_only("q_funnel_retention")
+def q_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel reach counts + weekly cohort retention cells
+    (operators/funnel.py) melted one gate row each — exact integer
+    counts, the strongest oracle tier. Rides q_scalar_suite."""
+    from functools import reduce
+
+    from spookystuff_spark.operators.funnel import (
+        cohort_retention,
+        funnel_counts,
+    )
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    ev = table(spark, sf_dir, "events")
+    parts = [
+        _melt(
+            funnel_counts(ev, FUNNEL_STEPS),
+            "funnel",
+            ["step_idx", "step"],
+            ["n_users"],
+        ),
+        _melt(
+            cohort_retention(ev, max_offset=RETENTION_MAX_OFFSET),
+            "retention",
+            ["cohort_week", "week_offset"],
+            ["n_users"],
+        ),
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _funnel_oracles() -> tuple[str, str]:
+    from spookystuff_spark.operators.funnel import funnel_sql, retention_sql
+
+    return (
+        funnel_sql("SELECT * FROM events", FUNNEL_STEPS),
+        retention_sql("SELECT * FROM events", max_offset=RETENTION_MAX_OFFSET),
+    )
+
+
+ORACLE_FUNNEL, ORACLE_RETENTION = _funnel_oracles()

@@ -87,8 +87,11 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_stream_ingest,
 )
 from spookystuff_spark.queries.events import (
+    ORACLE_FUNNEL,
     ORACLE_GAPFILL_LINEAR,
     ORACLE_GAPFILL_LOCF,
+    ORACLE_RETENTION,
+    q_funnel_retention,
     q_gapfill,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
@@ -104,7 +107,8 @@ WITH {PAGERANK_CTES},
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
      sti AS ({ORACLE_STREAM_INGEST}),
-     gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR})
+     gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
+     fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -159,6 +163,10 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "gfi", "gapfill_linear", ["k", "bucket_s", "filled"], ["v"],
+)}
+UNION ALL {_melt_sql("fnl", "funnel", ["step_idx", "step"], ["n_users"])}
+UNION ALL {_melt_sql(
+    "ret", "retention", ["cohort_week", "week_offset"], ["n_users"],
 )}"""
 
 
@@ -269,8 +277,9 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_type"],
             ["value_sum", "n_rows"],
         ),
-        # q_gapfill already returns melt-shaped rows for both fill methods
+        # q_gapfill / q_funnel_retention already return melt-shaped rows
         q_gapfill(spark, sf_dir),
+        q_funnel_retention(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -450,6 +459,9 @@ register_suite(
         # both timed by the single q_gapfill bench entry
         "gapfill_locf": "q_gapfill",
         "gapfill_linear": "q_gapfill",
+        # funnel reach + weekly retention cells, timed by q_funnel_retention
+        "funnel": "q_funnel_retention",
+        "retention": "q_funnel_retention",
     },
 )
 register_suite(
