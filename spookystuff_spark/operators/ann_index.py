@@ -248,3 +248,20 @@ def ann_query(
         .where(F.col("rn") <= k)
         .select("query_id", id_col, "cosine", "rn")
     )
+
+
+def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):
+    """``foreachBatch`` body keeping the ANN index CONTINUOUSLY fresh from
+    the ``spooky_versioned`` CDC stream: every micro-batch triggers
+    :func:`refresh_ann_index`. The batch frame is only the trigger — the
+    fold reads the change feed itself from the ``_SRC_`` watermark, so
+    replayed micro-batches, overlapping triggers and stream restarts are
+    all naturally exactly-once (same contract as
+    ``sources/incremental.streaming_refresh_sink``)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_ann_index(
+            batch_df.sparkSession, src_dir, index_dir, **refresh_kwargs
+        )
+
+    return sink

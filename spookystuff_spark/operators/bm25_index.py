@@ -220,3 +220,19 @@ def bm25_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):
+    """``foreachBatch`` body keeping the BM25 index CONTINUOUSLY fresh from
+    the ``spooky_versioned`` CDC stream: every micro-batch triggers
+    :func:`refresh_bm25_index`; the ``_SRC_`` watermark (not the stream
+    checkpoint) is the source of truth, so replays and restarts are
+    exactly-once — same contract as
+    ``sources/incremental.streaming_refresh_sink``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_bm25_index(
+            batch_df.sparkSession, src_dir, index_dir, **refresh_kwargs
+        )
+
+    return sink

@@ -125,3 +125,48 @@ def test_refresh_refuses_non_insert_feed(spark, built):
     U.delete_where(spark, src, F.col("vec_id") == 0)
     with pytest.raises(ValueError, match="insert-shaped"):
         A.refresh_ann_index(spark, src, idx)
+
+
+def test_streaming_refresh_follows_cdc(spark, tmp_path, built):
+    """CDC stream → foreachBatch ANN refresh: the streamed index lands in
+    the same state the batch refresh produces, across two micro-batches."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    src, idx = built
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(A.streaming_refresh_sink(src, idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        U.append_rows(spark, src, _emb(spark, range(100, 110)))
+        q.processAllAvailable()
+        U.append_rows(spark, src, _emb(spark, range(200, 205)))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _index_state(spark, idx)
+    assert {v for v, _ in got} == set(range(40)) | set(range(100, 110)) | set(
+        range(200, 205)
+    )
+    # streamed fold ≡ batch fold over the same corpus + centroids
+    idx2 = str(tmp_path / "idx2")
+    A._save_centroids(idx2, A.load_centroids(idx))
+    from spookystuff_spark.sources.partitioned_table import (
+        write_table_partitioned,
+    )
+
+    assigned = A._assign_cells(
+        U.read_table(spark, src), "vec_id", "embedding", A.load_centroids(idx)
+    )
+    write_table_partitioned(assigned, idx2, "cell", change_feed=False)
+    assert got == _index_state(spark, idx2)

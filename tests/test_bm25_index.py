@@ -100,3 +100,39 @@ def test_stats_ride_the_commit(spark, built):
     total = sum(r["dl"] for r in post.select("doc_id", "dl").distinct().collect())
     assert m["bm25_stats"] == {"n_docs": n, "total_dl": total}
     assert m["n_buckets"] == 4
+
+
+def test_streaming_refresh_follows_cdc(spark, tmp_path):
+    """CDC stream → foreachBatch index refresh: the index follows source
+    appends continuously; answers stay identical to a corpus scan."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:4]), src)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(B.streaming_refresh_sink(src, idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        U.append_rows(spark, src, _docs_df(spark, DOCS[4:7]))
+        q.processAllAvailable()
+        U.append_rows(spark, src, _docs_df(spark, DOCS[7:]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = B.bm25_index_topk(spark, idx, QUERIES, k=5)
+    want = bm25_topk(_docs_df(spark, DOCS), QUERIES, k=5)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
