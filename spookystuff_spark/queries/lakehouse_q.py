@@ -363,3 +363,45 @@ def q_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return native.unionByName(pruned).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+BLOOM_LOOKUP_KEYS = [3, 47, 111, 250, 444]
+
+ORACLE_BLOOM_LOOKUP = f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id IN ({", ".join(map(str, BLOOM_LOOKUP_KEYS))})
+"""
+
+
+@bench_only("q_bloom_lookup")
+def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookups, gate-pinned end-to-end
+    (sources/bloom_index.py): build a multi-file versioned table from the
+    documents corpus, attach per-file blooms on doc_id, then answer each
+    probe key through ``read_table_point`` — the reader that scans only
+    maybe-present files. The oracle recomputes the lookups from the raw
+    corpus, so bloom soundness (no row ever lost to pruning) is
+    value-pinned; the pruning itself is plan-asserted in
+    tests/test_bloom_index.py. Rides ``q_scalar_suite``'s melt."""
+    from functools import reduce
+
+    from spookystuff_spark.sources.bloom_index import (
+        attach_blooms,
+        read_table_point,
+    )
+    from spookystuff_spark.sources.upsert import write_table
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tdir = tempfile.mkdtemp(prefix="spooky-bloom-")
+    try:
+        write_table(base.repartition(8), tdir, change_feed=False)
+        attach_blooms(spark, tdir, ["doc_id"])
+        parts = [
+            read_table_point(spark, tdir, "doc_id", k)[0].select(
+                "doc_id", "lang", "n_chars"
+            )
+            for k in BLOOM_LOOKUP_KEYS
+        ]
+        return reduce(DataFrame.unionByName, parts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

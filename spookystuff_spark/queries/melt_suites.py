@@ -75,11 +75,13 @@ from spookystuff_spark.queries.graph_ops import (
     q_pagerank_purchases,
 )
 from spookystuff_spark.queries.lakehouse_q import (
+    ORACLE_BLOOM_LOOKUP,
     ORACLE_CDC,
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
     ORACLE_STREAM_INGEST,
+    q_bloom_lookup,
     q_cdc_upsert,
     q_dv_delete,
     q_ivm_refresh,
@@ -108,7 +110,8 @@ WITH {PAGERANK_CTES},
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
-     fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION})
+     fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION}),
+     blm AS ({ORACLE_BLOOM_LOOKUP})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -167,6 +170,9 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql("fnl", "funnel", ["step_idx", "step"], ["n_users"])}
 UNION ALL {_melt_sql(
     "ret", "retention", ["cohort_week", "week_offset"], ["n_users"],
+)}
+UNION ALL {_melt_sql(
+    "blm", "q_bloom_lookup", ["doc_id", "lang"], ["n_chars"],
 )}"""
 
 
@@ -280,6 +286,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_gapfill / q_funnel_retention already return melt-shaped rows
         q_gapfill(spark, sf_dir),
         q_funnel_retention(spark, sf_dir),
+        _melt(
+            q_bloom_lookup(spark, sf_dir),
+            "q_bloom_lookup",
+            ["doc_id", "lang"],
+            ["n_chars"],
+        ),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -462,6 +474,7 @@ register_suite(
         # funnel reach + weekly retention cells, timed by q_funnel_retention
         "funnel": "q_funnel_retention",
         "retention": "q_funnel_retention",
+        "q_bloom_lookup": "q_bloom_lookup",
     },
 )
 register_suite(
