@@ -265,3 +265,25 @@ def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):
         )
 
     return sink
+
+
+def compact_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_cell: int = 8,
+) -> str | None:
+    """OPTIMIZE-when-fragmented for the cell-partitioned index (each
+    refresh appends files into its touched cells): folds every cell back
+    to one file when some cell exceeds ``max_files_per_cell``, re-stamping
+    the ``_SRC_`` watermark on the compacted commit so exactly-once
+    refresh survives vacuum. Manifest-only check; None when healthy."""
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_auto_partitioned,
+    )
+
+    wm = last_processed_version(index_dir)
+    return compact_auto_partitioned(
+        spark, index_dir, "cell",
+        max_files_per_partition=max_files_per_cell,
+        marker=f"{_SRC_MARK}{wm}" if wm else None,
+    )

@@ -222,17 +222,54 @@ def bm25_index_topk(
     )
 
 
-def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):
+def streaming_refresh_sink(
+    src_dir: str,
+    index_dir: str,
+    max_files_per_bucket: int | None = None,
+    **refresh_kwargs,
+):
     """``foreachBatch`` body keeping the BM25 index CONTINUOUSLY fresh from
     the ``spooky_versioned`` CDC stream: every micro-batch triggers
     :func:`refresh_bm25_index`; the ``_SRC_`` watermark (not the stream
     checkpoint) is the source of truth, so replays and restarts are
     exactly-once — same contract as
-    ``sources/incremental.streaming_refresh_sink``."""
+    ``sources/incremental.streaming_refresh_sink``.
+    ``max_files_per_bucket``: also run :func:`compact_bm25_index` in-sink
+    after each refresh, so a long-running stream's read amplification
+    stays bounded without an external OPTIMIZE job."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         refresh_bm25_index(
             batch_df.sparkSession, src_dir, index_dir, **refresh_kwargs
         )
+        if max_files_per_bucket is not None:
+            compact_bm25_index(
+                batch_df.sparkSession, index_dir, max_files_per_bucket
+            )
 
     return sink
+
+
+def compact_bm25_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_bucket: int = 8,
+) -> str | None:
+    """OPTIMIZE-when-fragmented for the postings table: every refresh
+    appends ~one file per bucket, so after N batches a probe opens N files
+    per probed bucket — compaction folds each bucket back to one. The
+    corpus stats carry through the content-preserving commit
+    (``carry_extra_fields``), and the ``_SRC_`` watermark is RE-STAMPED on
+    the compacted version so the exactly-once contract survives a later
+    ``vacuum`` of the marker's original commit. Manifest-only check;
+    None when nothing is fragmented."""
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_auto_partitioned,
+    )
+
+    wm = last_processed_version(index_dir)
+    return compact_auto_partitioned(
+        spark, index_dir, "bucket",
+        max_files_per_partition=max_files_per_bucket,
+        marker=f"{_SRC_MARK}{wm}" if wm else None,
+    )

@@ -449,6 +449,7 @@ def compact_partitioned(
     import pyspark.sql.functions as F  # noqa: F811 (module alias shadow)
 
     cur = U._latest(table_dir)
+    parent_m = U.read_manifest(table_dir, cur) if cur else None
     current = U.read_table(spark, table_dir)  # applies deletion vectors
     if zorder_by:
         from spookystuff_spark.operators.layout import zorder_key
@@ -481,12 +482,54 @@ def compact_partitioned(
         extra_fields={
             "partition_col": partition_col,
             **(_stats_fields(table_dir, own, stats_cols) or {}),
+            # content-preserving commit: snapshot-scoped index metadata
+            # (e.g. bm25_stats) carries, or compaction would strip it
+            **U.carry_extra_fields(parent_m),
         },
     )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
     U._finalize_commit(table_dir, v, cur)
     return v
+
+
+def fragmentation(table_dir: str) -> dict:
+    """{partition value: file count} of the current snapshot — the manifest
+    alone answers it (zero listing/footer IO), so an auto-compaction check
+    costs one small JSON read no matter the table size."""
+    cur = U._latest(table_dir)
+    if cur is None:
+        return {}
+    m = U.read_manifest(table_dir, cur) or {"files": []}
+    out: dict = {}
+    for e in m["files"]:
+        p = _part_of(e)
+        if p is not None:
+            out[p] = out.get(p, 0) + 1
+    return out
+
+
+def compact_auto_partitioned(
+    spark: SparkSession,
+    table_dir: str,
+    partition_col: str,
+    max_files_per_partition: int = 8,
+    **compact_kwargs,
+) -> str | None:
+    """OPTIMIZE-when-fragmented: rewrite the layout only when some
+    partition has accumulated more than ``max_files_per_partition`` files
+    (what an append-heavy maintained index — e.g. the BM25 postings table,
+    one file per bucket per refresh — does after N batches). The check is
+    manifest-only; returns the new version or None when nothing is
+    fragmented. Read amplification stays bounded: between compactions a
+    pruned read opens at most ``max_files_per_partition + batches-since``
+    files per partition."""
+    frag = fragmentation(table_dir)
+    if not frag or max(frag.values()) <= max_files_per_partition:
+        return None
+    return compact_partitioned(
+        spark, table_dir, partition_col, **compact_kwargs
+    )
 
 
 def read_table_partitions_pruned(

@@ -246,6 +246,33 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
     return json.loads(fsio.read_bytes(p))
 
 
+_CORE_MANIFEST_KEYS = {
+    "files", "schema", "kind", "parent", "ts_ms",
+    # entry-scoped fields (stats, blooms) resolve chain-wise from the
+    # manifest of the version that RECORDED them, and writer-owned fields
+    # (dv/dv_keys/partition_col) are handled explicitly by every writer —
+    # neither family is ever blind-carried
+    "stats", "blooms", "dv", "dv_keys", "partition_col",
+}
+
+
+def carry_extra_fields(manifest: Optional[dict], exclude=()) -> dict:
+    """Snapshot-scoped EXTRA manifest fields — anything a layer above
+    recorded via ``extra_fields`` (e.g. the BM25 index's corpus stats) —
+    for a CONTENT-PRESERVING commit (compact / compact_dv / restore /
+    delete_where_dv) to carry forward. Without this, maintenance commits
+    silently strip index metadata (the r6 append-carries-dv lesson,
+    generalized). Content-CHANGING commits must NOT blind-carry: their
+    owners advance such fields themselves."""
+    if not manifest:
+        return {}
+    return {
+        k: v
+        for k, v in manifest.items()
+        if k not in _CORE_MANIFEST_KEYS and k not in exclude
+    }
+
+
 def _is_abs_entry(entry: str) -> bool:
     return "://" in entry or entry.startswith("/")
 
@@ -661,6 +688,7 @@ def compact(
     _commit_snapshot(
         current.schema.json(), table_dir, v, (), "compact", marker,
         expected_parent=cur,
+        extra_fields=carry_extra_fields(read_manifest(table_dir, cur)) or None,
     )
     return v
 
@@ -1184,6 +1212,8 @@ def delete_where_dv(
                 # delete
                 **({"partition_col": m["partition_col"]}
                    if m.get("partition_col") else {}),
+                # ... and any snapshot-scoped index metadata likewise
+                **carry_extra_fields(m),
             },
             separators=(",", ":"),
         ).encode(),
@@ -1222,6 +1252,7 @@ def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     }
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
+    extra.update(carry_extra_fields(m))
     write_manifest(
         table_dir,
         v,
@@ -1266,6 +1297,7 @@ def restore(table_dir: str, version: str) -> str:
         extra = {"dv": m["dv"], "dv_keys": m["dv_keys"]}
     if m.get("partition_col"):  # restore of a partitioned snapshot
         extra["partition_col"] = m["partition_col"]
+    extra.update(carry_extra_fields(m))
     extra = extra or None
     write_manifest(
         table_dir,

@@ -136,3 +136,36 @@ def test_streaming_refresh_follows_cdc(spark, tmp_path):
     want = bm25_topk(_docs_df(spark, DOCS), QUERIES, k=5)
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_compaction_bounds_fragmentation_preserves_everything(spark, built):
+    """Many appends fragment buckets; auto-compaction folds them back to
+    one file each, carries the corpus stats through the content-preserving
+    commit, re-stamps the watermark, and changes no answer."""
+    from spookystuff_spark.sources.partitioned_table import fragmentation
+
+    src, idx = built
+    for batch in ([(20, "join the stream"), (21, "scan the batch")],
+                  [(22, "hash the window")], [(23, "filter the join")]):
+        U.append_rows(spark, src, _docs_df(spark, batch))
+        B.refresh_bm25_index(spark, src, idx)
+    before = B.index_stats(idx)
+    answers = sorted(
+        tuple(r) for r in B.bm25_index_topk(spark, idx, QUERIES, k=5).collect()
+    )
+    assert max(fragmentation(idx).values()) > 2
+    assert B.compact_bm25_index(spark, idx, max_files_per_bucket=2) is not None
+    assert max(fragmentation(idx).values()) == 1
+    assert B.index_stats(idx) == before  # stats carried, not stripped
+    assert B.compact_bm25_index(spark, idx, max_files_per_bucket=2) is None
+    # watermark re-stamped: nothing re-folds after compaction...
+    assert B.refresh_bm25_index(spark, src, idx) is None
+    # ...and answers are untouched
+    assert answers == sorted(
+        tuple(r) for r in B.bm25_index_topk(spark, idx, QUERIES, k=5).collect()
+    )
+    # even after vacuum drops the marker's original commit
+    U.vacuum(idx, keep=1)
+    assert B.refresh_bm25_index(spark, src, idx) is None
+    U.append_rows(spark, src, _docs_df(spark, [(30, "one more stream join")]))
+    assert B.refresh_bm25_index(spark, src, idx) is not None

@@ -419,3 +419,43 @@ def test_table_detail_reports_layout_and_dvs(spark, tmp_path):
     assert d["n_files"] >= 2 and d["total_bytes"] > 0
     assert d["stats_covered_files"] == d["n_files"]  # chain-resolved stats
     assert d["schema_cols"] == 3 and d["n_committed_versions"] == 2
+
+
+def test_content_preserving_commits_carry_unknown_extras(spark, tmp_path):
+    """compact / delete_where_dv / compact_dv / restore carry
+    snapshot-scoped extra manifest fields (an index's metadata), while
+    entry-scoped and writer-owned fields stay excluded."""
+    import json
+
+    from spookystuff_spark import fsio
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(20)], "k long, name string"
+    )
+    U.write_table(df, tdir)
+    cur = U.committed_versions(tdir)[-1]
+    m = U.read_manifest(tdir, cur)
+    m["my_index_meta"] = {"answer": 42}
+    fsio.write_bytes(
+        fsio.join(tdir, cur, "_MANIFEST.json"),
+        json.dumps(m, separators=(",", ":")).encode(),
+    )
+
+    def meta():
+        return U.read_manifest(tdir, U.committed_versions(tdir)[-1]).get(
+            "my_index_meta"
+        )
+
+    U.delete_where_dv(spark, tdir, "k = 3", ["k"])
+    assert meta() == {"answer": 42}
+    U.delete_where_dv(spark, tdir, "k = 5", ["k"])
+    assert U.compact_dv(spark, tdir) is not None
+    assert meta() == {"answer": 42}
+    v_before = U.committed_versions(tdir)[-1]
+    U.compact(spark, tdir, num_files=2)
+    assert meta() == {"answer": 42}
+    # dv materialized by compact — not blind-carried
+    assert U.read_manifest(tdir, U.committed_versions(tdir)[-1]).get("dv") is None
+    U.restore(tdir, v_before)
+    assert meta() == {"answer": 42}
