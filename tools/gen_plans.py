@@ -50,6 +50,11 @@ COMMENTARY = {
     "q_video_neardup": "Per-frame hashes explode 1→N inside the same Arrow stage as the Y4M frame walk; frame identity packs to one long (video*1024+frame, codegen overflow guard), so the frame-level search IS the banded join, and the video verdict is one count_distinct aggregate over surviving frame pairs — never all-(videos²) or all-(frames²).",
     "q_fuzzy_join": "Trigram blocking keys (padded substrings + length-band keys) generate in scan-stage codegen; the oversized-block list broadcasts into a LEFT-ANTI join; candidates meet in a block-equality join, dedup once, then the length prefilter and the exact JVM levenshtein verify run in codegen. Hex alphabet note: 4096 trigram values keep blocks ~n/4096 (bigrams would be ~n/256 — near-quadratic candidates).",
     "q_kmv_overlap": "One corpus aggregation builds every group's sketch (map-side combined (group, hash) distinct + k-bounded rank window); the pairwise stage consumes only the groups x k sketch table and broadcasts it into the groups² comparison — array_union/intersect/slice all codegen, the corpus is scanned exactly once.",
+    "q_ann_index": "Checkpointed melt of the incrementally-maintained IVF index. Upstream: the build laid the corpus out by quantizer cell (one Arrow assignment stage + partitionBy write), the refresh assigned ONLY the change-feed batch and merged through the O(touched-cells) partitioned upsert, and each query read ONLY its nprobe cells' files via manifest pruning before a query-broadcast cosine + per-query rank window — the index is never shuffled at query time.",
+    "q_bm25_index": "Checkpointed top-k from the bucket-partitioned postings index. Upstream: build/refresh tokenize once and commit O(batch) appends (every parent file carried by manifest reference); the probe read only the query terms' buckets (manifest pruning), df came from a broadcast semi-join inside that slice, N/avgdl from the manifest — no corpus scan, no full-index exchange, top-k as a bounded per-query window.",
+    "q_gapfill": "Both fill methods ride ONE localCheckpoint-pinned rollup (Scan ExistingRDD): the bucket aggregate is the only corpus-sized exchange; the per-key spine (min/max + sequence/explode), the spine⋈values join and the LOCF/linear windows all reuse the user_id partitioning — integer epoch buckets keep every expression in codegen, zero Python stages.",
+    "q_funnel_retention": "The funnel is k chained filter→join→min-aggregate passes all keyed on user_id (AQE broadcasts the shrinking reached-set side); no window over the raw event stream and no per-user event-list aggregation, so a power user costs min(ts), not a sort. Retention: two exchanges — first-event per user, then the (cohort, offset) distinct-count cell aggregate.",
+    "q_bloom_lookup": "Each probe plans from the manifest + tiny bloom sidecars: only maybe-present files reach the scan (here 1-2 of 8), the equality filter pushes into the parquet scan of those files, and deletion vectors would apply as a broadcast anti-join. The build was one Arrow applyInPandas keyed by file over JVM-computed hashes — one shuffle, no per-row Python hashing.",
 }
 
 
