@@ -214,3 +214,61 @@ def _funnel_oracles() -> tuple[str, str]:
 
 
 ORACLE_FUNNEL, ORACLE_RETENTION = _funnel_oracles()
+
+
+# ---------------------------------------------------------- interval join
+
+ERR_WINDOW_S = 1800
+
+
+@bench_only("q_interval_join")
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval-overlap join (operators/intervals.py): every
+    error event opens a ±30-min window; purchases of the SAME user landing
+    inside it pair up (the on-call question 'which purchases happened
+    around an error?'). The plan is an equi-join on (user, bucket) — never
+    the BNLJ Catalyst would pick for the raw inequality — and the oracle
+    IS that raw inequality join in DuckDB. Rides q_scalar_suite."""
+    from spookystuff_spark.operators.intervals import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    ep = F.unix_timestamp("ts").cast("long")
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        (ep - ERR_WINDOW_S).alias("a_s"),
+        (ep + ERR_WINDOW_S).alias("a_e"),
+        ep.alias("a_ts"),
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        "user_id",
+        ep.alias("b_s"),
+        ep.alias("b_e"),
+    )
+    return interval_join(
+        err, pur, "a_s", "a_e", "b_s", "b_e",
+        keys=["user_id"], bucket_width=ERR_WINDOW_S,
+    ).select(
+        "err_id", "pur_id", (F.col("b_s") - F.col("a_ts")).alias("gap_s")
+    )
+
+
+def _interval_oracle() -> str:
+    from spookystuff_spark.operators.intervals import interval_join_sql
+
+    ep = "CAST(floor(epoch(ts)) AS BIGINT)"
+    err = f"""SELECT event_id AS err_id, user_id,
+                     {ep} - {ERR_WINDOW_S} AS a_s,
+                     {ep} + {ERR_WINDOW_S} AS a_e,
+                     {ep} AS a_ts
+              FROM events WHERE event_type = 'error'"""
+    pur = f"""SELECT event_id AS pur_id, user_id, {ep} AS b_s, {ep} AS b_e
+              FROM events WHERE event_type = 'purchase'"""
+    return interval_join_sql(
+        err, pur, "a_s", "a_e", "b_s", "b_e", keys=["user_id"],
+        select="l.err_id, r.pur_id, r.b_s - l.a_ts AS gap_s",
+    )
+
+
+ORACLE_INTERVAL_JOIN = _interval_oracle()

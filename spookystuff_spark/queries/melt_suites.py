@@ -92,9 +92,11 @@ from spookystuff_spark.queries.events import (
     ORACLE_FUNNEL,
     ORACLE_GAPFILL_LINEAR,
     ORACLE_GAPFILL_LOCF,
+    ORACLE_INTERVAL_JOIN,
     ORACLE_RETENTION,
     q_funnel_retention,
     q_gapfill,
+    q_interval_join,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
@@ -111,7 +113,7 @@ WITH {PAGERANK_CTES},
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
      fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION}),
-     blm AS ({ORACLE_BLOOM_LOOKUP})
+     blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -173,6 +175,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "blm", "q_bloom_lookup", ["doc_id", "lang"], ["n_chars"],
+)}
+UNION ALL {_melt_sql(
+    "ivj", "q_interval_join", ["err_id", "pur_id"], ["gap_s"],
 )}"""
 
 
@@ -291,6 +296,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_bloom_lookup",
             ["doc_id", "lang"],
             ["n_chars"],
+        ),
+        _melt(
+            q_interval_join(spark, sf_dir),
+            "q_interval_join",
+            ["err_id", "pur_id"],
+            ["gap_s"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -475,6 +486,7 @@ register_suite(
         "funnel": "q_funnel_retention",
         "retention": "q_funnel_retention",
         "q_bloom_lookup": "q_bloom_lookup",
+        "q_interval_join": "q_interval_join",
     },
 )
 register_suite(
