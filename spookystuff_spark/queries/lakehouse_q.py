@@ -405,3 +405,123 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return reduce(DataFrame.unionByName, parts).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+SCD2_EFFS = (100, 200, 300)
+
+
+@bench_only("q_scd2_dim")
+def q_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history, gate-pinned end-to-end (operators/scd.py):
+    three deterministic segment-evolution batches fold into the history
+    table through the versioned MERGE (changed keys close + reopen,
+    unchanged keys are hash-detected no-ops), then an order sample is
+    labeled point-in-time through asof_join_scd2. The oracle recomputes
+    BOTH closed-form — the history as all-versions-with-lead(valid_from),
+    the labels as the raw validity join — so the fold, the no-op
+    detection and the as-of semantics are all value-pinned. Melted rows:
+    ``scd2dim`` (every version interval) + ``scd2asof`` (every label).
+    Rides q_scalar_suite."""
+    from functools import reduce
+
+    from spookystuff_spark.operators.scd import asof_join_scd2, scd2_upsert
+    from spookystuff_spark.queries.tpch_suites import _melt
+    from spookystuff_spark.sources.upsert import read_table
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    e1, e2, e3 = SCD2_EFFS
+    batches = [
+        cust.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(e1).cast("long").alias("effective_ts"),
+        ),
+        cust.where(F.col("c_custkey") % 7 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit("SEG7").alias("seg"),
+            F.lit(e2).cast("long").alias("effective_ts"),
+        ),
+        cust.where(F.col("c_custkey") % 21 == 0).select(
+            F.col("c_custkey").alias("k"),
+            F.lit("SEG21").alias("seg"),
+            F.lit(e3).cast("long").alias("effective_ts"),
+        ),
+    ]
+    ddir = tempfile.mkdtemp(prefix="spooky-scd2-")
+    try:
+        for b in batches:
+            scd2_upsert(spark, ddir, b, ["k"])
+        dim = read_table(spark, ddir).localCheckpoint(eager=True)
+        facts = table(spark, sf_dir, "orders").where(
+            F.col("o_orderkey") % 11 == 0
+        ).select(
+            "o_orderkey",
+            F.col("o_custkey").alias("k"),
+            (F.lit(100) + F.col("o_orderkey") % 300).cast("long").alias("ts"),
+        )
+        labeled = asof_join_scd2(facts, dim, ["k"], "ts")
+        parts = [
+            _melt(
+                dim.withColumn("vto", F.coalesce("valid_to", F.lit(-1))),
+                "scd2dim",
+                ["k", "seg"],
+                ["valid_from", "vto"],
+            ),
+            _melt(labeled, "scd2asof", ["o_orderkey", "seg"], ["ts"]),
+        ]
+        return reduce(DataFrame.unionByName, parts).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ddir, ignore_errors=True)
+
+
+def _scd2_oracle() -> str:
+    from spookystuff_spark.operators.scd import scd2_sql
+
+    e1, e2, e3 = SCD2_EFFS
+    hist = scd2_sql(
+        [
+            (
+                "SELECT c_custkey AS k, c_mktsegment AS seg FROM customer",
+                str(e1),
+            ),
+            (
+                "SELECT c_custkey AS k, 'SEG7' AS seg FROM customer "
+                "WHERE c_custkey % 7 = 0",
+                str(e2),
+            ),
+            (
+                "SELECT c_custkey AS k, 'SEG21' AS seg FROM customer "
+                "WHERE c_custkey % 21 = 0",
+                str(e3),
+            ),
+        ],
+        "k",
+        ["seg AS seg"],
+    )
+    return f"""
+WITH dim AS ({hist}),
+f AS (
+  SELECT o_orderkey, o_custkey AS k,
+         CAST(100 + o_orderkey % 300 AS BIGINT) AS ts
+  FROM orders WHERE o_orderkey % 11 = 0
+),
+asf AS (
+  SELECT f.o_orderkey, d.seg, f.ts
+  FROM f JOIN dim d ON f.k = d.k
+   AND f.ts >= d.valid_from AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+),
+dimv AS (
+  SELECT k, seg, valid_from, COALESCE(valid_to, -1) AS vto FROM dim
+)
+SELECT 'scd2dim' AS q, concat_ws('|', CAST(k AS VARCHAR), seg) AS row_key,
+       'valid_from' AS measure, CAST(valid_from AS DOUBLE) AS v_num FROM dimv
+UNION ALL
+SELECT 'scd2dim', concat_ws('|', CAST(k AS VARCHAR), seg), 'vto',
+       CAST(vto AS DOUBLE) FROM dimv
+UNION ALL
+SELECT 'scd2asof', concat_ws('|', CAST(o_orderkey AS VARCHAR), seg), 'ts',
+       CAST(ts AS DOUBLE) FROM asf
+"""
+
+
+ORACLE_SCD2 = _scd2_oracle()

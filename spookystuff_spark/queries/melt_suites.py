@@ -80,12 +80,14 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
+    ORACLE_SCD2,
     ORACLE_STREAM_INGEST,
     q_bloom_lookup,
     q_cdc_upsert,
     q_dv_delete,
     q_ivm_refresh,
     q_partitioned_merge,
+    q_scd2_dim,
     q_stream_ingest,
 )
 from spookystuff_spark.queries.events import (
@@ -113,7 +115,8 @@ WITH {PAGERANK_CTES},
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
      fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION}),
-     blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN})
+     blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN}),
+     scd AS ({ORACLE_SCD2})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -178,7 +181,8 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "ivj", "q_interval_join", ["err_id", "pur_id"], ["gap_s"],
-)}"""
+)}
+UNION ALL SELECT q, row_key, measure, v_num FROM scd"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -303,6 +307,8 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["err_id", "pur_id"],
             ["gap_s"],
         ),
+        # q_scd2_dim already returns melt-shaped rows (scd2dim + scd2asof)
+        q_scd2_dim(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -487,6 +493,9 @@ register_suite(
         "retention": "q_funnel_retention",
         "q_bloom_lookup": "q_bloom_lookup",
         "q_interval_join": "q_interval_join",
+        # SCD-2 history + as-of labels, both timed by q_scd2_dim
+        "scd2dim": "q_scd2_dim",
+        "scd2asof": "q_scd2_dim",
     },
 )
 register_suite(
