@@ -1,0 +1,141 @@
+"""Table-level CHECK constraints (Delta ``ADD CONSTRAINT`` / DLT
+expectations) for versioned tables.
+
+Checks are named SQL boolean expressions stored in ``_CHECKS.json`` at
+the TABLE root — deliberately not in any one version's manifest, because
+a constraint must outlive every commit kind (content-changing commits
+don't blind-carry snapshot extras, by design). The file is tiny and
+updated via fsio's atomic publish.
+
+Enforcement is writer-side, where Delta does it: every native writer
+(``write_table``/``upsert``/``append_rows`` and the partitioned trio)
+calls :func:`enforce_checks` on its incoming batch BEFORE writing
+anything — one extra aggregate pass over the batch (a single job
+counting all checks' violations at once), never a table scan. A
+violation raises :class:`CheckViolation` naming each failing check and
+its count; nothing is committed, the table is untouched. Callers who
+prefer DLT's expectation flavors use :func:`validate` to split a batch
+into (passing, violating) frames and decide — drop, quarantine, or fail
+— before handing the clean side to a writer.
+
+NULL semantics follow SQL CHECK: a row violates only when the predicate
+is definitively FALSE (NULL passes) — enforce ``x IS NOT NULL``
+explicitly when you mean it.
+
+The ``spooky_versioned`` DataSource writer commits from staged executor
+files and does not route through these writers; enforce upstream with
+:func:`validate` there (documented, not hidden).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from spookystuff_spark import fsio
+
+_CHECKS = "_CHECKS.json"
+
+
+class CheckViolation(ValueError):
+    """A write batch violated one or more table CHECK constraints."""
+
+
+def _checks_path(table_dir: str) -> str:
+    return fsio.join(table_dir, _CHECKS)
+
+
+def list_constraints(table_dir: str) -> dict:
+    p = _checks_path(table_dir)
+    if not fsio.exists(p):
+        return {}
+    return json.loads(fsio.read_bytes(p))
+
+
+def add_constraint(table_dir: str, name: str, expr_sql: str) -> None:
+    """Register ``expr_sql`` (a boolean SQL expression over the table's
+    columns) under ``name``. Applies to every FUTURE write; existing data
+    is not rescanned (Delta's contract is to verify history on ADD — at
+    100 TB that is a caller-initiated audit, run ``validate`` on
+    ``read_table`` output if wanted)."""
+    checks = list_constraints(table_dir)
+    checks[name] = expr_sql
+    fsio.mkdirs(table_dir)
+    fsio.write_bytes(
+        _checks_path(table_dir), json.dumps(checks, indent=1).encode()
+    )
+
+
+def drop_constraint(table_dir: str, name: str) -> bool:
+    checks = list_constraints(table_dir)
+    if name not in checks:
+        return False
+    del checks[name]
+    fsio.write_bytes(
+        _checks_path(table_dir), json.dumps(checks, indent=1).encode()
+    )
+    return True
+
+
+def _violation_flags(df: DataFrame, checks: dict) -> DataFrame:
+    # SQL CHECK semantics: violation == predicate IS FALSE (NULL passes)
+    return df.select(
+        *[
+            (~F.coalesce(F.expr(sql), F.lit(True))).cast("int").alias(f"_v_{i}")
+            for i, sql in enumerate(checks.values())
+        ]
+    )
+
+
+def enforce_checks(spark: SparkSession, table_dir: str, df: DataFrame) -> None:
+    """Raise :class:`CheckViolation` when any registered check fails on
+    ``df``. One aggregate job counting every check at once; no-op (zero
+    jobs) when the table has no checks."""
+    checks = list_constraints(table_dir)
+    if not checks:
+        return
+    counts = _violation_flags(df, checks).agg(
+        *[F.sum(f"_v_{i}").alias(f"_v_{i}") for i in range(len(checks))]
+    ).first()
+    bad = {
+        name: int(counts[i] or 0)
+        for i, name in enumerate(checks)
+        if counts[i]
+    }
+    if bad:
+        detail = ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        raise CheckViolation(
+            f"{table_dir}: write batch violates CHECK constraint(s): "
+            f"{detail} — nothing was committed"
+        )
+
+
+def validate(
+    spark: SparkSession, table_dir: str, df: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(passing, violating) split of ``df`` under the table's checks — the
+    DLT expectation pattern: drop/quarantine the violating side, write the
+    clean side. The violating frame carries a ``_failed_checks`` array
+    column naming each failed constraint."""
+    checks = list_constraints(table_dir)
+    if not checks:
+        return df, df.limit(0).withColumn(
+            "_failed_checks", F.array().cast("array<string>")
+        )
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(sql), F.lit(True)), F.lit(name)
+                ).otherwise(F.lit(None))
+                for name, sql in checks.items()
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    flagged = df.withColumn("_failed_checks", failed)
+    ok = flagged.where(F.size("_failed_checks") == 0).drop("_failed_checks")
+    bad = flagged.where(F.size("_failed_checks") > 0)
+    return ok, bad

@@ -123,6 +123,7 @@ def write_table_partitioned(
     a reference manifest over the just-written files (the layout dirs keep
     ``__part`` OUT of the files, so feed readers see the table schema
     exactly)."""
+    U._enforce_checks(df, table_dir)
     fsio.mkdirs(table_dir)
     parent = U._latest(table_dir)
     v = U._next_version(table_dir)
@@ -171,6 +172,7 @@ def append_partitioned(
     new files only; ``extra_fields`` lets an index maintained on top store
     its own incremental metadata (e.g. corpus stats) in the same atomic
     commit."""
+    U._enforce_checks(rows, table_dir)
     fsio.mkdirs(table_dir)
     cur = U._latest(table_dir)
     if cur is None:
@@ -248,6 +250,7 @@ def upsert_partitioned(
     (sources/incremental.py) can fold partitioned-MERGE sources — the
     preimages come from the touched slice already being read, so the cost
     is one extra semi-join, never a table scan."""
+    U._enforce_checks(updates, table_dir)
     cur = U._latest(table_dir)
     if cur is None:
         return write_table_partitioned(

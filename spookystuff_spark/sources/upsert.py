@@ -64,6 +64,14 @@ _PREIMAGED = "_PREIMAGED"  # feed sidecar: update preimages were logged
 _UNCHECKED = object()  # sentinel: commit without a conflict check
 
 
+def _enforce_checks(df: DataFrame, table_dir: str) -> None:
+    """Writer-side CHECK enforcement (sources/constraints.py) — zero jobs
+    when the table has no registered constraints."""
+    from spookystuff_spark.sources.constraints import enforce_checks
+
+    enforce_checks(df.sparkSession, table_dir, df)
+
+
 class ConcurrentWriteError(RuntimeError):
     """The table advanced between this writer's snapshot read and its
     commit — committing would silently drop the interleaved writer's rows
@@ -465,6 +473,7 @@ def write_table(
     change_feed: bool = True,
 ) -> str:
     """Create/replace the table with a fresh snapshot. Returns the version."""
+    _enforce_checks(df, table_dir)
     fsio.mkdirs(table_dir)
     v = _next_version(table_dir)
     df.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
@@ -498,6 +507,7 @@ def upsert(
     what makes decomposable aggregates incrementally maintainable from the
     feed alone (sources/incremental.py): an update contributes
     postimage − preimage instead of requiring a snapshot diff."""
+    _enforce_checks(updates, table_dir)
     cur_v = _latest(table_dir)
     if cur_v is None:
         return write_table(updates, table_dir, marker, change_feed)
@@ -552,6 +562,7 @@ def append_rows(
     keyed upserts, which actually change old rows. The change feed is the
     same metadata trick: a reference manifest over the new files, so CDC
     consumers see appends without a second write."""
+    _enforce_checks(rows, table_dir)
     fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
     v = _next_version(table_dir)

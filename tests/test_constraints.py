@@ -1,0 +1,87 @@
+"""Table CHECK constraints (sources/constraints.py): writer-side
+enforcement across all six native writers, SQL NULL semantics, the
+validate() expectation split, and constraint lifecycle."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.constraints import (
+    CheckViolation,
+    add_constraint,
+    drop_constraint,
+    list_constraints,
+    validate,
+)
+from spookystuff_spark.sources.partitioned_table import (
+    append_partitioned,
+    upsert_partitioned,
+    write_table_partitioned,
+)
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "k long, region string, val long")
+
+
+GOOD = [(1, "eu", 10), (2, "us", 20)]
+BAD = [(3, "eu", -5), (4, None, 40)]
+
+
+@pytest.fixture
+def tdir(spark, tmp_path):
+    d = str(tmp_path / "ctbl")
+    U.write_table(_rows(spark, GOOD), d)
+    add_constraint(d, "val_nonneg", "val >= 0")
+    add_constraint(d, "region_set", "region IN ('eu', 'us', 'ap')")
+    return d
+
+
+def test_every_writer_enforces(spark, tmp_path, tdir):
+    bad = _rows(spark, BAD[:1])
+    with pytest.raises(CheckViolation, match="val_nonneg \\(1 rows\\)"):
+        U.append_rows(spark, tdir, bad)
+    with pytest.raises(CheckViolation):
+        U.upsert(spark, tdir, bad, ["k"])
+    with pytest.raises(CheckViolation):
+        U.write_table(bad, tdir)
+    # table untouched by all three refusals
+    assert U.read_table(spark, tdir).count() == 2
+
+    pdir = str(tmp_path / "ptbl")
+    write_table_partitioned(_rows(spark, GOOD), pdir, "region")
+    add_constraint(pdir, "val_nonneg", "val >= 0")
+    with pytest.raises(CheckViolation):
+        write_table_partitioned(bad, pdir, "region")
+    with pytest.raises(CheckViolation):
+        upsert_partitioned(spark, pdir, bad, ["k"], "region")
+    with pytest.raises(CheckViolation):
+        append_partitioned(spark, pdir, bad, "region")
+    assert U.read_table(spark, pdir).count() == 2
+
+
+def test_null_passes_unless_explicit(spark, tdir):
+    # region IN (...) is NULL for a NULL region → passes (SQL CHECK)
+    U.append_rows(spark, tdir, _rows(spark, [(5, None, 1)]))
+    assert U.read_table(spark, tdir).count() == 3
+    add_constraint(tdir, "region_notnull", "region IS NOT NULL")
+    with pytest.raises(CheckViolation, match="region_notnull"):
+        U.append_rows(spark, tdir, _rows(spark, [(6, None, 1)]))
+
+
+def test_validate_split_and_lifecycle(spark, tdir):
+    ok, bad = validate(spark, tdir, _rows(spark, GOOD + [(7, "xx", -1)]))
+    assert ok.count() == 2
+    b = bad.collect()
+    assert len(b) == 1 and sorted(b[0]["_failed_checks"]) == [
+        "region_set", "val_nonneg",
+    ]
+    assert drop_constraint(tdir, "region_set")
+    assert not drop_constraint(tdir, "region_set")
+    assert set(list_constraints(tdir)) == {"val_nonneg"}
+    ok2, _ = validate(spark, tdir, _rows(spark, [(7, "xx", 1)]))
+    assert ok2.count() == 1  # region check gone
+    # good writes still flow
+    U.append_rows(spark, tdir, _rows(spark, [(8, "ap", 0)]))
