@@ -28,8 +28,10 @@ from spookystuff_spark.queries.llm_ops import (
 from spookystuff_spark.queries.scalar_funcs import (
     ORACLE_DATE_DIMS,
     ORACLE_STRING_FUNCS,
+    ORACLE_TABLE_PROFILE,
     q_date_dimensions,
     q_string_functions,
+    q_table_profile,
 )
 from spookystuff_spark.queries.sketches import (
     ORACLE_CMS_TOKENS,
@@ -116,7 +118,7 @@ WITH {PAGERANK_CTES},
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
      fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION}),
      blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN}),
-     scd AS ({ORACLE_SCD2})
+     scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -182,7 +184,8 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql(
     "ivj", "q_interval_join", ["err_id", "pur_id"], ["gap_s"],
 )}
-UNION ALL SELECT q, row_key, measure, v_num FROM scd"""
+UNION ALL SELECT q, row_key, measure, v_num FROM scd
+UNION ALL SELECT q, row_key, measure, v_num FROM tpr"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -309,6 +312,7 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # q_scd2_dim already returns melt-shaped rows (scd2dim + scd2asof)
         q_scd2_dim(spark, sf_dir),
+        q_table_profile(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -496,6 +500,7 @@ register_suite(
         # SCD-2 history + as-of labels, both timed by q_scd2_dim
         "scd2dim": "q_scd2_dim",
         "scd2asof": "q_scd2_dim",
+        "q_table_profile": "q_table_profile",
     },
 )
 register_suite(

@@ -92,3 +92,44 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_stable(F.cume_dist().over(w), 4).alias("cume"),
         round_stable(F.col("s_acctbal"), 2).alias("bal"),
     )
+
+
+PROFILE_COLS = [
+    ("o_orderkey", "numeric"),
+    ("o_totalprice", "numeric"),
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+]
+
+
+@bench_only("q_table_profile")
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANALYZE-style column profile of the orders table
+    (operators/profile.py): one wide aggregate pass → per-column
+    null/distinct counts + type-appropriate min/max/mean, melt-shaped.
+    Rides q_scalar_suite against the profile_sql DuckDB twin."""
+    from spookystuff_spark.operators.profile import profile_table
+
+    prof = profile_table(
+        table(spark, sf_dir, "orders"), [c for c, _ in PROFILE_COLS]
+    )
+    return prof.select(
+        F.lit("q_table_profile").alias("q"),
+        F.concat_ws("|", "column", "metric").alias("row_key"),
+        F.lit("v").alias("measure"),
+        F.col("v_num"),
+    )
+
+
+def _profile_oracle() -> str:
+    from spookystuff_spark.operators.profile import profile_sql
+
+    inner = profile_sql("SELECT * FROM orders", PROFILE_COLS)
+    return f"""
+    SELECT 'q_table_profile' AS q,
+           concat_ws('|', p.column, p.metric) AS row_key,
+           'v' AS measure, p.v_num
+    FROM ({inner}) p"""
+
+
+ORACLE_TABLE_PROFILE = _profile_oracle()
