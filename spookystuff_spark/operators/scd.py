@@ -171,3 +171,34 @@ SELECT k, {", ".join(a.split(' AS ')[-1] for a in attr_sql)},
        vf AS valid_from,
        lead(vf) OVER (PARTITION BY k ORDER BY vf) AS valid_to
 FROM versions"""
+
+
+def streaming_scd2_sink(
+    dim_dir: str,
+    key_cols: Sequence[str],
+    effective_col: str = "effective_ts",
+):
+    """``foreachBatch`` body maintaining the SCD-2 history from a stream of
+    dimension observations: each micro-batch keeps only its LATEST row per
+    key (a batch can carry several observations of one key; intermediate
+    flickers within one batch collapse — standard streaming-SCD semantics)
+    and folds through :func:`scd2_upsert`. Attr-identical batches commit
+    nothing, so replays of an already-applied batch are natural no-ops."""
+    from pyspark.sql.window import Window
+
+    keys = list(key_cols)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(F.col(effective_col).desc())
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if latest.limit(1).count() == 0:
+            return
+        scd2_upsert(
+            batch_df.sparkSession, dim_dir, latest, keys, effective_col
+        )
+
+    return sink

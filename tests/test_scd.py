@@ -90,3 +90,43 @@ def test_asof_join_labels_facts_point_in_time(spark, dim):
         (13, "bike"),
         (15, "boat"),
     }  # fact 14 predates key 3's first version → dropped (inner)
+
+
+def test_streaming_scd2_sink(spark, tmp_path):
+    """Rate-limited file stream of observations → SCD-2 history: the
+    streamed fold lands in the same state as the batch folds, replayed
+    observations are no-ops."""
+    import time
+
+    from spookystuff_spark.operators.scd import streaming_scd2_sink
+
+    src = str(tmp_path / "obs")
+    d = str(tmp_path / "sdim")
+    import os
+
+    os.makedirs(src)
+    _batch(spark, BATCH1).coalesce(1).write.mode("append").parquet(src)
+    _batch(spark, BATCH2).coalesce(1).write.mode("append").parquet(src)
+    _batch(spark, BATCH3).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, seg string, effective_ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(streaming_scd2_sink(d, ["k"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["k"], r["seg"], r["valid_from"], r["valid_to"])
+        for r in U.read_table(spark, d).collect()
+    }
+    assert got == {
+        (1, "auto", 100, 200), (1, "plane", 200, 300), (1, "train", 300, None),
+        (2, "bike", 100, None), (3, "car", 100, None), (4, "boat", 300, None),
+    }
