@@ -55,6 +55,9 @@ COMMENTARY = {
     "q_gapfill": "Both fill methods ride ONE localCheckpoint-pinned rollup (Scan ExistingRDD): the bucket aggregate is the only corpus-sized exchange; the per-key spine (min/max + sequence/explode), the spine⋈values join and the LOCF/linear windows all reuse the user_id partitioning — integer epoch buckets keep every expression in codegen, zero Python stages.",
     "q_funnel_retention": "The funnel is k chained filter→join→min-aggregate passes all keyed on user_id (AQE broadcasts the shrinking reached-set side); no window over the raw event stream and no per-user event-list aggregation, so a power user costs min(ts), not a sort. Retention: two exchanges — first-event per user, then the (cohort, offset) distinct-count cell aggregate.",
     "q_bloom_lookup": "Each probe plans from the manifest + tiny bloom sidecars: only maybe-present files reach the scan (here 1-2 of 8), the equality filter pushes into the parquet scan of those files, and deletion vectors would apply as a broadcast anti-join. The build was one Arrow applyInPandas keyed by file over JVM-computed hashes — one shuffle, no per-row Python hashing.",
+    "q_interval_join": "The overlap predicate NEVER reaches the join condition: both sides explode onto fixed-width time buckets inside codegen and meet in an equi-join on (user_id, bucket) — the plan a raw interval inequality can't get (Catalyst would emit BroadcastNestedLoopJoin). The report-once filter (bucket == floor(greatest(starts)/w)) dedups shared-bucket matches locally, so no distinct shuffle follows; plan-asserted BNLJ-free in tests/test_intervals.py.",
+    "q_table_profile": "The profile is ONE wide aggregate job collapsing map-side into a single row (the visible plan is the local result frame): null counts and min/max/mean are plain partial aggregates; the exact distinct counts add Spark's EXPAND rewrite — the documented, deliberate cost of exact ANALYZE, with the KMV/HLL sketches as the wide-table alternative.",
+    "q_scd2_dim": "Checkpointed melt of the SCD-2 history + as-of labels. Upstream: each batch folds via the versioned MERGE keyed on (k, valid_from) with the tiny delta side broadcast (attr-identical updates hash-compare to a no-op and commit NOTHING); the as-of label join is an equi-join on the dimension key followed by the [valid_from, valid_to) validity filter — per-key version counts are small, so no inequality-only plan and no skew.",
 }
 
 
