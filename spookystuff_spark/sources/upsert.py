@@ -1321,3 +1321,38 @@ def restore(table_dir: str, version: str) -> str:
     )
     _finalize_commit(table_dir, v, cur)
     return v
+
+
+def export_symlink_manifest(
+    table_dir: str, out_dir: str | None = None, version: str | None = None
+) -> str:
+    """Export the snapshot's data-file list as a SymlinkTextInputFormat
+    manifest (Delta's ``GENERATE symlink_format_manifest`` — the standard
+    interop handshake that lets Presto/Trino/Athena/Hive read a versioned
+    table without understanding its commit protocol): one text file of
+    absolute file URIs under ``<table>/_symlink_format_manifest/``
+    (or ``out_dir``). Reflects exactly the manifest's committed file list —
+    debris and uncommitted writers are invisible by construction. Raises
+    when the snapshot carries deletion vectors: an external engine reading
+    raw files would resurrect deleted rows, so DV tables must ``compact``
+    first (the same contract Delta enforces). Returns the manifest path."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    v = version or cur
+    if v not in committed_versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    m = read_manifest(table_dir, v) or {}
+    if m.get("dv"):
+        raise ValueError(
+            f"{table_dir}: snapshot {v} carries deletion vectors — external "
+            "engines reading raw files would resurrect deleted rows; "
+            "compact() first"
+        )
+    files = snapshot_files(table_dir, v)
+    uris = [f if "://" in f else f"file://{f}" for f in files]
+    dest = out_dir or fsio.join(table_dir, "_symlink_format_manifest")
+    fsio.mkdirs(dest)
+    path = fsio.join(dest, "manifest")
+    fsio.write_bytes(path, ("\n".join(uris) + "\n").encode())
+    return path

@@ -459,3 +459,30 @@ def test_content_preserving_commits_carry_unknown_extras(spark, tmp_path):
     assert U.read_manifest(tdir, U.committed_versions(tdir)[-1]).get("dv") is None
     U.restore(tdir, v_before)
     assert meta() == {"answer": 42}
+
+
+def test_symlink_manifest_export(spark, tmp_path):
+    import duckdb
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(30)], "k long, name string"
+    )
+    U.write_table(df, tdir, change_feed=False)
+    U.append_rows(spark, tdir, df.withColumn("k", F.col("k") + 100))
+    path = U.export_symlink_manifest(tdir)
+    uris = open(path).read().strip().splitlines()
+    assert len(uris) >= 2 and all(u.startswith("file://") for u in uris)
+    # an external engine (DuckDB standing in for Trino) reads exactly the
+    # committed snapshot through the manifest alone
+    files = [u[len("file://"):] for u in uris]
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet({files!r})"
+    ).fetchone()[0]
+    assert n == 60
+    # DV tables refuse — raw files would resurrect deleted rows
+    U.delete_where_dv(spark, tdir, "k = 3", ["k"])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        U.export_symlink_manifest(tdir)
+    U.compact(spark, tdir)
+    assert U.export_symlink_manifest(tdir)

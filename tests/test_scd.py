@@ -130,3 +130,15 @@ def test_streaming_scd2_sink(spark, tmp_path):
         (1, "auto", 100, 200), (1, "plane", 200, 300), (1, "train", 300, None),
         (2, "bike", 100, None), (3, "car", 100, None), (4, "boat", 300, None),
     }
+
+
+def test_asof_join_plan_is_equi_join(spark, dim):
+    facts = spark.createDataFrame([(1, 1, 150)], "fact_id long, k long, ts long")
+    plan = (
+        asof_join_scd2(facts, U.read_table(spark, dim), ["k"], "ts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -96,3 +96,15 @@ def test_matches_duckdb_on_events(spark, method):
         for r in want.itertuples()
     }
     assert g == w and len(g) > 100
+
+
+def test_gapfill_plan_no_nested_loop(spark, rs):
+    for method in ("locf", "linear"):
+        plan = (
+            gap_fill(rs, ["k"], 10, method)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
