@@ -96,8 +96,6 @@ def test_streaming_scd2_sink(spark, tmp_path):
     """Rate-limited file stream of observations → SCD-2 history: the
     streamed fold lands in the same state as the batch folds, replayed
     observations are no-ops."""
-    import time
-
     from spookystuff_spark.operators.scd import streaming_scd2_sink
 
     src = str(tmp_path / "obs")

@@ -12,7 +12,6 @@ from spookystuff_spark.operators.timeseries import (
     gap_fill,
     gapfill_sql,
     resample,
-    time_bucket,
 )
 
 ROWS = [  # key, epoch-seconds, value — key a has holes at 20 and 30
