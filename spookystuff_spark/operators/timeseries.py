@@ -191,3 +191,71 @@ WITH rs AS (
   FROM spine LEFT JOIN rs USING (k, bucket_s){window_decl}
 )
 SELECT k, bucket_s, {fill} AS v, filled FROM j"""
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rolling anomaly score: mean/sample-stddev over the trailing
+    ``window_rows`` rows per key (ROWS frame — deterministic, unlike a
+    RANGE frame on duplicate timestamps paired with a tie) and the
+    z-score of the current value. Rows whose trailing window has fewer
+    than 2 points, or zero variance, get a NULL z — "not enough signal",
+    never a division blow-up. One shuffle (the key window); everything in
+    codegen."""
+    keys = list(key_cols)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    # variance threshold instead of != 0: near-zero variance is where the
+    # two engines' summation orders could disagree about exact zero
+    z = F.when(
+        std.isNotNull() & (std > 1e-9),
+        round_stable((F.col(value_col) - mean) / std, round_digits),
+    )
+    return df.select(
+        *keys,
+        order_col,
+        value_col,
+        round_stable(mean, round_digits).alias("roll_mean"),
+        F.when(std.isNotNull(), round_stable(std, round_digits)).alias(
+            "roll_std"
+        ),
+        z.alias("zscore"),
+    )
+
+
+def rolling_zscore_sql(
+    src_sql: str,
+    key_sql: str,
+    order_sql: str,
+    value_sql: str,
+    window_rows: int = 24,
+    round_digits: int = 4,
+) -> str:
+    """DuckDB twin of :func:`rolling_zscore`."""
+    frame = f"ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW"
+    over = f"OVER (PARTITION BY {key_sql} ORDER BY {order_sql} {frame})"
+    return f"""
+WITH rolled AS (
+  SELECT {key_sql} AS k, {order_sql} AS o, {value_sql} AS v,
+         avg({value_sql}) {over} AS m,
+         stddev_samp({value_sql}) {over} AS s
+  FROM ({src_sql})
+)
+SELECT k, o, v,
+       round(1e-6 + m, {round_digits}) AS roll_mean,
+       CASE WHEN s IS NOT NULL THEN round(1e-6 + s, {round_digits}) END
+         AS roll_std,
+       CASE WHEN s IS NOT NULL AND s > 1e-9
+            THEN round(1e-6 + (v - m) / s, {round_digits}) END AS zscore
+FROM rolled"""

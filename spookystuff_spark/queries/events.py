@@ -272,3 +272,83 @@ def _interval_oracle() -> str:
 
 
 ORACLE_INTERVAL_JOIN = _interval_oracle()
+
+
+# ----------------------------------------------- event flow / rolling stats
+
+ROLLING_WINDOW = 12
+ROLLING_USER_FILTER = "user_id % 10 = 0"
+
+
+@bench_only("q_event_flow")
+def q_event_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts + top session paths (operators/paths.py)
+    melted one gate row each — the Sankey/flow-view queries, exact
+    integer counts. Rides q_scalar_suite."""
+    from functools import reduce
+
+    from spookystuff_spark.operators.paths import event_transitions, top_paths
+    from spookystuff_spark.queries.tpch_suites import _melt
+
+    ev = table(spark, sf_dir, "events")
+    parts = [
+        _melt(event_transitions(ev), "transitions", ["src", "dst"], ["n"]),
+        _melt(
+            top_paths(ev, k=20),
+            "toppaths",
+            ["path"],
+            ["n_sessions", "rank"],
+        ),
+    ]
+    return reduce(DataFrame.unionByName, parts)
+
+
+@bench_only("q_rolling_zscore")
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores per user (operators/timeseries.py
+    rolling_zscore): mean / sample-stddev / z over the last 12 events,
+    NULLs (cold window, zero variance) pinned via a sentinel so the
+    null-handling is part of the oracle contract. Rides q_scalar_suite."""
+    from spookystuff_spark.operators.timeseries import rolling_zscore
+
+    ev = table(spark, sf_dir, "events").where(F.expr(ROLLING_USER_FILTER))
+    rz = rolling_zscore(
+        ev.select("user_id", "event_id", "value"),
+        ["user_id"], "event_id", "value", window_rows=ROLLING_WINDOW,
+    )
+    return rz.select(
+        F.lit("q_rolling_zscore").alias("q"),
+        F.concat_ws("|", "user_id", "event_id").alias("row_key"),
+        F.lit("rz").alias("measure"),
+        (
+            F.coalesce(F.col("roll_mean"), F.lit(-999.0))
+            + F.coalesce(F.col("roll_std"), F.lit(-999.0)) * 1000
+            + F.coalesce(F.col("zscore"), F.lit(-999.0)) * 1000000
+        ).alias("v_num"),
+    )
+
+
+def _flow_oracles() -> tuple[str, str, str]:
+    from spookystuff_spark.operators.paths import top_paths_sql, transitions_sql
+    from spookystuff_spark.operators.timeseries import rolling_zscore_sql
+
+    rz = rolling_zscore_sql(
+        f"SELECT * FROM events WHERE {ROLLING_USER_FILTER}",
+        "user_id", "event_id", "value", window_rows=ROLLING_WINDOW,
+    )
+    rz_melt = f"""
+    SELECT 'q_rolling_zscore' AS q,
+           concat_ws('|', CAST(k AS VARCHAR), CAST(o AS VARCHAR)) AS row_key,
+           'rz' AS measure,
+           COALESCE(roll_mean, -999.0)
+             + COALESCE(roll_std, -999.0) * 1000
+             + COALESCE(zscore, -999.0) * 1000000 AS v_num
+    FROM ({rz})"""
+    return (
+        transitions_sql("SELECT * FROM events"),
+        top_paths_sql("SELECT * FROM events", k=20),
+        rz_melt,
+    )
+
+
+ORACLE_TRANSITIONS, ORACLE_TOPPATHS, ORACLE_ROLLING_Z = _flow_oracles()

@@ -94,13 +94,18 @@ from spookystuff_spark.queries.lakehouse_q import (
 )
 from spookystuff_spark.queries.events import (
     ORACLE_FUNNEL,
+    ORACLE_ROLLING_Z,
+    ORACLE_TOPPATHS,
+    ORACLE_TRANSITIONS,
     ORACLE_GAPFILL_LINEAR,
     ORACLE_GAPFILL_LOCF,
     ORACLE_INTERVAL_JOIN,
     ORACLE_RETENTION,
+    q_event_flow,
     q_funnel_retention,
     q_gapfill,
     q_interval_join,
+    q_rolling_zscore,
 )
 from spookystuff_spark.queries.tpch_suites import _melt, _melt_sql
 
@@ -118,7 +123,9 @@ WITH {PAGERANK_CTES},
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
      fnl AS ({ORACLE_FUNNEL}), ret AS ({ORACLE_RETENTION}),
      blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN}),
-     scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE})
+     scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE}),
+     trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
+     rz AS ({ORACLE_ROLLING_Z})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -185,7 +192,10 @@ UNION ALL {_melt_sql(
     "ivj", "q_interval_join", ["err_id", "pur_id"], ["gap_s"],
 )}
 UNION ALL SELECT q, row_key, measure, v_num FROM scd
-UNION ALL SELECT q, row_key, measure, v_num FROM tpr"""
+UNION ALL SELECT q, row_key, measure, v_num FROM tpr
+UNION ALL {_melt_sql("trn", "transitions", ["src", "dst"], ["n"])}
+UNION ALL {_melt_sql("tpp", "toppaths", ["path"], ["n_sessions", "rank"])}
+UNION ALL SELECT q, row_key, measure, v_num FROM rz"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -313,6 +323,9 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_scd2_dim already returns melt-shaped rows (scd2dim + scd2asof)
         q_scd2_dim(spark, sf_dir),
         q_table_profile(spark, sf_dir),
+        # q_event_flow / q_rolling_zscore return melt-shaped rows
+        q_event_flow(spark, sf_dir),
+        q_rolling_zscore(spark, sf_dir),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -501,6 +514,9 @@ register_suite(
         "scd2dim": "q_scd2_dim",
         "scd2asof": "q_scd2_dim",
         "q_table_profile": "q_table_profile",
+        "transitions": "q_event_flow",
+        "toppaths": "q_event_flow",
+        "q_rolling_zscore": "q_rolling_zscore",
     },
 )
 register_suite(
