@@ -107,3 +107,57 @@ def test_gapfill_plan_no_nested_loop(spark, rs):
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_properties_random(spark):
+    """Randomized invariants across fills: dense per-key spine, observed
+    buckets keep exact values under every method, LOCF holes equal the
+    nearest earlier observation, linear holes sit between their
+    neighbors."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"k{u}", rnd.randrange(0, 500), round(rnd.uniform(-50, 50), 2))
+        for u in range(6)
+        for _ in range(rnd.randrange(1, 25))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts_s long, value double")
+    import pyspark.sql.functions as F
+
+    rs = resample(
+        df.withColumn("ts", F.timestamp_seconds("ts_s")),
+        ["k"], "ts", "value", 20, agg="sum",
+    ).localCheckpoint(eager=True)
+    observed = {(r["k"], r["bucket_s"]): r["v"] for r in rs.collect()}
+    spans = {}
+    for (k, b) in observed:
+        lo, hi = spans.get(k, (b, b))
+        spans[k] = (min(lo, b), max(hi, b))
+    for method in ("locf", "linear", "zero"):
+        out = {(r["k"], r["bucket_s"]): r["v"]
+               for r in gap_fill(rs, ["k"], 20, method).collect()}
+        # dense spine, exactly [lo, hi] step 20, per key
+        want_keys = {
+            (k, b)
+            for k, (lo, hi) in spans.items()
+            for b in range(lo, hi + 1, 20)
+        }
+        assert set(out) == want_keys
+        for key, v in observed.items():
+            assert out[key] == v  # observed untouched
+        if method == "locf":
+            for (k, b), v in out.items():
+                if (k, b) not in observed:
+                    prev = max(
+                        bb for (kk, bb) in observed if kk == k and bb < b
+                    )
+                    assert v == observed[(k, prev)]
+        if method == "linear":
+            for (k, b), v in out.items():
+                if (k, b) not in observed:
+                    prevs = [bb for (kk, bb) in observed if kk == k and bb < b]
+                    nexts = [bb for (kk, bb) in observed if kk == k and bb > b]
+                    lo_v = observed[(k, max(prevs))]
+                    hi_v = observed[(k, min(nexts))]
+                    assert min(lo_v, hi_v) - 0.01 <= v <= max(lo_v, hi_v) + 0.01
