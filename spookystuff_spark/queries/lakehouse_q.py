@@ -525,3 +525,68 @@ SELECT 'scd2asof', concat_ws('|', CAST(o_orderkey AS VARCHAR), seg), 'ts',
 
 
 ORACLE_SCD2 = _scd2_oracle()
+
+
+ORACLE_RENAME = """
+    WITH kept AS (
+      SELECT lang, n_chars AS chars FROM documents WHERE doc_id % 3 <> 0
+    ), agg AS (
+      SELECT lang, CAST(SUM(chars) AS BIGINT) AS chars_sum,
+             COUNT(*) AS n_rows
+      FROM kept GROUP BY lang
+    )
+    SELECT 'native' AS reader, lang, chars_sum, n_rows FROM agg
+    UNION ALL
+    SELECT 'datasource' AS reader, lang, chars_sum, n_rows FROM agg
+"""
+
+
+@bench_only("q_rename_table")
+def q_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN, gate-pinned end-to-end
+    (upsert.rename_column): build a versioned table from the documents
+    corpus, rename n_chars→chars (zero data IO — the immutable files keep
+    the physical name), DV-delete a closed-form predicate THROUGH THE
+    LOGICAL VIEW, then aggregate the renamed column through BOTH readers —
+    the native scan (physical-schema read + logical rename) and the
+    spooky_versioned Arrow reader (colmap translation). The oracle
+    recomputes closed-form, so the rename mapping, the post-rename DV
+    composition and reader agreement are all value-pinned. Rides
+    ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.upsert import (
+        delete_where_dv,
+        read_table,
+        rename_column,
+        write_table,
+    )
+    from spookystuff_spark.sources.versioned_source import (
+        register as register_versioned,
+    )
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    tdir = tempfile.mkdtemp(prefix="spooky-ren-")
+    try:
+        write_table(base, tdir, change_feed=False)
+        rename_column(tdir, "n_chars", "chars")
+        delete_where_dv(
+            spark, tdir, F.col("doc_id") % 3 == 0, ["doc_id"],
+            change_feed=False,
+        )
+
+        def agg(df: DataFrame, reader: str) -> DataFrame:
+            return df.groupBy("lang").agg(
+                F.sum("chars").cast("long").alias("chars_sum"),
+                F.count("*").alias("n_rows"),
+            ).select(
+                F.lit(reader).alias("reader"), "lang", "chars_sum", "n_rows"
+            )
+
+        register_versioned(spark)
+        native = agg(read_table(spark, tdir), "native")
+        via_ds = agg(
+            spark.read.format("spooky_versioned").option("path", tdir).load(),
+            "datasource",
+        )
+        return native.unionByName(via_ds).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)

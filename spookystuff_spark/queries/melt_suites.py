@@ -82,6 +82,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
+    ORACLE_RENAME,
     ORACLE_SCD2,
     ORACLE_STREAM_INGEST,
     q_bloom_lookup,
@@ -89,6 +90,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_dv_delete,
     q_ivm_refresh,
     q_partitioned_merge,
+    q_rename_table,
     q_scd2_dim,
     q_stream_ingest,
 )
@@ -125,7 +127,7 @@ WITH {PAGERANK_CTES},
      blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN}),
      scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE}),
      trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
-     rz AS ({ORACLE_ROLLING_Z})
+     rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -195,7 +197,10 @@ UNION ALL SELECT q, row_key, measure, v_num FROM scd
 UNION ALL SELECT q, row_key, measure, v_num FROM tpr
 UNION ALL {_melt_sql("trn", "transitions", ["src", "dst"], ["n"])}
 UNION ALL {_melt_sql("tpp", "toppaths", ["path"], ["n_sessions", "rank"])}
-UNION ALL SELECT q, row_key, measure, v_num FROM rz"""
+UNION ALL SELECT q, row_key, measure, v_num FROM rz
+UNION ALL {_melt_sql(
+    "ren", "q_rename_table", ["reader", "lang"], ["chars_sum", "n_rows"],
+)}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -323,6 +328,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_scd2_dim already returns melt-shaped rows (scd2dim + scd2asof)
         q_scd2_dim(spark, sf_dir),
         q_table_profile(spark, sf_dir),
+        _melt(
+            q_rename_table(spark, sf_dir),
+            "q_rename_table",
+            ["reader", "lang"],
+            ["chars_sum", "n_rows"],
+        ),
         # q_event_flow / q_rolling_zscore return melt-shaped rows
         q_event_flow(spark, sf_dir),
         q_rolling_zscore(spark, sf_dir),
@@ -517,6 +528,7 @@ register_suite(
         "transitions": "q_event_flow",
         "toppaths": "q_event_flow",
         "q_rolling_zscore": "q_rolling_zscore",
+        "q_rename_table": "q_rename_table",
     },
 )
 register_suite(

@@ -86,6 +86,11 @@ def attach_blooms(
     m = U.read_manifest(table_dir, cur)
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
+    if m.get("renames"):
+        raise ValueError(
+            f"{table_dir}: column renames outstanding — the files carry "
+            "physical names; compact() first, then attach blooms"
+        )
     own = [e for e in m["files"] if e.startswith(f"{cur}/")]
     if not own:
         return 0
@@ -204,7 +209,7 @@ def read_table_point(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     h1, h2 = _base_hash_cols(col)
     probe = (
-        spark.createDataFrame([(value,)], f"{col} string")
+        spark.createDataFrame([(value,)], f"`{col}` string")
         if isinstance(value, str)
         else spark.createDataFrame([(value,)], ["_v"]).selectExpr(
             f"_v as {col}"
@@ -213,9 +218,12 @@ def read_table_point(
     hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
     blooms = entry_blooms(table_dir, v)
     manifest = U.read_manifest(table_dir, v) or {"files": []}
+    renames = manifest.get("renames") or {}
+    # bloom specs are recorded under the attach-time (physical) name
+    phys_col = U.physical_name(table_dir, v, col)
     keep, skipped = [], 0
     for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
-        spec = (blooms.get(e) or {}).get(col)
+        spec = (blooms.get(e) or {}).get(phys_col)
         if spec and not _maybe_contains(table_dir, spec, hr["h1"], hr["h2"]):
             skipped += 1
             continue
@@ -226,7 +234,12 @@ def read_table_point(
         df = (
             spark.createDataFrame([], schema)
             if not keep
-            else spark.read.schema(schema).parquet(*keep)
+            else U._to_logical(
+                spark.read.schema(U._scan_schema(schema, renames)).parquet(
+                    *keep
+                ),
+                renames,
+            )
         )
     else:
         if not keep:

@@ -198,6 +198,11 @@ def append_partitioned(
             "partition path — not a partitioned table "
             "(write it with write_table_partitioned)"
         )
+    if (manifest or {}).get("renames"):
+        raise ValueError(
+            f"{table_dir}: column renames outstanding — compact_partitioned "
+            "first to materialize them before appending"
+        )
     schema_json = rows.schema.json()
     if manifest and manifest.get("schema"):
         schema_json = U._union_schema_json(manifest["schema"], rows.schema)
@@ -274,6 +279,11 @@ def upsert_partitioned(
     # slice materializes them during its rewrite, untouched partitions keep
     # them by reference (see below). Differently-keyed vectors can't be
     # subtracted per-update-key, so those still require a compact() first.
+    if (manifest or {}).get("renames"):
+        raise ValueError(
+            f"{table_dir}: column renames outstanding — compact_partitioned "
+            "first to materialize them before merging"
+        )
     dv = (manifest or {}).get("dv")
     if dv and list(manifest.get("dv_keys", [])) != list(key_cols):
         raise ValueError(
@@ -404,6 +414,7 @@ def read_table_partitions(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
+    renames = manifest.get("renames") or {}
     rel = manifest["files"]
     full = U.snapshot_files(table_dir, v)
     files = [f for f, r in zip(full, rel) if _part_of(r) in wanted]
@@ -413,7 +424,12 @@ def read_table_partitions(
         df = (
             spark.createDataFrame([], schema)
             if not files
-            else spark.read.schema(schema).parquet(*files)
+            else U._to_logical(
+                spark.read.schema(U._scan_schema(schema, renames)).parquet(
+                    *files
+                ),
+                renames,
+            )
         )
     else:
         if not files:
@@ -487,7 +503,7 @@ def compact_partitioned(
             **(_stats_fields(table_dir, own, stats_cols) or {}),
             # content-preserving commit: snapshot-scoped index metadata
             # (e.g. bm25_stats) carries, or compaction would strip it
-            **U.carry_extra_fields(parent_m),
+            **U.carry_extra_fields(parent_m, exclude=("renames",)),
         },
     )
     if marker:
@@ -566,13 +582,15 @@ def read_table_partitions_pruned(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
+    renames = manifest.get("renames") or {}
+    phys_col = U.physical_name(table_dir, v, col)
     stats = U.entry_stats(table_dir, v)
     keep, skipped_part, skipped_stats = [], 0, 0
     for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
         if _part_of(e) not in wanted:
             skipped_part += 1
             continue
-        rng = (stats.get(e) or {}).get(col)
+        rng = (stats.get(e) or {}).get(phys_col)
         if rng and (rng[1] < lo or rng[0] > hi):
             skipped_stats += 1
             continue
@@ -583,7 +601,12 @@ def read_table_partitions_pruned(
         df = (
             spark.createDataFrame([], schema)
             if not keep
-            else spark.read.schema(schema).parquet(*keep)
+            else U._to_logical(
+                spark.read.schema(U._scan_schema(schema, renames)).parquet(
+                    *keep
+                ),
+                renames,
+            )
         )
     else:
         df = spark.read.parquet(*keep)

@@ -427,6 +427,105 @@ def change_files(table_dir: str, version: str) -> tuple[list[str], str | None]:
 # ------------------------------------------------------------ public API
 
 
+def table_renames(table_dir: str, version: str) -> dict:
+    """{physical file-column name: current logical name} for a snapshot —
+    empty when the table was never column-renamed (or a compaction
+    materialized the renames)."""
+    m = read_manifest(table_dir, version) or {}
+    return m.get("renames") or {}
+
+
+def physical_name(table_dir: str, version: str, logical: str) -> str:
+    """The file-level column name behind a logical name (identity when
+    never renamed) — what stats/bloom/footer consumers must look up."""
+    for p, l in table_renames(table_dir, version).items():
+        if l == logical:
+            return p
+    return logical
+
+
+def _scan_schema(schema, renames: dict):
+    """Logical StructType → the PHYSICAL schema the files carry."""
+    if not renames:
+        return schema
+    from pyspark.sql.types import StructField, StructType
+
+    inv = {l: p for p, l in renames.items()}
+    return StructType(
+        [
+            StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, renames: dict) -> DataFrame:
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def rename_column(table_dir: str, old: str, new: str) -> str:
+    """RENAME COLUMN as a METADATA-ONLY commit (Delta/Iceberg column
+    mapping, refusal-first): the manifest's schema gets the new name and a
+    ``renames`` {physical: logical} map records how readers translate the
+    immutable files' column names — zero data IO. Readers apply the map at
+    scan time; ``compact``/``upsert`` (full rewrites through the logical
+    view) MATERIALIZE it; metadata-only appends and the partitioned MERGE
+    refuse a renamed table until then (mixed physical names across carried
+    files is the failure mode to refuse). Renaming is refused while
+    deletion vectors are outstanding (their key files carry the old name)
+    and for the partition column (its name is baked into the layout)."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, cur)
+    if m is None:
+        raise FileNotFoundError(f"{cur} has no manifest")
+    if m.get("dv"):
+        raise ValueError(
+            f"{table_dir}: deletion vectors outstanding — their key files "
+            "carry the old column name; compact() first"
+        )
+    if m.get("partition_col") == old:
+        raise ValueError(
+            f"{table_dir}: {old!r} is the partition column — its name is "
+            "baked into the layout; rewrite with write_table_partitioned"
+        )
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"{table_dir}: no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"{table_dir}: column {new!r} already exists")
+    renamed = StructType(
+        [
+            StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+    renames = dict(m.get("renames") or {})
+    phys = next((p for p, l in renames.items() if l == old), old)
+    renames[phys] = new
+    v = _next_version(table_dir)
+    fsio.mkdirs(fsio.join(table_dir, v))
+    extra = {"renames": renames}
+    if m.get("partition_col"):
+        extra["partition_col"] = m["partition_col"]
+    extra.update(carry_extra_fields(m, exclude=("renames",)))
+    write_manifest(
+        table_dir,
+        v,
+        list(m.get("files", [])),
+        renamed.json(),
+        "rename",
+        parent=cur,
+        extra_fields=extra,
+    )
+    _finalize_commit(table_dir, v, cur)
+    return v
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
@@ -451,13 +550,18 @@ def read_table(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     files = snapshot_files(table_dir, v)
     schema_json = snapshot_schema_json(table_dir, v)
+    renames = table_renames(table_dir, v)
     if schema_json:
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(schema_json))
         if not files:  # e.g. delete_where emptied the table
             return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(*files)
+        # scan with the PHYSICAL names the files carry, present logical
+        df = _to_logical(
+            spark.read.schema(_scan_schema(schema, renames)).parquet(*files),
+            renames,
+        )
     else:
         if not files:
             raise FileNotFoundError(f"empty snapshot {v} in {table_dir}")
@@ -565,6 +669,12 @@ def append_rows(
     _enforce_checks(rows, table_dir)
     fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
+    if cur is not None and table_renames(table_dir, cur):
+        raise ValueError(
+            f"{table_dir}: column renames outstanding — a metadata-only "
+            "append would mix physical column names across carried files; "
+            "compact() first to materialize the rename"
+        )
     v = _next_version(table_dir)
     rows.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     prev_entries: list[str] = []
@@ -699,7 +809,9 @@ def compact(
     _commit_snapshot(
         current.schema.json(), table_dir, v, (), "compact", marker,
         expected_parent=cur,
-        extra_fields=carry_extra_fields(read_manifest(table_dir, cur)) or None,
+        extra_fields=carry_extra_fields(
+            read_manifest(table_dir, cur), exclude=("renames",)
+        ) or None,
     )
     return v
 
@@ -1131,10 +1243,13 @@ def read_table_pruned(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     stats = entry_stats(table_dir, v)
     m = read_manifest(table_dir, v)
+    renames = m.get("renames") or {}
+    # stats/footers carry PHYSICAL names — translate the logical filter col
+    phys_col = physical_name(table_dir, v, col)
     keep, skipped = [], 0
     for e in m["files"]:
         s = stats.get(e) or {}
-        rng = s.get(col)
+        rng = s.get(phys_col)
         if rng and (rng[1] < lo or rng[0] > hi):
             skipped += 1
             continue
@@ -1147,7 +1262,10 @@ def read_table_pruned(
         df = (
             spark.createDataFrame([], schema)
             if not keep
-            else spark.read.schema(schema).parquet(*keep)
+            else _to_logical(
+                spark.read.schema(_scan_schema(schema, renames)).parquet(*keep),
+                renames,
+            )
         )
     else:
         df = spark.read.parquet(*keep)
@@ -1347,6 +1465,12 @@ def export_symlink_manifest(
         raise ValueError(
             f"{table_dir}: snapshot {v} carries deletion vectors — external "
             "engines reading raw files would resurrect deleted rows; "
+            "compact() first"
+        )
+    if m.get("renames"):
+        raise ValueError(
+            f"{table_dir}: snapshot {v} carries column renames — external "
+            "engines reading raw files would see the physical names; "
             "compact() first"
         )
     files = snapshot_files(table_dir, v)

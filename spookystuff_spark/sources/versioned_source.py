@@ -73,20 +73,26 @@ def _arrow_schema(spark_schema: StructType):
     return to_arrow_schema(spark_schema)
 
 
-def _read_arrow(path: str, expected, fill: dict | None = None):
+def _read_arrow(
+    path: str, expected, fill: dict | None = None, colmap: dict | None = None
+):
     """Iterate a parquet file as Arrow RecordBatches aligned to the reader's
     ``expected`` Arrow schema (column order AND types). An absent column is
     filled from ``fill`` (constant — e.g. ``_change`` from the version's
     ``_kind`` sidecar) or with typed nulls, so a snapshot mixing pre- and
-    post-schema-evolution files yields homogeneous batches. A file column
+    post-schema-evolution files yields homogeneous batches. ``colmap``
+    (logical → PHYSICAL file-column name) resolves metadata-only column
+    renames — output batches always carry the logical names. A file column
     NOT in the reader schema is an error naming the file — silent
     column-drop on a mismatched footer is the failure mode to refuse."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     names = expected.names
+    colmap = colmap or {}
+    known = {colmap.get(n, n) for n in names} | set(names)
     for batch in pq.ParquetFile(fsio.open_input(path)).iter_batches():
-        extra = [c for c in batch.schema.names if c not in names]
+        extra = [c for c in batch.schema.names if c not in known]
         if extra:
             raise ValueError(
                 f"versioned table file {path} has columns {extra} absent "
@@ -95,7 +101,9 @@ def _read_arrow(path: str, expected, fill: dict | None = None):
         cols = []
         for n in names:
             typ = expected.field(n).type
-            if n in batch.schema.names:
+            phys = colmap.get(n, n)
+            if phys in batch.schema.names:
+                n = phys
                 col = batch.column(n)
                 if col.type != typ:  # benign footer-level repr differences
                     col = col.cast(typ)
@@ -117,6 +125,8 @@ class _BatchReader(DataSourceReader):
         m = U.read_manifest(table_dir, version) or {}
         self.dv_paths = [fsio.join(table_dir, e) for e in m.get("dv", [])]
         self.dv_keys = m.get("dv_keys") or []
+        # metadata-only column renames: logical -> physical file names
+        self._colmap = {l: p for p, l in (m.get("renames") or {}).items()}
         # planning metadata for pushFilters: per-entry manifest stats
         # (Delta stats-in-log) and the partition value encoded in each
         # entry's path — both resolved WITHOUT touching any data file
@@ -216,14 +226,16 @@ class _BatchReader(DataSourceReader):
             return
         if not self.dv_paths:
             yield from _read_arrow(
-                partition.path, _arrow_schema(self.spark_schema)
+                partition.path, _arrow_schema(self.spark_schema),
+                colmap=self._colmap,
             )
             return
         import pyarrow as pa
 
         deleted = self._deleted_keyset()  # small by DV contract
         for batch in _read_arrow(
-            partition.path, _arrow_schema(self.spark_schema)
+            partition.path, _arrow_schema(self.spark_schema),
+            colmap=self._colmap,
         ):
             cols = [batch.column(c).to_pylist() for c in self.dv_keys]
             mask = pa.array(
@@ -376,6 +388,12 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         dv_fields = None
         if not self.overwrite and parent is not None:
             m = U.read_manifest(self.table_dir, parent)
+            if m and m.get("renames"):
+                raise ValueError(
+                    f"{self.table_dir}: column renames outstanding — a "
+                    "metadata-only append would mix physical column names "
+                    "across carried files; compact() first"
+                )
             prev_entries = (
                 list(m["files"])
                 if m is not None
