@@ -485,6 +485,10 @@ def rename_column(table_dir: str, old: str, new: str) -> str:
             f"{table_dir}: deletion vectors outstanding — their key files "
             "carry the old column name; compact() first"
         )
+    if m.get("drops"):
+        raise ValueError(
+            f"{table_dir}: column drops outstanding — compact() first"
+        )
     if m.get("partition_col") == old:
         raise ValueError(
             f"{table_dir}: {old!r} is the partition column — its name is "
@@ -519,6 +523,64 @@ def rename_column(table_dir: str, old: str, new: str) -> str:
         list(m.get("files", [])),
         renamed.json(),
         "rename",
+        parent=cur,
+        extra_fields=extra,
+    )
+    _finalize_commit(table_dir, v, cur)
+    return v
+
+
+def drop_column(table_dir: str, col: str) -> str:
+    """DROP COLUMN as a METADATA-ONLY commit: the manifest's schema loses
+    the field and a ``drops`` list records the physical name so the Arrow
+    reader can distinguish "deliberately dropped" from "corrupt footer".
+    Native readers need nothing extra — a schema-pinned parquet scan
+    ignores file columns outside the schema. Same refusal-first
+    composition as :func:`rename_column`: refused while deletion vectors
+    or renames are outstanding, for the partition column, and for the last
+    remaining column; metadata-only appends refuse until ``compact``
+    materializes the drop (full rewrites clear it naturally)."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = read_manifest(table_dir, cur)
+    if m is None:
+        raise FileNotFoundError(f"{cur} has no manifest")
+    if m.get("dv"):
+        raise ValueError(
+            f"{table_dir}: deletion vectors outstanding — compact() first"
+        )
+    if m.get("renames"):
+        raise ValueError(
+            f"{table_dir}: column renames outstanding — compact() first"
+        )
+    if m.get("partition_col") == col:
+        raise ValueError(
+            f"{table_dir}: {col!r} is the partition column — its name is "
+            "baked into the layout"
+        )
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise ValueError(f"{table_dir}: no column {col!r} (have {names})")
+    if len(names) == 1:
+        raise ValueError(f"{table_dir}: cannot drop the last column")
+    remaining = StructType([f for f in schema.fields if f.name != col])
+    drops = sorted(set(m.get("drops") or []) | {col})
+    v = _next_version(table_dir)
+    fsio.mkdirs(fsio.join(table_dir, v))
+    extra = {"drops": drops}
+    if m.get("partition_col"):
+        extra["partition_col"] = m["partition_col"]
+    extra.update(carry_extra_fields(m, exclude=("drops",)))
+    write_manifest(
+        table_dir,
+        v,
+        list(m.get("files", [])),
+        remaining.json(),
+        "drop",
         parent=cur,
         extra_fields=extra,
     )
@@ -669,12 +731,14 @@ def append_rows(
     _enforce_checks(rows, table_dir)
     fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
-    if cur is not None and table_renames(table_dir, cur):
-        raise ValueError(
-            f"{table_dir}: column renames outstanding — a metadata-only "
-            "append would mix physical column names across carried files; "
-            "compact() first to materialize the rename"
-        )
+    if cur is not None:
+        pm = read_manifest(table_dir, cur) or {}
+        if pm.get("renames") or pm.get("drops"):
+            raise ValueError(
+                f"{table_dir}: schema-evolution maps (renames/drops) "
+                "outstanding — a metadata-only append would mix physical "
+                "column layouts across carried files; compact() first"
+            )
     v = _next_version(table_dir)
     rows.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     prev_entries: list[str] = []
@@ -810,7 +874,7 @@ def compact(
         current.schema.json(), table_dir, v, (), "compact", marker,
         expected_parent=cur,
         extra_fields=carry_extra_fields(
-            read_manifest(table_dir, cur), exclude=("renames",)
+            read_manifest(table_dir, cur), exclude=("renames", "drops")
         ) or None,
     )
     return v
@@ -1467,11 +1531,11 @@ def export_symlink_manifest(
             "engines reading raw files would resurrect deleted rows; "
             "compact() first"
         )
-    if m.get("renames"):
+    if m.get("renames") or m.get("drops"):
         raise ValueError(
-            f"{table_dir}: snapshot {v} carries column renames — external "
-            "engines reading raw files would see the physical names; "
-            "compact() first"
+            f"{table_dir}: snapshot {v} carries schema-evolution maps "
+            "(renames/drops) — external engines reading raw files would "
+            "see the physical layout; compact() first"
         )
     files = snapshot_files(table_dir, v)
     uris = [f if "://" in f else f"file://{f}" for f in files]

@@ -90,7 +90,9 @@ def _read_arrow(
 
     names = expected.names
     colmap = colmap or {}
-    known = {colmap.get(n, n) for n in names} | set(names)
+    known = {colmap.get(n, n) for n in names} | set(names) | set(
+        (colmap or {}).get("__drops__", ())
+    )
     for batch in pq.ParquetFile(fsio.open_input(path)).iter_batches():
         extra = [c for c in batch.schema.names if c not in known]
         if extra:
@@ -125,8 +127,12 @@ class _BatchReader(DataSourceReader):
         m = U.read_manifest(table_dir, version) or {}
         self.dv_paths = [fsio.join(table_dir, e) for e in m.get("dv", [])]
         self.dv_keys = m.get("dv_keys") or []
-        # metadata-only column renames: logical -> physical file names
+        # metadata-only column renames: logical -> physical file names;
+        # dropped physical names ride along so the extra-column refusal
+        # distinguishes "deliberately dropped" from "corrupt footer"
         self._colmap = {l: p for p, l in (m.get("renames") or {}).items()}
+        if m.get("drops"):
+            self._colmap["__drops__"] = list(m["drops"])
         # planning metadata for pushFilters: per-entry manifest stats
         # (Delta stats-in-log) and the partition value encoded in each
         # entry's path — both resolved WITHOUT touching any data file
@@ -388,11 +394,12 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         dv_fields = None
         if not self.overwrite and parent is not None:
             m = U.read_manifest(self.table_dir, parent)
-            if m and m.get("renames"):
+            if m and (m.get("renames") or m.get("drops")):
                 raise ValueError(
-                    f"{self.table_dir}: column renames outstanding — a "
-                    "metadata-only append would mix physical column names "
-                    "across carried files; compact() first"
+                    f"{self.table_dir}: schema-evolution maps "
+                    "(renames/drops) outstanding — a metadata-only append "
+                    "would mix physical column layouts across carried "
+                    "files; compact() first"
                 )
             prev_entries = (
                 list(m["files"])

@@ -66,14 +66,14 @@ def test_pruned_read_translates_stats(spark, renamed):
 
 def test_refusals_and_materialization(spark, renamed):
     tdir, _ = renamed
-    with pytest.raises(ValueError, match="renames outstanding"):
+    with pytest.raises(ValueError, match="renames/drops"):
         U.append_rows(spark, tdir, _rows(spark, [(9, "eu", 90)]))
-    with pytest.raises(ValueError, match="column renames"):
+    with pytest.raises(ValueError, match="schema-evolution"):
         U.export_symlink_manifest(tdir)
     from spookystuff_spark.sources.versioned_source import register as _reg
 
     _reg(spark)
-    with pytest.raises(Exception, match="renames outstanding"):
+    with pytest.raises(Exception, match="renames/drops"):
         U.read_table(spark, tdir).limit(1).write.format(
             "spooky_versioned"
         ).option("path", tdir).mode("append").save()
@@ -151,3 +151,56 @@ def test_bloom_after_rename(spark, tmp_path):
     assert info["skipped_bloom"] >= 1  # old blooms still prune via phys name
     with pytest.raises(ValueError, match="renames outstanding"):
         attach_blooms(spark, tdir, ["amount"])
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    tdir = str(tmp_path / "dtbl")
+    U.write_table(_rows(spark, BASE), tdir, change_feed=False)
+    v_before = U.committed_versions(tdir)[-1]
+    U.drop_column(tdir, "val")
+    df = U.read_table(spark, tdir)
+    assert df.columns == ["k", "region"]
+    assert df.count() == 4
+    # time travel still sees the column
+    assert "val" in U.read_table(spark, tdir, version=v_before).columns
+    # DataSource reader ignores the dropped physical column
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    via_ds = spark.read.format("spooky_versioned").option("path", tdir).load()
+    assert via_ds.columns == ["k", "region"] and via_ds.count() == 4
+    # metadata-only appends refuse until compact materializes
+    with pytest.raises(ValueError, match="renames/drops"):
+        U.append_rows(
+            spark, tdir,
+            spark.createDataFrame([(9, "eu")], "k long, region string"),
+        )
+    with pytest.raises(Exception, match="renames/drops"):
+        via_ds.limit(1).write.format("spooky_versioned").option(
+            "path", tdir
+        ).mode("append").save()
+    U.compact(spark, tdir, num_files=1)
+    m = U.read_manifest(tdir, U.committed_versions(tdir)[-1])
+    assert "drops" not in m
+    U.append_rows(
+        spark, tdir, spark.createDataFrame([(9, "eu")], "k long, region string")
+    )
+    assert U.read_table(spark, tdir).count() == 5
+
+
+def test_drop_refusals(spark, tmp_path):
+    tdir = str(tmp_path / "dtbl2")
+    U.write_table(_rows(spark, BASE), tdir, change_feed=False)
+    with pytest.raises(ValueError, match="no column"):
+        U.drop_column(tdir, "nope")
+    U.rename_column(tdir, "val", "amount")
+    with pytest.raises(ValueError, match="renames outstanding"):
+        U.drop_column(tdir, "amount")
+    U.compact(spark, tdir)
+    U.drop_column(tdir, "amount")
+    with pytest.raises(ValueError, match="drops outstanding"):
+        U.rename_column(tdir, "region", "zone")
+    U.drop_column(tdir, "region")  # chained drops fine
+    with pytest.raises(ValueError, match="last column"):
+        U.drop_column(tdir, "k")
+    assert U.read_table(spark, tdir).columns == ["k"]
