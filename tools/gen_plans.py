@@ -56,6 +56,7 @@ COMMENTARY = {
     "q_funnel_retention": "The funnel is k chained filter→join→min-aggregate passes all keyed on user_id (AQE broadcasts the shrinking reached-set side); no window over the raw event stream and no per-user event-list aggregation, so a power user costs min(ts), not a sort. Retention: two exchanges — first-event per user, then the (cohort, offset) distinct-count cell aggregate.",
     "q_bloom_lookup": "Each probe plans from the manifest + tiny bloom sidecars: only maybe-present files reach the scan (here 1-2 of 8), the equality filter pushes into the parquet scan of those files, and deletion vectors would apply as a broadcast anti-join. The build was one Arrow applyInPandas keyed by file over JVM-computed hashes — one shuffle, no per-row Python hashing.",
     "q_interval_join": "The overlap predicate NEVER reaches the join condition: both sides explode onto fixed-width time buckets inside codegen and meet in an equi-join on (user_id, bucket) — the plan a raw interval inequality can't get (Catalyst would emit BroadcastNestedLoopJoin). The report-once filter (bucket == floor(greatest(starts)/w)) dedups shared-bucket matches locally, so no distinct shuffle follows; plan-asserted BNLJ-free in tests/test_intervals.py.",
+    "q_rename_table": "Checkpointed aggregate over a RENAMED column read two ways. Upstream: the rename commit wrote ONE manifest (zero data IO); the native reader scanned with the files' physical schema and presented the logical name, the Arrow DataSource translated per batch through the colmap, and the post-rename DV delete anti-joined on the logical view — metadata-only schema evolution with every reader agreeing.",
     "q_event_flow": "Transitions: one lead-window on the user key feeding a map-side-combined pair count — two exchanges total, no event-list materialization. Paths: the session id (lag+cumsum) and the per-session rank ride the SAME user-key sort, the length cap filters BEFORE the ordered collect (per-session memory bounded), and the final rank is over the already-tiny path-count table.",
     "q_rolling_zscore": "One exchange (the user key), then the trailing ROWS-frame mean/stddev/z all evaluate in a single Window operator over one sort — no self-join, no second pass; the whole expression tree below the window is codegen.",
     "q_table_profile": "The profile is ONE wide aggregate job collapsing map-side into a single row (the visible plan is the local result frame): null counts and min/max/mean are plain partial aggregates; the exact distinct counts add Spark's EXPAND rewrite — the documented, deliberate cost of exact ANALYZE, with the KMV/HLL sketches as the wide-table alternative.",
