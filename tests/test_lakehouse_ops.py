@@ -486,3 +486,30 @@ def test_symlink_manifest_export(spark, tmp_path):
         U.export_symlink_manifest(tdir)
     U.compact(spark, tdir)
     assert U.export_symlink_manifest(tdir)
+
+
+def test_row_level_commit_lineage(spark, tmp_path):
+    tdir = str(tmp_path / "lin")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    v1 = U.write_table(df, tdir, change_feed=False)
+    v2 = U.append_rows(
+        spark, tdir, spark.createDataFrame([(3, "c")], "k long, s string")
+    )
+    got = {
+        r["k"]: r["_commit_version"]
+        for r in U.read_table_with_lineage(spark, tdir).collect()
+    }
+    assert got == {1: v1, 2: v1, 3: v2}
+    # deletion vectors compose: the hidden row carries no lineage row
+    U.delete_where_dv(spark, tdir, "k = 2", ["k"])
+    got2 = {
+        r["k"]: r["_commit_version"]
+        for r in U.read_table_with_lineage(spark, tdir).collect()
+    }
+    assert got2 == {1: v1, 3: v2}
+    # time travel pins the older mapping
+    old = {
+        r["k"]: r["_commit_version"]
+        for r in U.read_table_with_lineage(spark, tdir, version=v1).collect()
+    }
+    assert old == {1: v1, 2: v1}
