@@ -120,3 +120,15 @@ def test_refusals_and_inverted_intervals(spark):
         interval_join(left, right, "a_s", "a_e", "b_s", "b_e", how="left")
     with pytest.raises(ValueError, match="positive"):
         interval_join(left, right, "a_s", "a_e", "b_s", "b_e", bucket_width=0)
+
+
+def test_negative_epochs_floor_correctly(spark):
+    left = _df(spark, [(1, -25, -5)], "a")
+    right = _df(spark, [(10, -10, 3), (11, -100, -30)], "b")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_join(
+            left, right, "a_s", "a_e", "b_s", "b_e", bucket_width=10
+        ).collect()
+    }
+    assert got == {(1, 10)}  # floor-div bucketing, not truncation
