@@ -204,3 +204,35 @@ def test_drop_refusals(spark, tmp_path):
     with pytest.raises(ValueError, match="last column"):
         U.drop_column(tdir, "k")
     assert U.read_table(spark, tdir).columns == ["k"]
+
+
+def test_cdc_stream_across_rename_boundary_fails_fast(spark, tmp_path):
+    """A change-feed stream started before a rename reads pre-rename feed
+    files with the NEW logical schema — that must refuse loudly (the
+    extra-column fail-fast), never silently null-fill the renamed column."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    src = str(tmp_path / "src")
+    U.write_table(_rows(spark, BASE), src)  # v1 feed carries 'val'
+    U.rename_column(src, "val", "amount")
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    assert "amount" in stream.schema.names
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ren_cdc")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        with pytest.raises(Exception, match="refusing to drop data"):
+            q.processAllAvailable()
+            q.awaitTermination(5)
+    finally:
+        q.stop()
