@@ -139,3 +139,41 @@ def validate(
     ok = flagged.where(F.size("_failed_checks") == 0).drop("_failed_checks")
     bad = flagged.where(F.size("_failed_checks") > 0)
     return ok, bad
+
+
+def quarantining_append(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    quarantine_dir: str,
+    batch_tag: str | None = None,
+):
+    """The third DLT expectation flavor (fail = writer enforcement, drop =
+    ``validate`` + discard, QUARANTINE = this): split the batch, append the
+    passing side to the table, and land the violating side — with its
+    ``_failed_checks`` diagnosis and an optional ``_batch_tag`` — in a
+    versioned quarantine table of its own, so bad records are queryable,
+    replayable after a fix, and vacuumable, never silently gone. Returns
+    (n_ok, n_quarantined). The quarantine write happens FIRST: a crash
+    between the two writes can duplicate quarantine rows (dedupable by
+    tag) but can never lose a violating record."""
+    import pyspark.sql.functions as F
+
+    from spookystuff_spark.sources import upsert as U
+
+    ok, bad = validate(spark, table_dir, df)
+    bad = bad.withColumn(
+        "_failed_checks", F.array_join("_failed_checks", ",")
+    )
+    if batch_tag is not None:
+        bad = bad.withColumn("_batch_tag", F.lit(batch_tag))
+    bad = bad.localCheckpoint(eager=True)  # split consumed twice, pin once
+    ok = ok.localCheckpoint(eager=True)
+    n_bad = bad.count()
+    if n_bad:
+        fsio.mkdirs(quarantine_dir)
+        U.append_rows(spark, quarantine_dir, bad, change_feed=False)
+    n_ok = ok.count()
+    if n_ok:
+        U.append_rows(spark, table_dir, ok)
+    return n_ok, n_bad

@@ -92,3 +92,21 @@ def test_unattached_table_scans_everything(spark, tmp_path):
     df, info = read_table_point(spark, tdir, "name", "u7")
     assert [r["k"] for r in df.collect()] == [7]
     assert info["skipped_bloom"] == 0 and info["scanned"] == 3
+
+
+def test_incremental_bloom_maintenance_after_append(spark, tmp_path):
+    """attach_blooms after each append profiles only that commit's own
+    files; chain resolution serves the whole table — the per-batch
+    maintenance recipe for an append-heavy table."""
+    tdir = str(tmp_path / "inc")
+    U.write_table(_rows(spark, 0, 200).repartition(2), tdir)
+    attach_blooms(spark, tdir, ["name"])
+    U.append_rows(spark, tdir, _rows(spark, 9000, 9100).repartition(2))
+    attach_blooms(spark, tdir, ["name"])  # O(new files) only
+    from spookystuff_spark.sources.bloom_index import entry_blooms
+
+    eb = entry_blooms(tdir, U.committed_versions(tdir)[-1])
+    assert all(b.get("name") for b in eb.values())  # every file covered
+    df, info = read_table_point(spark, tdir, "name", "u9050")
+    assert [r["k"] for r in df.collect()] == [9050]
+    assert info["skipped_bloom"] >= 2  # both first-commit files pruned

@@ -85,3 +85,26 @@ def test_validate_split_and_lifecycle(spark, tdir):
     assert ok2.count() == 1  # region check gone
     # good writes still flow
     U.append_rows(spark, tdir, _rows(spark, [(8, "ap", 0)]))
+
+
+def test_quarantining_append(spark, tmp_path, tdir):
+    from spookystuff_spark.sources.constraints import quarantining_append
+
+    qdir = str(tmp_path / "quarantine")
+    n_ok, n_bad = quarantining_append(
+        spark, tdir, _rows(spark, GOOD[:1] + [(7, "xx", -1), (8, "ap", 5)]),
+        qdir, batch_tag="b1",
+    )
+    assert (n_ok, n_bad) == (2, 1)
+    assert U.read_table(spark, tdir).count() == 4  # 2 seed + 2 appended
+    q = U.read_table(spark, qdir).collect()
+    assert len(q) == 1 and q[0]["_batch_tag"] == "b1"
+    assert sorted(q[0]["_failed_checks"].split(",")) == [
+        "region_set", "val_nonneg",
+    ]
+    # clean batch: quarantine untouched
+    n_ok2, n_bad2 = quarantining_append(
+        spark, tdir, _rows(spark, [(9, "eu", 1)]), qdir, batch_tag="b2"
+    )
+    assert (n_ok2, n_bad2) == (1, 0)
+    assert U.read_table(spark, qdir).count() == 1
