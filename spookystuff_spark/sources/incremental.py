@@ -81,6 +81,17 @@ def _changes_since(
         if after is not None and v <= after:
             continue
         newest = v
+        m = U.read_manifest(src_dir, v) or {}
+        if m.get("kind") in ("rename", "drop"):
+            # feeds before this commit carry the OLD column names — a fold
+            # crossing the boundary would silently null-fill the renamed
+            # column; derived views must re-derive from the new schema
+            raise ValueError(
+                f"{src_dir}/{v}: schema-evolution commit "
+                f"({m['kind']}) inside the fold range — rebuild derived "
+                "views/indexes from the new schema instead of folding "
+                "across the boundary"
+            )
         files, kind = U.change_files(src_dir, v)
         if not files:
             continue  # compaction / no-feed commit: no logical change

@@ -330,6 +330,32 @@ class _StagedFile(WriterCommitMessage):
     num_rows: int
 
 
+def _enforce_on_batch(table_dir: str, checks: dict, batch) -> None:
+    """DuckDB-evaluated CHECK enforcement for one Arrow batch (SQL CHECK
+    NULL semantics — only definitively-FALSE violates)."""
+    import duckdb
+    import pyarrow as pa
+
+    from spookystuff_spark.sources.constraints import CheckViolation
+
+    tbl = pa.Table.from_batches([batch])  # zero-copy view
+    con = duckdb.connect()
+    con.register("batch", tbl)
+    bad = {}
+    for name, sql in checks.items():
+        cnt = con.execute(
+            f"SELECT count(*) FROM batch WHERE NOT coalesce(({sql}), TRUE)"
+        ).fetchone()[0]
+        if cnt:
+            bad[name] = int(cnt)
+    if bad:
+        detail = ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        raise CheckViolation(
+            f"{table_dir}: write batch violates CHECK constraint(s): "
+            f"{detail} — task failed, nothing committed"
+        )
+
+
 class _VersionedArrowWriter(DataSourceArrowWriter):
     """Two-phase commit writer — the Spark commit protocol made explicit:
 
@@ -362,6 +388,15 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
 
         import pyarrow.parquet as pq
 
+        from spookystuff_spark.sources.constraints import list_constraints
+
+        # table CHECK constraints apply to THIS writer too — enforced
+        # EXECUTOR-SIDE per Arrow batch (the commit worker has no Spark
+        # session to run a validation job): the ANSI predicates evaluate
+        # via DuckDB against each batch, a violation fails the task and
+        # the two-phase protocol aborts with the table untouched. Checks
+        # are engine-portable SQL by the module's contract.
+        checks = list_constraints(self.table_dir)
         fsio.mkdirs(self.staging)
         fname = f"part-{uuid.uuid4().hex}.parquet"
         fpath = fsio.join(self.staging, fname)
@@ -369,6 +404,8 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         writer = None
         n = 0
         for batch in iterator:
+            if checks:
+                _enforce_on_batch(self.table_dir, checks, batch)
             if writer is None:
                 writer = pq.ParquetWriter(fs_path, batch.schema, filesystem=fs)
             writer.write_batch(batch)

@@ -108,3 +108,21 @@ def test_quarantining_append(spark, tmp_path, tdir):
     )
     assert (n_ok2, n_bad2) == (1, 0)
     assert U.read_table(spark, qdir).count() == 1
+
+
+def test_datasource_writer_enforces(spark, tdir):
+    """The spooky_versioned two-phase writer validates its staged batch
+    before the commit becomes visible — no enforce-upstream gap."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    bad = _rows(spark, [(3, "eu", -5)])
+    with pytest.raises(Exception, match="val_nonneg"):
+        bad.write.format("spooky_versioned").option("path", tdir).mode(
+            "append"
+        ).save()
+    assert U.read_table(spark, tdir).count() == 2  # untouched
+    _rows(spark, [(5, "ap", 5)]).write.format("spooky_versioned").option(
+        "path", tdir
+    ).mode("append").save()
+    assert U.read_table(spark, tdir).count() == 3

@@ -236,3 +236,18 @@ def test_cdc_stream_across_rename_boundary_fails_fast(spark, tmp_path):
             q.awaitTermination(5)
     finally:
         q.stop()
+
+
+def test_incremental_fold_refuses_rename_boundary(spark, tmp_path):
+    """IVM / index refreshes fold change feeds by column NAME — a fold
+    range crossing a rename commit must refuse, not null-fill."""
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "agg")
+    U.write_table(_rows(spark, BASE), src)
+    refresh_aggregate(spark, src, dst, ["region"], ["val"])
+    U.rename_column(src, "val", "amount")
+    U.delete_where_dv(spark, src, "k = 1", ["k"])
+    with pytest.raises(ValueError, match="schema-evolution commit"):
+        refresh_aggregate(spark, src, dst, ["region"], ["amount"])
