@@ -1176,6 +1176,9 @@ def table_detail(table_dir: str, version: str | None = None) -> dict:
         "schema_cols": (
             len(json.loads(m["schema"])["fields"]) if m.get("schema") else None
         ),
+        # pending schema-evolution maps (compact materializes both)
+        "renames": m.get("renames"),
+        "drops": m.get("drops"),
     }
 
 
@@ -1611,3 +1614,25 @@ def read_table_with_lineage(
         .withColumn(lineage_col, F.col("_owner"))
         .drop("_file", "_owner")
     )
+
+
+def expire_rows(
+    spark: SparkSession,
+    table_dir: str,
+    ts_col: str,
+    older_than_ms: int,
+    key_cols: Sequence[str],
+) -> str | None:
+    """Row-level TTL (retention / right-to-be-forgotten shape): DV-delete
+    every row whose ``ts_col`` is strictly before ``older_than_ms`` (epoch
+    millis) — O(expired keys) metadata, zero data files rewritten; the
+    bytes physically disappear at the next ``compact`` + ``vacuum``, which
+    is the standard two-phase GDPR erasure contract. Returns the delete
+    commit, or None when nothing expired (no empty commits)."""
+    import pyspark.sql.functions as F
+
+    cond = F.col(ts_col) < F.timestamp_millis(F.lit(older_than_ms))
+    current = read_table(spark, table_dir)
+    if current.where(cond).limit(1).count() == 0:
+        return None
+    return delete_where_dv(spark, table_dir, cond, key_cols)

@@ -513,3 +513,26 @@ def test_row_level_commit_lineage(spark, tmp_path):
         for r in U.read_table_with_lineage(spark, tdir, version=v1).collect()
     }
     assert old == {1: v1, 2: v1}
+
+
+def test_expire_rows_ttl(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    tdir = str(tmp_path / "ttl")
+    df = spark.createDataFrame(
+        [(i, i * 1000) for i in range(10)], "k long, ts_ms long"
+    ).withColumn("ts", F.timestamp_millis("ts_ms")).drop("ts_ms")
+    U.write_table(df, tdir, change_feed=False)
+    v = U.expire_rows(spark, tdir, "ts", 5000, ["k"])
+    assert v is not None
+    assert {r["k"] for r in U.read_table(spark, tdir).collect()} == set(range(5, 10))
+    # nothing else expired: no empty commit
+    n = len(U.committed_versions(tdir))
+    assert U.expire_rows(spark, tdir, "ts", 5000, ["k"]) is None
+    assert len(U.committed_versions(tdir)) == n
+    # physical erasure completes via compact + vacuum (two-phase GDPR)
+    U.compact(spark, tdir)
+    U.vacuum(tdir, keep=1)
+    assert U.read_table(spark, tdir).count() == 5
+    d = U.table_detail(tdir)
+    assert d["dv_files"] == 0 and d["renames"] is None
