@@ -75,31 +75,55 @@ def _enforce_checks(df: DataFrame, table_dir: str) -> None:
 class ConcurrentWriteError(RuntimeError):
     """The table advanced between this writer's snapshot read and its
     commit — committing would silently drop the interleaved writer's rows
-    (lost update). Detection is the per-version commit-file CAS
-    (:func:`_finalize_commit`): two writers racing for the same version
-    name lose deterministically (exactly one ``_commits/vNNNNN`` create
-    succeeds), on top of the expected-parent re-check. Retry the operation
+    (lost update). Detection is the PARENT-KEYED commit-file CAS
+    (:func:`_finalize_commit`): every writer extending parent P races to
+    create the SAME ``_commits/<P>.c`` object, so exactly one child of any
+    parent can ever exist — regardless of which version names the racers
+    staged — on top of the expected-parent re-check. Retry the operation
     against the new state."""
 
 
+def _commit_file_name(parent: str | None) -> str:
+    """The commit CAS object for a child of ``parent``. Keyed by the PARENT
+    (not the writer-chosen version name) so same-parent racers always
+    contend on one create-exclusive — the arbitration needs no listing, no
+    sibling scan, and has no crash window. ``v00000.c`` is the root slot."""
+    return f"{parent or 'v00000'}.c"
+
+
 def _commit_names(table_dir: str) -> list[str]:
-    return [
-        n
-        for n in fsio.ls(fsio.join(table_dir, _COMMITS))
-        if n.startswith("v") and n[1:].isdigit()
-    ]
+    """Commit-file names, both formats: parent-keyed ``vNNNNN.c`` (current)
+    and legacy per-version ``vNNNNN`` (pre-r7 tables). Lexical max is the
+    newest in either format (parent names increase strictly along the
+    chain, and ``vNNNNN.c`` > ``vNNNNN``)."""
+    out = []
+    for n in fsio.ls(fsio.join(table_dir, _COMMITS)):
+        if not n.startswith("v"):
+            continue
+        if n[1:].isdigit() or (n.endswith(".c") and n[1:-2].isdigit()):
+            out.append(n)
+    return out
 
 
 def _latest(table_dir: str) -> str | None:
-    """Current version: max of the per-version commit files (the Delta-log
-    rule — a commit IS the ``_commits/vNNNNN`` entry, created exclusively),
-    falling back to the legacy ``_LATEST`` pointer for tables written
-    before the commit dir existed. ``_LATEST`` is maintained as a cache for
-    humans and old readers; it is never authoritative once ``_commits``
-    has entries."""
+    """Current version: resolved from the newest commit file (the Delta-log
+    rule — a commit IS the ``_commits`` entry, created exclusively). A
+    parent-keyed ``<P>.c`` entry holds the committed version as content; a
+    legacy ``vNNNNN`` entry IS the version. Falls back to the ``_LATEST``
+    pointer for tables written before the commit dir existed; the pointer
+    is maintained as a cache for humans and old readers, never
+    authoritative once ``_commits`` has entries."""
     names = _commit_names(table_dir)
     if names:
-        return max(names)
+        top = max(names)
+        if top.endswith(".c"):
+            v = (
+                fsio.read_bytes(fsio.join(table_dir, _COMMITS, top))
+                .decode()
+                .strip()
+            )
+            return v or None
+        return top
     p = fsio.join(table_dir, _POINTER)
     if not fsio.exists(p):
         return None
@@ -114,22 +138,23 @@ def _swap_pointer(table_dir: str, version: str) -> None:
 def _finalize_commit(
     table_dir: str, version: str, parent: str | None
 ) -> None:
-    """THE commit point: create ``_commits/<version>`` exclusively (content
-    = parent, informational). The manifest is already on disk, so the
+    """THE commit point: create ``_commits/<parent>.c`` exclusively, content
+    = the committed version name. The manifest is already on disk, so the
     instant the commit file appears the snapshot is fully readable; a crash
-    one line earlier leaves an invisible dangling dir. Arbitration: the
-    expected-parent re-check catches a writer whose table moved underneath
-    it, and the create-exclusive catches two writers racing the same
-    version name — exactly one wins, the loser's dir is ordinary vacuum
-    debris. Two same-parent writers that chose DIFFERENT version names
-    (possible only when crashed-writer debris occupies the lower name) are
-    resolved by the post-CAS sibling check: commit files record their
-    parent, the HIGHER version deterministically wins (it is the tip by
-    the max rule already), the lower one RETRACTS its commit file and
-    raises — both racers reach the same verdict from the listing alone.
-    (A reader in the few-ms window before a retraction can observe the
-    retracted snapshot — stale-but-consistent, never torn.) The legacy
-    pointer is then refreshed as a cache."""
+    one line earlier leaves an invisible dangling dir.
+
+    Arbitration is structural: the CAS object's NAME is derived from the
+    parent, so every writer extending the same parent — even ones that
+    staged DIFFERENT version names because crashed-writer debris occupied
+    the lower name — races to create the same file, and the filesystem
+    guarantees exactly one child of any parent ever exists. No sibling
+    scan, no retraction, no window in which two writers can both report
+    success (the r6 protocol scanned higher-named siblings post-CAS, which
+    missed the interleaving where the lower-named writer completes its
+    scan before the higher one creates its commit file — a lost update).
+    The expected-parent re-check stays as a cheap fast-fail for writers
+    whose table moved underneath them. The legacy pointer is then
+    refreshed as a cache."""
     now = _latest(table_dir)
     if now != parent:
         raise ConcurrentWriteError(
@@ -139,35 +164,20 @@ def _finalize_commit(
     fsio.mkdirs(fsio.join(table_dir, _COMMITS))
     try:
         fsio.create_exclusive(
-            fsio.join(table_dir, _COMMITS, version), (parent or "").encode()
+            fsio.join(table_dir, _COMMITS, _commit_file_name(parent)),
+            version.encode(),
         )
     except FileExistsError:
         raise ConcurrentWriteError(
-            f"{table_dir}: version {version} was committed by another "
-            "writer — retry against the new state"
+            f"{table_dir}: parent {parent!r} already has a committed child "
+            "— retry against the new state"
         ) from None
-    # post-CAS sibling check (see docstring): a HIGHER-named commit with
-    # the SAME parent means a different-name racer beat us to the tip —
-    # retract our commit file so exactly one child of any parent survives
-    for sib in _commit_names(table_dir):
-        if sib <= version:
-            continue
-        sib_parent = (
-            fsio.read_bytes(fsio.join(table_dir, _COMMITS, sib))
-            .decode()
-            .strip()
-            or None
-        )
-        if sib_parent == parent:
-            fsio.delete_file(fsio.join(table_dir, _COMMITS, version))
-            raise ConcurrentWriteError(
-                f"{table_dir}: concurrent writer committed {sib} from the "
-                f"same parent {parent!r} — retry against the new state"
-            )
     _swap_pointer(table_dir, version)
 
 
-def retry_on_conflict(op, attempts: int = 3, backoff_s: float = 0.05):
+def retry_on_conflict(
+    op, attempts: int = 3, backoff_s: float = 0.05, table_dir: str | None = None
+):
     """Multi-writer liveness on top of the CAS safety: re-run ``op`` (a
     zero-arg closure performing ONE full table operation — it must re-read
     the table state each call, which every writer in this module does) when
@@ -175,19 +185,34 @@ def retry_on_conflict(op, attempts: int = 3, backoff_s: float = 0.05):
     torn dir is ordinary vacuum debris; the final attempt's
     :class:`ConcurrentWriteError` propagates.
 
-        retry_on_conflict(lambda: upsert(spark, dir, batch, ["k"]))
+    Only two signals count as conflicts: :class:`ConcurrentWriteError`, and
+    an already-exists failure whose path is a VERSION DIR (two writers race
+    the same next-version data dir before either commits — the retry
+    re-derives a fresh name past it). An unrelated PATH_ALREADY_EXISTS
+    (misconfigured destination, a nested write colliding elsewhere) is a
+    real error and propagates immediately instead of being retried into
+    noise. Pass ``table_dir`` to pin the match to THIS table's version
+    dirs.
+
+        retry_on_conflict(lambda: upsert(spark, dir, batch, ["k"]),
+                          table_dir=dir)
     """
     import random
+    import re
     import time
 
     def is_conflict(ex: Exception) -> bool:
         if isinstance(ex, ConcurrentWriteError):
             return True
-        # two writers race the same next-version DATA dir before either
-        # commits: the loser's errorifexists write fails on the winner's
-        # dir — equally a concurrency conflict; the retry re-derives a
-        # fresh version name past it
-        return "PATH_ALREADY_EXISTS" in str(ex) or "already exists" in str(ex)
+        msg = str(ex)
+        if "PATH_ALREADY_EXISTS" not in msg and "already exists" not in msg:
+            return False
+        if table_dir is not None:
+            return (
+                re.search(re.escape(table_dir.rstrip("/")) + r"/+v\d{5}", msg)
+                is not None
+            )
+        return re.search(r"/v\d{5}", msg) is not None
 
     for i in range(attempts):
         try:
@@ -1017,8 +1042,22 @@ def vacuum(
     for v in drop + dangling:
         if v == cur:
             continue
-        # the per-version commit file goes with the version (keeps the
-        # _commits listing O(kept); never the tip's, which cur excludes)
+        # the version's commit file goes with it (keeps the _commits
+        # listing O(kept); never the tip's, which cur excludes). The
+        # parent-keyed form is deleted ONLY when its content names this
+        # version: a dangling dir's manifest may claim a parent whose
+        # commit slot belongs to the writer that WON that race — deleting
+        # it blindly would retract the winner's commit.
+        mv = read_manifest(table_dir, v)
+        if mv is not None and "parent" in mv:
+            cf = fsio.join(
+                table_dir, _COMMITS, _commit_file_name(mv["parent"])
+            )
+            try:
+                if fsio.read_bytes(cf).decode().strip() == v:
+                    fsio.delete_file(cf, missing_ok=True)
+            except (FileNotFoundError, OSError):
+                pass
         fsio.delete_file(fsio.join(table_dir, _COMMITS, v), missing_ok=True)
         vdir = fsio.join(table_dir, v)
         # recursive: partitioned layouts nest files under __part=*/ subdirs

@@ -323,3 +323,94 @@ def test_different_name_same_parent_race_one_winner(spark, seeded):
     assert U.committed_versions(tdir)[-1] == winner
     loser = next(v for v, o in outcomes.items() if o == "conflict")
     assert not fsio.exists(fsio.join(tdir, "_commits", loser))
+
+
+def test_ordered_same_parent_race_lower_commits_first(spark, seeded):
+    """The r6-ADVICE lost-update interleaving, pinned with ORDERED steps
+    (not a single pre-commit barrier): writer A (lower name) runs its FULL
+    commit path and reports success; only then does writer B (higher name,
+    same parent, re-checked while the parent was still the tip) attempt its
+    commit. B must fail — its success would silently drop A's rows from
+    the tip. The parent-keyed CAS makes this structural: both writers race
+    ``_commits/v00001.c`` regardless of the version names they staged."""
+    tdir = seeded
+    # debris occupies the lower name so the writers stage DIFFERENT names
+    for v in ("v00002", "v00003"):
+        _mk(spark, [(int(v[-1]), v)]).write.parquet(fsio.join(tdir, v))
+
+    # B's expected-parent re-check passes NOW (the table tip is v00001) —
+    # this is the precise point the r6 protocol checked before its CAS
+    assert U._latest(tdir) == "v00001"
+
+    # A commits fully and reports success
+    U._commit_snapshot(None, tdir, "v00002", (), "upsert",
+                       expected_parent="v00001")
+    assert U._latest(tdir) == "v00002"
+
+    # B now finalizes with its (stale-but-once-valid) expected parent: the
+    # CAS on _commits/v00001.c already belongs to A — B must lose
+    U.write_manifest(
+        tdir, "v00003",
+        [f"v00003/{n}" for n in U._parquet_names(fsio.join(tdir, "v00003"))],
+        None, "upsert", parent="v00001",
+    )
+    with pytest.raises(U.ConcurrentWriteError):
+        U._finalize_commit(tdir, "v00003", "v00001")
+
+    # exactly one child of v00001 survives and it is A
+    assert U._latest(tdir) == "v00002"
+    assert U.committed_versions(tdir) == ["v00001", "v00002"]
+    assert _state(spark, tdir) == {(2, "v00002")}
+
+
+def test_retry_on_conflict_narrowed_to_version_dir_collisions(tmp_path):
+    """An unrelated already-exists failure is a real error, not a
+    concurrency conflict: it must propagate on the FIRST attempt instead
+    of being retried into backoff noise. Only version-dir collisions (and
+    ConcurrentWriteError) retry."""
+    calls = {"n": 0}
+
+    def misconfigured():
+        calls["n"] += 1
+        raise RuntimeError(
+            "[PATH_ALREADY_EXISTS] Path file:/data/exports/report.csv "
+            "already exists."
+        )
+
+    with pytest.raises(RuntimeError):
+        U.retry_on_conflict(misconfigured, attempts=5)
+    assert calls["n"] == 1  # no retries burned on a misconfiguration
+
+    # a genuine next-version data-dir collision DOES retry
+    tdir = str(tmp_path / "tbl")
+    calls["n"] = 0
+
+    def version_dir_collision():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(
+                f"[PATH_ALREADY_EXISTS] Path file:{tdir}/v00002 already "
+                "exists."
+            )
+        return "ok"
+
+    assert (
+        U.retry_on_conflict(version_dir_collision, attempts=5,
+                            table_dir=tdir)
+        == "ok"
+    )
+    assert calls["n"] == 3
+
+    # with table_dir pinned, ANOTHER table's version dir is not a conflict
+    calls["n"] = 0
+
+    def other_table():
+        calls["n"] += 1
+        raise RuntimeError(
+            "[PATH_ALREADY_EXISTS] Path file:/somewhere/else/v00002 "
+            "already exists."
+        )
+
+    with pytest.raises(RuntimeError):
+        U.retry_on_conflict(other_table, attempts=5, table_dir=tdir)
+    assert calls["n"] == 1
