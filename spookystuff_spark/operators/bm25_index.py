@@ -88,7 +88,9 @@ def _stats_of(post: DataFrame) -> dict:
 
 
 def index_stats(index_dir: str) -> dict:
-    m = U.read_manifest(index_dir, U.committed_versions(index_dir)[-1])
+    m = U._read_manifest_raw(
+        index_dir, U.committed_versions(index_dir)[-1]
+    )  # stats are raw top-level: no fold
     return m[_STATS]
 
 
@@ -144,7 +146,7 @@ def refresh_bm25_index(
             "its old postings deleted, rebuild instead"
         )
     cur = U.committed_versions(index_dir)[-1]
-    m = U.read_manifest(index_dir, cur)
+    m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
     prev, n_buckets = m[_STATS], m["n_buckets"]
     post = _bucketed_postings(
         changes.select(id_col, text_col), id_col, text_col, n_buckets
@@ -181,7 +183,7 @@ def bm25_index_topk(
     from pyspark.sql.window import Window
 
     cur = U.committed_versions(index_dir)[-1]
-    m = U.read_manifest(index_dir, cur)
+    m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
     stats, n_buckets = m[_STATS], m["n_buckets"]
     qpairs = {
         (qid, t)

@@ -11,12 +11,17 @@ out by something else.
 Build shape: one Arrow-vectorized pass — the two base hashes are JVM
 expressions (``xxhash64``, ``crc32``), the k bit positions and the OR-fold
 into the bit array are numpy inside one ``applyInPandas`` keyed by file
-(one shuffle), and the driver writes one small sidecar per file under
-``<version>/_bloom/`` (collected bytes are O(files × bloom size) — the
-same driver-side footprint Delta's index writer accepts). The manifest
-records {entry: {col: {m, k, path}}} in the version that built it;
-readers resolve chain-wise exactly like ``entry_stats`` — an inherited
-entry's bloom lives in the manifest of the version that attached it.
+(one shuffle), and each task writes its file's sidecar EXECUTOR-SIDE
+under ``<version>/_bloom/`` — only tiny spec rows (file name, m, k) ever
+reach the driver, so attaching blooms to a million-file table costs the
+driver O(files × ~100 B), never O(files × bitset). The manifest records
+{entry: {col: {m, k, path}}} in the version that built it; readers
+resolve chain-wise exactly like ``entry_stats`` — an inherited entry's
+bloom lives in the manifest of the version that attached it. Writers can
+also attach AT COMMIT TIME (``bloom_cols=`` on ``write_table`` /
+``append_rows`` / the partitioned writers): the specs ride the same
+atomic manifest commit, so fresh appends are point-lookup-prunable with
+no second pass and no manifest rewrite.
 
 Probe shape: the probed value's base hashes come from the SAME JVM
 expressions (one 1-row job — no Python reimplementation of xxhash64 to
@@ -67,6 +72,103 @@ def _params(n: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+def build_bloom_specs(
+    spark: SparkSession,
+    table_dir: str,
+    version: str,
+    entries: Sequence[str],
+    cols: Sequence[str],
+    fpp: float = 0.01,
+) -> dict:
+    """Build one bloom sidecar per (entry, col) under
+    ``<version>/_bloom/`` and return the manifest spec map
+    ``{entry: {col: {m, k, path}}}``. The sidecars are written INSIDE the
+    ``applyInPandas`` tasks (executor-side, next to where the bits are
+    folded) — the driver receives only (file, m, k, sidecar-name) spec
+    rows, never a bitset, so the attach path's driver memory is O(files ×
+    spec) at any table size. Sidecar names derive from the data file's
+    basename (unique per version by Spark's part-file naming), so driver
+    and executors agree on paths with no round trip."""
+    import pandas as pd  # noqa: F401 (typing in the udf body)
+
+    if not entries or not cols:
+        return {}
+    full = [fsio.join(table_dir, e) for e in entries]
+    by_suffix = {f: e for f, e in zip(full, entries)}
+    df = spark.read.parquet(*full)
+    fsio.mkdirs(fsio.join(table_dir, version, _DIR))
+    specs: dict = {}
+    for ci, col in enumerate(cols):
+        h1, h2 = _base_hash_cols(col)
+        hashed = df.select(
+            F.input_file_name().alias("_file"),
+            h1.alias("_h1"),
+            h2.alias("_h2"),
+        )
+        sidecar_base = fsio.join(table_dir, version, _DIR)
+
+        def fold(pdf):
+            import pandas as pd
+
+            from spookystuff_spark import fsio as xfs
+
+            n = len(pdf)
+            mm, kk = _params(n, fpp)
+            bits = np.zeros(mm // 8, dtype=np.uint8)
+            a = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            b = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(kk):
+                pos = (a + np.uint64(i) * b) % np.uint64(mm)
+                pos = pos.astype(np.int64)
+                np.bitwise_or.at(
+                    bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+                )
+            fname = pdf["_file"].iloc[0]
+            name = f"{fname.rsplit('/', 1)[-1]}.c{ci}.bloom"
+            # executor-side publish: the sidecar is immutable debris until
+            # the manifest naming it commits — same crash story as data
+            xfs.write_bytes(xfs.join(sidecar_base, name), bits.tobytes())
+            return pd.DataFrame(
+                {"_file": [fname], "m": [mm], "k": [kk], "name": [name]}
+            )
+
+        built = hashed.groupBy("_file").applyInPandas(
+            fold, "_file string, m long, k long, name string"
+        ).collect()  # spec rows only: O(files), no bitsets on the driver
+        for r in built:
+            # input_file_name returns a URI; match on the path suffix
+            entry = next(
+                e for f, e in by_suffix.items() if r["_file"].endswith(f)
+            )
+            specs.setdefault(entry, {})[col] = {
+                "m": int(r["m"]),
+                "k": int(r["k"]),
+                "path": f"{version}/{_DIR}/{r['name']}",
+            }
+    return specs
+
+
+def bloom_fields(
+    spark: SparkSession,
+    table_dir: str,
+    version: str,
+    own_entries: Sequence[str],
+    cols: Sequence[str],
+    fpp: float = 0.01,
+) -> dict | None:
+    """Manifest ``blooms`` extra-field for a commit's own files — the
+    write-time auto-attach hook (the ``_stats_fields`` idiom): writers
+    pass the result into their commit's ``extra_fields`` so fresh files
+    are point-lookup-prunable the moment the commit lands, with no
+    post-hoc manifest rewrite."""
+    if not cols:
+        return None
+    specs = build_bloom_specs(
+        spark, table_dir, version, own_entries, cols, fpp
+    )
+    return {_BLOOMS: specs} if specs else None
+
+
 def attach_blooms(
     spark: SparkSession,
     table_dir: str,
@@ -77,13 +179,12 @@ def attach_blooms(
     keep the blooms their own version attached — resolve chain-wise via
     :func:`entry_blooms`) and record them in the manifest. Returns the
     number of (file, col) blooms written. Run at commit / OPTIMIZE time,
-    like ``attach_stats``."""
-    import pandas as pd
-
+    like ``attach_stats`` — or skip the second pass entirely by passing
+    ``bloom_cols=`` to the writer."""
     cur = U._latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = U.read_manifest(table_dir, cur)
+    m = U.read_manifest(table_dir, cur)  # folded: own entries needed
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
     if m.get("renames"):
@@ -94,62 +195,21 @@ def attach_blooms(
     own = [e for e in m["files"] if e.startswith(f"{cur}/")]
     if not own:
         return 0
-    full = [fsio.join(table_dir, e) for e in own]
-    by_path = {f: e for f, e in zip(full, own)}
-    df = spark.read.parquet(*full)
+    specs = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
     recorded: dict = m.get(_BLOOMS) or {}
-    bloom_dir = fsio.join(table_dir, cur, _DIR)
-    fsio.mkdirs(bloom_dir)
     n_written = 0
-    for ci, col in enumerate(cols):
-        h1, h2 = _base_hash_cols(col)
-        hashed = df.select(
-            F.input_file_name().alias("_file"),
-            h1.alias("_h1"),
-            h2.alias("_h2"),
-        )
-
-        def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            n = len(pdf)
-            mm, kk = _params(n, fpp)
-            bits = np.zeros(mm // 8, dtype=np.uint8)
-            a = pdf["_h1"].to_numpy(dtype=np.int64).view(np.uint64)
-            b = pdf["_h2"].to_numpy(dtype=np.int64).view(np.uint64)
-            for i in range(kk):
-                pos = (a + np.uint64(i) * b) % np.uint64(mm)
-                pos = pos.astype(np.int64)
-                np.bitwise_or.at(bits, pos // 8, (1 << (pos % 8)).astype(np.uint8))
-            return pd.DataFrame(
-                {
-                    "_file": [pdf["_file"].iloc[0]],
-                    "m": [mm],
-                    "k": [kk],
-                    "bloom": [bits.tobytes()],
-                }
-            )
-
-        built = hashed.groupBy("_file").applyInPandas(
-            fold, "_file string, m long, k long, bloom binary"
-        ).collect()
-        for j, r in enumerate(built):
-            # input_file_name returns a URI; match on the path suffix
-            entry = next(
-                e for f, e in by_path.items() if r["_file"].endswith(f)
-            )
-            name = f"{_DIR}/c{ci}-{j}.bloom"
-            fsio.write_bytes(fsio.join(table_dir, cur, name), bytes(r["bloom"]))
-            recorded.setdefault(entry, {})[col] = {
-                "m": int(r["m"]),
-                "k": int(r["k"]),
-                "path": f"{cur}/{name}",
-            }
-            n_written += 1
-    m[_BLOOMS] = recorded
+    for entry, per_col in specs.items():
+        recorded.setdefault(entry, {}).update(per_col)
+        n_written += len(per_col)
+    # rewrite the RAW manifest (rewriting the folded view would silently
+    # materialize a delta commit's full file list back into it)
     import json
 
+    raw = U._read_manifest_raw(table_dir, cur)
+    raw[_BLOOMS] = recorded
     fsio.write_bytes(
         fsio.join(table_dir, cur, U._MANIFEST),
-        json.dumps(m, separators=(",", ":")).encode(),
+        json.dumps(raw, separators=(",", ":")).encode(),
     )
     return n_written
 
@@ -169,7 +229,8 @@ def entry_blooms(table_dir: str, version: str) -> dict:
             continue
         owner = e.split("/", 1)[0]
         if owner not in cache:
-            cache[owner] = U.read_manifest(table_dir, owner) or {}
+            # bloom specs live top-level in the owner's raw manifest
+            cache[owner] = U._read_manifest_raw(table_dir, owner) or {}
         out[e] = (cache[owner].get(_BLOOMS) or {}).get(e) or {}
     return out
 
@@ -196,7 +257,15 @@ def read_table_point(
     """Point lookup ``col == value`` scanning only files whose bloom says
     maybe-present. Returns (frame, {"scanned": n, "skipped_bloom": s}).
     The residual equality filter and deletion vectors apply regardless, so
-    pruning can only save IO, never change the answer."""
+    pruning can only save IO, never change the answer.
+
+    The probe value is hashed AT THE TABLE COLUMN'S TYPE (resolved from
+    the snapshot schema, not inferred from the Python literal): build-time
+    hashes are over ``CAST(col AS STRING)`` of the actual column, so an
+    int probe against a double column must hash "5.0", not "5" — a repr
+    mismatch would make every bloom answer "definitely absent" and
+    silently EMPTY the result, turning the advertised false-positive-only
+    contract into false negatives."""
     import json
 
     from pyspark.sql.types import StructType
@@ -208,12 +277,17 @@ def read_table_point(
     if v not in U.committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     h1, h2 = _base_hash_cols(col)
+    probe = spark.createDataFrame([(value,)], ["_v"])
+    schema_json0 = U.snapshot_schema_json(table_dir, v)
+    col_type = None
+    if schema_json0:
+        sch = StructType.fromJson(json.loads(schema_json0))
+        if col in sch.fieldNames():
+            col_type = sch[col].dataType
     probe = (
-        spark.createDataFrame([(value,)], f"`{col}` string")
-        if isinstance(value, str)
-        else spark.createDataFrame([(value,)], ["_v"]).selectExpr(
-            f"_v as {col}"
-        )
+        probe.select(F.col("_v").cast(col_type).alias(col))
+        if col_type is not None
+        else probe.select(F.col("_v").alias(col))
     )
     hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
     blooms = entry_blooms(table_dir, v)

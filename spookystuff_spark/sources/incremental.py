@@ -81,7 +81,7 @@ def _changes_since(
         if after is not None and v <= after:
             continue
         newest = v
-        m = U.read_manifest(src_dir, v) or {}
+        m = U._read_manifest_raw(src_dir, v) or {}  # kind is raw: no fold
         if m.get("kind") in ("rename", "drop"):
             # feeds before this commit carry the OLD column names — a fold
             # crossing the boundary would silently null-fill the renamed

@@ -115,6 +115,7 @@ def write_table_partitioned(
     stats_cols: Sequence[str] | None = None,
     change_feed: bool = True,
     extra_fields: dict | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> str:
     """Create/replace the table with a partition-laid-out snapshot.
     ``stats_cols``: record per-file min/max stats in the manifest at commit
@@ -141,6 +142,8 @@ def write_table_partitioned(
         extra_fields={
             "partition_col": partition_col,
             **(_stats_fields(table_dir, own, stats_cols) or {}),
+            **(U._bloom_extra(df.sparkSession, table_dir, v, bloom_cols,
+                              entries=own) or {}),
             **(extra_fields or {}),
         },
     )
@@ -159,6 +162,7 @@ def append_partitioned(
     stats_cols: Sequence[str] | None = None,
     change_feed: bool = True,
     extra_fields: dict | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> str:
     """Blind append keeping the partition LAYOUT: only ``rows`` are written
     (laid out by ``partition_col`` like every other commit of this module);
@@ -179,55 +183,71 @@ def append_partitioned(
         return write_table_partitioned(
             rows, table_dir, partition_col, marker=marker,
             stats_cols=stats_cols, change_feed=change_feed,
-            extra_fields=extra_fields,
+            extra_fields=extra_fields, bloom_cols=bloom_cols,
         )
-    manifest = U.read_manifest(table_dir, cur)
-    prev_entries = list(manifest["files"]) if manifest else [
-        f"{cur}/{n}" for n in U._parquet_names(fsio.join(table_dir, cur))
-    ]
-    parent_pcol = (manifest or {}).get("partition_col")
+    # O(batch) metadata: the checks below read only raw top-level manifest
+    # fields, the commit is a DELTA (own entries added against the parent)
+    # — neither the parent's file list nor its fold is touched on the fast
+    # path, so an append costs O(batch) data AND metadata IO
+    raw = U._read_manifest_raw(table_dir, cur)
+    parent_pcol = (raw or {}).get("partition_col")
     if parent_pcol is not None and parent_pcol != partition_col:
         raise ValueError(
             f"{table_dir}: table is partitioned by {parent_pcol!r}, "
             f"append requested {partition_col!r}"
         )
-    unattributed = [e for e in prev_entries if _part_of(e) is None]
-    if unattributed:
-        raise ValueError(
-            f"{table_dir}: {len(unattributed)} manifest entries carry no "
-            "partition path — not a partitioned table "
-            "(write it with write_table_partitioned)"
-        )
-    if (manifest or {}).get("renames"):
+    if (raw or {}).get("renames"):
         raise ValueError(
             f"{table_dir}: column renames outstanding — compact_partitioned "
             "first to materialize them before appending"
         )
+    prev_entries: list[str] = []
+    if parent_pcol is None:
+        # parent not written by this module's partitioned writers: validate
+        # the full entry list once (a fold READ, never a manifest write).
+        # When parent_pcol matches, the layout invariant is inductive —
+        # the parent validated it at its own commit and every partitioned
+        # commit since wrote __part= paths.
+        manifest = U.read_manifest(table_dir, cur)
+        prev_entries = list(manifest["files"]) if manifest else [
+            f"{cur}/{n}" for n in U._parquet_names(fsio.join(table_dir, cur))
+        ]
+        unattributed = [e for e in prev_entries if _part_of(e) is None]
+        if unattributed:
+            raise ValueError(
+                f"{table_dir}: {len(unattributed)} manifest entries carry no "
+                "partition path — not a partitioned table "
+                "(write it with write_table_partitioned)"
+            )
     schema_json = rows.schema.json()
-    if manifest and manifest.get("schema"):
-        schema_json = U._union_schema_json(manifest["schema"], rows.schema)
+    if raw and raw.get("schema"):
+        schema_json = U._union_schema_json(raw["schema"], rows.schema)
     v = U._next_version(table_dir)
     _write_partitioned(rows, partition_col, fsio.join(table_dir, v))
     own = _own_entries_recursive(table_dir, v)
     if change_feed:
         U._write_change_feed_refs(table_dir, v, own, "insert")
     carried = {}
-    if manifest and manifest.get("dv"):
+    if raw and raw.get("dv"):
         # metadata-only commits must carry accumulated vectors or deleted
         # rows resurrect (the append_rows contract, upsert.py:549-556)
-        carried = {"dv": manifest["dv"], "dv_keys": manifest["dv_keys"]}
+        carried = {"dv": raw["dv"], "dv_keys": raw["dv_keys"]}
     extra = {"partition_col": partition_col, **carried}
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
-    extra.update(extra_fields or {})
-    U.write_manifest(
-        table_dir,
-        v,
-        prev_entries + own,
-        schema_json,
-        "append",
-        parent=cur,
-        extra_fields=extra,
+    extra.update(
+        U._bloom_extra(spark, table_dir, v, bloom_cols, entries=own) or {}
     )
+    extra.update(extra_fields or {})
+    if raw is not None and parent_pcol is not None:
+        U.write_manifest_delta(
+            table_dir, v, cur, own, (), schema_json, "append",
+            parent=cur, extra_fields=extra,
+        )
+    else:
+        U.write_manifest(
+            table_dir, v, prev_entries + own, schema_json, "append",
+            parent=cur, extra_fields=extra,
+        )
     if marker:
         fsio.touch(fsio.join(table_dir, v, marker))
     U._finalize_commit(table_dir, v, cur)
@@ -299,7 +319,6 @@ def upsert_partitioned(
             "partition path — not a partitioned table "
             "(write it with write_table_partitioned)"
         )
-    untouched_entries = [e for e in rel_entries if _part_of(e) not in touched]
     touched_files = [
         full
         for full, rel in zip(entries, rel_entries)
@@ -376,12 +395,18 @@ def upsert_partitioned(
                 "dv_keys": list(key_cols),
             }
     own = _own_entries_recursive(table_dir, v)
+    touched_entries = [e for e in rel_entries if _part_of(e) in touched]
     extra = {"partition_col": partition_col, **(dv_fields or {})}
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
-    U.write_manifest(
+    # delta commit: remove the touched partitions' old entries, add the
+    # rewritten slice — O(touched) manifest bytes, untouched partitions
+    # carry through the base reference
+    U.write_manifest_delta(
         table_dir,
         v,
-        untouched_entries + own,
+        cur,
+        own,
+        touched_entries,
         merged_slice.schema.json(),
         "upsert",
         parent=cur,
@@ -468,7 +493,7 @@ def compact_partitioned(
     import pyspark.sql.functions as F  # noqa: F811 (module alias shadow)
 
     cur = U._latest(table_dir)
-    parent_m = U.read_manifest(table_dir, cur) if cur else None
+    parent_m = U._read_manifest_raw(table_dir, cur) if cur else None
     current = U.read_table(spark, table_dir)  # applies deletion vectors
     if zorder_by:
         from spookystuff_spark.operators.layout import zorder_key

@@ -272,15 +272,146 @@ def write_manifest(
     )
 
 
-def read_manifest(table_dir: str, version: str) -> Optional[dict]:
+def _read_manifest_raw(table_dir: str, version: str) -> Optional[dict]:
+    """The literal on-disk manifest JSON — a FULL manifest carries
+    ``files``; a DELTA manifest carries ``files_base``/``files_add``/
+    ``files_remove``/``delta_depth`` instead. Every other field (schema,
+    kind, parent, dv, renames, extras) is present top-level in both forms,
+    so consumers that never touch the file list should read raw and skip
+    the fold. In-place manifest rewriters (``attach_stats``, bloom attach)
+    MUST read raw — rewriting a folded view would silently materialize the
+    full file list back into a delta commit."""
     p = fsio.join(table_dir, version, _MANIFEST)
     if not fsio.exists(p):
         return None
     return json.loads(fsio.read_bytes(p))
 
 
+_DELTA_KEYS = ("files_base", "files_add", "files_remove", "delta_depth")
+
+#: Delta manifests deeper than this fold-chain length trigger a full
+#: CHECKPOINT manifest instead (the Delta-log checkpoint / Iceberg
+#: manifest-list idea): metadata-only commits write O(batch) bytes, and
+#: every K-th one amortizes an O(files) materialization so reads fold at
+#: most K small deltas on top of one checkpoint.
+CHECKPOINT_EVERY = 20
+
+
+def read_manifest(table_dir: str, version: str) -> Optional[dict]:
+    """The manifest with a MATERIALIZED ``files`` list: a full manifest is
+    returned as-is; a delta manifest folds its chain (base checkpoint +
+    at most :data:`CHECKPOINT_EVERY` deltas, each a small JSON read) —
+    removed entries filtered, added entries appended, order preserved.
+    The returned dict keeps every other raw field and drops the delta
+    bookkeeping keys. Raises when the chain is broken (a base manifest
+    missing means non-protocol damage — vacuum materializes kept deltas
+    before dropping their bases)."""
+    raw = _read_manifest_raw(table_dir, version)
+    if raw is None or "files" in raw:
+        return raw
+    chain = [raw]
+    v = raw["files_base"]
+    while True:
+        r = _read_manifest_raw(table_dir, v)
+        if r is None:
+            raise FileNotFoundError(
+                f"{table_dir}: delta manifest chain of {version} is broken "
+                f"at base {v} (manifest missing)"
+            )
+        if "files" in r:
+            files = list(r["files"])
+            break
+        chain.append(r)
+        v = r["files_base"]
+    for d in reversed(chain):
+        rm = set(d.get("files_remove") or ())
+        if rm:
+            files = [e for e in files if e not in rm]
+        files = files + list(d.get("files_add") or ())
+    out = {k: val for k, val in raw.items() if k not in _DELTA_KEYS}
+    out["files"] = files
+    return out
+
+
+def _fold_chain(table_dir: str, version: str) -> list[str]:
+    """Base versions a delta manifest's fold reads, nearest first — [] for
+    a full (checkpoint) manifest. Vacuum uses this to materialize kept
+    deltas before dropping versions their folds still read."""
+    out: list[str] = []
+    raw = _read_manifest_raw(table_dir, version)
+    while raw is not None and "files" not in raw:
+        b = raw["files_base"]
+        out.append(b)
+        raw = _read_manifest_raw(table_dir, b)
+    return out
+
+
+def write_manifest_delta(
+    table_dir: str,
+    version: str,
+    base: str,
+    add: Sequence[str],
+    remove: Sequence[str],
+    schema_json: str | None,
+    kind: str,
+    parent: str | None,
+    extra_fields: dict | None = None,
+) -> None:
+    """Record a metadata-only commit as an entry DELTA against ``base``
+    (usually the parent; ``restore`` passes the restore target): the
+    manifest stores only this commit's added/removed entries — O(batch)
+    bytes no matter how many files the table holds, which is what keeps N
+    appends at O(N) cumulative metadata instead of the O(N²) a full list
+    per commit costs. Every :data:`CHECKPOINT_EVERY` deltas the fold is
+    materialized into a full checkpoint manifest instead, bounding read
+    amplification. Field semantics otherwise identical to
+    :func:`write_manifest`."""
+    braw = _read_manifest_raw(table_dir, base)
+    depth = (
+        1
+        if braw is None or "files" in braw
+        else int(braw.get("delta_depth", 1)) + 1
+    )
+    if braw is None or depth > CHECKPOINT_EVERY:
+        bm = read_manifest(table_dir, base)
+        base_files = (
+            bm["files"]
+            if bm is not None
+            else [
+                f"{base}/{n}"
+                for n in _parquet_names(fsio.join(table_dir, base))
+            ]
+        )
+        rm = set(remove)
+        files = [e for e in base_files if e not in rm] + list(add)
+        write_manifest(
+            table_dir, version, files, schema_json, kind, parent=parent,
+            extra_fields=extra_fields,
+        )
+        return
+    import time
+
+    payload = {
+        "files_base": base,
+        "files_add": list(add),
+        "files_remove": list(remove),
+        "delta_depth": depth,
+        "schema": schema_json,
+        "kind": kind,
+        "parent": parent,
+        "ts_ms": int(time.time() * 1000),
+    }
+    if extra_fields:
+        payload.update(extra_fields)
+    fsio.write_bytes(
+        fsio.join(table_dir, version, _MANIFEST),
+        json.dumps(payload, separators=(",", ":")).encode(),
+    )
+
+
 _CORE_MANIFEST_KEYS = {
     "files", "schema", "kind", "parent", "ts_ms",
+    *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
     # (dv/dv_keys/partition_col) are handled explicitly by every writer —
@@ -329,7 +460,7 @@ def snapshot_files(table_dir: str, version: str) -> list[str]:
 
 
 def snapshot_schema_json(table_dir: str, version: str) -> Optional[str]:
-    m = read_manifest(table_dir, version)
+    m = _read_manifest_raw(table_dir, version)  # schema is raw in both forms
     return m.get("schema") if m else None
 
 
@@ -359,6 +490,7 @@ def _commit_snapshot(
     marker: str | None = None,
     expected_parent=_UNCHECKED,
     extra_fields: dict | None = None,
+    delta_base: str | None = None,
 ) -> None:
     """Manifest (own files + ``extra_entries``) → optional marker → pointer
     swap. The marker rides the same commit as the manifest: a crash before
@@ -372,7 +504,12 @@ def _commit_snapshot(
     :class:`ConcurrentWriteError` is raised instead, the pointer stays
     untouched, and the torn dir is ordinary vacuumable debris. The
     manifest's chain link is the EXPECTED parent (the state the data was
-    derived from), never a re-read."""
+    derived from), never a re-read.
+
+    ``delta_base``: record the commit as an entry DELTA against that
+    version (own files added, nothing removed) instead of enumerating the
+    full carried list — the O(batch)-metadata append path
+    (:func:`write_manifest_delta`); ``extra_entries`` must be empty then."""
     if expected_parent is _UNCHECKED:
         parent = _latest(table_dir)
     else:
@@ -383,11 +520,18 @@ def _commit_snapshot(
                 f"{table_dir}: expected parent {expected_parent!r} but the "
                 f"table advanced to {now!r} — retry against the new state"
             )
-    entries = list(extra_entries) + _own_entries(table_dir, version)
-    write_manifest(
-        table_dir, version, entries, df_schema_json, kind, parent=parent,
-        extra_fields=extra_fields,
-    )
+    own = _own_entries(table_dir, version)
+    if delta_base is not None:
+        assert not extra_entries, "delta commits carry by base, not by list"
+        write_manifest_delta(
+            table_dir, version, delta_base, own, (), df_schema_json, kind,
+            parent=parent, extra_fields=extra_fields,
+        )
+    else:
+        write_manifest(
+            table_dir, version, list(extra_entries) + own, df_schema_json,
+            kind, parent=parent, extra_fields=extra_fields,
+        )
     if marker:
         fsio.touch(fsio.join(table_dir, version, marker))
     _finalize_commit(table_dir, version, parent)
@@ -456,7 +600,7 @@ def table_renames(table_dir: str, version: str) -> dict:
     """{physical file-column name: current logical name} for a snapshot —
     empty when the table was never column-renamed (or a compaction
     materialized the renames)."""
-    m = read_manifest(table_dir, version) or {}
+    m = _read_manifest_raw(table_dir, version) or {}
     return m.get("renames") or {}
 
 
@@ -502,7 +646,7 @@ def rename_column(table_dir: str, old: str, new: str) -> str:
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = read_manifest(table_dir, cur)
+    m = _read_manifest_raw(table_dir, cur)  # metadata-only: no fold needed
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
     if m.get("dv"):
@@ -542,14 +686,9 @@ def rename_column(table_dir: str, old: str, new: str) -> str:
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
     extra.update(carry_extra_fields(m, exclude=("renames",)))
-    write_manifest(
-        table_dir,
-        v,
-        list(m.get("files", [])),
-        renamed.json(),
-        "rename",
-        parent=cur,
-        extra_fields=extra,
+    write_manifest_delta(
+        table_dir, v, cur, (), (), renamed.json(), "rename",
+        parent=cur, extra_fields=extra,
     )
     _finalize_commit(table_dir, v, cur)
     return v
@@ -568,7 +707,7 @@ def drop_column(table_dir: str, col: str) -> str:
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = read_manifest(table_dir, cur)
+    m = _read_manifest_raw(table_dir, cur)  # metadata-only: no fold needed
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
     if m.get("dv"):
@@ -600,14 +739,9 @@ def drop_column(table_dir: str, col: str) -> str:
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
     extra.update(carry_extra_fields(m, exclude=("drops",)))
-    write_manifest(
-        table_dir,
-        v,
-        list(m.get("files", [])),
-        remaining.json(),
-        "drop",
-        parent=cur,
-        extra_fields=extra,
+    write_manifest_delta(
+        table_dir, v, cur, (), (), remaining.json(), "drop",
+        parent=cur, extra_fields=extra,
     )
     _finalize_commit(table_dir, v, cur)
     return v
@@ -657,13 +791,35 @@ def read_table(
     return _apply_deletion_vectors(spark, table_dir, v, df)
 
 
+def _bloom_extra(
+    spark: SparkSession, table_dir: str, version: str, bloom_cols,
+    entries: Sequence[str] | None = None,
+) -> dict | None:
+    """Write-time bloom auto-attach (sources/bloom_index.py): specs for the
+    commit's own files, built executor-side, riding the same atomic
+    manifest commit — fresh files are point-lookup-prunable with no second
+    pass. Lazy import: bloom_index imports this module."""
+    if not bloom_cols:
+        return None
+    from spookystuff_spark.sources.bloom_index import bloom_fields
+
+    return bloom_fields(
+        spark, table_dir, version,
+        entries if entries is not None else _own_entries(table_dir, version),
+        list(bloom_cols),
+    )
+
+
 def write_table(
     df: DataFrame,
     table_dir: str,
     marker: str | None = None,
     change_feed: bool = True,
+    bloom_cols: Sequence[str] | None = None,
 ) -> str:
-    """Create/replace the table with a fresh snapshot. Returns the version."""
+    """Create/replace the table with a fresh snapshot. Returns the version.
+    ``bloom_cols``: auto-attach per-file bloom indexes for those columns at
+    commit time (see :func:`_bloom_extra`)."""
     _enforce_checks(df, table_dir)
     fsio.mkdirs(table_dir)
     v = _next_version(table_dir)
@@ -675,7 +831,10 @@ def write_table(
             v,
             "upsert",
         )
-    _commit_snapshot(df.schema.json(), table_dir, v, (), "upsert", marker)
+    _commit_snapshot(
+        df.schema.json(), table_dir, v, (), "upsert", marker,
+        extra_fields=_bloom_extra(df.sparkSession, table_dir, v, bloom_cols),
+    )
     return v
 
 
@@ -744,41 +903,41 @@ def append_rows(
     rows: DataFrame,
     marker: str | None = None,
     change_feed: bool = True,
+    bloom_cols: Sequence[str] | None = None,
 ) -> str:
     """Blind append as a METADATA-ONLY commit: only ``rows`` are written; the
     previous snapshot's immutable data files are carried forward by manifest
     reference — no links, no copies, object-store-safe. An append-heavy
     table (e.g. a streaming dedup state) therefore costs O(batch) per
     commit, not O(table) — the snapshot-rewrite cost stays reserved for
-    keyed upserts, which actually change old rows. The change feed is the
-    same metadata trick: a reference manifest over the new files, so CDC
-    consumers see appends without a second write."""
+    keyed upserts, which actually change old rows. The manifest itself is a
+    DELTA against the parent (:func:`write_manifest_delta`), so the
+    metadata write is O(batch) too — N appends cost O(N) cumulative
+    manifest bytes plus a checkpoint every :data:`CHECKPOINT_EVERY`
+    commits, never the O(N²) a full file list per commit accumulates. The
+    change feed is the same metadata trick: a reference manifest over the
+    new files, so CDC consumers see appends without a second write."""
     _enforce_checks(rows, table_dir)
     fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
-    if cur is not None:
-        pm = read_manifest(table_dir, cur) or {}
-        if pm.get("renames") or pm.get("drops"):
-            raise ValueError(
-                f"{table_dir}: schema-evolution maps (renames/drops) "
-                "outstanding — a metadata-only append would mix physical "
-                "column layouts across carried files; compact() first"
-            )
+    pm = _read_manifest_raw(table_dir, cur) if cur is not None else None
+    if pm is not None and (pm.get("renames") or pm.get("drops")):
+        raise ValueError(
+            f"{table_dir}: schema-evolution maps (renames/drops) "
+            "outstanding — a metadata-only append would mix physical "
+            "column layouts across carried files; compact() first"
+        )
     v = _next_version(table_dir)
     rows.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     prev_entries: list[str] = []
     schema_json = rows.schema.json()
-    if cur is not None:
-        m = read_manifest(table_dir, cur)
-        if m is not None:
-            prev_entries = list(m["files"])
-            if m.get("schema"):
-                # appended columns evolve the schema additively, like upsert
-                schema_json = _union_schema_json(m["schema"], rows.schema)
-        else:  # legacy manifest-less snapshot
-            prev_entries = [
-                f"{cur}/{n}" for n in _parquet_names(fsio.join(table_dir, cur))
-            ]
+    if cur is not None and pm is None:  # legacy manifest-less snapshot
+        prev_entries = [
+            f"{cur}/{n}" for n in _parquet_names(fsio.join(table_dir, cur))
+        ]
+    elif pm is not None and pm.get("schema"):
+        # appended columns evolve the schema additively, like upsert
+        schema_json = _union_schema_json(pm["schema"], rows.schema)
     if change_feed:
         _write_change_feed_refs(
             table_dir, v, _own_entries(table_dir, v), "insert"
@@ -787,13 +946,13 @@ def append_rows(
     # it never materializes the snapshot, so dropping them would resurrect
     # deleted rows
     carried = {}
-    if cur is not None:
-        pm = read_manifest(table_dir, cur)
-        if pm and pm.get("dv"):
-            carried = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
+    if pm is not None and pm.get("dv"):
+        carried = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
+    carried.update(_bloom_extra(spark, table_dir, v, bloom_cols) or {})
     _commit_snapshot(
         schema_json, table_dir, v, prev_entries, "append", marker,
         expected_parent=cur, extra_fields=carried or None,
+        delta_base=cur if pm is not None else None,
     )
     return v
 
@@ -899,7 +1058,7 @@ def compact(
         current.schema.json(), table_dir, v, (), "compact", marker,
         expected_parent=cur,
         extra_fields=carry_extra_fields(
-            read_manifest(table_dir, cur), exclude=("renames", "drops")
+            _read_manifest_raw(table_dir, cur), exclude=("renames", "drops")
         ) or None,
     )
     return v
@@ -972,7 +1131,7 @@ def committed_versions(table_dir: str) -> list[str]:
     seen: set[str] = set()
     v: str | None = cur
     while v and v not in seen:
-        m = read_manifest(table_dir, v)
+        m = _read_manifest_raw(table_dir, v)  # chain walk needs no fold
         if m is None:
             break  # torn tip (corrupt pointer) or pre-manifest table end
         out.append(v)
@@ -1021,7 +1180,7 @@ def vacuum(
         cutoff = int(time.time() * 1000) - retain_ms
         recent = set()
         for v in drop:
-            m = read_manifest(table_dir, v) or {}
+            m = _read_manifest_raw(table_dir, v) or {}  # ts_ms is raw
             ts = m.get("ts_ms")
             if ts is None or ts >= cutoff:
                 recent.add(v)
@@ -1038,6 +1197,27 @@ def vacuum(
         for e in entries:
             if not _is_abs_entry(e):
                 referenced.add(e)
+    # a kept DELTA manifest whose fold chain reads a doomed version's
+    # manifest must be MATERIALIZED first (full file list written in
+    # place), or dropping the base would break every later fold — the
+    # delta-chain analogue of the referenced-files guard above. Runs while
+    # all chains are still intact.
+    doomed = {v for v in drop + dangling if v != cur}
+    if doomed:
+        for v in kept_versions:
+            raw = _read_manifest_raw(table_dir, v)
+            if raw is None or "files" in raw:
+                continue
+            if set(_fold_chain(table_dir, v)) & doomed:
+                folded = read_manifest(table_dir, v)
+                new_raw = {
+                    k: val for k, val in raw.items() if k not in _DELTA_KEYS
+                }
+                new_raw["files"] = folded["files"]
+                fsio.write_bytes(
+                    fsio.join(table_dir, v, _MANIFEST),
+                    json.dumps(new_raw, separators=(",", ":")).encode(),
+                )
     removed = []
     for v in drop + dangling:
         if v == cur:
@@ -1048,7 +1228,7 @@ def vacuum(
         # version: a dangling dir's manifest may claim a parent whose
         # commit slot belongs to the writer that WON that race — deleting
         # it blindly would retract the winner's commit.
-        mv = read_manifest(table_dir, v)
+        mv = _read_manifest_raw(table_dir, v)
         if mv is not None and "parent" in mv:
             cf = fsio.join(
                 table_dir, _COMMITS, _commit_file_name(mv["parent"])
@@ -1218,6 +1398,11 @@ def table_detail(table_dir: str, version: str | None = None) -> dict:
         # pending schema-evolution maps (compact materializes both)
         "renames": m.get("renames"),
         "drops": m.get("drops"),
+        # manifest-delta fold depth at this snapshot (0 = full checkpoint
+        # manifest; bounded by CHECKPOINT_EVERY)
+        "delta_depth": int(
+            (_read_manifest_raw(table_dir, v) or {}).get("delta_depth", 0)
+        ),
     }
 
 
@@ -1293,7 +1478,9 @@ def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = read_manifest(table_dir, cur)
+    # rewrite the RAW manifest: rewriting a folded view would materialize
+    # the full file list back into a delta commit
+    m = _read_manifest_raw(table_dir, cur)
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
     stats = collect_file_stats(table_dir, cur, cols)
@@ -1320,7 +1507,8 @@ def entry_stats(table_dir: str, version: str) -> dict:
             continue
         owner = e.split("/", 1)[0]
         if owner not in cache:
-            cache[owner] = read_manifest(table_dir, owner) or {}
+            # stats live top-level in the owner's raw manifest — no fold
+            cache[owner] = _read_manifest_raw(table_dir, owner) or {}
         out[e] = (cache[owner].get("stats") or {}).get(e) or {}
     return out
 
@@ -1410,7 +1598,7 @@ def delete_where_dv(
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = read_manifest(table_dir, cur) or {}
+    m = _read_manifest_raw(table_dir, cur) or {}  # metadata-only commit
     prev_keys = m.get("dv_keys")
     if prev_keys and list(prev_keys) != list(key_cols):
         raise ValueError(
@@ -1428,30 +1616,19 @@ def delete_where_dv(
     dv_entries = list(m.get("dv", [])) + [
         f"{v}/_dv/{n}" for n in _parquet_names(fsio.join(table_dir, v, "_dv"))
     ]
-    payload_files = list(m.get("files", []))
-    import time
-
-    fsio.write_bytes(
-        fsio.join(table_dir, v, _MANIFEST),
-        json.dumps(
-            {
-                "files": payload_files,
-                "schema": m.get("schema"),
-                "kind": "delete_dv",
-                "parent": cur,
-                "ts_ms": int(time.time() * 1000),
-                "dv": dv_entries,
-                "dv_keys": list(key_cols),
-                # metadata-only commit: carry layout metadata forward, or a
-                # partitioned table would stop partition-pruning after a DV
-                # delete
-                **({"partition_col": m["partition_col"]}
-                   if m.get("partition_col") else {}),
-                # ... and any snapshot-scoped index metadata likewise
-                **carry_extra_fields(m),
-            },
-            separators=(",", ":"),
-        ).encode(),
+    extra = {
+        "dv": dv_entries,
+        "dv_keys": list(key_cols),
+        # metadata-only commit: carry layout metadata forward, or a
+        # partitioned table would stop partition-pruning after a DV delete
+        **({"partition_col": m["partition_col"]}
+           if m.get("partition_col") else {}),
+        # ... and any snapshot-scoped index metadata likewise
+        **carry_extra_fields(m),
+    }
+    write_manifest_delta(
+        table_dir, v, cur, (), (), m.get("schema"), "delete_dv",
+        parent=cur, extra_fields=extra,
     )
     _finalize_commit(table_dir, v, cur)
     return v
@@ -1468,7 +1645,7 @@ def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    m = read_manifest(table_dir, cur) or {}
+    m = _read_manifest_raw(table_dir, cur) or {}  # metadata-only commit
     dv = m.get("dv") or []
     if len(dv) <= 1:
         return None
@@ -1488,14 +1665,9 @@ def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
     extra.update(carry_extra_fields(m))
-    write_manifest(
-        table_dir,
-        v,
-        list(m.get("files", [])),
-        m.get("schema"),
-        "compact_dv",
-        parent=cur,
-        extra_fields=extra,
+    write_manifest_delta(
+        table_dir, v, cur, (), (), m.get("schema"), "compact_dv",
+        parent=cur, extra_fields=extra,
     )
     _finalize_commit(table_dir, v, cur)
     return v
@@ -1504,7 +1676,7 @@ def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
 def _apply_deletion_vectors(
     spark: SparkSession, table_dir: str, version: str, df: DataFrame
 ) -> DataFrame:
-    m = read_manifest(table_dir, version) or {}
+    m = _read_manifest_raw(table_dir, version) or {}  # dv fields are raw
     dv = m.get("dv")
     if not dv:
         return df
@@ -1524,7 +1696,7 @@ def restore(table_dir: str, version: str) -> str:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     if version not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {version} not committed in {table_dir}")
-    m = read_manifest(table_dir, version) or {}
+    m = _read_manifest_raw(table_dir, version) or {}
     v = _next_version(table_dir)
     fsio.mkdirs(fsio.join(table_dir, v))
     extra = {}
@@ -1534,14 +1706,11 @@ def restore(table_dir: str, version: str) -> str:
         extra["partition_col"] = m["partition_col"]
     extra.update(carry_extra_fields(m))
     extra = extra or None
-    write_manifest(
-        table_dir,
-        v,
-        list(m.get("files", [])),
-        m.get("schema"),
-        "restore",
-        parent=cur,
-        extra_fields=extra,
+    # delta against the restore TARGET: the rollback references that
+    # snapshot's entry set verbatim, O(1) metadata however wide the table
+    write_manifest_delta(
+        table_dir, v, version, (), (), m.get("schema"), "restore",
+        parent=cur, extra_fields=extra,
     )
     _finalize_commit(table_dir, v, cur)
     return v

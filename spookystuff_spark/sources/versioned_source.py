@@ -429,8 +429,12 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             fsio.move(fsio.join(self.staging, f), fsio.join(vdir, f))
         prev_entries: list[str] = []
         dv_fields = None
+        delta_base = None
         if not self.overwrite and parent is not None:
-            m = U.read_manifest(self.table_dir, parent)
+            # raw read: the checks below touch only top-level fields, the
+            # commit itself is a DELTA against the parent — O(batch)
+            # manifest bytes like upsert.append_rows
+            m = U._read_manifest_raw(self.table_dir, parent)
             if m and (m.get("renames") or m.get("drops")):
                 raise ValueError(
                     f"{self.table_dir}: schema-evolution maps "
@@ -438,16 +442,15 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
                     "would mix physical column layouts across carried "
                     "files; compact() first"
                 )
-            prev_entries = (
-                list(m["files"])
-                if m is not None
-                else [
+            if m is not None:
+                delta_base = parent
+            else:  # legacy manifest-less parent: enumerate once
+                prev_entries = [
                     f"{parent}/{n}"
                     for n in U._parquet_names(
                         fsio.join(self.table_dir, parent)
                     )
                 ]
-            )
             # an append is metadata-only: like upsert.append_rows, it must
             # CARRY the parent's accumulated deletion vectors — dropping
             # them would resurrect deleted rows (and leave the vector files
@@ -457,15 +460,22 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
         own = [f"{v}/{f}" for f in staged]
         U._write_change_feed_refs(self.table_dir, v, own, "upsert")
         fsio.touch(fsio.join(vdir, "_SUCCESS"))
-        U.write_manifest(
-            self.table_dir,
-            v,
-            prev_entries + own,
-            self.schema_json,
-            "upsert" if self.overwrite else "append",
-            parent=parent,
-            extra_fields=dv_fields,
-        )
+        kind = "upsert" if self.overwrite else "append"
+        if delta_base is not None:
+            U.write_manifest_delta(
+                self.table_dir, v, delta_base, own, (), self.schema_json,
+                kind, parent=parent, extra_fields=dv_fields,
+            )
+        else:
+            U.write_manifest(
+                self.table_dir,
+                v,
+                prev_entries + own,
+                self.schema_json,
+                kind,
+                parent=parent,
+                extra_fields=dv_fields,
+            )
         if marker:
             fsio.touch(fsio.join(vdir, marker))
         try:

@@ -110,3 +110,110 @@ def test_incremental_bloom_maintenance_after_append(spark, tmp_path):
     df, info = read_table_point(spark, tdir, "name", "u9050")
     assert [r["k"] for r in df.collect()] == [9050]
     assert info["skipped_bloom"] >= 2  # both first-commit files pruned
+
+
+def test_no_bitsets_reach_the_driver(spark, tmp_path, monkeypatch):
+    """The build collects only spec rows (file, m, k, sidecar name) — the
+    bitsets are written executor-side inside the applyInPandas body. Spy
+    on DataFrame.collect during the attach: no collected row may carry a
+    binary payload, and total collected bytes stay O(files × ~100 B)."""
+    try:  # Spark 4: classic instances subclass the pyspark.sql facade
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover — Spark 3 layout
+        from pyspark.sql import DataFrame
+
+    tdir = str(tmp_path / "spy")
+    U.write_table(_rows(spark, 0, 2000).repartition(4), tdir,
+                  change_feed=False)
+    collected = []
+    orig = DataFrame.collect
+
+    def spying_collect(self):
+        rows = orig(self)
+        collected.extend(rows)
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spying_collect)
+    attach_blooms(spark, tdir, ["user_id", "name"])
+    monkeypatch.undo()
+    assert collected  # the spec collect did happen
+    for r in collected:
+        for v in r.asDict().values():
+            assert not isinstance(v, (bytes, bytearray)), (
+                "a bloom bitset reached the driver"
+            )
+    # spec rows are tiny: 8 files x 2 cols, well under 1 KiB total
+    assert sum(len(str(r)) for r in collected) < 8192
+    # and the sidecars exist + prune correctly
+    df, info = read_table_point(spark, tdir, "name", "u1999")
+    assert [r["k"] for r in df.collect()] == [1999]
+    assert info["skipped_bloom"] >= 1
+
+
+def test_write_time_auto_attach(spark, tmp_path):
+    """bloom_cols= on the writers: fresh commits are point-lookup-prunable
+    with NO manual attach_blooms pass — the specs ride the same atomic
+    manifest commit."""
+    tdir = str(tmp_path / "auto")
+    U.write_table(_rows(spark, 0, 300).repartition(3), tdir,
+                  bloom_cols=["name"])
+    df, info = read_table_point(spark, tdir, "name", "u250")
+    assert [r["k"] for r in df.collect()] == [250]
+    assert info["skipped_bloom"] >= 1
+    # append with auto-attach: the new files are covered immediately
+    U.append_rows(spark, tdir, _rows(spark, 7000, 7100).repartition(2),
+                  bloom_cols=["name"])
+    eb = entry_blooms(tdir, U.committed_versions(tdir)[-1])
+    assert all(b.get("name") for b in eb.values())
+    df2, info2 = read_table_point(spark, tdir, "name", "u7050")
+    assert [r["k"] for r in df2.collect()] == [7050]
+    assert info2["skipped_bloom"] >= 3  # the three first-commit files
+
+
+def test_write_time_auto_attach_partitioned(spark, tmp_path):
+    """bloom_cols= composes with the partitioned writers (entries nest
+    under __part= dirs) and with the O(batch) delta-manifest appends."""
+    from spookystuff_spark.sources.partitioned_table import (
+        append_partitioned,
+        write_table_partitioned,
+    )
+
+    tdir = str(tmp_path / "pauto")
+    df0 = spark.createDataFrame(
+        [(i, i % 3, f"u{i}") for i in range(100)],
+        "k long, b int, name string",
+    )
+    write_table_partitioned(df0, tdir, "b", bloom_cols=["name"])
+    append_partitioned(
+        spark, tdir,
+        spark.createDataFrame([(900, 1, "u900")],
+                              "k long, b int, name string"),
+        "b", bloom_cols=["name"],
+    )
+    eb = entry_blooms(tdir, U.committed_versions(tdir)[-1])
+    assert all(b.get("name") for b in eb.values())
+    df, info = read_table_point(spark, tdir, "name", "u900")
+    assert [r["k"] for r in df.collect()] == [900]
+    assert info["skipped_bloom"] >= 2
+
+
+def test_probe_hashes_at_table_column_type(spark, tmp_path):
+    """The r6-ADVICE false-negative bug: an int probe against a DOUBLE
+    column must hash the table's repr ("5.0"), not the literal's ("5") —
+    a mismatch makes every bloom answer definitely-absent and silently
+    EMPTIES the result. The probe now casts to the snapshot schema's
+    column type before hashing."""
+    tdir = str(tmp_path / "typed")
+    df = spark.createDataFrame(
+        [(i, float(i), f"u{i}") for i in range(200)],
+        "k long, amount double, name string",
+    )
+    U.write_table(df.repartition(3), tdir)
+    attach_blooms(spark, tdir, ["amount"])
+    # int probe against the double column: must FIND the row
+    got, info = read_table_point(spark, tdir, "amount", 5)
+    assert [r["k"] for r in got.collect()] == [5]
+    # and pruning still works for absent values
+    got2, info2 = read_table_point(spark, tdir, "amount", 99999)
+    assert got2.count() == 0
+    assert info2["skipped_bloom"] == 3
