@@ -127,8 +127,62 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # --isolated-top N (r6 judge punch #8): after the in-run pass, re-time
+    # the N slowest SINGLE queries (non-suites) each in its OWN fresh
+    # process (the only measurement this box admits as regression evidence
+    # — in-run numbers inflate from neighbors' block-store/GC debris, the
+    # r4/r5/r6 lesson). Results land in BENCH_DETAIL.json next to the
+    # in-run numbers so round-over-round adjudication needs no judge
+    # re-runs. Disable with SPARK_GRAFT_ISOLATED_TOP=0.
+    isolated_top: dict[str, float] = {}
+    n_top = int(os.environ.get("SPARK_GRAFT_ISOLATED_TOP", "10"))
+    for a in sys.argv[1:]:
+        if a.startswith("--isolated-top"):
+            n_top = int(a.split("=", 1)[1]) if "=" in a else n_top
+    if not isolated and n_top > 0:
+        spark.stop()  # free the in-run JVM before the per-query processes
+        import subprocess
+
+        singles = sorted(
+            (
+                (t, q)
+                for q, t in timings.items()
+                if t >= 0 and q not in SUITE_CONSTITUENTS
+            ),
+            reverse=True,
+        )[:n_top]
+        me = os.path.abspath(__file__)
+        for _, q in singles:
+            env = {
+                **os.environ,
+                "SPARK_GRAFT_BENCH_REPEATS": "3",
+                "SPARK_GRAFT_ISOLATED_TOP": "0",
+            }
+            try:
+                out = subprocess.run(
+                    [sys.executable, me, q],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                ).stdout.strip().splitlines()
+                line = json.loads(out[-1]) if out else {}
+                # the short tail line has no "queries"; the full line does
+                for ln in reversed(out):
+                    d = json.loads(ln)
+                    if "queries" in d:
+                        isolated_top[q] = d["queries"][q]
+                        break
+                else:
+                    isolated_top[q] = line.get("value", -1.0)
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                isolated_top[q] = -1.0
+                print(f"# isolated retime error {q}: {e}", file=sys.stderr)
+
     payload = {
         "queries": timings,
+        "isolated_top": isolated_top,
         "suites": {
             s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
             if s in timings

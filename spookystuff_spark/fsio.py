@@ -39,6 +39,7 @@ from typing import Dict, List, Tuple
 from pyarrow import fs as pafs
 
 _REGISTRY: Dict[str, pafs.FileSystem] = {}
+_CONDITIONAL_PUT: Dict[str, object] = {}
 
 
 def register_fs(scheme: str, fs: pafs.FileSystem) -> None:
@@ -48,6 +49,23 @@ def register_fs(scheme: str, fs: pafs.FileSystem) -> None:
 
 def unregister_fs(scheme: str) -> None:
     _REGISTRY.pop(scheme, None)
+
+
+def register_conditional_put(scheme: str, put_if_absent) -> None:
+    """Store-side put-if-absent for ``<scheme>://`` paths — the hook that
+    makes :func:`create_exclusive` a TRUE CAS on object stores.
+    ``put_if_absent(path, data)`` must create the object atomically iff it
+    does not exist and raise :class:`FileExistsError` otherwise — back it
+    with the store's conditional write (S3 ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match``), which pyarrow.fs
+    does not expose itself. Without a registration, object-store paths
+    fall back to the documented check-then-PUT (a sub-millisecond window;
+    single-writer deployments unaffected)."""
+    _CONDITIONAL_PUT[scheme] = put_if_absent
+
+
+def unregister_conditional_put(scheme: str) -> None:
+    _CONDITIONAL_PUT.pop(scheme, None)
 
 
 def _split_scheme(path: str) -> Tuple[str | None, str]:
@@ -185,7 +203,9 @@ def create_exclusive(path: str, data: bytes) -> None:
     ``link(2)`` is atomic and fails with EEXIST, so the winner's file
     appears complete (no torn content) and losers never clobber it. (This
     is a same-directory POSIX primitive internal to one backend, not a
-    cross-store data-sharing mechanism.) Object stores / registered test
+    cross-store data-sharing mechanism.) Schemes with a registered
+    conditional put (:func:`register_conditional_put`) get a TRUE
+    store-side put-if-absent. Other object stores / registered test
     filesystems: existence check + atomic PUT — true put-if-absent needs a
     store-side conditional write (S3 ``If-None-Match``, GCS preconditions)
     that pyarrow.fs does not expose, so on those stores a sub-millisecond
@@ -195,6 +215,10 @@ def create_exclusive(path: str, data: bytes) -> None:
     import errno
     import os
 
+    scheme, _rest = _split_scheme(path)
+    if scheme is not None and scheme in _CONDITIONAL_PUT:
+        _CONDITIONAL_PUT[scheme](path, data)
+        return
     fs, p = resolve(path)
     if isinstance(fs, pafs.LocalFileSystem):
         tmp = f"{p}.cas-{uuid.uuid4().hex}"

@@ -530,6 +530,10 @@ ORACLE_SCD2 = _scd2_oracle()
 ORACLE_RENAME = """
     WITH kept AS (
       SELECT lang, n_chars AS chars FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      -- the post-rename APPEND leg (column-mapping: new files carry the
+      -- logical name, carried files keep the physical one)
+      SELECT lang, n_chars + 7 AS chars FROM documents WHERE lang = 'en'
     ), agg AS (
       SELECT lang, CAST(SUM(chars) AS BIGINT) AS chars_sum,
              COUNT(*) AS n_rows
@@ -547,13 +551,17 @@ def q_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (upsert.rename_column): build a versioned table from the documents
     corpus, rename n_chars→chars (zero data IO — the immutable files keep
     the physical name), DV-delete a closed-form predicate THROUGH THE
-    LOGICAL VIEW, then aggregate the renamed column through BOTH readers —
-    the native scan (physical-schema read + logical rename) and the
-    spooky_versioned Arrow reader (colmap translation). The oracle
-    recomputes closed-form, so the rename mapping, the post-rename DV
-    composition and reader agreement are all value-pinned. Rides
-    ``q_scalar_suite``'s melt."""
+    LOGICAL VIEW, APPEND a batch under the new name while the rename is
+    still outstanding (column-mapping appends: the new files carry the
+    logical name, the carried files keep the physical one — a mixed-epoch
+    snapshot), then aggregate the renamed column through BOTH readers —
+    the native scan (per-entry rename-epoch grouping) and the
+    spooky_versioned Arrow reader (per-file colmap translation). The
+    oracle recomputes closed-form, so the rename mapping, the post-rename
+    DV composition, the post-rename append and reader agreement are all
+    value-pinned. Rides ``q_scalar_suite``'s melt."""
     from spookystuff_spark.sources.upsert import (
+        append_rows,
         delete_where_dv,
         read_table,
         rename_column,
@@ -570,6 +578,17 @@ def q_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         rename_column(tdir, "n_chars", "chars")
         delete_where_dv(
             spark, tdir, F.col("doc_id") % 3 == 0, ["doc_id"],
+            change_feed=False,
+        )
+        # post-rename append: fresh ids (offset past the corpus) so the DV
+        # key set can't hide them; files carry the LOGICAL name 'chars'
+        append_rows(
+            spark, tdir,
+            base.where(F.col("lang") == "en").select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                "lang",
+                (F.col("n_chars") + F.lit(7)).alias("chars"),
+            ),
             change_feed=False,
         )
 

@@ -187,11 +187,10 @@ def attach_blooms(
     m = U.read_manifest(table_dir, cur)  # folded: own entries needed
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
-    if m.get("renames"):
-        raise ValueError(
-            f"{table_dir}: column renames outstanding — the files carry "
-            "physical names; compact() first, then attach blooms"
-        )
+    # outstanding renames don't block: the tip's OWN files always carry the
+    # names current at the tip (post-rename appends write logical names),
+    # so specs record under the logical name — exactly what the per-entry
+    # probe translation resolves for entries owned by this commit
     own = [e for e in m["files"] if e.startswith(f"{cur}/")]
     if not own:
         return 0
@@ -292,35 +291,26 @@ def read_table_point(
     hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
     blooms = entry_blooms(table_dir, v)
     manifest = U.read_manifest(table_dir, v) or {"files": []}
-    renames = manifest.get("renames") or {}
-    # bloom specs are recorded under the attach-time (physical) name
-    phys_col = U.physical_name(table_dir, v, col)
-    keep, skipped = [], 0
+    # bloom specs are recorded under the attach-time name — translate the
+    # logical probe column PER ENTRY (column-mapping appends: files from
+    # different rename epochs carry different physical names)
+    log = U.rename_log_of(manifest)
+    keep_rel, keep_full, skipped = [], [], 0
     for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
-        spec = (blooms.get(e) or {}).get(phys_col)
+        owner = "" if U._is_abs_entry(e) else e.split("/", 1)[0]
+        spec = (blooms.get(e) or {}).get(
+            U.physical_name_for_entry(log, owner, col)
+        )
         if spec and not _maybe_contains(table_dir, spec, hr["h1"], hr["h2"]):
             skipped += 1
             continue
-        keep.append(full)
-    schema_json = U.snapshot_schema_json(table_dir, v)
-    if schema_json:
-        schema = StructType.fromJson(json.loads(schema_json))
-        df = (
-            spark.createDataFrame([], schema)
-            if not keep
-            else U._to_logical(
-                spark.read.schema(U._scan_schema(schema, renames)).parquet(
-                    *keep
-                ),
-                renames,
-            )
-        )
-    else:
-        if not keep:
-            raise FileNotFoundError(f"no candidate files in {table_dir}")
-        df = spark.read.parquet(*keep)
+        keep_rel.append(e)
+        keep_full.append(full)
+    if not keep_full and not manifest.get("schema"):
+        raise FileNotFoundError(f"no candidate files in {table_dir}")
+    df = U.scan_entries(spark, table_dir, manifest, keep_rel, keep_full)
     df = U._apply_deletion_vectors(spark, table_dir, v, df)
     return (
         df.where(F.col(col) == F.lit(value)),
-        {"scanned": len(keep), "skipped_bloom": skipped},
+        {"scanned": len(keep_full), "skipped_bloom": skipped},
     )

@@ -22,9 +22,16 @@ NULL semantics follow SQL CHECK: a row violates only when the predicate
 is definitively FALSE (NULL passes) — enforce ``x IS NOT NULL``
 explicitly when you mean it.
 
-The ``spooky_versioned`` DataSource writer commits from staged executor
-files and does not route through these writers; enforce upstream with
-:func:`validate` there (documented, not hidden).
+The ``spooky_versioned`` DataSource writer enforces CHECKs too —
+EXECUTOR-SIDE, per Arrow batch, evaluated through DuckDB
+(sources/versioned_source.py::_enforce_on_batch; the commit worker has no
+Spark session to run a validation job, so enforcement rides the write
+tasks and a violation aborts the two-phase commit with the table
+untouched). That is why expressions must be ENGINE-PORTABLE SQL —
+:func:`add_constraint` dry-runs each expression on BOTH engines against
+an empty relation with the table schema and rejects non-portable ones at
+registration time instead of failing every future DataSource write with
+a binder error.
 """
 
 from __future__ import annotations
@@ -54,12 +61,63 @@ def list_constraints(table_dir: str) -> dict:
     return json.loads(fsio.read_bytes(p))
 
 
+def _dry_run_portability(table_dir: str, expr_sql: str) -> None:
+    """Reject a non-engine-portable expression at ADD CONSTRAINT time:
+    native writers evaluate checks via Spark SQL, the DataSource writer
+    via DuckDB per Arrow batch — an expression only one engine can bind
+    (backtick quoting, engine-only functions) would otherwise fail every
+    future write on the other path with a binder error instead of a
+    CheckViolation. Both engines dry-run against an EMPTY relation with
+    the table's current schema (zero data IO); a table with no committed
+    schema yet skips the dry-run (documented: the first write surfaces
+    any mismatch)."""
+    from spookystuff_spark.sources import upsert as U
+
+    cur = U._latest(table_dir) if fsio.is_dir(table_dir) else None
+    schema_json = U.snapshot_schema_json(table_dir, cur) if cur else None
+    if not schema_json:
+        return
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(json.loads(schema_json))
+    # DuckDB half (the DataSource writer's engine)
+    import duckdb
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    empty = pa.Table.from_pylist([], schema=to_arrow_schema(schema))
+    con = duckdb.connect()
+    con.register("t", empty)
+    try:
+        con.execute(f"SELECT count(*) FROM t WHERE NOT coalesce(({expr_sql}), TRUE)")
+    except Exception as ex:
+        raise ValueError(
+            f"{table_dir}: CHECK expression {expr_sql!r} is not portable — "
+            f"DuckDB (the DataSource writer's executor-side engine) "
+            f"rejects it: {ex}"
+        ) from ex
+    # Spark half (the native writers' engine) — bind against the schema
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark.createDataFrame([], schema).where(F.expr(expr_sql)).schema
+        except Exception as ex:
+            raise ValueError(
+                f"{table_dir}: CHECK expression {expr_sql!r} is not "
+                f"portable — Spark SQL rejects it: {ex}"
+            ) from ex
+
+
 def add_constraint(table_dir: str, name: str, expr_sql: str) -> None:
     """Register ``expr_sql`` (a boolean SQL expression over the table's
     columns) under ``name``. Applies to every FUTURE write; existing data
     is not rescanned (Delta's contract is to verify history on ADD — at
     100 TB that is a caller-initiated audit, run ``validate`` on
-    ``read_table`` output if wanted)."""
+    ``read_table`` output if wanted). The expression is dry-run on BOTH
+    evaluation engines first (:func:`_dry_run_portability`)."""
+    _dry_run_portability(table_dir, expr_sql)
     checks = list_constraints(table_dir)
     checks[name] = expr_sql
     fsio.mkdirs(table_dir)

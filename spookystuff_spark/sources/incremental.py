@@ -72,25 +72,45 @@ def _changes_since(
     Per-version soundness check: an ``upsert`` feed on any version except
     the table's FIRST (the pure-insert baseline) may hide updates whose
     old values the fold cannot subtract unless preimage rows accompany it
-    — such a version raises instead of drifting silently."""
+    — such a version raises instead of drifting silently.
+
+    RENAME commits inside the fold range are tolerated: a metadata-only
+    rename is value-preserving, so feeds older than the rename simply have
+    their columns translated to the current names (per the rename commit's
+    event) instead of stranding every downstream IVM/ANN/BM25 index until
+    a full rebuild. DROP commits still raise: a consumer folding the
+    dropped column would silently treat post-drop feeds as null
+    contributions — re-derive instead."""
     frames = []
     newest = None
     committed = U.committed_versions(src_dir)
     first = committed[0] if committed else None
+    # rename events inside the range, chronological — applied to FEEDS
+    # older than each event below
+    events: list[dict] = []
+    for v in committed:
+        if after is not None and v <= after:
+            continue
+        m = U._read_manifest_raw(src_dir, v) or {}
+        if m.get("kind") == "rename":
+            log = m.get("rename_log") or []
+            if not log:
+                raise ValueError(
+                    f"{src_dir}/{v}: rename commit without an event log "
+                    "(pre-r7 writer) inside the fold range — rebuild "
+                    "derived views/indexes from the new schema"
+                )
+            events.append(log[-1])
     for v in committed:
         if after is not None and v <= after:
             continue
         newest = v
         m = U._read_manifest_raw(src_dir, v) or {}  # kind is raw: no fold
-        if m.get("kind") in ("rename", "drop"):
-            # feeds before this commit carry the OLD column names — a fold
-            # crossing the boundary would silently null-fill the renamed
-            # column; derived views must re-derive from the new schema
+        if m.get("kind") == "drop":
             raise ValueError(
-                f"{src_dir}/{v}: schema-evolution commit "
-                f"({m['kind']}) inside the fold range — rebuild derived "
-                "views/indexes from the new schema instead of folding "
-                "across the boundary"
+                f"{src_dir}/{v}: column-drop commit inside the fold range "
+                "— a fold across it would silently null-fill the dropped "
+                "column; rebuild derived views/indexes from the new schema"
             )
         files, kind = U.change_files(src_dir, v)
         if not files:
@@ -98,6 +118,10 @@ def _changes_since(
         df = spark.read.parquet(*files)
         if "_change" not in df.columns:
             df = df.withColumn("_change", F.lit(kind or "insert"))
+        # translate pre-rename feeds to the current column names
+        for ev in events:
+            if ev["v"] > v and ev["old"] in df.columns:
+                df = df.withColumnRenamed(ev["old"], ev["new"])
         if v != first:
             kinds = {
                 r[0] for r in df.select("_change").distinct().collect()

@@ -196,11 +196,10 @@ def append_partitioned(
             f"{table_dir}: table is partitioned by {parent_pcol!r}, "
             f"append requested {partition_col!r}"
         )
-    if (raw or {}).get("renames"):
-        raise ValueError(
-            f"{table_dir}: column renames outstanding — compact_partitioned "
-            "first to materialize them before appending"
-        )
+    # column-mapping appends: outstanding renames/drops don't block the
+    # write surface — the carried rename_log translates older entries'
+    # physical names per entry; only retired-name reuse refuses
+    U._refuse_retired_names(table_dir, raw, rows.columns)
     prev_entries: list[str] = []
     if parent_pcol is None:
         # parent not written by this module's partitioned writers: validate
@@ -232,6 +231,8 @@ def append_partitioned(
         # metadata-only commits must carry accumulated vectors or deleted
         # rows resurrect (the append_rows contract, upsert.py:549-556)
         carried = {"dv": raw["dv"], "dv_keys": raw["dv_keys"]}
+    if raw is not None:
+        carried.update(U._schema_map_fields(raw, v))
     extra = {"partition_col": partition_col, **carried}
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
     extra.update(
@@ -299,11 +300,11 @@ def upsert_partitioned(
     # slice materializes them during its rewrite, untouched partitions keep
     # them by reference (see below). Differently-keyed vectors can't be
     # subtracted per-update-key, so those still require a compact() first.
-    if (manifest or {}).get("renames"):
-        raise ValueError(
-            f"{table_dir}: column renames outstanding — compact_partitioned "
-            "first to materialize them before merging"
-        )
+    # Outstanding renames/drops DON'T block the merge (column-mapping): the
+    # touched slice reads through the per-entry translation and rewrites
+    # with current logical names; untouched entries keep their physical
+    # names, translated by the carried rename_log.
+    U._refuse_retired_names(table_dir, manifest, updates.columns)
     dv = (manifest or {}).get("dv")
     if dv and list(manifest.get("dv_keys", [])) != list(key_cols):
         raise ValueError(
@@ -319,13 +320,13 @@ def upsert_partitioned(
             "partition path — not a partitioned table "
             "(write it with write_table_partitioned)"
         )
-    touched_files = [
-        full
+    touched_pairs = [
+        (rel, full)
         for full, rel in zip(entries, rel_entries)
         if _part_of(rel) in touched
     ]
+    touched_files = [f for _, f in touched_pairs]
 
-    schema_json = U.snapshot_schema_json(table_dir, cur)
     keys = updates.select(*key_cols).distinct()
     dv_keys_df = (
         spark.read.parquet(*[fsio.join(table_dir, e) for e in dv]).distinct()
@@ -333,14 +334,10 @@ def upsert_partitioned(
         else None
     )
     if touched_files:
-        import json
-
-        from pyspark.sql.types import StructType
-
-        reader = spark.read
-        if schema_json:
-            reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
-        current_slice = reader.parquet(*touched_files)
+        current_slice = U.scan_entries(
+            spark, table_dir, manifest,
+            [r for r, _ in touched_pairs], touched_files,
+        )
         if dv_keys_df is not None:
             # materialize the vectors for the slice being rewritten anyway
             current_slice = current_slice.join(
@@ -397,6 +394,10 @@ def upsert_partitioned(
     own = _own_entries_recursive(table_dir, v)
     touched_entries = [e for e in rel_entries if _part_of(e) in touched]
     extra = {"partition_col": partition_col, **(dv_fields or {})}
+    if manifest:
+        # untouched entries still carry old physical names — the schema
+        # maps (and the per-entry rename_log) travel with the commit
+        extra.update(U._schema_map_fields(manifest, v))
     extra.update(_stats_fields(table_dir, own, stats_cols) or {})
     # delta commit: remove the touched partitions' old entries, add the
     # rewritten slice — O(touched) manifest bytes, untouched partitions
@@ -439,27 +440,18 @@ def read_table_partitions(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
-    renames = manifest.get("renames") or {}
-    rel = manifest["files"]
-    full = U.snapshot_files(table_dir, v)
-    files = [f for f, r in zip(full, rel) if _part_of(r) in wanted]
-    schema_json = U.snapshot_schema_json(table_dir, v)
-    if schema_json:
-        schema = StructType.fromJson(json.loads(schema_json))
-        df = (
-            spark.createDataFrame([], schema)
-            if not files
-            else U._to_logical(
-                spark.read.schema(U._scan_schema(schema, renames)).parquet(
-                    *files
-                ),
-                renames,
-            )
-        )
-    else:
-        if not files:
-            raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
-        df = spark.read.parquet(*files)
+    rel_all, full_all = U._entries_and_paths(
+        table_dir, v, manifest if manifest.get("files") else None
+    )
+    keep = [
+        (r, f) for r, f in zip(rel_all, full_all) if _part_of(r) in wanted
+    ]
+    if not keep and not manifest.get("schema"):
+        raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
+    df = U.scan_entries(
+        spark, table_dir, manifest,
+        [r for r, _ in keep], [f for _, f in keep],
+    )
     # merge-on-read: the pruned read must hide DV-deleted rows exactly like
     # read_table — key vectors apply unchanged to any partition subset
     return U._apply_deletion_vectors(spark, table_dir, v, df)
@@ -527,8 +519,11 @@ def compact_partitioned(
             "partition_col": partition_col,
             **(_stats_fields(table_dir, own, stats_cols) or {}),
             # content-preserving commit: snapshot-scoped index metadata
-            # (e.g. bm25_stats) carries, or compaction would strip it
-            **U.carry_extra_fields(parent_m, exclude=("renames",)),
+            # (e.g. bm25_stats) carries, or compaction would strip it;
+            # schema maps MATERIALIZE here (the rewrite reads logical)
+            **U.carry_extra_fields(
+                parent_m, exclude=("renames", "rename_log", "drops")
+            ),
         },
     )
     if marker:
@@ -607,39 +602,30 @@ def read_table_partitions_pruned(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
-    renames = manifest.get("renames") or {}
-    phys_col = U.physical_name(table_dir, v, col)
+    log = U.rename_log_of(manifest)
     stats = U.entry_stats(table_dir, v)
-    keep, skipped_part, skipped_stats = [], 0, 0
+    keep_rel, keep_full, skipped_part, skipped_stats = [], [], 0, 0
     for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
         if _part_of(e) not in wanted:
             skipped_part += 1
             continue
-        rng = (stats.get(e) or {}).get(phys_col)
+        # stats carry the names current at the entry's commit — translate
+        # the logical filter column per entry
+        owner = e.split("/", 1)[0]
+        rng = (stats.get(e) or {}).get(
+            U.physical_name_for_entry(log, owner, col)
+        )
         if rng and (rng[1] < lo or rng[0] > hi):
             skipped_stats += 1
             continue
-        keep.append(full)
-    schema_json = U.snapshot_schema_json(table_dir, v)
-    if schema_json:
-        schema = StructType.fromJson(json.loads(schema_json))
-        df = (
-            spark.createDataFrame([], schema)
-            if not keep
-            else U._to_logical(
-                spark.read.schema(U._scan_schema(schema, renames)).parquet(
-                    *keep
-                ),
-                renames,
-            )
-        )
-    else:
-        df = spark.read.parquet(*keep)
+        keep_rel.append(e)
+        keep_full.append(full)
+    df = U.scan_entries(spark, table_dir, manifest, keep_rel, keep_full)
     df = U._apply_deletion_vectors(spark, table_dir, v, df)
     return (
         df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
         {
-            "scanned": len(keep),
+            "scanned": len(keep_full),
             "skipped_partition": skipped_part,
             "skipped_stats": skipped_stats,
         },

@@ -441,6 +441,25 @@ def _is_abs_entry(entry: str) -> bool:
     return "://" in entry or entry.startswith("/")
 
 
+def _entries_and_paths(
+    table_dir: str, version: str, manifest: Optional[dict]
+) -> tuple[list[str], list[str]]:
+    """(relative manifest entries, full paths) for a snapshot — the pair
+    :func:`scan_entries` wants; legacy manifest-less dirs list their own
+    parquet files."""
+    if manifest is not None:
+        rel = list(manifest["files"])
+        return rel, [
+            e if _is_abs_entry(e) else fsio.join(table_dir, e) for e in rel
+        ]
+    vdir = fsio.join(table_dir, version)
+    names = _parquet_names(vdir)
+    return (
+        [f"{version}/{n}" for n in names],
+        [fsio.join(vdir, n) for n in names],
+    )
+
+
 def snapshot_files(table_dir: str, version: str) -> list[str]:
     """Full paths of a snapshot's data files. Manifest-driven; a
     manifest-less (legacy) committed dir falls back to listing its own
@@ -606,11 +625,195 @@ def table_renames(table_dir: str, version: str) -> dict:
 
 def physical_name(table_dir: str, version: str, logical: str) -> str:
     """The file-level column name behind a logical name (identity when
-    never renamed) — what stats/bloom/footer consumers must look up."""
+    never renamed) — what stats/bloom/footer consumers must look up.
+    Table-wide (the ORIGINAL physical); per-entry resolution under
+    post-rename appends is :func:`physical_name_for_entry`."""
     for p, l in table_renames(table_dir, version).items():
         if l == logical:
             return p
     return logical
+
+
+def rename_log_of(manifest: Optional[dict]) -> list[dict]:
+    """Chronological rename EVENTS ``[{"v": commit, "old", "new"}, ...]`` —
+    the per-entry column mapping: an entry owned by version w carries a
+    column under the name it had AT w (files written after a rename carry
+    the then-current logical names; earlier files keep older ones).
+    Tables renamed by pre-r7 code carry only the collapsed ``renames``
+    map, and by the old refusal rule every entry predates every rename —
+    synthesized here as events newer than any real version name."""
+    if not manifest:
+        return []
+    log = manifest.get("rename_log")
+    if log:
+        return list(log)
+    renames = manifest.get("renames") or {}
+    # legacy: every event applies to every entry
+    return [
+        {"v": "v99999", "old": p, "new": l} for p, l in renames.items()
+    ]
+
+
+def physical_name_for_entry(
+    rename_log: Sequence[dict], owner: str, logical: str
+) -> str:
+    """The column name entry files owned by ``owner`` carry for the
+    current ``logical`` name: walk rename events newer than the owner
+    backwards, un-applying each. Absolute (external) entries pass owner=''
+    so every event applies — the conservative legacy reading."""
+    name = logical
+    for ev in reversed(list(rename_log)):
+        if ev["v"] > owner and name == ev["new"]:
+            name = ev["old"]
+    return name
+
+
+def _pinned_rename_log(manifest: dict, v: str) -> list[dict]:
+    """The rename_log a commit at version ``v`` should carry forward: the
+    existing event log verbatim, or — for a legacy table that predates
+    event logs (collapsed ``renames`` map only) — events synthesized AT
+    ``v``: every carried entry predates ``v`` (legacy code refused
+    post-rename appends), and the commit's own files carry current
+    logical names, so pinning at ``v`` applies the map to exactly the old
+    entries and none of the new ones."""
+    log = manifest.get("rename_log")
+    if log:
+        return list(log)
+    renames = manifest.get("renames") or {}
+    return [{"v": v, "old": p, "new": l} for p, l in renames.items()]
+
+
+def retired_column_names(manifest: Optional[dict]) -> set[str]:
+    """Names that still exist PHYSICALLY in some carried file but are no
+    longer (or never were) the logical name: rename sources (original and
+    intermediate) and dropped columns. Appends must refuse to introduce a
+    NEW column under any of these — old files would resurrect stale
+    values into it under schema-on-read (the reason Delta uses column
+    IDs; refusal-until-compact is this module's equivalent)."""
+    if not manifest:
+        return set()
+    out = {ev["old"] for ev in rename_log_of(manifest)}
+    out |= set((manifest.get("renames") or {}).keys())
+    out |= set(manifest.get("drops") or ())
+    return out
+
+
+def _refuse_retired_names(
+    table_dir: str, manifest: Optional[dict], new_cols: Sequence[str]
+) -> None:
+    """Appends may introduce NEW columns (additive schema evolution) but
+    never under a RETIRED physical name — see
+    :func:`retired_column_names`."""
+    if manifest is None:
+        return
+    cur_names: set[str] = set()
+    if manifest.get("schema"):
+        cur_names = {
+            f["name"] for f in json.loads(manifest["schema"])["fields"]
+        }
+    retired = retired_column_names(manifest) - cur_names
+    bad = sorted(c for c in new_cols if c in retired)
+    if bad:
+        raise ValueError(
+            f"{table_dir}: column(s) {bad} reuse retired physical names — "
+            "carried files still hold stale values under them and "
+            "schema-on-read would resurrect those; compact() first, or "
+            "pick a fresh name"
+        )
+
+
+def _schema_map_fields(manifest: dict, version: str) -> dict:
+    """The schema-evolution fields an append carries forward: the
+    collapsed ``renames`` map, the ``drops`` list, and the ``rename_log``
+    pinned for legacy tables (see :func:`_pinned_rename_log`)."""
+    out: dict = {}
+    if manifest.get("renames"):
+        out["renames"] = manifest["renames"]
+        out["rename_log"] = _pinned_rename_log(manifest, version)
+    if manifest.get("drops"):
+        out["drops"] = manifest["drops"]
+    return out
+
+
+def scan_entries(
+    spark: SparkSession,
+    table_dir: str,
+    manifest: Optional[dict],
+    rel_entries: Sequence[str],
+    full_paths: Sequence[str],
+    file_col: str | None = None,
+):
+    """Schema-pinned scan of a snapshot's (sub)set of files with PER-ENTRY
+    column-name translation — the one reader every snapshot consumer
+    funnels through. Files written before a rename carry the old physical
+    name, files written after carry the new one (column-mapping appends):
+    entries group by which rename events postdate their owning commit,
+    each group scans with its own physical schema, renames to logical,
+    and the groups union (at most #rename-events+1 groups, typically 1).
+    ``file_col``: additionally capture ``input_file_name()`` ON each
+    scan (it must be attached before any join). Deletion vectors are NOT
+    applied here — callers compose them."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    schema_json = (manifest or {}).get("schema")
+    schema = (
+        StructType.fromJson(json.loads(schema_json)) if schema_json else None
+    )
+    if not full_paths:
+        if schema is None:
+            raise FileNotFoundError(f"empty snapshot in {table_dir}")
+        df = spark.createDataFrame([], schema)
+        if file_col:
+            df = df.withColumn(file_col, F.lit(None).cast("string"))
+        return df
+
+    def with_file(df):
+        if not file_col:
+            return df
+        return df.withColumn(file_col, F.input_file_name())
+
+    if schema is None:
+        return with_file(spark.read.parquet(*full_paths))
+    log = rename_log_of(manifest)
+    if not log:
+        return with_file(spark.read.schema(schema).parquet(*full_paths))
+    groups: dict = {}
+    for e, f in zip(rel_entries, full_paths):
+        owner = "" if _is_abs_entry(e) else e.split("/", 1)[0]
+        key = tuple(
+            i for i, ev in enumerate(log) if ev["v"] > owner
+        )
+        groups.setdefault(key, []).append(f)
+    parts = []
+    for key, paths in groups.items():
+        mapping = {}
+        for fld in schema.fields:
+            name = fld.name
+            for i in reversed(key):
+                if name == log[i]["new"]:
+                    name = log[i]["old"]
+            mapping[fld.name] = name
+        scan_schema = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        df = with_file(spark.read.schema(scan_schema).parquet(*paths))
+        ren = {p: l for l, p in mapping.items() if p != l}
+        if ren:
+            df = df.withColumnsRenamed(ren)
+        parts.append(
+            df.select(
+                *[f.name for f in schema.fields],
+                *([file_col] if file_col else []),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def _scan_schema(schema, renames: dict):
@@ -677,15 +880,26 @@ def rename_column(table_dir: str, old: str, new: str) -> str:
             for f in schema.fields
         ]
     )
+    if new in retired_column_names(m):
+        raise ValueError(
+            f"{table_dir}: {new!r} is a retired physical name (a prior "
+            "rename source) — carried files still hold stale values under "
+            "it; compact() first"
+        )
     renames = dict(m.get("renames") or {})
     phys = next((p for p, l in renames.items() if l == old), old)
     renames[phys] = new
     v = _next_version(table_dir)
     fsio.mkdirs(fsio.join(table_dir, v))
-    extra = {"renames": renames}
+    # the EVENT log (alongside the collapsed map) is what lets appends keep
+    # flowing after a rename: files written later carry the new name, and
+    # readers translate per entry by comparing owners against event commits
+    log = _pinned_rename_log(m, v)
+    log.append({"v": v, "old": old, "new": new})
+    extra = {"renames": renames, "rename_log": log}
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
-    extra.update(carry_extra_fields(m, exclude=("renames",)))
+    extra.update(carry_extra_fields(m, exclude=("renames", "rename_log")))
     write_manifest_delta(
         table_dir, v, cur, (), (), renamed.json(), "rename",
         parent=cur, extra_fields=extra,
@@ -738,7 +952,7 @@ def drop_column(table_dir: str, col: str) -> str:
     extra = {"drops": drops}
     if m.get("partition_col"):
         extra["partition_col"] = m["partition_col"]
-    extra.update(carry_extra_fields(m, exclude=("drops",)))
+    extra.update(carry_extra_fields(m, exclude=("drops", "rename_log")))
     write_manifest_delta(
         table_dir, v, cur, (), (), remaining.json(), "drop",
         parent=cur, extra_fields=extra,
@@ -769,24 +983,11 @@ def read_table(
     v = version or cur
     if v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
-    files = snapshot_files(table_dir, v)
-    schema_json = snapshot_schema_json(table_dir, v)
-    renames = table_renames(table_dir, v)
-    if schema_json:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(schema_json))
-        if not files:  # e.g. delete_where emptied the table
-            return spark.createDataFrame([], schema)
-        # scan with the PHYSICAL names the files carry, present logical
-        df = _to_logical(
-            spark.read.schema(_scan_schema(schema, renames)).parquet(*files),
-            renames,
-        )
-    else:
-        if not files:
-            raise FileNotFoundError(f"empty snapshot {v} in {table_dir}")
-        df = spark.read.parquet(*files)
+    m = read_manifest(table_dir, v)
+    rel, files = _entries_and_paths(table_dir, v, m)
+    # per-entry physical→logical column translation (column-mapping
+    # appends): scan_entries groups files by rename epoch
+    df = scan_entries(spark, table_dir, m, rel, files)
     # merge-on-read: apply this version's accumulated deletion vectors
     return _apply_deletion_vectors(spark, table_dir, v, df)
 
@@ -921,12 +1122,13 @@ def append_rows(
     fsio.mkdirs(table_dir)
     cur = _latest(table_dir)
     pm = _read_manifest_raw(table_dir, cur) if cur is not None else None
-    if pm is not None and (pm.get("renames") or pm.get("drops")):
-        raise ValueError(
-            f"{table_dir}: schema-evolution maps (renames/drops) "
-            "outstanding — a metadata-only append would mix physical "
-            "column layouts across carried files; compact() first"
-        )
+    # column-mapping appends: outstanding renames/drops DON'T block the
+    # write surface (Delta column-mapping semantics) — new files carry the
+    # CURRENT logical names, the carried rename_log tells readers how each
+    # older entry's physical names translate. The one refusal left is
+    # reusing a RETIRED physical name for a new column: old files still
+    # hold stale values under it, and schema-on-read would resurrect them.
+    _refuse_retired_names(table_dir, pm, rows.columns)
     v = _next_version(table_dir)
     rows.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     prev_entries: list[str] = []
@@ -948,6 +1150,8 @@ def append_rows(
     carried = {}
     if pm is not None and pm.get("dv"):
         carried = {"dv": pm["dv"], "dv_keys": pm["dv_keys"]}
+    if pm is not None:
+        carried.update(_schema_map_fields(pm, v))
     carried.update(_bloom_extra(spark, table_dir, v, bloom_cols) or {})
     _commit_snapshot(
         schema_json, table_dir, v, prev_entries, "append", marker,
@@ -985,6 +1189,24 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
     parent = _latest(dst_dir)  # None for a fresh clone dir
     v = _next_version(dst_dir)
     fsio.mkdirs(fsio.join(dst_dir, v))
+    # reader-state must clone WITH the files: deletion vectors (or the
+    # clone resurrects deleted rows) and schema maps (or renamed sources'
+    # physical names stop translating). DV entries become absolute paths
+    # into the source, like the data files.
+    src_m = _read_manifest_raw(src_dir, cur) or {}
+    extra: dict = {}
+    if src_m.get("dv"):
+        extra["dv"] = [
+            e if _is_abs_entry(e) else fsio.join(src_dir, e)
+            for e in src_m["dv"]
+        ]
+        extra["dv_keys"] = src_m["dv_keys"]
+    if src_m.get("partition_col"):
+        extra["partition_col"] = src_m["partition_col"]
+    extra.update(_schema_map_fields(src_m, v))
+    extra.update(
+        carry_extra_fields(src_m, exclude=("renames", "drops", "rename_log"))
+    )
     write_manifest(
         dst_dir,
         v,
@@ -992,6 +1214,7 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
         snapshot_schema_json(src_dir, cur),
         "clone",
         parent=parent,
+        extra_fields=extra or None,
     )
     _finalize_commit(dst_dir, v, parent)
     return v
@@ -1058,7 +1281,8 @@ def compact(
         current.schema.json(), table_dir, v, (), "compact", marker,
         expected_parent=cur,
         extra_fields=carry_extra_fields(
-            _read_manifest_raw(table_dir, cur), exclude=("renames", "drops")
+            _read_manifest_raw(table_dir, cur),
+            exclude=("renames", "rename_log", "drops"),
         ) or None,
     )
     return v
@@ -1537,39 +1761,28 @@ def read_table_pruned(
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     stats = entry_stats(table_dir, v)
     m = read_manifest(table_dir, v)
-    renames = m.get("renames") or {}
-    # stats/footers carry PHYSICAL names — translate the logical filter col
-    phys_col = physical_name(table_dir, v, col)
-    keep, skipped = [], 0
+    log = rename_log_of(m)
+    keep_rel, keep_full, skipped = [], [], 0
     for e in m["files"]:
         s = stats.get(e) or {}
-        rng = s.get(phys_col)
+        # stats/footers carry the names CURRENT AT THE ENTRY'S COMMIT —
+        # translate the logical filter column per entry (column-mapping
+        # appends mean different files carry different physical names)
+        owner = "" if _is_abs_entry(e) else e.split("/", 1)[0]
+        rng = s.get(physical_name_for_entry(log, owner, col))
         if rng and (rng[1] < lo or rng[0] > hi):
             skipped += 1
             continue
-        keep.append(e if _is_abs_entry(e) else fsio.join(table_dir, e))
-    schema_json = snapshot_schema_json(table_dir, v)
-    if schema_json:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(schema_json))
-        df = (
-            spark.createDataFrame([], schema)
-            if not keep
-            else _to_logical(
-                spark.read.schema(_scan_schema(schema, renames)).parquet(*keep),
-                renames,
-            )
-        )
-    else:
-        df = spark.read.parquet(*keep)
+        keep_rel.append(e)
+        keep_full.append(e if _is_abs_entry(e) else fsio.join(table_dir, e))
+    df = scan_entries(spark, table_dir, m, keep_rel, keep_full)
     # merge-on-read: a stats-pruned read must hide DV-deleted rows exactly
     # like read_table — the vectors are keyed, not per-file, so they apply
     # unchanged to any file subset
     df = _apply_deletion_vectors(spark, table_dir, v, df)
     return (
         df.where((F.col(col) >= lo) & (F.col(col) <= hi)),
-        {"scanned": len(keep), "skipped": skipped},
+        {"scanned": len(keep_full), "skipped": skipped},
     )
 
 
@@ -1784,10 +1997,10 @@ def read_table_with_lineage(
     v = version or cur
     if v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
-    m = read_manifest(table_dir, v) or {"files": []}
-    files = snapshot_files(table_dir, v)
-    schema_json = snapshot_schema_json(table_dir, v)
-    renames = m.get("renames") or {}
+    mm = read_manifest(table_dir, v)
+    rel, files = _entries_and_paths(table_dir, v, mm)
+    m = mm or {"files": []}
+    schema_json = m.get("schema")
     schema = (
         StructType.fromJson(json.loads(schema_json)) if schema_json else None
     )
@@ -1796,25 +2009,19 @@ def read_table_with_lineage(
     if not files:
         base = spark.createDataFrame([], schema)
         return base.withColumn(lineage_col, F.lit(None).cast("string"))
-    scan = (
-        spark.read.schema(_scan_schema(schema, renames)).parquet(*files)
-        if schema is not None
-        else spark.read.parquet(*files)
-    )
     # the file identity must be captured ON the scan itself —
-    # input_file_name() refuses plans with a second source (the DV join)
-    scan = scan.withColumn(
-        "_file", F.regexp_replace(F.input_file_name(), "^file:/*", "/")
-    )
-    df = _apply_deletion_vectors(
-        spark, table_dir, v, _to_logical(scan, renames)
-    )
+    # input_file_name() refuses plans with a second source (the DV join);
+    # scan_entries attaches it per rename-epoch group before the union
+    scan = scan_entries(
+        spark, table_dir, m, rel, files, file_col="_file"
+    ).withColumn("_file", F.regexp_replace(F.col("_file"), "^file:/*", "/"))
+    df = _apply_deletion_vectors(spark, table_dir, v, scan)
     pairs = [
         (
             full.removeprefix("file://"),
             e.split("/", 1)[0] if not _is_abs_entry(e) else "external",
         )
-        for e, full in zip(m["files"], files)
+        for e, full in zip(rel, files)
     ]
     owners = spark.createDataFrame(pairs, "_file string, _owner string")
     return (

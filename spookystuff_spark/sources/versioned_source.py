@@ -127,16 +127,44 @@ class _BatchReader(DataSourceReader):
         m = U.read_manifest(table_dir, version) or {}
         self.dv_paths = [fsio.join(table_dir, e) for e in m.get("dv", [])]
         self.dv_keys = m.get("dv_keys") or []
-        # metadata-only column renames: logical -> physical file names;
-        # dropped physical names ride along so the extra-column refusal
+        # metadata-only column renames: logical -> physical file names,
+        # resolved PER ENTRY (column-mapping appends mean files from
+        # different rename epochs carry different physical names); dropped
+        # physical names ride along so the extra-column refusal
         # distinguishes "deliberately dropped" from "corrupt footer"
-        self._colmap = {l: p for p, l in (m.get("renames") or {}).items()}
-        if m.get("drops"):
-            self._colmap["__drops__"] = list(m["drops"])
+        self._entries = (m.get("files") or [None] * len(self.files))
+        log = U.rename_log_of(m)
+        drops = list(m.get("drops") or ())
+        lnames = [f.name for f in schema.fields]
+        self._colmaps: dict = {}  # file path -> per-file colmap
+        epoch_cache: dict = {}
+        for e, path in zip(self._entries, self.files):
+            owner = (
+                ""
+                if e is None or U._is_abs_entry(e)
+                else e.split("/", 1)[0]
+            )
+            key = tuple(i for i, ev in enumerate(log) if ev["v"] > owner)
+            if key not in epoch_cache:
+                cm = {
+                    n: p
+                    for n in lnames
+                    if (p := U.physical_name_for_entry(
+                        [log[i] for i in key], "", n
+                    )) != n
+                }
+                # retired intermediates are known-not-data for this epoch
+                retired = sorted(
+                    U.retired_column_names(m) - set(cm.values())
+                )
+                if drops or retired:
+                    cm["__drops__"] = drops + retired
+                epoch_cache[key] = cm
+            self._colmaps[path] = epoch_cache[key]
         # planning metadata for pushFilters: per-entry manifest stats
         # (Delta stats-in-log) and the partition value encoded in each
         # entry's path — both resolved WITHOUT touching any data file
-        self._entries = (m.get("files") or [None] * len(self.files))
+        self._log = log
         self._stats = U.entry_stats(table_dir, version)
         self._partition_col = m.get("partition_col")
         self.files_skipped = 0  # observability / tests
@@ -181,7 +209,10 @@ class _BatchReader(DataSourceReader):
                         isinstance(v, str) for v in f.value
                     ):
                         return pv in set(f.value)
-            rng = (self._stats.get(entry) or {}).get(col)
+            # stats carry entry-epoch physical names — translate per entry
+            owner = "" if U._is_abs_entry(entry) else entry.split("/", 1)[0]
+            phys = U.physical_name_for_entry(self._log, owner, col)
+            rng = (self._stats.get(entry) or {}).get(phys)
             if not rng or rng[0] is None:
                 return True
             lo, hi = rng
@@ -230,10 +261,11 @@ class _BatchReader(DataSourceReader):
     def read(self, partition: _FilePart) -> Iterator:
         if not partition.path:
             return
+        colmap = self._colmaps.get(partition.path) or {}
         if not self.dv_paths:
             yield from _read_arrow(
                 partition.path, _arrow_schema(self.spark_schema),
-                colmap=self._colmap,
+                colmap=colmap,
             )
             return
         import pyarrow as pa
@@ -241,7 +273,7 @@ class _BatchReader(DataSourceReader):
         deleted = self._deleted_keyset()  # small by DV contract
         for batch in _read_arrow(
             partition.path, _arrow_schema(self.spark_schema),
-            colmap=self._colmap,
+            colmap=colmap,
         ):
             cols = [batch.column(c).to_pylist() for c in self.dv_keys]
             mask = pa.array(
@@ -435,13 +467,16 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             # commit itself is a DELTA against the parent — O(batch)
             # manifest bytes like upsert.append_rows
             m = U._read_manifest_raw(self.table_dir, parent)
-            if m and (m.get("renames") or m.get("drops")):
-                raise ValueError(
-                    f"{self.table_dir}: schema-evolution maps "
-                    "(renames/drops) outstanding — a metadata-only append "
-                    "would mix physical column layouts across carried "
-                    "files; compact() first"
-                )
+            # column-mapping appends: renames/drops don't block the write —
+            # new files carry current logical names; the carried rename_log
+            # translates older entries per epoch. Retired-name reuse is the
+            # one refusal (stale values would resurrect under it).
+            import json as _json
+
+            schema_names = [
+                f["name"] for f in _json.loads(self.schema_json)["fields"]
+            ]
+            U._refuse_retired_names(self.table_dir, m, schema_names)
             if m is not None:
                 delta_base = parent
             else:  # legacy manifest-less parent: enumerate once
@@ -454,9 +489,14 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
             # an append is metadata-only: like upsert.append_rows, it must
             # CARRY the parent's accumulated deletion vectors — dropping
             # them would resurrect deleted rows (and leave the vector files
-            # unreferenced for vacuum to destroy)
+            # unreferenced for vacuum to destroy) — and the schema maps,
+            # or carried files' physical names would stop translating
             if m and m.get("dv"):
                 dv_fields = {"dv": m["dv"], "dv_keys": m["dv_keys"]}
+            if m is not None:
+                maps = U._schema_map_fields(m, v)
+                if maps:
+                    dv_fields = {**(dv_fields or {}), **maps}
         own = [f"{v}/{f}" for f in staged]
         U._write_change_feed_refs(self.table_dir, v, own, "upsert")
         fsio.touch(fsio.join(vdir, "_SUCCESS"))

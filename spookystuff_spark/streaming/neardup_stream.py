@@ -103,6 +103,9 @@ def streaming_neardup_sink(
     marker, so replay protection survives vacuum dropping the marker's
     original append version; vacuum itself is manifest-aware and never
     deletes files a kept version still references."""
+    from spookystuff_spark.streaming.sink import check_appless_markers
+
+    check_appless_markers(state_dir, app_id)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -213,6 +216,9 @@ def streaming_hash_neardup_sink(
     (pigeonhole recall)."""
     if max_hamming >= n_bands or 64 % n_bands != 0:
         raise ValueError("need max_hamming < n_bands and n_bands | 64")
+    from spookystuff_spark.streaming.sink import check_appless_markers
+
+    check_appless_markers(state_dir, app_id)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -102,17 +102,53 @@ def last_committed_batch(
     return None
 
 
+def check_appless_markers(
+    table_dir: str, app_id: str | None, strict: bool = False
+) -> None:
+    """The fresh-checkpoint-without-app_id foot-gun, made LOUD at sink
+    construction: a table that already carries app-less batch markers +
+    a new app-less sink is ambiguous — if the stream runs from a fresh
+    checkpoint its batch ids restart at 0 and every batch ≤ the old
+    marker is silently SKIPPED (wrong-skip is data loss). We can't tell
+    a legitimate same-checkpoint resume from that here, so warn (or
+    raise with ``strict=True``); the unambiguous call is
+    ``app_id=<checkpoint path>`` — one namespace per checkpoint, which
+    the ``spooky_versioned`` stream writer defaults to."""
+    if app_id is not None or not fsio.is_dir(table_dir):
+        return
+    prior = last_committed_batch(table_dir, None)
+    if prior is None:
+        return
+    msg = (
+        f"{table_dir}: streaming sink constructed with app_id=None but the "
+        f"table already carries app-less batch markers (last id {prior}). "
+        "If this stream runs from a FRESH checkpoint, its batch ids restart "
+        f"at 0 and every batch <= {prior} will be silently SKIPPED (data "
+        "loss). Pass app_id=<checkpoint path> — one marker namespace per "
+        "checkpoint — to make replay protection unambiguous."
+    )
+    if strict:
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, UserWarning, stacklevel=3)
+
+
 def streaming_upsert_sink(
     table_dir: str,
     key_cols: Sequence[str],
     app_id: str | None = None,
     feed_preimages: bool = False,
+    strict_app_id: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """Build the ``foreachBatch`` function: MERGE each micro-batch into the
-    versioned table, exactly once per (app, batch id). Pass one ``app_id``
-    per checkpoint location (e.g. the checkpoint path itself) so a restart
-    with a fresh checkpoint — batch ids back at 0 — is not mistaken for a
-    replay of the old one.
+    versioned table, exactly once per (app, batch id). THE CANONICAL CALL
+    PASSES ``app_id=<checkpoint location>`` — one marker namespace per
+    checkpoint — so a restart with a fresh checkpoint (batch ids back at
+    0) is never mistaken for a replay of the old one. Constructing an
+    app-less sink against a table with prior app-less markers warns (or
+    raises with ``strict_app_id=True``) — see
+    :func:`check_appless_markers`.
 
     Usage::
 
@@ -121,6 +157,7 @@ def streaming_upsert_sink(
                                                    app_id=ckpt_path))
                .start())
     """
+    check_appless_markers(table_dir, app_id, strict_app_id)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         last = last_committed_batch(table_dir, app_id)
@@ -145,13 +182,17 @@ def streaming_partitioned_upsert_sink(
     app_id: str | None = None,
     stats_cols: Sequence[str] | None = None,
     feed_preimages: bool = False,
+    strict_app_id: bool = False,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` MERGE into a PARTITION-laid-out versioned table
     (sources/partitioned_table.py): each micro-batch rewrites only the
     partitions it touches — O(batch partitions) per commit instead of the
     plain sink's O(table) snapshot rewrite — under the same per-(app,
-    batch) exactly-once markers."""
+    batch) exactly-once markers. The canonical call passes
+    ``app_id=<checkpoint location>`` (see :func:`streaming_upsert_sink`)."""
     from spookystuff_spark.sources.partitioned_table import upsert_partitioned
+
+    check_appless_markers(table_dir, app_id, strict_app_id)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         last = last_committed_batch(table_dir, app_id)

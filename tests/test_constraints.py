@@ -126,3 +126,36 @@ def test_datasource_writer_enforces(spark, tdir):
         "path", tdir
     ).mode("append").save()
     assert U.read_table(spark, tdir).count() == 3
+
+
+def test_add_constraint_rejects_non_portable_expression(spark, tmp_path):
+    """r6-ADVICE: checks run on BOTH engines (Spark SQL natively, DuckDB in
+    the DataSource write tasks) — a one-engine expression must be rejected
+    at ADD CONSTRAINT time, not at first write with a binder error."""
+    import pytest
+
+    from spookystuff_spark.sources import upsert as U
+    from spookystuff_spark.sources.constraints import (
+        add_constraint,
+        list_constraints,
+    )
+
+    tdir = str(tmp_path / "ptab")
+    U.write_table(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), tdir,
+        change_feed=False,
+    )
+    # portable ANSI expression: accepted
+    add_constraint(tdir, "v_pos", "v > 0")
+    assert "v_pos" in list_constraints(tdir)
+    # Spark-only function: DuckDB can't bind it -> rejected with the reason
+    with pytest.raises(ValueError, match="not portable"):
+        add_constraint(tdir, "bad", "xxhash64(CAST(k AS STRING)) > 0")
+    assert "bad" not in list_constraints(tdir)
+    # unknown column: both engines refuse -> rejected at ADD time
+    with pytest.raises(ValueError, match="not portable"):
+        add_constraint(tdir, "bad2", "no_such_col > 0")
+    # a table with no schema yet skips the dry-run (first write surfaces it)
+    fresh = str(tmp_path / "fresh")
+    add_constraint(fresh, "early", "v > 0")
+    assert "early" in list_constraints(fresh)

@@ -152,3 +152,62 @@ def test_pointer_swap_on_mock_fs(mockfs):
     U._swap_pointer(tdir, "v00007")
     assert U._latest(tdir) == "v00007"
     assert U._next_version(tdir) == "v00008"
+
+
+def test_conditional_put_hook_true_cas_on_object_store(mockfs):
+    """r7 punch #5: with a registered store-side conditional put (the S3
+    If-None-Match / GCS ifGenerationMatch shape), two racing writers both
+    run the FULL create_exclusive path against an object-store scheme and
+    exactly one wins — without the POSIX O_EXCL branch (the mock fs is not
+    a LocalFileSystem) and without the check-then-PUT fallback window."""
+    import threading
+
+    store: dict = {}
+    lock = threading.Lock()
+    calls = {"n": 0}
+
+    def put_if_absent(path, data):
+        # an atomic object-store conditional write: one lock-held
+        # compare-and-insert, the mock equivalent of If-None-Match: *
+        calls["n"] += 1
+        with lock:
+            if path in store:
+                raise FileExistsError(path)
+            store[path] = data
+
+    fsio.register_conditional_put("mock", put_if_absent)
+    try:
+        barrier = threading.Barrier(2)
+        outcomes = []
+
+        def writer(tag):
+            barrier.wait()
+            try:
+                fsio.create_exclusive(
+                    "mock://cas/_commits/v00001.c", tag.encode()
+                )
+                outcomes.append(("ok", tag))
+            except FileExistsError:
+                outcomes.append(("lost", tag))
+
+        ts = [
+            threading.Thread(target=writer, args=(t,)) for t in ("a", "b")
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert sorted(o for o, _ in outcomes) == ["lost", "ok"]
+        assert calls["n"] == 2  # both writers went through the hook
+        winner = next(t for o, t in outcomes if o == "ok")
+        assert store["mock://cas/_commits/v00001.c"] == winner.encode()
+    finally:
+        fsio.unregister_conditional_put("mock")
+
+    # unregistered again: the documented check-then-PUT fallback applies
+    fsio.mkdirs("mock://cas2")
+    fsio.create_exclusive("mock://cas2/x", b"1")
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        fsio.create_exclusive("mock://cas2/x", b"2")

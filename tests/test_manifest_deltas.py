@@ -260,3 +260,22 @@ def test_datasource_append_writes_delta(spark, tmp_path):
     tip = U._latest(tdir)
     assert "files" not in U._read_manifest_raw(tdir, tip)
     assert _state(spark, tdir) == {(1, "a"), (2, "b")}
+
+
+def test_clone_carries_dv_and_schema_maps(spark, tmp_path):
+    """A shallow clone must clone the READER STATE with the files: without
+    the deletion vectors the clone resurrects deleted rows; without the
+    schema maps a renamed source's physical names stop translating."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    U.write_table(_mk(spark, [(1, "a"), (2, "b"), (3, "c")]), src)
+    U.rename_column(src, "v", "name")
+    U.delete_where_dv(spark, src, F.col("k") == 2, ["k"])
+    dst = str(tmp_path / "dst")
+    U.clone_table(src, dst)
+    df = U.read_table(spark, dst)
+    assert df.columns == ["k", "name"]
+    assert {(r["k"], r["name"]) for r in df.collect()} == {
+        (1, "a"), (3, "c")
+    }

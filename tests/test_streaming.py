@@ -306,3 +306,40 @@ def test_stream_stream_attribution_join_equals_batch(spark, events_dir):
     q.awaitTermination(120)
     got = _rows(spark.sql("SELECT * FROM attrib_t"), cols)
     assert got == expected
+
+
+def test_appless_sink_against_marked_table_warns_or_raises(spark, tmp_path):
+    """r7 punch #6: constructing an app_id=None sink against a table that
+    already carries app-less batch markers is the fresh-checkpoint
+    foot-gun (batch ids restart at 0 and every batch <= the old marker
+    silently skips). Construction now warns — or raises under
+    strict_app_id — instead of staying silent; naming an app_id stays
+    quiet."""
+    import warnings
+
+    import pytest
+
+    from spookystuff_spark.streaming.sink import (
+        batch_marker_name,
+        streaming_upsert_sink,
+    )
+    from spookystuff_spark.sources import upsert as U
+
+    tdir = str(tmp_path / "sink_tbl")
+    # a prior app-less stream committed batches 0..5
+    U.write_table(
+        spark.createDataFrame([(1, "a")], "k long, v string"), tdir,
+        marker=batch_marker_name(5, None), change_feed=False,
+    )
+    with pytest.warns(UserWarning, match="silently SKIPPED"):
+        streaming_upsert_sink(tdir, ["k"])  # app-less: ambiguous
+    with pytest.raises(ValueError, match="silently SKIPPED"):
+        streaming_upsert_sink(tdir, ["k"], strict_app_id=True)
+    # the canonical call — one namespace per checkpoint — stays quiet
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        streaming_upsert_sink(tdir, ["k"], app_id=str(tmp_path / "ckpt"))
+    # and a fresh table is quiet too
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        streaming_upsert_sink(str(tmp_path / "none_yet"), ["k"])
