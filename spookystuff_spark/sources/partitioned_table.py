@@ -436,7 +436,7 @@ def read_table_partitions(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v not in U.committed_versions(table_dir):
+    if v != cur and v not in U.committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
@@ -598,7 +598,7 @@ def read_table_partitions_pruned(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v not in U.committed_versions(table_dir):
+    if v != cur and v not in U.committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}

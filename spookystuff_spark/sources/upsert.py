@@ -981,7 +981,9 @@ def read_table(
             raise ValueError("pass version OR as_of_ms, not both")
         version = version_at(table_dir, as_of_ms)
     v = version or cur
-    if v not in committed_versions(table_dir):
+    # the tip is committed by construction — the O(versions) chain walk
+    # is only for explicit time travel
+    if v != cur and v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     m = read_manifest(table_dir, v)
     rel, files = _entries_and_paths(table_dir, v, m)
@@ -1757,7 +1759,9 @@ def read_table_pruned(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v not in committed_versions(table_dir):
+    # the tip is committed by construction — the O(versions) chain walk
+    # is only for explicit time travel
+    if v != cur and v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     stats = entry_stats(table_dir, v)
     m = read_manifest(table_dir, v)
@@ -1946,7 +1950,9 @@ def export_symlink_manifest(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v not in committed_versions(table_dir):
+    # the tip is committed by construction — the O(versions) chain walk
+    # is only for explicit time travel
+    if v != cur and v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     m = read_manifest(table_dir, v) or {}
     if m.get("dv"):
@@ -1995,7 +2001,9 @@ def read_table_with_lineage(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v not in committed_versions(table_dir):
+    # the tip is committed by construction — the O(versions) chain walk
+    # is only for explicit time travel
+    if v != cur and v not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {v} not committed in {table_dir}")
     mm = read_manifest(table_dir, v)
     rel, files = _entries_and_paths(table_dir, v, mm)
