@@ -136,14 +136,22 @@ def main() -> None:
     # in-run numbers so round-over-round adjudication needs no judge
     # re-runs. Disable with SPARK_GRAFT_ISOLATED_TOP=0.
     isolated_top: dict[str, float] = {}
+    isolated_skipped: list[str] = []
     n_top = int(os.environ.get("SPARK_GRAFT_ISOLATED_TOP", "10"))
     for a in sys.argv[1:]:
         if a.startswith("--isolated-top"):
             n_top = int(a.split("=", 1)[1]) if "=" in a else n_top
+    # wall-clock budget for the whole retime pass: keeps the bench's total
+    # runtime bounded no matter how slow the singles are (a driver-side
+    # timeout killing the run would lose the WHOLE artifact — worse than a
+    # shorter retime list); queries dropped by the budget are NAMED in the
+    # payload, never silently absent
+    budget_s = float(os.environ.get("SPARK_GRAFT_ISOLATED_BUDGET_S", "300"))
     if not isolated and n_top > 0:
         spark.stop()  # free the in-run JVM before the per-query processes
         import subprocess
 
+        t_pass0 = time.monotonic()
         singles = sorted(
             (
                 (t, q)
@@ -154,6 +162,9 @@ def main() -> None:
         )[:n_top]
         me = os.path.abspath(__file__)
         for _, q in singles:
+            if time.monotonic() - t_pass0 > budget_s:
+                isolated_skipped.append(q)
+                continue
             env = {
                 **os.environ,
                 "SPARK_GRAFT_BENCH_REPEATS": "3",
@@ -183,6 +194,7 @@ def main() -> None:
     payload = {
         "queries": timings,
         "isolated_top": isolated_top,
+        "isolated_top_skipped": isolated_skipped,
         "suites": {
             s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
             if s in timings
