@@ -53,6 +53,10 @@ class _FilePart(InputPartition):
     path: str
     change: bool  # True: file belongs to a change feed
     kind: str | None = None  # fill for a missing _change column
+    # per-file logical→physical column map (column-mapping renames): rides
+    # the partition so the task needs only ITS file's map, never the
+    # reader's whole O(files) planning state
+    colmap: dict | None = None
 
 
 def _entry_partition(entry: str) -> str | None:
@@ -244,9 +248,30 @@ class _BatchReader(DataSourceReader):
         return filters  # all unhandled: Spark re-applies every predicate
 
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePart(p, False) for p in self.files] or [
+        """One InputPartition per surviving file, each carrying its OWN
+        colmap — the read task needs only its file's map, never the
+        reader's whole planning state."""
+        return [
+            _FilePart(p, False, colmap=self._colmaps.get(p) or None)
+            for p in self.files
+        ] or [
             _FilePart("", False)  # empty snapshot still needs >= 1 partition
         ]
+
+    def __getstate__(self):
+        """Executor pickle: strip the planning-only state. The reader
+        object ships with every read task; the file list, manifest
+        entries, per-entry stats and colmaps are O(files) — at millions of
+        files that's a ~100 MB closure per task, exactly the driver/
+        network tax the manifest layer exists to avoid. Executors need
+        only the schema and the DV state (small by the DV contract); each
+        partition carries its own path + colmap. The DRIVER-side object
+        keeps full state, so re-planning (a second action on the same
+        frame) still works."""
+        st = self.__dict__.copy()
+        for k in ("files", "_entries", "_colmaps", "_stats", "_log"):
+            st[k] = None
+        return st
 
     def _deleted_keyset(self):
         import pyarrow.parquet as pq
@@ -261,7 +286,7 @@ class _BatchReader(DataSourceReader):
     def read(self, partition: _FilePart) -> Iterator:
         if not partition.path:
             return
-        colmap = self._colmaps.get(partition.path) or {}
+        colmap = partition.colmap or {}
         if not self.dv_paths:
             yield from _read_arrow(
                 partition.path, _arrow_schema(self.spark_schema),
