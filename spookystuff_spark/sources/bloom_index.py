@@ -86,9 +86,10 @@ def build_bloom_specs(
     ``applyInPandas`` tasks (executor-side, next to where the bits are
     folded) — the driver receives only (file, m, k, sidecar-name) spec
     rows, never a bitset, so the attach path's driver memory is O(files ×
-    spec) at any table size. Sidecar names derive from the data file's
-    basename (unique per version by Spark's part-file naming), so driver
-    and executors agree on paths with no round trip."""
+    spec) at any table size. Sidecar names are a content hash of (full
+    file path, column name) — unique per (file, col) even across a
+    partitioned layout's ``__part=`` dirs (where Spark reuses task
+    basenames) and across attach calls with different column lists."""
     import pandas as pd  # noqa: F401 (typing in the udf body)
 
     if not entries or not cols:
@@ -98,7 +99,8 @@ def build_bloom_specs(
     df = spark.read.parquet(*full)
     fsio.mkdirs(fsio.join(table_dir, version, _DIR))
     specs: dict = {}
-    for ci, col in enumerate(cols):
+    for col in cols:
+        probe_col = col  # closure capture for the sidecar name
         h1, h2 = _base_hash_cols(col)
         hashed = df.select(
             F.input_file_name().alias("_file"),
@@ -124,7 +126,19 @@ def build_bloom_specs(
                     bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
                 )
             fname = pdf["_file"].iloc[0]
-            name = f"{fname.rsplit('/', 1)[-1]}.c{ci}.bloom"
+            # name = content hash of (full path, COLUMN NAME): basenames
+            # collide across a partitioned layout's __part= dirs (Spark
+            # reuses part-NNNNN task names per dir) and positional column
+            # indexes collide across attach calls with different column
+            # lists — either collision overwrites a sibling's bits while
+            # both specs still point at the file, turning the
+            # false-positive-only contract into false NEGATIVES
+            import hashlib
+
+            digest = hashlib.md5(
+                f"{fname}|{probe_col}".encode()
+            ).hexdigest()[:20]
+            name = f"{digest}.bloom"
             # executor-side publish: the sidecar is immutable debris until
             # the manifest naming it commits — same crash story as data
             xfs.write_bytes(xfs.join(sidecar_base, name), bits.tobytes())
@@ -295,8 +309,11 @@ def read_table_point(
     # logical probe column PER ENTRY (column-mapping appends: files from
     # different rename epochs carry different physical names)
     log = U.rename_log_of(manifest)
+    rel_all, full_all = U._entries_and_paths(
+        table_dir, v, manifest if manifest.get("files") else None
+    )
     keep_rel, keep_full, skipped = [], [], 0
-    for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
+    for e, full in zip(rel_all, full_all):
         owner = "" if U._is_abs_entry(e) else e.split("/", 1)[0]
         spec = (blooms.get(e) or {}).get(
             U.physical_name_for_entry(log, owner, col)

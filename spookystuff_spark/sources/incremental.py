@@ -85,13 +85,19 @@ def _changes_since(
     newest = None
     committed = U.committed_versions(src_dir)
     first = committed[0] if committed else None
+    in_range = [
+        v for v in committed if after is None or v > after
+    ]
+    # one raw-manifest read per in-range version, shared by the rename-
+    # event pre-pass and the fold loop
+    raws = {
+        v: (U._read_manifest_raw(src_dir, v) or {}) for v in in_range
+    }
     # rename events inside the range, chronological — applied to FEEDS
     # older than each event below
     events: list[dict] = []
-    for v in committed:
-        if after is not None and v <= after:
-            continue
-        m = U._read_manifest_raw(src_dir, v) or {}
+    for v in in_range:
+        m = raws[v]
         if m.get("kind") == "rename":
             log = m.get("rename_log") or []
             if not log:
@@ -101,11 +107,9 @@ def _changes_since(
                     "derived views/indexes from the new schema"
                 )
             events.append(log[-1])
-    for v in committed:
-        if after is not None and v <= after:
-            continue
+    for v in in_range:
         newest = v
-        m = U._read_manifest_raw(src_dir, v) or {}  # kind is raw: no fold
+        m = raws[v]
         if m.get("kind") == "drop":
             raise ValueError(
                 f"{src_dir}/{v}: column-drop commit inside the fold range "

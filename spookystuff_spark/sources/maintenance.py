@@ -100,6 +100,7 @@ def optimize(
             spark, table_dir,
             target_file_bytes=target_file_bytes,
             threshold=threshold,
+            zorder_by=zorder_by,
         )
 
     if report["compacted"] is None:

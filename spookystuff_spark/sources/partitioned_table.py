@@ -604,8 +604,11 @@ def read_table_partitions_pruned(
     manifest = U.read_manifest(table_dir, v) or {"files": []}
     log = U.rename_log_of(manifest)
     stats = U.entry_stats(table_dir, v)
+    rel_all, full_all = U._entries_and_paths(
+        table_dir, v, manifest if manifest.get("files") else None
+    )
     keep_rel, keep_full, skipped_part, skipped_stats = [], [], 0, 0
-    for e, full in zip(manifest["files"], U.snapshot_files(table_dir, v)):
+    for e, full in zip(rel_all, full_all):
         if _part_of(e) not in wanted:
             skipped_part += 1
             continue

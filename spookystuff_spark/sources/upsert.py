@@ -615,25 +615,6 @@ def change_files(table_dir: str, version: str) -> tuple[list[str], str | None]:
 # ------------------------------------------------------------ public API
 
 
-def table_renames(table_dir: str, version: str) -> dict:
-    """{physical file-column name: current logical name} for a snapshot —
-    empty when the table was never column-renamed (or a compaction
-    materialized the renames)."""
-    m = _read_manifest_raw(table_dir, version) or {}
-    return m.get("renames") or {}
-
-
-def physical_name(table_dir: str, version: str, logical: str) -> str:
-    """The file-level column name behind a logical name (identity when
-    never renamed) — what stats/bloom/footer consumers must look up.
-    Table-wide (the ORIGINAL physical); per-entry resolution under
-    post-rename appends is :func:`physical_name_for_entry`."""
-    for p, l in table_renames(table_dir, version).items():
-        if l == logical:
-            return p
-    return logical
-
-
 def rename_log_of(manifest: Optional[dict]) -> list[dict]:
     """Chronological rename EVENTS ``[{"v": commit, "old", "new"}, ...]`` —
     the per-entry column mapping: an entry owned by version w carries a
@@ -814,25 +795,6 @@ def scan_entries(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
-
-
-def _scan_schema(schema, renames: dict):
-    """Logical StructType → the PHYSICAL schema the files carry."""
-    if not renames:
-        return schema
-    from pyspark.sql.types import StructField, StructType
-
-    inv = {l: p for p, l in renames.items()}
-    return StructType(
-        [
-            StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
-            for f in schema.fields
-        ]
-    )
-
-
-def _to_logical(df: DataFrame, renames: dict) -> DataFrame:
-    return df.withColumnsRenamed(renames) if renames else df
 
 
 def rename_column(table_dir: str, old: str, new: str) -> str:
@@ -1196,6 +1158,27 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
     # physical names stop translating). DV entries become absolute paths
     # into the source, like the data files.
     src_m = _read_manifest_raw(src_dir, cur) or {}
+    # absolute entries erase their owning commits, so PER-ENTRY rename-
+    # epoch translation is impossible in a clone: a snapshot whose entries
+    # all predate every rename event clones fine (the carried maps apply
+    # uniformly — the legacy semantics), but a MIXED-epoch snapshot
+    # (post-rename column-mapping appends) would silently null-read the
+    # renamed column from its newer files; refuse and compact first.
+    log = rename_log_of(src_m)
+    if log:
+        min_ev = min(ev["v"] for ev in log)
+        src_folded = read_manifest(src_dir, cur) or {"files": []}
+        mixed = any(
+            not _is_abs_entry(e) and e.split("/", 1)[0] >= min_ev
+            for e in src_folded["files"]
+        )
+        if mixed:
+            raise ValueError(
+                f"{src_dir}: snapshot {cur} mixes pre- and post-rename "
+                "files (column-mapping appends) — a clone's absolute "
+                "entries cannot translate per epoch; compact() the source "
+                "first"
+            )
     extra: dict = {}
     if src_m.get("dv"):
         extra["dv"] = [
@@ -1314,6 +1297,7 @@ def compact_auto(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     threshold: float = 0.5,
+    zorder_by: Sequence[str] | None = None,
 ) -> str | None:
     """Size-aware compaction (the OPTIMIZE of a real lakehouse): measure the
     current snapshot's file-size distribution, and iff the MEDIAN data file
@@ -1331,7 +1315,9 @@ def compact_auto(
     median = stats["sizes"][stats["n_files"] // 2]
     if stats["n_files"] > 1 and median < threshold * target_file_bytes:
         n = max(1, -(-stats["total_bytes"] // target_file_bytes))
-        return compact(spark, table_dir, num_files=int(n))
+        return compact(
+            spark, table_dir, num_files=int(n), zorder_by=zorder_by
+        )
     return None
 
 

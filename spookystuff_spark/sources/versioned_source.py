@@ -356,12 +356,44 @@ class _ChangeFeedReader(DataSourceStreamReader):
         # learn the true stream position (e.g. a restart replaying the last
         # offset-log batch) so the rate-limit window resumes from there
         self._last_end = max(self._last_end, end["version"])
+        committed = U.committed_versions(self.table_dir)
+        # rename events across the WHOLE committed history (any event can
+        # postdate an in-range feed): feed files written before a rename
+        # carry the then-current column names, so each feed partition gets
+        # a colmap translating the stream's logical schema to that feed's
+        # epoch — the streaming twin of incremental._changes_since's
+        # translation. A rename commit always carries its event log
+        # (rename_column writes it); legacy logless renames simply leave
+        # no events and the extra-column fail-fast stays the honest guard.
+        events: list[dict] = []
+        drops: list[str] = []
+        raws = {v: U._read_manifest_raw(self.table_dir, v) or {} for v in committed}
+        for v in committed:
+            m = raws[v]
+            if m.get("kind") == "rename" and m.get("rename_log"):
+                events.append(m["rename_log"][-1])
+            for d in m.get("drops") or ():
+                if d not in drops:
+                    drops.append(d)
+        lnames = [f.name for f in self.spark_schema.fields]
         parts: list[InputPartition] = []
-        for v in U.committed_versions(self.table_dir):
+        for v in committed:
             n = int(v[1:])
             if start["version"] < n <= end["version"]:
                 files, kind = U.change_files(self.table_dir, v)
-                parts.extend(_FilePart(p, True, kind) for p in files)
+                cm = {
+                    ln: p
+                    for ln in lnames
+                    if (p := U.physical_name_for_entry(events, v, ln)) != ln
+                }
+                # columns dropped AFTER this feed was written are known-
+                # not-data (deliberately dropped), not corrupt footers
+                if drops:
+                    cm["__drops__"] = drops
+                parts.extend(
+                    _FilePart(p, True, kind, colmap=cm or None)
+                    for p in files
+                )
         # Spark requires >= 1 partition per batch; an empty range (e.g.
         # compaction-only versions have no _changes) yields a no-row part
         return parts or [_FilePart("", True)]
@@ -372,6 +404,7 @@ class _ChangeFeedReader(DataSourceStreamReader):
                 partition.path,
                 _arrow_schema(self.spark_schema),
                 {"_change": partition.kind} if partition.kind else None,
+                colmap=partition.colmap,
             )
 
     def commit(self, end: dict) -> None:

@@ -217,3 +217,40 @@ def test_probe_hashes_at_table_column_type(spark, tmp_path):
     got2, info2 = read_table_point(spark, tdir, "amount", 99999)
     assert got2.count() == 0
     assert info2["skipped_bloom"] == 3
+
+
+def test_sidecar_names_unique_across_partition_dirs_and_columns(
+    spark, tmp_path
+):
+    """Two collision modes the hash-named sidecars must prevent: (a) a
+    single-task partitioned write reuses the same part-file BASENAME in
+    every __part= dir — basename-derived sidecar names would overwrite
+    each other while both manifest specs still point at the survivor;
+    (b) attach calls with different column lists reuse positional indexes.
+    Either way a probe reads the wrong bits and can answer
+    definitely-absent for a present value (false negatives)."""
+    from spookystuff_spark.sources.partitioned_table import (
+        write_table_partitioned,
+    )
+
+    tdir = str(tmp_path / "collide")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"u{i}") for i in range(300)],
+        "k long, b int, name string",
+    ).coalesce(1)  # ONE task → identical basenames across __part dirs
+    write_table_partitioned(df, tdir, "b", bloom_cols=["name"],
+                            change_feed=False)
+    eb = entry_blooms(tdir, U.committed_versions(tdir)[-1])
+    paths = [b["name"]["path"] for b in eb.values() if b.get("name")]
+    assert len(paths) == len(set(paths)) == 3  # one DISTINCT sidecar each
+    # soundness: every present value found regardless of partition
+    for k in (0, 1, 2, 299):
+        got, _ = read_table_point(spark, tdir, "name", f"u{k}")
+        assert [r["k"] for r in got.collect()] == [k]
+    # (b) second attach with a different column list must not clobber
+    attach_blooms(spark, tdir, ["k"])
+    for k in (0, 1, 2, 299):
+        got, _ = read_table_point(spark, tdir, "name", f"u{k}")
+        assert [r["k"] for r in got.collect()] == [k]
+        got2, _ = read_table_point(spark, tdir, "k", k)
+        assert [r["name"] for r in got2.collect()] == [f"u{k}"]

@@ -117,3 +117,28 @@ def test_optimize_retention_protects_recent_versions(spark, tmp_path):
 def test_optimize_empty_table_dir_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         optimize(spark, str(tmp_path / "nope"))
+
+
+def test_optimize_zorders_plain_table_rewrite(spark, tmp_path, monkeypatch):
+    """zorder_by reaches the plain-table compaction path (it used to be
+    silently dropped on non-partitioned tables while the report still said
+    'compacted' — the caller believed the table was clustered)."""
+    tdir = str(tmp_path / "ztbl")
+    U.write_table(_mk(spark, 0, 2000).repartition(8), tdir,
+                  change_feed=False)
+    seen = {}
+    orig = U.compact
+
+    def spying_compact(spark_, table_dir_, num_files=8, marker=None,
+                       zorder_by=None):
+        seen["zorder_by"] = zorder_by
+        return orig(spark_, table_dir_, num_files=num_files, marker=marker,
+                    zorder_by=zorder_by)
+
+    monkeypatch.setattr(U, "compact", spying_compact)
+    rep = optimize(spark, tdir, target_file_bytes=1 << 30,
+                   zorder_by=["k"], keep=1)
+    assert rep["compacted"] is not None
+    assert seen["zorder_by"] == ["k"]  # the clustering actually happened
+    df, _ = U.read_table_pruned(spark, tdir, "k", 0, 10)
+    assert df.count() == 11

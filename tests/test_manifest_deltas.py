@@ -279,3 +279,27 @@ def test_clone_carries_dv_and_schema_maps(spark, tmp_path):
     assert {(r["k"], r["name"]) for r in df.collect()} == {
         (1, "a"), (3, "c")
     }
+
+
+def test_clone_refuses_mixed_rename_epochs(spark, tmp_path):
+    """A clone's absolute entries erase their owning commits, so a
+    snapshot mixing pre- and post-rename files (column-mapping appends)
+    cannot translate per epoch — refusal, not silent null-reads; after a
+    compact the clone flows."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    U.write_table(_mk(spark, [(1, "a")]), src)
+    U.rename_column(src, "v", "name")
+    U.append_rows(spark, src, spark.createDataFrame(
+        [(2, "b")], "k int, name string"
+    ))
+    with pytest.raises(ValueError, match="mixes pre- and post-rename"):
+        U.clone_table(src, str(tmp_path / "dst"))
+    from spookystuff_spark.sources import upsert as UU
+
+    UU.compact(spark, src, num_files=1)
+    dst = str(tmp_path / "dst2")
+    U.clone_table(src, dst)
+    assert {(r["k"], r["name"]) for r in U.read_table(spark, dst).collect()} \
+        == {(1, "a"), (2, "b")}

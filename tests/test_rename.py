@@ -267,16 +267,21 @@ def test_drop_refusals(spark, tmp_path):
     assert U.read_table(spark, tdir).columns == ["k"]
 
 
-def test_cdc_stream_across_rename_boundary_fails_fast(spark, tmp_path):
+def test_cdc_stream_translates_across_rename_boundary(spark, tmp_path):
     """A change-feed stream started before a rename reads pre-rename feed
-    files with the NEW logical schema — that must refuse loudly (the
-    extra-column fail-fast), never silently null-fill the renamed column."""
+    files under the NEW logical schema: each feed partition carries a
+    colmap for its epoch, so the old feeds' values arrive under the
+    current column names — never null-filled, never refused (the r7
+    column-mapping semantics, streaming flavor)."""
     from spookystuff_spark.sources.versioned_source import register as _reg
 
     _reg(spark)
     src = str(tmp_path / "src")
     U.write_table(_rows(spark, BASE), src)  # v1 feed carries 'val'
     U.rename_column(src, "val", "amount")
+    U.append_rows(spark, src, spark.createDataFrame(
+        [(9, "eu", 90)], "k long, region string, amount long"
+    ))  # post-rename feed carries 'amount'
     stream = (
         spark.readStream.format("spooky_versioned")
         .option("path", src)
@@ -292,11 +297,15 @@ def test_cdc_stream_across_rename_boundary_fails_fast(spark, tmp_path):
         .start()
     )
     try:
-        with pytest.raises(Exception, match="refusing to drop data"):
-            q.processAllAvailable()
-            q.awaitTermination(5)
+        q.processAllAvailable()
     finally:
         q.stop()
+    got = {
+        (r["k"], r["amount"])
+        for r in spark.sql("SELECT k, amount FROM ren_cdc").collect()
+    }
+    # both epochs' feeds, values intact under the current name
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40), (9, 90)}
 
 
 def test_incremental_fold_tolerates_rename_translates_feeds(spark, tmp_path):
