@@ -17,6 +17,7 @@ reclaimed; output is bounded by the changed-row count, never the table.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -525,6 +526,74 @@ SELECT 'scd2asof', concat_ws('|', CAST(o_orderkey AS VARCHAR), seg), 'ts',
 
 
 ORACLE_SCD2 = _scd2_oracle()
+
+
+ORACLE_JOIN_VIEW = """
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_pairs,
+           ROUND(SUM(o_totalprice) + 1e-6, 2) AS sum_price
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1
+"""
+
+
+@bench_only("q_join_view")
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN view maintenance, gate-pinned end-to-end
+    (sources/join_view.py::refresh_join_view): seed the customer⋈orders
+    view from partial slices of both sides, then fold three interleaved
+    append batches (dim side, fact side, both) through the delta-join
+    identity — ΔA ⋈ B_new + (A∖ΔA) ⋈ ΔB, exactly-once dual watermark
+    riding each commit, O(batch) delta-manifest appends on the view. The
+    oracle recomputes the FULL join closed-form from the raw tables, so
+    any double-counted ΔA⋈ΔB pair, lost append, or replayed fold breaks
+    the hash. Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.join_view import refresh_join_view
+    from spookystuff_spark.sources.upsert import append_rows, read_table, write_table
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    base = tempfile.mkdtemp(prefix="spooky-jv-")
+    a_dir, b_dir, dst = (os.path.join(base, n) for n in ("a", "b", "v"))
+    try:
+        write_table(cust.where(F.col("custkey") % 2 == 0), a_dir)
+        write_table(orders.where(F.col("o_orderkey") % 3 == 0), b_dir)
+        refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])  # seed
+        # dim-side append, fold
+        append_rows(spark, a_dir, cust.where(F.col("custkey") % 2 == 1))
+        refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
+        # fact-side append, fold
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 1))
+        refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
+        # both sides in one fold: fresh dim keys (no matching facts —
+        # inner join contributes zero pairs, exactly like the oracle) AND
+        # the last fact batch; the ΔA⋈ΔB/once-only bookkeeping must hold
+        append_rows(
+            spark, a_dir,
+            cust.select(
+                (F.col("custkey") + F.lit(10_000_000)).alias("custkey"),
+                F.concat(F.lit("X-"), F.col("seg")).alias("seg"),
+            ),
+        )
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 2))
+        refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
+        view = read_table(spark, dst)
+        return (
+            view.groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.round(F.sum("price") + F.lit(1e-6), 2).alias("sum_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 ORACLE_RENAME = """

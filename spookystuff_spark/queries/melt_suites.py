@@ -82,6 +82,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
+    ORACLE_JOIN_VIEW,
     ORACLE_RENAME,
     ORACLE_SCD2,
     ORACLE_STREAM_INGEST,
@@ -89,6 +90,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_cdc_upsert,
     q_dv_delete,
     q_ivm_refresh,
+    q_join_view,
     q_partitioned_merge,
     q_rename_table,
     q_scd2_dim,
@@ -127,7 +129,8 @@ WITH {PAGERANK_CTES},
      blm AS ({ORACLE_BLOOM_LOOKUP}), ivj AS ({ORACLE_INTERVAL_JOIN}),
      scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE}),
      trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
-     rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME})
+     rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME}),
+     jv AS ({ORACLE_JOIN_VIEW})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -200,6 +203,9 @@ UNION ALL {_melt_sql("tpp", "toppaths", ["path"], ["n_sessions", "rank"])}
 UNION ALL SELECT q, row_key, measure, v_num FROM rz
 UNION ALL {_melt_sql(
     "ren", "q_rename_table", ["reader", "lang"], ["chars_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "jv", "q_join_view", ["seg"], ["n_pairs", "sum_price"],
 )}"""
 
 
@@ -337,6 +343,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # q_event_flow / q_rolling_zscore return melt-shaped rows
         q_event_flow(spark, sf_dir),
         q_rolling_zscore(spark, sf_dir),
+        _melt(
+            q_join_view(spark, sf_dir),
+            "q_join_view",
+            ["seg"],
+            ["n_pairs", "sum_price"],
+        ),
     ]
     return reduce(DataFrame.unionByName, parts)
 
@@ -529,6 +541,7 @@ register_suite(
         "toppaths": "q_event_flow",
         "q_rolling_zscore": "q_rolling_zscore",
         "q_rename_table": "q_rename_table",
+        "q_join_view": "q_join_view",
     },
 )
 register_suite(
