@@ -571,13 +571,16 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fact-side append, fold
         append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 1))
         refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
-        # both sides in one fold: fresh dim keys (no matching facts —
-        # inner join contributes zero pairs, exactly like the oracle) AND
-        # the last fact batch; the ΔA⋈ΔB/once-only bookkeeping must hold
+        # both sides in one fold: fresh dim keys (-(k+1): strictly negative
+        # for every real custkey >= 0 at ANY scale factor, so no collision
+        # is possible — a fixed additive offset would collide once the
+        # corpus outgrew it; no matching facts means zero pairs, exactly
+        # like the oracle) AND the last fact batch; the ΔA⋈ΔB/once-only
+        # bookkeeping must hold
         append_rows(
             spark, a_dir,
             cust.select(
-                (F.col("custkey") + F.lit(10_000_000)).alias("custkey"),
+                (-(F.col("custkey") + F.lit(1))).alias("custkey"),
                 F.concat(F.lit("X-"), F.col("seg")).alias("seg"),
             ),
         )

@@ -100,7 +100,6 @@ def build_bloom_specs(
     fsio.mkdirs(fsio.join(table_dir, version, _DIR))
     specs: dict = {}
     for col in cols:
-        probe_col = col  # closure capture for the sidecar name
         h1, h2 = _base_hash_cols(col)
         hashed = df.select(
             F.input_file_name().alias("_file"),
@@ -136,7 +135,7 @@ def build_bloom_specs(
             import hashlib
 
             digest = hashlib.md5(
-                f"{fname}|{probe_col}".encode()
+                f"{fname}|{col}".encode()
             ).hexdigest()[:20]
             name = f"{digest}.bloom"
             # executor-side publish: the sidecar is immutable debris until

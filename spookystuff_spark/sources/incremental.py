@@ -48,19 +48,28 @@ _POS = ("insert", "upsert")
 _NEG = ("update_preimage", "delete")
 
 
-def last_processed_version(dst_dir: str) -> str | None:
-    """Newest source version a committed refresh of ``dst_dir`` covers."""
+def newest_marker(dst_dir: str, prefix: str) -> str | None:
+    """Suffix of the newest committed marker file starting with ``prefix``,
+    walking committed versions newest-first — the shared primitive behind
+    the ``_SRC_`` watermark family (aggregate IVM here, the join view's
+    dual ``_SRCJ_`` marker, index refresh watermarks). None when no marker
+    or no table."""
+    from spookystuff_spark import fsio
+
     try:
         committed = U.committed_versions(dst_dir)
     except FileNotFoundError:
         return None
     for v in reversed(committed):
-        from spookystuff_spark import fsio
-
         for name in fsio.ls(fsio.join(dst_dir, v)):
-            if name.startswith(_SRC_MARK):
-                return name[len(_SRC_MARK):]
+            if name.startswith(prefix):
+                return name[len(prefix):]
     return None
+
+
+def last_processed_version(dst_dir: str) -> str | None:
+    """Newest source version a committed refresh of ``dst_dir`` covers."""
+    return newest_marker(dst_dir, _SRC_MARK)
 
 
 def _changes_since(

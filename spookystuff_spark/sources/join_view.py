@@ -58,17 +58,13 @@ def _watermarks(dst_dir: str) -> tuple[str | None, str | None]:
     """(A's processed version, B's) from the newest committed marker —
     both ride one name (``_SRCJ_<va>_<vb>``, 'none' for never-processed),
     so they can never desynchronize across a crash."""
-    try:
-        committed = U.committed_versions(dst_dir)
-    except FileNotFoundError:
+    from spookystuff_spark.sources.incremental import newest_marker
+
+    suffix = newest_marker(dst_dir, _MARK)
+    if suffix is None:
         return None, None
-    for v in reversed(committed):
-        for name in fsio.ls(fsio.join(dst_dir, v)):
-            if name.startswith(_MARK):
-                va, _, vb = name[len(_MARK):].partition("_")
-                return (va if va != "none" else None,
-                        vb if vb != "none" else None)
-    return None, None
+    va, _, vb = suffix.partition("_")
+    return (va if va != "none" else None, vb if vb != "none" else None)
 
 
 def _insert_only(src_dir: str, changes: DataFrame | None) -> DataFrame | None:
@@ -91,13 +87,18 @@ def _snapshot_probe(
     src_dir: str,
     keys_df: DataFrame | None,
     on: Sequence[str],
+    version: str,
 ) -> DataFrame:
     """The snapshot side of a delta join, restricted to the partitions the
     other side's delta keys touch when the source is laid out by the
     (single) join key — manifest-pruned, zero IO elsewhere. Falls back to
-    a semi-join-filtered full scan (one pass) otherwise."""
-    cur = U._latest(src_dir)
-    raw = U._read_manifest_raw(src_dir, cur) or {}
+    a semi-join-filtered full scan (one pass) otherwise. ``version`` PINS
+    the read to the snapshot the watermark records: an unpinned latest
+    read would include rows a concurrent writer committed after the feed
+    walk, and the next refresh's delta would re-emit those pairs
+    (double-count) — the source-side race the view's own commit CAS can't
+    see."""
+    raw = U._read_manifest_raw(src_dir, version) or {}
     pcol = raw.get("partition_col")
     if (
         keys_df is not None
@@ -110,12 +111,43 @@ def _snapshot_probe(
 
         vals = [r[0] for r in keys_df.distinct().collect()]  # O(Δ keys)
         if not vals:
-            return U.read_table(spark, src_dir).limit(0)
-        return read_table_partitions(spark, src_dir, vals)
-    df = U.read_table(spark, src_dir)
+            return U.read_table(spark, src_dir, version=version).limit(0)
+        return read_table_partitions(spark, src_dir, vals, version=version)
+    df = U.read_table(spark, src_dir, version=version)
     if keys_df is not None:
         df = df.join(F.broadcast(keys_df.distinct()), list(on), "leftsemi")
     return df
+
+
+def _schema_at(src_dir: str, version: str):
+    """StructType of a source's pinned snapshot — one raw-manifest read,
+    no DataFrame construction."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    sj = U.snapshot_schema_json(src_dir, version)
+    if sj is None:
+        raise FileNotFoundError(f"{src_dir}/{version}: no schema recorded")
+    return StructType.fromJson(json.loads(sj))
+
+
+def _align(df: DataFrame, schema) -> DataFrame:
+    """TYPED null-fill for feed columns absent from the snapshot schema (a
+    legal subset-schema append's feed lacks later-evolved columns; without
+    the fill the fold would crash on every retry and wedge the view, since
+    feeds are immutable and the watermark only advances on success)."""
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(f.name)
+                if f.name in have
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def refresh_join_view(
@@ -138,7 +170,18 @@ def refresh_join_view(
     on = list(on)
     wa, wb = _watermarks(dst_dir)
     first = wa is None and wb is None
+    exists = fsio.is_dir(dst_dir) and U._latest(dst_dir) is not None
     if first:
+        if exists:
+            # a view WITHOUT a watermark can only mean maintenance dropped
+            # the marker-bearing versions (e.g. an aggressive vacuum):
+            # re-seeding would APPEND the full join onto the existing
+            # content and silently double every pair — refuse instead
+            raise ValueError(
+                f"join view {dst_dir}: existing view carries no _SRCJ "
+                "watermark (vacuumed away?) — rebuild it (remove the dir "
+                "and re-seed) or restore a marker-bearing version"
+            )
         # the seed reads SNAPSHOTS, not feeds — no feed walk, so a source
         # with pre-seed history of any commit kind still seeds fine
         newest_a, newest_b = U._latest(a_dir), U._latest(b_dir)
@@ -155,25 +198,38 @@ def refresh_join_view(
         da = _insert_only(a_dir, da)
         db = _insert_only(b_dir, db)
 
-    a_cols = [c for c in U.read_table(spark, a_dir).columns if c not in on]
-    b_cols = [c for c in U.read_table(spark, b_dir).columns if c not in on]
+    # every snapshot read below is PINNED to the version the watermark
+    # will record — a concurrent source commit after the feed walk must
+    # not leak into this refresh (its rows arrive as the NEXT delta)
+    pin_a = newest_a or wa
+    pin_b = newest_b or wb
+    a_schema = _schema_at(a_dir, pin_a)
+    b_schema = _schema_at(b_dir, pin_b)
+    a_cols = [f.name for f in a_schema.fields if f.name not in on]
+    b_cols = [f.name for f in b_schema.fields if f.name not in on]
     clash = sorted(set(a_cols) & set(b_cols))
     if clash:
         raise ValueError(
             f"join view {dst_dir}: non-key columns {clash} exist on both "
             "sides — alias them upstream"
         )
+    if da is not None:
+        da = _align(da, a_schema)
+    if db is not None:
+        db = _align(db, b_schema)
 
     if first:
         # seed: the full join once; later refreshes are delta-only
-        delta_v = U.read_table(spark, a_dir).join(
-            U.read_table(spark, b_dir), on, "inner"
+        delta_v = U.read_table(spark, a_dir, version=pin_a).join(
+            U.read_table(spark, b_dir, version=pin_b), on, "inner"
         )
     else:
         parts = []
         if da is not None:
             # ΔA ⋈ B_new — B probed only at ΔA's keys' partitions
-            b_probe = _snapshot_probe(spark, b_dir, da.select(*on), on)
+            b_probe = _snapshot_probe(
+                spark, b_dir, da.select(*on), on, version=pin_b
+            )
             parts.append(da.join(b_probe, on, "inner"))
         if db is not None:
             # A_old ⋈ ΔB: A_new restricted to ΔB's keys, minus ΔA's rows
@@ -181,7 +237,9 @@ def refresh_join_view(
             # B_new contains ΔB). Exactness is only needed within the
             # probed keys, so the subtraction is an exceptAll on the
             # probed slice, never a full-table set op.
-            a_probe = _snapshot_probe(spark, a_dir, db.select(*on), on)
+            a_probe = _snapshot_probe(
+                spark, a_dir, db.select(*on), on, version=pin_a
+            )
             if da is not None:
                 a_probe = a_probe.exceptAll(
                     da.select(*a_probe.columns).join(
@@ -196,11 +254,8 @@ def refresh_join_view(
             for p in parts[1:]:
                 delta_v = delta_v.unionByName(p)
 
-    marker = (
-        f"{_MARK}{newest_a or wa or 'none'}_{newest_b or wb or 'none'}"
-    )
+    marker = f"{_MARK}{pin_a or 'none'}_{pin_b or 'none'}"
     ordered = on + a_cols + b_cols
-    exists = fsio.is_dir(dst_dir) and U._latest(dst_dir) is not None
     if delta_v is None:
         # watermark-only advance (feed-less versions): commit the marker
         # on an empty append so the next refresh doesn't re-walk them; a

@@ -357,19 +357,23 @@ class _ChangeFeedReader(DataSourceStreamReader):
         # offset-log batch) so the rate-limit window resumes from there
         self._last_end = max(self._last_end, end["version"])
         committed = U.committed_versions(self.table_dir)
-        # rename events across the WHOLE committed history (any event can
-        # postdate an in-range feed): feed files written before a rename
-        # carry the then-current column names, so each feed partition gets
-        # a colmap translating the stream's logical schema to that feed's
+        # rename events from versions AFTER the batch start only: an event
+        # at v' <= start can never satisfy ev.v > owner for in-range feeds
+        # (owner > start >= v'), and a column dropped at d <= start cannot
+        # appear in feeds written after d — so the raw-manifest scan is
+        # O(versions past the stream position) per trigger, not O(full
+        # table history). Feed files written before a rename carry the
+        # then-current names; each feed partition gets a colmap to its
         # epoch — the streaming twin of incremental._changes_since's
         # translation. A rename commit always carries its event log
         # (rename_column writes it); legacy logless renames simply leave
         # no events and the extra-column fail-fast stays the honest guard.
         events: list[dict] = []
         drops: list[str] = []
-        raws = {v: U._read_manifest_raw(self.table_dir, v) or {} for v in committed}
         for v in committed:
-            m = raws[v]
+            if int(v[1:]) <= start["version"]:
+                continue
+            m = U._read_manifest_raw(self.table_dir, v) or {}
             if m.get("kind") == "rename" and m.get("rename_log"):
                 events.append(m["rename_log"][-1])
             for d in m.get("drops") or ():

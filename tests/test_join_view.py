@@ -188,3 +188,46 @@ def test_streaming_sink_keeps_view_fresh(spark, tmp_path):
     finally:
         q.stop()
     assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+
+
+def test_vacuumed_watermark_refuses_instead_of_reseeding(spark, tmp_path):
+    """Maintenance that drops every marker-bearing version must NOT let
+    the next refresh re-seed the full join onto the existing content
+    (silent whole-view duplication) — it refuses with a rebuild hint."""
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(_dim(spark, [(1, "one")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100)]), b)
+    refresh_join_view(spark, a, b, dst, ["k"])
+    # simulate aggressive maintenance: compact (marker-less tip) + vacuum
+    U.compact(spark, dst, num_files=1)
+    U.vacuum(dst, keep=1)
+    U.append_rows(spark, b, _fact(spark, [(1, 11, 110)]))
+    with pytest.raises(ValueError, match="no _SRCJ watermark"):
+        refresh_join_view(spark, a, b, dst, ["k"])
+    # the view content was never doubled
+    assert U.read_table(spark, dst).count() == 1
+
+
+def test_subset_schema_feed_null_fills_instead_of_wedging(spark, tmp_path):
+    """A legal subset-schema append (additive evolution: the feed lacks a
+    later-evolved column) must fold with typed null-fill — a crash here
+    would wedge the view forever, since feeds are immutable and the
+    watermark only advances on success."""
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(
+        spark.createDataFrame([(1, "one", 5)], "k int, dname string, extra int"),
+        a,
+    )
+    U.write_table(_fact(spark, [(1, 10, 100)]), b)
+    refresh_join_view(spark, a, b, dst, ["k"])
+    # subset-schema append: no 'extra' column in the batch
+    U.append_rows(spark, a, spark.createDataFrame(
+        [(2, "two")], "k int, dname string"
+    ))
+    U.append_rows(spark, b, _fact(spark, [(2, 20, 200)]))
+    assert refresh_join_view(spark, a, b, dst, ["k"])
+    got = {
+        (r["k"], r["dname"], r["extra"], r["fid"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {(1, "one", 5, 10), (2, "two", None, 20)}
