@@ -286,8 +286,7 @@ def read_table_point(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v != cur and v not in U.committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    U._check_readable(table_dir, v, cur)
     h1, h2 = _base_hash_cols(col)
     probe = spark.createDataFrame([(value,)], ["_v"])
     schema_json0 = U.snapshot_schema_json(table_dir, v)

@@ -436,8 +436,7 @@ def read_table_partitions(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v != cur and v not in U.committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    U._check_readable(table_dir, v, cur)
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
     rel_all, full_all = U._entries_and_paths(
@@ -598,8 +597,7 @@ def read_table_partitions_pruned(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    if v != cur and v not in U.committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    U._check_readable(table_dir, v, cur)
     wanted = {str(x) for x in partition_values}
     manifest = U.read_manifest(table_dir, v) or {"files": []}
     log = U.rename_log_of(manifest)

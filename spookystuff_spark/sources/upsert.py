@@ -441,6 +441,18 @@ def _is_abs_entry(entry: str) -> bool:
     return "://" in entry or entry.startswith("/")
 
 
+def _check_readable(table_dir: str, v: str, cur: str | None) -> None:
+    """Version-read guard. The tip WITH a manifest is committed by
+    construction under the commit-file protocol (one cheap raw read, no
+    chain walk); everything else — explicit time travel, and the corrupt
+    LEGACY-pointer case where ``_LATEST`` names a manifest-less dir — must
+    be on the committed chain or refuse loudly, never serve torn data."""
+    if v == cur and _read_manifest_raw(table_dir, v) is not None:
+        return
+    if v not in committed_versions(table_dir):
+        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+
+
 def _entries_and_paths(
     table_dir: str, version: str, manifest: Optional[dict]
 ) -> tuple[list[str], list[str]]:
@@ -943,10 +955,7 @@ def read_table(
             raise ValueError("pass version OR as_of_ms, not both")
         version = version_at(table_dir, as_of_ms)
     v = version or cur
-    # the tip is committed by construction — the O(versions) chain walk
-    # is only for explicit time travel
-    if v != cur and v not in committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    _check_readable(table_dir, v, cur)
     m = read_manifest(table_dir, v)
     rel, files = _entries_and_paths(table_dir, v, m)
     # per-entry physical→logical column translation (column-mapping
@@ -1745,10 +1754,7 @@ def read_table_pruned(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    # the tip is committed by construction — the O(versions) chain walk
-    # is only for explicit time travel
-    if v != cur and v not in committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    _check_readable(table_dir, v, cur)
     stats = entry_stats(table_dir, v)
     m = read_manifest(table_dir, v)
     log = rename_log_of(m)
@@ -1936,10 +1942,7 @@ def export_symlink_manifest(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    # the tip is committed by construction — the O(versions) chain walk
-    # is only for explicit time travel
-    if v != cur and v not in committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    _check_readable(table_dir, v, cur)
     m = read_manifest(table_dir, v) or {}
     if m.get("dv"):
         raise ValueError(
@@ -1987,10 +1990,7 @@ def read_table_with_lineage(
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     v = version or cur
-    # the tip is committed by construction — the O(versions) chain walk
-    # is only for explicit time travel
-    if v != cur and v not in committed_versions(table_dir):
-        raise FileNotFoundError(f"version {v} not committed in {table_dir}")
+    _check_readable(table_dir, v, cur)
     mm = read_manifest(table_dir, v)
     rel, files = _entries_and_paths(table_dir, v, mm)
     m = mm or {"files": []}
