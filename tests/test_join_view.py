@@ -231,3 +231,59 @@ def test_subset_schema_feed_null_fills_instead_of_wedging(spark, tmp_path):
         for r in U.read_table(spark, dst).collect()
     }
     assert got == {(1, "one", 5, 10), (2, "two", None, 20)}
+
+
+def test_randomized_interleavings_match_model(spark, tmp_path):
+    """Property test: a seeded random schedule of appends (A-side, B-side,
+    or both; duplicate keys; empty batches; refreshes at random points)
+    always leaves the view equal to a pure-Python full-join recompute —
+    the delta-join algebra has no schedule-dependent edge case."""
+    import random
+
+    rng = random.Random(20260815)
+    a, b, dst = (str(tmp_path / n) for n in ("ra", "rb", "rv"))
+    a_rows = [(rng.randrange(8), f"d{i}") for i in range(4)]
+    b_rows = [(rng.randrange(8), i, i * 10) for i in range(4)]
+    U.write_table(_dim(spark, a_rows), a)
+    U.write_table(_fact(spark, b_rows), b)
+    refresh_join_view(spark, a, b, dst, ["k"])
+    next_id = 100
+    for step in range(12):
+        action = rng.choice(["a", "b", "ab", "refresh", "refresh"])
+        if action in ("a", "ab"):
+            batch = [
+                (rng.randrange(8), f"d{next_id + j}")
+                for j in range(rng.randrange(0, 3))
+            ]
+            next_id += 3
+            if batch:
+                a_rows += batch
+                U.append_rows(spark, a, _dim(spark, batch))
+        if action in ("b", "ab"):
+            batch = [
+                (rng.randrange(8), next_id + j, (next_id + j) * 10)
+                for j in range(rng.randrange(0, 3))
+            ]
+            next_id += 3
+            if batch:
+                b_rows += batch
+                U.append_rows(spark, b, _fact(spark, batch))
+        if action == "refresh" or rng.random() < 0.3:
+            refresh_join_view(spark, a, b, dst, ["k"])
+    refresh_join_view(spark, a, b, dst, ["k"])
+    # pure-Python model: multiset full join
+    from collections import Counter
+
+    model = Counter(
+        (ka, dn, fid, amt)
+        for ka, dn in a_rows
+        for kb, fid, amt in b_rows
+        if ka == kb
+    )
+    got = Counter(
+        tuple(r)
+        for r in U.read_table(spark, dst)
+        .select("k", "dname", "fid", "amt")
+        .collect()
+    )
+    assert got == model
