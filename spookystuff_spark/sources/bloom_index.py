@@ -25,8 +25,13 @@ no second pass and no manifest rewrite.
 
 Probe shape: the probed value's base hashes come from the SAME JVM
 expressions (one 1-row job — no Python reimplementation of xxhash64 to
-drift), the driver tests k bits per candidate sidecar (tiny reads), and
-only maybe-present files reach the scan. Files without a usable bloom —
+drift). With ≤ ``PROBE_DRIVER_MAX`` bloom-bearing candidates the driver
+tests the k bits itself (a handful of tiny reads beats a Spark job);
+above it the (path, m, k) spec rows ship to executors and a
+``mapInPandas`` pass reads each task's slice of sidecars in parallel,
+returning only surviving indexes — a million-file probe costs the driver
+O(files × spec row), never a million serial small-object GETs. Either
+way only maybe-present files reach the scan. Files without a usable bloom —
 never attached, or the sidecar was vacuumed away with its version's
 metadata — scan conservatively; deletion vectors apply like every other
 reader; the residual equality filter applies either way, so a bloom
@@ -47,6 +52,12 @@ from spookystuff_spark.sources import upsert as U
 
 _BLOOMS = "blooms"
 _DIR = "_bloom"
+
+# Probes with at most this many bloom-bearing candidate files stay on the
+# driver (a handful of tiny reads beats a Spark job). Above it the bit
+# tests ship to executors — at 1M files the driver would otherwise issue
+# 1M serial small-object GETs before the scan even plans.
+PROBE_DRIVER_MAX = 100
 
 
 def _base_hash_cols(col: str):
@@ -259,12 +270,65 @@ def _maybe_contains(table_dir: str, spec: dict, h1: int, h2: int) -> bool:
     return bool(np.all(bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))))
 
 
+def _surviving_specs_distributed(
+    spark: SparkSession,
+    table_dir: str,
+    spec_rows: list,
+    h1: int,
+    h2: int,
+) -> set:
+    """Executor-side bloom probe: each task reads ITS slice of candidate
+    sidecars and tests the k bits, returning only the surviving indexes —
+    no sidecar bytes ever reach the driver, and the small-object GETs run
+    in parallel across the cluster instead of serially on one node.
+    Missing / mis-sized sidecars survive (scan conservatively), exactly
+    like the driver fast path."""
+    import pandas as pd
+
+    def test(batches):
+        from spookystuff_spark import fsio as xfs
+
+        for pdf in batches:
+            keep = []
+            for idx, path, m, k in zip(
+                pdf["idx"], pdf["path"], pdf["m"], pdf["k"]
+            ):
+                try:
+                    raw = xfs.read_bytes(xfs.join(table_dir, path))
+                except (FileNotFoundError, OSError):
+                    keep.append(idx)
+                    continue
+                bits = np.frombuffer(raw, dtype=np.uint8)
+                if len(bits) * 8 != int(m):
+                    keep.append(idx)
+                    continue
+                pos = _positions(h1, h2, int(m), int(k))
+                if bool(
+                    np.all(
+                        bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))
+                    )
+                ):
+                    keep.append(idx)
+            yield pd.DataFrame({"idx": pd.array(keep, dtype="int64")})
+
+    df = spark.createDataFrame(
+        spec_rows, "idx long, path string, m long, k long"
+    )
+    n_slices = max(
+        1,
+        min(len(spec_rows), spark.sparkContext.defaultParallelism * 4),
+    )
+    surv = df.repartition(n_slices).mapInPandas(test, "idx long").collect()
+    return {int(r["idx"]) for r in surv}
+
+
 def read_table_point(
     spark: SparkSession,
     table_dir: str,
     col: str,
     value,
     version: str | None = None,
+    driver_max: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Point lookup ``col == value`` scanning only files whose bloom says
     maybe-present. Returns (frame, {"scanned": n, "skipped_bloom": s}).
@@ -310,13 +374,33 @@ def read_table_point(
     rel_all, full_all = U._entries_and_paths(
         table_dir, v, manifest if manifest.get("files") else None
     )
-    keep_rel, keep_full, skipped = [], [], 0
-    for e, full in zip(rel_all, full_all):
+    cand = []  # (index into rel_all, spec) for entries with a usable bloom
+    for i, e in enumerate(rel_all):
         owner = "" if U._is_abs_entry(e) else e.split("/", 1)[0]
         spec = (blooms.get(e) or {}).get(
             U.physical_name_for_entry(log, owner, col)
         )
-        if spec and not _maybe_contains(table_dir, spec, hr["h1"], hr["h2"]):
+        if spec:
+            cand.append((i, spec))
+    limit = PROBE_DRIVER_MAX if driver_max is None else driver_max
+    if len(cand) <= limit:
+        drop = {
+            i
+            for i, spec in cand
+            if not _maybe_contains(table_dir, spec, hr["h1"], hr["h2"])
+        }
+    else:
+        rows = [
+            (i, spec["path"], int(spec["m"]), int(spec["k"]))
+            for i, spec in cand
+        ]
+        surv = _surviving_specs_distributed(
+            spark, table_dir, rows, int(hr["h1"]), int(hr["h2"])
+        )
+        drop = {i for i, _ in cand} - surv
+    keep_rel, keep_full, skipped = [], [], 0
+    for i, (e, full) in enumerate(zip(rel_all, full_all)):
+        if i in drop:
             skipped += 1
             continue
         keep_rel.append(e)

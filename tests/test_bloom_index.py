@@ -219,6 +219,45 @@ def test_probe_hashes_at_table_column_type(spark, tmp_path):
     assert info2["skipped_bloom"] == 3
 
 
+def test_many_file_probe_runs_on_executors(spark, tmp_path, monkeypatch):
+    """Above PROBE_DRIVER_MAX bloom-bearing candidates the probe ships to
+    executors: no sidecar bytes may be read ON THE DRIVER (at 1M files the
+    driver path is 1M serial small-object GETs), and the pruning counts
+    and result rows must match the driver fast path exactly."""
+    from spookystuff_spark import fsio
+    from spookystuff_spark.sources import bloom_index as B
+
+    tdir = str(tmp_path / "dist")
+    U.write_table(_rows(spark, 0, 600).repartition(30), tdir,
+                  bloom_cols=["name"], change_feed=False)
+    # reference run: driver path (limit above the file count)
+    df_ref, info_ref = read_table_point(
+        spark, tdir, "name", "u123", driver_max=1000
+    )
+    ref_rows = [r["k"] for r in df_ref.collect()]
+    assert ref_rows == [123] and info_ref["skipped_bloom"] >= 25
+    # distributed run: forbid driver-side sidecar reads entirely
+    orig = fsio.read_bytes
+
+    def no_sidecar_reads(path):
+        assert "_bloom" not in path, (
+            f"driver read a bloom sidecar on the distributed path: {path}"
+        )
+        return orig(path)
+
+    monkeypatch.setattr(fsio, "read_bytes", no_sidecar_reads)
+    monkeypatch.setattr(B, "_maybe_contains", None)  # driver path = crash
+    df, info = read_table_point(spark, tdir, "name", "u123", driver_max=0)
+    assert [r["k"] for r in df.collect()] == ref_rows
+    assert info == info_ref  # identical pruning, file for file
+    # absent key: distributed path prunes everything too
+    df2, info2 = read_table_point(
+        spark, tdir, "name", "nosuchuser", driver_max=0
+    )
+    assert df2.count() == 0
+    assert info2["skipped_bloom"] >= 28
+
+
 def test_sidecar_names_unique_across_partition_dirs_and_columns(
     spark, tmp_path
 ):
