@@ -105,14 +105,14 @@ def _commit_names(table_dir: str) -> list[str]:
     return out
 
 
-def _latest(table_dir: str) -> str | None:
-    """Current version: resolved from the newest commit file (the Delta-log
-    rule — a commit IS the ``_commits`` entry, created exclusively). A
-    parent-keyed ``<P>.c`` entry holds the committed version as content; a
-    legacy ``vNNNNN`` entry IS the version. Falls back to the ``_LATEST``
-    pointer for tables written before the commit dir existed; the pointer
-    is maintained as a cache for humans and old readers, never
-    authoritative once ``_commits`` has entries."""
+def _latest_from_listing(table_dir: str) -> str | None:
+    """Authoritative tip: list ``_commits`` and take the newest entry (the
+    Delta-log rule — a commit IS the ``_commits`` entry, created
+    exclusively). A parent-keyed ``<P>.c`` entry holds the committed
+    version as content; a legacy ``vNNNNN`` entry IS the version. Falls
+    back to the ``_LATEST`` pointer for tables written before the commit
+    dir existed. O(total commits) — the slow path behind
+    :func:`_latest`'s verified-pointer fast path."""
     names = _commit_names(table_dir)
     if names:
         top = max(names)
@@ -127,12 +127,83 @@ def _latest(table_dir: str) -> str | None:
     p = fsio.join(table_dir, _POINTER)
     if not fsio.exists(p):
         return None
-    v = fsio.read_bytes(p).decode().strip()
+    # first line only: a two-line verified pointer on a table whose
+    # _commits dir was damaged still names the version on line one
+    v = fsio.read_bytes(p).decode().partition("\n")[0].strip()
     return v or None
 
 
-def _swap_pointer(table_dir: str, version: str) -> None:
-    fsio.write_bytes(fsio.join(table_dir, _POINTER), version.encode())
+def _latest(table_dir: str) -> str | None:
+    """Current version, WITHOUT listing ``_commits`` on the hot path.
+
+    Every read and every commit resolves the tip, so an O(total commits)
+    directory listing here is ~100 paginated LIST round-trips per table
+    touch at 100k commits on an object store. Instead the ``_LATEST``
+    pointer — written by :func:`_finalize_commit` as ``version\\n<parent
+    slot>`` — is treated as a VERIFIED hint: the hint counts only when
+    ``_commits/<parent slot>`` exists with exactly this version as content
+    (i.e. the pointed-at version provably won its commit CAS; a corrupted
+    or hand-written pointer can never pass). Staleness (a writer that died
+    between its CAS and the pointer refresh) is healed by walking child
+    slots forward: ``_commits/<v>.c`` existing means v has a committed
+    child, so follow its content — O(versions behind), normally one
+    existence check that finds nothing.
+
+    Anything unverifiable — pointer missing, single-line legacy format,
+    torn write, slot-content mismatch, non-monotone walk — falls back to
+    the authoritative listing (:func:`_latest_from_listing`), which also
+    serves pre-commit-dir legacy tables exactly as before."""
+    p = fsio.join(table_dir, _POINTER)
+    try:
+        lines = fsio.read_bytes(p).decode().splitlines()
+    except (FileNotFoundError, OSError):
+        return _latest_from_listing(table_dir)
+    if len(lines) != 2:
+        return _latest_from_listing(table_dir)
+    v, slot = lines[0].strip(), lines[1].strip()
+    if not (v.startswith("v") and v[1:].isdigit() and slot.endswith(".c")):
+        return _latest_from_listing(table_dir)
+    try:
+        committed = (
+            fsio.read_bytes(fsio.join(table_dir, _COMMITS, slot))
+            .decode()
+            .strip()
+        )
+    except (FileNotFoundError, OSError):
+        return _latest_from_listing(table_dir)
+    if committed != v:
+        return _latest_from_listing(table_dir)
+    while True:
+        child = fsio.join(table_dir, _COMMITS, _commit_file_name(v))
+        if not fsio.exists(child):
+            return v
+        try:
+            nxt = fsio.read_bytes(child).decode().strip()
+        except (FileNotFoundError, OSError):  # raced a vacuum — re-resolve
+            return _latest_from_listing(table_dir)
+        if not (nxt.startswith("v") and nxt[1:].isdigit() and nxt > v):
+            return _latest_from_listing(table_dir)
+        v = nxt
+
+
+_POINTER_UNVERIFIED = object()  # _swap_pointer: write the single-line form
+
+
+def _swap_pointer(
+    table_dir: str, version: str, parent=_POINTER_UNVERIFIED
+) -> None:
+    """Refresh the ``_LATEST`` pointer cache. With ``parent`` (the version
+    this commit extended — what :func:`_finalize_commit` passes), writes
+    the two-line verifiable form ``version\\n<parent slot>`` that
+    :func:`_latest` can trust after one slot read. Without it (operator
+    repoints, tests), writes the legacy single-line form, which
+    :func:`_latest` treats as unverifiable and resolves via the listing —
+    a hand-repointed table is always re-checked, never blindly served."""
+    if parent is _POINTER_UNVERIFIED:
+        payload = version.encode()
+    else:
+        payload = f"{version}\n{_commit_file_name(parent)}".encode()
+    fsio.write_bytes(fsio.join(table_dir, _POINTER), payload)
 
 
 def _finalize_commit(
@@ -172,7 +243,7 @@ def _finalize_commit(
             f"{table_dir}: parent {parent!r} already has a committed child "
             "— retry against the new state"
         ) from None
-    _swap_pointer(table_dir, version)
+    _swap_pointer(table_dir, version, parent)
 
 
 def retry_on_conflict(
@@ -239,6 +310,56 @@ def _next_version(table_dir: str) -> str:
 # --------------------------------------------------------------- manifest
 
 
+#: Full manifests with more entries than this spill the file list to a
+#: compressed sidecar (``files_ref``) instead of inline JSON — at 1M files
+#: an inline checkpoint is ~100 MB of JSON parsed on every fold, while the
+#: zlib sidecar is a few MB decoded only by consumers that actually need
+#: the list (raw top-level fields stay readable without it).
+CHECKPOINT_INLINE_MAX = 1000
+
+_FILES_REF = "files_ref"
+_FILES_COUNT = "files_count"
+_FILES_SIDECAR = "_FILES.z"
+
+
+def _is_full_manifest(raw: dict) -> bool:
+    """Full (checkpoint) manifest — file list inline or in a sidecar — as
+    opposed to a delta manifest (``files_base``/``files_add``/...)."""
+    return "files" in raw or _FILES_REF in raw
+
+
+def _full_files(table_dir: str, raw: dict) -> list[str]:
+    """Materialized file list of a FULL manifest: inline ``files``, or the
+    ``files_ref`` sidecar (zlib-compressed newline-joined entries)."""
+    if "files" in raw:
+        return list(raw["files"])
+    import zlib
+
+    data = zlib.decompress(
+        fsio.read_bytes(fsio.join(table_dir, raw[_FILES_REF]))
+    )
+    return data.decode().split("\n") if data else []
+
+
+def _files_fields(table_dir: str, version: str, files: Sequence[str]) -> dict:
+    """Manifest fields recording ``files``: inline below
+    :data:`CHECKPOINT_INLINE_MAX` entries, else written to the version's
+    ``_FILES.z`` sidecar first (immutable debris until the manifest naming
+    it commits — the same crash story as data files) and referenced."""
+    files = list(files)
+    if len(files) <= CHECKPOINT_INLINE_MAX:
+        return {"files": files}
+    import zlib
+
+    ref = f"{version}/{_FILES_SIDECAR}"
+    fsio.mkdirs(fsio.join(table_dir, version))
+    fsio.write_bytes(
+        fsio.join(table_dir, ref),
+        zlib.compress("\n".join(files).encode(), 6),
+    )
+    return {_FILES_REF: ref, _FILES_COUNT: len(files)}
+
+
 def write_manifest(
     table_dir: str,
     version: str,
@@ -254,11 +375,13 @@ def write_manifest(
     The manifest + pointer swap define the commit: committed history is
     the parent chain walked back from ``_LATEST``, so a crashed writer's
     dir — even one that got as far as its manifest, or that carries
-    Spark's ``_SUCCESS`` — is unreachable debris, never readable state."""
+    Spark's ``_SUCCESS`` — is unreachable debris, never readable state.
+    Above :data:`CHECKPOINT_INLINE_MAX` entries the file list lives in a
+    compressed sidecar (see :func:`_files_fields`)."""
     import time
 
     payload = {
-        "files": list(files),
+        **_files_fields(table_dir, version, files),
         "schema": schema_json,
         "kind": kind,
         "parent": parent,
@@ -307,8 +430,18 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
     missing means non-protocol damage — vacuum materializes kept deltas
     before dropping their bases)."""
     raw = _read_manifest_raw(table_dir, version)
-    if raw is None or "files" in raw:
-        return raw
+    if raw is None:
+        return None
+    if _is_full_manifest(raw):
+        if "files" in raw:
+            return raw
+        out = {
+            k: val
+            for k, val in raw.items()
+            if k not in (_FILES_REF, _FILES_COUNT)
+        }
+        out["files"] = _full_files(table_dir, raw)
+        return out
     chain = [raw]
     v = raw["files_base"]
     while True:
@@ -318,8 +451,8 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
                 f"{table_dir}: delta manifest chain of {version} is broken "
                 f"at base {v} (manifest missing)"
             )
-        if "files" in r:
-            files = list(r["files"])
+        if _is_full_manifest(r):
+            files = _full_files(table_dir, r)
             break
         chain.append(r)
         v = r["files_base"]
@@ -339,7 +472,7 @@ def _fold_chain(table_dir: str, version: str) -> list[str]:
     deltas before dropping versions their folds still read."""
     out: list[str] = []
     raw = _read_manifest_raw(table_dir, version)
-    while raw is not None and "files" not in raw:
+    while raw is not None and not _is_full_manifest(raw):
         b = raw["files_base"]
         out.append(b)
         raw = _read_manifest_raw(table_dir, b)
@@ -369,7 +502,7 @@ def write_manifest_delta(
     braw = _read_manifest_raw(table_dir, base)
     depth = (
         1
-        if braw is None or "files" in braw
+        if braw is None or _is_full_manifest(braw)
         else int(braw.get("delta_depth", 1)) + 1
     )
     if braw is None or depth > CHECKPOINT_EVERY:
@@ -410,7 +543,7 @@ def write_manifest_delta(
 
 
 _CORE_MANIFEST_KEYS = {
-    "files", "schema", "kind", "parent", "ts_ms",
+    "files", _FILES_REF, _FILES_COUNT, "schema", "kind", "parent", "ts_ms",
     *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
@@ -1427,14 +1560,14 @@ def vacuum(
     if doomed:
         for v in kept_versions:
             raw = _read_manifest_raw(table_dir, v)
-            if raw is None or "files" in raw:
+            if raw is None or _is_full_manifest(raw):
                 continue
             if set(_fold_chain(table_dir, v)) & doomed:
                 folded = read_manifest(table_dir, v)
                 new_raw = {
                     k: val for k, val in raw.items() if k not in _DELTA_KEYS
                 }
-                new_raw["files"] = folded["files"]
+                new_raw.update(_files_fields(table_dir, v, folded["files"]))
                 fsio.write_bytes(
                     fsio.join(table_dir, v, _MANIFEST),
                     json.dumps(new_raw, separators=(",", ":")).encode(),

@@ -180,10 +180,11 @@ def test_concurrent_writer_conflict_detected(spark, seeded):
 
 
 def test_crash_after_commit_file_before_pointer_update(spark, seeded):
-    """The commit file IS the commit: a writer that dies between creating
-    ``_commits/vN`` and refreshing the pointer cache has still committed —
-    the snapshot is visible and the stale cache self-heals on the next
-    commit."""
+    """The commit file IS the commit: a writer that dies between its
+    parent-keyed CAS (``_commits/<parent>.c``) and the pointer refresh has
+    still committed — the stale pointer hint detects the committed child
+    slot, walks forward to the true tip, and the next commit heals the
+    cache."""
     tdir = seeded
     v = U._next_version(tdir)
     _mk(spark, [(3, "c")]).write.parquet(fsio.join(tdir, v))
@@ -191,7 +192,10 @@ def test_crash_after_commit_file_before_pointer_update(spark, seeded):
         tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
         None, "upsert", parent="v00001",
     )
-    fsio.create_exclusive(fsio.join(tdir, "_commits", v), b"v00001")
+    fsio.create_exclusive(
+        fsio.join(tdir, "_commits", U._commit_file_name("v00001")),
+        v.encode(),
+    )
     # pointer cache still says v00001 — the commit file wins
     assert U._latest(tdir) == v
     assert U.committed_versions(tdir) == ["v00001", v]
@@ -199,6 +203,53 @@ def test_crash_after_commit_file_before_pointer_update(spark, seeded):
     # the next commit proceeds normally from the true tip
     U.upsert(spark, tdir, _mk(spark, [(4, "d")]), ["k"])
     assert _state(spark, tdir) == {(3, "c"), (4, "d")}
+
+
+def test_crash_after_legacy_commit_file_before_pointer_update(spark, seeded):
+    """Same crash under the PRE-r7 protocol (legacy ``vNNNNN`` commit
+    entries, single-line pointer): the single-line pointer is unverifiable
+    by construction, so the tip resolves via the authoritative listing and
+    the legacy commit file still wins."""
+    tdir = seeded
+    v = U._next_version(tdir)
+    _mk(spark, [(3, "c")]).write.parquet(fsio.join(tdir, v))
+    U.write_manifest(
+        tdir, v, [f"{v}/{n}" for n in U._parquet_names(fsio.join(tdir, v))],
+        None, "upsert", parent="v00001",
+    )
+    # a legacy writer's whole commit state: legacy-named entry + the
+    # single-line pointer form it would have left behind on crash
+    fsio.delete_file(
+        fsio.join(tdir, "_commits", U._commit_file_name(None))
+    )
+    fsio.create_exclusive(fsio.join(tdir, "_commits", "v00001"), b"")
+    fsio.create_exclusive(fsio.join(tdir, "_commits", v), b"")
+    U._swap_pointer(tdir, "v00001")  # stale AND unverifiable
+    assert U._latest(tdir) == v
+    assert _state(spark, tdir) == {(3, "c")}
+
+
+def test_warm_table_hot_path_never_lists_commits(spark, seeded, monkeypatch):
+    """Reads and appends on a warm table resolve the tip from the verified
+    pointer — ZERO ``_commits`` directory listings (at 100k commits on an
+    object store a listing is ~100 paginated LIST calls per table touch).
+    Corruption and staleness fall back to the listing, covered above."""
+    tdir = seeded
+    listed = []
+    orig = fsio.ls
+
+    def counting_ls(path):
+        listed.append(path)
+        return orig(path)
+
+    monkeypatch.setattr(fsio, "ls", counting_ls)
+    assert _state(spark, tdir) == {(1, "a"), (2, "b")}  # read_table
+    U.append_rows(spark, tdir, _mk(spark, [(3, "c")]))  # commit
+    assert _state(spark, tdir) == {(1, "a"), (2, "b"), (3, "c")}
+    commit_lists = [
+        p for p in listed if p.rstrip("/").endswith("_commits")
+    ]
+    assert commit_lists == []
 
 
 def test_concurrent_commit_exactly_one_wins(spark, seeded):

@@ -303,3 +303,69 @@ def test_clone_refuses_mixed_rename_epochs(spark, tmp_path):
     U.clone_table(src, dst)
     assert {(r["k"], r["name"]) for r in U.read_table(spark, dst).collect()} \
         == {(1, "a"), (2, "b")}
+
+
+def test_checkpoint_file_list_spills_to_compressed_sidecar(tmp_path):
+    """The r8 acceptance test: above CHECKPOINT_INLINE_MAX entries a full
+    (checkpoint) manifest stores its file list in a zlib sidecar — the
+    manifest JSON stays O(1) bytes (raw top-level consumers never parse
+    the list; at 1M files the inline encoding is ~100 MB re-parsed on
+    every fold), the sidecar is far smaller than inline JSON, and
+    read_manifest folds transparently."""
+    tdir = str(tmp_path / "big")
+    files = [
+        f"v00001/part-{i:05d}-4f2a8c1e9b7d3a6f5c0e.snappy.parquet"
+        for i in range(10_000)
+    ]
+    U.write_manifest(tdir, "v00001", files, None, "upsert", parent=None)
+    raw = U._read_manifest_raw(tdir, "v00001")
+    assert "files" not in raw
+    assert raw[U._FILES_COUNT] == 10_000
+    mbytes = _manifest_bytes(tdir, "v00001")
+    assert mbytes < 1024, f"manifest JSON not O(1): {mbytes} B"
+    inline = len(json.dumps(files, separators=(",", ":")).encode())
+    side = fsio.sizes([fsio.join(tdir, raw[U._FILES_REF])])[0]
+    assert side * 5 < inline, f"sidecar {side} B not << inline {inline} B"
+    folded = U.read_manifest(tdir, "v00001")
+    assert folded["files"] == files
+    assert U._FILES_REF not in folded and U._FILES_COUNT not in folded
+
+
+def test_sidecar_checkpoints_end_to_end(spark, tmp_path, monkeypatch):
+    """Every manifest consumer works unchanged when checkpoints spill
+    (threshold forced to 3): delta appends fold against a sidecar base,
+    the in-place stats rewrite preserves the ref, extras carry across a
+    compact, vacuum's delta materialization re-spills, and history /
+    table_detail / time travel all see the right file counts."""
+    monkeypatch.setattr(U, "CHECKPOINT_INLINE_MAX", 3)
+    tdir = str(tmp_path / "e2e")
+    U.write_table(
+        _mk(spark, [(i, f"r{i}") for i in range(12)]).repartition(6), tdir
+    )
+    v1 = U.committed_versions(tdir)[-1]
+    raw1 = U._read_manifest_raw(tdir, v1)
+    assert U._FILES_REF in raw1 and "files" not in raw1
+    # delta append against the sidecar checkpoint folds transparently
+    U.append_rows(spark, tdir, _mk(spark, [(100, "x")]).coalesce(1))
+    assert _state(spark, tdir) == {
+        *((i, f"r{i}") for i in range(12)), (100, "x"),
+    }
+    # in-place stats rewrite keeps the ref intact (raw rewrite contract)
+    U.attach_stats(tdir, ["k"])
+    cur = U.committed_versions(tdir)[-1]
+    assert U._FILES_REF in U._read_manifest_raw(tdir, v1)
+    stats = U.entry_stats(tdir, cur)
+    assert len(stats) == 7  # 6 base files + 1 appended, all resolvable
+    # observability reads fold transparently
+    assert U.table_detail(tdir)["n_files"] == 7
+    assert [h["n_files"] for h in U.history(tdir)][-1] == 7
+    # vacuum materialization: drop the delta's base — the kept delta
+    # re-materializes, spilling to a sidecar again (still > threshold)
+    U.delete_where_dv(spark, tdir, "k = 0", ["k"])
+    U.compact(spark, tdir)
+    tip = U.committed_versions(tdir)[-1]
+    U.vacuum(tdir, keep=1)
+    assert _state(spark, tdir) == {
+        *((i, f"r{i}") for i in range(1, 12)), (100, "x"),
+    }
+    assert U.committed_versions(tdir) == [tip]
