@@ -532,6 +532,7 @@ ORACLE_JOIN_VIEW = """
     SELECT c_mktsegment AS seg, COUNT(*) AS n_pairs,
            ROUND(SUM(o_totalprice) + 1e-6, 2) AS sum_price
     FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey % 10 <> 3
     GROUP BY 1
 """
 
@@ -541,14 +542,24 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental JOIN view maintenance, gate-pinned end-to-end
     (sources/join_view.py::refresh_join_view): seed the customer⋈orders
     view from partial slices of both sides, then fold three interleaved
-    append batches (dim side, fact side, both) through the delta-join
-    identity — ΔA ⋈ B_new + (A∖ΔA) ⋈ ΔB, exactly-once dual watermark
-    riding each commit, O(batch) delta-manifest appends on the view. The
-    oracle recomputes the FULL join closed-form from the raw tables, so
-    any double-counted ΔA⋈ΔB pair, lost append, or replayed fold breaks
-    the hash. Rides ``q_scalar_suite``'s melt."""
-    from spookystuff_spark.sources.join_view import refresh_join_view
-    from spookystuff_spark.sources.upsert import append_rows, read_table, write_table
+    append batches (dim side, fact side, both) AND a dim-side DV DELETE
+    through the counted delta-join identity — ΔA ⋈ B_new + (A−ΔA) ⋈ ΔB
+    over signed multiplicities, exactly-once dual watermark riding each
+    commit, O(batch) delta-manifest appends on the view. The oracle
+    recomputes the FULL join closed-form from the raw tables (minus the
+    deleted dim keys), so any double-counted ΔA⋈ΔB pair, lost append,
+    unretracted delete, or replayed fold breaks the hash. Rides
+    ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.join_view import (
+        read_join_view,
+        refresh_join_view,
+    )
+    from spookystuff_spark.sources.upsert import (
+        append_rows,
+        delete_where_dv,
+        read_table,
+        write_table,
+    )
 
     cust = table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("custkey"),
@@ -586,12 +597,21 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 2))
         refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
-        view = read_table(spark, dst)
+        # retraction leg: DV-delete a tenth of the dim side — the fold
+        # must cancel exactly those keys' pairs out of the view (the
+        # oracle recomputes with the same keys excluded)
+        delete_where_dv(
+            spark, a_dir, "custkey >= 0 AND custkey % 10 = 3", ["custkey"]
+        )
+        refresh_join_view(spark, a_dir, b_dir, dst, ["custkey"])
+        view = read_join_view(spark, dst)
         return (
             view.groupBy("seg")
             .agg(
-                F.count(F.lit(1)).alias("n_pairs"),
-                F.round(F.sum("price") + F.lit(1e-6), 2).alias("sum_price"),
+                F.sum("_n").alias("n_pairs"),
+                F.round(
+                    F.sum(F.col("price") * F.col("_n")) + F.lit(1e-6), 2
+                ).alias("sum_price"),
             )
             .localCheckpoint(eager=True)
         )

@@ -2,20 +2,28 @@
 
 ``sources/incremental.py`` keeps decomposable AGGREGATES current from
 change feeds; this module does the same for an inner equi-join view
-``V = A ⋈ B``: each refresh folds ONLY the rows appended to either source
-since the last refresh, never re-joining the full tables. The algebra is
-the classical delta-join identity for append-only sources::
+``V = A ⋈ B``: each refresh folds ONLY the rows changed on either source
+since the last refresh, never re-joining the full tables. The view is a
+COUNTED multiset (a Z-set, the standard IVM/DBSP representation): rows
+carry an ``_n`` multiplicity column, feeds fold as signed counts
+(insert/upsert → +1, update_preimage/delete → −1), and the refresh
+appends signed delta rows — so UPDATES and DELETES on either source
+maintain the view exactly, not just appends. The algebra is the bilinear
+delta-join identity::
 
-    ΔV = ΔA ⋈ B_new  +  A_old ⋈ ΔB
-       (= ΔA ⋈ B_old + ΔA ⋈ ΔB + A_old ⋈ ΔB — every new pair exactly once)
+    ΔV = ΔA ⋈ B_new  +  (A_new − ΔA) ⋈ ΔB
+       (= ΔA ⋈ B_old + ΔA ⋈ ΔB + A_old ⋈ ΔB — every changed pair exactly
+        once, with pair multiplicity n_a·n_b)
 
-where ``B_new`` is B's current snapshot and ``A_old = A_new ∖ ΔA`` (the
-snapshot minus this refresh's delta, reconstructed by anti-joining the
-delta's keys' rows — cheap because it only has to be exact WITHIN the
-probed partitions). Sources must be APPEND-ONLY for this identity
-(updates/deletes need counted multiplicities — the refresh checks feed
-kinds and refuses instead of drifting, the same honesty contract as the
-aggregate IVM).
+where ``B_new`` is B's pinned current snapshot and ``A_new − ΔA``
+subtracts the delta's signed counts from the snapshot (exactness is only
+needed WITHIN the probed keys, so the subtraction runs on the probed
+slice). Reads consolidate the signed append log
+(:func:`read_join_view`); :func:`consolidate_join_view` materializes the
+consolidation as maintenance, re-stamping the watermark. Updates on a
+source must log preimages (``upsert(..., feed_preimages=True)``) —
+``_changes_since`` refuses otherwise, the aggregate IVM's honesty
+contract.
 
 THE SCALE TRICK: when a source is laid out by the join key
 (``write_table_partitioned(..., partition_col=key)``), the snapshot side
@@ -53,6 +61,14 @@ from spookystuff_spark.sources.incremental import _changes_since
 
 _MARK = "_SRCJ_"
 
+#: Partition-pruned snapshot probes collect the delta's DISTINCT key
+#: values to the driver to enumerate touched partitions — right for the
+#: design case (trickle refreshes), but a backfill-sized append would turn
+#: it into an unbounded driver pull. Above this many distinct keys the
+#: probe falls back to the broadcast-semi-join scan path (one
+#: column-pruned pass, nothing collected).
+PROBE_KEYS_MAX = 10_000
+
 
 def _watermarks(dst_dir: str) -> tuple[str | None, str | None]:
     """(A's processed version, B's) from the newest committed marker —
@@ -67,19 +83,27 @@ def _watermarks(dst_dir: str) -> tuple[str | None, str | None]:
     return (va if va != "none" else None, vb if vb != "none" else None)
 
 
-def _insert_only(src_dir: str, changes: DataFrame | None) -> DataFrame | None:
-    """Strip ``_change`` after verifying the feed is append-shaped — the
-    delta-join identity is only exact without retractions."""
+def _signed(changes: DataFrame | None) -> DataFrame | None:
+    """``_change`` → signed multiplicity ``_sign``: insert/upsert rows
+    count +1, update_preimage/delete rows −1 (``_changes_since`` already
+    verified the kind set and that upsert feeds log preimages — without
+    the preimage an update's old pair could not be retracted)."""
     if changes is None:
         return None
-    kinds = {r[0] for r in changes.select("_change").distinct().collect()}
-    extra = kinds - {"insert", "upsert"}
-    if extra:
-        raise ValueError(
-            f"{src_dir}: incremental join view needs append-only feeds — "
-            f"got kinds {sorted(extra)}; rebuild the view instead"
-        )
-    return changes.drop("_change")
+    sign = F.when(
+        F.col("_change").isin("insert", "upsert"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return changes.withColumn("_sign", sign).drop("_change")
+
+
+def _zfold(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Consolidate signed ``(cols..., _n)`` rows: sum multiplicities per
+    distinct row, drop rows that cancelled to zero."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.sum("_n").alias("_n"))
+        .where(F.col("_n") != 0)
+    )
 
 
 def _snapshot_probe(
@@ -109,10 +133,18 @@ def _snapshot_probe(
             read_table_partitions,
         )
 
-        vals = [r[0] for r in keys_df.distinct().collect()]  # O(Δ keys)
+        # bounded driver pull: limit(N+1) caps the collect structurally —
+        # a backfill-sized delta falls through to the one-pass scan below
+        vals = [
+            r[0]
+            for r in keys_df.distinct().limit(PROBE_KEYS_MAX + 1).collect()
+        ]
         if not vals:
             return U.read_table(spark, src_dir, version=version).limit(0)
-        return read_table_partitions(spark, src_dir, vals, version=version)
+        if len(vals) <= PROBE_KEYS_MAX:
+            return read_table_partitions(
+                spark, src_dir, vals, version=version
+            )
     df = U.read_table(spark, src_dir, version=version)
     if keys_df is not None:
         df = df.join(F.broadcast(keys_df.distinct()), list(on), "leftsemi")
@@ -132,11 +164,12 @@ def _schema_at(src_dir: str, version: str):
     return StructType.fromJson(json.loads(sj))
 
 
-def _align(df: DataFrame, schema) -> DataFrame:
+def _align(df: DataFrame, schema, keep: Sequence[str] = ()) -> DataFrame:
     """TYPED null-fill for feed columns absent from the snapshot schema (a
     legal subset-schema append's feed lacks later-evolved columns; without
     the fill the fold would crash on every retry and wedge the view, since
-    feeds are immutable and the watermark only advances on success)."""
+    feeds are immutable and the watermark only advances on success).
+    ``keep`` passes bookkeeping columns (``_sign``) through untouched."""
     have = set(df.columns)
     return df.select(
         *[
@@ -146,7 +179,8 @@ def _align(df: DataFrame, schema) -> DataFrame:
                 else F.lit(None).cast(f.dataType).alias(f.name)
             )
             for f in schema.fields
-        ]
+        ],
+        *[F.col(c) for c in keep if c in have],
     )
 
 
@@ -157,16 +191,17 @@ def refresh_join_view(
     dst_dir: str,
     on: Sequence[str],
 ) -> str | None:
-    """Fold both sources' appends since the last refresh into the inner
+    """Fold both sources' changes since the last refresh into the inner
     equi-join view at ``dst_dir``. Returns the new view version, or None
     when neither source has anything new. The view's schema is
-    ``on + A's other columns + B's other columns`` (name collisions
-    outside the key refuse — alias upstream).
+    ``on + A's other columns + B's other columns + _n`` (name collisions
+    outside the key refuse — alias upstream); ``_n`` is the signed pair
+    multiplicity, consolidated by :func:`read_join_view`.
 
-    Per refresh: ΔA ⋈ B_current plus (A_current ∖ ΔA) ⋈ ΔB, each snapshot
-    side partition-pruned to the delta's keys when laid out by the join
-    key. The first refresh (no markers yet) seeds the view with the full
-    A ⋈ B."""
+    Per refresh: ΔA ⋈ B_current plus (A_current − ΔA) ⋈ ΔB as Z-sets
+    (pair multiplicity = n_a·n_b), each snapshot side partition-pruned to
+    the delta's keys when laid out by the join key. The first refresh (no
+    markers yet) seeds the view with the full A ⋈ B."""
     on = list(on)
     wa, wb = _watermarks(dst_dir)
     first = wa is None and wb is None
@@ -195,8 +230,8 @@ def refresh_join_view(
         db, newest_b = _changes_since(spark, b_dir, wb)
         if newest_a is None and newest_b is None:
             return None  # nothing new on either side
-        da = _insert_only(a_dir, da)
-        db = _insert_only(b_dir, db)
+        da = _signed(da)
+        db = _signed(db)
 
     # every snapshot read below is PINNED to the version the watermark
     # will record — a concurrent source commit after the feed walk must
@@ -207,55 +242,97 @@ def refresh_join_view(
     b_schema = _schema_at(b_dir, pin_b)
     a_cols = [f.name for f in a_schema.fields if f.name not in on]
     b_cols = [f.name for f in b_schema.fields if f.name not in on]
+    a_all = on + a_cols
+    b_all = on + b_cols
     clash = sorted(set(a_cols) & set(b_cols))
     if clash:
         raise ValueError(
             f"join view {dst_dir}: non-key columns {clash} exist on both "
             "sides — alias them upstream"
         )
+    if "_n" in a_cols or "_n" in b_cols:
+        raise ValueError(
+            f"join view {dst_dir}: '_n' is the view's multiplicity "
+            "column — alias the source column upstream"
+        )
+    # signed feeds → consolidated Z-set deltas (distinct row, net count)
+    da_z = db_z = None
     if da is not None:
-        da = _align(da, a_schema)
+        da_z = _zfold(
+            _align(da, a_schema, keep=("_sign",)).withColumn(
+                "_n", F.col("_sign")
+            ),
+            a_all,
+        )
     if db is not None:
-        db = _align(db, b_schema)
+        db_z = _zfold(
+            _align(db, b_schema, keep=("_sign",)).withColumn(
+                "_n", F.col("_sign")
+            ),
+            b_all,
+        )
 
+    ordered = on + a_cols + b_cols
     if first:
-        # seed: the full join once; later refreshes are delta-only
-        delta_v = U.read_table(spark, a_dir, version=pin_a).join(
+        # seed: the full join once, counted; later refreshes are delta-only
+        joined = U.read_table(spark, a_dir, version=pin_a).join(
             U.read_table(spark, b_dir, version=pin_b), on, "inner"
+        )
+        delta_v = joined.groupBy(*ordered).agg(
+            F.count(F.lit(1)).alias("_n")
         )
     else:
         parts = []
-        if da is not None:
-            # ΔA ⋈ B_new — B probed only at ΔA's keys' partitions
+        if da_z is not None:
+            # ΔA ⋈ B_new — B probed only at ΔA's keys' partitions;
+            # pair multiplicity = Δ count × snapshot count
             b_probe = _snapshot_probe(
-                spark, b_dir, da.select(*on), on, version=pin_b
+                spark, b_dir, da_z.select(*on), on, version=pin_b
             )
-            parts.append(da.join(b_probe, on, "inner"))
-        if db is not None:
-            # A_old ⋈ ΔB: A_new restricted to ΔB's keys, minus ΔA's rows
-            # (those pairs are already produced by the ΔA ⋈ B_new term —
-            # B_new contains ΔB). Exactness is only needed within the
-            # probed keys, so the subtraction is an exceptAll on the
-            # probed slice, never a full-table set op.
-            a_probe = _snapshot_probe(
-                spark, a_dir, db.select(*on), on, version=pin_a
+            b_z = b_probe.groupBy(*b_all).agg(
+                F.count(F.lit(1)).alias("_nb")
             )
-            if da is not None:
-                a_probe = a_probe.exceptAll(
-                    da.select(*a_probe.columns).join(
-                        db.select(*on).distinct(), on, "leftsemi"
-                    )
+            parts.append(
+                da_z.join(b_z, on, "inner").select(
+                    *ordered, (F.col("_n") * F.col("_nb")).alias("_n")
                 )
-            parts.append(a_probe.join(db, on, "inner"))
+            )
+        if db_z is not None:
+            # (A_new − ΔA) ⋈ ΔB: A's pinned snapshot restricted to ΔB's
+            # keys, with ΔA's signed counts SUBTRACTED (a deleted row was
+            # in A_old, an inserted one wasn't — the ΔA ⋈ B_new term
+            # already covers every ΔA pairing since B_new contains ΔB).
+            # Exactness is only needed within the probed keys, so the
+            # subtraction runs on the probed slice, never the full table.
+            a_probe = _snapshot_probe(
+                spark, a_dir, db_z.select(*on), on, version=pin_a
+            )
+            a_z = a_probe.groupBy(*a_all).agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            if da_z is not None:
+                da_neg = da_z.join(
+                    db_z.select(*on).distinct(), on, "leftsemi"
+                ).select(*a_all, (-F.col("_n")).alias("_n"))
+                a_z = _zfold(a_z.unionByName(da_neg), a_all)
+            parts.append(
+                a_z.withColumnRenamed("_n", "_na")
+                .join(db_z, on, "inner")
+                .select(
+                    *ordered, (F.col("_na") * F.col("_n")).alias("_n")
+                )
+            )
         if not parts:
             delta_v = None
         else:
             delta_v = parts[0]
             for p in parts[1:]:
                 delta_v = delta_v.unionByName(p)
+            # consolidate the delta (O(Δ)) so cancelling pairs never
+            # reach the view's append log
+            delta_v = _zfold(delta_v, ordered)
 
     marker = f"{_MARK}{pin_a or 'none'}_{pin_b or 'none'}"
-    ordered = on + a_cols + b_cols
     if delta_v is None:
         # watermark-only advance (feed-less versions): commit the marker
         # on an empty append so the next refresh doesn't re-walk them; a
@@ -265,12 +342,45 @@ def refresh_join_view(
         empty = U.read_table(spark, dst_dir).limit(0)
         return U.append_rows(spark, dst_dir, empty, marker=marker,
                              change_feed=False)
-    delta_v = delta_v.select(*ordered)
+    delta_v = delta_v.select(*ordered, "_n")
     if not exists:
         return U.write_table(delta_v, dst_dir, marker=marker,
                              change_feed=False)
     return U.append_rows(spark, dst_dir, delta_v, marker=marker,
                          change_feed=False)
+
+
+def read_join_view(
+    spark: SparkSession, dst_dir: str, version: str | None = None
+) -> DataFrame:
+    """The view's current logical content: one row per distinct joined
+    row with its net multiplicity ``_n ≥ 1`` — consolidates the signed
+    append log (retraction rows cancel their targets). O(view) groupBy,
+    distributed; :func:`consolidate_join_view` materializes it so reads
+    between refreshes are scan-only."""
+    df = U.read_table(spark, dst_dir, version=version)
+    return _zfold(df, [c for c in df.columns if c != "_n"])
+
+
+def consolidate_join_view(spark: SparkSession, dst_dir: str) -> str:
+    """Maintenance: rewrite the view as its consolidated content (the
+    signed append log folds to net rows) and RE-STAMP the current
+    watermark on the rewrite commit — exactly-once survives a later
+    vacuum of the marker-bearing versions (the ``compact_ann_index``
+    idiom)."""
+    wa, wb = _watermarks(dst_dir)
+    if wa is None and wb is None:
+        raise ValueError(
+            f"join view {dst_dir}: no _SRCJ watermark to re-stamp — "
+            "not a join view, or its markers were vacuumed away"
+        )
+    merged = read_join_view(spark, dst_dir)
+    return U.write_table(
+        merged,
+        dst_dir,
+        marker=f"{_MARK}{wa or 'none'}_{wb or 'none'}",
+        change_feed=False,
+    )
 
 
 def streaming_join_view_sink(

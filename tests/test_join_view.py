@@ -1,16 +1,24 @@
-"""Incremental JOIN view (sources/join_view.py): the delta-join identity
-produces exactly the full-join state after any interleaving of appends to
-either side, the snapshot probes are partition-pruned when the source is
-laid out by the join key, non-append feeds refuse, and refreshes are
-exactly-once under replay."""
+"""Incremental JOIN view (sources/join_view.py): the counted delta-join
+identity (Z-set IVM) produces exactly the full-join multiset after any
+interleaving of appends, UPDATES and DELETES on either side; the snapshot
+probes are partition-pruned when the source is laid out by the join key
+(with a bounded driver pull — backfill-sized deltas fall back to the
+one-pass semi-join scan); refreshes are exactly-once under replay; and
+consolidation folds the signed append log without losing the watermark."""
 
 from __future__ import annotations
+
+from collections import Counter
 
 import pyspark.sql.functions as F
 import pytest
 
 from spookystuff_spark.sources import upsert as U
-from spookystuff_spark.sources.join_view import refresh_join_view
+from spookystuff_spark.sources.join_view import (
+    consolidate_join_view,
+    read_join_view,
+    refresh_join_view,
+)
 from spookystuff_spark.sources.partitioned_table import (
     append_partitioned,
     write_table_partitioned,
@@ -25,23 +33,22 @@ def _fact(spark, rows):  # (k, fid, amt)
     return spark.createDataFrame(rows, "k int, fid int, amt long")
 
 
-def _full_join_state(spark, a_dir, b_dir, on=("k",)):
-    return {
+def _full_join_counter(spark, a_dir, b_dir, on=("k",)):
+    return Counter(
         tuple(r)
         for r in U.read_table(spark, a_dir)
         .join(U.read_table(spark, b_dir), list(on), "inner")
         .select("k", "dname", "fid", "amt")
         .collect()
-    }
+    )
 
 
-def _view_state(spark, dst):
-    return {
-        tuple(r)
-        for r in U.read_table(spark, dst)
-        .select("k", "dname", "fid", "amt")
-        .collect()
-    }
+def _view_counter(spark, dst):
+    c: Counter = Counter()
+    for r in read_join_view(spark, dst).collect():
+        assert r["_n"] > 0  # consolidated content never exposes negatives
+        c[(r["k"], r["dname"], r["fid"], r["amt"])] += r["_n"]
+    return c
 
 
 def test_seed_then_interleaved_appends_match_full_join(spark, tmp_path):
@@ -49,23 +56,23 @@ def test_seed_then_interleaved_appends_match_full_join(spark, tmp_path):
     U.write_table(_dim(spark, [(1, "one"), (2, "two")]), a)
     U.write_table(_fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 300)]), b)
     assert refresh_join_view(spark, a, b, dst, ["k"])  # seed
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
     # append to A only: new dim rows join EXISTING facts
     U.append_rows(spark, a, _dim(spark, [(3, "three")]))
     assert refresh_join_view(spark, a, b, dst, ["k"])
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
     # append to B only
     U.append_rows(spark, b, _fact(spark, [(1, 11, 110), (9, 99, 990)]))
     assert refresh_join_view(spark, a, b, dst, ["k"])
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
     # append to BOTH before one refresh: the ΔA⋈ΔB pairs count ONCE
     U.append_rows(spark, a, _dim(spark, [(9, "nine")]))
     U.append_rows(spark, b, _fact(spark, [(9, 91, 910), (3, 31, 310)]))
     assert refresh_join_view(spark, a, b, dst, ["k"])
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
     # nothing new: no-op, no new commit
     n = len(U.committed_versions(dst))
@@ -82,17 +89,62 @@ def test_replayed_refresh_is_exactly_once(spark, tmp_path):
     refresh_join_view(spark, a, b, dst, ["k"])
     U.append_rows(spark, b, _fact(spark, [(1, 11, 110)]))
     refresh_join_view(spark, a, b, dst, ["k"])
-    before = _view_state(spark, dst)
+    before = _view_counter(spark, dst)
     assert refresh_join_view(spark, a, b, dst, ["k"]) is None  # replay
-    assert _view_state(spark, dst) == before
-    assert U.read_table(spark, dst).count() == 2  # no duplicate pairs
+    assert _view_counter(spark, dst) == before
+    assert sum(before.values()) == 2  # no duplicate pairs
+
+
+def test_delete_on_dim_side_retracts_pairs(spark, tmp_path):
+    """A DV delete on the dim side folds as −1 rows: every pair of the
+    deleted keys cancels out of the view — no rebuild, no refusal."""
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(_dim(spark, [(1, "one"), (2, "two"), (3, "three")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (2, 21, 210), (3, 30, 300)]),
+        b,
+    )
+    refresh_join_view(spark, a, b, dst, ["k"])
+    U.delete_where_dv(spark, a, "k = 2", ["k"])
+    assert refresh_join_view(spark, a, b, dst, ["k"])
+    got = _view_counter(spark, dst)
+    assert got == _full_join_counter(spark, a, b)
+    assert not any(k == 2 for (k, *_rest) in got)
+
+
+def test_update_with_preimages_replaces_pairs(spark, tmp_path):
+    """An upsert with preimage logging retracts the old pairs and inserts
+    the new ones — including a key change, where the row's pairs move to
+    the new key's facts."""
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(_dim(spark, [(1, "one"), (2, "two")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100), (2, 20, 200)]), b)
+    refresh_join_view(spark, a, b, dst, ["k"])
+    # value update: dname changes, same key
+    U.upsert(
+        spark, a, _dim(spark, [(1, "ONE")]), ["k"], feed_preimages=True
+    )
+    assert refresh_join_view(spark, a, b, dst, ["k"])
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
+    assert (1, "ONE", 10, 100) in _view_counter(spark, dst)
+
+
+def test_update_without_preimages_refuses(spark, tmp_path):
+    """The honesty contract survives the retraction upgrade: an upsert
+    feed WITHOUT preimage rows cannot retract the old pairs — refuse,
+    never drift."""
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(_dim(spark, [(1, "one")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100)]), b)
+    refresh_join_view(spark, a, b, dst, ["k"])
+    U.upsert(spark, a, _dim(spark, [(1, "ONE")]), ["k"])  # no preimages
+    with pytest.raises(ValueError, match="preimage"):
+        refresh_join_view(spark, a, b, dst, ["k"])
 
 
 def test_partitioned_source_probe_is_partition_pruned(spark, tmp_path):
     """When the fact side is laid out by the join key, a dim-side append
     probes ONLY the touched partitions — spy on read_table_partitions."""
-    import spookystuff_spark.sources.join_view as JV
-
     a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
     U.write_table(_dim(spark, [(i, f"d{i}") for i in range(6)]), a)
     write_table_partitioned(
@@ -109,14 +161,40 @@ def test_partitioned_source_probe_is_partition_pruned(spark, tmp_path):
         probed.setdefault(table_dir_, []).append(sorted(map(str, vals)))
         return orig(spark_, table_dir_, vals, version)
 
-    JV.read_table_partitions = None  # ensure the lazy import path is used
     import unittest.mock as mock
 
     with mock.patch.object(PT, "read_table_partitions", side_effect=spy):
         U.append_rows(spark, a, _dim(spark, [(2, "TWO!")]))
         refresh_join_view(spark, a, b, dst, ["k"])
     assert probed[b] == [["2"]]  # only partition k=2 of the fact table
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
+
+
+def test_backfill_delta_skips_the_driver_collect(spark, tmp_path):
+    """Above PROBE_KEYS_MAX distinct delta keys the partition probe falls
+    back to the broadcast-semi-join scan — one pass, NOTHING collected to
+    the driver beyond the capped limit; read_table_partitions must never
+    run, and the result stays exact."""
+    import unittest.mock as mock
+
+    import spookystuff_spark.sources.join_view as JV
+    from spookystuff_spark.sources import partitioned_table as PT
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
+    U.write_table(_dim(spark, [(i, f"d{i}") for i in range(8)]), a)
+    write_table_partitioned(
+        _fact(spark, [(i % 8, i, i * 10) for i in range(40)]), b, "k"
+    )
+    refresh_join_view(spark, a, b, dst, ["k"])
+    # backfill-sized dim append: 6 distinct keys > capped max of 2
+    U.append_rows(spark, a, _dim(spark, [(i, f"D{i}") for i in range(6)]))
+    with mock.patch.object(JV, "PROBE_KEYS_MAX", 2), mock.patch.object(
+        PT,
+        "read_table_partitions",
+        side_effect=AssertionError("partition probe ran above the cap"),
+    ):
+        assert refresh_join_view(spark, a, b, dst, ["k"])
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
 
 def test_append_partitioned_sources_compose(spark, tmp_path):
@@ -131,20 +209,32 @@ def test_append_partitioned_sources_compose(spark, tmp_path):
         spark, b, _fact(spark, [(3, 30, 300), (2, 21, 210)]), "k"
     )
     refresh_join_view(spark, a, b, dst, ["k"])
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
     # the view's own commits are O(batch) delta manifests
     tip = U._latest(dst)
     assert "files" not in U._read_manifest_raw(dst, tip)
 
 
-def test_non_append_feed_refuses(spark, tmp_path):
+def test_consolidation_folds_log_and_keeps_watermark(spark, tmp_path):
+    """consolidate_join_view materializes the net content (retraction rows
+    fold away) and re-stamps the watermark, so maintenance + vacuum never
+    wedges the view and later refreshes keep folding deltas only."""
     a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
     U.write_table(_dim(spark, [(1, "one"), (2, "two")]), a)
-    U.write_table(_fact(spark, [(1, 10, 100)]), b)
+    U.write_table(_fact(spark, [(1, 10, 100), (2, 20, 200)]), b)
     refresh_join_view(spark, a, b, dst, ["k"])
-    U.delete_where(spark, a, F.col("k") == 2)
-    with pytest.raises(ValueError, match="append-only"):
-        refresh_join_view(spark, a, b, dst, ["k"])
+    U.delete_where_dv(spark, a, "k = 1", ["k"])
+    refresh_join_view(spark, a, b, dst, ["k"])
+    before = _view_counter(spark, dst)
+    assert consolidate_join_view(spark, dst)
+    U.vacuum(dst, keep=1)
+    # the physical log IS the net content now (no signed pairs left)
+    assert U.read_table(spark, dst).where(F.col("_n") <= 0).count() == 0
+    assert _view_counter(spark, dst) == before
+    # and the re-stamped watermark still folds the next delta
+    U.append_rows(spark, b, _fact(spark, [(2, 21, 210)]))
+    assert refresh_join_view(spark, a, b, dst, ["k"])
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
 
 def test_non_key_column_clash_refuses(spark, tmp_path):
@@ -187,7 +277,7 @@ def test_streaming_sink_keeps_view_fresh(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    assert _view_state(spark, dst) == _full_join_state(spark, a, b)
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
 
 
 def test_vacuumed_watermark_refuses_instead_of_reseeding(spark, tmp_path):
@@ -228,17 +318,22 @@ def test_subset_schema_feed_null_fills_instead_of_wedging(spark, tmp_path):
     assert refresh_join_view(spark, a, b, dst, ["k"])
     got = {
         (r["k"], r["dname"], r["extra"], r["fid"])
-        for r in U.read_table(spark, dst).collect()
+        for r in read_join_view(spark, dst).collect()
     }
     assert got == {(1, "one", 5, 10), (2, "two", None, 20)}
 
 
 def test_randomized_interleavings_match_model(spark, tmp_path):
-    """Property test: a seeded random schedule of appends (A-side, B-side,
-    or both; duplicate keys; empty batches; refreshes at random points)
-    always leaves the view equal to a pure-Python full-join recompute —
-    the delta-join algebra has no schedule-dependent edge case."""
+    """Property test: a seeded random schedule of appends, DELETES and
+    preimage-logged UPDATES (A-side, B-side, or both; duplicate keys;
+    empty batches; refreshes at random points; one backfill-sized batch
+    exercising the capped-collect fallback) always leaves the view equal
+    to a pure-Python full-join recompute — the counted delta-join algebra
+    has no schedule-dependent edge case."""
     import random
+    import unittest.mock as mock
+
+    import spookystuff_spark.sources.join_view as JV
 
     rng = random.Random(20260815)
     a, b, dst = (str(tmp_path / n) for n in ("ra", "rb", "rv"))
@@ -248,42 +343,53 @@ def test_randomized_interleavings_match_model(spark, tmp_path):
     U.write_table(_fact(spark, b_rows), b)
     refresh_join_view(spark, a, b, dst, ["k"])
     next_id = 100
-    for step in range(12):
-        action = rng.choice(["a", "b", "ab", "refresh", "refresh"])
-        if action in ("a", "ab"):
-            batch = [
-                (rng.randrange(8), f"d{next_id + j}")
-                for j in range(rng.randrange(0, 3))
-            ]
-            next_id += 3
-            if batch:
+    with mock.patch.object(JV, "PROBE_KEYS_MAX", 4):
+        for step in range(14):
+            action = rng.choice(
+                ["a", "b", "ab", "del_a", "del_b", "refresh", "refresh"]
+            )
+            if action in ("a", "ab"):
+                batch = [
+                    (rng.randrange(8), f"d{next_id + j}")
+                    for j in range(rng.randrange(0, 3))
+                ]
+                next_id += 3
+                if batch:
+                    a_rows += batch
+                    U.append_rows(spark, a, _dim(spark, batch))
+            if action in ("b", "ab"):
+                batch = [
+                    (rng.randrange(8), next_id + j, (next_id + j) * 10)
+                    for j in range(rng.randrange(0, 3))
+                ]
+                next_id += 3
+                if batch:
+                    b_rows += batch
+                    U.append_rows(spark, b, _fact(spark, batch))
+            if action == "del_a" and len(a_rows) > 1:
+                kk = rng.choice(a_rows)[0]
+                U.delete_where_dv(spark, a, f"k = {kk}", ["k", "dname"])
+                a_rows = [r for r in a_rows if r[0] != kk]
+            if action == "del_b" and len(b_rows) > 1:
+                fid = rng.choice(b_rows)[1]
+                U.delete_where_dv(spark, b, f"fid = {fid}", ["k", "fid"])
+                b_rows = [r for r in b_rows if r[1] != fid]
+            if step == 7:
+                # backfill-sized batch: 6 distinct keys > the patched cap
+                batch = [(j, f"bulk{j}") for j in range(6)]
                 a_rows += batch
                 U.append_rows(spark, a, _dim(spark, batch))
-        if action in ("b", "ab"):
-            batch = [
-                (rng.randrange(8), next_id + j, (next_id + j) * 10)
-                for j in range(rng.randrange(0, 3))
-            ]
-            next_id += 3
-            if batch:
-                b_rows += batch
-                U.append_rows(spark, b, _fact(spark, batch))
-        if action == "refresh" or rng.random() < 0.3:
-            refresh_join_view(spark, a, b, dst, ["k"])
-    refresh_join_view(spark, a, b, dst, ["k"])
+            if action == "refresh" or rng.random() < 0.3:
+                refresh_join_view(spark, a, b, dst, ["k"])
+        refresh_join_view(spark, a, b, dst, ["k"])
     # pure-Python model: multiset full join
-    from collections import Counter
-
     model = Counter(
         (ka, dn, fid, amt)
         for ka, dn in a_rows
         for kb, fid, amt in b_rows
         if ka == kb
     )
-    got = Counter(
-        tuple(r)
-        for r in U.read_table(spark, dst)
-        .select("k", "dname", "fid", "amt")
-        .collect()
-    )
+    got = Counter()
+    for r in read_join_view(spark, dst).collect():
+        got[(r["k"], r["dname"], r["fid"], r["amt"])] += r["_n"]
     assert got == model
