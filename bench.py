@@ -191,6 +191,53 @@ def main() -> None:
                 isolated_top[q] = -1.0
                 print(f"# isolated retime error {q}: {e}", file=sys.stderr)
 
+        # r7 judge punch #8 follow-through: retime the slowest SUITES too
+        # (the one r7 ambiguity — q_text_suite's in-run 29.7 s — needed a
+        # judge re-run to adjudicate because only singles were retimed).
+        # Separate budget so the suite pass can't starve the singles list;
+        # repeats=2 because suites are long and their constituents are
+        # already individually retimed above.
+        n_suites = int(os.environ.get("SPARK_GRAFT_ISOLATED_SUITES", "2"))
+        suite_budget_s = float(
+            os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")
+        )
+        t_suite0 = time.monotonic()
+        suites_by_cost = sorted(
+            (
+                (t, q)
+                for q, t in timings.items()
+                if t >= 0 and q in SUITE_CONSTITUENTS
+            ),
+            reverse=True,
+        )[:n_suites]
+        for _, q in suites_by_cost:
+            if time.monotonic() - t_suite0 > suite_budget_s:
+                isolated_skipped.append(q)
+                continue
+            env = {
+                **os.environ,
+                "SPARK_GRAFT_BENCH_REPEATS": "2",
+                "SPARK_GRAFT_ISOLATED_TOP": "0",
+            }
+            try:
+                out = subprocess.run(
+                    [sys.executable, me, q],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                ).stdout.strip().splitlines()
+                for ln in reversed(out):
+                    d = json.loads(ln)
+                    if "queries" in d:
+                        isolated_top[q] = d["queries"][q]
+                        break
+                else:
+                    isolated_top[q] = -1.0
+            except Exception as e:  # noqa: BLE001 — record, keep going
+                isolated_top[q] = -1.0
+                print(f"# isolated retime error {q}: {e}", file=sys.stderr)
+
     payload = {
         "queries": timings,
         "isolated_top": isolated_top,

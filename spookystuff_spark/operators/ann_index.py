@@ -149,7 +149,20 @@ def refresh_ann_index(
     upsert. Returns the new index version, or None when the source has
     nothing new. Insert-shaped feeds only (see module docstring)."""
     after = last_processed_version(index_dir)
-    changes, newest = _changes_since(spark, src_dir, after)
+    # the fold consumes the id and the embedding column (its name is the
+    # index schema minus id and cell) — a drop of anything ELSE on the
+    # source must not stall the refresh (column-pruned feed walk)
+    from pyspark.sql.types import StructType
+
+    idx_cur = U._latest(index_dir)
+    sj = U.snapshot_schema_json(index_dir, idx_cur) if idx_cur else None
+    requested = None
+    if sj:
+        names = [f.name for f in StructType.fromJson(json.loads(sj)).fields]
+        requested = [id_col, *[n for n in names if n not in (id_col, "cell")]]
+    changes, newest = _changes_since(
+        spark, src_dir, after, requested_cols=requested
+    )
     if newest is None:
         return None
     if changes is None:  # feed-less versions only (e.g. compaction)

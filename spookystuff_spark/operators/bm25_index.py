@@ -133,7 +133,11 @@ def refresh_bm25_index(
     Returns the new index version, or None when the source has nothing
     new. Insert-shaped feeds only (see module docstring)."""
     after = last_processed_version(index_dir)
-    changes, newest = _changes_since(spark, src_dir, after)
+    # the fold consumes only (id_col, text_col): a drop of any other
+    # source column must not stall the refresh (column-pruned feed walk)
+    changes, newest = _changes_since(
+        spark, src_dir, after, requested_cols=[id_col, text_col]
+    )
     if newest is None:
         return None
     if changes is None:  # feed-less versions only (e.g. compaction)

@@ -49,21 +49,24 @@ _NEG = ("update_preimage", "delete")
 
 
 def newest_marker(dst_dir: str, prefix: str) -> str | None:
-    """Suffix of the newest committed marker file starting with ``prefix``,
+    """Suffix of the newest committed marker starting with ``prefix``,
     walking committed versions newest-first — the shared primitive behind
     the ``_SRC_`` watermark family (aggregate IVM here, the join view's
     dual ``_SRCJ_`` marker, index refresh watermarks). None when no marker
-    or no table."""
-    from spookystuff_spark import fsio
-
+    or no table. The walk is LAZY and newest-first (``upsert.chain_desc``)
+    and each step answers from the manifest's ``markers`` index — a
+    marker on or near the tip (the refresh steady state, since every
+    refresh stamps its commit and maintenance carries the index) costs
+    one or two raw-manifest reads, never an O(history) chain
+    materialization or a directory listing per version; only pre-index
+    manifests fall back to listing (``upsert.version_markers``)."""
     try:
-        committed = U.committed_versions(dst_dir)
+        for v, raw in U.chain_desc(dst_dir):
+            for name in U.version_markers(dst_dir, v, raw=raw):
+                if name.startswith(prefix):
+                    return name[len(prefix):]
     except FileNotFoundError:
         return None
-    for v in reversed(committed):
-        for name in fsio.ls(fsio.join(dst_dir, v)):
-            if name.startswith(prefix):
-                return name[len(prefix):]
     return None
 
 
@@ -73,7 +76,10 @@ def last_processed_version(dst_dir: str) -> str | None:
 
 
 def _changes_since(
-    spark: SparkSession, src_dir: str, after: str | None
+    spark: SparkSession,
+    src_dir: str,
+    after: str | None,
+    requested_cols: Sequence[str] | None = None,
 ) -> tuple[DataFrame | None, str | None]:
     """(all feed rows of versions > after with ``_change`` filled, newest
     version seen). None frame when nothing new.
@@ -87,9 +93,13 @@ def _changes_since(
     rename is value-preserving, so feeds older than the rename simply have
     their columns translated to the current names (per the rename commit's
     event) instead of stranding every downstream IVM/ANN/BM25 index until
-    a full rebuild. DROP commits still raise: a consumer folding the
-    dropped column would silently treat post-drop feeds as null
-    contributions — re-derive instead."""
+    a full rebuild. DROP commits raise only when the dropped column is
+    actually CONSUMED by the fold — pass ``requested_cols`` (what the
+    consumer folds: group/sum columns, the vector column, the text
+    column); dropping anything else just stops appearing in newer feeds.
+    With ``requested_cols=None`` (consumption unknown) every drop refuses,
+    the conservative pre-r8 behavior — a consumer folding the dropped
+    column would silently treat post-drop feeds as null contributions."""
     frames = []
     newest = None
     committed = U.committed_versions(src_dir)
@@ -120,11 +130,29 @@ def _changes_since(
         newest = v
         m = raws[v]
         if m.get("kind") == "drop":
-            raise ValueError(
-                f"{src_dir}/{v}: column-drop commit inside the fold range "
-                "— a fold across it would silently null-fill the dropped "
-                "column; rebuild derived views/indexes from the new schema"
+            # the commit's OWN drops = cumulative list minus the parent's
+            parent = m.get("parent")
+            praw = raws.get(parent) or (
+                U._read_manifest_raw(src_dir, parent) if parent else None
+            ) or {}
+            dropped_here = set(m.get("drops") or ()) - set(
+                praw.get("drops") or ()
             )
+            consumed = (
+                dropped_here
+                if requested_cols is None
+                else dropped_here & set(requested_cols)
+            )
+            if consumed:
+                raise ValueError(
+                    f"{src_dir}/{v}: column(s) {sorted(consumed)} dropped "
+                    "inside the fold range are consumed by this fold — a "
+                    "fold across the drop would silently null-fill them; "
+                    "rebuild derived views/indexes from the new schema"
+                )
+            # unconsumed drop: older feeds still carry the column, newer
+            # ones lack it — unionByName null-fills and no consumer reads
+            # it, so the fold continues
         files, kind = U.change_files(src_dir, v)
         if not files:
             continue  # compaction / no-feed commit: no logical change
@@ -200,7 +228,10 @@ def refresh_aggregate(
     otherwise the rescan is a semi-join-filtered scan (still one pass,
     column-pruned)."""
     after = last_processed_version(dst_dir)
-    changes, newest = _changes_since(spark, src_dir, after)
+    changes, newest = _changes_since(
+        spark, src_dir, after,
+        requested_cols=[*group_cols, *sum_cols, *min_cols, *max_cols],
+    )
     if newest is None:
         return None  # nothing new
 

@@ -148,7 +148,7 @@ def write_table_partitioned(
         },
     )
     if marker:
-        fsio.touch(fsio.join(table_dir, v, marker))
+        U._stamp_marker(table_dir, v, marker)
     U._finalize_commit(table_dir, v, parent)
     return v
 
@@ -250,7 +250,7 @@ def append_partitioned(
             parent=cur, extra_fields=extra,
         )
     if marker:
-        fsio.touch(fsio.join(table_dir, v, marker))
+        U._stamp_marker(table_dir, v, marker)
     U._finalize_commit(table_dir, v, cur)
     return v
 
@@ -414,7 +414,7 @@ def upsert_partitioned(
         extra_fields=extra,
     )
     if marker:
-        fsio.touch(fsio.join(table_dir, v, marker))
+        U._stamp_marker(table_dir, v, marker)
     U._finalize_commit(table_dir, v, cur)
     return v
 
@@ -526,7 +526,7 @@ def compact_partitioned(
         },
     )
     if marker:
-        fsio.touch(fsio.join(table_dir, v, marker))
+        U._stamp_marker(table_dir, v, marker)
     U._finalize_commit(table_dir, v, cur)
     return v
 

@@ -295,16 +295,22 @@ def retry_on_conflict(
 
 
 def _next_version(table_dir: str) -> str:
-    """Next unoccupied version name. Derived from BOTH the pointer and the
-    existing version dirs: a crashed writer leaves a dangling dir at
-    pointer+1, and deriving from the pointer alone would make every later
-    write collide with it (errorifexists) until a manual vacuum — the table
-    must self-heal by skipping past dangling dirs instead."""
+    """Next unoccupied version name WITHOUT listing the table dir (an
+    O(version dirs) listing per write is the same object-store tax the
+    verified pointer removed from reads): probe upward from the tip's
+    successor until a free slot — a crashed writer's dangling dir at
+    pointer+1 costs one extra existence check, not a full listing. Names
+    stay strictly increasing along the commit chain (which the pointer
+    walk in :func:`_latest` relies on); a gap below higher-numbered
+    debris may be reused, which is safe because commit order is the
+    manifest parent chain, never the numbering, and the create-exclusive
+    data dir still arbitrates racing writers."""
     cur = _latest(table_dir)
-    highest = int(cur[1:]) if cur else 0
-    for v in versions(table_dir):
-        highest = max(highest, int(v[1:]))
-    return f"v{highest + 1:05d}"
+    n = int(cur[1:]) if cur else 0
+    while True:
+        n += 1
+        if not fsio.exists(fsio.join(table_dir, f"v{n:05d}")):
+            return f"v{n:05d}"
 
 
 # --------------------------------------------------------------- manifest
@@ -386,6 +392,12 @@ def write_manifest(
         "kind": kind,
         "parent": parent,
         "ts_ms": int(time.time() * 1000),
+        # authoritative marker index — [] means "this commit carries no
+        # markers", key ABSENT means a pre-index manifest (readers fall
+        # back to listing the version dir). Marker-bearing commits fill
+        # it via _stamp_marker; content-preserving commits carry it in
+        # extra_fields (below) so watermarks survive maintenance.
+        "markers": [],
     }
     if extra_fields:
         payload.update(extra_fields)
@@ -393,6 +405,46 @@ def write_manifest(
         fsio.join(table_dir, version, _MANIFEST),
         json.dumps(payload, separators=(",", ":")).encode(),
     )
+
+
+def _stamp_marker(table_dir: str, version: str, marker: str) -> None:
+    """Record a commit marker (stream batch / IVM watermark) BOTH ways:
+    the marker file in the version dir (pre-r8 readers, human debugging)
+    and the ``markers`` list in the version's raw manifest — the index
+    :func:`version_markers` reads, so watermark lookups cost one manifest
+    read instead of one directory listing per walked version. Runs before
+    the commit file, so marker and snapshot stay atomic together."""
+    fsio.touch(fsio.join(table_dir, version, marker))
+    raw = _read_manifest_raw(table_dir, version)
+    if raw is None:  # no manifest yet (legacy-shaped writer): file only
+        return
+    names = list(raw.get("markers") or ())
+    if marker not in names:
+        names.append(marker)
+    raw["markers"] = names
+    fsio.write_bytes(
+        fsio.join(table_dir, version, _MANIFEST),
+        json.dumps(raw, separators=(",", ":")).encode(),
+    )
+
+
+def version_markers(
+    table_dir: str, version: str, raw: dict | None = None
+) -> list[str]:
+    """Marker names a committed version carries. The manifest's
+    ``markers`` list is authoritative when the key exists (every r8+
+    commit writes it, ``[]`` when none); pre-index manifests fall back to
+    listing the version dir — so watermark walks over fresh tables never
+    touch the filesystem listing API. Pass ``raw`` when the caller
+    already holds the raw manifest (the chain walk) to skip the read."""
+    if raw is None:
+        raw = _read_manifest_raw(table_dir, version)
+    if raw is not None and "markers" in raw:
+        return list(raw["markers"] or ())
+    try:
+        return fsio.ls(fsio.join(table_dir, version))
+    except (FileNotFoundError, OSError):
+        return []
 
 
 def _read_manifest_raw(table_dir: str, version: str) -> Optional[dict]:
@@ -533,6 +585,7 @@ def write_manifest_delta(
         "kind": kind,
         "parent": parent,
         "ts_ms": int(time.time() * 1000),
+        "markers": [],  # see write_manifest — the marker index default
     }
     if extra_fields:
         payload.update(extra_fields)
@@ -697,7 +750,7 @@ def _commit_snapshot(
             kind, parent=parent, extra_fields=extra_fields,
         )
     if marker:
-        fsio.touch(fsio.join(table_dir, version, marker))
+        _stamp_marker(table_dir, version, marker)
     _finalize_commit(table_dir, version, parent)
 
 
@@ -1469,6 +1522,33 @@ def versions(table_dir: str) -> list[str]:
     )
 
 
+def chain_desc(table_dir: str):
+    """Committed (version, raw manifest) pairs NEWEST-FIRST, lazily: the
+    tip, then one parent-link manifest read per step. Consumers that stop
+    early — watermark walks, where the newest marker is usually on the
+    tip — pay O(steps taken), never the O(full history) of
+    :func:`committed_versions`. Same chain rule: dirs off the parent
+    chain are invisible; a pre-chain legacy manifest falls back to every
+    earlier manifest-bearing version, newest-first."""
+    cur = _latest(table_dir)
+    seen: set[str] = set()
+    v: str | None = cur
+    while v and v not in seen:
+        m = _read_manifest_raw(table_dir, v)
+        if m is None:
+            return  # torn tip (corrupt pointer) or pre-manifest table end
+        yield v, m
+        seen.add(v)
+        if "parent" not in m:  # legacy manifest: no chain info recorded
+            for w in sorted(versions(table_dir), reverse=True):
+                if w < v and w not in seen:
+                    mw = _read_manifest_raw(table_dir, w)
+                    if mw is not None:
+                        yield w, mw
+            return
+        v = m["parent"]
+
+
 def committed_versions(table_dir: str) -> list[str]:
     """Versions safe to read: the manifest PARENT CHAIN walked back from the
     ``_LATEST`` pointer (the commit-log rule). Dirs outside the chain are
@@ -1478,29 +1558,7 @@ def committed_versions(table_dir: str) -> list[str]:
     pointer looking exactly like history that never was). A chain manifest
     without a ``parent`` key (written before the chain rule) falls back to
     accepting every earlier manifest-bearing version as its legacy prefix."""
-    cur = _latest(table_dir)
-    if cur is None:
-        return []
-    out: list[str] = []
-    seen: set[str] = set()
-    v: str | None = cur
-    while v and v not in seen:
-        m = _read_manifest_raw(table_dir, v)  # chain walk needs no fold
-        if m is None:
-            break  # torn tip (corrupt pointer) or pre-manifest table end
-        out.append(v)
-        seen.add(v)
-        if "parent" not in m:  # legacy manifest: no chain info recorded
-            out.extend(
-                w
-                for w in versions(table_dir)
-                if w < v
-                and w not in seen
-                and fsio.exists(fsio.join(table_dir, w, _MANIFEST))
-            )
-            break
-        v = m["parent"]
-    return sorted(out)
+    return sorted(v for v, _ in chain_desc(table_dir))
 
 
 def vacuum(

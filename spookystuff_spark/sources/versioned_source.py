@@ -579,7 +579,7 @@ class _VersionedArrowWriter(DataSourceArrowWriter):
                 extra_fields=dv_fields,
             )
         if marker:
-            fsio.touch(fsio.join(vdir, marker))
+            U._stamp_marker(self.table_dir, v, marker)
         try:
             # expected-parent re-check + per-version commit-file CAS — the
             # same arbitration as the native writers

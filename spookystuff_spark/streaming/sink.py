@@ -61,10 +61,15 @@ def _parse_marker(name: str) -> tuple[str | None, int] | None:
 
 
 def _batch_marker(
-    table_dir: str, version: str, app_id: str | None
+    table_dir: str, version: str, app_id: str | None, raw: dict | None = None
 ) -> Optional[int]:
+    from spookystuff_spark.sources import upsert as U
+
     app_key = None if app_id is None else _APP_SAFE.sub("-", app_id)
-    for f in fsio.ls(fsio.join(table_dir, version)):
+    # manifest marker index when present (one raw read, or free when the
+    # chain walk passes it in), directory listing only for pre-index
+    # versions — see upsert.version_markers
+    for f in U.version_markers(table_dir, version, raw=raw):
         parsed = _parse_marker(f)
         if parsed is None:
             continue
@@ -91,12 +96,13 @@ def last_committed_batch(
 
     Stream batch ids are monotonic per checkpoint, but interleaved NON-stream
     writes (manual upserts, compaction) create newer versions without
-    markers — so walk committed versions newest-first for the latest
-    marker."""
+    markers — so walk committed versions newest-first (lazily: the
+    steady-state marker is on or near the tip, so the walk reads one or
+    two manifests, never the full chain) for the latest marker."""
     if not fsio.is_dir(table_dir):
         return None
-    for v in reversed(U.committed_versions(table_dir)):
-        b = _batch_marker(table_dir, v, app_id)
+    for v, raw in U.chain_desc(table_dir):
+        b = _batch_marker(table_dir, v, app_id, raw=raw)
         if b is not None:
             return b
     return None

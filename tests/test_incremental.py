@@ -271,3 +271,89 @@ def test_streaming_refresh_follows_cdc(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+def test_unconsumed_drop_does_not_stall_the_fold(spark, tmp_path):
+    """Column-pruned feed walk: dropping a column the aggregate never
+    folds (requested_cols = group + sum + min/max) must not stall the
+    refresh — pre-r8 every drop refused, stranding the view until a
+    rebuild. Dropping a CONSUMED column still refuses loudly."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    rows = spark.createDataFrame(
+        [(1, "a", 10, "junk1"), (2, "b", 20, "junk2")],
+        "k int, grp string, val long, extra string",
+    )
+    U.write_table(rows, src)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    # drop the UNCONSUMED column mid-stream, then keep appending
+    U.compact(spark, src)
+    U.drop_column(src, "extra")
+    U.append_rows(spark, src, spark.createDataFrame(
+        [(3, "a", 5)], "k int, grp string, val long"
+    ))
+    assert refresh_aggregate(spark, src, dst, ["grp"], ["val"]) is not None
+    assert _got(spark, dst) == _expected(spark, src)
+    # dropping a CONSUMED column still refuses: fresh view over a fresh
+    # source, drop the sum column inside the fold range
+    src2, dst2 = str(tmp_path / "src2"), str(tmp_path / "dst2")
+    U.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10, 99)], "k int, grp string, val long, gone long"
+        ),
+        src2,
+    )
+    refresh_aggregate(spark, src2, dst2, ["grp"], ["gone"])
+    U.drop_column(src2, "gone")
+    U.append_rows(spark, src2, spark.createDataFrame(
+        [(2, "b", 20)], "k int, grp string, val long"
+    ))
+    with pytest.raises(ValueError, match="consumed by this fold"):
+        refresh_aggregate(spark, src2, dst2, ["grp"], ["gone"])
+
+
+def test_watermark_lookup_reads_manifests_not_listings(
+    spark, tmp_path, monkeypatch
+):
+    """The _SRC_ watermark walk answers from the manifest's ``markers``
+    index — zero directory listings on the hot path (a view refreshed
+    rarely against a busy table used to pay one ls per walked version).
+    Pre-index manifests (key absent) still fall back to listing."""
+    import json
+
+    from spookystuff_spark import fsio
+    from spookystuff_spark.sources.incremental import newest_marker
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    U.write_table(_rows(spark, [(1, "a", 10)]), src)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    U.append_rows(spark, src, _rows(spark, [(2, "b", 20)]))
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    wm = last_processed_version(dst)
+    assert wm is not None
+
+    def no_ls(path):
+        raise AssertionError(f"watermark walk listed a directory: {path}")
+
+    monkeypatch.setattr(fsio, "ls", no_ls)
+    assert last_processed_version(dst) == wm
+    monkeypatch.undo()
+    # pre-index manifest (simulated: strip the markers key): ls fallback
+    tip = U.committed_versions(dst)[-1]
+    raw = U._read_manifest_raw(dst, tip)
+    del raw["markers"]
+    fsio.write_bytes(
+        fsio.join(dst, tip, U._MANIFEST),
+        json.dumps(raw, separators=(",", ":")).encode(),
+    )
+    assert last_processed_version(dst) == wm  # marker FILE still found
+    # and maintenance carries the watermark in the manifest: a compact +
+    # vacuum of the marker-bearing versions keeps the fold exactly-once
+    src2, dst2 = str(tmp_path / "s2"), str(tmp_path / "d2")
+    U.write_table(_rows(spark, [(1, "a", 10)]), src2)
+    refresh_aggregate(spark, src2, dst2, ["grp"], ["val"])
+    U.compact(spark, dst2)
+    U.vacuum(dst2, keep=1)
+    assert last_processed_version(dst2) is not None  # carried, not lost
+    U.append_rows(spark, src2, _rows(spark, [(3, "a", 7)]))
+    refresh_aggregate(spark, src2, dst2, ["grp"], ["val"])
+    assert _got(spark, dst2) == _expected(spark, src2)

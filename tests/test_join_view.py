@@ -281,21 +281,45 @@ def test_streaming_sink_keeps_view_fresh(spark, tmp_path):
 
 
 def test_vacuumed_watermark_refuses_instead_of_reseeding(spark, tmp_path):
-    """Maintenance that drops every marker-bearing version must NOT let
-    the next refresh re-seed the full join onto the existing content
-    (silent whole-view duplication) — it refuses with a rebuild hint."""
+    """A view whose watermark GENUINELY vanished must NOT let the next
+    refresh re-seed the full join onto the existing content (silent
+    whole-view duplication) — it refuses with a rebuild hint. Ordinary
+    maintenance no longer gets there: compact CARRIES the marker index in
+    its manifest (content-preserving extras), so compact + vacuum keeps
+    the watermark alive and the fold just continues."""
+    import json
+
+    from spookystuff_spark import fsio
+
     a, b, dst = (str(tmp_path / n) for n in ("a", "b", "v"))
     U.write_table(_dim(spark, [(1, "one")]), a)
     U.write_table(_fact(spark, [(1, 10, 100)]), b)
     refresh_join_view(spark, a, b, dst, ["k"])
-    # simulate aggressive maintenance: compact (marker-less tip) + vacuum
+    # aggressive maintenance: compact + vacuum — the carried marker index
+    # keeps the watermark, and the next refresh folds normally
     U.compact(spark, dst, num_files=1)
     U.vacuum(dst, keep=1)
     U.append_rows(spark, b, _fact(spark, [(1, 11, 110)]))
+    assert refresh_join_view(spark, a, b, dst, ["k"])
+    assert _view_counter(spark, dst) == _full_join_counter(spark, a, b)
+    # GENUINE loss (external damage / pre-index table): strip the marker
+    # index from every committed manifest — the refresh must refuse
+    for v in U.committed_versions(dst):
+        raw = U._read_manifest_raw(dst, v)
+        raw["markers"] = []
+        fsio.write_bytes(
+            fsio.join(dst, v, U._MANIFEST),
+            json.dumps(raw, separators=(",", ":")).encode(),
+        )
+        for name in fsio.ls(fsio.join(dst, v)):
+            if name.startswith("_SRCJ_"):
+                fsio.delete_file(fsio.join(dst, v, name))
+    before = U.read_table(spark, dst).count()
+    U.append_rows(spark, b, _fact(spark, [(1, 12, 120)]))
     with pytest.raises(ValueError, match="no _SRCJ watermark"):
         refresh_join_view(spark, a, b, dst, ["k"])
     # the view content was never doubled
-    assert U.read_table(spark, dst).count() == 1
+    assert U.read_table(spark, dst).count() == before
 
 
 def test_subset_schema_feed_null_fills_instead_of_wedging(spark, tmp_path):

@@ -250,6 +250,10 @@ def test_warm_table_hot_path_never_lists_commits(spark, seeded, monkeypatch):
         p for p in listed if p.rstrip("/").endswith("_commits")
     ]
     assert commit_lists == []
+    # and no TABLE-ROOT listing either: _next_version probes upward from
+    # the tip instead of enumerating every version dir per write
+    root_lists = [p for p in listed if p.rstrip("/") == tdir.rstrip("/")]
+    assert root_lists == []
 
 
 def test_concurrent_commit_exactly_one_wins(spark, seeded):

@@ -312,7 +312,9 @@ def test_incremental_fold_tolerates_rename_translates_feeds(spark, tmp_path):
     """IVM folds now CROSS rename commits (the r6 judge's punch #3): a
     rename is value-preserving, so pre-rename feeds have their columns
     translated to the current names — the derived aggregate matches a
-    from-scratch recompute under the new schema. A DROP still refuses."""
+    from-scratch recompute under the new schema. A DROP refuses only when
+    the dropped column is CONSUMED by the fold (column-pruned feed walk —
+    unconsumed drops no longer stall, see test_incremental.py)."""
     from spookystuff_spark.sources.incremental import refresh_aggregate
 
     src = str(tmp_path / "src")
@@ -330,7 +332,8 @@ def test_incremental_fold_tolerates_rename_translates_feeds(spark, tmp_path):
         for r in U.read_table(spark, dst).collect()
     }
     assert got == {("eu", 120, 3), ("us", 30, 1), ("ap", 40, 1)}
-    # a DROP inside the fold range still refuses (null-fill would drift)
+    # a DROP of a column the fold CONSUMES still refuses inside the fold
+    # range (null-fill would drift)
     src2 = str(tmp_path / "src2")
     dst2 = str(tmp_path / "agg2")
     U.write_table(_rows(spark, BASE), src2)
@@ -338,8 +341,8 @@ def test_incremental_fold_tolerates_rename_translates_feeds(spark, tmp_path):
     U.append_rows(spark, src2, spark.createDataFrame(
         [(9, "eu")], "k long, region string"
     ))
-    with pytest.raises(ValueError, match="column-drop commit"):
-        refresh_aggregate(spark, src2, dst2, ["region"], ["k"])
+    with pytest.raises(ValueError, match="consumed by this fold"):
+        refresh_aggregate(spark, src2, dst2, ["region"], ["val"])
 
 
 def test_ann_index_refresh_survives_source_rename(spark, tmp_path):
