@@ -619,6 +619,80 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+@bench_only("q_join_agg")
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED view γ(A⋈B), gate-pinned end-to-end
+    (sources/join_view.py::refresh_join_aggregate): per-segment
+    SUM(price)/COUNT(*) over customer⋈orders maintained incrementally —
+    the join is NEVER materialized; each refresh aggregates the counted
+    join delta (signed multiplicities) and folds it into the
+    group-cardinality table with one key join. Same fold schedule as
+    ``q_join_view`` (seed from partial slices, three interleaved append
+    batches, a dim-side DV delete), same closed-form full-join oracle —
+    so the composed maintenance must agree with the direct recompute
+    after every kind of source change. Rides ``q_scalar_suite``'s
+    melt."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+    from spookystuff_spark.sources.upsert import (
+        append_rows,
+        delete_where_dv,
+        read_table,
+        write_table,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    base = tempfile.mkdtemp(prefix="spooky-jva-")
+    a_dir, b_dir, dst = (os.path.join(base, n) for n in ("a", "b", "g"))
+
+    def refresh():
+        refresh_join_aggregate(
+            spark, a_dir, b_dir, dst, ["custkey"], ["seg"], ["price"]
+        )
+
+    try:
+        write_table(cust.where(F.col("custkey") % 2 == 0), a_dir)
+        write_table(orders.where(F.col("o_orderkey") % 3 == 0), b_dir)
+        refresh()  # seed
+        append_rows(spark, a_dir, cust.where(F.col("custkey") % 2 == 1))
+        refresh()
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 1))
+        refresh()
+        append_rows(
+            spark, a_dir,
+            cust.select(
+                (-(F.col("custkey") + F.lit(1))).alias("custkey"),
+                F.concat(F.lit("X-"), F.col("seg")).alias("seg"),
+            ),
+        )
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 2))
+        refresh()
+        delete_where_dv(
+            spark, a_dir, "custkey >= 0 AND custkey % 10 = 3", ["custkey"]
+        )
+        refresh()
+        return (
+            read_table(spark, dst)
+            .select(
+                "seg",
+                F.col("n_rows").alias("n_pairs"),
+                F.round(F.col("price_sum") + F.lit(1e-6), 2).alias(
+                    "sum_price"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 ORACLE_RENAME = """
     WITH kept AS (
       SELECT lang, n_chars AS chars FROM documents WHERE doc_id % 3 <> 0

@@ -90,6 +90,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_cdc_upsert,
     q_dv_delete,
     q_ivm_refresh,
+    q_join_agg,
     q_join_view,
     q_partitioned_merge,
     q_rename_table,
@@ -206,6 +207,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "jv", "q_join_view", ["seg"], ["n_pairs", "sum_price"],
+)}
+UNION ALL {_melt_sql(
+    "jv", "q_join_agg", ["seg"], ["n_pairs", "sum_price"],
 )}"""
 
 
@@ -346,6 +350,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         _melt(
             q_join_view(spark, sf_dir),
             "q_join_view",
+            ["seg"],
+            ["n_pairs", "sum_price"],
+        ),
+        _melt(
+            q_join_agg(spark, sf_dir),
+            "q_join_agg",
             ["seg"],
             ["n_pairs", "sum_price"],
         ),
@@ -542,6 +552,7 @@ register_suite(
         "q_rolling_zscore": "q_rolling_zscore",
         "q_rename_table": "q_rename_table",
         "q_join_view": "q_join_view",
+        "q_join_agg": "q_join_agg",
     },
 )
 register_suite(

@@ -124,6 +124,7 @@ def _snapshot_probe(
     see."""
     raw = U._read_manifest_raw(src_dir, version) or {}
     pcol = raw.get("partition_col")
+    hint = True  # broadcast the key set only when it is known-small
     if (
         keys_df is not None
         and pcol is not None
@@ -145,9 +146,15 @@ def _snapshot_probe(
             return read_table_partitions(
                 spark, src_dir, vals, version=version
             )
+        # backfill-sized delta: the key set is exactly what must NOT be
+        # materialized driver-side — no broadcast hint, let AQE decide
+        hint = False
     df = U.read_table(spark, src_dir, version=version)
     if keys_df is not None:
-        df = df.join(F.broadcast(keys_df.distinct()), list(on), "leftsemi")
+        keys = keys_df.distinct()
+        df = df.join(
+            F.broadcast(keys) if hint else keys, list(on), "leftsemi"
+        )
     return df
 
 
@@ -184,24 +191,21 @@ def _align(df: DataFrame, schema, keep: Sequence[str] = ()) -> DataFrame:
     )
 
 
-def refresh_join_view(
+def _join_delta(
     spark: SparkSession,
     a_dir: str,
     b_dir: str,
     dst_dir: str,
     on: Sequence[str],
-) -> str | None:
-    """Fold both sources' changes since the last refresh into the inner
-    equi-join view at ``dst_dir``. Returns the new view version, or None
-    when neither source has anything new. The view's schema is
-    ``on + A's other columns + B's other columns + _n`` (name collisions
-    outside the key refuse — alias upstream); ``_n`` is the signed pair
-    multiplicity, consolidated by :func:`read_join_view`.
-
-    Per refresh: ΔA ⋈ B_current plus (A_current − ΔA) ⋈ ΔB as Z-sets
-    (pair multiplicity = n_a·n_b), each snapshot side partition-pruned to
-    the delta's keys when laid out by the join key. The first refresh (no
-    markers yet) seeds the view with the full A ⋈ B."""
+    consolidate_seed: bool = True,
+) -> tuple[DataFrame | None, str | None, list[str], bool]:
+    """The shared counted delta-join machinery behind
+    :func:`refresh_join_view` and :func:`refresh_join_aggregate`:
+    resolves ``dst_dir``'s dual watermark, walks both sources' feeds,
+    and returns ``(delta Z-set with _n | None, marker, ordered columns,
+    dst exists)``. ``marker is None`` means neither source has anything
+    new (the caller no-ops); a None delta with a marker is a
+    watermark-only advance (feed-less source versions)."""
     on = list(on)
     wa, wb = _watermarks(dst_dir)
     first = wa is None and wb is None
@@ -229,7 +233,7 @@ def refresh_join_view(
         da, newest_a = _changes_since(spark, a_dir, wa)
         db, newest_b = _changes_since(spark, b_dir, wb)
         if newest_a is None and newest_b is None:
-            return None  # nothing new on either side
+            return None, None, [], exists  # nothing new on either side
         da = _signed(da)
         db = _signed(db)
 
@@ -274,13 +278,21 @@ def refresh_join_view(
 
     ordered = on + a_cols + b_cols
     if first:
-        # seed: the full join once, counted; later refreshes are delta-only
+        # seed: the full join once; later refreshes are delta-only. The
+        # counted (grouped) form keeps the MATERIALIZED view compact, but
+        # its groupBy shuffles on every output column — a consumer that
+        # immediately re-aggregates (refresh_join_aggregate) passes
+        # consolidate_seed=False and gets the raw join with _n = 1, which
+        # is the same Z-set without the full-width shuffle.
         joined = U.read_table(spark, a_dir, version=pin_a).join(
             U.read_table(spark, b_dir, version=pin_b), on, "inner"
         )
-        delta_v = joined.groupBy(*ordered).agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        if consolidate_seed:
+            delta_v = joined.groupBy(*ordered).agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+        else:
+            delta_v = joined.withColumn("_n", F.lit(1))
     else:
         parts = []
         if da_z is not None:
@@ -333,6 +345,32 @@ def refresh_join_view(
             delta_v = _zfold(delta_v, ordered)
 
     marker = f"{_MARK}{pin_a or 'none'}_{pin_b or 'none'}"
+    return delta_v, marker, ordered, exists
+
+
+def refresh_join_view(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    dst_dir: str,
+    on: Sequence[str],
+) -> str | None:
+    """Fold both sources' changes since the last refresh into the inner
+    equi-join view at ``dst_dir``. Returns the new view version, or None
+    when neither source has anything new. The view's schema is
+    ``on + A's other columns + B's other columns + _n`` (name collisions
+    outside the key refuse — alias upstream); ``_n`` is the signed pair
+    multiplicity, consolidated by :func:`read_join_view`.
+
+    Per refresh: ΔA ⋈ B_current plus (A_current − ΔA) ⋈ ΔB as Z-sets
+    (pair multiplicity = n_a·n_b), each snapshot side partition-pruned to
+    the delta's keys when laid out by the join key. The first refresh (no
+    markers yet) seeds the view with the full A ⋈ B."""
+    delta_v, marker, ordered, exists = _join_delta(
+        spark, a_dir, b_dir, dst_dir, on
+    )
+    if marker is None:
+        return None  # nothing new on either side
     if delta_v is None:
         # watermark-only advance (feed-less versions): commit the marker
         # on an empty append so the next refresh doesn't re-walk them; a
@@ -348,6 +386,77 @@ def refresh_join_view(
                              change_feed=False)
     return U.append_rows(spark, dst_dir, delta_v, marker=marker,
                          change_feed=False)
+
+
+def refresh_join_aggregate(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    dst_dir: str,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> str | None:
+    """The COMPOSED view γ(A ⋈ B), maintained incrementally WITHOUT
+    materializing the join: ``GROUP BY group_cols: SUM(sum_cols),
+    COUNT(*)`` over the inner equi-join of two versioned tables (schema:
+    group_cols, ``<c>_sum`` per sum col, ``n_rows``). Each refresh
+    computes the counted join delta (:func:`_join_delta` — the same
+    partition-pruned, watermark-pinned machinery as the join view),
+    aggregates it with signed multiplicities (``SUM(c·_n)``,
+    ``SUM(_n)``), and folds the per-group deltas into the current table
+    with one full-outer key join — O(Δ + group cardinality) per refresh,
+    both source tables untouched beyond the probed slices. Updates and
+    deletes on either source fold exactly (Z-set bilinearity); groups
+    whose count reaches zero are removed; replays are exactly-once via
+    the same dual ``_SRCJ_`` watermark. Min/max don't decompose under
+    join retractions — use :func:`refresh_join_view` +
+    ``read_join_view`` when you need them.
+
+    The classic shape: revenue per segment maintained from a fact and a
+    dimension table, where re-joining 100 TB per refresh is the thing
+    this exists to avoid."""
+    gcols = list(group_cols)
+    scols = list(sum_cols)
+    delta_v, marker, ordered, exists = _join_delta(
+        spark, a_dir, b_dir, dst_dir, on, consolidate_seed=False
+    )
+    if marker is None:
+        return None  # nothing new on either side
+    if delta_v is None:
+        # watermark-only advance (feed-less source versions): an O(1)
+        # empty marker-bearing append, never a table rewrite; a table
+        # that doesn't exist yet has nothing to advance
+        if not exists:
+            return None
+        empty = U.read_table(spark, dst_dir).limit(0)
+        return U.append_rows(spark, dst_dir, empty, marker=marker,
+                             change_feed=False)
+    missing = [c for c in gcols + scols if c not in ordered]
+    if missing:
+        raise ValueError(
+            f"join aggregate {dst_dir}: columns {missing} not in the "
+            f"join's output {ordered}"
+        )
+    delta_agg = delta_v.groupBy(*gcols).agg(
+        *[
+            F.sum(F.col(c) * F.col("_n")).alias(f"{c}_sum")
+            for c in scols
+        ],
+        F.sum("_n").alias("n_rows"),
+    )
+    if exists:
+        # union-then-groupBy fold: groupBy treats NULL group keys as one
+        # group (a full-outer equi-join would NOT match NULL = NULL, so a
+        # NULL-keyed group's retraction would silently never meet its
+        # seed row and the n_rows filter would drop it — permanent drift)
+        current = U.read_table(spark, dst_dir)
+        delta_agg = current.unionByName(delta_agg).groupBy(*gcols).agg(
+            *[F.sum(f"{c}_sum").alias(f"{c}_sum") for c in scols],
+            F.sum("n_rows").alias("n_rows"),
+        )
+    merged = delta_agg.where(F.col("n_rows") > 0)
+    return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
 
 
 def read_join_view(

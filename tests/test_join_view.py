@@ -417,3 +417,120 @@ def test_randomized_interleavings_match_model(spark, tmp_path):
     for r in read_join_view(spark, dst).collect():
         got[(r["k"], r["dname"], r["fid"], r["amt"])] += r["_n"]
     assert got == model
+
+
+def test_join_aggregate_tracks_recompute(spark, tmp_path):
+    """The COMPOSED view γ(A⋈B): per-group sums/counts maintained from
+    the counted join delta alone — appends, deletes and preimage-logged
+    updates on either side all fold to exactly the full-join recompute,
+    with neither source rescanned and no join view materialized."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x"), (2, "y"), (3, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 300), (1, 11, 110)]),
+        b,
+    )
+
+    def got():
+        return {
+            (r["dname"], r["amt_sum"], r["n_rows"])
+            for r in U.read_table(spark, dst).collect()
+        }
+
+    def expected():
+        return {
+            (r["dname"], r["amt_sum"], r["n_rows"])
+            for r in U.read_table(spark, a)
+            .join(U.read_table(spark, b), ["k"], "inner")
+            .groupBy("dname")
+            .agg(F.sum("amt").alias("amt_sum"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+
+    assert refresh_join_aggregate(
+        spark, a, b, dst, ["k"], ["dname"], ["amt"]
+    )  # seed
+    assert got() == expected()
+    # appends on both sides in one fold
+    U.append_rows(spark, a, _dim(spark, [(4, "y")]))
+    U.append_rows(spark, b, _fact(spark, [(4, 40, 400), (2, 21, 210)]))
+    assert refresh_join_aggregate(
+        spark, a, b, dst, ["k"], ["dname"], ["amt"]
+    )
+    assert got() == expected()
+    # delete on the fact side: the group sums shrink exactly
+    U.delete_where_dv(spark, b, "fid = 20", ["k", "fid"])
+    assert refresh_join_aggregate(
+        spark, a, b, dst, ["k"], ["dname"], ["amt"]
+    )
+    assert got() == expected()
+    # preimage-logged update MOVING a dim row between groups
+    U.upsert(spark, a, _dim(spark, [(1, "y")]), ["k"], feed_preimages=True)
+    assert refresh_join_aggregate(
+        spark, a, b, dst, ["k"], ["dname"], ["amt"]
+    )
+    assert got() == expected()
+    # replay: exactly-once, nothing changes
+    before = got()
+    assert refresh_join_aggregate(
+        spark, a, b, dst, ["k"], ["dname"], ["amt"]
+    ) is None
+    assert got() == before
+
+
+def test_join_aggregate_group_vanishes_at_zero(spark, tmp_path):
+    """Deleting every fact of a group removes its row (n_rows reaches 0),
+    exactly like the aggregate IVM's contract."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "solo"), (2, "keep")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100), (2, 20, 200)]), b)
+    refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
+    U.delete_where_dv(spark, b, "k = 1", ["k", "fid"])
+    refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
+    rows = {r["dname"] for r in U.read_table(spark, dst).collect()}
+    assert rows == {"keep"}
+
+
+def test_join_aggregate_refuses_unknown_columns(spark, tmp_path):
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100)]), b)
+    with pytest.raises(ValueError, match="not in the join's output"):
+        refresh_join_aggregate(spark, a, b, dst, ["k"], ["nope"], ["amt"])
+
+
+def test_join_aggregate_null_group_keys_fold(spark, tmp_path):
+    """The r8 review catch: a full-outer equi-join fold never matches
+    NULL = NULL, so a NULL-keyed group's retraction would miss its seed
+    row and the n_rows > 0 filter would drop the retraction silently —
+    permanent drift. The union-then-groupBy fold treats NULL as one group,
+    like any SQL aggregate."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, None), (2, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (1, 11, 110), (2, 20, 200)]), b
+    )
+    refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
+
+    def got():
+        return {
+            (r["dname"], r["amt_sum"], r["n_rows"])
+            for r in U.read_table(spark, dst).collect()
+        }
+
+    assert got() == {(None, 210, 2), ("x", 200, 1)}
+    U.delete_where_dv(spark, b, "fid = 10", ["k", "fid"])
+    refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
+    assert got() == {(None, 110, 1), ("x", 200, 1)}
+    # and the NULL group vanishes at zero count like any other
+    U.delete_where_dv(spark, b, "fid = 11", ["k", "fid"])
+    refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
+    assert got() == {("x", 200, 1)}

@@ -61,6 +61,8 @@ COMMENTARY = {
     "q_rolling_zscore": "One exchange (the user key), then the trailing ROWS-frame mean/stddev/z all evaluate in a single Window operator over one sort — no self-join, no second pass; the whole expression tree below the window is codegen.",
     "q_table_profile": "The profile is ONE wide aggregate job collapsing map-side into a single row (the visible plan is the local result frame): null counts and min/max/mean are plain partial aggregates; the exact distinct counts add Spark's EXPAND rewrite — the documented, deliberate cost of exact ANALYZE, with the KMV/HLL sketches as the wide-table alternative.",
     "q_scd2_dim": "Checkpointed melt of the SCD-2 history + as-of labels. Upstream: each batch folds via the versioned MERGE keyed on (k, valid_from) with the tiny delta side broadcast (attr-identical updates hash-compare to a no-op and commit NOTHING); the as-of label join is an equi-join on the dimension key followed by the [valid_from, valid_to) validity filter — per-key version counts are small, so no inequality-only plan and no skew.",
+    "q_join_view": "Checkpointed aggregate over the counted (Z-set) join view's consolidation. Upstream: the seed joined the pinned snapshots once; every later fold read ONLY the two change feeds, probed each snapshot side at the delta's keys (manifest-pruned read_table_partitions when laid out by the key, capped driver pull, semi-join scan above the cap), multiplied signed multiplicities, and appended an O(delta) consolidated batch with an O(batch) delta manifest — the sources are never re-joined, and the dim-side DV delete folds as -1 rows that cancel in the consolidation groupBy.",
+    "q_join_agg": "Checkpointed read of the composed view gamma(A JOIN B) — maintained with the SAME delta machinery as q_join_view but never materializing the join: the seed aggregates the raw join directly (no full-width counted groupBy), each fold aggregates the signed join delta to (group, sum, count) partials, and the merge is a union-then-groupBy against the group-cardinality table (NULL-safe by construction). Per refresh: O(delta + groups); the fact and dim tables are touched only at the probed slices.",
 }
 
 
