@@ -151,7 +151,6 @@ def main() -> None:
         spark.stop()  # free the in-run JVM before the per-query processes
         import subprocess
 
-        t_pass0 = time.monotonic()
         singles = sorted(
             (
                 (t, q)
@@ -161,36 +160,41 @@ def main() -> None:
             reverse=True,
         )[:n_top]
         me = os.path.abspath(__file__)
-        for _, q in singles:
-            if time.monotonic() - t_pass0 > budget_s:
-                isolated_skipped.append(q)
-                continue
-            env = {
-                **os.environ,
-                "SPARK_GRAFT_BENCH_REPEATS": "3",
-                "SPARK_GRAFT_ISOLATED_TOP": "0",
-            }
-            try:
-                out = subprocess.run(
-                    [sys.executable, me, q],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    timeout=600,
-                ).stdout.strip().splitlines()
-                line = json.loads(out[-1]) if out else {}
-                # the short tail line has no "queries"; the full line does
-                for ln in reversed(out):
-                    d = json.loads(ln)
-                    if "queries" in d:
-                        isolated_top[q] = d["queries"][q]
-                        break
-                else:
-                    isolated_top[q] = line.get("value", -1.0)
-            except Exception as e:  # noqa: BLE001 — record, keep going
-                isolated_top[q] = -1.0
-                print(f"# isolated retime error {q}: {e}", file=sys.stderr)
 
+        def retime(names, repeats_n, budget):
+            t0 = time.monotonic()
+            for q in names:
+                if time.monotonic() - t0 > budget:
+                    isolated_skipped.append(q)
+                    continue
+                env = {
+                    **os.environ,
+                    "SPARK_GRAFT_BENCH_REPEATS": str(repeats_n),
+                    "SPARK_GRAFT_ISOLATED_TOP": "0",
+                }
+                try:
+                    out = subprocess.run(
+                        [sys.executable, me, q],
+                        env=env,
+                        capture_output=True,
+                        text=True,
+                        timeout=600,
+                    ).stdout.strip().splitlines()
+                    # the short tail line has no "queries"; the full one does
+                    for ln in reversed(out):
+                        d = json.loads(ln)
+                        if "queries" in d:
+                            isolated_top[q] = d["queries"][q]
+                            break
+                    else:
+                        isolated_top[q] = -1.0
+                except Exception as e:  # noqa: BLE001 — record, keep going
+                    isolated_top[q] = -1.0
+                    print(
+                        f"# isolated retime error {q}: {e}", file=sys.stderr
+                    )
+
+        retime([q for _, q in singles], 3, budget_s)
         # r7 judge punch #8 follow-through: retime the slowest SUITES too
         # (the one r7 ambiguity — q_text_suite's in-run 29.7 s — needed a
         # judge re-run to adjudicate because only singles were retimed).
@@ -198,10 +202,6 @@ def main() -> None:
         # repeats=2 because suites are long and their constituents are
         # already individually retimed above.
         n_suites = int(os.environ.get("SPARK_GRAFT_ISOLATED_SUITES", "2"))
-        suite_budget_s = float(
-            os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")
-        )
-        t_suite0 = time.monotonic()
         suites_by_cost = sorted(
             (
                 (t, q)
@@ -210,33 +210,11 @@ def main() -> None:
             ),
             reverse=True,
         )[:n_suites]
-        for _, q in suites_by_cost:
-            if time.monotonic() - t_suite0 > suite_budget_s:
-                isolated_skipped.append(q)
-                continue
-            env = {
-                **os.environ,
-                "SPARK_GRAFT_BENCH_REPEATS": "2",
-                "SPARK_GRAFT_ISOLATED_TOP": "0",
-            }
-            try:
-                out = subprocess.run(
-                    [sys.executable, me, q],
-                    env=env,
-                    capture_output=True,
-                    text=True,
-                    timeout=600,
-                ).stdout.strip().splitlines()
-                for ln in reversed(out):
-                    d = json.loads(ln)
-                    if "queries" in d:
-                        isolated_top[q] = d["queries"][q]
-                        break
-                else:
-                    isolated_top[q] = -1.0
-            except Exception as e:  # noqa: BLE001 — record, keep going
-                isolated_top[q] = -1.0
-                print(f"# isolated retime error {q}: {e}", file=sys.stderr)
+        retime(
+            [q for _, q in suites_by_cost],
+            2,
+            float(os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")),
+        )
 
     payload = {
         "queries": timings,

@@ -87,21 +87,39 @@ def _assign_cells(
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
-def _save_centroids(index_dir: str, centroids) -> None:
+def _save_centroids(index_dir: str, centroids, vec_col: str) -> None:
+    """Centroids + the SOURCE's embedding column name (the index table
+    renames it to ``vec``, so the index schema cannot recover it — and the
+    refresh must select the feed column BY NAME, never positionally)."""
     fsio.mkdirs(index_dir)
     fsio.write_bytes(
         fsio.join(index_dir, _CENTROIDS),
-        json.dumps([list(map(float, row)) for row in centroids]).encode(),
+        json.dumps(
+            {
+                "vec_col": vec_col,
+                "centroids": [list(map(float, row)) for row in centroids],
+            }
+        ).encode(),
     )
+
+
+def _centroids_payload(index_dir: str) -> dict:
+    raw = json.loads(fsio.read_bytes(fsio.join(index_dir, _CENTROIDS)))
+    if isinstance(raw, list):  # pre-r8 sidecar: centroids only
+        return {"vec_col": None, "centroids": raw}
+    return raw
 
 
 def load_centroids(index_dir: str):
     import numpy as np
 
-    return np.array(
-        json.loads(fsio.read_bytes(fsio.join(index_dir, _CENTROIDS))),
-        dtype=np.float64,
-    )
+    return np.array(_centroids_payload(index_dir)["centroids"], dtype=np.float64)
+
+
+def index_vec_col(index_dir: str) -> str | None:
+    """The source embedding column this index folds — None on a pre-r8
+    sidecar (callers fall back to the positional guess)."""
+    return _centroids_payload(index_dir)["vec_col"]
 
 
 def build_ann_index(
@@ -128,7 +146,7 @@ def build_ann_index(
         emb, id_col, vec_col, dim,
         n_cells=n_cells, n_iters=n_iters, sample_cap=sample_cap,
     )
-    _save_centroids(index_dir, centroids)
+    _save_centroids(index_dir, centroids, vec_col)
     assigned = _assign_cells(emb, id_col, vec_col, centroids)
     write_table_partitioned(
         assigned, index_dir, "cell",
@@ -149,17 +167,24 @@ def refresh_ann_index(
     upsert. Returns the new index version, or None when the source has
     nothing new. Insert-shaped feeds only (see module docstring)."""
     after = last_processed_version(index_dir)
-    # the fold consumes the id and the embedding column (its name is the
-    # index schema minus id and cell) — a drop of anything ELSE on the
-    # source must not stall the refresh (column-pruned feed walk)
-    from pyspark.sql.types import StructType
-
-    idx_cur = U._latest(index_dir)
-    sj = U.snapshot_schema_json(index_dir, idx_cur) if idx_cur else None
-    requested = None
-    if sj:
-        names = [f.name for f in StructType.fromJson(json.loads(sj)).fields]
-        requested = [id_col, *[n for n in names if n not in (id_col, "cell")]]
+    # the fold consumes the id and the SOURCE's embedding column (recorded
+    # in the centroid sidecar at build time — the index table renames it
+    # to 'vec', so its schema can't recover the source name): a drop of
+    # anything ELSE on the source must not stall the refresh
+    # (column-pruned feed walk), while dropping the embedding itself
+    # still refuses
+    src_vec = index_vec_col(index_dir)
+    if src_vec is not None:
+        # a source-side RENAME of the embedding column post-dates the
+        # sidecar: feeds arrive translated to CURRENT names, so translate
+        # the sidecar name through the source's rename events too
+        tip = U._latest(src_dir)
+        if tip is not None:
+            log = U.rename_log_of(U._read_manifest_raw(src_dir, tip) or {})
+            for ev in log:
+                if ev["old"] == src_vec:
+                    src_vec = ev["new"]
+    requested = [id_col, src_vec] if src_vec else None
     changes, newest = _changes_since(
         spark, src_dir, after, requested_cols=requested
     )
@@ -175,9 +200,25 @@ def refresh_ann_index(
             "cells, rebuild instead"
         )
     centroids = load_centroids(index_dir)
-    # the feed rows carry the source schema; find the embedding column name
+    # the embedding column BY NAME from the sidecar — a positional pick
+    # (first non-id feed column) would grab an unrelated source column
+    # the moment the source carries one (exactly the case the
+    # column-pruned feed walk above now tolerates) and assign garbage
+    # cells; a feed genuinely lacking the column must fail loudly instead.
+    # Renames are already translated to current names by _changes_since,
+    # but a rename of the embedding column itself post-dates the sidecar —
+    # accept the current-name feed only when the sidecar name is absent.
     src_schema_cols = [c for c in changes.columns if c != "_change"]
-    emb_col = [c for c in src_schema_cols if c != id_col][0]
+    if src_vec is not None:
+        if src_vec not in src_schema_cols:
+            raise ValueError(
+                f"{src_dir}: feed lacks the index's embedding column "
+                f"{src_vec!r} (have {src_schema_cols}) — if the column "
+                "was renamed, rebuild the index under the new name"
+            )
+        emb_col = src_vec
+    else:  # pre-r8 sidecar: the historical positional guess
+        emb_col = [c for c in src_schema_cols if c != id_col][0]
     assigned = _assign_cells(
         changes.select(id_col, emb_col), id_col, emb_col, centroids
     )

@@ -105,7 +105,9 @@ def _changes_since(
     committed = U.committed_versions(src_dir)
     first = committed[0] if committed else None
     in_range = [
-        v for v in committed if after is None or v > after
+        v
+        for v in committed
+        if after is None or U._vnum(v) > U._vnum(after)
     ]
     # one raw-manifest read per in-range version, shared by the rename-
     # event pre-pass and the fold loop
@@ -161,7 +163,7 @@ def _changes_since(
             df = df.withColumn("_change", F.lit(kind or "insert"))
         # translate pre-rename feeds to the current column names
         for ev in events:
-            if ev["v"] > v and ev["old"] in df.columns:
+            if U._vnum(ev["v"]) > U._vnum(v) and ev["old"] in df.columns:
                 df = df.withColumnRenamed(ev["old"], ev["new"])
         if v != first:
             kinds = {

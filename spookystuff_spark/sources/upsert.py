@@ -105,6 +105,15 @@ def _commit_names(table_dir: str) -> list[str]:
     return out
 
 
+def _vnum(name: str) -> int:
+    """Numeric order of a version / commit-file name — ``v00005`` and
+    ``v00005.c`` both → 5. String comparison breaks at the
+    v99999→v100000 width transition (the name grows a digit — at exactly
+    the 100k-commit scale the pointer fast path exists for), so EVERY
+    ordering of version names must go through this."""
+    return int(name[1:-2] if name.endswith(".c") else name[1:])
+
+
 def _latest_from_listing(table_dir: str) -> str | None:
     """Authoritative tip: list ``_commits`` and take the newest entry (the
     Delta-log rule — a commit IS the ``_commits`` entry, created
@@ -115,7 +124,9 @@ def _latest_from_listing(table_dir: str) -> str | None:
     :func:`_latest`'s verified-pointer fast path."""
     names = _commit_names(table_dir)
     if names:
-        top = max(names)
+        # numeric order (see _vnum); a parent-keyed <vN>.c outranks a
+        # legacy vN of the same number (it proves a CHILD of N committed)
+        top = max(names, key=lambda n: (_vnum(n), n.endswith(".c")))
         if top.endswith(".c"):
             v = (
                 fsio.read_bytes(fsio.join(table_dir, _COMMITS, top))
@@ -181,7 +192,11 @@ def _latest(table_dir: str) -> str | None:
             nxt = fsio.read_bytes(child).decode().strip()
         except (FileNotFoundError, OSError):  # raced a vacuum — re-resolve
             return _latest_from_listing(table_dir)
-        if not (nxt.startswith("v") and nxt[1:].isdigit() and nxt > v):
+        if not (
+            nxt.startswith("v")
+            and nxt[1:].isdigit()
+            and _vnum(nxt) > _vnum(v)
+        ):
             return _latest_from_listing(table_dir)
         v = nxt
 
@@ -1518,7 +1533,8 @@ def compact_auto(
 
 def versions(table_dir: str) -> list[str]:
     return sorted(
-        d for d in fsio.ls(table_dir) if d.startswith("v") and d[1:].isdigit()
+        (d for d in fsio.ls(table_dir) if d.startswith("v") and d[1:].isdigit()),
+        key=_vnum,
     )
 
 
@@ -1540,8 +1556,8 @@ def chain_desc(table_dir: str):
         yield v, m
         seen.add(v)
         if "parent" not in m:  # legacy manifest: no chain info recorded
-            for w in sorted(versions(table_dir), reverse=True):
-                if w < v and w not in seen:
+            for w in sorted(versions(table_dir), key=_vnum, reverse=True):
+                if _vnum(w) < _vnum(v) and w not in seen:
                     mw = _read_manifest_raw(table_dir, w)
                     if mw is not None:
                         yield w, mw
@@ -1558,7 +1574,7 @@ def committed_versions(table_dir: str) -> list[str]:
     pointer looking exactly like history that never was). A chain manifest
     without a ``parent`` key (written before the chain rule) falls back to
     accepting every earlier manifest-bearing version as its legacy prefix."""
-    return sorted(v for v, _ in chain_desc(table_dir))
+    return sorted((v for v, _ in chain_desc(table_dir)), key=_vnum)
 
 
 def vacuum(

@@ -50,7 +50,7 @@ def test_incremental_equals_rebuild(spark, built, tmp_path):
 
     # from-scratch index over the SAME corpus with the SAME centroids
     idx2 = str(tmp_path / "idx2")
-    A._save_centroids(idx2, A.load_centroids(idx))
+    A._save_centroids(idx2, A.load_centroids(idx), "embedding")
     from spookystuff_spark.sources.partitioned_table import (
         write_table_partitioned,
     )
@@ -160,7 +160,7 @@ def test_streaming_refresh_follows_cdc(spark, tmp_path, built):
     )
     # streamed fold ≡ batch fold over the same corpus + centroids
     idx2 = str(tmp_path / "idx2")
-    A._save_centroids(idx2, A.load_centroids(idx))
+    A._save_centroids(idx2, A.load_centroids(idx), "embedding")
     from spookystuff_spark.sources.partitioned_table import (
         write_table_partitioned,
     )

@@ -469,3 +469,27 @@ def test_retry_on_conflict_narrowed_to_version_dir_collisions(tmp_path):
     with pytest.raises(RuntimeError):
         U.retry_on_conflict(other_table, attempts=5, table_dir=tdir)
     assert calls["n"] == 1
+
+
+def test_version_ordering_survives_the_width_transition(tmp_path):
+    """The r8 review catch: 'v100000' < 'v99999' lexically, so string
+    ordering serves a stale tip forever past commit 100k — exactly the
+    scale the pointer fast path exists for. Every ordering (listing max,
+    forward walk, committed sort, next-version probe) must be numeric."""
+    tdir = str(tmp_path / "wide")
+    fsio.mkdirs(fsio.join(tdir, "_commits"))
+    for v, parent in [("v99999", "v99998"), ("v100000", "v99999")]:
+        fsio.mkdirs(fsio.join(tdir, v))
+        U.write_manifest(tdir, v, [], None, "upsert", parent=parent)
+        fsio.create_exclusive(
+            fsio.join(tdir, "_commits", U._commit_file_name(parent)),
+            v.encode(),
+        )
+    # authoritative listing path (no pointer): numeric max wins
+    assert U._latest(tdir) == "v100000"
+    # verified-pointer path: a stale pointer BELOW the width transition
+    # still walks forward across it
+    U._swap_pointer(tdir, "v99999", "v99998")
+    assert U._latest(tdir) == "v100000"
+    assert U.committed_versions(tdir) == ["v99999", "v100000"]
+    assert U._next_version(tdir) == "v100001"

@@ -396,7 +396,7 @@ def test_ann_index_refresh_survives_source_rename(spark, tmp_path):
     )
 
     idx2 = str(tmp_path / "vidx2")
-    A._save_centroids(idx2, A.load_centroids(idx))
+    A._save_centroids(idx2, A.load_centroids(idx), "vec")
     assigned = A._assign_cells(
         U.read_table(spark, src), "vec_id", "vec", A.load_centroids(idx)
     )
