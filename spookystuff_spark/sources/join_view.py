@@ -294,20 +294,24 @@ def _join_delta(
         else:
             delta_v = joined.withColumn("_n", F.lit(1))
     else:
+        # only the FEEDS are consolidated to counted form (O(Δ) groupBys)
+        # — the SNAPSHOT sides stay raw rows: each raw row is a +1 term of
+        # the same Z-set, and multiplicity products distribute over the
+        # union (bilinearity), so grouping the probed slice by its full
+        # width (an O(slice) shuffle per refresh) would buy nothing
         parts = []
         if da_z is not None:
-            # ΔA ⋈ B_new — B probed only at ΔA's keys' partitions;
-            # pair multiplicity = Δ count × snapshot count
+            # ΔA ⋈ B_new — B probed only at ΔA's keys' partitions; each
+            # raw B row pairs with ΔA's net count (duplicates of a B row
+            # contribute one output row each — the delta consolidation
+            # below merges them)
             b_probe = _snapshot_probe(
                 spark, b_dir, da_z.select(*on), on, version=pin_b
             )
-            b_z = b_probe.groupBy(*b_all).agg(
-                F.count(F.lit(1)).alias("_nb")
-            )
             parts.append(
-                da_z.join(b_z, on, "inner").select(
-                    *ordered, (F.col("_n") * F.col("_nb")).alias("_n")
-                )
+                da_z.withColumnRenamed("_n", "_na")
+                .join(b_probe, on, "inner")
+                .select(*ordered, F.col("_na").alias("_n"))
             )
         if db_z is not None:
             # (A_new − ΔA) ⋈ ΔB: A's pinned snapshot restricted to ΔB's
@@ -319,16 +323,14 @@ def _join_delta(
             a_probe = _snapshot_probe(
                 spark, a_dir, db_z.select(*on), on, version=pin_a
             )
-            a_z = a_probe.groupBy(*a_all).agg(
-                F.count(F.lit(1)).alias("_n")
-            )
+            a_signed = a_probe.select(*a_all).withColumn("_n", F.lit(1))
             if da_z is not None:
                 da_neg = da_z.join(
                     db_z.select(*on).distinct(), on, "leftsemi"
                 ).select(*a_all, (-F.col("_n")).alias("_n"))
-                a_z = _zfold(a_z.unionByName(da_neg), a_all)
+                a_signed = a_signed.unionByName(da_neg)
             parts.append(
-                a_z.withColumnRenamed("_n", "_na")
+                a_signed.withColumnRenamed("_n", "_na")
                 .join(db_z, on, "inner")
                 .select(
                     *ordered, (F.col("_na") * F.col("_n")).alias("_n")
