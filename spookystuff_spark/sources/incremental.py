@@ -282,9 +282,18 @@ def refresh_aggregate(
             *[F.col(f"{c}_max").alias(f"_d_{c}_max") for c in max_cols],
             F.col("n_rows").alias("_d_n"),
         )
-        joined = current.join(d, gcols, "full_outer")
+        # NULL-SAFE key match: a full-outer equi-join never matches
+        # NULL = NULL, so a NULL-keyed group's delta would miss its
+        # current row, split into two rows, and the n_rows filter would
+        # silently drop the retraction half — permanent drift (the r8
+        # review's join-aggregate catch, same class here)
+        cond = None
+        for g in gcols:
+            c = current[g].eqNullSafe(d[g])
+            cond = c if cond is None else cond & c
+        joined = current.join(d, cond, "full_outer")
         merged = joined.select(
-            *gcols,
+            *[F.coalesce(current[g], d[g]).alias(g) for g in gcols],
             *[
                 (
                     F.coalesce(F.col(f"{c}_sum"), F.lit(0))
@@ -330,18 +339,38 @@ def refresh_aggregate(
             vals = [r[0] for r in affected.collect()]  # O(affected groups)
             src_slice = read_table_partitions(spark, src_dir, vals)
         else:
-            src_slice = U.read_table(spark, src_dir).join(
-                affected, gcols, "leftsemi"
-            )
+            src = U.read_table(spark, src_dir)
+            cond = None  # null-safe: NULL-keyed affected groups must match
+            for g in gcols:
+                e = src[g].eqNullSafe(affected[g])
+                cond = e if cond is None else cond & e
+            src_slice = src.join(affected, cond, "leftsemi")
         rescan = src_slice.groupBy(*gcols).agg(
             *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
             *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
         )
-        aff = affected.withColumn("_aff", F.lit(True))
+        # NULL-safe left joins on the group key (the eqNullSafe story of
+        # the main fold above); the right sides' group columns are renamed
+        # first so the chained joins never hold two columns of one name
+        rescan2 = rescan.select(
+            *[F.col(g).alias(f"_rg_{g}") for g in gcols],
+            *[c for c in rescan.columns if c not in gcols],
+        )
+        aff2 = affected.select(
+            *[F.col(g).alias(f"_ag_{g}") for g in gcols],
+            F.lit(True).alias("_aff"),
+        )
+
+        def _ns(left, right, prefix):
+            c = None
+            for g in gcols:
+                e = F.col(g).eqNullSafe(F.col(f"{prefix}{g}"))
+                c = e if c is None else c & e
+            return left.join(right, c, "left")
+
+        j2 = _ns(_ns(merged, rescan2, "_rg_"), aff2, "_ag_")
         merged = (
-            merged.join(rescan, gcols, "left")
-            .join(aff, gcols, "left")
-            .select(
+            j2.select(
                 *gcols,
                 *[F.col(f"{c}_sum") for c in sum_cols],
                 *[

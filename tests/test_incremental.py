@@ -357,3 +357,40 @@ def test_watermark_lookup_reads_manifests_not_listings(
     U.append_rows(spark, src2, _rows(spark, [(3, "a", 7)]))
     refresh_aggregate(spark, src2, dst2, ["grp"], ["val"])
     assert _got(spark, dst2) == _expected(spark, src2)
+
+
+def test_null_group_keys_fold_and_rederive(spark, tmp_path):
+    """NULL group keys fold like any other group (the r8 review's
+    join-aggregate catch, fixed here too): an equi-join fold never matches
+    NULL = NULL, so a NULL-keyed group's retraction would miss its current
+    row and silently vanish under the n_rows filter. Covers the sums path
+    AND the min/max targeted re-derivation."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    rows = spark.createDataFrame(
+        [(1, None, 10), (2, None, 30), (3, "x", 5)],
+        "k int, grp string, val long",
+    )
+    U.write_table(rows, src)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+
+    def got():
+        return {
+            (r["grp"], r["val_sum"], r["val_min"], r["val_max"], r["n_rows"])
+            for r in U.read_table(spark, dst).collect()
+        }
+
+    assert got() == {(None, 40, 10, 30, 2), ("x", 5, 5, 5, 1)}
+    # delete the NULL group's max: sums fold, min/max re-derive for NULL
+    U.delete_where_dv(spark, src, "k = 2", ["k"])
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    assert got() == {(None, 10, 10, 10, 1), ("x", 5, 5, 5, 1)}
+    # and the NULL group vanishes at zero count
+    U.delete_where_dv(spark, src, "k = 1", ["k"])
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
+    )
+    assert got() == {("x", 5, 5, 5, 1)}
