@@ -48,6 +48,17 @@ _POS = ("insert", "upsert")
 _NEG = ("update_preimage", "delete")
 
 
+def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols):
+    """Conjunction of ``eqNullSafe`` over the group key — plain equality
+    never matches NULL = NULL, so NULL-keyed groups would silently split
+    or vanish in every key join below."""
+    cond = None
+    for g in cols:
+        e = left[g].eqNullSafe(right[g])
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def newest_marker(dst_dir: str, prefix: str) -> str | None:
     """Suffix of the newest committed marker starting with ``prefix``,
     walking committed versions newest-first — the shared primitive behind
@@ -287,11 +298,9 @@ def refresh_aggregate(
         # current row, split into two rows, and the n_rows filter would
         # silently drop the retraction half — permanent drift (the r8
         # review's join-aggregate catch, same class here)
-        cond = None
-        for g in gcols:
-            c = current[g].eqNullSafe(d[g])
-            cond = c if cond is None else cond & c
-        joined = current.join(d, cond, "full_outer")
+        joined = current.join(
+            d, _null_safe_key_cond(current, d, gcols), "full_outer"
+        )
         merged = joined.select(
             *[F.coalesce(current[g], d[g]).alias(g) for g in gcols],
             *[
@@ -331,20 +340,25 @@ def refresh_aggregate(
         # negative rows touched, from the current source snapshot restricted
         # to those groups — the authoritative value after any mix of
         # updates/deletes; every other group keeps its folded extremes
+        vals = None
         if src_partition_col and gcols == [src_partition_col]:
+            vals = [r[0] for r in affected.collect()]  # O(affected groups)
+        if vals is not None and not any(v is None for v in vals):
             from spookystuff_spark.sources.partitioned_table import (
                 read_table_partitions,
             )
 
-            vals = [r[0] for r in affected.collect()]  # O(affected groups)
             src_slice = read_table_partitions(spark, src_dir, vals)
         else:
+            # unpartitioned source, composite group key, or a NULL-keyed
+            # affected group (a NULL has no ``__part=`` path segment to
+            # enumerate): null-safe semi-join scan, one pass
             src = U.read_table(spark, src_dir)
-            cond = None  # null-safe: NULL-keyed affected groups must match
-            for g in gcols:
-                e = src[g].eqNullSafe(affected[g])
-                cond = e if cond is None else cond & e
-            src_slice = src.join(affected, cond, "leftsemi")
+            src_slice = src.join(
+                affected,
+                _null_safe_key_cond(src, affected, gcols),
+                "leftsemi",
+            )
         rescan = src_slice.groupBy(*gcols).agg(
             *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
             *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],

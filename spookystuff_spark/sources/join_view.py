@@ -124,7 +124,6 @@ def _snapshot_probe(
     see."""
     raw = U._read_manifest_raw(src_dir, version) or {}
     pcol = raw.get("partition_col")
-    hint = True  # broadcast the key set only when it is known-small
     if (
         keys_df is not None
         and pcol is not None
@@ -146,15 +145,15 @@ def _snapshot_probe(
             return read_table_partitions(
                 spark, src_dir, vals, version=version
             )
-        # backfill-sized delta: the key set is exactly what must NOT be
-        # materialized driver-side — no broadcast hint, let AQE decide
-        hint = False
+        # backfill-sized delta: fall through to the one-pass scan
     df = U.read_table(spark, src_dir, version=version)
     if keys_df is not None:
-        keys = keys_df.distinct()
-        df = df.join(
-            F.broadcast(keys) if hint else keys, list(on), "leftsemi"
-        )
+        # NO broadcast hint: the key set can be backfill-sized on any
+        # path reaching here (unpartitioned source, composite key, or
+        # above the cap), and the hint would force it onto the driver
+        # regardless of size — AQE promotes genuinely small sides to a
+        # broadcast join at runtime from their ACTUAL size
+        df = df.join(keys_df.distinct(), list(on), "leftsemi")
     return df
 
 
@@ -197,7 +196,7 @@ def _join_delta(
     b_dir: str,
     dst_dir: str,
     on: Sequence[str],
-    consolidate_seed: bool = True,
+    consolidate: bool = True,
 ) -> tuple[DataFrame | None, str | None, list[str], bool]:
     """The shared counted delta-join machinery behind
     :func:`refresh_join_view` and :func:`refresh_join_aggregate`:
@@ -282,12 +281,12 @@ def _join_delta(
         # counted (grouped) form keeps the MATERIALIZED view compact, but
         # its groupBy shuffles on every output column — a consumer that
         # immediately re-aggregates (refresh_join_aggregate) passes
-        # consolidate_seed=False and gets the raw join with _n = 1, which
-        # is the same Z-set without the full-width shuffle.
+        # consolidate=False and gets the raw join with _n = 1, which is
+        # the same Z-set without the full-width shuffle.
         joined = U.read_table(spark, a_dir, version=pin_a).join(
             U.read_table(spark, b_dir, version=pin_b), on, "inner"
         )
-        if consolidate_seed:
+        if consolidate:
             delta_v = joined.groupBy(*ordered).agg(
                 F.count(F.lit(1)).alias("_n")
             )
@@ -342,9 +341,12 @@ def _join_delta(
             delta_v = parts[0]
             for p in parts[1:]:
                 delta_v = delta_v.unionByName(p)
-            # consolidate the delta (O(Δ)) so cancelling pairs never
-            # reach the view's append log
-            delta_v = _zfold(delta_v, ordered)
+            if consolidate:
+                # consolidate the delta (O(Δ)) so cancelling pairs never
+                # reach the view's append log; an aggregate consumer is
+                # linear in the Z-set, so it skips this full-width
+                # shuffle too — cancelling pairs sum to zero either way
+                delta_v = _zfold(delta_v, ordered)
 
     marker = f"{_MARK}{pin_a or 'none'}_{pin_b or 'none'}"
     return delta_v, marker, ordered, exists
@@ -407,7 +409,9 @@ def refresh_join_aggregate(
     partition-pruned, watermark-pinned machinery as the join view),
     aggregates it with signed multiplicities (``SUM(c·_n)``,
     ``SUM(_n)``), and folds the per-group deltas into the current table
-    with one full-outer key join — O(Δ + group cardinality) per refresh,
+    with a union-then-groupBy (NULL-safe by construction — groupBy treats
+    NULL keys as one group where an equi-join would drop them) —
+    O(Δ + group cardinality) per refresh,
     both source tables untouched beyond the probed slices. Updates and
     deletes on either source fold exactly (Z-set bilinearity); groups
     whose count reaches zero are removed; replays are exactly-once via
@@ -421,7 +425,7 @@ def refresh_join_aggregate(
     gcols = list(group_cols)
     scols = list(sum_cols)
     delta_v, marker, ordered, exists = _join_delta(
-        spark, a_dir, b_dir, dst_dir, on, consolidate_seed=False
+        spark, a_dir, b_dir, dst_dir, on, consolidate=False
     )
     if marker is None:
         return None  # nothing new on either side

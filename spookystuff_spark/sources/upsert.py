@@ -93,9 +93,10 @@ def _commit_file_name(parent: str | None) -> str:
 
 def _commit_names(table_dir: str) -> list[str]:
     """Commit-file names, both formats: parent-keyed ``vNNNNN.c`` (current)
-    and legacy per-version ``vNNNNN`` (pre-r7 tables). Lexical max is the
-    newest in either format (parent names increase strictly along the
-    chain, and ``vNNNNN.c`` > ``vNNNNN``)."""
+    and legacy per-version ``vNNNNN`` (pre-r7 tables). The newest is the
+    NUMERIC max (see :func:`_vnum` — lexical breaks at the
+    v99999→v100000 width transition), with ``<vN>.c`` outranking a legacy
+    ``vN`` of the same number (it proves a child of N committed)."""
     out = []
     for n in fsio.ls(fsio.join(table_dir, _COMMITS)):
         if not n.startswith("v"):
@@ -842,10 +843,21 @@ def rename_log_of(manifest: Optional[dict]) -> list[dict]:
     if log:
         return list(log)
     renames = manifest.get("renames") or {}
-    # legacy: every event applies to every entry
+    # legacy: every event applies to every entry — the sentinel version
+    # must outrank any REAL version numerically (a 5-digit sentinel broke
+    # the moment a table crossed 99 999 commits)
     return [
-        {"v": "v99999", "old": p, "new": l} for p, l in renames.items()
+        {"v": "v99999999999", "old": p, "new": l}
+        for p, l in renames.items()
     ]
+
+
+def _event_after_owner(ev_v: str, owner: str) -> bool:
+    """Is a rename event committed at ``ev_v`` newer than files owned by
+    ``owner``? Numeric comparison (:func:`_vnum` — lexical breaks at the
+    v99999→v100000 width transition); ``owner == ''`` (absolute/external
+    entries) predates everything, the conservative legacy reading."""
+    return owner == "" or _vnum(ev_v) > _vnum(owner)
 
 
 def physical_name_for_entry(
@@ -857,7 +869,7 @@ def physical_name_for_entry(
     so every event applies — the conservative legacy reading."""
     name = logical
     for ev in reversed(list(rename_log)):
-        if ev["v"] > owner and name == ev["new"]:
+        if _event_after_owner(ev["v"], owner) and name == ev["new"]:
             name = ev["old"]
     return name
 
@@ -976,7 +988,9 @@ def scan_entries(
     for e, f in zip(rel_entries, full_paths):
         owner = "" if _is_abs_entry(e) else e.split("/", 1)[0]
         key = tuple(
-            i for i, ev in enumerate(log) if ev["v"] > owner
+            i
+            for i, ev in enumerate(log)
+            if _event_after_owner(ev["v"], owner)
         )
         groups.setdefault(key, []).append(f)
     parts = []
@@ -1376,10 +1390,10 @@ def clone_table(src_dir: str, dst_dir: str) -> str:
     # renamed column from its newer files; refuse and compact first.
     log = rename_log_of(src_m)
     if log:
-        min_ev = min(ev["v"] for ev in log)
+        min_ev = min(_vnum(ev["v"]) for ev in log)
         src_folded = read_manifest(src_dir, cur) or {"files": []}
         mixed = any(
-            not _is_abs_entry(e) and e.split("/", 1)[0] >= min_ev
+            not _is_abs_entry(e) and _vnum(e.split("/", 1)[0]) >= min_ev
             for e in src_folded["files"]
         )
         if mixed:

@@ -148,7 +148,11 @@ class _BatchReader(DataSourceReader):
                 if e is None or U._is_abs_entry(e)
                 else e.split("/", 1)[0]
             )
-            key = tuple(i for i, ev in enumerate(log) if ev["v"] > owner)
+            key = tuple(
+                i
+                for i, ev in enumerate(log)
+                if U._event_after_owner(ev["v"], owner)
+            )
             if key not in epoch_cache:
                 cm = {
                     n: p

@@ -394,3 +394,34 @@ def test_null_group_keys_fold_and_rederive(spark, tmp_path):
         spark, src, dst, ["grp"], ["val"], min_cols=["val"], max_cols=["val"]
     )
     assert got() == {("x", 5, 5, 5, 1)}
+
+
+def test_null_group_rescan_with_partitioned_source(spark, tmp_path):
+    """The partitioned fast path cannot enumerate a NULL group (no
+    ``__part=`` segment exists for NULL) — a NULL-keyed affected group
+    must route the min/max rescan through the null-safe scan instead of
+    silently rescanning zero files."""
+    from spookystuff_spark.sources.partitioned_table import (
+        write_table_partitioned,
+    )
+
+    src, dst = str(tmp_path / "psrc"), str(tmp_path / "pdst")
+    rows = spark.createDataFrame(
+        [(1, None, 10), (2, None, 30), (3, "x", 5)],
+        "k int, grp string, val long",
+    )
+    write_table_partitioned(rows, src, "grp")
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"], src_partition_col="grp",
+    )
+    U.delete_where_dv(spark, src, "k = 2", ["k"])
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"],
+        min_cols=["val"], max_cols=["val"], src_partition_col="grp",
+    )
+    got = {
+        (r["grp"], r["val_sum"], r["val_min"], r["val_max"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {(None, 10, 10, 10, 1), ("x", 5, 5, 5, 1)}

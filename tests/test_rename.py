@@ -409,3 +409,17 @@ def test_ann_index_refresh_survives_source_rename(spark, tmp_path):
         }
 
     assert state(idx) == state(idx2)
+
+
+def test_rename_epoch_ordering_survives_width_transition():
+    """The r8 review catch, rename-epoch edition: an event committed at
+    v100000 must count as NEWER than files owned by v99999 ('v100000' <
+    'v99999' lexically) — otherwise the probe translation skips the
+    un-apply and the scan silently null-reads the renamed column."""
+    log = [{"v": "v100000", "old": "a", "new": "b"}]
+    assert U.physical_name_for_entry(log, "v99999", "b") == "a"
+    assert U.physical_name_for_entry(log, "v100000", "b") == "b"
+    assert U.physical_name_for_entry(log, "", "b") == "a"  # abs entries
+    # the legacy collapsed-map sentinel outranks any real version
+    legacy = U.rename_log_of({"renames": {"a": "b"}})
+    assert U.physical_name_for_entry(legacy, "v100000", "b") == "a"
