@@ -219,17 +219,20 @@ def attach_blooms(
     if not own:
         return 0
     specs = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
-    recorded: dict = m.get(_BLOOMS) or {}
+    recorded: dict = U._field_of_raw(table_dir, m, _BLOOMS)
     n_written = 0
     for entry, per_col in specs.items():
         recorded.setdefault(entry, {}).update(per_col)
         n_written += len(per_col)
     # rewrite the RAW manifest (rewriting the folded view would silently
-    # materialize a delta commit's full file list back into it)
+    # materialize a delta commit's full file list back into it); big
+    # consolidated maps re-spill to the sidecar
     import json
 
     raw = U._read_manifest_raw(table_dir, cur)
-    raw[_BLOOMS] = recorded
+    raw.pop(_BLOOMS, None)
+    raw.pop(f"{_BLOOMS}_ref", None)
+    raw.update(U._field_fields(table_dir, cur, _BLOOMS, recorded))
     fsio.write_bytes(
         fsio.join(table_dir, cur, U._MANIFEST),
         json.dumps(raw, separators=(",", ":")).encode(),
@@ -238,24 +241,12 @@ def attach_blooms(
 
 
 def entry_blooms(table_dir: str, version: str) -> dict:
-    """Blooms for EVERY entry of a snapshot, resolved chain-wise (the
-    ``entry_stats`` idiom): {entry: {col: {m, k, path}}}, {} when never
-    attached."""
-    m = U.read_manifest(table_dir, version)
-    if m is None:
-        return {}
-    out: dict = {}
-    cache: dict = {version: m}
-    for e in m["files"]:
-        if U._is_abs_entry(e):
-            out[e] = {}
-            continue
-        owner = e.split("/", 1)[0]
-        if owner not in cache:
-            # bloom specs live top-level in the owner's raw manifest
-            cache[owner] = U._read_manifest_raw(table_dir, owner) or {}
-        out[e] = (cache[owner].get(_BLOOMS) or {}).get(e) or {}
-    return out
+    """Blooms for EVERY entry of a snapshot (the ``entry_stats`` idiom):
+    {entry: {col: {m, k, path}}}, {} when never attached. Fold-chain
+    manifests answer first (checkpoints consolidate specs — bounded
+    metadata reads at any append count), owner manifests as the
+    pre-consolidation fallback."""
+    return U._entry_field_map(table_dir, version, _BLOOMS)
 
 
 def _maybe_contains(table_dir: str, spec: dict, h1: int, h2: int) -> bool:

@@ -585,6 +585,25 @@ def write_manifest_delta(
         )
         rm = set(remove)
         files = [e for e in base_files if e not in rm] + list(add)
+        # CONSOLIDATE chain-scattered per-entry stats/blooms into the
+        # checkpoint (one O(distinct owners) gather, amortized over
+        # CHECKPOINT_EVERY commits): without this, a pruned read of an
+        # append-heavy table resolves each entry's stats from its OWNER's
+        # manifest — O(appends) small metadata reads per read at 100k
+        # commits. With it, entry_stats/entry_blooms answer from the fold
+        # chain (≤ 1 checkpoint + CHECKPOINT_EVERY deltas), and stats
+        # even survive the owners' manifests being vacuumed away.
+        extra_fields = dict(extra_fields or {})
+        if bm is not None:
+            for field in ("stats", _BLOOMS_FIELD):
+                cons = _gather_entry_field(table_dir, base, files, field)
+                own = extra_fields.pop(field, None) or {}
+                for e, rec in own.items():  # write-time auto-attach wins
+                    cons.setdefault(e, {}).update(rec)
+                if cons:
+                    extra_fields.update(
+                        _field_fields(table_dir, version, field, cons)
+                    )
         write_manifest(
             table_dir, version, files, schema_json, kind, parent=parent,
             extra_fields=extra_fields,
@@ -613,6 +632,7 @@ def write_manifest_delta(
 
 _CORE_MANIFEST_KEYS = {
     "files", _FILES_REF, _FILES_COUNT, "schema", "kind", "parent", "ts_ms",
+    "stats_ref", "blooms_ref",
     *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
@@ -1656,6 +1676,24 @@ def vacuum(
                     k: val for k, val in raw.items() if k not in _DELTA_KEYS
                 }
                 new_raw.update(_files_fields(table_dir, v, folded["files"]))
+                # the chain about to die may hold consolidated per-entry
+                # stats/blooms (checkpoint consolidation) — gather them
+                # into the materialized manifest while every manifest is
+                # still readable, or pruning dies with the metadata
+                for field in ("stats", _BLOOMS_FIELD):
+                    gathered = {
+                        e: rec
+                        for e, rec in _entry_field_map(
+                            table_dir, v, field
+                        ).items()
+                        if rec
+                    }
+                    new_raw.pop(field, None)
+                    new_raw.pop(f"{field}_ref", None)
+                    if gathered:
+                        new_raw.update(
+                            _field_fields(table_dir, v, field, gathered)
+                        )
                 fsio.write_bytes(
                     fsio.join(table_dir, v, _MANIFEST),
                     json.dumps(new_raw, separators=(",", ":")).encode(),
@@ -1912,6 +1950,121 @@ def collect_file_stats(
     return profile_entries(table_dir, entries, cols)
 
 
+_BLOOMS_FIELD = "blooms"
+
+
+def _field_of_raw(table_dir: str, raw: dict | None, field: str) -> dict:
+    """Per-entry map for ``field`` (``stats``/``blooms``) from a raw
+    manifest: the inline key, or the compressed sidecar a big
+    consolidation spilled to (``<field>_ref``). A vacuumed-away sidecar
+    reads as never-recorded — pruning degrades, answers don't."""
+    if not raw:
+        return {}
+    if field in raw:
+        return raw[field] or {}
+    ref = raw.get(f"{field}_ref")
+    if not ref:
+        return {}
+    import zlib
+
+    try:
+        return json.loads(
+            zlib.decompress(fsio.read_bytes(fsio.join(table_dir, ref)))
+        )
+    except (FileNotFoundError, OSError):
+        return {}
+
+
+def _field_fields(
+    table_dir: str, version: str, field: str, mapping: dict
+) -> dict:
+    """Manifest fields recording ``mapping`` under ``field``: inline
+    below :data:`CHECKPOINT_INLINE_MAX` entries, else a zlib sidecar next
+    to the manifest (the ``_files_fields`` idiom — a consolidated 1M-entry
+    stats map is ~100 MB of inline JSON otherwise). The sidecar is
+    written first, immutable debris until the manifest naming it
+    commits."""
+    if len(mapping) <= CHECKPOINT_INLINE_MAX:
+        return {field: mapping}
+    import zlib
+
+    ref = f"{version}/_{field.upper()}.z"
+    fsio.mkdirs(fsio.join(table_dir, version))
+    fsio.write_bytes(
+        fsio.join(table_dir, ref),
+        zlib.compress(
+            json.dumps(mapping, separators=(",", ":")).encode(), 6
+        ),
+    )
+    return {f"{field}_ref": ref}
+
+
+def _gather_entry_field(
+    table_dir: str, base: str, entries: Sequence[str], field: str
+) -> dict:
+    """{entry: record} for ``field`` (``stats``/``blooms``) across
+    ``entries`` — the checkpoint-time consolidation gather: the base
+    snapshot's fold chain first (it may already hold a consolidated
+    checkpoint), then each remaining entry's owner manifest (one raw read
+    per distinct owner, cached)."""
+    merged: dict = {}
+    for v in [base] + _fold_chain(table_dir, base):  # nearest wins
+        raw = _read_manifest_raw(table_dir, v)
+        for e, rec in _field_of_raw(table_dir, raw, field).items():
+            merged.setdefault(e, rec)
+    out: dict = {}
+    cache: dict = {}
+    for e in entries:
+        if e in merged:
+            out[e] = merged[e]
+            continue
+        if _is_abs_entry(e):
+            continue
+        owner = e.split("/", 1)[0]
+        if owner not in cache:
+            cache[owner] = _field_of_raw(
+                table_dir, _read_manifest_raw(table_dir, owner), field
+            )
+        rec = cache[owner].get(e)
+        if rec:
+            out[e] = rec
+    return out
+
+
+def _entry_field_map(table_dir: str, version: str, field: str) -> dict:
+    """Per-entry ``field`` records for EVERY entry of a snapshot, with
+    bounded metadata reads: the snapshot's fold-chain manifests answer
+    first (consolidated checkpoints carry every pre-checkpoint entry's
+    record, each delta its own adds — ≤ 1 + CHECKPOINT_EVERY raw reads),
+    and only entries absent there fall back to their OWNER's manifest
+    (pre-consolidation tables — the old O(distinct owners) shape). ``{}``
+    for entries never recorded."""
+    m = read_manifest(table_dir, version)
+    if m is None:
+        return {}
+    merged: dict = {}
+    for v in [version] + _fold_chain(table_dir, version):  # nearest wins
+        raw = _read_manifest_raw(table_dir, v)
+        for e, rec in _field_of_raw(table_dir, raw, field).items():
+            merged.setdefault(e, rec)
+    out: dict = {}
+    cache: dict = {}
+    for e in m["files"]:
+        if e in merged:
+            out[e] = merged[e]
+            continue
+        if _is_abs_entry(e):
+            out[e] = {}
+            continue
+        owner = e.split("/", 1)[0]
+        if owner not in cache:
+            cache[owner] = _field_of_raw(
+                table_dir, _read_manifest_raw(table_dir, owner), field
+            )
+        out[e] = cache[owner].get(e) or {}
+    return out
+
+
 def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
     """Record per-file stats for the CURRENT version's own files in its
     manifest (atomic rewrite; inherited entries keep the stats their OWN
@@ -1926,7 +2079,16 @@ def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
     if m is None:
         raise FileNotFoundError(f"{cur} has no manifest")
     stats = collect_file_stats(table_dir, cur, cols)
-    m["stats"] = stats
+    # MERGE per entry: the tip's raw manifest may already carry stats —
+    # write-time auto-attach for other columns, or a checkpoint's
+    # consolidated map (possibly in a sidecar) — and clobbering them
+    # would un-prune the table
+    recorded = _field_of_raw(table_dir, m, "stats")
+    for e, rec in stats.items():
+        recorded.setdefault(e, {}).update(rec)
+    m.pop("stats", None)
+    m.pop("stats_ref", None)
+    m.update(_field_fields(table_dir, cur, "stats", recorded))
     fsio.write_bytes(
         fsio.join(table_dir, cur, _MANIFEST),
         json.dumps(m, separators=(",", ":")).encode(),
@@ -1935,24 +2097,11 @@ def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
 
 
 def entry_stats(table_dir: str, version: str) -> dict:
-    """Stats for EVERY entry of a snapshot, resolved chain-wise: an
-    inherited entry's stats live in the manifest of the version that wrote
-    it (its path prefix). {} values for entries never profiled."""
-    m = read_manifest(table_dir, version)
-    if m is None:
-        return {}
-    out: dict = {}
-    cache: dict = {version: m}
-    for e in m["files"]:
-        if _is_abs_entry(e):
-            out[e] = {}
-            continue
-        owner = e.split("/", 1)[0]
-        if owner not in cache:
-            # stats live top-level in the owner's raw manifest — no fold
-            cache[owner] = _read_manifest_raw(table_dir, owner) or {}
-        out[e] = (cache[owner].get("stats") or {}).get(e) or {}
-    return out
+    """Stats for EVERY entry of a snapshot — fold-chain manifests first
+    (consolidated checkpoints, bounded reads), owner manifests as the
+    pre-consolidation fallback; see :func:`_entry_field_map`. {} values
+    for entries never profiled."""
+    return _entry_field_map(table_dir, version, "stats")
 
 
 def read_table_pruned(

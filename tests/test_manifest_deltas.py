@@ -369,3 +369,53 @@ def test_sidecar_checkpoints_end_to_end(spark, tmp_path, monkeypatch):
         *((i, f"r{i}") for i in range(1, 12)), (100, "x"),
     }
     assert U.committed_versions(tdir) == [tip]
+
+
+def test_checkpoint_consolidates_stats_and_blooms(spark, tmp_path, monkeypatch):
+    """Checkpoints CONSOLIDATE chain-scattered per-entry stats/blooms: a
+    pruned read of an append-heavy table resolves every entry's record
+    from the fold chain (≤ 1 checkpoint + CHECKPOINT_EVERY delta reads),
+    never one owner-manifest read per append — and the records SURVIVE
+    the owners' manifests being vacuumed away (the data files are carried
+    by reference; pre-consolidation their stats died with the metadata)."""
+    tdir = str(tmp_path / "cons")
+    U.write_table(_mk(spark, [(0, "r0")]).coalesce(1), tdir,
+                  change_feed=False)
+    U.attach_stats(tdir, ["k"])
+    n_appends = U.CHECKPOINT_EVERY + 5
+    for i in range(1, n_appends + 1):
+        U.append_rows(
+            spark, tdir, _mk(spark, [(i, f"r{i}")]).coalesce(1),
+            change_feed=False,
+        )
+        U.attach_stats(tdir, ["k"])
+    # bounded metadata reads: count DISTINCT versions whose raw manifest
+    # the stats resolution touches
+    touched = set()
+    orig = U._read_manifest_raw
+
+    def counting(table_dir, version):
+        touched.add(version)
+        return orig(table_dir, version)
+
+    tip = U.committed_versions(tdir)[-1]
+    monkeypatch.setattr(U, "_read_manifest_raw", counting)
+    stats = U.entry_stats(tdir, tip)
+    monkeypatch.undo()
+    assert len(stats) == n_appends + 1
+    assert all(s.get("k") for s in stats.values())  # every entry covered
+    assert len(touched) <= U.CHECKPOINT_EVERY + 3, (
+        f"stats resolution touched {len(touched)} manifests for "
+        f"{n_appends + 1} owners — consolidation not engaged"
+    )
+    # pruning works end to end
+    df, info = U.read_table_pruned(spark, tdir, "k", 5, 5)
+    assert [r["k"] for r in df.collect()] == [5]
+    assert info["skipped"] == n_appends
+    # survive the owners' metadata being vacuumed: keep only the tip
+    U.vacuum(tdir, keep=1)
+    df2, info2 = U.read_table_pruned(spark, tdir, "k", 7, 7)
+    assert [r["k"] for r in df2.collect()] == [7]
+    assert info2["skipped"] >= n_appends - U.CHECKPOINT_EVERY, (
+        "consolidated stats died with the vacuumed owner manifests"
+    )
