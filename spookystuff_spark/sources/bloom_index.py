@@ -222,7 +222,9 @@ def attach_blooms(
     recorded: dict = U._field_of_raw(table_dir, m, _BLOOMS)
     n_written = 0
     for entry, per_col in specs.items():
-        recorded.setdefault(entry, {}).update(per_col)
+        cur_rec = recorded.get(entry) or {}  # may hold a None marker
+        cur_rec.update(per_col)
+        recorded[entry] = cur_rec
         n_written += len(per_col)
     # rewrite the RAW manifest (rewriting the folded view would silently
     # materialize a delta commit's full file list back into it); big

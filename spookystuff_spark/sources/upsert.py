@@ -599,7 +599,9 @@ def write_manifest_delta(
                 cons = _gather_entry_field(table_dir, base, files, field)
                 own = extra_fields.pop(field, None) or {}
                 for e, rec in own.items():  # write-time auto-attach wins
-                    cons.setdefault(e, {}).update(rec)
+                    cur_rec = cons.get(e) or {}  # may hold a None marker
+                    cur_rec.update(rec)
+                    cons[e] = cur_rec
                 if cons:
                     extra_fields.update(
                         _field_fields(table_dir, version, field, cons)
@@ -1662,42 +1664,85 @@ def vacuum(
     # a kept DELTA manifest whose fold chain reads a doomed version's
     # manifest must be MATERIALIZED first (full file list written in
     # place), or dropping the base would break every later fold — the
-    # delta-chain analogue of the referenced-files guard above. Runs while
-    # all chains are still intact.
+    # delta-chain analogue of the referenced-files guard above. Kept FULL
+    # manifests aren't immune either: their foreign-owned entries may
+    # still resolve stats/blooms from doomed OWNER manifests
+    # (pre-consolidation tables), so those records are consolidated into
+    # the kept manifest before the owners die. Runs while all chains are
+    # still intact; referenced bloom SIDECARS are kept alive below.
     doomed = {v for v in drop + dangling if v != cur}
+    referenced_sidecars: set[str] = set()
     if doomed:
+        fields = ("stats", _BLOOMS_FIELD)
         for v in kept_versions:
             raw = _read_manifest_raw(table_dir, v)
-            if raw is None or _is_full_manifest(raw):
+            if raw is None:
                 continue
-            if set(_fold_chain(table_dir, v)) & doomed:
-                folded = read_manifest(table_dir, v)
+            is_delta = not _is_full_manifest(raw)
+            needs_mat = is_delta and bool(
+                set(_fold_chain(table_dir, v)) & doomed
+            )
+            # resolve every entry's stats/bloom record, tracking whether
+            # any record is reachable ONLY through a doomed owner
+            # manifest (chain manifests of an intact chain survive, so
+            # records already consolidated there are safe as-is)
+            chain_merged: dict = {f: {} for f in fields}
+            for w in [v] + _fold_chain(table_dir, v):
+                raw_w = _read_manifest_raw(table_dir, w)
+                for f in fields:
+                    for e, rec in _field_of_raw(table_dir, raw_w, f).items():
+                        chain_merged[f].setdefault(e, rec)
+            folded = read_manifest(table_dir, v)
+            gathered: dict = {f: {} for f in fields}
+            at_risk = False
+            owner_cache: dict = {}
+            for e in folded["files"]:
+                owner = "" if _is_abs_entry(e) else e.split("/", 1)[0]
+                for f in fields:
+                    if e in chain_merged[f]:  # incl. negative markers
+                        rec = chain_merged[f][e]
+                        if rec:
+                            gathered[f][e] = rec
+                        continue
+                    if not owner:
+                        continue
+                    if owner not in owner_cache:
+                        ro = _read_manifest_raw(table_dir, owner)
+                        owner_cache[owner] = {
+                            ff: _field_of_raw(table_dir, ro, ff)
+                            for ff in fields
+                        }
+                    rec = owner_cache[owner][f].get(e)
+                    if rec:
+                        gathered[f][e] = rec
+                        if owner in doomed:
+                            at_risk = True
+            # bloom sidecars kept manifests still point at must outlive
+            # their owner's metadata, or every later probe pays one
+            # failed GET per file and never prunes
+            for per_col in gathered[_BLOOMS_FIELD].values():
+                for spec in per_col.values():
+                    referenced_sidecars.add(spec.get("path"))
+            if not needs_mat and not at_risk:
+                continue
+            if needs_mat:
                 new_raw = {
                     k: val for k, val in raw.items() if k not in _DELTA_KEYS
                 }
                 new_raw.update(_files_fields(table_dir, v, folded["files"]))
-                # the chain about to die may hold consolidated per-entry
-                # stats/blooms (checkpoint consolidation) — gather them
-                # into the materialized manifest while every manifest is
-                # still readable, or pruning dies with the metadata
-                for field in ("stats", _BLOOMS_FIELD):
-                    gathered = {
-                        e: rec
-                        for e, rec in _entry_field_map(
-                            table_dir, v, field
-                        ).items()
-                        if rec
-                    }
-                    new_raw.pop(field, None)
-                    new_raw.pop(f"{field}_ref", None)
-                    if gathered:
-                        new_raw.update(
-                            _field_fields(table_dir, v, field, gathered)
-                        )
-                fsio.write_bytes(
-                    fsio.join(table_dir, v, _MANIFEST),
-                    json.dumps(new_raw, separators=(",", ":")).encode(),
-                )
+            else:
+                new_raw = dict(raw)
+            for f in fields:
+                new_raw.pop(f, None)
+                new_raw.pop(f"{f}_ref", None)
+                if gathered[f]:
+                    new_raw.update(
+                        _field_fields(table_dir, v, f, gathered[f])
+                    )
+            fsio.write_bytes(
+                fsio.join(table_dir, v, _MANIFEST),
+                json.dumps(new_raw, separators=(",", ":")).encode(),
+            )
     removed = []
     for v in drop + dangling:
         if v == cur:
@@ -1723,7 +1768,13 @@ def vacuum(
         # recursive: partitioned layouts nest files under __part=*/ subdirs
         names = fsio.list_files_recursive(vdir)
         keep_names = [
-            n for n in names if n.endswith(".parquet") and f"{v}/{n}" in referenced
+            n
+            for n in names
+            if (n.endswith(".parquet") and f"{v}/{n}" in referenced)
+            # a bloom sidecar a KEPT manifest's consolidated specs still
+            # point at must outlive its owner's metadata, or every later
+            # probe pays one failed GET per file and never prunes
+            or f"{v}/{n}" in referenced_sidecars
         ]
         if not keep_names:
             fsio.delete_dir(vdir)
@@ -2012,6 +2063,15 @@ def _gather_entry_field(
         raw = _read_manifest_raw(table_dir, v)
         for e, rec in _field_of_raw(table_dir, raw, field).items():
             merged.setdefault(e, rec)
+    if not merged:
+        # the field has no trace anywhere in the base's chain — a prior
+        # checkpoint would have consolidated any older records (with
+        # explicit None markers for probed-and-absent entries), so there
+        # is nothing to find: skip the owner probing entirely. Without
+        # this, every checkpoint of a table that never attaches the field
+        # pays one owner-manifest read PER ENTRY — O(table) metadata per
+        # checkpoint, the exact scaling failure delta manifests prevent.
+        return {}
     out: dict = {}
     cache: dict = {}
     for e in entries:
@@ -2025,9 +2085,9 @@ def _gather_entry_field(
             cache[owner] = _field_of_raw(
                 table_dir, _read_manifest_raw(table_dir, owner), field
             )
-        rec = cache[owner].get(e)
-        if rec:
-            out[e] = rec
+        # record probed-and-absent entries as None: the NEXT checkpoint's
+        # merged map then covers them and never re-probes their owners
+        out[e] = cache[owner].get(e) or None
     return out
 
 
@@ -2051,7 +2111,9 @@ def _entry_field_map(table_dir: str, version: str, field: str) -> dict:
     cache: dict = {}
     for e in m["files"]:
         if e in merged:
-            out[e] = merged[e]
+            # None = a checkpoint probed the owner and found nothing —
+            # an authoritative negative, no owner read needed
+            out[e] = merged[e] or {}
             continue
         if _is_abs_entry(e):
             out[e] = {}
@@ -2085,7 +2147,9 @@ def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
     # would un-prune the table
     recorded = _field_of_raw(table_dir, m, "stats")
     for e, rec in stats.items():
-        recorded.setdefault(e, {}).update(rec)
+        cur_rec = recorded.get(e) or {}  # may hold a None (probed-absent)
+        cur_rec.update(rec)
+        recorded[e] = cur_rec
     m.pop("stats", None)
     m.pop("stats_ref", None)
     m.update(_field_fields(table_dir, cur, "stats", recorded))

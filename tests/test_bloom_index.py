@@ -293,3 +293,26 @@ def test_sidecar_names_unique_across_partition_dirs_and_columns(
         assert [r["k"] for r in got.collect()] == [k]
         got2, _ = read_table_point(spark, tdir, "k", k)
         assert [r["name"] for r in got2.collect()] == [f"u{k}"]
+
+
+def test_bloom_pruning_survives_vacuum_of_owner_versions(spark, tmp_path):
+    """Checkpoint-consolidated bloom SPECS survive vacuum — and so must
+    the SIDECARS they point at (vacuum keeps them alongside referenced
+    data), or every later probe pays one failed read per file and never
+    prunes again."""
+    tdir = str(tmp_path / "vsurv")
+    U.write_table(_rows(spark, 0, 40).coalesce(1), tdir,
+                  bloom_cols=["name"], change_feed=False)
+    for i in range(U.CHECKPOINT_EVERY + 3):
+        U.append_rows(
+            spark, tdir,
+            _rows(spark, 1000 * (i + 1), 1000 * (i + 1) + 20).coalesce(1),
+            bloom_cols=["name"], change_feed=False,
+        )
+    U.vacuum(tdir, keep=1)
+    # present key still found; absent key prunes nearly everything
+    df, info = read_table_point(spark, tdir, "name", "u5010")
+    assert [r["k"] for r in df.collect()] == [5010]
+    assert info["skipped_bloom"] >= U.CHECKPOINT_EVERY, (
+        "bloom sidecars died with the vacuumed owner versions"
+    )
