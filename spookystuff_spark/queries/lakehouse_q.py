@@ -109,7 +109,10 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each refresh folds only that commit's change feed (never rescanning
     the source — sources/incremental.py), so the oracle's closed-form
     recompute passing means three successive incremental deltas composed
-    exactly. Rides ``q_scalar_suite``'s melt."""
+    exactly. The derived table is KEYED (``dst_buckets=8``): laid out by a
+    hash bucket of the group key, so each refresh rewrites only the
+    buckets its delta touches — the r9 keyed-fold path is what's gated
+    here, not the legacy full-rewrite. Rides ``q_scalar_suite``'s melt."""
     from spookystuff_spark.sources.incremental import refresh_aggregate
     from spookystuff_spark.sources.upsert import delete_where, upsert, write_table
 
@@ -124,7 +127,9 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = tempfile.mkdtemp(prefix="spooky-ivm-dst-")
     try:
         write_table(base, src)
-        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        refresh_aggregate(
+            spark, src, dst, ["lang"], ["n_chars"], dst_buckets=8
+        )
         upsert(
             spark, src, updates.unionByName(inserts), ["doc_id"],
             feed_preimages=True,

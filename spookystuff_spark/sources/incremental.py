@@ -47,6 +47,66 @@ _SRC_MARK = "_SRC_"
 _POS = ("insert", "upsert")
 _NEG = ("update_preimage", "delete")
 
+#: The min/max rescan's affected-group enumeration collects group values to
+#: the driver to name the partitions to rescan — right for trickle deletes,
+#: unbounded for a backfill-sized delete touching millions of groups. Above
+#: this many affected groups the enumeration stops (limit(N+1), nothing
+#: further collected) and the rescan falls through to the one-pass
+#: null-safe semi-join scan instead (the join view's PROBE_KEYS_MAX idiom).
+AFFECTED_PARTS_MAX = 10_000
+
+#: Manifest fields a KEYED aggregate table records: the bucket count its
+#: hive-style layout was built with and the group columns the buckets hash
+#: — every refresh re-reads them so the layout can never silently drift
+#: from the fold's own bucketing.
+_BUCKETS_KEY = "agg_buckets"
+_GROUPS_KEY = "agg_group_cols"
+
+
+def _bucket_expr(gcols: Sequence[str], n_buckets: int):
+    """Bucket of a group key: ``xxhash64`` over the STRING form of every
+    group column, mod the bucket count. The string cast pins the hash
+    across integral-width schema evolution (Spark hashes int 5 and bigint
+    5 differently — a widened source column would silently re-bucket every
+    group, stranding their current rows in partitions the fold no longer
+    reads); NULL keys hash deterministically like any other value, so the
+    NULL group lives in an ordinary bucket (no ``__part=`` NULL hole)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    return F.pmod(
+        F.xxhash64(*[F.col(g).cast("string") for g in gcols]),
+        F.lit(int(n_buckets)),
+    )
+
+
+def _write_bucketed(df: DataFrame, gcols, n_buckets: int, vdir: str) -> None:
+    """Write ``df`` hive-laid-out by the VIRTUAL bucket of its group key:
+    ``__part`` is computed for layout only and never stored inside the
+    files, so readers see the aggregate schema exactly (no bucket-column
+    pollution) while manifest entries carry ``__part=<bucket>`` paths the
+    pruned reader matches by string."""
+    (
+        df.withColumn("__part", _bucket_expr(gcols, n_buckets).cast("string"))
+        .write.partitionBy("__part")
+        .mode("errorifexists")
+        .parquet(vdir)
+    )
+
+
+def agg_layout(dst_dir: str) -> tuple[int | None, list[str] | None]:
+    """(bucket count, group columns) a keyed aggregate table's current
+    manifest records, or (None, None) for a plain (full-rewrite) table or
+    no table at all."""
+    from spookystuff_spark import fsio
+
+    if not fsio.is_dir(dst_dir):
+        return None, None
+    cur = U._latest(dst_dir)
+    if cur is None:
+        return None, None
+    raw = U._read_manifest_raw(dst_dir, cur) or {}
+    return raw.get(_BUCKETS_KEY), raw.get(_GROUPS_KEY)
+
 
 def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols):
     """Conjunction of ``eqNullSafe`` over the group key — plain equality
@@ -57,6 +117,104 @@ def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols):
         e = left[g].eqNullSafe(right[g])
         cond = e if cond is None else cond & e
     return cond
+
+
+def _keyed_state(dst_dir: str) -> tuple[str, list[str], bool]:
+    """(current version, manifest entries, every entry carries a bucket
+    path) for a keyed aggregate table — the one manifest fold a keyed
+    refresh pays. ``False`` in the last slot means some commit flattened
+    the layout (e.g. a plain ``compact``): the next refresh HEALS by
+    folding against the full table and re-seeding the bucketed layout."""
+    from spookystuff_spark.sources.partitioned_table import _part_of
+
+    cur = U._latest(dst_dir)
+    m = U.read_manifest(dst_dir, cur)
+    rel = list(m["files"]) if m else []
+    ok = bool(rel) and all(_part_of(e) is not None for e in rel)
+    return cur, rel, ok
+
+
+def _commit_keyed(
+    merged: DataFrame,
+    dst_dir: str,
+    gcols: Sequence[str],
+    n_buckets: int,
+    marker: str,
+    touched: Sequence[str] | None = None,
+    cur: str | None = None,
+    rel: Sequence[str] | None = None,
+) -> str:
+    """Commit a keyed aggregate refresh. With ``touched`` (+ the
+    pre-fetched ``cur``/``rel`` state), the commit is a manifest DELTA:
+    the rewritten buckets' files added, their old entries removed,
+    untouched buckets carried by the base reference — O(touched buckets)
+    data and metadata IO. Without it (first seed, or healing a flattened
+    layout), the whole aggregate is written bucketed under a full
+    manifest. Either way the ``_SRC_`` marker, the bucket count and the
+    group columns ride the same atomic commit."""
+    from spookystuff_spark import fsio
+    from spookystuff_spark.sources.partitioned_table import (
+        _own_entries_recursive,
+        _part_of,
+    )
+
+    U._enforce_checks(merged, dst_dir)
+    fsio.mkdirs(dst_dir)
+    if cur is None:
+        cur = U._latest(dst_dir)
+    v = U._next_version(dst_dir)
+    _write_bucketed(merged, gcols, n_buckets, fsio.join(dst_dir, v))
+    own = _own_entries_recursive(dst_dir, v)
+    extra = {_BUCKETS_KEY: int(n_buckets), _GROUPS_KEY: list(gcols)}
+    if touched is not None:
+        wanted = set(touched)
+        removed = [e for e in rel if _part_of(e) in wanted]
+        U.write_manifest_delta(
+            dst_dir, v, cur, own, removed, merged.schema.json(), "upsert",
+            parent=cur, extra_fields=extra,
+        )
+    else:
+        U.write_manifest(
+            dst_dir, v, own, merged.schema.json(), "upsert", parent=cur,
+            extra_fields=extra,
+        )
+    U._stamp_marker(dst_dir, v, marker)
+    U._finalize_commit(dst_dir, v, cur)
+    return v
+
+
+def advance_watermark(dst_dir: str, marker: str) -> str:
+    """O(1) watermark-only commit: feed-less source versions (compactions,
+    maintenance) advance the ``_SRC_``-family marker with an EMPTY manifest
+    delta — no data files written, never a table rewrite (pre-r9 the
+    aggregate refresh rewrote the whole derived table to record a no-op).
+    Deletion vectors, schema maps and snapshot-scoped extras carry exactly
+    like a metadata-only append."""
+    from spookystuff_spark import fsio
+
+    cur = U._latest(dst_dir)
+    raw = U._read_manifest_raw(dst_dir, cur) or {}
+    extra: dict = {}
+    if raw.get("dv"):
+        extra.update({"dv": raw["dv"], "dv_keys": raw["dv_keys"]})
+    v = U._next_version(dst_dir)
+    fsio.mkdirs(fsio.join(dst_dir, v))
+    extra.update(U._schema_map_fields(raw, v))
+    # NOT carrying "markers": the advance's own marker must be the tip
+    # version's newest — a carried older _SRC_ entry would precede it in
+    # the manifest index and newest_marker would answer stale
+    extra.update(
+        U.carry_extra_fields(
+            raw, exclude=("renames", "rename_log", "drops", "markers")
+        )
+    )
+    U.write_manifest_delta(
+        dst_dir, v, cur, (), (), raw.get("schema"), "append",
+        parent=cur, extra_fields=extra or None,
+    )
+    U._stamp_marker(dst_dir, v, marker)
+    U._finalize_commit(dst_dir, v, cur)
+    return v
 
 
 def newest_marker(dst_dir: str, prefix: str) -> str | None:
@@ -220,6 +378,7 @@ def refresh_aggregate(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     src_partition_col: str | None = None,
+    dst_buckets: int | None = None,
 ) -> str | None:
     """Fold source changes since the last refresh into the derived
     aggregate table at ``dst_dir`` (schema: group_cols, ``<c>_sum`` per sum
@@ -239,7 +398,21 @@ def refresh_aggregate(
     ``src_partition_col`` and the rescan reads only the affected
     partitions' files via the manifest (zero IO for everything else);
     otherwise the rescan is a semi-join-filtered scan (still one pass,
-    column-pruned)."""
+    column-pruned).
+
+    ``dst_buckets``: lay the DERIVED table out by a hash bucket of the
+    group key (``__part=<bucket>`` hive layout, the bucket never stored in
+    the files) and fold each refresh against ONLY the buckets the delta
+    touches — the rewrite is O(touched buckets) data and manifest IO, not
+    O(group cardinality). At 100 TB a per-URL/per-doc aggregate has
+    billions of groups; rewriting them all to fold a one-row delta is the
+    scale-killer this kills. The layout is recorded in the manifest and
+    re-detected on every refresh (the parameter then only cross-checks; a
+    mismatched explicit value raises — re-bucketing is a rebuild, not a
+    drift). A maintenance commit that flattened the layout (plain
+    ``compact``) HEALS on the next refresh with one full bucketed
+    rewrite. Feed-less source versions advance the watermark with an
+    empty O(1) commit in either mode."""
     after = last_processed_version(dst_dir)
     changes, newest = _changes_since(
         spark, src_dir, after,
@@ -249,6 +422,22 @@ def refresh_aggregate(
         return None  # nothing new
 
     gcols = list(group_cols)
+    rec_buckets, rec_gcols = agg_layout(dst_dir)
+    if rec_buckets is not None:
+        if dst_buckets is not None and int(dst_buckets) != int(rec_buckets):
+            raise ValueError(
+                f"{dst_dir}: laid out with {rec_buckets} buckets but the "
+                f"refresh asked for {dst_buckets} — re-bucketing requires "
+                "rebuilding the derived table"
+            )
+        if rec_gcols is not None and list(rec_gcols) != gcols:
+            raise ValueError(
+                f"{dst_dir}: bucketed by group columns {rec_gcols}, "
+                f"refresh asked for {gcols}"
+            )
+        n_buckets = int(rec_buckets)
+    else:
+        n_buckets = int(dst_buckets) if dst_buckets else None
     affected = None
     if changes is not None:
         is_neg = F.col("_change").isin(*_NEG)
@@ -274,16 +463,50 @@ def refresh_aggregate(
     else:
         delta = None  # only feed-less versions: watermark-only advance
 
-    try:
-        current = U.read_table(spark, dst_dir)
-    except FileNotFoundError:
-        current = None
-
-    if delta is None and current is None:
-        return None  # nothing foldable and nothing to carry forward
+    marker = f"{_SRC_MARK}{newest}"
     if delta is None:
-        merged = current  # watermark-only advance
-    elif current is None:
+        # feed-less source versions: an O(1) empty marker commit when the
+        # table exists (never a rewrite), nothing to advance otherwise
+        from spookystuff_spark import fsio
+
+        if fsio.is_dir(dst_dir) and U._latest(dst_dir) is not None:
+            return advance_watermark(dst_dir, marker)
+        return None
+
+    touched: list[str] | None = None
+    cur = rel = None
+    if rec_buckets is not None:
+        cur, rel, layout_ok = _keyed_state(dst_dir)
+        if layout_ok:
+            # keyed fold: read ONLY the buckets the delta touches (manifest
+            # pruning — untouched buckets cost zero IO and carry through
+            # the commit's base reference); the full-outer fold below then
+            # passes the slice's un-deltaed groups through unchanged, so
+            # the rewrite is the touched buckets, nothing else
+            from spookystuff_spark.sources.partitioned_table import (
+                read_table_partitions,
+            )
+
+            touched = sorted({
+                r[0]
+                for r in delta.select(
+                    _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+                )
+                .distinct()
+                .collect()  # bounded by n_buckets, never by group count
+            })
+            current = read_table_partitions(spark, dst_dir, touched)
+        else:
+            # a maintenance commit flattened the layout: heal with one
+            # full fold + bucketed re-seed
+            current = U.read_table(spark, dst_dir)
+    else:
+        try:
+            current = U.read_table(spark, dst_dir)
+        except FileNotFoundError:
+            current = None
+
+    if current is None:
         merged = delta
     else:
         d = delta.select(
@@ -342,7 +565,13 @@ def refresh_aggregate(
         # updates/deletes; every other group keeps its folded extremes
         vals = None
         if src_partition_col and gcols == [src_partition_col]:
-            vals = [r[0] for r in affected.collect()]  # O(affected groups)
+            # bounded driver pull: limit(N+1) caps the collect structurally
+            # — a backfill-sized delete (more affected groups than
+            # AFFECTED_PARTS_MAX) falls through to the one-pass null-safe
+            # semi-join scan below, nothing further collected
+            rows = affected.limit(AFFECTED_PARTS_MAX + 1).collect()
+            if len(rows) <= AFFECTED_PARTS_MAX:
+                vals = [r[0] for r in rows]
         if vals is not None and not any(v is None for v in vals):
             from spookystuff_spark.sources.partitioned_table import (
                 read_table_partitions,
@@ -405,12 +634,12 @@ def refresh_aggregate(
 
     # the derived table is itself a versioned table; the _SRC_ marker rides
     # its atomic commit, making the refresh exactly-once per source version
-    return U.write_table(
-        merged,
-        dst_dir,
-        marker=f"{_SRC_MARK}{newest}",
-        change_feed=False,
-    )
+    if n_buckets is not None:
+        return _commit_keyed(
+            merged, dst_dir, gcols, n_buckets, marker,
+            touched=touched, cur=cur, rel=rel,
+        )
+    return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
 
 
 def streaming_refresh_sink(
