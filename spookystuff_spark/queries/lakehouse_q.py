@@ -535,7 +535,9 @@ ORACLE_SCD2 = _scd2_oracle()
 
 ORACLE_JOIN_VIEW = """
     SELECT c_mktsegment AS seg, COUNT(*) AS n_pairs,
-           ROUND(SUM(o_totalprice) + 1e-6, 2) AS sum_price
+           ROUND(SUM(o_totalprice) + 1e-6, 2) AS sum_price,
+           ROUND(MIN(o_totalprice) + 1e-6, 2) AS min_price,
+           ROUND(MAX(o_totalprice) + 1e-6, 2) AS max_price
     FROM customer JOIN orders ON o_custkey = c_custkey
     WHERE c_custkey % 10 <> 3
     GROUP BY 1
@@ -635,8 +637,12 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_join_view`` (seed from partial slices, three interleaved append
     batches, a dim-side DV delete), same closed-form full-join oracle —
     so the composed maintenance must agree with the direct recompute
-    after every kind of source change. Rides ``q_scalar_suite``'s
-    melt."""
+    after every kind of source change. r9 additions gated here too: the
+    aggregate is KEYED (``dst_buckets=8``, each refresh rewrites only
+    the touched group buckets) and carries MIN/MAX of price — the DV
+    delete retracts pairs from every segment, so the min/max legs pin
+    the targeted re-derivation path against the oracle's closed-form
+    extremes. Rides ``q_scalar_suite``'s melt."""
     from spookystuff_spark.sources.join_view import refresh_join_aggregate
     from spookystuff_spark.sources.upsert import (
         append_rows,
@@ -659,7 +665,8 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def refresh():
         refresh_join_aggregate(
-            spark, a_dir, b_dir, dst, ["custkey"], ["seg"], ["price"]
+            spark, a_dir, b_dir, dst, ["custkey"], ["seg"], ["price"],
+            min_cols=["price"], max_cols=["price"], dst_buckets=8,
         )
 
     try:
@@ -690,6 +697,12 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_rows").alias("n_pairs"),
                 F.round(F.col("price_sum") + F.lit(1e-6), 2).alias(
                     "sum_price"
+                ),
+                F.round(F.col("price_min") + F.lit(1e-6), 2).alias(
+                    "min_price"
+                ),
+                F.round(F.col("price_max") + F.lit(1e-6), 2).alias(
+                    "max_price"
                 ),
             )
             .localCheckpoint(eager=True)

@@ -209,7 +209,8 @@ UNION ALL {_melt_sql(
     "jv", "q_join_view", ["seg"], ["n_pairs", "sum_price"],
 )}
 UNION ALL {_melt_sql(
-    "jv", "q_join_agg", ["seg"], ["n_pairs", "sum_price"],
+    "jv", "q_join_agg", ["seg"],
+    ["n_pairs", "sum_price", "min_price", "max_price"],
 )}"""
 
 
@@ -357,7 +358,7 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_join_agg(spark, sf_dir),
             "q_join_agg",
             ["seg"],
-            ["n_pairs", "sum_price"],
+            ["n_pairs", "sum_price", "min_price", "max_price"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)

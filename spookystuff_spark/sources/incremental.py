@@ -119,6 +119,83 @@ def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols):
     return cond
 
 
+def _resolve_buckets(
+    dst_dir: str, gcols: Sequence[str], dst_buckets: int | None
+) -> tuple[int | None, bool]:
+    """(effective bucket count, layout already recorded) for a derived
+    aggregate table: the manifest's recorded layout wins (the parameter
+    then only cross-checks — a mismatched bucket count or group-column
+    list raises, re-bucketing is a rebuild, never a silent drift);
+    otherwise the caller's ``dst_buckets`` opts a new/legacy table in."""
+    rec_buckets, rec_gcols = agg_layout(dst_dir)
+    if rec_buckets is not None:
+        if dst_buckets is not None and int(dst_buckets) != int(rec_buckets):
+            raise ValueError(
+                f"{dst_dir}: laid out with {rec_buckets} buckets but the "
+                f"refresh asked for {dst_buckets} — re-bucketing requires "
+                "rebuilding the derived table"
+            )
+        if rec_gcols is not None and list(rec_gcols) != list(gcols):
+            raise ValueError(
+                f"{dst_dir}: bucketed by group columns {rec_gcols}, "
+                f"refresh asked for {list(gcols)}"
+            )
+        return int(rec_buckets), True
+    return (int(dst_buckets) if dst_buckets else None), False
+
+
+def _apply_rescan(
+    merged: DataFrame,
+    rescan: DataFrame,
+    affected: DataFrame,
+    gcols: Sequence[str],
+    sum_cols: Sequence[str],
+    min_cols: Sequence[str],
+    max_cols: Sequence[str],
+) -> DataFrame:
+    """Overwrite the min/max of the AFFECTED groups in ``merged`` with the
+    re-derived authoritative values (``rescan``'s ``_r_<c>_min/max``
+    columns, keyed by the group); every other group keeps its folded
+    extremes. NULL-safe left joins on the group key (the eqNullSafe story
+    of the main fold); the right sides' group columns are renamed first so
+    the chained joins never hold two columns of one name. Shared by the
+    plain aggregate IVM and the join-aggregate IVM."""
+    rescan2 = rescan.select(
+        *[F.col(g).alias(f"_rg_{g}") for g in gcols],
+        *[c for c in rescan.columns if c not in gcols],
+    )
+    aff2 = affected.select(
+        *[F.col(g).alias(f"_ag_{g}") for g in gcols],
+        F.lit(True).alias("_aff"),
+    )
+
+    def _ns(left, right, prefix):
+        c = None
+        for g in gcols:
+            e = F.col(g).eqNullSafe(F.col(f"{prefix}{g}"))
+            c = e if c is None else c & e
+        return left.join(right, c, "left")
+
+    j2 = _ns(_ns(merged, rescan2, "_rg_"), aff2, "_ag_")
+    return j2.select(
+        *gcols,
+        *[F.col(f"{c}_sum") for c in sum_cols],
+        *[
+            F.when(F.col("_aff"), F.col(f"_r_{c}_min"))
+            .otherwise(F.col(f"{c}_min"))
+            .alias(f"{c}_min")
+            for c in min_cols
+        ],
+        *[
+            F.when(F.col("_aff"), F.col(f"_r_{c}_max"))
+            .otherwise(F.col(f"{c}_max"))
+            .alias(f"{c}_max")
+            for c in max_cols
+        ],
+        F.col("n_rows"),
+    )
+
+
 def _keyed_state(dst_dir: str) -> tuple[str, list[str], bool]:
     """(current version, manifest entries, every entry carries a bucket
     path) for a keyed aggregate table — the one manifest fold a keyed
@@ -422,22 +499,7 @@ def refresh_aggregate(
         return None  # nothing new
 
     gcols = list(group_cols)
-    rec_buckets, rec_gcols = agg_layout(dst_dir)
-    if rec_buckets is not None:
-        if dst_buckets is not None and int(dst_buckets) != int(rec_buckets):
-            raise ValueError(
-                f"{dst_dir}: laid out with {rec_buckets} buckets but the "
-                f"refresh asked for {dst_buckets} — re-bucketing requires "
-                "rebuilding the derived table"
-            )
-        if rec_gcols is not None and list(rec_gcols) != gcols:
-            raise ValueError(
-                f"{dst_dir}: bucketed by group columns {rec_gcols}, "
-                f"refresh asked for {gcols}"
-            )
-        n_buckets = int(rec_buckets)
-    else:
-        n_buckets = int(dst_buckets) if dst_buckets else None
+    n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
     affected = None
     if changes is not None:
         is_neg = F.col("_change").isin(*_NEG)
@@ -475,7 +537,7 @@ def refresh_aggregate(
 
     touched: list[str] | None = None
     cur = rel = None
-    if rec_buckets is not None:
+    if keyed_layout:
         cur, rel, layout_ok = _keyed_state(dst_dir)
         if layout_ok:
             # keyed fold: read ONLY the buckets the delta touches (manifest
@@ -592,44 +654,8 @@ def refresh_aggregate(
             *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
             *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
         )
-        # NULL-safe left joins on the group key (the eqNullSafe story of
-        # the main fold above); the right sides' group columns are renamed
-        # first so the chained joins never hold two columns of one name
-        rescan2 = rescan.select(
-            *[F.col(g).alias(f"_rg_{g}") for g in gcols],
-            *[c for c in rescan.columns if c not in gcols],
-        )
-        aff2 = affected.select(
-            *[F.col(g).alias(f"_ag_{g}") for g in gcols],
-            F.lit(True).alias("_aff"),
-        )
-
-        def _ns(left, right, prefix):
-            c = None
-            for g in gcols:
-                e = F.col(g).eqNullSafe(F.col(f"{prefix}{g}"))
-                c = e if c is None else c & e
-            return left.join(right, c, "left")
-
-        j2 = _ns(_ns(merged, rescan2, "_rg_"), aff2, "_ag_")
-        merged = (
-            j2.select(
-                *gcols,
-                *[F.col(f"{c}_sum") for c in sum_cols],
-                *[
-                    F.when(F.col("_aff"), F.col(f"_r_{c}_min"))
-                    .otherwise(F.col(f"{c}_min"))
-                    .alias(f"{c}_min")
-                    for c in min_cols
-                ],
-                *[
-                    F.when(F.col("_aff"), F.col(f"_r_{c}_max"))
-                    .otherwise(F.col(f"{c}_max"))
-                    .alias(f"{c}_max")
-                    for c in max_cols
-                ],
-                F.col("n_rows"),
-            )
+        merged = _apply_rescan(
+            merged, rescan, affected, gcols, sum_cols, min_cols, max_cols
         )
 
     # the derived table is itself a versioned table; the _SRC_ marker rides

@@ -197,14 +197,20 @@ def _join_delta(
     dst_dir: str,
     on: Sequence[str],
     consolidate: bool = True,
-) -> tuple[DataFrame | None, str | None, list[str], bool]:
+) -> tuple[
+    DataFrame | None, str | None, list[str], bool, tuple[str, str] | None
+]:
     """The shared counted delta-join machinery behind
     :func:`refresh_join_view` and :func:`refresh_join_aggregate`:
     resolves ``dst_dir``'s dual watermark, walks both sources' feeds,
     and returns ``(delta Z-set with _n | None, marker, ordered columns,
-    dst exists)``. ``marker is None`` means neither source has anything
-    new (the caller no-ops); a None delta with a marker is a
-    watermark-only advance (feed-less source versions)."""
+    dst exists, (pinned A version, pinned B version))``. ``marker is
+    None`` means neither source has anything new (the caller no-ops); a
+    None delta with a marker is a watermark-only advance (feed-less
+    source versions). The pins are the snapshot versions every read of
+    this refresh is held to — the join-aggregate's min/max rescan reads
+    the same pinned snapshots so a concurrent source commit can never
+    leak into the re-derivation."""
     on = list(on)
     wa, wb = _watermarks(dst_dir)
     first = wa is None and wb is None
@@ -232,7 +238,8 @@ def _join_delta(
         da, newest_a = _changes_since(spark, a_dir, wa)
         db, newest_b = _changes_since(spark, b_dir, wb)
         if newest_a is None and newest_b is None:
-            return None, None, [], exists  # nothing new on either side
+            # nothing new on either side
+            return None, None, [], exists, None
         da = _signed(da)
         db = _signed(db)
 
@@ -349,7 +356,7 @@ def _join_delta(
                 delta_v = _zfold(delta_v, ordered)
 
     marker = f"{_MARK}{pin_a or 'none'}_{pin_b or 'none'}"
-    return delta_v, marker, ordered, exists
+    return delta_v, marker, ordered, exists, (pin_a, pin_b)
 
 
 def refresh_join_view(
@@ -370,26 +377,86 @@ def refresh_join_view(
     (pair multiplicity = n_a·n_b), each snapshot side partition-pruned to
     the delta's keys when laid out by the join key. The first refresh (no
     markers yet) seeds the view with the full A ⋈ B."""
-    delta_v, marker, ordered, exists = _join_delta(
+    delta_v, marker, ordered, exists, _pins = _join_delta(
         spark, a_dir, b_dir, dst_dir, on
     )
     if marker is None:
         return None  # nothing new on either side
     if delta_v is None:
-        # watermark-only advance (feed-less versions): commit the marker
-        # on an empty append so the next refresh doesn't re-walk them; a
-        # view that doesn't exist yet has nothing to advance
+        # watermark-only advance (feed-less versions): an O(1) empty
+        # marker commit so the next refresh doesn't re-walk them; a view
+        # that doesn't exist yet has nothing to advance
         if not exists:
             return None
-        empty = U.read_table(spark, dst_dir).limit(0)
-        return U.append_rows(spark, dst_dir, empty, marker=marker,
-                             change_feed=False)
+        from spookystuff_spark.sources.incremental import advance_watermark
+
+        return advance_watermark(dst_dir, marker)
     delta_v = delta_v.select(*ordered, "_n")
     if not exists:
         return U.write_table(delta_v, dst_dir, marker=marker,
                              change_feed=False)
     return U.append_rows(spark, dst_dir, delta_v, marker=marker,
                          change_feed=False)
+
+
+def _joinagg_rescan(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    on: Sequence[str],
+    pins: tuple[str, str],
+    gcols: Sequence[str],
+    min_cols: Sequence[str],
+    max_cols: Sequence[str],
+    affected: DataFrame,
+) -> DataFrame:
+    """Authoritative min/max for the AFFECTED groups, recomputed from the
+    PINNED source snapshots restricted to those groups — min/max don't
+    decompose under join retractions (a retracted pair that held a
+    group's max leaves no runner-up in the delta), so the affected groups
+    re-derive from σ_affected(A ⋈ B) while every other group keeps
+    folding insert-side extremes.
+
+    Pruning: each side is first null-safe semi-joined to ITS projection
+    of the affected group columns (a group column lives on exactly one
+    side, join keys on both), then the side with no group columns is
+    probed at the pruned side's join keys through :func:`_snapshot_probe`
+    — partition-pruned when laid out by the key, capped-collect safe
+    otherwise. A final null-safe semi-join on the full group key restricts
+    the joined slice exactly (the per-side filters alone admit the cross
+    product of the projections). One pass over the probed slices, never
+    the full join."""
+    from spookystuff_spark.sources.incremental import _null_safe_key_cond
+
+    pin_a, pin_b = pins
+    a = U.read_table(spark, a_dir, version=pin_a)
+    b = U.read_table(spark, b_dir, version=pin_b)
+    ag = [g for g in gcols if g in a.columns]
+    bg = [g for g in gcols if g in b.columns and g not in on]
+
+    def _prune(df, side_g):
+        # column-prune to what the rescan consumes on this side
+        keep = [*on, *side_g]
+        keep += [c for c in (*min_cols, *max_cols) if c in df.columns]
+        return df.select(*dict.fromkeys(keep))
+
+    a, b = _prune(a, ag), _prune(b, bg)
+    if ag:
+        aff_a = affected.select(*ag).distinct()
+        a = a.join(aff_a, _null_safe_key_cond(a, aff_a, ag), "leftsemi")
+        if not bg:
+            b = _snapshot_probe(spark, b_dir, a.select(*on), on, pin_b)
+    if bg:
+        aff_b = affected.select(*bg).distinct()
+        b = b.join(aff_b, _null_safe_key_cond(b, aff_b, bg), "leftsemi")
+        if not ag:
+            a = _snapshot_probe(spark, a_dir, b.select(*on), on, pin_a)
+    j = a.join(b, list(on), "inner")
+    j = j.join(affected, _null_safe_key_cond(j, affected, gcols), "leftsemi")
+    return j.groupBy(*gcols).agg(
+        *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
+        *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
+    )
 
 
 def refresh_join_aggregate(
@@ -400,69 +467,149 @@ def refresh_join_aggregate(
     on: Sequence[str],
     group_cols: Sequence[str],
     sum_cols: Sequence[str],
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+    dst_buckets: int | None = None,
 ) -> str | None:
     """The COMPOSED view γ(A ⋈ B), maintained incrementally WITHOUT
     materializing the join: ``GROUP BY group_cols: SUM(sum_cols),
-    COUNT(*)`` over the inner equi-join of two versioned tables (schema:
-    group_cols, ``<c>_sum`` per sum col, ``n_rows``). Each refresh
-    computes the counted join delta (:func:`_join_delta` — the same
-    partition-pruned, watermark-pinned machinery as the join view),
-    aggregates it with signed multiplicities (``SUM(c·_n)``,
-    ``SUM(_n)``), and folds the per-group deltas into the current table
-    with a union-then-groupBy (NULL-safe by construction — groupBy treats
-    NULL keys as one group where an equi-join would drop them) —
-    O(Δ + group cardinality) per refresh,
-    both source tables untouched beyond the probed slices. Updates and
-    deletes on either source fold exactly (Z-set bilinearity); groups
-    whose count reaches zero are removed; replays are exactly-once via
-    the same dual ``_SRCJ_`` watermark. Min/max don't decompose under
-    join retractions — use :func:`refresh_join_view` +
-    ``read_join_view`` when you need them.
+    MIN/MAX(min_cols/max_cols), COUNT(*)`` over the inner equi-join of
+    two versioned tables (schema: group_cols, ``<c>_sum``, ``<c>_min``/
+    ``<c>_max``, ``n_rows``). Each refresh computes the counted join
+    delta (:func:`_join_delta` — the same partition-pruned,
+    watermark-pinned machinery as the join view), aggregates it with
+    signed multiplicities (``SUM(c·_n)``, ``SUM(_n)``), and folds the
+    per-group deltas into the current table with a union-then-groupBy
+    (NULL-safe by construction — groupBy treats NULL keys as one group
+    where an equi-join would drop them). Updates and deletes on either
+    source fold exactly (Z-set bilinearity); groups whose count reaches
+    zero are removed; replays are exactly-once via the same dual
+    ``_SRCJ_`` watermark.
+
+    Min/max fold from the delta's INSERT-side pairs; retractions trigger
+    targeted re-derivation for just the affected groups from the pinned
+    snapshots (:func:`_joinagg_rescan`) — the refresh_aggregate idiom,
+    lifted over the join.
+
+    ``dst_buckets``: lay the aggregate out by a hash bucket of the group
+    key and rewrite only the buckets each delta touches
+    (sources/incremental.py's keyed fold) — O(touched buckets) per
+    refresh instead of O(group cardinality), the term that matters when
+    the group key is high-cardinality at 100 TB.
 
     The classic shape: revenue per segment maintained from a fact and a
     dimension table, where re-joining 100 TB per refresh is the thing
     this exists to avoid."""
+    from spookystuff_spark.sources.incremental import (
+        _apply_rescan,
+        _commit_keyed,
+        _keyed_state,
+        _resolve_buckets,
+        advance_watermark,
+    )
+
     gcols = list(group_cols)
     scols = list(sum_cols)
-    delta_v, marker, ordered, exists = _join_delta(
+    mins, maxs = list(min_cols), list(max_cols)
+    n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
+    delta_v, marker, ordered, exists, pins = _join_delta(
         spark, a_dir, b_dir, dst_dir, on, consolidate=False
     )
     if marker is None:
         return None  # nothing new on either side
     if delta_v is None:
         # watermark-only advance (feed-less source versions): an O(1)
-        # empty marker-bearing append, never a table rewrite; a table
-        # that doesn't exist yet has nothing to advance
+        # empty marker commit, never a table rewrite; a table that
+        # doesn't exist yet has nothing to advance
         if not exists:
             return None
-        empty = U.read_table(spark, dst_dir).limit(0)
-        return U.append_rows(spark, dst_dir, empty, marker=marker,
-                             change_feed=False)
-    missing = [c for c in gcols + scols if c not in ordered]
+        return advance_watermark(dst_dir, marker)
+    missing = [c for c in gcols + scols + mins + maxs if c not in ordered]
     if missing:
         raise ValueError(
             f"join aggregate {dst_dir}: columns {missing} not in the "
             f"join's output {ordered}"
         )
+    neg = F.col("_n") < 0
+    affected = None
+    persisted = False
+    if exists and (mins or maxs or keyed_layout):
+        # the retraction probe, the touched-bucket collect and the rescan
+        # each evaluate the delta DAG again — pin it once; released after
+        # the commit below
+        delta_v = delta_v.persist()
+        persisted = True
+    if (mins or maxs) and exists:
+        if delta_v.where(neg).limit(1).count():
+            affected = delta_v.where(neg).select(*gcols).distinct()
+    # min/max fold over INSERT-side pairs only; retracted groups are
+    # re-derived below (the refresh_aggregate contract, join-lifted)
+    pos_val = lambda c: F.when(~neg, F.col(c))  # noqa: E731
     delta_agg = delta_v.groupBy(*gcols).agg(
         *[
             F.sum(F.col(c) * F.col("_n")).alias(f"{c}_sum")
             for c in scols
         ],
+        *[F.min(pos_val(c)).alias(f"{c}_min") for c in mins],
+        *[F.max(pos_val(c)).alias(f"{c}_max") for c in maxs],
         F.sum("_n").alias("n_rows"),
     )
+    touched = cur = rel = None
     if exists:
+        current = None
+        if keyed_layout:
+            cur, rel, layout_ok = _keyed_state(dst_dir)
+            if layout_ok:
+                from spookystuff_spark.sources.incremental import (
+                    _bucket_expr,
+                )
+                from spookystuff_spark.sources.partitioned_table import (
+                    read_table_partitions,
+                )
+
+                touched = sorted({
+                    r[0]
+                    for r in delta_agg.select(
+                        _bucket_expr(gcols, n_buckets)
+                        .cast("string")
+                        .alias("_b")
+                    )
+                    .distinct()
+                    .collect()  # bounded by n_buckets
+                })
+                current = read_table_partitions(spark, dst_dir, touched)
+        if current is None:  # legacy layout, or healing a flattened one
+            current = U.read_table(spark, dst_dir)
         # union-then-groupBy fold: groupBy treats NULL group keys as one
         # group (a full-outer equi-join would NOT match NULL = NULL, so a
         # NULL-keyed group's retraction would silently never meet its
         # seed row and the n_rows filter would drop it — permanent drift)
-        current = U.read_table(spark, dst_dir)
         delta_agg = current.unionByName(delta_agg).groupBy(*gcols).agg(
             *[F.sum(f"{c}_sum").alias(f"{c}_sum") for c in scols],
+            *[F.min(f"{c}_min").alias(f"{c}_min") for c in mins],
+            *[F.max(f"{c}_max").alias(f"{c}_max") for c in maxs],
             F.sum("n_rows").alias("n_rows"),
         )
     merged = delta_agg.where(F.col("n_rows") > 0)
-    return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+    if affected is not None:
+        rescan = _joinagg_rescan(
+            spark, a_dir, b_dir, on, pins, gcols, mins, maxs, affected
+        )
+        merged = _apply_rescan(
+            merged, rescan, affected, gcols, scols, mins, maxs
+        )
+    try:
+        if n_buckets is not None:
+            return _commit_keyed(
+                merged, dst_dir, gcols, n_buckets, marker,
+                touched=touched, cur=cur, rel=rel,
+            )
+        return U.write_table(
+            merged, dst_dir, marker=marker, change_feed=False
+        )
+    finally:
+        if persisted:
+            delta_v.unpersist()
 
 
 def read_join_view(

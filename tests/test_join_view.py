@@ -534,3 +534,203 @@ def test_join_aggregate_null_group_keys_fold(spark, tmp_path):
     U.delete_where_dv(spark, b, "fid = 11", ["k", "fid"])
     refresh_join_aggregate(spark, a, b, dst, ["k"], ["dname"], ["amt"])
     assert got() == {("x", 200, 1)}
+
+
+def test_join_aggregate_minmax_tracks_recompute(spark, tmp_path):
+    """Min/max over the join: insert-side extremes fold from the delta;
+    retractions (fact delete, dim delete, group-moving update) trigger the
+    targeted re-derivation from the pinned snapshots — every step must
+    equal the full recompute, including a delete that removes a group's
+    current max."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x"), (2, "y"), (3, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 300), (1, 11, 110)]),
+        b,
+    )
+
+    def refresh():
+        return refresh_join_aggregate(
+            spark, a, b, dst, ["k"], ["dname"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"],
+        )
+
+    def got():
+        return {
+            (r["dname"], r["amt_sum"], r["amt_min"], r["amt_max"],
+             r["n_rows"])
+            for r in U.read_table(spark, dst).collect()
+        }
+
+    def expected():
+        return {
+            (r["dname"], r["amt_sum"], r["amt_min"], r["amt_max"],
+             r["n_rows"])
+            for r in U.read_table(spark, a)
+            .join(U.read_table(spark, b), ["k"], "inner")
+            .groupBy("dname")
+            .agg(
+                F.sum("amt").alias("amt_sum"),
+                F.min("amt").alias("amt_min"),
+                F.max("amt").alias("amt_max"),
+                F.count("*").alias("n_rows"),
+            )
+            .collect()
+        }
+
+    assert refresh()  # seed
+    assert got() == expected() == {("x", 510, 100, 300, 3), ("y", 200, 200, 200, 1)}
+    # insert-side fold: new max for y, new group z
+    U.append_rows(spark, a, _dim(spark, [(4, "z")]))
+    U.append_rows(spark, b, _fact(spark, [(4, 40, 400), (2, 21, 999)]))
+    assert refresh()
+    assert got() == expected()
+    # fact delete removing group x's MAX (amt=300): targeted re-derivation
+    U.delete_where_dv(spark, b, "fid = 30", ["k", "fid"])
+    assert refresh()
+    assert got() == expected()
+    assert ("x", 210, 100, 110, 2) in got()
+    # dim delete: every pair of k=2 retracts, group y re-derives
+    U.delete_where_dv(spark, a, "k = 2", ["k"])
+    assert refresh()
+    assert got() == expected()
+    # preimage-logged update MOVING a dim row between groups: both the
+    # losing and gaining groups re-derive
+    U.upsert(spark, a, _dim(spark, [(1, "z")]), ["k"], feed_preimages=True)
+    assert refresh()
+    assert got() == expected()
+    # replay: exactly-once
+    before = got()
+    assert refresh() is None
+    assert got() == before
+
+
+def test_join_aggregate_minmax_null_groups(spark, tmp_path):
+    """NULL group keys re-derive through the null-safe rescan joins."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, None), (2, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (1, 11, 110), (2, 20, 200)]), b
+    )
+
+    def refresh():
+        return refresh_join_aggregate(
+            spark, a, b, dst, ["k"], ["dname"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"],
+        )
+
+    def got():
+        return {
+            (r["dname"], r["amt_sum"], r["amt_min"], r["amt_max"],
+             r["n_rows"])
+            for r in U.read_table(spark, dst).collect()
+        }
+
+    refresh()
+    assert got() == {(None, 210, 100, 110, 2), ("x", 200, 200, 200, 1)}
+    # delete the NULL group's max
+    U.delete_where_dv(spark, b, "fid = 11", ["k", "fid"])
+    refresh()
+    assert got() == {(None, 100, 100, 100, 1), ("x", 200, 200, 200, 1)}
+
+
+def test_join_aggregate_keyed_rewrites_touched_buckets(spark, tmp_path):
+    """dst_buckets: the join aggregate lays out by a hash bucket of the
+    group key; a delta touching one group commits a manifest DELTA whose
+    own files live only in that group's bucket."""
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+    from spookystuff_spark.sources.partitioned_table import _part_of
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    # many groups so buckets spread
+    dim = spark.range(64).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("d"), (F.col("id") % 32).cast("string")).alias("dname"),
+    )
+    fact = spark.range(200).select(
+        (F.col("id") % 64).cast("int").alias("k"),
+        F.col("id").cast("int").alias("fid"),
+        (F.col("id") * 7).cast("long").alias("amt"),
+    )
+    U.write_table(dim, a)
+    U.write_table(fact, b)
+
+    def refresh():
+        return refresh_join_aggregate(
+            spark, a, b, dst, ["k"], ["dname"], ["amt"], dst_buckets=16
+        )
+
+    refresh()  # keyed seed
+    seed_m = U.read_manifest(dst, U._latest(dst))
+    assert all(_part_of(e) is not None for e in seed_m["files"])
+    assert len({_part_of(e) for e in seed_m["files"]}) > 4
+
+    # one fact row for one dim group → exactly one bucket rewritten
+    U.append_rows(spark, b, _fact(spark, [(7, 9001, 12345)]))
+    v = refresh()
+    raw = U._read_manifest_raw(dst, v)
+    assert "files_base" in raw
+    added = {_part_of(e) for e in raw["files_add"]}
+    assert len(added) == 1, f"one-group delta rewrote buckets {added}"
+    # and values still exact
+    got = {
+        (r["dname"], r["amt_sum"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    exp = {
+        (r["dname"], r["amt_sum"], r["n_rows"])
+        for r in U.read_table(spark, a)
+        .join(U.read_table(spark, b), ["k"], "inner")
+        .groupBy("dname")
+        .agg(F.sum("amt").alias("amt_sum"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_join_aggregate_minmax_rescan_is_partition_pruned(
+    spark, tmp_path, monkeypatch
+):
+    """When the fact side is laid out by the join key, the min/max rescan's
+    fact read goes through the partition probe with ONLY the affected
+    dims' keys — the probe machinery, not a full scan."""
+    from spookystuff_spark.sources import partitioned_table as PT
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x"), (2, "y"), (3, "x")]), a)
+    write_table_partitioned(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 300)]), b, "k"
+    )
+
+    def refresh():
+        return refresh_join_aggregate(
+            spark, a, b, dst, ["k"], ["dname"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"],
+        )
+
+    refresh()
+    # delete group y's only dim row: rescan re-derives y (no rows left →
+    # group vanishes) — but the probe must only read y's key partitions
+    U.delete_where_dv(spark, b, "fid = 20", ["k", "fid"])
+
+    calls = []
+    real = PT.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, version=None):
+        calls.append((table_dir, sorted(str(x) for x in partition_values)))
+        return real(spark_, table_dir, partition_values, version)
+
+    monkeypatch.setattr(PT, "read_table_partitions", spy)
+    refresh()
+    fact_probes = [vals for (d, vals) in calls if d == b]
+    assert fact_probes and all(vals == ["2"] for vals in fact_probes), calls
+    got = {
+        (r["dname"], r["amt_min"], r["amt_max"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("x", 100, 300, 2)}
