@@ -219,27 +219,10 @@ def attach_blooms(
     if not own:
         return 0
     specs = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
-    recorded: dict = U._field_of_raw(table_dir, m, _BLOOMS)
-    n_written = 0
-    for entry, per_col in specs.items():
-        cur_rec = recorded.get(entry) or {}  # may hold a None marker
-        cur_rec.update(per_col)
-        recorded[entry] = cur_rec
-        n_written += len(per_col)
-    # rewrite the RAW manifest (rewriting the folded view would silently
-    # materialize a delta commit's full file list back into it); big
-    # consolidated maps re-spill to the sidecar
-    import json
-
-    raw = U._read_manifest_raw(table_dir, cur)
-    raw.pop(_BLOOMS, None)
-    raw.pop(f"{_BLOOMS}_ref", None)
-    raw.update(U._field_fields(table_dir, cur, _BLOOMS, recorded))
-    fsio.write_bytes(
-        fsio.join(table_dir, cur, U._MANIFEST),
-        json.dumps(raw, separators=(",", ":")).encode(),
-    )
-    return n_written
+    # shared attach path: per-entry MERGE into the RAW manifest (never the
+    # folded view, never clobbering other columns' or consolidated specs)
+    U._merge_field_into_raw(table_dir, cur, _BLOOMS, specs)
+    return sum(len(per_col) for per_col in specs.values())
 
 
 def entry_blooms(table_dir: str, version: str) -> dict:

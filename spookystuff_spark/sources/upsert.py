@@ -595,8 +595,11 @@ def write_manifest_delta(
         # even survive the owners' manifests being vacuumed away.
         extra_fields = dict(extra_fields or {})
         if bm is not None:
+            res = _FieldResolver(table_dir)  # shared raw cache, both fields
             for field in ("stats", _BLOOMS_FIELD):
-                cons = _gather_entry_field(table_dir, base, files, field)
+                cons = _gather_entry_field(
+                    table_dir, base, files, field, res=res
+                )
                 own = extra_fields.pop(field, None) or {}
                 for e, rec in own.items():  # write-time auto-attach wins
                     cur_rec = cons.get(e) or {}  # may hold a None marker
@@ -606,6 +609,10 @@ def write_manifest_delta(
                     extra_fields.update(
                         _field_fields(table_dir, version, field, cons)
                     )
+            # the gather ran: from here the fold chain is authoritative
+            # for per-entry fields — later gathers and readers never
+            # probe owner manifests again (see _CONSOLIDATED_KEY)
+            extra_fields[_CONSOLIDATED_KEY] = True
         write_manifest(
             table_dir, version, files, schema_json, kind, parent=parent,
             extra_fields=extra_fields,
@@ -634,7 +641,7 @@ def write_manifest_delta(
 
 _CORE_MANIFEST_KEYS = {
     "files", _FILES_REF, _FILES_COUNT, "schema", "kind", "parent", "ts_ms",
-    "stats_ref", "blooms_ref",
+    "stats_ref", "blooms_ref", "consolidated",
     *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
@@ -1674,8 +1681,9 @@ def vacuum(
     referenced_sidecars: set[str] = set()
     if doomed:
         fields = ("stats", _BLOOMS_FIELD)
+        res = _FieldResolver(table_dir)  # shared across kept versions
         for v in kept_versions:
-            raw = _read_manifest_raw(table_dir, v)
+            raw = res.raw(v)
             if raw is None:
                 continue
             is_delta = not _is_full_manifest(raw)
@@ -1685,34 +1693,23 @@ def vacuum(
             # resolve every entry's stats/bloom record, tracking whether
             # any record is reachable ONLY through a doomed owner
             # manifest (chain manifests of an intact chain survive, so
-            # records already consolidated there are safe as-is)
-            chain_merged: dict = {f: {} for f in fields}
-            for w in [v] + _fold_chain(table_dir, v):
-                raw_w = _read_manifest_raw(table_dir, w)
-                for f in fields:
-                    for e, rec in _field_of_raw(table_dir, raw_w, f).items():
-                        chain_merged[f].setdefault(e, rec)
+            # records already consolidated there are safe as-is; a
+            # consolidated chain is authoritative — no owner probing)
             folded = read_manifest(table_dir, v)
             gathered: dict = {f: {} for f in fields}
             at_risk = False
-            owner_cache: dict = {}
-            for e in folded["files"]:
-                owner = "" if _is_abs_entry(e) else e.split("/", 1)[0]
-                for f in fields:
-                    if e in chain_merged[f]:  # incl. negative markers
-                        rec = chain_merged[f][e]
+            for f in fields:
+                merged, consolidated = res.chain_merged(v, f)
+                for e in folded["files"]:
+                    if e in merged:  # incl. negative markers
+                        rec = merged[e]
                         if rec:
                             gathered[f][e] = rec
                         continue
-                    if not owner:
+                    if consolidated or _is_abs_entry(e):
                         continue
-                    if owner not in owner_cache:
-                        ro = _read_manifest_raw(table_dir, owner)
-                        owner_cache[owner] = {
-                            ff: _field_of_raw(table_dir, ro, ff)
-                            for ff in fields
-                        }
-                    rec = owner_cache[owner][f].get(e)
+                    owner = e.split("/", 1)[0]
+                    rec = res.field_of(owner, f).get(e)
                     if rec:
                         gathered[f][e] = rec
                         if owner in doomed:
@@ -1739,6 +1736,9 @@ def vacuum(
                     new_raw.update(
                         _field_fields(table_dir, v, f, gathered[f])
                     )
+            # the rewrite just consolidated every reachable record: the
+            # manifest is authoritative for per-entry fields from here
+            new_raw[_CONSOLIDATED_KEY] = True
             fsio.write_bytes(
                 fsio.join(table_dir, v, _MANIFEST),
                 json.dumps(new_raw, separators=(",", ":")).encode(),
@@ -2050,44 +2050,101 @@ def _field_fields(
     return {f"{field}_ref": ref}
 
 
+#: Set on every checkpoint manifest whose write ran the stats/blooms
+#: consolidation gather: from that point the fold chain is AUTHORITATIVE
+#: for per-entry fields — an entry with no chain record has none anywhere,
+#: so readers and later gathers never probe owner manifests. Core key:
+#: blind-carrying it (compact etc.) would falsely claim consolidation.
+_CONSOLIDATED_KEY = "consolidated"
+
+
+class _FieldResolver:
+    """Cached chain-first / owner-fallback resolution of per-entry
+    manifest fields (``stats``/``blooms``) — the one machinery behind the
+    read-side map (:func:`_entry_field_map`), the checkpoint consolidation
+    gather (:func:`_gather_entry_field`) and vacuum's at-risk accounting.
+    Raw manifests and decoded field maps are read once per (version,
+    field) no matter how many entries or fields resolve through them."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self._raws: dict = {}
+        self._fields: dict = {}
+        self._chains: dict = {}
+
+    def raw(self, version: str) -> Optional[dict]:
+        if version not in self._raws:
+            self._raws[version] = _read_manifest_raw(
+                self.table_dir, version
+            )
+        return self._raws[version]
+
+    def field_of(self, version: str, field: str) -> dict:
+        key = (version, field)
+        if key not in self._fields:
+            self._fields[key] = _field_of_raw(
+                self.table_dir, self.raw(version), field
+            )
+        return self._fields[key]
+
+    def chain_merged(self, version: str, field: str) -> tuple[dict, bool]:
+        """({entry: record} merged across the snapshot's fold chain,
+        nearest wins — None values are a checkpoint's probed-and-absent
+        negatives; whether any chain manifest is a CONSOLIDATING
+        checkpoint, making the chain authoritative for the field)."""
+        key = (version, field)
+        if key in self._chains:
+            return self._chains[key]
+        merged: dict = {}
+        consolidated = False
+        v: str | None = version
+        while v is not None:
+            raw = self.raw(v)
+            if raw is None:
+                break  # torn chain: read_manifest raises where it matters
+            if raw.get(_CONSOLIDATED_KEY):
+                consolidated = True
+            for e, rec in self.field_of(v, field).items():
+                merged.setdefault(e, rec)
+            v = None if _is_full_manifest(raw) else raw["files_base"]
+        self._chains[key] = (merged, consolidated)
+        return merged, consolidated
+
+
 def _gather_entry_field(
-    table_dir: str, base: str, entries: Sequence[str], field: str
+    table_dir: str,
+    base: str,
+    entries: Sequence[str],
+    field: str,
+    res: _FieldResolver | None = None,
 ) -> dict:
     """{entry: record} for ``field`` (``stats``/``blooms``) across
-    ``entries`` — the checkpoint-time consolidation gather: the base
-    snapshot's fold chain first (it may already hold a consolidated
-    checkpoint), then each remaining entry's owner manifest (one raw read
-    per distinct owner, cached)."""
-    merged: dict = {}
-    for v in [base] + _fold_chain(table_dir, base):  # nearest wins
-        raw = _read_manifest_raw(table_dir, v)
-        for e, rec in _field_of_raw(table_dir, raw, field).items():
-            merged.setdefault(e, rec)
-    if not merged:
-        # the field has no trace anywhere in the base's chain — a prior
-        # checkpoint would have consolidated any older records (with
-        # explicit None markers for probed-and-absent entries), so there
-        # is nothing to find: skip the owner probing entirely. Without
-        # this, every checkpoint of a table that never attaches the field
-        # pays one owner-manifest read PER ENTRY — O(table) metadata per
-        # checkpoint, the exact scaling failure delta manifests prevent.
-        return {}
+    ``entries`` — the checkpoint-time consolidation gather. A chain that
+    already contains a CONSOLIDATING checkpoint is authoritative (entries
+    absent from it have no record anywhere — zero owner probing, the
+    bounded steady state). Otherwise — a pre-consolidation table, which
+    includes records living ONLY on owner manifests behind a
+    directly-written full manifest (e.g. an append that carried foreign
+    entries into a full list) — each remaining entry's owner manifest is
+    probed ONCE (one raw read per distinct owner, cached), with
+    probed-and-absent entries recorded as explicit None negatives; the
+    checkpoint's ``consolidated`` marker then makes the probing never
+    repeat. A gather that finds nothing anywhere returns {} (the marker
+    alone records the authoritative absence — no all-negative map is
+    stored)."""
+    res = res or _FieldResolver(table_dir)
+    merged, consolidated = res.chain_merged(base, field)
+    if consolidated:
+        return {e: merged[e] for e in entries if e in merged}
     out: dict = {}
-    cache: dict = {}
     for e in entries:
         if e in merged:
             out[e] = merged[e]
-            continue
-        if _is_abs_entry(e):
-            continue
-        owner = e.split("/", 1)[0]
-        if owner not in cache:
-            cache[owner] = _field_of_raw(
-                table_dir, _read_manifest_raw(table_dir, owner), field
-            )
-        # record probed-and-absent entries as None: the NEXT checkpoint's
-        # merged map then covers them and never re-probes their owners
-        out[e] = cache[owner].get(e) or None
+        elif not _is_abs_entry(e):
+            owner = e.split("/", 1)[0]
+            out[e] = res.field_of(owner, field).get(e) or None
+    if not any(out.values()):
+        return {}
     return out
 
 
@@ -2095,36 +2152,56 @@ def _entry_field_map(table_dir: str, version: str, field: str) -> dict:
     """Per-entry ``field`` records for EVERY entry of a snapshot, with
     bounded metadata reads: the snapshot's fold-chain manifests answer
     first (consolidated checkpoints carry every pre-checkpoint entry's
-    record, each delta its own adds — ≤ 1 + CHECKPOINT_EVERY raw reads),
-    and only entries absent there fall back to their OWNER's manifest
-    (pre-consolidation tables — the old O(distinct owners) shape). ``{}``
-    for entries never recorded."""
+    record, each delta its own adds — ≤ 1 + CHECKPOINT_EVERY raw reads);
+    on a chain with a consolidating checkpoint, absence is authoritative;
+    only pre-consolidation tables fall back to entry owners' manifests
+    (the old O(distinct owners) shape). ``{}`` for entries never
+    recorded."""
     m = read_manifest(table_dir, version)
     if m is None:
         return {}
-    merged: dict = {}
-    for v in [version] + _fold_chain(table_dir, version):  # nearest wins
-        raw = _read_manifest_raw(table_dir, v)
-        for e, rec in _field_of_raw(table_dir, raw, field).items():
-            merged.setdefault(e, rec)
+    res = _FieldResolver(table_dir)
+    merged, consolidated = res.chain_merged(version, field)
     out: dict = {}
-    cache: dict = {}
     for e in m["files"]:
         if e in merged:
             # None = a checkpoint probed the owner and found nothing —
             # an authoritative negative, no owner read needed
             out[e] = merged[e] or {}
-            continue
-        if _is_abs_entry(e):
+        elif consolidated or _is_abs_entry(e):
             out[e] = {}
-            continue
-        owner = e.split("/", 1)[0]
-        if owner not in cache:
-            cache[owner] = _field_of_raw(
-                table_dir, _read_manifest_raw(table_dir, owner), field
-            )
-        out[e] = cache[owner].get(e) or {}
+        else:
+            owner = e.split("/", 1)[0]
+            out[e] = res.field_of(owner, field).get(e) or {}
     return out
+
+
+def _merge_field_into_raw(
+    table_dir: str, version: str, field: str, new_records: dict
+) -> None:
+    """MERGE per-entry records into ``version``'s RAW manifest under
+    ``field`` and rewrite it in place — the shared attach path
+    (``attach_stats`` / ``attach_blooms``). Raw, never the folded view (a
+    folded rewrite would materialize a delta commit's full file list back
+    into it). Per-entry MERGE, never clobber: the raw may already carry
+    records — write-time auto-attach for other columns, or a checkpoint's
+    consolidated map (possibly in a sidecar) — and replacing them would
+    un-prune the table."""
+    raw = _read_manifest_raw(table_dir, version)
+    if raw is None:
+        raise FileNotFoundError(f"{version} has no manifest")
+    recorded = _field_of_raw(table_dir, raw, field)
+    for e, rec in new_records.items():
+        cur_rec = recorded.get(e) or {}  # may hold a None (probed-absent)
+        cur_rec.update(rec)
+        recorded[e] = cur_rec
+    raw.pop(field, None)
+    raw.pop(f"{field}_ref", None)
+    raw.update(_field_fields(table_dir, version, field, recorded))
+    fsio.write_bytes(
+        fsio.join(table_dir, version, _MANIFEST),
+        json.dumps(raw, separators=(",", ":")).encode(),
+    )
 
 
 def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
@@ -2135,28 +2212,8 @@ def attach_stats(table_dir: str, cols: Sequence[str]) -> int:
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
-    # rewrite the RAW manifest: rewriting a folded view would materialize
-    # the full file list back into a delta commit
-    m = _read_manifest_raw(table_dir, cur)
-    if m is None:
-        raise FileNotFoundError(f"{cur} has no manifest")
     stats = collect_file_stats(table_dir, cur, cols)
-    # MERGE per entry: the tip's raw manifest may already carry stats —
-    # write-time auto-attach for other columns, or a checkpoint's
-    # consolidated map (possibly in a sidecar) — and clobbering them
-    # would un-prune the table
-    recorded = _field_of_raw(table_dir, m, "stats")
-    for e, rec in stats.items():
-        cur_rec = recorded.get(e) or {}  # may hold a None (probed-absent)
-        cur_rec.update(rec)
-        recorded[e] = cur_rec
-    m.pop("stats", None)
-    m.pop("stats_ref", None)
-    m.update(_field_fields(table_dir, cur, "stats", recorded))
-    fsio.write_bytes(
-        fsio.join(table_dir, cur, _MANIFEST),
-        json.dumps(m, separators=(",", ":")).encode(),
-    )
+    _merge_field_into_raw(table_dir, cur, "stats", stats)
     return len(stats)
 
 
