@@ -164,7 +164,19 @@ def _latest(table_dir: str) -> str | None:
     Anything unverifiable — pointer missing, single-line legacy format,
     torn write, slot-content mismatch, non-monotone walk — falls back to
     the authoritative listing (:func:`_latest_from_listing`), which also
-    serves pre-commit-dir legacy tables exactly as before."""
+    serves pre-commit-dir legacy tables exactly as before.
+
+    MIXED-DEPLOYMENT guard: a pre-r7 writer commits by creating a LEGACY
+    ``_commits/<version>`` entry and may die before rewriting the pointer
+    — invisible to the child-slot walk (different object name). The walk
+    therefore also probes forward for legacy entries, guided by version
+    DIRS (a committed version always has its dir, and writers name
+    versions contiguously above whatever dirs they saw) — one extra
+    existence check in the steady state. The one residual corner — a
+    legacy commit past a dir gap that a PRE-r9 vacuum opened — is closed
+    on the destructive paths instead: :func:`vacuum` resolves from the
+    authoritative listing, and :func:`_next_version` re-checks any
+    occupied slot it skips."""
     p = fsio.join(table_dir, _POINTER)
     try:
         lines = fsio.read_bytes(p).decode().splitlines()
@@ -187,19 +199,37 @@ def _latest(table_dir: str) -> str | None:
         return _latest_from_listing(table_dir)
     while True:
         child = fsio.join(table_dir, _COMMITS, _commit_file_name(v))
-        if not fsio.exists(child):
+        if fsio.exists(child):
+            try:
+                nxt = fsio.read_bytes(child).decode().strip()
+            except (FileNotFoundError, OSError):  # raced a vacuum
+                return _latest_from_listing(table_dir)
+            if not (
+                nxt.startswith("v")
+                and nxt[1:].isdigit()
+                and _vnum(nxt) > _vnum(v)
+            ):
+                return _latest_from_listing(table_dir)
+            v = nxt
+            continue
+        # no parent-keyed child: probe for a LEGACY-format child before
+        # trusting the tip (see the mixed-deployment guard above). Walk
+        # candidate numbers while their version dirs exist; a legacy
+        # commit entry among them is a committed child — step to it.
+        n, stepped = _vnum(v), False
+        while True:
+            n += 1
+            name = f"v{n:05d}"
+            # dir first: a committed version always has its dir (the
+            # manifest lives in it), so a missing dir ends the candidate
+            # range — ONE existence check in the steady state
+            if not fsio.exists(fsio.join(table_dir, name)):
+                break
+            if fsio.exists(fsio.join(table_dir, _COMMITS, name)):
+                v, stepped = name, True
+                break
+        if not stepped:
             return v
-        try:
-            nxt = fsio.read_bytes(child).decode().strip()
-        except (FileNotFoundError, OSError):  # raced a vacuum — re-resolve
-            return _latest_from_listing(table_dir)
-        if not (
-            nxt.startswith("v")
-            and nxt[1:].isdigit()
-            and _vnum(nxt) > _vnum(v)
-        ):
-            return _latest_from_listing(table_dir)
-        v = nxt
 
 
 _POINTER_UNVERIFIED = object()  # _swap_pointer: write the single-line form
@@ -325,8 +355,25 @@ def _next_version(table_dir: str) -> str:
     n = int(cur[1:]) if cur else 0
     while True:
         n += 1
-        if not fsio.exists(fsio.join(table_dir, f"v{n:05d}")):
-            return f"v{n:05d}"
+        name = f"v{n:05d}"
+        if not fsio.exists(fsio.join(table_dir, name)):
+            return name
+        # occupied slot: usually crashed-writer debris — but on a mixed
+        # deployment it may be a LEGACY-format writer's COMMITTED version
+        # the verified-pointer walk couldn't see past a dir gap.
+        # Committing "past" it would fork history and silently orphan the
+        # legacy commit: heal the pointer to the unverifiable single-line
+        # form (every resolver then uses the authoritative listing until
+        # the next commit re-verifies it) and make the caller retry.
+        if fsio.exists(fsio.join(table_dir, _COMMITS, name)):
+            auth = _latest_from_listing(table_dir)
+            if auth is not None and (cur is None or _vnum(auth) > _vnum(cur)):
+                _swap_pointer(table_dir, auth)
+                raise ConcurrentWriteError(
+                    f"{table_dir}: committed version {name} found ahead "
+                    f"of the pointer ({cur}) — a legacy-format writer "
+                    "committed concurrently; retry against the new state"
+                )
 
 
 # --------------------------------------------------------------- manifest
@@ -1639,8 +1686,17 @@ def vacuum(
     and the dropped version's metadata are deleted. A version whose dir
     still holds referenced files loses its manifest (no longer
     time-travelable) but keeps the data — a later vacuum frees it once
-    nothing references it. Returns fully removed version names."""
-    cur = _latest(table_dir)
+    nothing references it. Returns fully removed version names.
+
+    Vacuum DELETES, so it never trusts the verified-pointer fast path: the
+    tip is resolved from the authoritative ``_commits`` listing (a stale
+    pointer — e.g. a crashed legacy-format writer that committed but never
+    rewrote it — would otherwise make vacuum treat the real tip as
+    dangling debris and destroy it), and a stale pointer found here is
+    healed to the single-line form so every other resolver re-checks."""
+    cur = _latest_from_listing(table_dir)
+    if cur is not None and cur != _latest(table_dir):
+        _swap_pointer(table_dir, cur)  # heal: unverifiable ⇒ listing wins
     vs = versions(table_dir)
     committed = committed_versions(table_dir)
     dangling = [v for v in vs if v not in committed]
