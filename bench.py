@@ -215,11 +215,35 @@ def main() -> None:
             2,
             float(os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")),
         )
+        # SPARK_GRAFT_RETIME=q_a,q_b (r8 judge punch #7): explicitly-named
+        # CHANGED-PATH queries retime regardless of the slowest-N policy —
+        # a query whose code changed but whose runtime sits mid-pack (the
+        # r8 q_bloom_lookup case) is otherwise invisible to slowest-N and
+        # needs a judge re-run to adjudicate. The builder sets this from
+        # the round's diff; results land in BENCH_DETAIL like the rest.
+        explicit = [
+            q.strip()
+            for q in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
+            if q.strip()
+        ]
+        explicit = [
+            q for q in explicit if q in timings and q not in isolated_top
+        ]
+        retime(
+            explicit,
+            3,
+            float(os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "300")),
+        )
 
     payload = {
         "queries": timings,
         "isolated_top": isolated_top,
         "isolated_top_skipped": isolated_skipped,
+        "retimed_explicit": [
+            q
+            for q in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
+            if q.strip() and q.strip() in isolated_top
+        ],
         "suites": {
             s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
             if s in timings

@@ -298,6 +298,74 @@ def _surviving_specs_distributed(
     return {int(r["idx"]) for r in surv}
 
 
+def _plan_probe(
+    spark: SparkSession,
+    table_dir: str,
+    plan: DataFrame,
+    log: list,
+    col: str,
+    h1: int,
+    h2: int,
+) -> tuple[list, int]:
+    """(surviving entries, skipped count) from a DISTRIBUTED pass over the
+    parquet entry table: each task parses its slice's ``blooms`` JSON,
+    resolves the probe column's physical name per entry (rename epochs,
+    same logic as the driver path) and tests the k bits against the
+    sidecars it can read. Entries without a usable spec — never attached,
+    vacuumed sidecar, foreign/absolute path — survive (scan
+    conservatively), exactly like the driver fast path."""
+    import json as _json
+
+    import pandas as pd
+
+    def probe(batches):
+        from spookystuff_spark import fsio as xfs
+
+        for pdf in batches:
+            keeps = []
+            for entry, bj in zip(pdf["entry"], pdf["blooms"]):
+                spec = None
+                if bj:
+                    per = _json.loads(bj) or {}
+                    owner = (
+                        ""
+                        if U._is_abs_entry(entry)
+                        else entry.split("/", 1)[0]
+                    )
+                    spec = per.get(
+                        U.physical_name_for_entry(log, owner, col)
+                    )
+                if not spec:
+                    keeps.append(entry)
+                    continue
+                try:
+                    raw_bits = xfs.read_bytes(
+                        xfs.join(table_dir, spec["path"])
+                    )
+                except (FileNotFoundError, OSError):
+                    keeps.append(entry)
+                    continue
+                bits = np.frombuffer(raw_bits, dtype=np.uint8)
+                if len(bits) * 8 != int(spec["m"]):
+                    keeps.append(entry)
+                    continue
+                pos = _positions(h1, h2, int(spec["m"]), int(spec["k"]))
+                if bool(
+                    np.all(
+                        bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))
+                    )
+                ):
+                    keeps.append(entry)
+            yield pd.DataFrame({"entry": keeps})
+
+    src = plan.select("entry", "blooms")
+    kept = [
+        r["entry"] for r in src.mapInPandas(probe, "entry string").collect()
+    ]
+    total = src.count()  # metadata-cheap second pass for the skip count
+    return kept, total - len(kept)
+
+
 def read_table_point(
     spark: SparkSession,
     table_dir: str,
@@ -341,6 +409,32 @@ def read_table_point(
         else probe.select(F.col("_v").alias(col))
     )
     hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
+    plan = U.entries_plan(spark, table_dir, v)
+    if plan is not None:
+        # DISTRIBUTED candidate assembly + probe in one pass: the parquet
+        # entry table scans as a DataFrame and each task parses its
+        # slice's bloom specs, translates the probe column per entry
+        # (rename epochs) and tests the k bits against its sidecars —
+        # the driver never loops the file list, never folds the manifest,
+        # and collects only the SURVIVORS the scan needs anyway. A miss
+        # probe on a fully-indexed million-file table returns ~0 rows.
+        raw = U._read_manifest_raw(table_dir, v) or {"files": []}
+        log = U.rename_log_of(raw)
+        keep_rel, skipped = _plan_probe(
+            spark, table_dir, plan, log, col, int(hr["h1"]), int(hr["h2"])
+        )
+        keep_full = [
+            e if U._is_abs_entry(e) else fsio.join(table_dir, e)
+            for e in keep_rel
+        ]
+        if not keep_full and not raw.get("schema"):
+            raise FileNotFoundError(f"no candidate files in {table_dir}")
+        df = U.scan_entries(spark, table_dir, raw, keep_rel, keep_full)
+        df = U._apply_deletion_vectors(spark, table_dir, v, df)
+        return (
+            df.where(F.col(col) == F.lit(value)),
+            {"scanned": len(keep_full), "skipped_bloom": skipped},
+        )
     blooms = entry_blooms(table_dir, v)
     manifest = U.read_manifest(table_dir, v) or {"files": []}
     # bloom specs are recorded under the attach-time name — translate the

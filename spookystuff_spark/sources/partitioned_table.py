@@ -57,10 +57,7 @@ _P = "__part="
 
 def _part_of(entry: str) -> str | None:
     """Partition value encoded in a manifest entry's path, or None."""
-    for seg in entry.split("/"):
-        if seg.startswith(_P):
-            return seg[len(_P):]
-    return None
+    return U._entry_part(entry)
 
 
 def _write_partitioned(df: DataFrame, pcol: str, vdir: str) -> None:
@@ -427,10 +424,12 @@ def read_table_partitions(
 ) -> DataFrame:
     """Manifest-pruned read: only the named partitions' files reach the
     scan — no listing, no footer reads, no row-group skipping needed for
-    the rest of the table."""
-    import json
-
-    from pyspark.sql.types import StructType
+    the rest of the table. Above the inline-manifest threshold the
+    pruning itself is DISTRIBUTED (``upsert.entries_plan``): the parquet
+    entry table scans as a DataFrame, the partition filter runs as a
+    column predicate, and the driver collects only the SURVIVING entries
+    — never the million-file list the JSON fold would materialize."""
+    import pyspark.sql.functions as F  # noqa: F811 (module alias shadow)
 
     cur = U._latest(table_dir)
     if cur is None:
@@ -438,13 +437,29 @@ def read_table_partitions(
     v = version or cur
     U._check_readable(table_dir, v, cur)
     wanted = {str(x) for x in partition_values}
-    manifest = U.read_manifest(table_dir, v) or {"files": []}
-    rel_all, full_all = U._entries_and_paths(
-        table_dir, v, manifest if manifest.get("files") else None
-    )
-    keep = [
-        (r, f) for r, f in zip(rel_all, full_all) if _part_of(r) in wanted
-    ]
+    plan = U.entries_plan(spark, table_dir, v)
+    if plan is not None:
+        # scan-side planning: schema/renames/dv all live top-level in the
+        # RAW manifest — the folded file list is never built on the driver
+        manifest = U._read_manifest_raw(table_dir, v) or {"files": []}
+        keep_rel = [
+            r["entry"]
+            for r in plan.where(F.col("part").isin(sorted(wanted)))
+            .select("entry")
+            .collect()  # O(survivors), the scan needs them anyway
+        ]
+        keep = [
+            (r, r if U._is_abs_entry(r) else fsio.join(table_dir, r))
+            for r in keep_rel
+        ]
+    else:
+        manifest = U.read_manifest(table_dir, v) or {"files": []}
+        rel_all, full_all = U._entries_and_paths(
+            table_dir, v, manifest if manifest.get("files") else None
+        )
+        keep = [
+            (r, f) for r, f in zip(rel_all, full_all) if _part_of(r) in wanted
+        ]
     if not keep and not manifest.get("schema"):
         raise FileNotFoundError(f"no files for partitions {sorted(wanted)}")
     df = U.scan_entries(

@@ -386,22 +386,56 @@ def _next_version(table_dir: str) -> str:
 #: the list (raw top-level fields stay readable without it).
 CHECKPOINT_INLINE_MAX = 1000
 
-_FILES_REF = "files_ref"
+_FILES_REF = "files_ref"  # legacy (r8) zlib file-list sidecar — read-only
 _FILES_COUNT = "files_count"
 _FILES_SIDECAR = "_FILES.z"
+_ENTRIES_REF = "entries_ref"  # parquet ENTRY TABLE sidecar (r9+)
+#: NOT underscore-prefixed (Spark's hidden-file convention would make it
+#: invisible to the DataFrame read that distributed planning depends on)
+#: and NOT ``.parquet``-suffixed (legacy dir-listing fallbacks glob
+#: ``*.parquet`` as data) — explicit-path readers don't care about either.
+_ENTRIES_SIDECAR = "ENTRIES.pq"
+
+#: Per-entry field columns the parquet entry table carries alongside the
+#: file list — the checkpoint-consolidated maps, readable as DataFrame
+#: columns so planning (partition pruning, bloom candidate assembly) can
+#: run DISTRIBUTED instead of as an O(files) Python loop on the driver.
+_ENTRY_FIELD_COLS = ("stats", "blooms")
+
+
+def _entry_part(entry: str) -> str | None:
+    """Partition value encoded in a manifest entry's path (the hive-style
+    ``__part=<value>`` segment partitioned layouts write), or None."""
+    for seg in entry.split("/"):
+        if seg.startswith("__part="):
+            return seg[len("__part="):]
+    return None
 
 
 def _is_full_manifest(raw: dict) -> bool:
     """Full (checkpoint) manifest — file list inline or in a sidecar — as
     opposed to a delta manifest (``files_base``/``files_add``/...)."""
-    return "files" in raw or _FILES_REF in raw
+    return "files" in raw or _FILES_REF in raw or _ENTRIES_REF in raw
+
+
+def _read_entries_table(table_dir: str, ref: str):
+    """The parquet entry table as a pyarrow Table (driver-side reads —
+    spark reads the same file as a DataFrame for distributed planning)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    return pq.read_table(pa.BufferReader(fsio.read_bytes(fsio.join(table_dir, ref))))
 
 
 def _full_files(table_dir: str, raw: dict) -> list[str]:
-    """Materialized file list of a FULL manifest: inline ``files``, or the
-    ``files_ref`` sidecar (zlib-compressed newline-joined entries)."""
+    """Materialized file list of a FULL manifest: inline ``files``, the
+    parquet entry table (r9), or the legacy zlib ``files_ref`` sidecar."""
     if "files" in raw:
         return list(raw["files"])
+    if _ENTRIES_REF in raw:
+        return _read_entries_table(table_dir, raw[_ENTRIES_REF])[
+            "entry"
+        ].to_pylist()
     import zlib
 
     data = zlib.decompress(
@@ -410,23 +444,52 @@ def _full_files(table_dir: str, raw: dict) -> list[str]:
     return data.decode().split("\n") if data else []
 
 
-def _files_fields(table_dir: str, version: str, files: Sequence[str]) -> dict:
-    """Manifest fields recording ``files``: inline below
-    :data:`CHECKPOINT_INLINE_MAX` entries, else written to the version's
-    ``_FILES.z`` sidecar first (immutable debris until the manifest naming
-    it commits — the same crash story as data files) and referenced."""
+def _files_fields(
+    table_dir: str,
+    version: str,
+    files: Sequence[str],
+    entry_fields: dict | None = None,
+) -> dict:
+    """Manifest fields recording ``files`` (+ optional per-entry
+    ``entry_fields`` maps — consolidated stats/blooms): inline below
+    :data:`CHECKPOINT_INLINE_MAX` entries; above it, ONE parquet entry
+    table ``_ENTRIES.parquet`` holding the file list, the precomputed
+    partition value and the per-entry fields as JSON columns — written
+    atomically (serialized in memory, published via ``write_bytes``),
+    immutable debris until the manifest naming it commits. The parquet
+    form is what makes planning distributable: Spark scans it as a
+    DataFrame (:func:`entries_plan`), so a partition-pruned read or a
+    bloom probe of a million-file table never materializes the file list
+    in driver Python. At 1M entries the table is a few MB (zstd) vs
+    ~100 MB of inline JSON."""
     files = list(files)
+    ef = {k: v for k, v in (entry_fields or {}).items() if v}
     if len(files) <= CHECKPOINT_INLINE_MAX:
-        return {"files": files}
-    import zlib
+        out = {"files": files}
+        for f, mp in ef.items():
+            out.update(_field_fields(table_dir, version, f, mp))
+        return out
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
-    ref = f"{version}/{_FILES_SIDECAR}"
+    cols: dict = {
+        "entry": files,
+        "part": [_entry_part(e) for e in files],
+    }
+    for f in _ENTRY_FIELD_COLS:
+        mp = ef.get(f) or {}
+        # json "null" = a checkpoint's probed-and-absent NEGATIVE marker;
+        # SQL NULL = no record at all — both states survive the roundtrip
+        cols[f] = [
+            json.dumps(mp[e], separators=(",", ":")) if e in mp else None
+            for e in files
+        ]
+    sink = pa.BufferOutputStream()
+    pq.write_table(pa.table(cols), sink, compression="zstd")
+    ref = f"{version}/{_ENTRIES_SIDECAR}"
     fsio.mkdirs(fsio.join(table_dir, version))
-    fsio.write_bytes(
-        fsio.join(table_dir, ref),
-        zlib.compress("\n".join(files).encode(), 6),
-    )
-    return {_FILES_REF: ref, _FILES_COUNT: len(files)}
+    fsio.write_bytes(fsio.join(table_dir, ref), sink.getvalue().to_pybytes())
+    return {_ENTRIES_REF: ref, _FILES_COUNT: len(files)}
 
 
 def write_manifest(
@@ -437,6 +500,7 @@ def write_manifest(
     kind: str,
     parent: str | None = None,
     extra_fields: dict | None = None,
+    entry_fields: dict | None = None,
 ) -> None:
     """Record the snapshot's commit manifest: relative (to ``table_dir``)
     or absolute data-file paths, the Spark schema (StructType.json()), the
@@ -445,12 +509,25 @@ def write_manifest(
     the parent chain walked back from ``_LATEST``, so a crashed writer's
     dir — even one that got as far as its manifest, or that carries
     Spark's ``_SUCCESS`` — is unreachable debris, never readable state.
-    Above :data:`CHECKPOINT_INLINE_MAX` entries the file list lives in a
-    compressed sidecar (see :func:`_files_fields`)."""
+    Above :data:`CHECKPOINT_INLINE_MAX` entries the file list (and any
+    per-entry ``entry_fields`` maps) lives in a parquet entry-table
+    sidecar (see :func:`_files_fields`). Per-entry maps a writer passed
+    through ``extra_fields`` (``stats``/``blooms``) are routed through
+    the same spill logic, so a million-file snapshot never inlines a
+    100 MB stats map."""
     import time
 
+    ef = dict(entry_fields or {})
+    extra_fields = dict(extra_fields) if extra_fields else None
+    if extra_fields:
+        for f in _ENTRY_FIELD_COLS:
+            mp = extra_fields.pop(f, None)
+            if mp:
+                cur = dict(ef.get(f) or {})
+                cur.update(mp)
+                ef[f] = cur
     payload = {
-        **_files_fields(table_dir, version, files),
+        **_files_fields(table_dir, version, files, ef),
         "schema": schema_json,
         "kind": kind,
         "parent": parent,
@@ -553,7 +630,7 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
         out = {
             k: val
             for k, val in raw.items()
-            if k not in (_FILES_REF, _FILES_COUNT)
+            if k not in (_FILES_REF, _FILES_COUNT, _ENTRIES_REF)
         }
         out["files"] = _full_files(table_dir, raw)
         return out
@@ -579,6 +656,66 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
     out = {k: val for k, val in raw.items() if k not in _DELTA_KEYS}
     out["files"] = files
     return out
+
+
+def entries_plan(spark: SparkSession, table_dir: str, version: str):
+    """The snapshot's entry table as a Spark DataFrame ``[entry, part,
+    stats, blooms]`` for DISTRIBUTED planning, or None when the snapshot
+    has no parquet checkpoint in its fold chain (small tables — the JSON
+    fold is cheaper than a Spark job).
+
+    The nearest parquet checkpoint scans as a DataFrame; the ≤
+    :data:`CHECKPOINT_EVERY` deltas above it apply as column filters
+    (removes) plus a driver-built union (adds, each delta's own small
+    batch with its write-time stats/blooms). The driver therefore holds
+    O(delta adds + removes), never the checkpoint's file list — at 1M
+    files a partition-pruned read or a bloom probe plans scan-side
+    (filter → collect survivors) instead of looping a 100 MB JSON fold
+    in driver Python. Per-entry fields attached AFTER the checkpoint to
+    NON-TIP commits are not visible here (readers through
+    ``entry_stats``/``entry_blooms`` see them); planners only prune less,
+    never wrongly."""
+    import pyspark.sql.functions as F
+
+    chain: list[dict] = []
+    raw = _read_manifest_raw(table_dir, version)
+    while raw is not None and not _is_full_manifest(raw):
+        chain.append(raw)
+        raw = _read_manifest_raw(table_dir, raw["files_base"])
+    if raw is None or _ENTRIES_REF not in raw:
+        return None
+    df = spark.read.parquet(fsio.join(table_dir, raw[_ENTRIES_REF]))
+    adds: list[tuple] = []
+    removed: set[str] = set()
+    for d in reversed(chain):  # oldest first — later removes hit earlier adds
+        rm = set(d.get("files_remove") or ())
+        if rm:
+            adds = [a for a in adds if a[0] not in rm]
+            removed |= rm
+        maps = {
+            f: _field_of_raw(table_dir, d, f) for f in _ENTRY_FIELD_COLS
+        }
+        for e in d.get("files_add") or ():
+            adds.append(
+                (
+                    e,
+                    _entry_part(e),
+                    *(
+                        json.dumps(maps[f][e], separators=(",", ":"))
+                        if e in maps[f]
+                        else None
+                        for f in _ENTRY_FIELD_COLS
+                    ),
+                )
+            )
+    if removed:
+        df = df.where(~F.col("entry").isin(sorted(removed)))
+    if adds:
+        add_df = spark.createDataFrame(
+            adds, "entry string, part string, stats string, blooms string"
+        )
+        df = df.unionByName(add_df)
+    return df
 
 
 def _fold_chain(table_dir: str, version: str) -> list[str]:
@@ -641,6 +778,7 @@ def write_manifest_delta(
         # chain (≤ 1 checkpoint + CHECKPOINT_EVERY deltas), and stats
         # even survive the owners' manifests being vacuumed away.
         extra_fields = dict(extra_fields or {})
+        entry_fields: dict = {}
         if bm is not None:
             res = _FieldResolver(table_dir)  # shared raw cache, both fields
             for field in ("stats", _BLOOMS_FIELD):
@@ -653,16 +791,14 @@ def write_manifest_delta(
                     cur_rec.update(rec)
                     cons[e] = cur_rec
                 if cons:
-                    extra_fields.update(
-                        _field_fields(table_dir, version, field, cons)
-                    )
+                    entry_fields[field] = cons
             # the gather ran: from here the fold chain is authoritative
             # for per-entry fields — later gathers and readers never
             # probe owner manifests again (see _CONSOLIDATED_KEY)
             extra_fields[_CONSOLIDATED_KEY] = True
         write_manifest(
             table_dir, version, files, schema_json, kind, parent=parent,
-            extra_fields=extra_fields,
+            extra_fields=extra_fields, entry_fields=entry_fields,
         )
         return
     import time
@@ -687,8 +823,8 @@ def write_manifest_delta(
 
 
 _CORE_MANIFEST_KEYS = {
-    "files", _FILES_REF, _FILES_COUNT, "schema", "kind", "parent", "ts_ms",
-    "stats_ref", "blooms_ref", "consolidated",
+    "files", _FILES_REF, _FILES_COUNT, _ENTRIES_REF, "schema", "kind",
+    "parent", "ts_ms", "stats_ref", "blooms_ref", "consolidated",
     *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
@@ -1782,16 +1918,25 @@ def vacuum(
                 new_raw = {
                     k: val for k, val in raw.items() if k not in _DELTA_KEYS
                 }
-                new_raw.update(_files_fields(table_dir, v, folded["files"]))
+                for f in fields:
+                    new_raw.pop(f, None)
+                    new_raw.pop(f"{f}_ref", None)
+                for k in (_FILES_REF, _FILES_COUNT, _ENTRIES_REF):
+                    new_raw.pop(k, None)
+                # one write carries the file list AND the gathered fields
+                # (parquet entry table above the inline threshold)
+                new_raw.update(
+                    _files_fields(table_dir, v, folded["files"], gathered)
+                )
             else:
                 new_raw = dict(raw)
-            for f in fields:
-                new_raw.pop(f, None)
-                new_raw.pop(f"{f}_ref", None)
-                if gathered[f]:
-                    new_raw.update(
-                        _field_fields(table_dir, v, f, gathered[f])
-                    )
+                for f in fields:
+                    new_raw.pop(f, None)
+                    new_raw.pop(f"{f}_ref", None)
+                    if gathered[f]:
+                        new_raw.update(
+                            _field_fields(table_dir, v, f, gathered[f])
+                        )
             # the rewrite just consolidated every reachable record: the
             # manifest is authoritative for per-entry fields from here
             new_raw[_CONSOLIDATED_KEY] = True
@@ -2062,24 +2207,38 @@ _BLOOMS_FIELD = "blooms"
 
 def _field_of_raw(table_dir: str, raw: dict | None, field: str) -> dict:
     """Per-entry map for ``field`` (``stats``/``blooms``) from a raw
-    manifest: the inline key, or the compressed sidecar a big
-    consolidation spilled to (``<field>_ref``). A vacuumed-away sidecar
-    reads as never-recorded — pruning degrades, answers don't."""
+    manifest: the inline key, the zlib sidecar a big consolidation or a
+    post-checkpoint attach spilled to (``<field>_ref`` — supersedes the
+    parquet columns, since attaches rewrite through it), or the parquet
+    entry table's JSON column. A vacuumed-away sidecar reads as
+    never-recorded — pruning degrades, answers don't."""
     if not raw:
         return {}
     if field in raw:
         return raw[field] or {}
     ref = raw.get(f"{field}_ref")
-    if not ref:
-        return {}
-    import zlib
+    if ref:
+        import zlib
 
-    try:
-        return json.loads(
-            zlib.decompress(fsio.read_bytes(fsio.join(table_dir, ref)))
-        )
-    except (FileNotFoundError, OSError):
-        return {}
+        try:
+            return json.loads(
+                zlib.decompress(fsio.read_bytes(fsio.join(table_dir, ref)))
+            )
+        except (FileNotFoundError, OSError):
+            return {}
+    if _ENTRIES_REF in raw and field in _ENTRY_FIELD_COLS:
+        try:
+            tbl = _read_entries_table(table_dir, raw[_ENTRIES_REF])
+        except (FileNotFoundError, OSError):
+            return {}
+        out: dict = {}
+        for e, s in zip(
+            tbl["entry"].to_pylist(), tbl[field].to_pylist()
+        ):
+            if s is not None:  # json "null" = negative marker, kept
+                out[e] = json.loads(s)
+        return out
+    return {}
 
 
 def _field_fields(

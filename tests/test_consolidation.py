@@ -102,15 +102,20 @@ def test_never_attached_field_probes_owners_once(spark, tmp_path, monkeypatch):
     # nothing attached anywhere: no stats map stored, marker suffices
     assert "stats" not in raw and "stats_ref" not in raw
 
-    # the NEXT checkpoint never probes pre-checkpoint owners
+    # the NEXT checkpoint never probes pre-checkpoint owners. NOTE: the
+    # count snapshot is taken BEFORE resolving committed_versions — the
+    # full-history walk legitimately reads every manifest and would
+    # drown the signal (the counting-test gotcha).
     pre_ckpt_owners = [v for v in versions if U._vnum(v) < U._vnum(ckpt)]
     counts = _owner_read_counter(monkeypatch)
     for i in range(2):
         U.append_rows(spark, t, _rows(spark, 20 + i, 21 + i))
+    snapshot = dict(counts)
+    monkeypatch.undo()
     tip2 = U.committed_versions(t)[-1]
     chain2 = [tip2] + U._fold_chain(t, tip2)
     probed = [
-        v for v in pre_ckpt_owners if v in counts and v not in chain2
+        v for v in pre_ckpt_owners if v in snapshot and v not in chain2
     ]
     assert not probed, f"pre-checkpoint owners probed again: {probed}"
     # reads agree: still no stats anywhere

@@ -306,12 +306,15 @@ def test_clone_refuses_mixed_rename_epochs(spark, tmp_path):
 
 
 def test_checkpoint_file_list_spills_to_compressed_sidecar(tmp_path):
-    """The r8 acceptance test: above CHECKPOINT_INLINE_MAX entries a full
-    (checkpoint) manifest stores its file list in a zlib sidecar — the
-    manifest JSON stays O(1) bytes (raw top-level consumers never parse
-    the list; at 1M files the inline encoding is ~100 MB re-parsed on
-    every fold), the sidecar is far smaller than inline JSON, and
-    read_manifest folds transparently."""
+    """Above CHECKPOINT_INLINE_MAX entries a full (checkpoint) manifest
+    stores its file list in the parquet entry-table sidecar (r9; r8 used
+    zlib) — the manifest JSON stays O(1) bytes (raw top-level consumers
+    never parse the list; at 1M files the inline encoding is ~100 MB
+    re-parsed on every fold), the sidecar is far smaller than inline
+    JSON, and read_manifest folds transparently. The legacy zlib form
+    still READS (compat below)."""
+    import zlib as _zlib
+
     tdir = str(tmp_path / "big")
     files = [
         f"v00001/part-{i:05d}-4f2a8c1e9b7d3a6f5c0e.snappy.parquet"
@@ -324,11 +327,31 @@ def test_checkpoint_file_list_spills_to_compressed_sidecar(tmp_path):
     mbytes = _manifest_bytes(tdir, "v00001")
     assert mbytes < 1024, f"manifest JSON not O(1): {mbytes} B"
     inline = len(json.dumps(files, separators=(",", ":")).encode())
-    side = fsio.sizes([fsio.join(tdir, raw[U._FILES_REF])])[0]
+    side = fsio.sizes([fsio.join(tdir, raw[U._ENTRIES_REF])])[0]
     assert side * 5 < inline, f"sidecar {side} B not << inline {inline} B"
     folded = U.read_manifest(tdir, "v00001")
     assert folded["files"] == files
-    assert U._FILES_REF not in folded and U._FILES_COUNT not in folded
+    assert U._ENTRIES_REF not in folded and U._FILES_COUNT not in folded
+    # r8 zlib compat: a hand-written legacy files_ref manifest still folds
+    fsio.mkdirs(fsio.join(tdir, "v00002"))
+    fsio.write_bytes(
+        fsio.join(tdir, "v00002", U._FILES_SIDECAR),
+        _zlib.compress("\n".join(files).encode(), 6),
+    )
+    fsio.write_bytes(
+        fsio.join(tdir, "v00002", U._MANIFEST),
+        json.dumps(
+            {
+                U._FILES_REF: f"v00002/{U._FILES_SIDECAR}",
+                U._FILES_COUNT: len(files),
+                "schema": None,
+                "kind": "upsert",
+                "parent": "v00001",
+            },
+            separators=(",", ":"),
+        ).encode(),
+    )
+    assert U.read_manifest(tdir, "v00002")["files"] == files
 
 
 def test_sidecar_checkpoints_end_to_end(spark, tmp_path, monkeypatch):
@@ -344,7 +367,7 @@ def test_sidecar_checkpoints_end_to_end(spark, tmp_path, monkeypatch):
     )
     v1 = U.committed_versions(tdir)[-1]
     raw1 = U._read_manifest_raw(tdir, v1)
-    assert U._FILES_REF in raw1 and "files" not in raw1
+    assert U._ENTRIES_REF in raw1 and "files" not in raw1
     # delta append against the sidecar checkpoint folds transparently
     U.append_rows(spark, tdir, _mk(spark, [(100, "x")]).coalesce(1))
     assert _state(spark, tdir) == {
@@ -353,7 +376,7 @@ def test_sidecar_checkpoints_end_to_end(spark, tmp_path, monkeypatch):
     # in-place stats rewrite keeps the ref intact (raw rewrite contract)
     U.attach_stats(tdir, ["k"])
     cur = U.committed_versions(tdir)[-1]
-    assert U._FILES_REF in U._read_manifest_raw(tdir, v1)
+    assert U._ENTRIES_REF in U._read_manifest_raw(tdir, v1)
     stats = U.entry_stats(tdir, cur)
     assert len(stats) == 7  # 6 base files + 1 appended, all resolvable
     # observability reads fold transparently
