@@ -52,12 +52,31 @@ from spookystuff_spark.sources import upsert as U
 
 _BLOOMS = "blooms"
 _DIR = "_bloom"
+#: {col: [{m, k, path, npos}]} — COMMIT-LEVEL aggregate blooms: one union
+#: bitset over ALL values a manifest's per-file specs cover, consulted
+#: BEFORE any per-file sidecar. A miss probe on a checkpointed table then
+#: reads ≤ one small object per chain manifest instead of one per file.
+_AGG_FIELD = "agg_blooms"
+#: [col, ...] — columns with per-file specs recorded in THIS manifest.
+#: The probe's coverage contract: ``col in bloom_spec_cols`` and ``col in
+#: agg_blooms`` together mean every per-file spec for ``col`` in this
+#: manifest is covered by the agg list; a manifest holding bloom storage
+#: WITHOUT this key (pre-r9) disables the fast path conservatively.
+_SPEC_COLS_FIELD = "bloom_spec_cols"
 
 # Probes with at most this many bloom-bearing candidate files stay on the
 # driver (a handful of tiny reads beats a Spark job). Above it the bit
 # tests ship to executors — at 1M files the driver would otherwise issue
 # 1M serial small-object GETs before the scan even plans.
 PROBE_DRIVER_MAX = 100
+
+#: Aggregate bloom size/k — m MUST be a power of two: the build computes
+#: positions JVM-side with pmod over wrapped signed longs while the probe
+#: uses numpy uint64 arithmetic, and the two agree exactly when (and only
+#: when) m divides 2^64. 2^20 bits = 128 KiB, ~0.6% fpp at 150k distinct
+#: values; union across commits degrades toward all-maybes (never wrong).
+AGG_M_BITS = 1 << 20
+AGG_K = 5
 
 
 def _base_hash_cols(col: str):
@@ -90,26 +109,31 @@ def build_bloom_specs(
     entries: Sequence[str],
     cols: Sequence[str],
     fpp: float = 0.01,
-) -> dict:
-    """Build one bloom sidecar per (entry, col) under
-    ``<version>/_bloom/`` and return the manifest spec map
-    ``{entry: {col: {m, k, path}}}``. The sidecars are written INSIDE the
+) -> tuple[dict, dict]:
+    """Build one bloom sidecar per (entry, col) under ``<version>/_bloom/``
+    plus ONE commit-level AGGREGATE bloom per col (fixed power-of-two m —
+    the union bitset over the whole batch's values), returning
+    ``(per-file spec map {entry: {col: {m,k,path}}}, agg map {col:
+    [spec]})``. The per-file sidecars are written INSIDE the
     ``applyInPandas`` tasks (executor-side, next to where the bits are
     folded) — the driver receives only (file, m, k, sidecar-name) spec
     rows, never a bitset, so the attach path's driver memory is O(files ×
-    spec) at any table size. Sidecar names are a content hash of (full
-    file path, column name) — unique per (file, col) even across a
-    partitioned layout's ``__part=`` dirs (where Spark reuses task
-    basenames) and across attach calls with different column lists."""
+    spec) at any table size; the aggregate's bit positions come back as a
+    DISTINCT collect bounded by min(values·k, m) integers, never by table
+    size. Sidecar names are a content hash of (full file path, column
+    name) — unique per (file, col) even across a partitioned layout's
+    ``__part=`` dirs (where Spark reuses task basenames) and across
+    attach calls with different column lists."""
     import pandas as pd  # noqa: F401 (typing in the udf body)
 
     if not entries or not cols:
-        return {}
+        return {}, {}
     full = [fsio.join(table_dir, e) for e in entries]
     by_suffix = {f: e for f, e in zip(full, entries)}
     df = spark.read.parquet(*full)
     fsio.mkdirs(fsio.join(table_dir, version, _DIR))
     specs: dict = {}
+    agg: dict = {}
     for col in cols:
         h1, h2 = _base_hash_cols(col)
         hashed = df.select(
@@ -169,7 +193,61 @@ def build_bloom_specs(
                 "k": int(r["k"]),
                 "path": f"{version}/{_DIR}/{r['name']}",
             }
-    return specs
+        # commit-level aggregate: the k bit positions under the FIXED
+        # (m, k) are computed JVM-side (the pmod chain keeps every
+        # intermediate below 2^23 — no ANSI long overflow; power-of-two m
+        # makes the signed pmod agree with the probe's uint64 arithmetic)
+        # and OR-folded into the bitset INSIDE one executor task, which
+        # publishes the sidecar itself — the driver receives one tiny
+        # (npos, name) row, never positions or bitset bytes (the same
+        # no-bytes-on-the-driver contract as the per-file sidecars)
+        import hashlib
+
+        mb = F.lit(AGG_M_BITS)
+        pos_arr = F.array(*[
+            F.pmod(
+                F.pmod(F.col("_h1"), mb) + F.lit(i) * F.pmod(F.col("_h2"), mb),
+                mb,
+            )
+            for i in range(AGG_K)
+        ])
+        digest = hashlib.md5(f"{version}|{col}".encode()).hexdigest()[:16]
+        agg_name = f"agg_{digest}.bloom"
+        agg_dest = fsio.join(table_dir, version, _DIR, agg_name)
+
+        def agg_fold(batches):
+            import pandas as pd
+
+            from spookystuff_spark import fsio as xfs
+
+            bits = np.zeros(AGG_M_BITS // 8, dtype=np.uint8)
+            n = 0
+            for pdf in batches:
+                p = pdf["p"].to_numpy(dtype=np.int64)
+                if len(p):
+                    np.bitwise_or.at(
+                        bits, p // 8, (1 << (p % 8)).astype(np.uint8)
+                    )
+                n += len(p)
+            xfs.write_bytes(agg_dest, bits.tobytes())
+            yield pd.DataFrame({"npos": pd.array([n], dtype="int64")})
+
+        folded_rows = (
+            hashed.select(F.explode(pos_arr).alias("p"))
+            .distinct()
+            .repartition(1)  # ONE task owns the whole bitset fold
+            .mapInPandas(agg_fold, "npos long")
+            .collect()
+        )
+        agg[col] = [
+            {
+                "m": AGG_M_BITS,
+                "k": AGG_K,
+                "path": f"{version}/{_DIR}/{agg_name}",
+                "npos": int(sum(r["npos"] for r in folded_rows)),
+            }
+        ]
+    return specs, agg
 
 
 def bloom_fields(
@@ -180,17 +258,27 @@ def bloom_fields(
     cols: Sequence[str],
     fpp: float = 0.01,
 ) -> dict | None:
-    """Manifest ``blooms`` extra-field for a commit's own files — the
-    write-time auto-attach hook (the ``_stats_fields`` idiom): writers
-    pass the result into their commit's ``extra_fields`` so fresh files
-    are point-lookup-prunable the moment the commit lands, with no
-    post-hoc manifest rewrite."""
+    """Manifest ``blooms`` (+ ``agg_blooms``/``bloom_spec_cols``)
+    extra-fields for a commit's own files — the write-time auto-attach
+    hook (the ``_stats_fields`` idiom): writers pass the result into
+    their commit's ``extra_fields`` so fresh files are
+    point-lookup-prunable the moment the commit lands, with no post-hoc
+    manifest rewrite; the commit-level aggregate makes a miss probe skip
+    this commit's per-file sidecars with one small read."""
     if not cols:
         return None
-    specs = build_bloom_specs(
+    specs, agg = build_bloom_specs(
         spark, table_dir, version, own_entries, cols, fpp
     )
-    return {_BLOOMS: specs} if specs else None
+    if not specs:
+        return None
+    return {
+        _BLOOMS: specs,
+        _AGG_FIELD: agg,
+        _SPEC_COLS_FIELD: sorted(
+            {c for per in specs.values() if per for c in per}
+        ),
+    }
 
 
 def attach_blooms(
@@ -218,10 +306,36 @@ def attach_blooms(
     own = [e for e in m["files"] if e.startswith(f"{cur}/")]
     if not own:
         return 0
-    specs = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
+    specs, agg = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
+    # aggregate coverage determination BEFORE the merge rewrites the raw:
+    # the agg bookkeeping may only extend bloom_spec_cols when the prior
+    # spec columns are known (key present) or there was no prior bloom
+    # storage at all — a pre-r9 manifest with specs of unknown columns
+    # must stay uncovered or the fast path would wrongly skip them
+    import json as _json
+
+    pre = U._read_manifest_raw(table_dir, cur) or {}
+    prior = pre.get(_SPEC_COLS_FIELD)
+    had_storage = any(
+        k in pre for k in (_BLOOMS, f"{_BLOOMS}_ref", U._ENTRIES_REF)
+    )
     # shared attach path: per-entry MERGE into the RAW manifest (never the
     # folded view, never clobbering other columns' or consolidated specs)
     U._merge_field_into_raw(table_dir, cur, _BLOOMS, specs)
+    if prior is not None or not had_storage:
+        raw = U._read_manifest_raw(table_dir, cur)
+        built_cols = sorted(
+            {c for per in specs.values() if per for c in per}
+        )
+        cur_agg = raw.get(_AGG_FIELD) or {}
+        for c, lst in agg.items():
+            cur_agg[c] = list(cur_agg.get(c) or ()) + list(lst)
+        raw[_AGG_FIELD] = cur_agg
+        raw[_SPEC_COLS_FIELD] = sorted(set(prior or ()) | set(built_cols))
+        fsio.write_bytes(
+            fsio.join(table_dir, cur, U._MANIFEST),
+            _json.dumps(raw, separators=(",", ":")).encode(),
+        )
     return sum(len(per_col) for per_col in specs.values())
 
 
@@ -232,6 +346,173 @@ def entry_blooms(table_dir: str, version: str) -> dict:
     metadata reads at any append count), owner manifests as the
     pre-consolidation fallback."""
     return U._entry_field_map(table_dir, version, _BLOOMS)
+
+
+def _agg_definitive_miss(
+    table_dir: str, version: str, col: str, h1: int, h2: int
+) -> bool:
+    """True when the commit-level aggregate blooms prove ``col == value``
+    is ABSENT from every per-file-spec-covered file of the snapshot — the
+    probe may then skip all per-file sidecar reads (scanning only files
+    without specs). Requirements, all conservative bails:
+
+    - the fold chain holds a CONSOLIDATING checkpoint (its chain is then
+      authoritative for specs — no owner-manifest specs exist outside it);
+    - no rename events (spec/agg column names are attach-time names; with
+      renames the per-entry translation must run, which the per-file path
+      does);
+    - every chain manifest that records specs for ``col`` (per its
+      ``bloom_spec_cols`` contract — key absent with bloom storage means
+      unknown coverage → bail) carries agg entries for it, and every one
+      of those agg bitsets tests ABSENT (a vacuumed agg sidecar reads as
+      maybe → bail).
+
+    Cost: ≤ one small sidecar read per chain manifest — 1 checkpoint +
+    ≤ CHECKPOINT_EVERY deltas — regardless of file count."""
+    raws: list[dict] = []
+    v = version
+    consolidated = False
+    while True:
+        raw = U._read_manifest_raw(table_dir, v)
+        if raw is None:
+            return False
+        raws.append(raw)
+        if raw.get(U._CONSOLIDATED_KEY):
+            consolidated = True
+        if U._is_full_manifest(raw):
+            break
+        v = raw["files_base"]
+    if not consolidated:
+        return False
+    if U.rename_log_of(raws[0]):
+        return False
+    tested_any = False
+    for raw in raws:
+        spec_cols = raw.get(_SPEC_COLS_FIELD)
+        if spec_cols is None:
+            if any(
+                k in raw
+                for k in (_BLOOMS, f"{_BLOOMS}_ref", U._ENTRIES_REF)
+            ):
+                return False  # unknown coverage (pre-r9 storage)
+            continue
+        if col not in spec_cols:
+            continue
+        agg = (raw.get(_AGG_FIELD) or {}).get(col)
+        if not agg:
+            return False
+        for spec in agg:
+            if _maybe_contains(table_dir, spec, h1, h2):
+                return False
+            tested_any = True
+    return tested_any
+
+
+def consolidate_agg_fields(
+    table_dir: str,
+    version: str,
+    res,
+    cons_blooms: dict,
+    own_extra: dict,
+    own_blooms: dict | None = None,
+) -> dict:
+    """Checkpoint-time consolidation of the COMMIT-LEVEL aggregate blooms
+    (upsert.write_manifest_delta's hook, mirroring the per-file spec
+    gather): for every column whose specs made it into the checkpoint's
+    consolidated map, union the contributing manifests' agg bitsets —
+    grouped by (m, k), OR-able only within a group — into fresh sidecars
+    under this checkpoint. A column is included ONLY when every visited
+    manifest recording specs for it carries agg coverage (otherwise the
+    fast path would wrongly skip the uncovered specs); a missing agg
+    sidecar likewise drops its column. ≤ one small read per (visited
+    manifest, column) — amortized O(1) per commit, since the previous
+    checkpoint already holds one union per group. ``own_extra`` is the
+    committing writer's extra_fields (its own agg/spec-cols are popped
+    and folded in)."""
+    spec_cols = sorted(
+        {c for per in cons_blooms.values() if per for c in per}
+    )
+    own_agg = own_extra.pop(_AGG_FIELD, None) or {}
+    own_extra.pop(_SPEC_COLS_FIELD, None)
+    if not spec_cols:
+        # [] is load-bearing: it tells the probe this manifest records no
+        # per-file specs, so bloom storage keys alone never disable the
+        # fast path for other chains' columns
+        return {_SPEC_COLS_FIELD: []}
+    per_col: dict = {c: [] for c in spec_cols}
+    uncovered: set = set()
+    # the committing writer's own specs must come with its own aggs —
+    # bloom_fields always writes both, but a custom extra_fields caller
+    # might not, and a partial union would wrongly claim coverage
+    own_cols = {c for per in (own_blooms or {}).values() if per for c in per}
+    uncovered |= {c for c in own_cols if c not in own_agg}
+    sources = list(res._raws.items())
+    for v_src, raw in sources:
+        if not raw:
+            continue
+        bl_map = res.field_of(v_src, _BLOOMS)
+        cols_here = {c for per in bl_map.values() if per for c in per}
+        agg = raw.get(_AGG_FIELD) or {}
+        for c in cols_here & set(spec_cols):
+            if c in agg:
+                per_col[c].extend(agg[c])
+            else:
+                uncovered.add(c)
+    for c, lst in own_agg.items():
+        if c in per_col:
+            per_col[c].extend(lst)
+    out_agg: dict = {}
+    for c in spec_cols:
+        if c in uncovered or not per_col[c]:
+            continue
+        groups: dict = {}
+        npos: dict = {}
+        ok = True
+        for spec in per_col[c]:
+            try:
+                raw_bits = fsio.read_bytes(
+                    fsio.join(table_dir, spec["path"])
+                )
+            except (FileNotFoundError, OSError):
+                ok = False  # vacuumed source bitset: cannot claim coverage
+                break
+            key = (int(spec["m"]), int(spec["k"]))
+            bits = np.frombuffer(raw_bits, dtype=np.uint8)
+            if len(bits) * 8 != key[0]:
+                ok = False
+                break
+            if key in groups:
+                groups[key] = groups[key] | bits
+            else:
+                groups[key] = bits.copy()
+            npos[key] = npos.get(key, 0) + int(spec.get("npos") or 0)
+        if not ok:
+            continue
+        import hashlib
+
+        fsio.mkdirs(fsio.join(table_dir, version, _DIR))
+        specs_out = []
+        for (m, k), bits in groups.items():
+            digest = hashlib.md5(
+                f"{version}|{c}|{m}|{k}".encode()
+            ).hexdigest()[:16]
+            name = f"agg_{digest}.bloom"
+            fsio.write_bytes(
+                fsio.join(table_dir, version, _DIR, name), bits.tobytes()
+            )
+            specs_out.append(
+                {
+                    "m": m,
+                    "k": k,
+                    "path": f"{version}/{_DIR}/{name}",
+                    "npos": npos[(m, k)],
+                }
+            )
+        out_agg[c] = specs_out
+    out: dict = {_SPEC_COLS_FIELD: spec_cols}
+    if out_agg:
+        out[_AGG_FIELD] = out_agg
+    return out
 
 
 def _maybe_contains(table_dir: str, spec: dict, h1: int, h2: int) -> bool:
@@ -306,6 +587,7 @@ def _plan_probe(
     col: str,
     h1: int,
     h2: int,
+    definitive_miss: bool = False,
 ) -> tuple[list, int]:
     """(surviving entries, skipped count) from a DISTRIBUTED pass over the
     parquet entry table: each task parses its slice's ``blooms`` JSON,
@@ -337,6 +619,11 @@ def _plan_probe(
                     )
                 if not spec:
                     keeps.append(entry)
+                    continue
+                if definitive_miss:
+                    # the chain's aggregate blooms already proved the
+                    # value absent from every spec-covered file — drop
+                    # without touching the per-file sidecar
                     continue
                 try:
                     raw_bits = xfs.read_bytes(
@@ -409,6 +696,13 @@ def read_table_point(
         else probe.select(F.col("_v").alias(col))
     )
     hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
+    # commit-level aggregate fast path: on a consolidated chain, ≤ one
+    # small read per chain manifest can prove the value absent from EVERY
+    # spec-covered file — a miss probe then never touches per-file
+    # sidecars at all (1 + chain-length small objects total)
+    definitive_miss = _agg_definitive_miss(
+        table_dir, v, col, int(hr["h1"]), int(hr["h2"])
+    )
     plan = U.entries_plan(spark, table_dir, v)
     if plan is not None:
         # DISTRIBUTED candidate assembly + probe in one pass: the parquet
@@ -421,7 +715,8 @@ def read_table_point(
         raw = U._read_manifest_raw(table_dir, v) or {"files": []}
         log = U.rename_log_of(raw)
         keep_rel, skipped = _plan_probe(
-            spark, table_dir, plan, log, col, int(hr["h1"]), int(hr["h2"])
+            spark, table_dir, plan, log, col, int(hr["h1"]), int(hr["h2"]),
+            definitive_miss=definitive_miss,
         )
         keep_full = [
             e if U._is_abs_entry(e) else fsio.join(table_dir, e)
@@ -453,7 +748,11 @@ def read_table_point(
         if spec:
             cand.append((i, spec))
     limit = PROBE_DRIVER_MAX if driver_max is None else driver_max
-    if len(cand) <= limit:
+    if definitive_miss:
+        # the aggregate blooms already proved absence from every
+        # spec-covered file — zero per-file sidecar reads
+        drop = {i for i, _spec in cand}
+    elif len(cand) <= limit:
         drop = {
             i
             for i, spec in cand

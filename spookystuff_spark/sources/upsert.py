@@ -781,17 +781,35 @@ def write_manifest_delta(
         entry_fields: dict = {}
         if bm is not None:
             res = _FieldResolver(table_dir)  # shared raw cache, both fields
+            own_blooms: dict = {}
             for field in ("stats", _BLOOMS_FIELD):
                 cons = _gather_entry_field(
                     table_dir, base, files, field, res=res
                 )
                 own = extra_fields.pop(field, None) or {}
+                if field == _BLOOMS_FIELD:
+                    own_blooms = own
                 for e, rec in own.items():  # write-time auto-attach wins
                     cur_rec = cons.get(e) or {}  # may hold a None marker
                     cur_rec.update(rec)
                     cons[e] = cur_rec
                 if cons:
                     entry_fields[field] = cons
+                if field == _BLOOMS_FIELD:
+                    # consolidate the COMMIT-LEVEL aggregate blooms too —
+                    # union the chain's (and probed owners') agg bitsets
+                    # so a miss probe keeps reading ≤ 1 sidecar per chain
+                    # manifest after any number of checkpoints
+                    from spookystuff_spark.sources.bloom_index import (
+                        consolidate_agg_fields,
+                    )
+
+                    extra_fields.update(
+                        consolidate_agg_fields(
+                            table_dir, version, res, cons,
+                            extra_fields, own_blooms,
+                        )
+                    )
             # the gather ran: from here the fold chain is authoritative
             # for per-entry fields — later gathers and readers never
             # probe owner manifests again (see _CONSOLIDATED_KEY)
@@ -825,6 +843,10 @@ def write_manifest_delta(
 _CORE_MANIFEST_KEYS = {
     "files", _FILES_REF, _FILES_COUNT, _ENTRIES_REF, "schema", "kind",
     "parent", "ts_ms", "stats_ref", "blooms_ref", "consolidated",
+    # agg blooms / spec-col coverage are spec-scoped like "blooms": a
+    # content-preserving rewrite carrying them without the specs would
+    # falsely claim coverage for files it just rewrote
+    "agg_blooms", "bloom_spec_cols",
     *_DELTA_KEYS,
     # entry-scoped fields (stats, blooms) resolve chain-wise from the
     # manifest of the version that RECORDED them, and writer-owned fields
@@ -1912,6 +1934,14 @@ def vacuum(
             for per_col in gathered[_BLOOMS_FIELD].values():
                 for spec in per_col.values():
                     referenced_sidecars.add(spec.get("path"))
+            # commit-level AGGREGATE bloom sidecars referenced by kept
+            # chain manifests likewise survive (a vacuumed agg bitset
+            # merely disables the fast-miss path — but keeping it is one
+            # small file)
+            for w in [v] + _fold_chain(table_dir, v):
+                for lst in ((res.raw(w) or {}).get("agg_blooms") or {}).values():
+                    for spec in lst:
+                        referenced_sidecars.add(spec.get("path"))
             if not needs_mat and not at_risk:
                 continue
             if needs_mat:
@@ -1937,6 +1967,26 @@ def vacuum(
                         new_raw.update(
                             _field_fields(table_dir, v, f, gathered[f])
                         )
+            # the rewrite's spec map now spans the WHOLE gathered chain:
+            # carrying the old commit-scoped agg blooms / coverage keys
+            # would claim the tip's tiny aggregate covers every gathered
+            # spec — a FALSE NEGATIVE on the probe's fast-miss path.
+            # Re-consolidate them against the rewrite's actual spec map
+            # (the checkpoint hook), dropping any uncovered column.
+            new_raw.pop("agg_blooms", None)
+            new_raw.pop("bloom_spec_cols", None)
+            from spookystuff_spark.sources.bloom_index import (
+                consolidate_agg_fields,
+            )
+
+            new_raw.update(
+                consolidate_agg_fields(
+                    table_dir, v, res, gathered[_BLOOMS_FIELD], {}
+                )
+            )
+            for lst in (new_raw.get("agg_blooms") or {}).values():
+                for spec in lst:
+                    referenced_sidecars.add(spec.get("path"))
             # the rewrite just consolidated every reachable record: the
             # manifest is authoritative for per-entry fields from here
             new_raw[_CONSOLIDATED_KEY] = True
