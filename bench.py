@@ -240,7 +240,7 @@ def main() -> None:
         "isolated_top": isolated_top,
         "isolated_top_skipped": isolated_skipped,
         "retimed_explicit": [
-            q
+            q.strip()
             for q in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
             if q.strip() and q.strip() in isolated_top
         ],

@@ -307,23 +307,34 @@ def attach_blooms(
     if not own:
         return 0
     specs, agg = build_bloom_specs(spark, table_dir, cur, own, cols, fpp)
-    # aggregate coverage determination BEFORE the merge rewrites the raw:
-    # the agg bookkeeping may only extend bloom_spec_cols when the prior
-    # spec columns are known (key present) or there was no prior bloom
-    # storage at all — a pre-r9 manifest with specs of unknown columns
-    # must stay uncovered or the fast path would wrongly skip them
+    # ONE atomic raw rewrite carrying the spec merge AND the agg/coverage
+    # bookkeeping together: two writes would open a crash window in which
+    # the manifest records the new per-file specs while bloom_spec_cols
+    # still lists only the old columns — a later consolidated-chain probe
+    # for the new column would then treat the tip as spec-free, skip its
+    # files on an agg miss, and silently drop matching rows (false
+    # negatives, the one failure class blooms must never have)
     import json as _json
 
-    pre = U._read_manifest_raw(table_dir, cur) or {}
-    prior = pre.get(_SPEC_COLS_FIELD)
+    raw = U._read_manifest_raw(table_dir, cur)
+    if raw is None:
+        raise FileNotFoundError(f"{cur} has no manifest")
+    prior = raw.get(_SPEC_COLS_FIELD)
     had_storage = any(
-        k in pre for k in (_BLOOMS, f"{_BLOOMS}_ref", U._ENTRIES_REF)
+        k in raw for k in (_BLOOMS, f"{_BLOOMS}_ref", U._ENTRIES_REF)
     )
-    # shared attach path: per-entry MERGE into the RAW manifest (never the
-    # folded view, never clobbering other columns' or consolidated specs)
-    U._merge_field_into_raw(table_dir, cur, _BLOOMS, specs)
+    # per-entry MERGE (the _merge_field_into_raw semantics, inlined so the
+    # agg update rides the same write): never clobber other columns' or a
+    # checkpoint's consolidated specs
+    recorded = U._field_of_raw(table_dir, raw, _BLOOMS)
+    for e, rec in specs.items():
+        cur_rec = recorded.get(e) or {}  # may hold a None (probed-absent)
+        cur_rec.update(rec)
+        recorded[e] = cur_rec
+    raw.pop(_BLOOMS, None)
+    raw.pop(f"{_BLOOMS}_ref", None)
+    raw.update(U._field_fields(table_dir, cur, _BLOOMS, recorded))
     if prior is not None or not had_storage:
-        raw = U._read_manifest_raw(table_dir, cur)
         built_cols = sorted(
             {c for per in specs.values() if per for c in per}
         )
@@ -332,10 +343,16 @@ def attach_blooms(
             cur_agg[c] = list(cur_agg.get(c) or ()) + list(lst)
         raw[_AGG_FIELD] = cur_agg
         raw[_SPEC_COLS_FIELD] = sorted(set(prior or ()) | set(built_cols))
-        fsio.write_bytes(
-            fsio.join(table_dir, cur, U._MANIFEST),
-            _json.dumps(raw, separators=(",", ":")).encode(),
-        )
+    else:
+        # prior coverage unknown (pre-r9 storage): the spec set just grew
+        # beyond anything a stale claim describes — drop the agg keys so
+        # the fast path bails conservatively on this manifest
+        raw.pop(_AGG_FIELD, None)
+        raw.pop(_SPEC_COLS_FIELD, None)
+    fsio.write_bytes(
+        fsio.join(table_dir, cur, U._MANIFEST),
+        _json.dumps(raw, separators=(",", ":")).encode(),
+    )
     return sum(len(per_col) for per_col in specs.values())
 
 
@@ -415,6 +432,7 @@ def consolidate_agg_fields(
     cons_blooms: dict,
     own_extra: dict,
     own_blooms: dict | None = None,
+    source_versions=None,
 ) -> dict:
     """Checkpoint-time consolidation of the COMMIT-LEVEL aggregate blooms
     (upsert.write_manifest_delta's hook, mirroring the per-file spec
@@ -446,7 +464,16 @@ def consolidate_agg_fields(
     # might not, and a partial union would wrongly claim coverage
     own_cols = {c for per in (own_blooms or {}).values() if per for c in per}
     uncovered |= {c for c in own_cols if c not in own_agg}
-    sources = list(res._raws.items())
+    # the source set must be exactly the manifests this version's gather
+    # consulted: a SHARED resolver (vacuum caches across kept versions)
+    # would otherwise pollute the coverage check with unrelated manifests
+    # — dropping covered columns and unioning foreign bits in. The
+    # checkpoint path's per-commit resolver holds exactly its own sources,
+    # so it passes nothing; vacuum names its per-version set explicitly.
+    if source_versions is not None:
+        sources = [(w, res.raw(w)) for w in source_versions]
+    else:
+        sources = list(res._raws.items())
     for v_src, raw in sources:
         if not raw:
             continue
@@ -605,6 +632,7 @@ def _plan_probe(
 
         for pdf in batches:
             keeps = []
+            n_batch = len(pdf)
             for entry, bj in zip(pdf["entry"], pdf["blooms"]):
                 spec = None
                 if bj:
@@ -643,13 +671,19 @@ def _plan_probe(
                     )
                 ):
                     keeps.append(entry)
-            yield pd.DataFrame({"entry": keeps})
+            # the skip count rides the same pass (entry=None sentinel row
+            # per batch) — a second count() would re-scan the entry table
+            yield pd.DataFrame(
+                {
+                    "entry": keeps + [None],
+                    "seen": [0] * len(keeps) + [n_batch],
+                }
+            )
 
     src = plan.select("entry", "blooms")
-    kept = [
-        r["entry"] for r in src.mapInPandas(probe, "entry string").collect()
-    ]
-    total = src.count()  # metadata-cheap second pass for the skip count
+    rows = src.mapInPandas(probe, "entry string, seen long").collect()
+    kept = [r["entry"] for r in rows if r["entry"] is not None]
+    total = sum(r["seen"] for r in rows)
     return kept, total - len(kept)
 
 

@@ -197,14 +197,24 @@ def _apply_rescan(
 
 
 def _keyed_state(dst_dir: str) -> tuple[str, list[str], bool]:
-    """(current version, manifest entries, every entry carries a bucket
-    path) for a keyed aggregate table — the one manifest fold a keyed
-    refresh pays. ``False`` in the last slot means some commit flattened
-    the layout (e.g. a plain ``compact``): the next refresh HEALS by
-    folding against the full table and re-seeding the bucketed layout."""
+    """(current version, manifest entries, the keyed delta path is safe)
+    for a keyed aggregate table — the one manifest fold a keyed refresh
+    pays. ``False`` in the last slot routes the refresh through the HEAL
+    path (full fold + bucketed re-seed) instead, which happens when:
+
+    - some commit flattened the layout (a plain ``compact``), or
+    - the table carries DELETION VECTORS or outstanding SCHEMA MAPS
+      (renames/drops): a keyed delta commit carries untouched buckets by
+      base reference, and NOT re-carrying dv/rename fields would
+      resurrect deleted rows / misread renamed columns in them — the
+      full re-seed reads through both (materializing them) and writes a
+      clean bucketed snapshot, after which keyed deltas resume."""
     from spookystuff_spark.sources.partitioned_table import _part_of
 
     cur = U._latest(dst_dir)
+    raw = U._read_manifest_raw(dst_dir, cur) or {}
+    if raw.get("dv") or raw.get("renames") or raw.get("drops"):
+        return cur, [], False
     m = U.read_manifest(dst_dir, cur)
     rel = list(m["files"]) if m else []
     ok = bool(rel) and all(_part_of(e) is not None for e in rel)

@@ -172,11 +172,16 @@ def _latest(table_dir: str) -> str | None:
     therefore also probes forward for legacy entries, guided by version
     DIRS (a committed version always has its dir, and writers name
     versions contiguously above whatever dirs they saw) — one extra
-    existence check in the steady state. The one residual corner — a
-    legacy commit past a dir gap that a PRE-r9 vacuum opened — is closed
-    on the destructive paths instead: :func:`vacuum` resolves from the
-    authoritative listing, and :func:`_next_version` re-checks any
-    occupied slot it skips."""
+    existence check in the steady state. RESIDUAL CORNER, accepted and
+    bounded: a legacy commit separated from the tip by a dir gap WIDER
+    THAN ONE that a pre-r9 vacuum opened stays invisible to this walk and
+    to :func:`_next_version`'s lookahead (sound detection of an arbitrary
+    gap needs the O(commits) listing these fast paths exist to avoid) —
+    until ANY listing-based resolution runs: :func:`vacuum` (which always
+    resolves from the authoritative listing, preserves the legacy tip,
+    and heals the pointer), an unverifiable pointer, or a lost commit
+    race. Mixed deployments upgrading past r9 should run one vacuum (or
+    any maintenance) to clear pre-existing gaps."""
     p = fsio.join(table_dir, _POINTER)
     try:
         lines = fsio.read_bytes(p).decode().splitlines()
@@ -357,6 +362,28 @@ def _next_version(table_dir: str) -> str:
         n += 1
         name = f"v{n:05d}"
         if not fsio.exists(fsio.join(table_dir, name)):
+            # one-step lookahead before taking a free slot: a committed
+            # LEGACY version may sit just above it (a pre-r9 vacuum
+            # removed the debris dir between) — committing below it would
+            # fork. Wider gaps remain the documented residual corner (a
+            # vacuum or any listing-based resolution heals them); sound
+            # detection of an arbitrary gap needs the listing this write
+            # path exists to avoid.
+            nxt = f"v{n + 1:05d}"
+            if fsio.exists(fsio.join(table_dir, nxt)) and fsio.exists(
+                fsio.join(table_dir, _COMMITS, nxt)
+            ):
+                auth = _latest_from_listing(table_dir)
+                if auth is not None and (
+                    cur is None or _vnum(auth) > _vnum(cur)
+                ):
+                    _swap_pointer(table_dir, auth)
+                    raise ConcurrentWriteError(
+                        f"{table_dir}: committed version {nxt} found "
+                        f"ahead of the pointer ({cur}) — a legacy-format "
+                        "writer committed concurrently; retry against "
+                        "the new state"
+                    )
             return name
         # occupied slot: usually crashed-writer debris — but on a mixed
         # deployment it may be a LEGACY-format writer's COMMITTED version
@@ -1912,6 +1939,11 @@ def vacuum(
             folded = read_manifest(table_dir, v)
             gathered: dict = {f: {} for f in fields}
             at_risk = False
+            # THIS version's gather provenance — the chain plus every
+            # owner actually consulted — scopes the agg-bloom coverage
+            # check below (the shared resolver's cache holds other kept
+            # versions' manifests too, which must not pollute it)
+            consulted: set = {v, *_fold_chain(table_dir, v)}
             for f in fields:
                 merged, consolidated = res.chain_merged(v, f)
                 for e in folded["files"]:
@@ -1923,6 +1955,7 @@ def vacuum(
                     if consolidated or _is_abs_entry(e):
                         continue
                     owner = e.split("/", 1)[0]
+                    consulted.add(owner)
                     rec = res.field_of(owner, f).get(e)
                     if rec:
                         gathered[f][e] = rec
@@ -1981,7 +2014,8 @@ def vacuum(
 
             new_raw.update(
                 consolidate_agg_fields(
-                    table_dir, v, res, gathered[_BLOOMS_FIELD], {}
+                    table_dir, v, res, gathered[_BLOOMS_FIELD], {},
+                    source_versions=sorted(consulted),
                 )
             )
             for lst in (new_raw.get("agg_blooms") or {}).values():

@@ -60,11 +60,11 @@ class _FilePart(InputPartition):
 
 
 def _entry_partition(entry: str) -> str | None:
-    """Partition value encoded in a manifest entry's ``__part=`` path."""
-    for seg in entry.split("/"):
-        if seg.startswith("__part="):
-            return seg[len("__part="):]
-    return None
+    """Partition value encoded in a manifest entry's ``__part=`` path —
+    the canonical parser lives in upsert (one encoding, one decoder)."""
+    from spookystuff_spark.sources.upsert import _entry_part
+
+    return _entry_part(entry)
 
 
 def _is_feed_entry(entry: str) -> bool:

@@ -254,3 +254,31 @@ def test_affected_collect_is_capped(spark, tmp_path, monkeypatch):
         .collect()
     }
     assert got == exp
+
+
+def test_keyed_dst_with_deletion_vectors_heals(spark, tmp_path):
+    """A DV delete on the derived table itself (a plain versioned table —
+    nothing forbids it) must not resurrect through a keyed delta commit:
+    untouched buckets carry by base reference, and a delta that dropped
+    the dv fields would un-delete their rows. The refresh routes through
+    the heal path instead — one full bucketed rewrite that MATERIALIZES
+    the vectors — and keyed deltas resume after."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    U.write_table(
+        _rows(spark, [(1, "a", 1), (2, "b", 2), (3, "c", 3)]), src
+    )
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"], dst_buckets=4)
+    # user DV-deletes a derived row directly
+    U.delete_where_dv(spark, dst, "grp = 'c'", ["grp"])
+    assert _got(spark, dst) == {("a", 1, 1), ("b", 2, 1)}
+    U.append_rows(spark, src, _rows(spark, [(4, "a", 10)]))
+    v = refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    raw = U._read_manifest_raw(dst, v)
+    assert "files_base" not in raw, "keyed delta committed over a DV"
+    assert not raw.get("dv"), "heal must materialize the vectors"
+    # the deleted group stays deleted; the fold landed; c can return if
+    # the SOURCE feed re-creates it (vectors were materialized, not kept)
+    assert _got(spark, dst) == {("a", 11, 2), ("b", 2, 1)}
+    U.append_rows(spark, src, _rows(spark, [(5, "b", 20)]))
+    v2 = refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert "files_base" in U._read_manifest_raw(dst, v2)  # keyed resumed
