@@ -22,10 +22,13 @@ full-corpus :func:`operators.retrieval.bm25_topk` pass (the property the
 tests and the correctness gate pin).
 
 Freshness is exactly-once per source version via the same
-``_SRC_<version>`` watermark idiom as sources/incremental.py. Feeds must
-be INSERT-shaped: a re-written document would need its old postings
-deleted, which an append cannot express — such feeds raise and the
-caller rebuilds (or DV-deletes the doc's postings first).
+``_SRC_<version>`` watermark idiom as sources/incremental.py. Feeds may
+be INSERT- or DELETE-shaped: deletes fold as an O(deleted) key deletion
+vector (a doc's postings are keyed by exactly the id the feed names —
+zero index IO) with the corpus stats retracted in the SAME commit, so a
+PII/takedown purge never costs a rebuild. UPDATE-shaped feeds raise
+(old and new postings share the doc id, which a table-level key vector
+cannot tell apart) — such feeds rebuild instead.
 
 Reference scope: the reference fetches documents but has no ranking
 surface (operators/retrieval.py docstring); this composes the rebuild's
@@ -48,6 +51,7 @@ from spookystuff_spark.sources.incremental import (
     _SRC_MARK,
     _changes_since,
     last_processed_version,
+    newest_marker,
 )
 from spookystuff_spark.sources.partitioned_table import (
     append_partitioned,
@@ -120,6 +124,24 @@ def build_bm25_index(
     return U.committed_versions(index_dir)[-1]
 
 
+# append-step marker for mixed insert+delete folds — deliberately NOT a
+# `_SRC_` prefix (newest_marker prefix-matches; the real watermark parse
+# must never see step suffixes)
+_STEP_MARK = "_SRCSTEP_"
+
+
+def _dv_doc_overlap(spark: SparkSession, index_dir: str, ids: DataFrame) -> bool:
+    """Does any inserted doc id sit in the index's deletion vector? One
+    bounded job over the (small) vector keys — never the index."""
+    cur = U.committed_versions(index_dir)[-1]
+    m = U._read_manifest_raw(index_dir, cur) or {}
+    dv = m.get("dv") or []
+    if not dv:
+        return False
+    keys = spark.read.parquet(*[U.fsio.join(index_dir, e) for e in dv])
+    return bool(ids.join(keys, "doc_id", "leftsemi").limit(1).count())
+
+
 def refresh_bm25_index(
     spark: SparkSession,
     src_dir: str,
@@ -129,9 +151,25 @@ def refresh_bm25_index(
 ) -> str | None:
     """Fold source changes since the watermark into the index: postings
     for ONLY the new documents, committed as one O(batch) partitioned
-    append with the stats advanced additively in the same manifest.
-    Returns the new index version, or None when the source has nothing
-    new. Insert-shaped feeds only (see module docstring)."""
+    append with the stats advanced additively in the same manifest;
+    DELETED documents become an O(deleted) key deletion vector
+    (``delete_by_keys`` — a doc's postings are keyed by exactly the id
+    the feed names, so the delete needs ZERO index IO) with the stats
+    RETRACTED in the same commit (the deleted docs' dl re-tokenizes
+    from the feed's preimage rows through the build's own ``postings``
+    pass, so the subtraction is exact). Returns the new index version,
+    or None when the source has nothing new.
+
+    Refusals (each raises with the heal named): update-shaped feeds
+    (old and new postings share the doc id — rebuild); a doc inserted
+    AND deleted inside one fold range (feed order unrecoverable —
+    refresh per source commit); re-inserting a DV-hidden doc (the
+    vector would hide the new postings — run
+    ``compact_bm25_index(..., force_dv=True)`` first). Crash mid-fold
+    re-runs exactly-once: the real watermark rides the FINAL commit and
+    the append step is skip-guarded by an auxiliary marker."""
+    from spookystuff_spark.sources.upsert import delete_by_keys
+
     after = last_processed_version(index_dir)
     # the fold consumes only (id_col, text_col): a drop of any other
     # source column must not stall the refresh (column-pruned feed walk)
@@ -143,30 +181,96 @@ def refresh_bm25_index(
     if changes is None:  # feed-less versions only (e.g. compaction)
         return None
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
-    if kinds - {"insert"}:
+    if kinds - {"insert", "delete"}:
         raise ValueError(
-            f"{src_dir}: BM25 index refresh needs an insert-shaped feed — "
-            f"got kinds {sorted(kinds)}; a rewritten document would need "
-            "its old postings deleted, rebuild instead"
+            f"{src_dir}: BM25 index refresh folds insert/delete feeds — "
+            f"got kinds {sorted(kinds)}; a rewritten document's old and "
+            "new postings share its id (a key vector can't hide one "
+            "without the other), rebuild instead"
         )
     cur = U.committed_versions(index_dir)[-1]
     m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
-    prev, n_buckets = m[_STATS], m["n_buckets"]
-    post = _bucketed_postings(
-        changes.select(id_col, text_col), id_col, text_col, n_buckets
-    ).localCheckpoint(eager=True)
-    delta = _stats_of(post)
-    append_partitioned(
-        spark, index_dir, post, "bucket",
-        marker=f"{_SRC_MARK}{newest}", change_feed=False,
-        extra_fields={
-            _STATS: {
+    prev, n_buckets = dict(m[_STATS]), m["n_buckets"]
+    changes = changes.localCheckpoint(eager=True)  # feeds several jobs
+    marker = f"{_SRC_MARK}{newest}"
+
+    del_rows = None
+    if "delete" in kinds:
+        del_rows = (
+            changes.where(F.col("_change") == "delete")
+            .select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(text_col).alias("__text"),
+            )
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+        )
+    if "insert" in kinds:
+        ins = changes.where(F.col("_change") == "insert")
+        if del_rows is not None and (
+            ins.select(F.col(id_col).cast("long").alias("doc_id"))
+            .join(del_rows, "doc_id", "leftsemi")
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"{src_dir}: a document is both inserted and deleted "
+                "inside one fold range — per-row order is not "
+                "recoverable from the unioned feed; refresh per source "
+                "commit (e.g. via the streaming sink) or rebuild"
+            )
+        if _dv_doc_overlap(
+            spark, index_dir,
+            ins.select(F.col(id_col).cast("long").alias("doc_id")),
+        ):
+            raise ValueError(
+                f"{index_dir}: re-inserting a document the index's "
+                "deletion vector currently hides — the vector would hide "
+                "the new postings too; run compact_bm25_index(..., "
+                "force_dv=True) to materialize the vectors, then refresh "
+                "again"
+            )
+        step = newest_marker(index_dir, _STEP_MARK)
+        if step is None or U._vnum(step) < U._vnum(newest):
+            post = _bucketed_postings(
+                ins.select(id_col, text_col), id_col, text_col, n_buckets
+            ).localCheckpoint(eager=True)
+            delta = _stats_of(post)
+            prev = {
                 "n_docs": prev["n_docs"] + delta["n_docs"],
                 "total_dl": prev["total_dl"] + delta["total_dl"],
+            }
+            append_partitioned(
+                spark, index_dir, post, "bucket",
+                marker=(f"{_STEP_MARK}{newest}" if del_rows is not None
+                        else marker),
+                change_feed=False,
+                extra_fields={_STATS: prev, "n_buckets": n_buckets},
+            )
+        else:
+            # crash heal: the append already landed with these stats
+            prev = dict(
+                U._read_manifest_raw(
+                    index_dir, U.committed_versions(index_dir)[-1]
+                )[_STATS]
+            )
+        if del_rows is None:
+            return U.committed_versions(index_dir)[-1]
+    if del_rows is not None:
+        # exact retraction: the deleted docs' dl through the SAME
+        # tokenize pass the build used (docs with ≥1 token only)
+        retract = _stats_of(postings(del_rows, "doc_id", "__text"))
+        delete_by_keys(
+            spark, index_dir, del_rows.select("doc_id"), ["doc_id"],
+            marker=marker,
+            extra_fields={
+                _STATS: {
+                    "n_docs": prev["n_docs"] - retract["n_docs"],
+                    "total_dl": prev["total_dl"] - retract["total_dl"],
+                },
+                "n_buckets": n_buckets,
             },
-            "n_buckets": n_buckets,
-        },
-    )
+        )
     return U.committed_versions(index_dir)[-1]
 
 
@@ -260,6 +364,7 @@ def compact_bm25_index(
     spark: SparkSession,
     index_dir: str,
     max_files_per_bucket: int = 8,
+    force_dv: bool = False,
 ) -> str | None:
     """OPTIMIZE-when-fragmented for the postings table: every refresh
     appends ~one file per bucket, so after N batches a probe opens N files
@@ -268,14 +373,26 @@ def compact_bm25_index(
     (``carry_extra_fields``), and the ``_SRC_`` watermark is RE-STAMPED on
     the compacted version so the exactly-once contract survives a later
     ``vacuum`` of the marker's original commit. Manifest-only check;
-    None when nothing is fragmented."""
+    None when nothing is fragmented. ``force_dv=True`` additionally
+    compacts when the deletion vector is non-empty even if nothing is
+    fragmented — the rewrite reads through the DV-applied snapshot, so
+    it MATERIALIZES the deletes and clears the vector (the heal
+    :func:`refresh_bm25_index` names before a deleted doc can be
+    re-inserted)."""
     from spookystuff_spark.sources.partitioned_table import (
         compact_auto_partitioned,
+        compact_partitioned,
     )
 
     wm = last_processed_version(index_dir)
-    return compact_auto_partitioned(
+    marker = f"{_SRC_MARK}{wm}" if wm else None
+    v = compact_auto_partitioned(
         spark, index_dir, "bucket",
         max_files_per_partition=max_files_per_bucket,
-        marker=f"{_SRC_MARK}{wm}" if wm else None,
+        marker=marker,
     )
+    if v is None and force_dv:
+        cur = U.committed_versions(index_dir)[-1]
+        if (U._read_manifest_raw(index_dir, cur) or {}).get("dv"):
+            v = compact_partitioned(spark, index_dir, "bucket", marker=marker)
+    return v

@@ -1,0 +1,581 @@
+"""Incremental MinHash-LSH near-duplicate index over the lakehouse.
+
+The batch near-dup pipeline (operators/dedup.py) recomputes every
+signature per run; at 100 TB the realistic shape is "check tonight's
+crawl batch against the standing corpus" — which needs the corpus's LSH
+state to PERSIST and fold forward. The index is TWO partitioned
+versioned tables (sources/partitioned_table.py) under ``index_dir``:
+
+* ``bands/`` — one row per (doc, band): ``(id, band, band_hash)`` laid
+  out by BAND-BUCKET (``bucket = crc32('<band>:<band_hash>') %
+  n_buckets``). A probe joins its own band hashes against ONLY the
+  buckets they hash into (manifest-pruned partition read) — the rest of
+  the corpus's band rows are never listed or opened.
+* ``sigs/`` — one row per doc: ``(id, sig array<bigint>)`` laid out by
+  ID-HASH BUCKET. Candidate verification reads only the candidates'
+  buckets and estimates Jaccard JVM-side as the matching-component
+  fraction (``zip_with`` + ``aggregate`` — the standard MinHash
+  estimator), so the probe path has zero Python in the hot loop.
+
+Maintenance reads the DOCUMENT SOURCE'S CHANGE FEED: a new batch costs
+one O(batch) signature pass (the same seed-fixed math as
+``operators.dedup.minhash_bands`` — crc32 shingles, Mersenne-prime
+permutations, blake2b band digests) plus one O(batch)
+``append_partitioned`` commit per table (a doc's bands scatter across
+buckets, which is exactly the append primitive's contract — a
+touched-slice MERGE would rewrite the whole index per batch).
+
+Crash consistency: both tables carry the ``_SRC_<version>`` watermark;
+``bands/`` commits LAST and is the authoritative exactly-once marker. A
+crash between the two commits leaves ``sigs/`` ahead — the re-run sees
+its newer watermark and skips the sig append instead of duplicating
+rows. Feeds must be INSERT-shaped (a rewritten document would need its
+old band rows deleted, which an append cannot express) — anything else
+raises and the caller rebuilds.
+
+Reference scope: the reference has no persistent index surface at all
+(its dedup is per-run); this composes the rebuild's own MinHash stack
+with its lakehouse — public LSH (Broder) + Delta-style manifest ideas
+only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator, Sequence
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from spookystuff_spark.functions.rounding import round_stable
+from spookystuff_spark.operators.dedup import _perm_params, _shingle_hashes
+from spookystuff_spark.sources import upsert as U
+from spookystuff_spark.sources.incremental import (
+    _SRC_MARK,
+    _changes_since,
+    last_processed_version,
+    newest_marker,
+)
+from spookystuff_spark.sources.upsert import delete_by_keys
+from spookystuff_spark.sources.partitioned_table import (
+    append_partitioned,
+    read_table_partitions,
+    write_table_partitioned,
+)
+
+_PARAMS = "lsh_params"
+# append-step marker: deliberately NOT a `_SRC_` prefix (newest_marker
+# prefix-matches, and the real watermark parse must never see step suffixes)
+_STEP_MARK = "_SRCSTEP_"
+# probe-path driver cap: above this many distinct candidate ids the sig
+# lookup stops collecting and falls back to an all-bucket semi-join
+# (same idiom as join_view.PROBE_KEYS_MAX — the driver never holds an
+# unbounded id list)
+CAND_IDS_MAX = 10_000
+
+
+def _bands_dir(index_dir: str) -> str:
+    return f"{index_dir.rstrip('/')}/bands"
+
+
+def _sigs_dir(index_dir: str) -> str:
+    return f"{index_dir.rstrip('/')}/sigs"
+
+
+def _band_bucket_expr(n_buckets: int):
+    # crc32 of "<band>:<band_hash>" — zlib.crc32 mirrors F.crc32 exactly
+    # (both CRC-32/ISO-HDLC over utf-8), same contract bm25_index relies on
+    return F.concat(
+        F.lit("b"),
+        (
+            F.crc32(F.concat_ws(":", F.col("band"), F.col("band_hash")))
+            % n_buckets
+        ).cast("string"),
+    )
+
+
+def _band_bucket_py(band: int, band_hash: int, n_buckets: int) -> str:
+    return f"b{zlib.crc32(f'{band}:{band_hash}'.encode()) % n_buckets}"
+
+
+def _sig_bucket_expr(n_buckets: int):
+    return F.concat(
+        F.lit("b"),
+        (F.crc32(F.col("id").cast("string")) % n_buckets).cast("string"),
+    )
+
+
+def _sig_bucket_py(doc_id: int, n_buckets: int) -> str:
+    return f"b{zlib.crc32(str(doc_id).encode()) % n_buckets}"
+
+
+def _probe_rows(
+    probes: Sequence[tuple[int, str]], params: dict
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, list[int]]]]:
+    """Driver-side signature pass for a (small by contract) probe batch:
+    [(probe_id, band, band_hash)], [(probe_id, sig)] — same math as
+    :func:`_signatures`, so a probe doc already in the index matches its
+    own band rows exactly."""
+    a, b = _perm_params(params["n_hashes"], params["seed"])
+    rows_per_band = params["n_hashes"] // params["bands"]
+    band_rows: list[tuple[int, int, int]] = []
+    sig_rows: list[tuple[int, list[int]]] = []
+    for pid, text in probes:
+        h = _shingle_hashes(text, params["shingle_k"])
+        if not len(h):
+            continue
+        sig = ((np.outer(a, h) + b[:, None]) % np.uint64((1 << 61) - 1)).min(
+            axis=1
+        )
+        banded = sig.reshape(params["bands"], rows_per_band)
+        for bi in range(params["bands"]):
+            digest = hashlib.blake2b(banded[bi].tobytes(), digest_size=8)
+            band_rows.append(
+                (
+                    int(pid),
+                    bi,
+                    int.from_bytes(digest.digest(), "big", signed=True),
+                )
+            )
+        sig_rows.append((int(pid), [int(x) for x in sig.astype(np.int64)]))
+    return band_rows, sig_rows
+
+
+def _signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+    seed: int,
+) -> DataFrame:
+    """One narrow Arrow pass → one row per doc:
+    ``(id, sig array<long>, band_hashes array<long>)``. Docs with an
+    empty shingle set are skipped (no signature exists for them — same
+    rule as ``minhash_bands``). Both index tables derive from this frame
+    so the shingle/permutation work runs once per batch."""
+    rows_per_band = n_hashes // bands
+    a, b = _perm_params(n_hashes, seed)
+    out_schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+            StructField("band_hashes", ArrayType(LongType())),
+        ]
+    )
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs, bhs = [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                h = _shingle_hashes(text, shingle_k)
+                if not len(h):
+                    continue
+                sig = (
+                    (np.outer(a, h) + b[:, None]) % np.uint64((1 << 61) - 1)
+                ).min(axis=1)
+                banded = sig.reshape(bands, rows_per_band)
+                hashes = [
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            banded[bi].tobytes(), digest_size=8
+                        ).digest(),
+                        "big",
+                        signed=True,
+                    )
+                    for bi in range(bands)
+                ]
+                ids.append(int(rid))
+                sigs.append([int(x) for x in sig.astype(np.int64)])
+                bhs.append(hashes)
+            if ids:  # an all-empty batch can't carry the list dtypes
+                yield pd.DataFrame(
+                    {"id": ids, "sig": sigs, "band_hashes": bhs}
+                )
+
+    sel = docs.select(id_col, text_col)
+    if sel.rdd.getNumPartitions() < parallelism:
+        sel = sel.repartition(parallelism)
+    return sel.mapInPandas(run, out_schema)
+
+
+def _split_tables(wide: DataFrame, n_buckets: int) -> tuple[DataFrame, DataFrame]:
+    band_rows = wide.select(
+        "id", F.posexplode("band_hashes").alias("band", "band_hash")
+    ).withColumn("bucket", _band_bucket_expr(n_buckets))
+    sig_rows = wide.select("id", "sig").withColumn(
+        "bucket", _sig_bucket_expr(n_buckets)
+    )
+    return band_rows, sig_rows
+
+
+def index_params(index_dir: str) -> dict:
+    m = U._read_manifest_raw(
+        _bands_dir(index_dir), U.committed_versions(_bands_dir(index_dir))[-1]
+    )  # params are raw top-level: no fold
+    return m[_PARAMS]
+
+
+def build_lsh_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+    n_buckets: int = 8,
+) -> str:
+    """Signature-pass the current source snapshot into the two index
+    tables. Returns the bands-table version (the index version); the
+    source watermark rides both commits so a follow-up
+    :func:`refresh_lsh_index` starts exactly after this snapshot."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    src_v = U.committed_versions(src_dir)[-1]
+    docs = U.read_table(spark, src_dir)
+    params = {
+        "n_hashes": n_hashes,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "n_buckets": n_buckets,
+    }
+    wide = _signatures(
+        docs, id_col, text_col, n_hashes, bands, shingle_k, seed
+    ).localCheckpoint(eager=True)  # one signature pass feeds both writes
+    band_rows, sig_rows = _split_tables(wide, n_buckets)
+    marker = f"{_SRC_MARK}{src_v}"
+    # sigs first, bands last: bands' watermark is the authoritative one
+    write_table_partitioned(
+        sig_rows, _sigs_dir(index_dir), "bucket",
+        marker=marker, change_feed=False,
+    )
+    write_table_partitioned(
+        band_rows, _bands_dir(index_dir), "bucket",
+        marker=marker, change_feed=False, extra_fields={_PARAMS: params},
+    )
+    return U.committed_versions(_bands_dir(index_dir))[-1]
+
+
+def _dv_key_overlap(spark: SparkSession, table_dir: str, ids: DataFrame) -> bool:
+    """Does any id in ``ids`` sit in the table's deletion vector? One
+    bounded job over the (small) vector keys — never the table."""
+    cur = U.committed_versions(table_dir)[-1]
+    m = U._read_manifest_raw(table_dir, cur) or {}
+    dv = m.get("dv") or []
+    if not dv:
+        return False
+    from spookystuff_spark.sources.upsert import fsio
+
+    keys = spark.read.parquet(*[fsio.join(table_dir, e) for e in dv])
+    return bool(ids.join(keys, "id", "leftsemi").limit(1).count())
+
+
+def _fold_table(
+    spark: SparkSession,
+    table_dir: str,
+    ins_rows: DataFrame | None,
+    del_ids: DataFrame | None,
+    newest: str,
+    params: dict | None,
+) -> None:
+    """One table's refresh sequence — append then DV-delete, the REAL
+    ``_SRC_`` watermark riding only the sequence's FINAL commit so a
+    crash anywhere inside re-runs the batch; the append step stamps an
+    auxiliary ``_SRCSTEP_`` marker making the re-run skip it instead of
+    double-appending."""
+    wm = last_processed_version(table_dir)
+    if wm is not None and U._vnum(wm) >= U._vnum(newest):
+        return  # this table already covers the batch (crash heal)
+    marker = f"{_SRC_MARK}{newest}"
+    extra = {_PARAMS: params} if params is not None else None
+    if ins_rows is not None:
+        step = newest_marker(table_dir, _STEP_MARK)
+        if step is None or U._vnum(step) < U._vnum(newest):
+            append_partitioned(
+                spark, table_dir, ins_rows, "bucket",
+                marker=(f"{_STEP_MARK}{newest}" if del_ids is not None
+                        else marker),
+                change_feed=False, extra_fields=extra,
+            )
+        if del_ids is None:
+            return
+    delete_by_keys(
+        spark, table_dir, del_ids, ["id"], marker=marker,
+        extra_fields=extra,
+    )
+
+
+def refresh_lsh_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str | None:
+    """Fold source changes since the watermark into the index: one
+    signature pass over ONLY the new documents, one O(batch) partitioned
+    append per table; DELETED documents become an O(deleted) key
+    deletion vector on both tables (``delete_by_keys`` — zero index
+    scan; every reader anti-joins it away), so a PII/takedown purge
+    never costs an index rebuild. Returns the new bands version, or
+    None when the source has nothing new.
+
+    Refusals (each raises with the heal path named): update-shaped
+    feeds (an update's old and new band rows share the doc id, which a
+    table-level key vector can't tell apart — rebuild); a doc inserted
+    AND deleted inside one fold range (the unioned feed loses per-row
+    order — refresh per source commit instead); re-inserting a doc the
+    vector currently hides (the vector would hide the new rows too —
+    run a DV-materializing compaction first). Crash anywhere mid-fold
+    re-runs exactly-once: the real watermark rides each table's FINAL
+    commit, the append step is skip-guarded by an auxiliary marker, and
+    sigs commits fully before bands (the authoritative table)."""
+    bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
+    after = last_processed_version(bands_dir)
+    changes, newest = _changes_since(
+        spark, src_dir, after, requested_cols=[id_col, text_col]
+    )
+    if newest is None or changes is None:
+        return None
+    kinds = {r[0] for r in changes.select("_change").distinct().collect()}
+    if kinds - {"insert", "delete"}:
+        raise ValueError(
+            f"{src_dir}: LSH index refresh folds insert/delete feeds — "
+            f"got kinds {sorted(kinds)}; a rewritten document's old and "
+            "new band rows share its id (a key vector can't hide one "
+            "without the other), rebuild instead"
+        )
+    params = index_params(index_dir)
+    changes = changes.localCheckpoint(eager=True)  # feeds several jobs
+    del_ids = None
+    if "delete" in kinds:
+        del_ids = (
+            changes.where(F.col("_change") == "delete")
+            .select(F.col(id_col).cast("long").alias("id"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    band_rows = sig_rows = None
+    if "insert" in kinds:
+        ins = changes.where(F.col("_change") == "insert")
+        if del_ids is not None and (
+            ins.select(F.col(id_col).cast("long").alias("id"))
+            .join(del_ids, "id", "leftsemi")
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"{src_dir}: a document is both inserted and deleted "
+                "inside one fold range — per-row order is not "
+                "recoverable from the unioned feed; refresh per source "
+                "commit (e.g. via the streaming sink) or rebuild"
+            )
+        wide = _signatures(
+            ins.select(id_col, text_col), id_col, text_col,
+            params["n_hashes"], params["bands"], params["shingle_k"],
+            params["seed"],
+        ).localCheckpoint(eager=True)
+        if not wide.limit(1).count():
+            wide = None  # every inserted doc was shingle-empty: no rows
+        if wide is not None and _dv_key_overlap(
+            spark, bands_dir, wide.select("id")
+        ):
+            raise ValueError(
+                f"{index_dir}: re-inserting a document the index's "
+                "deletion vector currently hides — the vector would hide "
+                "the new rows too; run compact_lsh_index(force_dv=True) "
+                "to materialize the vectors, then refresh again"
+            )
+        if wide is not None:
+            band_rows, sig_rows = _split_tables(wide, params["n_buckets"])
+    if band_rows is None and del_ids is None:
+        # every inserted doc was shingle-empty: nothing the index can
+        # see changed. Don't advance the watermark — the next refresh
+        # re-reads the (column-pruned) feed and lands here again, which
+        # is idempotent and avoids a marker-only manifest mutation.
+        return None
+    # sigs fully first, bands last: bands' watermark is the authoritative one
+    _fold_table(spark, sigs_dir, sig_rows, del_ids, newest, None)
+    _fold_table(spark, bands_dir, band_rows, del_ids, newest, params)
+    return U.committed_versions(bands_dir)[-1]
+
+
+def lsh_index_query(
+    spark: SparkSession,
+    index_dir: str,
+    probes: Sequence[tuple[int, str]],
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Near-duplicates of a probe batch against the indexed corpus →
+    ``(probe_id, id, est_sim)`` with the MinHash estimate ≥ ``threshold``.
+
+    The probe batch signs driver-side (small by contract, like
+    ``bm25_index_topk``'s queries); candidates come from joining its band
+    hashes against ONLY their buckets' files (manifest-pruned read);
+    degenerate (band, band_hash) groups larger than ``max_bucket``
+    index members are dropped, not exploded (the batch pipeline's
+    boilerplate policy); verification reads only the candidates' sig
+    buckets and computes the matching-component fraction JVM-side. A doc
+    probed against an index that contains it never pairs with itself."""
+    params = index_params(index_dir)
+    n_buckets, n_hashes = params["n_buckets"], params["n_hashes"]
+    band_rows, sig_rows = _probe_rows(probes, params)
+    empty = spark.createDataFrame(
+        [], "probe_id long, id long, est_sim double"
+    )
+    if not band_rows:
+        return empty
+    buckets = sorted(
+        {_band_bucket_py(bi, bh, n_buckets) for _, bi, bh in band_rows}
+    )
+    slice_df = read_table_partitions(spark, _bands_dir(index_dir), buckets)
+    pb = spark.createDataFrame(
+        band_rows,
+        StructType(
+            [
+                StructField("probe_id", LongType()),
+                StructField("band", IntegerType()),
+                StructField("band_hash", LongType()),
+            ]
+        ),
+    )
+    matched = slice_df.join(F.broadcast(pb), ["band", "band_hash"])
+    # cap BEFORE the self-filter: the cap counts the full index-side group
+    sizes = matched.groupBy("band", "band_hash").agg(
+        F.countDistinct("id").alias("__n_members")
+    )
+    cands = (
+        matched.join(sizes, ["band", "band_hash"])
+        .where(F.col("__n_members") <= max_bucket)
+        .where(F.col("id") != F.col("probe_id"))
+        .select("probe_id", "id")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the id collect AND the join
+    )
+    id_rows = cands.select("id").distinct().limit(CAND_IDS_MAX + 1).collect()
+    if len(id_rows) <= CAND_IDS_MAX:
+        if not id_rows:
+            return empty
+        cand_ids = sorted({r["id"] for r in id_rows})
+        sig_buckets = sorted({_sig_bucket_py(i, n_buckets) for i in cand_ids})
+        sig_slice = read_table_partitions(
+            spark, _sigs_dir(index_dir), sig_buckets
+        ).join(
+            F.broadcast(spark.createDataFrame([(i,) for i in cand_ids], "id long")),
+            "id",
+            "leftsemi",
+        )
+    else:
+        # candidate set too large to enumerate on the driver: read every
+        # sig bucket and let the (unhinted — AQE sizes it) semi-join prune
+        all_buckets = [f"b{i}" for i in range(n_buckets)]
+        sig_slice = read_table_partitions(
+            spark, _sigs_dir(index_dir), all_buckets
+        ).join(cands.select("id").distinct(), "id", "leftsemi")
+    psigs = spark.createDataFrame(
+        sig_rows,
+        StructType(
+            [
+                StructField("probe_id", LongType()),
+                StructField("psig", ArrayType(LongType())),
+            ]
+        ),
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig", "psig",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cands.join(sig_slice, "id")
+        .join(F.broadcast(psigs), "probe_id")
+        .select(
+            "probe_id", "id", round_stable(est, 4).alias("est_sim")
+        )
+        .where(F.col("est_sim") >= threshold)
+    )
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    index_dir: str,
+    max_files_per_bucket: int = 8,
+    force_dv: bool = False,
+) -> tuple[str | None, str | None]:
+    """OPTIMIZE-when-fragmented for both index tables (every refresh
+    appends ~one file per touched bucket). The ``_SRC_`` watermark is
+    re-stamped on each compacted version so the exactly-once contract
+    survives a later vacuum of the marker's original commit.
+    ``force_dv=True`` additionally compacts any table whose deletion
+    vector is non-empty even when nothing is fragmented — compaction
+    reads through the DV-applied snapshot, so it MATERIALIZES the
+    deletes and clears the vector (the heal :func:`refresh_lsh_index`
+    names before a deleted doc can be re-inserted). Returns
+    (bands version, sigs version), None where nothing was rewritten."""
+    from spookystuff_spark.sources.partitioned_table import (
+        compact_auto_partitioned,
+        compact_partitioned,
+    )
+
+    out = []
+    for d in (_bands_dir(index_dir), _sigs_dir(index_dir)):
+        wm = last_processed_version(d)
+        marker = f"{_SRC_MARK}{wm}" if wm else None
+        v = compact_auto_partitioned(
+            spark, d, "bucket",
+            max_files_per_partition=max_files_per_bucket,
+            marker=marker,
+        )
+        if v is None and force_dv:
+            cur = U.committed_versions(d)[-1]
+            if (U._read_manifest_raw(d, cur) or {}).get("dv"):
+                v = compact_partitioned(spark, d, "bucket", marker=marker)
+        out.append(v)
+    return out[0], out[1]
+
+
+def streaming_refresh_sink(
+    src_dir: str,
+    index_dir: str,
+    max_files_per_bucket: int | None = None,
+    **refresh_kwargs,
+):
+    """``foreachBatch`` body keeping the LSH index CONTINUOUSLY fresh from
+    the ``spooky_versioned`` CDC stream — same exactly-once contract as
+    ``bm25_index.streaming_refresh_sink`` (the ``_SRC_`` watermark, not
+    the stream checkpoint, is the source of truth)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_lsh_index(
+            batch_df.sparkSession, src_dir, index_dir, **refresh_kwargs
+        )
+        if max_files_per_bucket is not None:
+            compact_lsh_index(
+                batch_df.sparkSession, index_dir, max_files_per_bucket
+            )
+
+    return sink

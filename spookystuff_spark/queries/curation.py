@@ -341,6 +341,8 @@ UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_leakage_melt.parquet')
 UNION ALL SELECT q, row_key, measure, v_num
           FROM read_parquet('{_GOLD}/q_ann_index_melt.parquet')
+UNION ALL SELECT q, row_key, measure, v_num
+          FROM read_parquet('{_GOLD}/q_lsh_index_melt.parquet')
 """
 
 
@@ -506,6 +508,7 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _melt(q_fuzzy_join(spark, sf_dir), "fuzzy", ["id_a", "id_b"], ["dist"]),
         _ann_index_melted(spark, sf_dir),
+        _lsh_index_melted(spark, sf_dir),
     ]
     return reduce(lambda a, b: a.unionByName(b), parts)
 
@@ -519,10 +522,18 @@ def _ann_index_melted(spark, sf_dir):
     return q_ann_index(spark, sf_dir)
 
 
+def _lsh_index_melted(spark, sf_dir):
+    # q_lsh_index already returns melt-shaped rows (lshbands + lshprobe)
+    from spookystuff_spark.queries.llm_ops import q_lsh_index
+
+    return q_lsh_index(spark, sf_dir)
+
+
 register_suite(
     "q_curation_suite",
     {
         "anncells": "q_ann_index", "annidx": "q_ann_index",
+        "lshbands": "q_lsh_index", "lshprobe": "q_lsh_index",
         "semdedup": "q_semdedup_prune", "mixture": "q_mixture_sample",
         "pii": "q_pii_scrub", "pq": "q_pq_topk",
         "dupremoval": "q_dupspan_removal", "dupspan": "q_longest_dup_span",

@@ -195,6 +195,70 @@ def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+@bench_only("q_lsh_index")
+def q_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index, gate-pinned end-to-end
+    (operators/lsh_index.py): build the band/sig tables on the
+    doc_id%5!=0 base corpus, fold the %5==0 batch in FROM THE CHANGE
+    FEED (O(batch) signature pass + O(batch) partitioned appends —
+    never a rebuild), DELETE two docs that partner probe near-dups
+    (447, 290 — the fold becomes an O(deleted) key deletion vector,
+    zero index rewrite), then probe the %7 docs against the index
+    through the manifest-pruned band-bucket reader. Returns melted
+    rows: every doc's final VISIBLE band rows (``lshbands`` — pins the
+    incremental fold and the DV retraction bit-exactly) and every
+    probe's estimate-verified near-dups (``lshprobe`` — pins the probe
+    path, minus the deleted partners' pairs), compared against an
+    independent numpy replica golden
+    (tools/gen_goldens.py::gold_lsh_index) via ``q_curation_suite``."""
+    import shutil
+    import tempfile
+
+    from spookystuff_spark.operators import lsh_index as L
+    from spookystuff_spark.sources.partitioned_table import (
+        read_table_partitions,
+    )
+    from spookystuff_spark.sources.upsert import (
+        append_rows,
+        delete_where,
+        write_table,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="spooky-lshsrc-")
+    idx = tempfile.mkdtemp(prefix="spooky-lshidx-")
+    try:
+        write_table(docs.where(F.col("doc_id") % 5 != 0), src)
+        L.build_lsh_index(spark, src, idx, n_buckets=8)
+        append_rows(spark, src, docs.where(F.col("doc_id") % 5 == 0))
+        L.refresh_lsh_index(spark, src, idx)
+        delete_where(spark, src, F.col("doc_id").isin(447, 290))
+        L.refresh_lsh_index(spark, src, idx)
+
+        bands = read_table_partitions(
+            spark, L._bands_dir(idx), [f"b{i}" for i in range(8)]
+        ).select(
+            F.lit("lshbands").alias("q"),
+            F.concat_ws("|", "id", "band", "band_hash").alias("row_key"),
+            F.lit("member").alias("measure"),
+            F.lit(1.0).alias("v_num"),
+        )
+        probes = [
+            (r["doc_id"], r["text"])
+            for r in docs.where(F.col("doc_id") % 7 == 0).collect()
+        ]
+        pairs = L.lsh_index_query(spark, idx, probes, threshold=0.35).select(
+            F.lit("lshprobe").alias("q"),
+            F.concat_ws("|", "probe_id", "id").alias("row_key"),
+            F.lit("est_sim").alias("measure"),
+            F.col("est_sim").alias("v_num"),
+        )
+        return bands.unionByName(pairs).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+
 @query("q_kmeans_assign", oracle=golden_oracle("q_kmeans_assign"))
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (operators/kmeans.py): every point in every

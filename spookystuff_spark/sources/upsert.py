@@ -2633,6 +2633,66 @@ def delete_where_dv(
     return v
 
 
+def delete_by_keys(
+    spark: SparkSession,
+    table_dir: str,
+    keys_df: DataFrame,
+    key_cols: Sequence[str],
+    marker: str | None = None,
+    extra_fields: dict | None = None,
+) -> str:
+    """Merge-on-read delete where the caller ALREADY KNOWS the row keys —
+    the workload of an index maintaining itself from a change feed (the
+    feed names the deleted doc ids; the index's rows for them are keyed
+    by exactly those ids). :func:`delete_where_dv` scans the current
+    snapshot to find matching rows; here the keys ARE the input, so this
+    is O(keys) with ZERO table IO. Keys absent from the table are
+    harmless (the anti-join no-ops). No change feed: the deleted rows'
+    contents are never materialized — downstream feeds come from the
+    index's SOURCE, not the index. ``extra_fields`` override the carried
+    snapshot-scoped fields (an index adjusting its corpus stats in the
+    SAME commit that hides the rows, so the two can never drift)."""
+    cur = _latest(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    m = _read_manifest_raw(table_dir, cur) or {}  # metadata-only commit
+    prev_keys = m.get("dv_keys")
+    if prev_keys and list(prev_keys) != list(key_cols):
+        raise ValueError(
+            f"deletion-vector key mismatch: table uses {prev_keys}, got "
+            f"{list(key_cols)}"
+        )
+    v = _next_version(table_dir)
+    keys_df.select(*key_cols).distinct().write.mode("errorifexists").parquet(
+        fsio.join(table_dir, v, "_dv")
+    )
+    dv_entries = list(m.get("dv", [])) + [
+        f"{v}/_dv/{n}" for n in _parquet_names(fsio.join(table_dir, v, "_dv"))
+    ]
+    extra = {
+        "dv": dv_entries,
+        "dv_keys": list(key_cols),
+        **({"partition_col": m["partition_col"]}
+           if m.get("partition_col") else {}),
+        # markers excluded: this commit ADVANCES its caller's watermark
+        # (an index fold), so carrying the parent's older `_SRC_` entry
+        # would sit ahead of the fresh stamp in the list and make
+        # newest_marker answer the STALE version. Maintenance commits
+        # (compact/vacuum survival) still blind-carry — they preserve a
+        # watermark; this commit replaces one.
+        **carry_extra_fields(m, exclude=("markers",)),
+        **(extra_fields or {}),
+    }
+    write_manifest_delta(
+        table_dir, v, cur, (), (), m.get("schema"), "delete_dv",
+        parent=cur, extra_fields=extra,
+    )
+    if marker:
+        _stamp_marker(table_dir, v, marker)
+    _finalize_commit(table_dir, v, cur)
+    return v
+
+
 def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     """Vector-only OPTIMIZE: fold the accumulated deletion-vector files
     (one per chained delete) into a single distinct key file as a

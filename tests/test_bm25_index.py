@@ -81,15 +81,98 @@ def test_query_reads_only_probed_buckets(spark, built):
     assert len(files) < len(all_files)
 
 
-def test_refresh_exactly_once_and_insert_only(spark, built):
+def test_refresh_exactly_once_and_update_refusal(spark, built):
     src, idx = built
     assert B.refresh_bm25_index(spark, src, idx) is None  # nothing new
     U.upsert(
         spark, src, _docs_df(spark, [(1, "rewritten text")]), ["doc_id"],
         feed_preimages=True,
     )
-    with pytest.raises(ValueError, match="insert-shaped"):
+    with pytest.raises(ValueError, match="rebuild instead"):
         B.refresh_bm25_index(spark, src, idx)
+
+
+def test_delete_feed_folds_as_dv_with_exact_stats(spark, built):
+    """A source delete hides the doc's postings via an O(deleted) key
+    vector (zero new data files) and retracts the corpus stats in the
+    SAME commit — index answers stay bit-identical to a full-corpus
+    bm25_topk over the post-delete snapshot."""
+    import pyspark.sql.functions as F
+
+    src, idx = built
+    n_versions = len(U.committed_versions(idx))
+    U.delete_where(spark, src, F.col("doc_id").isin(1, 6))
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    assert len(U.committed_versions(idx)) == n_versions + 1
+    m = U._read_manifest_raw(idx, U.committed_versions(idx)[-1])
+    assert m["kind"] == "delete_dv" and m.get("dv")
+    # stats equal a recount over the VISIBLE postings
+    post = U.read_table(spark, idx)
+    n = post.select("doc_id").distinct().count()
+    total = sum(
+        r["dl"] for r in post.select("doc_id", "dl").distinct().collect()
+    )
+    assert B.index_stats(idx) == {"n_docs": n, "total_dl": total}
+    # answers == full-corpus scorer over the post-delete corpus
+    corpus = _docs_df(spark, [d for d in DOCS if d[0] not in (1, 6)])
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
+    ) == sorted(bm25_topk(corpus, QUERIES, k=3).collect(), key=key)
+    # exactly-once: the delete leg does not reprocess
+    assert B.refresh_bm25_index(spark, src, idx) is None
+
+
+def test_mixed_batch_and_reinsert_contract(spark, built):
+    """Insert+delete of different docs in one range applies both; the
+    same doc raises; re-inserting a DV-hidden doc refuses until the
+    named force_dv compaction materializes the vector."""
+    import pyspark.sql.functions as F
+
+    src, idx = built
+    U.append_rows(
+        spark, src, _docs_df(spark, [(11, "join order and hash tables")])
+    )
+    U.delete_where(spark, src, F.col("doc_id") == 2)
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    corpus = _docs_df(
+        spark,
+        [d for d in DOCS if d[0] != 2] + [(11, "join order and hash tables")],
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(
+        B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
+    ) == sorted(bm25_topk(corpus, QUERIES, k=3).collect(), key=key)
+    # same-id insert+delete in one range: refuse
+    U.append_rows(spark, src, _docs_df(spark, [(12, "tmp doc")]))
+    U.delete_where(spark, src, F.col("doc_id") == 12)
+    with pytest.raises(ValueError, match="both inserted and deleted"):
+        B.refresh_bm25_index(spark, src, idx)
+    # heal the refused window: per-commit replay is impossible here, so
+    # rebuild the index fresh and continue — then exercise the re-insert
+    # contract on the healthy index
+    import shutil
+
+    shutil.rmtree(idx)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    U.delete_where(spark, src, F.col("doc_id") == 3)
+    B.refresh_bm25_index(spark, src, idx)
+    U.append_rows(spark, src, _docs_df(spark, [(3, DOCS[2][1])]))
+    with pytest.raises(ValueError, match="force_dv"):
+        B.refresh_bm25_index(spark, src, idx)
+    assert B.compact_bm25_index(
+        spark, idx, max_files_per_bucket=10_000, force_dv=True
+    ) is not None
+    assert not U._read_manifest_raw(idx, U.committed_versions(idx)[-1]).get("dv")
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    final = _docs_df(
+        spark,
+        [d for d in DOCS if d[0] != 2]
+        + [(11, "join order and hash tables")],
+    )
+    assert sorted(
+        B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
+    ) == sorted(bm25_topk(final, QUERIES, k=3).collect(), key=key)
 
 
 def test_stats_ride_the_commit(spark, built):

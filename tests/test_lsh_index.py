@@ -1,0 +1,371 @@
+"""Incremental MinHash-LSH index (operators/lsh_index.py): incremental
+fold == from-scratch rebuild bit-identically, estimate values == a pure
+numpy replica, probe-time bucket pruning, crash healing between the two
+table commits, the insert-shape contract, and the capped-candidate
+fallback path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+import spookystuff_spark.operators.lsh_index as L
+from spookystuff_spark.operators.dedup import _perm_params, _shingle_hashes
+from spookystuff_spark.sources import upsert as U
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+DOCS = [
+    (1, _BASE),
+    (2, _BASE + " extra tail words appended here"),  # near-dup of 1
+    (3, "completely different content about spark shuffle partitions and "
+        "adaptive query execution plans running on the cluster tonight"),
+    (4, _BASE.replace("lazy", "sleepy")),  # near-dup of 1
+    (5, "short"),
+    (6, ""),  # no shingles: must vanish from the index
+    (7, "completely different content about spark shuffle partitions and "
+        "adaptive query execution plans running on the cluster tomorrow"),
+    (8, "yet another unrelated document mentioning parquet manifests and "
+        "deletion vectors in the lakehouse commit protocol design notes"),
+]
+PARAMS = dict(n_hashes=32, bands=8, shingle_k=5, seed=7, n_buckets=4)
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture
+def built(spark, tmp_path):
+    """Source seeded with odd docs, index built, even docs appended,
+    index refreshed from the change feed."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, [d for d in DOCS if d[0] % 2 == 0]))
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    return src, idx
+
+
+def _numpy_estimates(probes, corpus, threshold):
+    """Independent replica: per-doc signatures, band-bucket candidates,
+    matching-component estimate (round-stable +1e-6)."""
+    p = PARAMS
+    a, b = _perm_params(p["n_hashes"], p["seed"])
+    rpb = p["n_hashes"] // p["bands"]
+    sigs, groups = {}, {}
+    for did, text in corpus:
+        h = _shingle_hashes(text, p["shingle_k"])
+        if not len(h):
+            continue
+        sig = ((np.outer(a, h) + b[:, None]) % np.uint64((1 << 61) - 1)).min(axis=1)
+        sigs[did] = sig
+        for bi in range(p["bands"]):
+            bh = hashlib.blake2b(
+                sig.reshape(p["bands"], rpb)[bi].tobytes(), digest_size=8
+            ).digest()
+            groups.setdefault((bi, bh), set()).add(did)
+    out = set()
+    for pid, text in probes:
+        h = _shingle_hashes(text, p["shingle_k"])
+        if not len(h):
+            continue
+        psig = ((np.outer(a, h) + b[:, None]) % np.uint64((1 << 61) - 1)).min(axis=1)
+        cand = set()
+        for bi in range(p["bands"]):
+            bh = hashlib.blake2b(
+                psig.reshape(p["bands"], rpb)[bi].tobytes(), digest_size=8
+            ).digest()
+            members = groups.get((bi, bh), set())
+            if len(members) > 64:
+                continue
+            cand |= {m for m in members if m != pid}
+        for cid in cand:
+            est = float(np.round((sigs[cid] == psig).mean() + 1e-6, 4))
+            if est >= threshold:
+                out.add((pid, cid, est))
+    return sorted(out)
+
+
+def test_query_matches_numpy_replica(spark, built):
+    _, idx = built
+    probes = [(d, t) for d, t in DOCS if d in (1, 3, 5)]
+    got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.3))
+    want = _numpy_estimates(probes, DOCS, 0.3)
+    assert got == want
+    # the planted near-dups actually surface (non-vacuous gate)
+    pairs = {(a, b) for a, b, _ in got}
+    assert (1, 2) in pairs and (1, 4) in pairs and (3, 7) in pairs
+
+
+def test_incremental_equals_rebuild(spark, tmp_path, built):
+    _, idx = built
+    full = str(tmp_path / "srcfull")
+    idx2 = str(tmp_path / "idxfull")
+    U.write_table(_docs_df(spark, DOCS), full)
+    L.build_lsh_index(spark, full, idx2, **PARAMS)
+    probes = [(d, t) for d, t in DOCS]
+    for thr in (0.2, 0.6):
+        assert _rows(
+            L.lsh_index_query(spark, idx, probes, threshold=thr)
+        ) == _rows(L.lsh_index_query(spark, idx2, probes, threshold=thr))
+    # band tables identical too (the fold composed exactly)
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    assert _rows(
+        read_table_partitions(spark, L._bands_dir(idx), bks)
+    ) == _rows(read_table_partitions(spark, L._bands_dir(idx2), bks))
+
+
+def test_probe_reads_only_its_buckets(spark, built, monkeypatch):
+    """The probe path must pass a PRUNED bucket list to the partitioned
+    reader — never the whole bands table."""
+    _, idx = built
+    calls = []
+    real = L.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, **kw):
+        calls.append((table_dir, sorted(partition_values)))
+        return real(spark_, table_dir, partition_values, **kw)
+
+    monkeypatch.setattr(L, "read_table_partitions", spy)
+    L.lsh_index_query(spark, idx, [(1, DOCS[0][1])], threshold=0.3).collect()
+    band_calls = [c for c in calls if c[0] == L._bands_dir(idx)]
+    assert len(band_calls) == 1
+    # doc 1 has 8 bands -> at most 8 of the 4 buckets... with n_buckets=4
+    # pruning is only visible when fewer than all 4 are hit; assert the
+    # list is exactly the probe's own band buckets, recomputed here
+    p = L.index_params(idx)
+    brows, _ = L._probe_rows([(1, DOCS[0][1])], p)
+    want = sorted({L._band_bucket_py(bi, bh, p["n_buckets"]) for _, bi, bh in brows})
+    assert band_calls[0][1] == want
+    sig_calls = [c for c in calls if c[0] == L._sigs_dir(idx)]
+    assert len(sig_calls) == 1  # candidates' id-buckets only
+
+
+def test_candidate_cap_fallback_identical(spark, built, monkeypatch):
+    """Above CAND_IDS_MAX the sig lookup must switch to the all-bucket
+    semi-join and return the same rows."""
+    _, idx = built
+    probes = [(d, t) for d, t in DOCS]
+    want = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
+    monkeypatch.setattr(L, "CAND_IDS_MAX", 1)
+    calls = []
+    real = L.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, **kw):
+        calls.append((table_dir, sorted(partition_values)))
+        return real(spark_, table_dir, partition_values, **kw)
+
+    monkeypatch.setattr(L, "read_table_partitions", spy)
+    got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
+    assert got == want
+    sig_calls = [c for c in calls if c[0] == L._sigs_dir(idx)]
+    assert sig_calls and sig_calls[0][1] == [
+        f"b{i}" for i in range(PARAMS["n_buckets"])
+    ]
+
+
+def test_refresh_is_exactly_once(spark, built):
+    src, idx = built
+    assert L.refresh_lsh_index(spark, src, idx) is None  # nothing new
+    before = U.committed_versions(L._bands_dir(idx))
+    assert L.refresh_lsh_index(spark, src, idx) is None
+    assert U.committed_versions(L._bands_dir(idx)) == before
+
+
+def test_crash_between_commits_heals(spark, tmp_path, monkeypatch):
+    """Crash AFTER the sigs append but BEFORE the bands append: the re-run
+    must not duplicate sig rows, and the final state equals a rebuild."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, [d for d in DOCS if d[0] % 2 == 0]))
+
+    real = L.append_partitioned
+
+    def crash_on_bands(spark_, table_dir, *a, **kw):
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the bands commit")
+        return real(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "append_partitioned", crash_on_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.refresh_lsh_index(spark, src, idx)
+    monkeypatch.setattr(L, "append_partitioned", real)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    sig_ids = [
+        r["id"]
+        for r in read_table_partitions(spark, L._sigs_dir(idx), bks)
+        .select("id")
+        .collect()
+    ]
+    assert len(sig_ids) == len(set(sig_ids))  # no duplicated sig rows
+    # doc 6 (empty text) must not appear anywhere
+    assert 6 not in set(sig_ids)
+    probes = [(d, t) for d, t in DOCS]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.3)
+    ) == _numpy_estimates(probes, DOCS, 0.3)
+
+
+def test_update_feed_refuses(spark, built):
+    src, idx = built
+    U.upsert(
+        spark, src,
+        _docs_df(spark, [(1, "rewritten text entirely")]),
+        ["doc_id"], feed_preimages=True,
+    )
+    with pytest.raises(ValueError, match="rebuild instead"):
+        L.refresh_lsh_index(spark, src, idx)
+
+
+def test_delete_feed_folds_as_deletion_vector(spark, built):
+    """A source delete must hide the doc from bands, sigs, probe results
+    — via an O(deleted) key vector, never an index rewrite."""
+    src, idx = built
+    n_band_versions = len(U.committed_versions(L._bands_dir(idx)))
+    U.delete_where(spark, src, F.col("doc_id").isin(2, 4))
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    band_ids = {
+        r["id"]
+        for r in read_table_partitions(spark, L._bands_dir(idx), bks)
+        .select("id").distinct().collect()
+    }
+    assert band_ids & {2, 4} == set()
+    # the delete was metadata-only: one new commit, zero new data files
+    m = U._read_manifest_raw(
+        L._bands_dir(idx), U.committed_versions(L._bands_dir(idx))[-1]
+    )
+    assert m["kind"] == "delete_dv" and m.get("dv")
+    assert len(U.committed_versions(L._bands_dir(idx))) == n_band_versions + 1
+    # probe results equal a replica over the corpus minus the deleted docs
+    probes = [(d, t) for d, t in DOCS]
+    alive = [(d, t) for d, t in DOCS if d not in (2, 4)]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, alive, 0.2)
+    # exactly-once: the delete leg does not reprocess
+    assert L.refresh_lsh_index(spark, src, idx) is None
+
+
+def test_mixed_insert_delete_batch(spark, built):
+    """One fold range carrying an insert AND a delete of DIFFERENT docs
+    applies both; the same doc in both raises (order unrecoverable)."""
+    src, idx = built
+    U.append_rows(
+        spark, src, _docs_df(spark, [(20, _BASE + " twentieth variant")])
+    )
+    U.delete_where(spark, src, F.col("doc_id") == 3)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    probes = [(d, t) for d, t in DOCS] + [(20, _BASE + " twentieth variant")]
+    alive = [(d, t) for d, t in DOCS if d != 3] + [
+        (20, _BASE + " twentieth variant")
+    ]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, alive, 0.2)
+    # same-id insert+delete inside one range: refuse
+    U.append_rows(spark, src, _docs_df(spark, [(21, "u " * 40)]))
+    U.delete_where(spark, src, F.col("doc_id") == 21)
+    with pytest.raises(ValueError, match="both inserted and deleted"):
+        L.refresh_lsh_index(spark, src, idx)
+
+
+def test_reinsert_after_delete_refuses_then_heals(spark, built):
+    """Re-inserting a DV-hidden doc refuses (the vector would hide the
+    new rows); the named heal (force_dv compaction) materializes the
+    vector, after which the re-insert folds and the doc is back."""
+    src, idx = built
+    U.delete_where(spark, src, F.col("doc_id") == 2)
+    L.refresh_lsh_index(spark, src, idx)
+    U.append_rows(spark, src, _docs_df(spark, [(2, DOCS[1][1])]))
+    with pytest.raises(ValueError, match="force_dv"):
+        L.refresh_lsh_index(spark, src, idx)
+    bv, sv = L.compact_lsh_index(spark, idx, max_files_per_bucket=10_000,
+                                 force_dv=True)
+    assert bv is not None and sv is not None  # DV-materializing rewrites
+    m = U._read_manifest_raw(
+        L._bands_dir(idx), U.committed_versions(L._bands_dir(idx))[-1]
+    )
+    assert not m.get("dv")
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    probes = [(d, t) for d, t in DOCS]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, DOCS, 0.2)
+
+
+def test_crash_between_append_and_delete_heals(spark, tmp_path, monkeypatch):
+    """Mixed batch, crash AFTER both appends but BEFORE the delete legs:
+    the re-run must skip the appends (step marker) and finish the
+    deletes — no duplicated rows, final state exact."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, [d for d in DOCS if d[0] % 2 == 0]))
+    U.delete_where(spark, src, F.col("doc_id") == 3)
+
+    real = L.delete_by_keys
+
+    def crash(spark_, table_dir, *a, **kw):
+        raise RuntimeError("simulated crash before the delete leg")
+
+    monkeypatch.setattr(L, "delete_by_keys", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.refresh_lsh_index(spark, src, idx)
+    monkeypatch.setattr(L, "delete_by_keys", real)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    brows = [
+        (r["id"], r["band"])
+        for r in read_table_partitions(spark, L._bands_dir(idx), bks)
+        .select("id", "band").collect()
+    ]
+    assert len(brows) == len(set(brows))  # appends did not double-land
+    probes = [(d, t) for d, t in DOCS]
+    alive = [(d, t) for d, t in DOCS if d != 3]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, alive, 0.2)
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:2]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    for lo in range(2, 8, 2):  # three single-batch refreshes -> fragmentation
+        U.append_rows(spark, src, _docs_df(spark, DOCS[lo : lo + 2]))
+        L.refresh_lsh_index(spark, src, idx)
+    probes = [(d, t) for d, t in DOCS]
+    before = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.3))
+    bv, sv = L.compact_lsh_index(spark, idx, max_files_per_bucket=1)
+    assert bv is not None  # bands table was actually fragmented
+    assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.3)) == before
+    # watermark survives compaction: still exactly-once
+    assert L.refresh_lsh_index(spark, src, idx) is None

@@ -1201,10 +1201,82 @@ def gold_textrank(docs, n_iter=10, damping=0.85, top_k=20, quant=float(1 << 40))
     )
 
 
+def gold_lsh_index(
+    docs, n_hashes=128, bands=16, shingle_k=5, seed=42,
+    threshold=0.35, max_bucket=64,
+):
+    """Independent replica of the incremental LSH index gate
+    (queries/llm_ops.q_lsh_index over operators/lsh_index.py): because
+    the incremental fold must equal the from-scratch state, the replica
+    signs the FINAL corpus (seed + append, minus the DV-deleted partner
+    docs 447/290) directly — every doc's band rows, then the %7 probes'
+    candidates via band-bucket membership
+    (groups over ``max_bucket`` members dropped, self-pairs excluded)
+    verified by the matching-component MinHash estimate (round-stable
+    +1e-6, the module's own rounding contract)."""
+    a, b = perm_params(n_hashes, seed)
+    rpb = n_hashes // bands
+    sigs: dict[int, np.ndarray] = {}
+    groups: dict[tuple[int, bytes], set[int]] = defaultdict(set)
+    band_rows = []
+    for r in docs.itertuples():
+        did = int(r.doc_id)
+        if did in (447, 290):  # the gate's DV-deleted partner docs
+            continue
+        h = shingle_hashes(r.text, shingle_k)
+        if not len(h):
+            continue
+        sig = ((np.outer(a, h) + b[:, None]) % MERSENNE).min(axis=1)
+        sigs[did] = sig
+        banded = sig.reshape(bands, rpb)
+        for bi in range(bands):
+            dg = hashlib.blake2b(banded[bi].tobytes(), digest_size=8).digest()
+            groups[(bi, dg)].add(did)
+            band_rows.append(
+                (did, bi, int.from_bytes(dg, "big", signed=True))
+            )
+    rows = [
+        ("lshbands", f"{did}|{bi}|{bh}", "member", 1.0)
+        for did, bi, bh in band_rows
+    ]
+    n_probe_pairs = 0
+    for r in docs.itertuples():
+        pid = int(r.doc_id)
+        if pid % 7 or pid not in sigs:
+            continue
+        psig = sigs[pid]
+        banded = psig.reshape(bands, rpb)
+        cand: set[int] = set()
+        for bi in range(bands):
+            dg = hashlib.blake2b(banded[bi].tobytes(), digest_size=8).digest()
+            members = groups.get((bi, dg), set())
+            if len(members) > max_bucket:
+                continue
+            cand |= {m for m in members if m != pid}
+        for cid in sorted(cand):
+            est = float(np.round((sigs[cid] == psig).mean() + 1e-6, 4))
+            if est >= threshold:
+                rows.append(("lshprobe", f"{pid}|{cid}", "est_sim", est))
+                n_probe_pairs += 1
+    assert n_probe_pairs > 0, "vacuous gate: no probe produced a pair"
+    write(
+        "q_lsh_index_melt",
+        pa.table(
+            {
+                "q": pa.array([r[0] for r in rows], pa.string()),
+                "row_key": pa.array([r[1] for r in rows], pa.string()),
+                "measure": pa.array([r[2] for r in rows], pa.string()),
+                "v_num": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        ),
+    )
+
+
 def main():
     docs = load_docs()
     emb = load_emb()
     gold_minhash(docs)
+    gold_lsh_index(docs)
     gold_clusters(docs)
     gold_simhash(docs)
     gold_lsh(emb)
