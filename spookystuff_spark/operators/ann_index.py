@@ -13,11 +13,16 @@ nightly: the corpus is never rescanned after the initial build.
 
 Freshness/refresh is exactly-once per source version via the same
 ``_SRC_<version>`` watermark idiom as sources/incremental.py (the marker
-rides the index table's atomic commit). Feeds must be INSERT-shaped for
-the incremental path — re-embedding an existing id could move it between
-cells, which would break the partitioned-MERGE stability contract, so a
-feed containing preimage/delete rows raises and the caller rebuilds (or
-DV-deletes then re-inserts under a new id).
+rides the index table's atomic commit). INSERT and DELETE feeds fold
+incrementally — deletes become an O(deleted) key deletion vector
+(``upsert.delete_by_keys``: the feed names the ids, the index rows are
+keyed by exactly those ids, zero index IO; every reader anti-joins it
+away), so an embedding takedown never costs a rebuild. Re-embedding an
+existing id could move it between cells, which would break the
+partitioned-MERGE stability contract, so a feed containing preimage
+rows raises and the caller rebuilds; re-inserting a DV-hidden id
+refuses too (the vector would hide the new row — heal =
+``compact_ann_index(..., force_dv=True)``).
 
 Centroids are deterministic (the canonical smallest-md5 sample +
 fixed-iteration Lloyd's of operators/similarity.ivf_assign), so an
@@ -44,6 +49,7 @@ from spookystuff_spark.sources.incremental import (
     _changes_since,
     last_processed_version,
 )
+from spookystuff_spark.sources.upsert import delete_by_keys
 from spookystuff_spark.sources.partitioned_table import (
     read_table_partitions,
     upsert_partitioned,
@@ -193,12 +199,57 @@ def refresh_ann_index(
     if changes is None:  # feed-less versions only (e.g. compaction)
         return None
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
-    if kinds - {"insert", "upsert"}:
+    if kinds - {"insert", "upsert", "delete"}:
         raise ValueError(
-            f"{src_dir}: ANN index refresh needs an insert-shaped feed — "
+            f"{src_dir}: ANN index refresh folds insert/delete feeds — "
             f"got kinds {sorted(kinds)}; re-embedding moves vectors between "
             "cells, rebuild instead"
         )
+    changes = changes.localCheckpoint(eager=True)  # feeds several jobs
+    del_ids = None
+    if "delete" in kinds:
+        del_ids = (
+            changes.where(F.col("_change") == "delete")
+            .select(F.col(id_col).cast("long").alias(id_col))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changes = changes.where(F.col("_change") != "delete")
+        if not (kinds - {"delete"}):
+            # delete-only fold: one metadata commit, zero assignment work
+            delete_by_keys(
+                spark, index_dir, del_ids, [id_col],
+                marker=f"{_SRC_MARK}{newest}",
+            )
+            return U.committed_versions(index_dir)[-1]
+        ins_ids = changes.select(
+            F.col(id_col).cast("long").alias(id_col)
+        ).distinct()
+        if ins_ids.join(del_ids, id_col, "leftsemi").limit(1).count():
+            raise ValueError(
+                f"{src_dir}: a vector is both inserted and deleted inside "
+                "one fold range — per-row order is not recoverable from "
+                "the unioned feed; refresh per source commit (e.g. via "
+                "the streaming sink) or rebuild"
+            )
+    cur = U.committed_versions(index_dir)[-1]
+    dv = (U._read_manifest_raw(index_dir, cur) or {}).get("dv") or []
+    if dv:
+        dv_keys = spark.read.parquet(
+            *[fsio.join(index_dir, e) for e in dv]
+        )
+        if (
+            changes.select(F.col(id_col).cast("long").alias(id_col))
+            .join(dv_keys, id_col, "leftsemi")
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                f"{index_dir}: re-inserting a vector the index's deletion "
+                "vector currently hides — the vector would hide the new "
+                "row too; run compact_ann_index(..., force_dv=True) to "
+                "materialize the vectors, then refresh again"
+            )
     centroids = load_centroids(index_dir)
     # the embedding column BY NAME from the sidecar — a positional pick
     # (first non-id feed column) would grab an unrelated source column
@@ -222,10 +273,18 @@ def refresh_ann_index(
     assigned = _assign_cells(
         changes.select(id_col, emb_col), id_col, emb_col, centroids
     )
+    # mixed batch: the MERGE is idempotent (keyed by id within touched
+    # cells), so no step marker is needed — the real watermark rides the
+    # FINAL commit and a crash between the two simply re-merges
     upsert_partitioned(
         spark, index_dir, assigned, [id_col], "cell",
-        marker=f"{_SRC_MARK}{newest}",
+        marker=(None if del_ids is not None else f"{_SRC_MARK}{newest}"),
     )
+    if del_ids is not None:
+        delete_by_keys(
+            spark, index_dir, del_ids, [id_col],
+            marker=f"{_SRC_MARK}{newest}",
+        )
     return U.committed_versions(index_dir)[-1]
 
 
@@ -325,19 +384,32 @@ def compact_ann_index(
     spark: SparkSession,
     index_dir: str,
     max_files_per_cell: int = 8,
+    force_dv: bool = False,
 ) -> str | None:
     """OPTIMIZE-when-fragmented for the cell-partitioned index (each
     refresh appends files into its touched cells): folds every cell back
     to one file when some cell exceeds ``max_files_per_cell``, re-stamping
     the ``_SRC_`` watermark on the compacted commit so exactly-once
-    refresh survives vacuum. Manifest-only check; None when healthy."""
+    refresh survives vacuum. Manifest-only check; None when healthy.
+    ``force_dv=True`` additionally compacts when the deletion vector is
+    non-empty even if nothing is fragmented — the rewrite reads through
+    the DV-applied snapshot, MATERIALIZING the deletes and clearing the
+    vector (the heal :func:`refresh_ann_index` names before a deleted
+    id can be re-inserted)."""
     from spookystuff_spark.sources.partitioned_table import (
         compact_auto_partitioned,
+        compact_partitioned,
     )
 
     wm = last_processed_version(index_dir)
-    return compact_auto_partitioned(
+    marker = f"{_SRC_MARK}{wm}" if wm else None
+    v = compact_auto_partitioned(
         spark, index_dir, "cell",
         max_files_per_partition=max_files_per_cell,
-        marker=f"{_SRC_MARK}{wm}" if wm else None,
+        marker=marker,
     )
+    if v is None and force_dv:
+        cur = U.committed_versions(index_dir)[-1]
+        if (U._read_manifest_raw(index_dir, cur) or {}).get("dv"):
+            v = compact_partitioned(spark, index_dir, "cell", marker=marker)
+    return v

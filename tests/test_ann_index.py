@@ -118,13 +118,80 @@ def test_query_matches_bruteforce_and_prunes(spark, built, monkeypatch):
     assert calls and len(calls[0]) <= 2  # ≤ one cell per query
 
 
-def test_refresh_refuses_non_insert_feed(spark, built):
+def test_refresh_refuses_update_feed(spark, built):
     import pyspark.sql.functions as F
 
     src, idx = built
-    U.delete_where(spark, src, F.col("vec_id") == 0)
-    with pytest.raises(ValueError, match="insert-shaped"):
+    U.upsert(
+        spark, src,
+        spark.createDataFrame(
+            [(0, _vec(7))], "vec_id long, embedding array<double>"
+        ),
+        ["vec_id"], feed_preimages=True,
+    )
+    with pytest.raises(ValueError, match="rebuild instead"):
         A.refresh_ann_index(spark, src, idx)
+
+
+def test_delete_feed_folds_as_dv(spark, built):
+    """A source delete hides the vectors via an O(deleted) key vector
+    (one metadata commit, zero assignment work) and queries answer over
+    the post-delete corpus exactly."""
+    import pyspark.sql.functions as F
+
+    src, idx = built
+    n_versions = len(U.committed_versions(idx))
+    U.delete_where(spark, src, F.col("vec_id").isin(0, 7))
+    assert A.refresh_ann_index(spark, src, idx) is not None
+    assert len(U.committed_versions(idx)) == n_versions + 1
+    m = U._read_manifest_raw(idx, U.committed_versions(idx)[-1])
+    assert m["kind"] == "delete_dv" and m.get("dv")
+    state = _index_state(spark, idx)
+    assert {i for i, _ in state} == set(range(40)) - {0, 7}
+    # probe results never surface the deleted ids
+    res = A.ann_query(spark, idx, [(0, _vec(0)), (1, _vec(7))], k=40, nprobe=4)
+    assert {r["vec_id"] for r in res.collect()} & {0, 7} == set()
+    # exactly-once
+    assert A.refresh_ann_index(spark, src, idx) is None
+
+
+def test_mixed_insert_delete_and_reinsert_contract(spark, built, tmp_path):
+    """Mixed insert+delete of different ids applies both and the final
+    state equals a rebuild over the live corpus; same-id in one range
+    and re-insert of a DV-hidden id refuse; force_dv compaction heals."""
+    import pyspark.sql.functions as F
+
+    src, idx = built
+    U.append_rows(spark, src, _emb(spark, range(300, 310)))
+    U.delete_where(spark, src, F.col("vec_id") == 5)
+    assert A.refresh_ann_index(spark, src, idx) is not None
+    assert {i for i, _ in _index_state(spark, idx)} == (
+        set(range(40)) - {5}
+    ) | set(range(300, 310))
+    # same-id insert+delete inside one fold range: refuse
+    U.append_rows(spark, src, _emb(spark, [400]))
+    U.delete_where(spark, src, F.col("vec_id") == 400)
+    with pytest.raises(ValueError, match="both inserted and deleted"):
+        A.refresh_ann_index(spark, src, idx)
+    # heal by rebuilding the index over the current source, then exercise
+    # the re-insert contract on the healthy index
+    import shutil
+
+    shutil.rmtree(idx)
+    A.build_ann_index(spark, src, idx, n_cells=4)
+    U.delete_where(spark, src, F.col("vec_id") == 6)
+    A.refresh_ann_index(spark, src, idx)
+    U.append_rows(spark, src, _emb(spark, [6]))
+    with pytest.raises(ValueError, match="force_dv"):
+        A.refresh_ann_index(spark, src, idx)
+    assert A.compact_ann_index(
+        spark, idx, max_files_per_cell=10_000, force_dv=True
+    ) is not None
+    assert not U._read_manifest_raw(idx, U.committed_versions(idx)[-1]).get("dv")
+    assert A.refresh_ann_index(spark, src, idx) is not None
+    assert {i for i, _ in _index_state(spark, idx)} == (
+        (set(range(40)) - {5}) | set(range(300, 310))
+    )
 
 
 def test_streaming_refresh_follows_cdc(spark, tmp_path, built):
