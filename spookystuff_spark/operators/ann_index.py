@@ -161,24 +161,11 @@ def build_ann_index(
     return U.committed_versions(index_dir)[-1]
 
 
-def refresh_ann_index(
-    spark: SparkSession,
-    src_dir: str,
-    index_dir: str,
-    id_col: str = "vec_id",
-) -> str | None:
-    """Fold source changes since the watermark into the index: assign ONLY
-    the new vectors (the centroids never move — FAISS's add-to-index
-    contract) and merge them through the O(touched-cells) partitioned
-    upsert. Returns the new index version, or None when the source has
-    nothing new. Insert-shaped feeds only (see module docstring)."""
-    after = last_processed_version(index_dir)
-    # the fold consumes the id and the SOURCE's embedding column (recorded
-    # in the centroid sidecar at build time — the index table renames it
-    # to 'vec', so its schema can't recover the source name): a drop of
-    # anything ELSE on the source must not stall the refresh
-    # (column-pruned feed walk), while dropping the embedding itself
-    # still refuses
+def _ann_feed_cols(src_dir: str, index_dir: str, id_col: str):
+    """(requested_cols, sidecar vec col translated through source renames)
+    — the fold consumes the id and the SOURCE's embedding column
+    (recorded in the centroid sidecar at build time; the index table
+    renames it to 'vec', so its schema can't recover the source name)."""
     src_vec = index_vec_col(index_dir)
     if src_vec is not None:
         # a source-side RENAME of the embedding column post-dates the
@@ -190,21 +177,35 @@ def refresh_ann_index(
             for ev in log:
                 if ev["old"] == src_vec:
                     src_vec = ev["new"]
-    requested = [id_col, src_vec] if src_vec else None
-    changes, newest = _changes_since(
-        spark, src_dir, after, requested_cols=requested
-    )
-    if newest is None:
-        return None
-    if changes is None:  # feed-less versions only (e.g. compaction)
-        return None
+    return ([id_col, src_vec] if src_vec else None), src_vec
+
+
+def _fold_ann_version(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    changes,
+    src_v: str,
+    id_col: str,
+    src_vec: str | None,
+) -> None:
+    """Apply one source version's feed to the cell-partitioned index:
+    assign + MERGE the new vectors, DV-delete the removed ids
+    (``delete_by_keys`` — one metadata commit, zero assignment work).
+    The MERGE is idempotent (keyed by id within touched cells), so no
+    step marker is needed — the real ``_SRC_`` watermark rides the
+    FINAL commit and a crash between the two simply re-merges."""
+    wm = last_processed_version(index_dir)
+    if wm is not None and U._vnum(wm) >= U._vnum(src_v):
+        return  # already covered (crash heal)
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
     if kinds - {"insert", "upsert", "delete"}:
         raise ValueError(
-            f"{src_dir}: ANN index refresh folds insert/delete feeds — "
-            f"got kinds {sorted(kinds)}; re-embedding moves vectors between "
-            "cells, rebuild instead"
+            f"{src_dir}/{src_v}: ANN index refresh folds insert/delete "
+            f"feeds — got kinds {sorted(kinds)}; re-embedding moves "
+            "vectors between cells, rebuild instead"
         )
+    marker = f"{_SRC_MARK}{src_v}"
     changes = changes.localCheckpoint(eager=True)  # feeds several jobs
     del_ids = None
     if "delete" in kinds:
@@ -216,49 +217,38 @@ def refresh_ann_index(
         )
         changes = changes.where(F.col("_change") != "delete")
         if not (kinds - {"delete"}):
-            # delete-only fold: one metadata commit, zero assignment work
-            delete_by_keys(
-                spark, index_dir, del_ids, [id_col],
-                marker=f"{_SRC_MARK}{newest}",
-            )
-            return U.committed_versions(index_dir)[-1]
-        ins_ids = changes.select(
-            F.col(id_col).cast("long").alias(id_col)
-        ).distinct()
-        if ins_ids.join(del_ids, id_col, "leftsemi").limit(1).count():
-            raise ValueError(
-                f"{src_dir}: a vector is both inserted and deleted inside "
-                "one fold range — per-row order is not recoverable from "
-                "the unioned feed; refresh per source commit (e.g. via "
-                "the streaming sink) or rebuild"
-            )
-    cur = U.committed_versions(index_dir)[-1]
-    dv = (U._read_manifest_raw(index_dir, cur) or {}).get("dv") or []
-    if dv:
-        dv_keys = spark.read.parquet(
-            *[fsio.join(index_dir, e) for e in dv]
-        )
+            # delete-only version: one metadata commit, zero assignment
+            delete_by_keys(spark, index_dir, del_ids, [id_col], marker=marker)
+            return
         if (
             changes.select(F.col(id_col).cast("long").alias(id_col))
-            .join(dv_keys, id_col, "leftsemi")
+            .join(del_ids, id_col, "leftsemi")
             .limit(1)
             .count()
         ):
+            # unreachable through the public writers (one commit = one
+            # kind); a hand-built mixed feed has no row order — refuse
             raise ValueError(
-                f"{index_dir}: re-inserting a vector the index's deletion "
-                "vector currently hides — the vector would hide the new "
-                "row too; run compact_ann_index(..., force_dv=True) to "
-                "materialize the vectors, then refresh again"
+                f"{src_dir}/{src_v}: a vector is both inserted and "
+                "deleted inside one source version — the feed carries no "
+                "row order; rebuild instead"
             )
+    if U.dv_contains_keys(
+        spark, index_dir,
+        changes.select(F.col(id_col).cast("long").alias(id_col)),
+    ):
+        raise ValueError(
+            f"{index_dir}: re-inserting a vector the index's deletion "
+            "vector currently hides — the vector would hide the new "
+            "row too; run compact_ann_index(..., force_dv=True) to "
+            "materialize the vectors, then refresh again"
+        )
     centroids = load_centroids(index_dir)
     # the embedding column BY NAME from the sidecar — a positional pick
     # (first non-id feed column) would grab an unrelated source column
     # the moment the source carries one (exactly the case the
     # column-pruned feed walk above now tolerates) and assign garbage
     # cells; a feed genuinely lacking the column must fail loudly instead.
-    # Renames are already translated to current names by _changes_since,
-    # but a rename of the embedding column itself post-dates the sidecar —
-    # accept the current-name feed only when the sidecar name is absent.
     src_schema_cols = [c for c in changes.columns if c != "_change"]
     if src_vec is not None:
         if src_vec not in src_schema_cols:
@@ -273,19 +263,53 @@ def refresh_ann_index(
     assigned = _assign_cells(
         changes.select(id_col, emb_col), id_col, emb_col, centroids
     )
-    # mixed batch: the MERGE is idempotent (keyed by id within touched
-    # cells), so no step marker is needed — the real watermark rides the
-    # FINAL commit and a crash between the two simply re-merges
     upsert_partitioned(
         spark, index_dir, assigned, [id_col], "cell",
-        marker=(None if del_ids is not None else f"{_SRC_MARK}{newest}"),
+        marker=(None if del_ids is not None else marker),
     )
     if del_ids is not None:
-        delete_by_keys(
-            spark, index_dir, del_ids, [id_col],
-            marker=f"{_SRC_MARK}{newest}",
+        delete_by_keys(spark, index_dir, del_ids, [id_col], marker=marker)
+
+
+def refresh_ann_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+) -> str | None:
+    """Fold source changes since the watermark into the index — a
+    PER-VERSION replay (same discipline as the LSH/BM25 indexes): each
+    pending source version assigns ONLY its new vectors (the centroids
+    never move — FAISS's add-to-index contract), merges them through the
+    O(touched-cells) partitioned upsert, DV-deletes its removed ids, and
+    lands its ``_SRC_`` watermark before the next version starts — so a
+    crash heals by skipping covered versions and a delete followed by a
+    later re-insert is two separate folds. Returns the new index
+    version, or None when the source has nothing the index can see.
+    Refusals: update-shaped feeds (rebuild) and re-insert of a DV-hidden
+    id (``compact_ann_index(..., force_dv=True)`` heals)."""
+    wm = last_processed_version(index_dir)
+    pending = [
+        v
+        for v in U.committed_versions(src_dir)
+        if wm is None or U._vnum(v) > U._vnum(wm)
+    ]
+    if not pending:
+        return None
+    requested, src_vec = _ann_feed_cols(src_dir, index_dir, id_col)
+    prev_v, committed = wm, False
+    for v in pending:
+        changes, _ = _changes_since(
+            spark, src_dir, prev_v, requested_cols=requested, until=v
         )
-    return U.committed_versions(index_dir)[-1]
+        prev_v = v
+        if changes is None:
+            continue  # feed-less version: the next fold's marker covers it
+        _fold_ann_version(
+            spark, src_dir, index_dir, changes, v, id_col, src_vec
+        )
+        committed = True
+    return U.committed_versions(index_dir)[-1] if committed else None
 
 
 def ann_query(
@@ -398,18 +422,12 @@ def compact_ann_index(
     id can be re-inserted)."""
     from spookystuff_spark.sources.partitioned_table import (
         compact_auto_partitioned,
-        compact_partitioned,
     )
 
     wm = last_processed_version(index_dir)
-    marker = f"{_SRC_MARK}{wm}" if wm else None
-    v = compact_auto_partitioned(
+    return compact_auto_partitioned(
         spark, index_dir, "cell",
         max_files_per_partition=max_files_per_cell,
-        marker=marker,
+        force_dv=force_dv,
+        marker=f"{_SRC_MARK}{wm}" if wm else None,
     )
-    if v is None and force_dv:
-        cur = U.committed_versions(index_dir)[-1]
-        if (U._read_manifest_raw(index_dir, cur) or {}).get("dv"):
-            v = compact_partitioned(spark, index_dir, "cell", marker=marker)
-    return v

@@ -130,69 +130,39 @@ def build_bm25_index(
 _STEP_MARK = "_SRCSTEP_"
 
 
-def _dv_doc_overlap(spark: SparkSession, index_dir: str, ids: DataFrame) -> bool:
-    """Does any inserted doc id sit in the index's deletion vector? One
-    bounded job over the (small) vector keys — never the index."""
-    cur = U.committed_versions(index_dir)[-1]
-    m = U._read_manifest_raw(index_dir, cur) or {}
-    dv = m.get("dv") or []
-    if not dv:
-        return False
-    keys = spark.read.parquet(*[U.fsio.join(index_dir, e) for e in dv])
-    return bool(ids.join(keys, "doc_id", "leftsemi").limit(1).count())
-
-
-def refresh_bm25_index(
+def _fold_bm25_version(
     spark: SparkSession,
     src_dir: str,
     index_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> str | None:
-    """Fold source changes since the watermark into the index: postings
-    for ONLY the new documents, committed as one O(batch) partitioned
-    append with the stats advanced additively in the same manifest;
-    DELETED documents become an O(deleted) key deletion vector
-    (``delete_by_keys`` — a doc's postings are keyed by exactly the id
-    the feed names, so the delete needs ZERO index IO) with the stats
-    RETRACTED in the same commit (the deleted docs' dl re-tokenizes
-    from the feed's preimage rows through the build's own ``postings``
-    pass, so the subtraction is exact). Returns the new index version,
-    or None when the source has nothing new.
-
-    Refusals (each raises with the heal named): update-shaped feeds
-    (old and new postings share the doc id — rebuild); a doc inserted
-    AND deleted inside one fold range (feed order unrecoverable —
-    refresh per source commit); re-inserting a DV-hidden doc (the
-    vector would hide the new postings — run
-    ``compact_bm25_index(..., force_dv=True)`` first). Crash mid-fold
-    re-runs exactly-once: the real watermark rides the FINAL commit and
-    the append step is skip-guarded by an auxiliary marker."""
+    changes,
+    src_v: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Apply one source version's feed to the postings table: append the
+    new docs' postings (stats advanced additively in the same manifest),
+    then DV-delete the removed docs with the stats RETRACTED in the same
+    commit. The real ``_SRC_`` watermark rides the FINAL commit; the
+    append step is skip-guarded by an auxiliary ``_SRCSTEP_`` marker, so
+    a crash anywhere heals by re-running exactly this version."""
     from spookystuff_spark.sources.upsert import delete_by_keys
 
-    after = last_processed_version(index_dir)
-    # the fold consumes only (id_col, text_col): a drop of any other
-    # source column must not stall the refresh (column-pruned feed walk)
-    changes, newest = _changes_since(
-        spark, src_dir, after, requested_cols=[id_col, text_col]
-    )
-    if newest is None:
-        return None
-    if changes is None:  # feed-less versions only (e.g. compaction)
-        return None
+    wm = last_processed_version(index_dir)
+    if wm is not None and U._vnum(wm) >= U._vnum(src_v):
+        return  # already covered (crash heal)
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
     if kinds - {"insert", "delete"}:
         raise ValueError(
-            f"{src_dir}: BM25 index refresh folds insert/delete feeds — "
-            f"got kinds {sorted(kinds)}; a rewritten document's old and "
-            "new postings share its id (a key vector can't hide one "
-            "without the other), rebuild instead"
+            f"{src_dir}/{src_v}: BM25 index refresh folds insert/delete "
+            f"feeds — got kinds {sorted(kinds)}; a rewritten document's "
+            "old and new postings share its id (a key vector can't hide "
+            "one without the other), rebuild instead"
         )
     cur = U.committed_versions(index_dir)[-1]
     m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
     prev, n_buckets = dict(m[_STATS]), m["n_buckets"]
     changes = changes.localCheckpoint(eager=True)  # feeds several jobs
-    marker = f"{_SRC_MARK}{newest}"
+    marker = f"{_SRC_MARK}{src_v}"
 
     del_rows = None
     if "delete" in kinds:
@@ -213,13 +183,14 @@ def refresh_bm25_index(
             .limit(1)
             .count()
         ):
+            # unreachable through the public writers (one commit = one
+            # kind); a hand-built mixed feed has no row order — refuse
             raise ValueError(
-                f"{src_dir}: a document is both inserted and deleted "
-                "inside one fold range — per-row order is not "
-                "recoverable from the unioned feed; refresh per source "
-                "commit (e.g. via the streaming sink) or rebuild"
+                f"{src_dir}/{src_v}: a document is both inserted and "
+                "deleted inside one source version — the feed carries no "
+                "row order; rebuild instead"
             )
-        if _dv_doc_overlap(
+        if U.dv_contains_keys(
             spark, index_dir,
             ins.select(F.col(id_col).cast("long").alias("doc_id")),
         ):
@@ -231,7 +202,7 @@ def refresh_bm25_index(
                 "again"
             )
         step = newest_marker(index_dir, _STEP_MARK)
-        if step is None or U._vnum(step) < U._vnum(newest):
+        if step is None or U._vnum(step) < U._vnum(src_v):
             post = _bucketed_postings(
                 ins.select(id_col, text_col), id_col, text_col, n_buckets
             ).localCheckpoint(eager=True)
@@ -242,7 +213,7 @@ def refresh_bm25_index(
             }
             append_partitioned(
                 spark, index_dir, post, "bucket",
-                marker=(f"{_STEP_MARK}{newest}" if del_rows is not None
+                marker=(f"{_STEP_MARK}{src_v}" if del_rows is not None
                         else marker),
                 change_feed=False,
                 extra_fields={_STATS: prev, "n_buckets": n_buckets},
@@ -255,23 +226,67 @@ def refresh_bm25_index(
                 )[_STATS]
             )
         if del_rows is None:
-            return U.committed_versions(index_dir)[-1]
-    if del_rows is not None:
-        # exact retraction: the deleted docs' dl through the SAME
-        # tokenize pass the build used (docs with ≥1 token only)
-        retract = _stats_of(postings(del_rows, "doc_id", "__text"))
-        delete_by_keys(
-            spark, index_dir, del_rows.select("doc_id"), ["doc_id"],
-            marker=marker,
-            extra_fields={
-                _STATS: {
-                    "n_docs": prev["n_docs"] - retract["n_docs"],
-                    "total_dl": prev["total_dl"] - retract["total_dl"],
-                },
-                "n_buckets": n_buckets,
+            return
+    # exact retraction: the deleted docs' dl through the SAME tokenize
+    # pass the build used (docs with >=1 token only)
+    retract = _stats_of(postings(del_rows, "doc_id", "__text"))
+    delete_by_keys(
+        spark, index_dir, del_rows.select("doc_id"), ["doc_id"],
+        marker=marker,
+        extra_fields={
+            _STATS: {
+                "n_docs": prev["n_docs"] - retract["n_docs"],
+                "total_dl": prev["total_dl"] - retract["total_dl"],
             },
+            "n_buckets": n_buckets,
+        },
+    )
+
+
+def refresh_bm25_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str | None:
+    """Fold source changes since the watermark into the index — a
+    PER-VERSION replay (same discipline as the LSH index): each pending
+    source version folds on its own (postings for its new documents as
+    one O(batch) partitioned append with the stats advanced additively;
+    its deleted documents as an O(deleted) key deletion vector with the
+    stats retracted in the SAME commit), and its ``_SRC_`` watermark
+    lands before the next version starts — so a crash heals by skipping
+    covered versions, never by re-folding a batch whose extent grew
+    under it, and a doc deleted in one version and re-anything'd later
+    is two separate folds. Returns the new index version, or None when
+    the source has nothing the index can see. Refusals: update-shaped
+    feeds (rebuild) and re-insert of a DV-hidden doc
+    (``compact_bm25_index(..., force_dv=True)`` heals)."""
+    wm = last_processed_version(index_dir)
+    pending = [
+        v
+        for v in U.committed_versions(src_dir)
+        if wm is None or U._vnum(v) > U._vnum(wm)
+    ]
+    if not pending:
+        return None
+    prev_v, committed = wm, False
+    for v in pending:
+        # the fold consumes only (id_col, text_col): a drop of any other
+        # source column must not stall the refresh (column-pruned walk)
+        changes, _ = _changes_since(
+            spark, src_dir, prev_v, requested_cols=[id_col, text_col],
+            until=v,
         )
-    return U.committed_versions(index_dir)[-1]
+        prev_v = v
+        if changes is None:
+            continue  # feed-less version: the next fold's marker covers it
+        _fold_bm25_version(
+            spark, src_dir, index_dir, changes, v, id_col, text_col
+        )
+        committed = True
+    return U.committed_versions(index_dir)[-1] if committed else None
 
 
 def bm25_index_topk(
@@ -381,18 +396,12 @@ def compact_bm25_index(
     re-inserted)."""
     from spookystuff_spark.sources.partitioned_table import (
         compact_auto_partitioned,
-        compact_partitioned,
     )
 
     wm = last_processed_version(index_dir)
-    marker = f"{_SRC_MARK}{wm}" if wm else None
-    v = compact_auto_partitioned(
+    return compact_auto_partitioned(
         spark, index_dir, "bucket",
         max_files_per_partition=max_files_per_bucket,
-        marker=marker,
+        force_dv=force_dv,
+        marker=f"{_SRC_MARK}{wm}" if wm else None,
     )
-    if v is None and force_dv:
-        cur = U.committed_versions(index_dir)[-1]
-        if (U._read_manifest_raw(index_dir, cur) or {}).get("dv"):
-            v = compact_partitioned(spark, index_dir, "bucket", marker=marker)
-    return v

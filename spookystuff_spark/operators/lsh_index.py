@@ -65,7 +65,7 @@ from spookystuff_spark.sources.incremental import (
     last_processed_version,
     newest_marker,
 )
-from spookystuff_spark.sources.upsert import delete_by_keys
+from spookystuff_spark.sources.upsert import delete_by_keys, dv_contains_keys
 from spookystuff_spark.sources.partitioned_table import (
     append_partitioned,
     read_table_partitions,
@@ -273,44 +273,33 @@ def build_lsh_index(
     return U.committed_versions(_bands_dir(index_dir))[-1]
 
 
-def _dv_key_overlap(spark: SparkSession, table_dir: str, ids: DataFrame) -> bool:
-    """Does any id in ``ids`` sit in the table's deletion vector? One
-    bounded job over the (small) vector keys — never the table."""
-    cur = U.committed_versions(table_dir)[-1]
-    m = U._read_manifest_raw(table_dir, cur) or {}
-    dv = m.get("dv") or []
-    if not dv:
-        return False
-    from spookystuff_spark.sources.upsert import fsio
-
-    keys = spark.read.parquet(*[fsio.join(table_dir, e) for e in dv])
-    return bool(ids.join(keys, "id", "leftsemi").limit(1).count())
-
-
 def _fold_table(
     spark: SparkSession,
     table_dir: str,
     ins_rows: DataFrame | None,
     del_ids: DataFrame | None,
-    newest: str,
+    src_v: str,
     params: dict | None,
 ) -> None:
-    """One table's refresh sequence — append then DV-delete, the REAL
-    ``_SRC_`` watermark riding only the sequence's FINAL commit so a
-    crash anywhere inside re-runs the batch; the append step stamps an
-    auxiliary ``_SRCSTEP_`` marker making the re-run skip it instead of
-    double-appending."""
+    """One table's fold of ONE source version — append then DV-delete,
+    the REAL ``_SRC_`` watermark riding only the sequence's FINAL commit
+    so a crash anywhere inside re-runs this version; the append step
+    stamps an auxiliary ``_SRCSTEP_`` marker making the re-run skip it
+    instead of double-appending. Both guards compare against the single
+    version being folded, so source commits that land AFTER a crash can
+    never widen the batch under the heal (they are later iterations of
+    the per-version replay)."""
     wm = last_processed_version(table_dir)
-    if wm is not None and U._vnum(wm) >= U._vnum(newest):
-        return  # this table already covers the batch (crash heal)
-    marker = f"{_SRC_MARK}{newest}"
+    if wm is not None and U._vnum(wm) >= U._vnum(src_v):
+        return  # this table already covers the version (crash heal)
+    marker = f"{_SRC_MARK}{src_v}"
     extra = {_PARAMS: params} if params is not None else None
     if ins_rows is not None:
         step = newest_marker(table_dir, _STEP_MARK)
-        if step is None or U._vnum(step) < U._vnum(newest):
+        if step is None or U._vnum(step) < U._vnum(src_v):
             append_partitioned(
                 spark, table_dir, ins_rows, "bucket",
-                marker=(f"{_STEP_MARK}{newest}" if del_ids is not None
+                marker=(f"{_STEP_MARK}{src_v}" if del_ids is not None
                         else marker),
                 change_feed=False, extra_fields=extra,
             )
@@ -322,47 +311,28 @@ def _fold_table(
     )
 
 
-def refresh_lsh_index(
+def _fold_version(
     spark: SparkSession,
     src_dir: str,
     index_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> str | None:
-    """Fold source changes since the watermark into the index: one
-    signature pass over ONLY the new documents, one O(batch) partitioned
-    append per table; DELETED documents become an O(deleted) key
-    deletion vector on both tables (``delete_by_keys`` — zero index
-    scan; every reader anti-joins it away), so a PII/takedown purge
-    never costs an index rebuild. Returns the new bands version, or
-    None when the source has nothing new.
-
-    Refusals (each raises with the heal path named): update-shaped
-    feeds (an update's old and new band rows share the doc id, which a
-    table-level key vector can't tell apart — rebuild); a doc inserted
-    AND deleted inside one fold range (the unioned feed loses per-row
-    order — refresh per source commit instead); re-inserting a doc the
-    vector currently hides (the vector would hide the new rows too —
-    run a DV-materializing compaction first). Crash anywhere mid-fold
-    re-runs exactly-once: the real watermark rides each table's FINAL
-    commit, the append step is skip-guarded by an auxiliary marker, and
-    sigs commits fully before bands (the authoritative table)."""
+    changes: DataFrame,
+    src_v: str,
+    params: dict,
+    id_col: str,
+    text_col: str,
+) -> bool:
+    """Apply one source version's feed to both index tables. Returns
+    True when any commit landed (False = the version was invisible to
+    the index, e.g. only shingle-empty docs)."""
     bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
-    after = last_processed_version(bands_dir)
-    changes, newest = _changes_since(
-        spark, src_dir, after, requested_cols=[id_col, text_col]
-    )
-    if newest is None or changes is None:
-        return None
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
     if kinds - {"insert", "delete"}:
         raise ValueError(
-            f"{src_dir}: LSH index refresh folds insert/delete feeds — "
-            f"got kinds {sorted(kinds)}; a rewritten document's old and "
-            "new band rows share its id (a key vector can't hide one "
-            "without the other), rebuild instead"
+            f"{src_dir}/{src_v}: LSH index refresh folds insert/delete "
+            f"feeds — got kinds {sorted(kinds)}; a rewritten document's "
+            "old and new band rows share its id (a key vector can't hide "
+            "one without the other), rebuild instead"
         )
-    params = index_params(index_dir)
     changes = changes.localCheckpoint(eager=True)  # feeds several jobs
     del_ids = None
     if "delete" in kinds:
@@ -381,11 +351,13 @@ def refresh_lsh_index(
             .limit(1)
             .count()
         ):
+            # unreachable through the public writers (one commit = one
+            # kind) but a hand-built feed could do it — refuse, the row
+            # order inside one version's feed files is meaningless
             raise ValueError(
-                f"{src_dir}: a document is both inserted and deleted "
-                "inside one fold range — per-row order is not "
-                "recoverable from the unioned feed; refresh per source "
-                "commit (e.g. via the streaming sink) or rebuild"
+                f"{src_dir}/{src_v}: a document is both inserted and "
+                "deleted inside one source version — the feed carries no "
+                "row order; rebuild instead"
             )
         wide = _signatures(
             ins.select(id_col, text_col), id_col, text_col,
@@ -394,7 +366,7 @@ def refresh_lsh_index(
         ).localCheckpoint(eager=True)
         if not wide.limit(1).count():
             wide = None  # every inserted doc was shingle-empty: no rows
-        if wide is not None and _dv_key_overlap(
+        if wide is not None and dv_contains_keys(
             spark, bands_dir, wide.select("id")
         ):
             raise ValueError(
@@ -406,15 +378,63 @@ def refresh_lsh_index(
         if wide is not None:
             band_rows, sig_rows = _split_tables(wide, params["n_buckets"])
     if band_rows is None and del_ids is None:
-        # every inserted doc was shingle-empty: nothing the index can
-        # see changed. Don't advance the watermark — the next refresh
-        # re-reads the (column-pruned) feed and lands here again, which
-        # is idempotent and avoids a marker-only manifest mutation.
-        return None
+        return False  # invisible version: the next fold's marker covers it
     # sigs fully first, bands last: bands' watermark is the authoritative one
-    _fold_table(spark, sigs_dir, sig_rows, del_ids, newest, None)
-    _fold_table(spark, bands_dir, band_rows, del_ids, newest, params)
-    return U.committed_versions(bands_dir)[-1]
+    _fold_table(spark, sigs_dir, sig_rows, del_ids, src_v, None)
+    _fold_table(spark, bands_dir, band_rows, del_ids, src_v, params)
+    return True
+
+
+def refresh_lsh_index(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str | None:
+    """Fold source changes since the watermark into the index — a
+    PER-VERSION replay: each pending source version folds on its own
+    (one signature pass over its new documents + one O(batch)
+    partitioned append per table; its deleted documents become an
+    O(deleted) key deletion vector via ``delete_by_keys`` — zero index
+    scan, every reader anti-joins it away), and its ``_SRC_`` watermark
+    commits before the next version starts. A crash therefore heals by
+    SKIPPING the versions already covered (per-table watermark + step
+    markers) — source commits that land after the crash are later
+    iterations, never a widened batch re-fold — and a doc deleted in
+    one version and re-anything'd in a later one is two separate folds,
+    so the only insert+delete refusal left is the hand-built
+    single-version feed. Returns the newest bands version committed, or
+    None when the source has nothing the index can see.
+
+    Refusals (each raises with the heal path named): update-shaped
+    feeds (an update's old and new band rows share the doc id, which a
+    table-level key vector can't tell apart — rebuild); re-inserting a
+    doc the vector currently hides (the vector would hide the new rows
+    too — ``compact_lsh_index(force_dv=True)`` materializes it)."""
+    bands_dir = _bands_dir(index_dir)
+    wm = last_processed_version(bands_dir)
+    pending = [
+        v
+        for v in U.committed_versions(src_dir)
+        if wm is None or U._vnum(v) > U._vnum(wm)
+    ]
+    if not pending:
+        return None
+    params = index_params(index_dir)
+    prev, committed = wm, False
+    for v in pending:
+        changes, _ = _changes_since(
+            spark, src_dir, prev, requested_cols=[id_col, text_col],
+            until=v,
+        )
+        prev = v
+        if changes is None:
+            continue  # feed-less version: the next fold's marker covers it
+        committed = _fold_version(
+            spark, src_dir, index_dir, changes, v, params, id_col, text_col
+        ) or committed
+    return U.committed_versions(bands_dir)[-1] if committed else None
 
 
 def lsh_index_query(
@@ -538,23 +558,19 @@ def compact_lsh_index(
     (bands version, sigs version), None where nothing was rewritten."""
     from spookystuff_spark.sources.partitioned_table import (
         compact_auto_partitioned,
-        compact_partitioned,
     )
 
     out = []
     for d in (_bands_dir(index_dir), _sigs_dir(index_dir)):
         wm = last_processed_version(d)
-        marker = f"{_SRC_MARK}{wm}" if wm else None
-        v = compact_auto_partitioned(
-            spark, d, "bucket",
-            max_files_per_partition=max_files_per_bucket,
-            marker=marker,
+        out.append(
+            compact_auto_partitioned(
+                spark, d, "bucket",
+                max_files_per_partition=max_files_per_bucket,
+                force_dv=force_dv,
+                marker=f"{_SRC_MARK}{wm}" if wm else None,
+            )
         )
-        if v is None and force_dv:
-            cur = U.committed_versions(d)[-1]
-            if (U._read_manifest_raw(d, cur) or {}).get("dv"):
-                v = compact_partitioned(spark, d, "bucket", marker=marker)
-        out.append(v)
     return out[0], out[1]
 
 

@@ -336,9 +336,15 @@ def _changes_since(
     src_dir: str,
     after: str | None,
     requested_cols: Sequence[str] | None = None,
+    until: str | None = None,
 ) -> tuple[DataFrame | None, str | None]:
     """(all feed rows of versions > after with ``_change`` filled, newest
-    version seen). None frame when nothing new.
+    version seen). None frame when nothing new. ``until`` caps the fold
+    range to (after, until] — the per-VERSION replay the index refreshes
+    use so a crash heals by skipping already-covered versions instead of
+    re-folding a batch whose extent changed under it; rename translation
+    still scans past ``until`` so capped feeds arrive under the CURRENT
+    column names either way.
 
     Per-version soundness check: an ``upsert`` feed on any version except
     the table's FIRST (the pure-insert baseline) may hide updates whose
@@ -360,20 +366,26 @@ def _changes_since(
     newest = None
     committed = U.committed_versions(src_dir)
     first = committed[0] if committed else None
-    in_range = [
+    past_after = [
         v
         for v in committed
         if after is None or U._vnum(v) > U._vnum(after)
     ]
-    # one raw-manifest read per in-range version, shared by the rename-
-    # event pre-pass and the fold loop
+    in_range = [
+        v
+        for v in past_after
+        if until is None or U._vnum(v) <= U._vnum(until)
+    ]
+    # one raw-manifest read per post-watermark version, shared by the
+    # rename-event pre-pass (which must see renames PAST `until` too, so
+    # capped feeds still translate to current names) and the fold loop
     raws = {
-        v: (U._read_manifest_raw(src_dir, v) or {}) for v in in_range
+        v: (U._read_manifest_raw(src_dir, v) or {}) for v in past_after
     }
-    # rename events inside the range, chronological — applied to FEEDS
+    # rename events after the watermark, chronological — applied to FEEDS
     # older than each event below
     events: list[dict] = []
-    for v in in_range:
+    for v in past_after:
         m = raws[v]
         if m.get("kind") == "rename":
             log = m.get("rename_log") or []

@@ -567,6 +567,7 @@ def compact_auto_partitioned(
     table_dir: str,
     partition_col: str,
     max_files_per_partition: int = 8,
+    force_dv: bool = False,
     **compact_kwargs,
 ) -> str | None:
     """OPTIMIZE-when-fragmented: rewrite the layout only when some
@@ -576,10 +577,19 @@ def compact_auto_partitioned(
     manifest-only; returns the new version or None when nothing is
     fragmented. Read amplification stays bounded: between compactions a
     pruned read opens at most ``max_files_per_partition + batches-since``
-    files per partition."""
+    files per partition. ``force_dv=True`` additionally compacts when the
+    table's deletion vector is non-empty even with no fragmentation —
+    the rewrite reads through the DV-applied snapshot, MATERIALIZING the
+    deletes and clearing the vector (the heal the index refreshes name
+    before a DV-hidden key can be re-inserted)."""
     frag = fragmentation(table_dir)
     if not frag or max(frag.values()) <= max_files_per_partition:
-        return None
+        cur = U._latest(table_dir)
+        has_dv = cur is not None and bool(
+            (U._read_manifest_raw(table_dir, cur) or {}).get("dv")
+        )
+        if not (force_dv and has_dv):
+            return None
     return compact_partitioned(
         spark, table_dir, partition_col, **compact_kwargs
     )

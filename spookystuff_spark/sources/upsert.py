@@ -2693,6 +2693,27 @@ def delete_by_keys(
     return v
 
 
+def dv_contains_keys(
+    spark: SparkSession, table_dir: str, keys_df: DataFrame
+) -> bool:
+    """Does the table's deletion vector hide any key in ``keys_df``
+    (columns must cover the table's ``dv_keys``)? One bounded job over
+    the vector keys — never the table. False when no vector exists. The
+    shared probe behind every index's re-insert refusal
+    (:func:`delete_by_keys`' complement check)."""
+    cur = _latest(table_dir)
+    if cur is None:
+        return False
+    m = _read_manifest_raw(table_dir, cur) or {}
+    dv = m.get("dv") or []
+    if not dv:
+        return False
+    keys = spark.read.parquet(*[fsio.join(table_dir, e) for e in dv])
+    return bool(
+        keys_df.join(keys, list(m["dv_keys"]), "leftsemi").limit(1).count()
+    )
+
+
 def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     """Vector-only OPTIMIZE: fold the accumulated deletion-vector files
     (one per chained delete) into a single distinct key file as a

@@ -143,18 +143,15 @@ def test_mixed_batch_and_reinsert_contract(spark, built):
     assert sorted(
         B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
     ) == sorted(bm25_topk(corpus, QUERIES, k=3).collect(), key=key)
-    # same-id insert+delete in one range: refuse
-    U.append_rows(spark, src, _docs_df(spark, [(12, "tmp doc")]))
+    # same-id insert then delete in SUCCESSIVE source versions: the
+    # per-version replay folds both in order — net absent, stats exact
+    U.append_rows(spark, src, _docs_df(spark, [(12, "window hash scan")]))
     U.delete_where(spark, src, F.col("doc_id") == 12)
-    with pytest.raises(ValueError, match="both inserted and deleted"):
-        B.refresh_bm25_index(spark, src, idx)
-    # heal the refused window: per-commit replay is impossible here, so
-    # rebuild the index fresh and continue — then exercise the re-insert
-    # contract on the healthy index
-    import shutil
-
-    shutil.rmtree(idx)
-    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    assert sorted(
+        B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
+    ) == sorted(bm25_topk(corpus, QUERIES, k=3).collect(), key=key)
+    # re-insert of a DV-hidden doc: refuse until force_dv materializes
     U.delete_where(spark, src, F.col("doc_id") == 3)
     B.refresh_bm25_index(spark, src, idx)
     U.append_rows(spark, src, _docs_df(spark, [(3, DOCS[2][1])]))
@@ -173,6 +170,13 @@ def test_mixed_batch_and_reinsert_contract(spark, built):
     assert sorted(
         B.bm25_index_topk(spark, idx, QUERIES, k=3).collect(), key=key
     ) == sorted(bm25_topk(final, QUERIES, k=3).collect(), key=key)
+    # stats stayed exact through the whole append/DV/compact history
+    post = U.read_table(spark, idx)
+    n = post.select("doc_id").distinct().count()
+    total = sum(
+        r["dl"] for r in post.select("doc_id", "dl").distinct().collect()
+    )
+    assert B.index_stats(idx) == {"n_docs": n, "total_dl": total}
 
 
 def test_stats_ride_the_commit(spark, built):

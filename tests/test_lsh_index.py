@@ -226,6 +226,55 @@ def test_crash_between_commits_heals(spark, tmp_path, monkeypatch):
     ) == _numpy_estimates(probes, DOCS, 0.3)
 
 
+def test_crash_then_new_commits_heal_per_version(spark, tmp_path, monkeypatch):
+    """The round's review scenario: sigs lands version v2 with the REAL
+    marker, the bands append crashes, and the source receives ANOTHER
+    commit before the heal. The per-version replay must re-fold v2 for
+    bands only (sigs' watermark covers it) and then fold v3 for both —
+    never re-appending v2's sig rows into a widened batch."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, [d for d in DOCS if d[0] % 2 == 0]))
+
+    real = L.append_partitioned
+
+    def crash_on_bands(spark_, table_dir, *a, **kw):
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the bands commit")
+        return real(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "append_partitioned", crash_on_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.refresh_lsh_index(spark, src, idx)
+    # ANOTHER source commit lands before the heal
+    late = (20, _BASE + " late twentieth variant")
+    U.append_rows(spark, src, _docs_df(spark, [late]))
+    monkeypatch.setattr(L, "append_partitioned", real)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    srows = [
+        r["id"]
+        for r in read_table_partitions(spark, L._sigs_dir(idx), bks)
+        .select("id").collect()
+    ]
+    assert len(srows) == len(set(srows))  # v2 sig rows did not double-land
+    brows = [
+        (r["id"], r["band"])
+        for r in read_table_partitions(spark, L._bands_dir(idx), bks)
+        .select("id", "band").collect()
+    ]
+    assert len(brows) == len(set(brows))
+    probes = [(d, t) for d, t in DOCS] + [late]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, DOCS + [late], 0.2)
+
+
 def test_update_feed_refuses(spark, built):
     src, idx = built
     U.upsert(
@@ -285,11 +334,20 @@ def test_mixed_insert_delete_batch(spark, built):
     assert _rows(
         L.lsh_index_query(spark, idx, probes, threshold=0.2)
     ) == _numpy_estimates(probes, alive, 0.2)
-    # same-id insert+delete inside one range: refuse
-    U.append_rows(spark, src, _docs_df(spark, [(21, "u " * 40)]))
+    # same-id insert then delete in SUCCESSIVE source versions: the
+    # per-version replay folds them in order — no refusal, net absent
+    U.append_rows(spark, src, _docs_df(spark, [(21, "u v w x y z " * 8)]))
     U.delete_where(spark, src, F.col("doc_id") == 21)
-    with pytest.raises(ValueError, match="both inserted and deleted"):
-        L.refresh_lsh_index(spark, src, idx)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    visible = {
+        r["id"]
+        for r in read_table_partitions(spark, L._bands_dir(idx), bks)
+        .select("id").distinct().collect()
+    }
+    assert 21 not in visible and 20 in visible
 
 
 def test_reinsert_after_delete_refuses_then_heals(spark, built):
