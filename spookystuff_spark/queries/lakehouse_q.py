@@ -100,6 +100,74 @@ ORACLE_IVM = """
 """
 
 
+ORACLE_DISTINCT_IVM = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_chars_distinct,
+           COUNT(*) AS n_rows
+    FROM base WHERE lang <> 'de' GROUP BY lang
+"""
+
+
+@bench_only("q_distinct_ivm")
+def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) view maintenance, gate-pinned end-to-end: the same
+    commit schedule as :func:`q_ivm_refresh` (baseline insert →
+    preimage-logging MERGE → delete), but the derived table is the counted
+    (lang, n_chars) SUPPORT Z-set ``refresh_distinct`` maintains — the
+    construction that makes distinct counts exactly incremental under
+    deletes with NO source rescan (a deleted value leaves the support set
+    only at multiplicity zero). The oracle's closed-form
+    ``COUNT(DISTINCT)`` recompute passing means three successive deltas —
+    including updates that MOVE values between support rows — composed
+    exactly. Keyed layout (``dst_buckets=8``) so each refresh rewrites
+    only touched buckets. Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.incremental import (
+        read_distinct_aggregate,
+        refresh_distinct,
+    )
+    from spookystuff_spark.sources.upsert import delete_where, upsert, write_table
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = base.where(F.col("doc_id") % 7 == 0).withColumn(
+        "n_chars", F.col("n_chars") + 1
+    )
+    inserts = base.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = tempfile.mkdtemp(prefix="spooky-ddst-src-")
+    dst = tempfile.mkdtemp(prefix="spooky-ddst-dst-")
+    try:
+        write_table(base, src)
+        refresh_distinct(
+            spark, src, dst, ["lang"], "n_chars", dst_buckets=8
+        )
+        upsert(
+            spark, src, updates.unionByName(inserts), ["doc_id"],
+            feed_preimages=True,
+        )
+        refresh_distinct(spark, src, dst, ["lang"], "n_chars")
+        delete_where(spark, src, F.col("lang") == "de")
+        refresh_distinct(spark, src, dst, ["lang"], "n_chars")
+        out = read_distinct_aggregate(spark, dst, ["lang"], "n_chars").select(
+            "lang",
+            F.col("n_chars_distinct").cast("long").alias("n_chars_distinct"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dirs
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 @bench_only("q_ivm_refresh")
 def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view-maintenance fold, gate-pinned end-to-end: build a

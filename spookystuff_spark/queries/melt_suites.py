@@ -79,6 +79,7 @@ from spookystuff_spark.queries.graph_ops import (
 from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_BLOOM_LOOKUP,
     ORACLE_CDC,
+    ORACLE_DISTINCT_IVM,
     ORACLE_DV,
     ORACLE_IVM,
     ORACLE_PMERGE,
@@ -88,6 +89,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_STREAM_INGEST,
     q_bloom_lookup,
     q_cdc_upsert,
+    q_distinct_ivm,
     q_dv_delete,
     q_ivm_refresh,
     q_join_agg,
@@ -123,6 +125,7 @@ WITH {PAGERANK_CTES},
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
+     div AS ({ORACLE_DISTINCT_IVM}),
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
@@ -170,6 +173,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "ivm", "q_ivm_refresh", ["lang"], ["n_chars_sum", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "div", "q_distinct_ivm", ["lang"], ["n_chars_distinct", "n_rows"],
 )}
 UNION ALL {_melt_sql(
     "pmg", "q_partitioned_merge", ["reader", "lang"],
@@ -302,6 +308,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ivm_refresh",
             ["lang"],
             ["n_chars_sum", "n_rows"],
+        ),
+        _melt(
+            q_distinct_ivm(spark, sf_dir),
+            "q_distinct_ivm",
+            ["lang"],
+            ["n_chars_distinct", "n_rows"],
         ),
         _melt(
             q_partitioned_merge(spark, sf_dir),
@@ -531,7 +543,8 @@ register_suite(
                 "q_kmv_distinct_vocab", "q_sample_quantiles",
                 "q_weighted_sample", "q_pagerank_purchases",
                 "q_triangle_stats", "q_zorder_key", "q_cdc_upsert",
-                "q_kmv_overlap", "q_ivm_refresh", "q_partitioned_merge",
+                "q_kmv_overlap", "q_ivm_refresh", "q_distinct_ivm",
+                "q_partitioned_merge",
                 "q_dv_delete", "q_stream_ingest",
             ]
         },
