@@ -95,7 +95,14 @@ ORACLE_IVM = """
     )
     SELECT lang,
            CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
-           COUNT(*) AS n_rows
+           COUNT(*) AS n_rows,
+           round((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) + 1e-6, 4)
+             AS n_chars_avg,
+           round(GREATEST(
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)),
+             0.0) + 1e-6, 4) AS n_chars_var
     FROM base WHERE lang <> 'de' GROUP BY lang
 """
 
@@ -180,8 +187,17 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. The derived table is KEYED (``dst_buckets=8``): laid out by a
     hash bucket of the group key, so each refresh rewrites only the
     buckets its delta touches — the r9 keyed-fold path is what's gated
-    here, not the legacy full-rewrite. Rides ``q_scalar_suite``'s melt."""
-    from spookystuff_spark.sources.incremental import refresh_aggregate
+    here, not the legacy full-rewrite. The table also maintains
+    ``SUM(n_chars²)`` (``sumsq_cols`` — exact decimal accumulation), from
+    which read-time mean and population variance derive
+    (``with_derived_stats``): the r9 decomposable-statistics extension,
+    gated against the oracle's closed-form AVG/VAR recompute. Rides
+    ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.functions.rounding import round_stable
+    from spookystuff_spark.sources.incremental import (
+        refresh_aggregate,
+        with_derived_stats,
+    )
     from spookystuff_spark.sources.upsert import delete_where, upsert, write_table
 
     base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -196,21 +212,31 @@ def q_ivm_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_table(base, src)
         refresh_aggregate(
-            spark, src, dst, ["lang"], ["n_chars"], dst_buckets=8
+            spark, src, dst, ["lang"], ["n_chars"], dst_buckets=8,
+            sumsq_cols=["n_chars"],
         )
         upsert(
             spark, src, updates.unionByName(inserts), ["doc_id"],
             feed_preimages=True,
         )
-        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        refresh_aggregate(
+            spark, src, dst, ["lang"], ["n_chars"], sumsq_cols=["n_chars"]
+        )
         delete_where(spark, src, F.col("lang") == "de")
-        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        refresh_aggregate(
+            spark, src, dst, ["lang"], ["n_chars"], sumsq_cols=["n_chars"]
+        )
         from spookystuff_spark.sources.upsert import read_table
 
-        out = read_table(spark, dst).select(
+        out = with_derived_stats(
+            read_table(spark, dst), avg_cols=["n_chars"],
+            var_cols=["n_chars"],
+        ).select(
             "lang",
             F.col("n_chars_sum").cast("long").alias("n_chars_sum"),
             F.col("n_rows").cast("long").alias("n_rows"),
+            round_stable(F.col("n_chars_avg"), 4).alias("n_chars_avg"),
+            round_stable(F.col("n_chars_var"), 4).alias("n_chars_var"),
         )
         return out.localCheckpoint(eager=True)  # outlive the temp dirs
     finally:

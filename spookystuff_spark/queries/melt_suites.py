@@ -172,7 +172,8 @@ UNION ALL {_melt_sql(
      "containment_a_in_b"],
 )}
 UNION ALL {_melt_sql(
-    "ivm", "q_ivm_refresh", ["lang"], ["n_chars_sum", "n_rows"],
+    "ivm", "q_ivm_refresh", ["lang"],
+    ["n_chars_sum", "n_rows", "n_chars_avg", "n_chars_var"],
 )}
 UNION ALL {_melt_sql(
     "div", "q_distinct_ivm", ["lang"], ["n_chars_distinct", "n_rows"],
@@ -307,7 +308,7 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_ivm_refresh(spark, sf_dir),
             "q_ivm_refresh",
             ["lang"],
-            ["n_chars_sum", "n_rows"],
+            ["n_chars_sum", "n_rows", "n_chars_avg", "n_chars_var"],
         ),
         _melt(
             q_distinct_ivm(spark, sf_dir),

@@ -152,6 +152,7 @@ def _apply_rescan(
     sum_cols: Sequence[str],
     min_cols: Sequence[str],
     max_cols: Sequence[str],
+    sumsq_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Overwrite the min/max of the AFFECTED groups in ``merged`` with the
     re-derived authoritative values (``rescan``'s ``_r_<c>_min/max``
@@ -180,6 +181,7 @@ def _apply_rescan(
     return j2.select(
         *gcols,
         *[F.col(f"{c}_sum") for c in sum_cols],
+        *[F.col(f"{c}_sumsq") for c in sumsq_cols],
         *[
             F.when(F.col("_aff"), F.col(f"_r_{c}_min"))
             .otherwise(F.col(f"{c}_min"))
@@ -478,12 +480,22 @@ def refresh_aggregate(
     max_cols: Sequence[str] = (),
     src_partition_col: str | None = None,
     dst_buckets: int | None = None,
+    sumsq_cols: Sequence[str] = (),
 ) -> str | None:
     """Fold source changes since the last refresh into the derived
     aggregate table at ``dst_dir`` (schema: group_cols, ``<c>_sum`` per sum
-    col, ``<c>_min``/``<c>_max`` per min/max col, ``n_rows``). Returns the
+    col, ``<c>_sumsq`` per sumsq col, ``<c>_min``/``<c>_max`` per min/max
+    col, ``n_rows``). Returns the
     new derived version, or None if the source had nothing new. Groups
     whose count reaches zero are removed.
+
+    ``sumsq_cols``: additionally maintain ``SUM(c*c)`` per listed column
+    as ``<c>_sumsq`` — with ``<c>_sum`` and ``n_rows`` this derives
+    population variance/stddev at read time (:func:`with_derived_stats`).
+    Squares are accumulated as ``decimal(38,0)`` (exact integer
+    arithmetic, like DuckDB's hugeint sums), so the incremental fold is
+    bit-identical to a closed-form recompute — a floating accumulator
+    would drift under long retraction schedules.
 
     Sums and counts fold exactly from signed deltas on ANY feed. Mins and
     maxes don't decompose under subtraction (deleting a group's current
@@ -515,7 +527,9 @@ def refresh_aggregate(
     after = last_processed_version(dst_dir)
     changes, newest = _changes_since(
         spark, src_dir, after,
-        requested_cols=[*group_cols, *sum_cols, *min_cols, *max_cols],
+        requested_cols=[
+            *group_cols, *sum_cols, *sumsq_cols, *min_cols, *max_cols
+        ],
     )
     if newest is None:
         return None  # nothing new
@@ -535,10 +549,19 @@ def refresh_aggregate(
         # min/max fold over INSERT-side rows only: negative rows are
         # handled by the targeted re-derivation below
         pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
+        # squares in exact decimal arithmetic: cast BEFORE multiplying
+        # (a bigint c*c could overflow first), decimal sums never drift
+        sq = lambda c: (  # noqa: E731
+            F.col(c).cast("decimal(19,0)") * F.col(c).cast("decimal(19,0)")
+        )
         delta = changes.groupBy(*gcols).agg(
             *[
                 F.sum(F.col(c) * sign).alias(f"{c}_sum")
                 for c in sum_cols
+            ],
+            *[
+                F.sum(sq(c) * sign).alias(f"{c}_sumsq")
+                for c in sumsq_cols
             ],
             *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],
             *[F.max(pos_val(c)).alias(f"{c}_max") for c in max_cols],
@@ -596,6 +619,10 @@ def refresh_aggregate(
         d = delta.select(
             *gcols,
             *[F.col(f"{c}_sum").alias(f"_d_{c}_sum") for c in sum_cols],
+            *[
+                F.col(f"{c}_sumsq").alias(f"_d_{c}_sumsq")
+                for c in sumsq_cols
+            ],
             *[F.col(f"{c}_min").alias(f"_d_{c}_min") for c in min_cols],
             *[F.col(f"{c}_max").alias(f"_d_{c}_max") for c in max_cols],
             F.col("n_rows").alias("_d_n"),
@@ -616,6 +643,13 @@ def refresh_aggregate(
                     + F.coalesce(F.col(f"_d_{c}_sum"), F.lit(0))
                 ).alias(f"{c}_sum")
                 for c in sum_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"{c}_sumsq"), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{c}_sumsq"), F.lit(0))
+                ).alias(f"{c}_sumsq")
+                for c in sumsq_cols
             ],
             *[
                 # least/greatest return null only when BOTH sides are null;
@@ -677,7 +711,8 @@ def refresh_aggregate(
             *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
         )
         merged = _apply_rescan(
-            merged, rescan, affected, gcols, sum_cols, min_cols, max_cols
+            merged, rescan, affected, gcols, sum_cols, min_cols, max_cols,
+            sumsq_cols=sumsq_cols,
         )
 
     # the derived table is itself a versioned table; the _SRC_ marker rides
@@ -813,6 +848,38 @@ def refresh_distinct(
             touched=touched, cur=cur, rel=rel,
         )
     return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+
+
+def with_derived_stats(
+    df: DataFrame,
+    avg_cols: Sequence[str] = (),
+    var_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Append read-time derived statistics to a :func:`refresh_aggregate`
+    table: ``<c>_avg`` (= sum/n) per ``avg_cols`` entry, and
+    ``<c>_var``/``<c>_std`` (population variance E[c²]−E[c]² and its
+    square root) per ``var_cols`` entry — the latter require the table to
+    have been maintained with ``sumsq_cols``. Derivation happens on the
+    exact integer accumulators at read time, so incremental and
+    closed-form tables derive identical values; the variance is clamped
+    at zero before the square root (the subtraction can land a hair
+    negative in floating point for constant columns)."""
+    for c in avg_cols:
+        df = df.withColumn(
+            f"{c}_avg",
+            F.col(f"{c}_sum").cast("double") / F.col("n_rows"),
+        )
+    for c in var_cols:
+        mean = F.col(f"{c}_sum").cast("double") / F.col("n_rows")
+        df = df.withColumn(
+            f"{c}_var",
+            F.greatest(
+                F.col(f"{c}_sumsq").cast("double") / F.col("n_rows")
+                - mean * mean,
+                F.lit(0.0),
+            ),
+        ).withColumn(f"{c}_std", F.sqrt(F.col(f"{c}_var")))
+    return df
 
 
 def read_distinct_aggregate(

@@ -282,3 +282,41 @@ def test_keyed_dst_with_deletion_vectors_heals(spark, tmp_path):
     U.append_rows(spark, src, _rows(spark, [(5, "b", 20)]))
     v2 = refresh_aggregate(spark, src, dst, ["grp"], ["val"])
     assert "files_base" in U._read_manifest_raw(dst, v2)  # keyed resumed
+
+
+def test_sumsq_variance_folds_exactly(spark, tmp_path):
+    """``sumsq_cols`` accumulates SUM(c²) in exact decimal arithmetic, so
+    the incremental fold — including a min/max rescan batch, whose
+    passthrough must carry the sumsq column — equals a closed-form
+    recompute bit-for-bit, and read-time variance derives from it."""
+    from spookystuff_spark.sources.incremental import with_derived_stats
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    U.write_table(
+        _rows(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 5)]), src
+    )
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"],
+        dst_buckets=4, sumsq_cols=["val"],
+    )
+    U.upsert(
+        spark, src, _rows(spark, [(2, "a", 25), (4, "b", 7)]), ["k"],
+        feed_preimages=True,
+    )
+    U.delete_where(spark, src, F.col("k") == 3)
+    refresh_aggregate(
+        spark, src, dst, ["grp"], ["val"], min_cols=["val"],
+        sumsq_cols=["val"],
+    )
+    got = {
+        (r["grp"], int(r["val_sum"]), int(r["val_sumsq"]), r["n_rows"],
+         r["val_avg"], r["val_var"])
+        for r in with_derived_stats(
+            U.read_table(spark, dst), avg_cols=["val"], var_cols=["val"]
+        ).collect()
+    }
+    # live rows: a -> 10, 25; b -> 7
+    assert got == {
+        ("a", 35, 725, 2, 17.5, 725 / 2 - 17.5 * 17.5),
+        ("b", 7, 49, 1, 7.0, 0.0),
+    }
