@@ -685,6 +685,59 @@ def read_manifest(table_dir: str, version: str) -> Optional[dict]:
     return out
 
 
+def _entries_under(
+    table_dir: str, version: str, owners: set[str]
+) -> set[str]:
+    """The subset of ``version``'s manifest entries physically OWNED by
+    one of ``owners`` (relative entries whose leading path segment is in
+    the set) — WITHOUT materializing the full file list. Vacuum's
+    referenced-set assembly only ever probes entries inside the versions
+    it is about to drop, so folding every kept manifest's complete list
+    into driver memory (O(table files) strings per vacuum) was pure
+    waste; this folds the same delta chain but keeps only matching
+    entries, and on parquet entry tables filters with Arrow compute
+    (one zero-copy prefix scan per owner) instead of a Python loop.
+    Raises the same broken-chain error as :func:`read_manifest`."""
+
+    def _match(e: str) -> bool:
+        return not _is_abs_entry(e) and e.split("/", 1)[0] in owners
+
+    def _full_scoped(raw: dict) -> set[str]:
+        if "files" in raw:
+            return {e for e in raw["files"] if _match(e)}
+        if _ENTRIES_REF in raw:
+            import pyarrow.compute as pc
+
+            col = _read_entries_table(table_dir, raw[_ENTRIES_REF])["entry"]
+            out: set[str] = set()
+            for o in owners:
+                out.update(
+                    pc.filter(col, pc.starts_with(col, f"{o}/")).to_pylist()
+                )
+            return {e for e in out if not _is_abs_entry(e)}
+        return {e for e in _full_files(table_dir, raw) if _match(e)}
+
+    raw = _read_manifest_raw(table_dir, version)
+    if raw is None:
+        return set()
+    chain = []
+    v = version
+    while not _is_full_manifest(raw):
+        chain.append(raw)
+        v = raw["files_base"]
+        raw = _read_manifest_raw(table_dir, v)
+        if raw is None:
+            raise FileNotFoundError(
+                f"{table_dir}: delta manifest chain of {version} is broken "
+                f"at base {v} (manifest missing)"
+            )
+    files = _full_scoped(raw)
+    for d in reversed(chain):
+        files -= {e for e in (d.get("files_remove") or ()) if _match(e)}
+        files |= {e for e in (d.get("files_add") or ()) if _match(e)}
+    return files
+
+
 def entries_plan(spark: SparkSession, table_dir: str, version: str):
     """The snapshot's entry table as a Spark DataFrame ``[entry, part,
     stats, blooms]`` for DISTRIBUTED planning, or None when the snapshot
@@ -1898,17 +1951,23 @@ def vacuum(
                 recent.add(v)
         drop = [v for v in drop if v not in recent]
     kept_versions = [v for v in vs if v not in drop and v not in dangling]
+    # referenced-set assembly is SCOPED to the versions this run will
+    # sweep: only entries physically inside a doomed dir are ever probed
+    # below, so the set is O(doomed versions' files), never O(table
+    # files) — a vacuum of 2 old versions on a million-file table holds
+    # only the handful of carried-forward entries in driver memory
+    doomed = {v for v in drop + dangling if v != cur}
     referenced: set[str] = set()
     for v in kept_versions:
-        m = read_manifest(table_dir, v)
-        entries = (
-            m["files"] + m.get("dv", [])
-            if m is not None
-            else [f"{v}/{n}" for n in _parquet_names(fsio.join(table_dir, v))]
+        if not doomed:
+            break
+        referenced |= _entries_under(table_dir, v, doomed)
+        raw_v = _read_manifest_raw(table_dir, v) or {}
+        referenced.update(
+            e
+            for e in (raw_v.get("dv") or ())
+            if not _is_abs_entry(e) and e.split("/", 1)[0] in doomed
         )
-        for e in entries:
-            if not _is_abs_entry(e):
-                referenced.add(e)
     # a kept DELTA manifest whose fold chain reads a doomed version's
     # manifest must be MATERIALIZED first (full file list written in
     # place), or dropping the base would break every later fold — the
@@ -1918,7 +1977,6 @@ def vacuum(
     # (pre-consolidation tables), so those records are consolidated into
     # the kept manifest before the owners die. Runs while all chains are
     # still intact; referenced bloom SIDECARS are kept alive below.
-    doomed = {v for v in drop + dangling if v != cur}
     referenced_sidecars: set[str] = set()
     if doomed:
         fields = ("stats", _BLOOMS_FIELD)
