@@ -631,8 +631,15 @@ ORACLE_JOIN_VIEW = """
     SELECT c_mktsegment AS seg, COUNT(*) AS n_pairs,
            ROUND(SUM(o_totalprice) + 1e-6, 2) AS sum_price,
            ROUND(MIN(o_totalprice) + 1e-6, 2) AS min_price,
-           ROUND(MAX(o_totalprice) + 1e-6, 2) AS max_price
-    FROM customer JOIN orders ON o_custkey = c_custkey
+           ROUND(MAX(o_totalprice) + 1e-6, 2) AS max_price,
+           GREATEST(
+             CAST(SUM(pc * pc) AS DOUBLE) / COUNT(*)
+               - (CAST(SUM(pc) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(pc) AS DOUBLE) / COUNT(*)),
+             0.0) AS var_price_c
+    FROM customer
+    JOIN (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+          FROM orders) o ON o_custkey = c_custkey
     WHERE c_custkey % 10 <> 3
     GROUP BY 1
 """
@@ -736,7 +743,10 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the touched group buckets) and carries MIN/MAX of price — the DV
     delete retracts pairs from every segment, so the min/max legs pin
     the targeted re-derivation path against the oracle's closed-form
-    extremes. Rides ``q_scalar_suite``'s melt."""
+    extremes — plus SUM((price·100)²) in exact integer cents
+    (``sumsq_cols``), from which read-time population variance derives
+    and is gated against the oracle's closed-form recompute. Rides
+    ``q_scalar_suite``'s melt."""
     from spookystuff_spark.sources.join_view import refresh_join_aggregate
     from spookystuff_spark.sources.upsert import (
         append_rows,
@@ -753,14 +763,21 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("custkey"),
         "o_orderkey",
         F.col("o_totalprice").alias("price"),
+        # integer cents: the exact-decimal sumsq path (a double square
+        # would float-sum and drift off the closed-form oracle)
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "price_c"
+        ),
     )
     base = tempfile.mkdtemp(prefix="spooky-jva-")
     a_dir, b_dir, dst = (os.path.join(base, n) for n in ("a", "b", "g"))
 
     def refresh():
         refresh_join_aggregate(
-            spark, a_dir, b_dir, dst, ["custkey"], ["seg"], ["price"],
+            spark, a_dir, b_dir, dst, ["custkey"], ["seg"],
+            ["price", "price_c"],
             min_cols=["price"], max_cols=["price"], dst_buckets=8,
+            sumsq_cols=["price_c"],
         )
 
     try:
@@ -784,8 +801,12 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, a_dir, "custkey >= 0 AND custkey % 10 = 3", ["custkey"]
         )
         refresh()
+        from spookystuff_spark.sources.incremental import with_derived_stats
+
         return (
-            read_table(spark, dst)
+            with_derived_stats(
+                read_table(spark, dst), var_cols=["price_c"]
+            )
             .select(
                 "seg",
                 F.col("n_rows").alias("n_pairs"),
@@ -798,6 +819,10 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("price_max") + F.lit(1e-6), 2).alias(
                     "max_price"
                 ),
+                # NO rounding: the inputs are exact integers, so both
+                # engines compute the identical double (decimal ROUND
+                # renderings at 1e14 magnitude disagree in the last digit)
+                F.col("price_c_var").alias("var_price_c"),
             )
             .localCheckpoint(eager=True)
         )

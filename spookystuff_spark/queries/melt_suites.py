@@ -217,7 +217,7 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "jv", "q_join_agg", ["seg"],
-    ["n_pairs", "sum_price", "min_price", "max_price"],
+    ["n_pairs", "sum_price", "min_price", "max_price", "var_price_c"],
 )}"""
 
 
@@ -371,7 +371,8 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             q_join_agg(spark, sf_dir),
             "q_join_agg",
             ["seg"],
-            ["n_pairs", "sum_price", "min_price", "max_price"],
+            ["n_pairs", "sum_price", "min_price", "max_price",
+             "var_price_c"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)

@@ -144,6 +144,23 @@ def _resolve_buckets(
     return (int(dst_buckets) if dst_buckets else None), False
 
 
+def _sq_expr(df: DataFrame, c: str):
+    """``c²`` with the widest exact arithmetic the column admits:
+    integral types square as ``decimal(19,0)`` (cast BEFORE multiplying —
+    a bigint square could overflow first) and decimals square natively,
+    so their sums fold bit-exactly under any retraction schedule;
+    floating columns square in double (exactness is impossible there —
+    callers wanting exact variance over prices should scale to integer
+    cents first)."""
+    t = dict(df.dtypes)[c]
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        cc = F.col(c).cast("decimal(19,0)")
+        return cc * cc
+    if t.startswith("decimal"):
+        return F.col(c) * F.col(c)
+    return F.col(c).cast("double") * F.col(c).cast("double")
+
+
 def _apply_rescan(
     merged: DataFrame,
     rescan: DataFrame,
@@ -492,10 +509,12 @@ def refresh_aggregate(
     ``sumsq_cols``: additionally maintain ``SUM(c*c)`` per listed column
     as ``<c>_sumsq`` — with ``<c>_sum`` and ``n_rows`` this derives
     population variance/stddev at read time (:func:`with_derived_stats`).
-    Squares are accumulated as ``decimal(38,0)`` (exact integer
-    arithmetic, like DuckDB's hugeint sums), so the incremental fold is
+    Squares of integral/decimal columns accumulate in exact decimal
+    arithmetic (like DuckDB's hugeint sums), so the incremental fold is
     bit-identical to a closed-form recompute — a floating accumulator
-    would drift under long retraction schedules.
+    would drift under long retraction schedules; floating columns sum in
+    double (scale to integer cents first for exact money variance, see
+    :func:`_sq_expr`).
 
     Sums and counts fold exactly from signed deltas on ANY feed. Mins and
     maxes don't decompose under subtraction (deleting a group's current
@@ -549,18 +568,13 @@ def refresh_aggregate(
         # min/max fold over INSERT-side rows only: negative rows are
         # handled by the targeted re-derivation below
         pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
-        # squares in exact decimal arithmetic: cast BEFORE multiplying
-        # (a bigint c*c could overflow first), decimal sums never drift
-        sq = lambda c: (  # noqa: E731
-            F.col(c).cast("decimal(19,0)") * F.col(c).cast("decimal(19,0)")
-        )
         delta = changes.groupBy(*gcols).agg(
             *[
                 F.sum(F.col(c) * sign).alias(f"{c}_sum")
                 for c in sum_cols
             ],
             *[
-                F.sum(sq(c) * sign).alias(f"{c}_sumsq")
+                F.sum(_sq_expr(changes, c) * sign).alias(f"{c}_sumsq")
                 for c in sumsq_cols
             ],
             *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],

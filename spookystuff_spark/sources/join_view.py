@@ -470,12 +470,15 @@ def refresh_join_aggregate(
     min_cols: Sequence[str] = (),
     max_cols: Sequence[str] = (),
     dst_buckets: int | None = None,
+    sumsq_cols: Sequence[str] = (),
 ) -> str | None:
     """The COMPOSED view γ(A ⋈ B), maintained incrementally WITHOUT
     materializing the join: ``GROUP BY group_cols: SUM(sum_cols),
     MIN/MAX(min_cols/max_cols), COUNT(*)`` over the inner equi-join of
-    two versioned tables (schema: group_cols, ``<c>_sum``, ``<c>_min``/
-    ``<c>_max``, ``n_rows``). Each refresh computes the counted join
+    two versioned tables (schema: group_cols, ``<c>_sum``, ``<c>_sumsq``
+    per ``sumsq_cols`` entry — SUM(c²·_n), exact decimal for
+    integral/decimal columns, read-time variance via
+    ``with_derived_stats`` — ``<c>_min``/``<c>_max``, ``n_rows``). Each refresh computes the counted join
     delta (:func:`_join_delta` — the same partition-pruned,
     watermark-pinned machinery as the join view), aggregates it with
     signed multiplicities (``SUM(c·_n)``, ``SUM(_n)``), and folds the
@@ -510,6 +513,7 @@ def refresh_join_aggregate(
 
     gcols = list(group_cols)
     scols = list(sum_cols)
+    sqcols = list(sumsq_cols)
     mins, maxs = list(min_cols), list(max_cols)
     n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
     delta_v, marker, ordered, exists, pins = _join_delta(
@@ -524,7 +528,9 @@ def refresh_join_aggregate(
         if not exists:
             return None
         return advance_watermark(dst_dir, marker)
-    missing = [c for c in gcols + scols + mins + maxs if c not in ordered]
+    missing = [
+        c for c in gcols + scols + sqcols + mins + maxs if c not in ordered
+    ]
     if missing:
         raise ValueError(
             f"join aggregate {dst_dir}: columns {missing} not in the "
@@ -545,10 +551,16 @@ def refresh_join_aggregate(
     # min/max fold over INSERT-side pairs only; retracted groups are
     # re-derived below (the refresh_aggregate contract, join-lifted)
     pos_val = lambda c: F.when(~neg, F.col(c))  # noqa: E731
+    from spookystuff_spark.sources.incremental import _sq_expr
+
     delta_agg = delta_v.groupBy(*gcols).agg(
         *[
             F.sum(F.col(c) * F.col("_n")).alias(f"{c}_sum")
             for c in scols
+        ],
+        *[
+            F.sum(_sq_expr(delta_v, c) * F.col("_n")).alias(f"{c}_sumsq")
+            for c in sqcols
         ],
         *[F.min(pos_val(c)).alias(f"{c}_min") for c in mins],
         *[F.max(pos_val(c)).alias(f"{c}_max") for c in maxs],
@@ -586,6 +598,7 @@ def refresh_join_aggregate(
         # seed row and the n_rows filter would drop it — permanent drift)
         delta_agg = current.unionByName(delta_agg).groupBy(*gcols).agg(
             *[F.sum(f"{c}_sum").alias(f"{c}_sum") for c in scols],
+            *[F.sum(f"{c}_sumsq").alias(f"{c}_sumsq") for c in sqcols],
             *[F.min(f"{c}_min").alias(f"{c}_min") for c in mins],
             *[F.max(f"{c}_max").alias(f"{c}_max") for c in maxs],
             F.sum("n_rows").alias("n_rows"),
@@ -596,7 +609,8 @@ def refresh_join_aggregate(
             spark, a_dir, b_dir, on, pins, gcols, mins, maxs, affected
         )
         merged = _apply_rescan(
-            merged, rescan, affected, gcols, scols, mins, maxs
+            merged, rescan, affected, gcols, scols, mins, maxs,
+            sumsq_cols=sqcols,
         )
     try:
         if n_buckets is not None:

@@ -734,3 +734,69 @@ def test_join_aggregate_minmax_rescan_is_partition_pruned(
         for r in U.read_table(spark, dst).collect()
     }
     assert got == {("x", 100, 300, 2)}
+
+
+def test_join_aggregate_sumsq_through_retractions(spark, tmp_path):
+    """``sumsq_cols`` on the composed view: SUM(amt²·_n) folds exactly
+    through appends, a fact-side delete and a group-moving update —
+    including a batch that ALSO carries min/max (whose rescan passthrough
+    must not drop the sumsq column) — and read-time variance derives
+    from the exact accumulators."""
+    from spookystuff_spark.sources.incremental import with_derived_stats
+    from spookystuff_spark.sources.join_view import refresh_join_aggregate
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x"), (2, "y"), (3, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 300), (1, 11, 110)]),
+        b,
+    )
+
+    def refresh():
+        return refresh_join_aggregate(
+            spark, a, b, dst, ["k"], ["dname"], ["amt"],
+            min_cols=["amt"], max_cols=["amt"], sumsq_cols=["amt"],
+        )
+
+    def got():
+        return {
+            (r["dname"], r["amt_sum"], int(r["amt_sumsq"]), r["n_rows"],
+             r["amt_var"])
+            for r in with_derived_stats(
+                U.read_table(spark, dst), var_cols=["amt"]
+            ).collect()
+        }
+
+    def expected():
+        j = (
+            U.read_table(spark, a)
+            .join(U.read_table(spark, b), ["k"], "inner")
+            .groupBy("dname")
+            .agg(
+                F.sum("amt").alias("amt_sum"),
+                F.sum(F.col("amt") * F.col("amt")).alias("sq"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+        return {
+            (
+                r["dname"], r["amt_sum"], r["sq"], r["n_rows"],
+                r["sq"] / r["n_rows"]
+                - (r["amt_sum"] / r["n_rows"]) ** 2,
+            )
+            for r in j.collect()
+        }
+
+    assert refresh()  # seed
+    assert got() == expected()
+    U.append_rows(spark, a, _dim(spark, [(4, "y")]))
+    U.append_rows(spark, b, _fact(spark, [(4, 40, 400), (2, 21, 210)]))
+    assert refresh()
+    assert got() == expected()
+    # fact-side delete: triggers the min/max rescan, sumsq passes through
+    U.delete_where_dv(spark, b, "fid = 20", ["k", "fid"])
+    assert refresh()
+    assert got() == expected()
+    U.upsert(spark, a, _dim(spark, [(1, "y")]), ["k"], feed_preimages=True)
+    assert refresh()
+    assert got() == expected()
