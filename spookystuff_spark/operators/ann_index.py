@@ -298,9 +298,11 @@ def refresh_ann_index(
         return None
     requested, src_vec = _ann_feed_cols(src_dir, index_dir, id_col)
     prev_v, committed = wm, False
+    meta_cache: dict = {}  # O(pending) metadata reads across the replay
     for v in pending:
         changes, _ = _changes_since(
-            spark, src_dir, prev_v, requested_cols=requested, until=v
+            spark, src_dir, prev_v, requested_cols=requested, until=v,
+            meta_cache=meta_cache,
         )
         prev_v = v
         if changes is None:

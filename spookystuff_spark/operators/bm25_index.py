@@ -166,10 +166,14 @@ def _fold_bm25_version(
 
     del_rows = None
     if "delete" in kinds:
+        # the id keeps its SOURCE type: postings() never casts, so the
+        # stored table's doc_id is source-typed — a cast("long") here
+        # would NULL every string id, collapse the dedup to one row and
+        # write a deletion vector that matches nothing
         del_rows = (
             changes.where(F.col("_change") == "delete")
             .select(
-                F.col(id_col).cast("long").alias("doc_id"),
+                F.col(id_col).alias("doc_id"),
                 F.col(text_col).alias("__text"),
             )
             .dropDuplicates(["doc_id"])
@@ -178,7 +182,7 @@ def _fold_bm25_version(
     if "insert" in kinds:
         ins = changes.where(F.col("_change") == "insert")
         if del_rows is not None and (
-            ins.select(F.col(id_col).cast("long").alias("doc_id"))
+            ins.select(F.col(id_col).alias("doc_id"))
             .join(del_rows, "doc_id", "leftsemi")
             .limit(1)
             .count()
@@ -192,7 +196,7 @@ def _fold_bm25_version(
             )
         if U.dv_contains_keys(
             spark, index_dir,
-            ins.select(F.col(id_col).cast("long").alias("doc_id")),
+            ins.select(F.col(id_col).alias("doc_id")),
         ):
             raise ValueError(
                 f"{index_dir}: re-inserting a document the index's "
@@ -272,12 +276,13 @@ def refresh_bm25_index(
     if not pending:
         return None
     prev_v, committed = wm, False
+    meta_cache: dict = {}  # O(pending) metadata reads across the replay
     for v in pending:
         # the fold consumes only (id_col, text_col): a drop of any other
         # source column must not stall the refresh (column-pruned walk)
         changes, _ = _changes_since(
             spark, src_dir, prev_v, requested_cols=[id_col, text_col],
-            until=v,
+            until=v, meta_cache=meta_cache,
         )
         prev_v = v
         if changes is None:

@@ -423,10 +423,11 @@ def refresh_lsh_index(
         return None
     params = index_params(index_dir)
     prev, committed = wm, False
+    meta_cache: dict = {}  # O(pending) metadata reads across the replay
     for v in pending:
         changes, _ = _changes_since(
             spark, src_dir, prev, requested_cols=[id_col, text_col],
-            until=v,
+            until=v, meta_cache=meta_cache,
         )
         prev = v
         if changes is None:

@@ -136,7 +136,11 @@ def build_bloom_specs(
     agg: dict = {}
     for col in cols:
         h1, h2 = _base_hash_cols(col)
-        hashed = df.select(
+        # NULLs never match an equality probe, so they contribute no bits
+        # — and crc32(NULL) is NULL, which would crash the folds' int64
+        # conversion (an all-NULL file simply gets no spec: the probe
+        # keeps it as a candidate, false-positive-only as ever)
+        hashed = df.where(F.col(col).isNotNull()).select(
             F.input_file_name().alias("_file"),
             h1.alias("_h1"),
             h2.alias("_h2"),
@@ -710,6 +714,15 @@ def read_table_point(
     import json
 
     from pyspark.sql.types import StructType
+
+    if value is None:
+        # NULL equals nothing: the residual `col == NULL` filter below
+        # would return zero rows anyway, and crc32(NULL) has no hash to
+        # probe — refuse loudly instead of int(None) crashing
+        raise ValueError(
+            "bloom point lookup of NULL — `col == NULL` matches no rows; "
+            "scan with an IS NULL predicate instead"
+        )
 
     cur = U._latest(table_dir)
     if cur is None:

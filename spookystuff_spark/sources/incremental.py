@@ -356,6 +356,7 @@ def _changes_since(
     after: str | None,
     requested_cols: Sequence[str] | None = None,
     until: str | None = None,
+    meta_cache: dict | None = None,
 ) -> tuple[DataFrame | None, str | None]:
     """(all feed rows of versions > after with ``_change`` filled, newest
     version seen). None frame when nothing new. ``until`` caps the fold
@@ -380,10 +381,22 @@ def _changes_since(
     column); dropping anything else just stops appearing in newer feeds.
     With ``requested_cols=None`` (consumption unknown) every drop refuses,
     the conservative pre-r8 behavior — a consumer folding the dropped
-    column would silently treat post-drop feeds as null contributions."""
+    column would silently treat post-drop feeds as null contributions.
+
+    ``meta_cache``: an empty dict a PER-VERSION replay loop (the index
+    refreshes) passes to every call of one refresh — the committed
+    listing and raw manifests memoize there, so replaying a P-version
+    backlog costs O(P) metadata reads instead of O(P²) (each call's
+    pre-pass spans the FULL post-watermark range, not just ``until``).
+    Committed manifests are immutable, so the memo is always current."""
     frames = []
     newest = None
-    committed = U.committed_versions(src_dir)
+    if meta_cache is not None and "committed" in meta_cache:
+        committed = meta_cache["committed"]
+    else:
+        committed = U.committed_versions(src_dir)
+        if meta_cache is not None:
+            meta_cache["committed"] = committed
     first = committed[0] if committed else None
     past_after = [
         v
@@ -397,10 +410,16 @@ def _changes_since(
     ]
     # one raw-manifest read per post-watermark version, shared by the
     # rename-event pre-pass (which must see renames PAST `until` too, so
-    # capped feeds still translate to current names) and the fold loop
-    raws = {
-        v: (U._read_manifest_raw(src_dir, v) or {}) for v in past_after
-    }
+    # capped feeds still translate to current names) and the fold loop —
+    # memoized across a replay loop's calls via meta_cache
+    raw_memo = (
+        meta_cache.setdefault("raws", {}) if meta_cache is not None else {}
+    )
+    raws = {}
+    for v in past_after:
+        if v not in raw_memo:
+            raw_memo[v] = U._read_manifest_raw(src_dir, v) or {}
+        raws[v] = raw_memo[v]
     # rename events after the watermark, chronological — applied to FEEDS
     # older than each event below
     events: list[dict] = []
@@ -555,188 +574,206 @@ def refresh_aggregate(
 
     gcols = list(group_cols)
     n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
-    affected = None
-    if changes is not None:
-        is_neg = F.col("_change").isin(*_NEG)
-        if min_cols or max_cols:
-            neg = changes.where(is_neg).limit(1).count()
-            if neg:
-                affected = changes.where(is_neg).select(*gcols).distinct()
-        sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
-            F.lit(-1)
-        )
-        # min/max fold over INSERT-side rows only: negative rows are
-        # handled by the targeted re-derivation below
-        pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
-        delta = changes.groupBy(*gcols).agg(
-            *[
-                F.sum(F.col(c) * sign).alias(f"{c}_sum")
-                for c in sum_cols
-            ],
-            *[
-                F.sum(_sq_expr(changes, c) * sign).alias(f"{c}_sumsq")
-                for c in sumsq_cols
-            ],
-            *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],
-            *[F.max(pos_val(c)).alias(f"{c}_max") for c in max_cols],
-            F.sum(sign).alias("n_rows"),
-        )
-    else:
-        delta = None  # only feed-less versions: watermark-only advance
-
-    marker = f"{_SRC_MARK}{newest}"
-    if delta is None:
-        # feed-less source versions: an O(1) empty marker commit when the
-        # table exists (never a rewrite), nothing to advance otherwise
-        from spookystuff_spark import fsio
-
-        if fsio.is_dir(dst_dir) and U._latest(dst_dir) is not None:
-            return advance_watermark(dst_dir, marker)
-        return None
-
-    touched: list[str] | None = None
-    cur = rel = None
-    if keyed_layout:
-        cur, rel, layout_ok = _keyed_state(dst_dir)
-        if layout_ok:
-            # keyed fold: read ONLY the buckets the delta touches (manifest
-            # pruning — untouched buckets cost zero IO and carry through
-            # the commit's base reference); the full-outer fold below then
-            # passes the slice's un-deltaed groups through unchanged, so
-            # the rewrite is the touched buckets, nothing else
-            from spookystuff_spark.sources.partitioned_table import (
-                read_table_partitions,
+    persisted = changes is not None and bool(
+        min_cols or max_cols or n_buckets is not None
+    )
+    if persisted:
+        # the neg probe, affected distinct, touched-bucket collect,
+        # rescan and final commit each re-evaluate the feed DAG - pin
+        # it once (the join-aggregate's persist idiom)
+        changes = changes.persist()
+    try:
+        affected = None
+        if changes is not None:
+            is_neg = F.col("_change").isin(*_NEG)
+            if min_cols or max_cols:
+                neg = changes.where(is_neg).limit(1).count()
+                if neg:
+                    affected = changes.where(is_neg).select(*gcols).distinct()
+            sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
+                F.lit(-1)
             )
+            # min/max fold over INSERT-side rows only: negative rows are
+            # handled by the targeted re-derivation below
+            pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
+            delta = changes.groupBy(*gcols).agg(
+                *[
+                    F.sum(F.col(c) * sign).alias(f"{c}_sum")
+                    for c in sum_cols
+                ],
+                *[
+                    F.sum(_sq_expr(changes, c) * sign).alias(f"{c}_sumsq")
+                    for c in sumsq_cols
+                ],
+                *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],
+                *[F.max(pos_val(c)).alias(f"{c}_max") for c in max_cols],
+                F.sum(sign).alias("n_rows"),
+            )
+        else:
+            delta = None  # only feed-less versions: watermark-only advance
 
-            touched = sorted({
-                r[0]
-                for r in delta.select(
-                    _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+        marker = f"{_SRC_MARK}{newest}"
+        if delta is None:
+            # feed-less source versions: an O(1) empty marker commit when the
+            # table exists (never a rewrite), nothing to advance otherwise
+            from spookystuff_spark import fsio
+
+            if fsio.is_dir(dst_dir) and U._latest(dst_dir) is not None:
+                return advance_watermark(dst_dir, marker)
+            return None
+
+        touched: list[str] | None = None
+        cur = rel = None
+        if keyed_layout:
+            cur, rel, layout_ok = _keyed_state(dst_dir)
+            if layout_ok:
+                # keyed fold: read ONLY the buckets the delta touches (manifest
+                # pruning — untouched buckets cost zero IO and carry through
+                # the commit's base reference); the full-outer fold below then
+                # passes the slice's un-deltaed groups through unchanged, so
+                # the rewrite is the touched buckets, nothing else
+                from spookystuff_spark.sources.partitioned_table import (
+                    read_table_partitions,
                 )
-                .distinct()
-                .collect()  # bounded by n_buckets, never by group count
-            })
-            current = read_table_partitions(spark, dst_dir, touched)
+
+                touched = sorted({
+                    r[0]
+                    for r in delta.select(
+                        _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+                    )
+                    .distinct()
+                    .collect()  # bounded by n_buckets, never by group count
+                })
+                current = read_table_partitions(spark, dst_dir, touched)
+            else:
+                # a maintenance commit flattened the layout: heal with one
+                # full fold + bucketed re-seed
+                current = U.read_table(spark, dst_dir)
         else:
-            # a maintenance commit flattened the layout: heal with one
-            # full fold + bucketed re-seed
-            current = U.read_table(spark, dst_dir)
-    else:
-        try:
-            current = U.read_table(spark, dst_dir)
-        except FileNotFoundError:
-            current = None
+            try:
+                current = U.read_table(spark, dst_dir)
+            except FileNotFoundError:
+                current = None
 
-    if current is None:
-        merged = delta
-    else:
-        d = delta.select(
-            *gcols,
-            *[F.col(f"{c}_sum").alias(f"_d_{c}_sum") for c in sum_cols],
-            *[
-                F.col(f"{c}_sumsq").alias(f"_d_{c}_sumsq")
-                for c in sumsq_cols
-            ],
-            *[F.col(f"{c}_min").alias(f"_d_{c}_min") for c in min_cols],
-            *[F.col(f"{c}_max").alias(f"_d_{c}_max") for c in max_cols],
-            F.col("n_rows").alias("_d_n"),
-        )
-        # NULL-SAFE key match: a full-outer equi-join never matches
-        # NULL = NULL, so a NULL-keyed group's delta would miss its
-        # current row, split into two rows, and the n_rows filter would
-        # silently drop the retraction half — permanent drift (the r8
-        # review's join-aggregate catch, same class here)
-        joined = current.join(
-            d, _null_safe_key_cond(current, d, gcols), "full_outer"
-        )
-        merged = joined.select(
-            *[F.coalesce(current[g], d[g]).alias(g) for g in gcols],
-            *[
+        if current is None:
+            merged = delta
+        else:
+            d = delta.select(
+                *gcols,
+                *[F.col(f"{c}_sum").alias(f"_d_{c}_sum") for c in sum_cols],
+                *[
+                    F.col(f"{c}_sumsq").alias(f"_d_{c}_sumsq")
+                    for c in sumsq_cols
+                ],
+                *[F.col(f"{c}_min").alias(f"_d_{c}_min") for c in min_cols],
+                *[F.col(f"{c}_max").alias(f"_d_{c}_max") for c in max_cols],
+                F.col("n_rows").alias("_d_n"),
+            )
+            # NULL-SAFE key match: a full-outer equi-join never matches
+            # NULL = NULL, so a NULL-keyed group's delta would miss its
+            # current row, split into two rows, and the n_rows filter would
+            # silently drop the retraction half — permanent drift (the r8
+            # review's join-aggregate catch, same class here)
+            joined = current.join(
+                d, _null_safe_key_cond(current, d, gcols), "full_outer"
+            )
+            merged = joined.select(
+                *[F.coalesce(current[g], d[g]).alias(g) for g in gcols],
+                *[
+                    (
+                        F.coalesce(F.col(f"{c}_sum"), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{c}_sum"), F.lit(0))
+                    ).alias(f"{c}_sum")
+                    for c in sum_cols
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"{c}_sumsq"), F.lit(0))
+                        + F.coalesce(F.col(f"_d_{c}_sumsq"), F.lit(0))
+                    ).alias(f"{c}_sumsq")
+                    for c in sumsq_cols
+                ],
+                *[
+                    # least/greatest return null only when BOTH sides are null;
+                    # a group present on one side only keeps its own extreme
+                    F.coalesce(
+                        F.least(F.col(f"{c}_min"), F.col(f"_d_{c}_min")),
+                        F.col(f"{c}_min"),
+                        F.col(f"_d_{c}_min"),
+                    ).alias(f"{c}_min")
+                    for c in min_cols
+                ],
+                *[
+                    F.coalesce(
+                        F.greatest(F.col(f"{c}_max"), F.col(f"_d_{c}_max")),
+                        F.col(f"{c}_max"),
+                        F.col(f"_d_{c}_max"),
+                    ).alias(f"{c}_max")
+                    for c in max_cols
+                ],
                 (
-                    F.coalesce(F.col(f"{c}_sum"), F.lit(0))
-                    + F.coalesce(F.col(f"_d_{c}_sum"), F.lit(0))
-                ).alias(f"{c}_sum")
-                for c in sum_cols
-            ],
-            *[
-                (
-                    F.coalesce(F.col(f"{c}_sumsq"), F.lit(0))
-                    + F.coalesce(F.col(f"_d_{c}_sumsq"), F.lit(0))
-                ).alias(f"{c}_sumsq")
-                for c in sumsq_cols
-            ],
-            *[
-                # least/greatest return null only when BOTH sides are null;
-                # a group present on one side only keeps its own extreme
-                F.coalesce(
-                    F.least(F.col(f"{c}_min"), F.col(f"_d_{c}_min")),
-                    F.col(f"{c}_min"),
-                    F.col(f"_d_{c}_min"),
-                ).alias(f"{c}_min")
-                for c in min_cols
-            ],
-            *[
-                F.coalesce(
-                    F.greatest(F.col(f"{c}_max"), F.col(f"_d_{c}_max")),
-                    F.col(f"{c}_max"),
-                    F.col(f"_d_{c}_max"),
-                ).alias(f"{c}_max")
-                for c in max_cols
-            ],
-            (
-                F.coalesce(F.col("n_rows"), F.lit(0))
-                + F.coalesce(F.col("_d_n"), F.lit(0))
-            ).alias("n_rows"),
-        )
-    merged = merged.where(F.col("n_rows") > 0)
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("_d_n"), F.lit(0))
+                ).alias("n_rows"),
+            )
+        merged = merged.where(F.col("n_rows") > 0)
 
-    if affected is not None:
-        # targeted re-derivation: recompute min/max for ONLY the groups the
-        # negative rows touched, from the current source snapshot restricted
-        # to those groups — the authoritative value after any mix of
-        # updates/deletes; every other group keeps its folded extremes
-        vals = None
-        if src_partition_col and gcols == [src_partition_col]:
-            # bounded driver pull: limit(N+1) caps the collect structurally
-            # — a backfill-sized delete (more affected groups than
-            # AFFECTED_PARTS_MAX) falls through to the one-pass null-safe
-            # semi-join scan below, nothing further collected
-            rows = affected.limit(AFFECTED_PARTS_MAX + 1).collect()
-            if len(rows) <= AFFECTED_PARTS_MAX:
-                vals = [r[0] for r in rows]
-        if vals is not None and not any(v is None for v in vals):
-            from spookystuff_spark.sources.partitioned_table import (
-                read_table_partitions,
+        if affected is not None:
+            # targeted re-derivation: recompute min/max for ONLY the groups the
+            # negative rows touched, from the current source snapshot restricted
+            # to those groups — the authoritative value after any mix of
+            # updates/deletes; every other group keeps its folded extremes
+            vals = None
+            if src_partition_col and gcols == [src_partition_col]:
+                # bounded driver pull: limit(N+1) caps the collect structurally
+                # — a backfill-sized delete (more affected groups than
+                # AFFECTED_PARTS_MAX) falls through to the one-pass null-safe
+                # semi-join scan below, nothing further collected
+                rows = affected.limit(AFFECTED_PARTS_MAX + 1).collect()
+                if len(rows) <= AFFECTED_PARTS_MAX:
+                    vals = [r[0] for r in rows]
+            if vals is not None and not any(v is None for v in vals):
+                from spookystuff_spark.sources.partitioned_table import (
+                    read_table_partitions,
+                )
+
+                # PINNED to the version the fold covers: a concurrent source
+                # commit after `newest` must not leak into this refresh's
+                # min/max while its sums/counts reflect the watermark (the
+                # join-aggregate rescan pins its snapshots the same way)
+                src_slice = read_table_partitions(
+                    spark, src_dir, vals, version=newest
+                )
+            else:
+                # unpartitioned source, composite group key, or a NULL-keyed
+                # affected group (a NULL has no ``__part=`` path segment to
+                # enumerate): null-safe semi-join scan, one pass
+                src = U.read_table(spark, src_dir, version=newest)
+                src_slice = src.join(
+                    affected,
+                    _null_safe_key_cond(src, affected, gcols),
+                    "leftsemi",
+                )
+            rescan = src_slice.groupBy(*gcols).agg(
+                *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
+                *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
+            )
+            merged = _apply_rescan(
+                merged, rescan, affected, gcols, sum_cols, min_cols, max_cols,
+                sumsq_cols=sumsq_cols,
             )
 
-            src_slice = read_table_partitions(spark, src_dir, vals)
-        else:
-            # unpartitioned source, composite group key, or a NULL-keyed
-            # affected group (a NULL has no ``__part=`` path segment to
-            # enumerate): null-safe semi-join scan, one pass
-            src = U.read_table(spark, src_dir)
-            src_slice = src.join(
-                affected,
-                _null_safe_key_cond(src, affected, gcols),
-                "leftsemi",
+        # the derived table is itself a versioned table; the _SRC_ marker rides
+        # its atomic commit, making the refresh exactly-once per source version
+        if n_buckets is not None:
+            return _commit_keyed(
+                merged, dst_dir, gcols, n_buckets, marker,
+                touched=touched, cur=cur, rel=rel,
             )
-        rescan = src_slice.groupBy(*gcols).agg(
-            *[F.min(c).alias(f"_r_{c}_min") for c in min_cols],
-            *[F.max(c).alias(f"_r_{c}_max") for c in max_cols],
-        )
-        merged = _apply_rescan(
-            merged, rescan, affected, gcols, sum_cols, min_cols, max_cols,
-            sumsq_cols=sumsq_cols,
-        )
-
-    # the derived table is itself a versioned table; the _SRC_ marker rides
-    # its atomic commit, making the refresh exactly-once per source version
-    if n_buckets is not None:
-        return _commit_keyed(
-            merged, dst_dir, gcols, n_buckets, marker,
-            touched=touched, cur=cur, rel=rel,
-        )
-    return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+        return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+    finally:
+        if persisted:
+            changes.unpersist()
 
 
 def refresh_distinct(
@@ -805,63 +842,72 @@ def refresh_distinct(
         .where(F.col("_dn") != 0)  # an update leaving the value unchanged
     )
 
-    touched: list[str] | None = None
-    cur = rel = None
-    if keyed_layout:
-        cur, rel, layout_ok = _keyed_state(dst_dir)
-        if layout_ok:
-            # keyed fold: only the buckets the delta's GROUPS hash into
-            # are read and rewritten (all of a group's support rows live
-            # in its bucket, so the slice is self-contained)
-            from spookystuff_spark.sources.partitioned_table import (
-                read_table_partitions,
-            )
-
-            touched = sorted({
-                r[0]
-                for r in delta.select(
-                    _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+    persisted = keyed_layout
+    if persisted:
+        # the touched-bucket collect and the commit both evaluate the
+        # delta DAG (one full feed read each) - pin it once
+        delta = delta.persist()
+    try:
+        touched: list[str] | None = None
+        cur = rel = None
+        if keyed_layout:
+            cur, rel, layout_ok = _keyed_state(dst_dir)
+            if layout_ok:
+                # keyed fold: only the buckets the delta's GROUPS hash into
+                # are read and rewritten (all of a group's support rows live
+                # in its bucket, so the slice is self-contained)
+                from spookystuff_spark.sources.partitioned_table import (
+                    read_table_partitions,
                 )
-                .distinct()
-                .collect()  # bounded by n_buckets, never by pair count
-            })
-            current = read_table_partitions(spark, dst_dir, touched)
+
+                touched = sorted({
+                    r[0]
+                    for r in delta.select(
+                        _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+                    )
+                    .distinct()
+                    .collect()  # bounded by n_buckets, never by pair count
+                })
+                current = read_table_partitions(spark, dst_dir, touched)
+            else:
+                current = U.read_table(spark, dst_dir)  # heal: full re-seed
         else:
-            current = U.read_table(spark, dst_dir)  # heal: full re-seed
-    else:
-        try:
-            current = U.read_table(spark, dst_dir)
-        except FileNotFoundError:
-            current = None
+            try:
+                current = U.read_table(spark, dst_dir)
+            except FileNotFoundError:
+                current = None
 
-    if current is None:
-        merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
-    else:
-        # NULL-SAFE full-outer fold on (group, value) — a NULL value is an
-        # ordinary support row (read-time COUNT excludes it, SQL-style),
-        # and a NULL-keyed group must not split (refresh_aggregate's r8
-        # review catch, same class here)
-        joined = current.join(
-            delta, _null_safe_key_cond(current, delta, fold_key), "full_outer"
-        )
-        merged = joined.select(
-            *[
-                F.coalesce(current[c], delta[c]).alias(c)
-                for c in fold_key
-            ],
-            (
-                F.coalesce(F.col("_n"), F.lit(0))
-                + F.coalesce(F.col("_dn"), F.lit(0))
-            ).alias("_n"),
-        )
-    merged = merged.where(F.col("_n") > 0)
+        if current is None:
+            merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
+        else:
+            # NULL-SAFE full-outer fold on (group, value) — a NULL value is an
+            # ordinary support row (read-time COUNT excludes it, SQL-style),
+            # and a NULL-keyed group must not split (refresh_aggregate's r8
+            # review catch, same class here)
+            joined = current.join(
+                delta, _null_safe_key_cond(current, delta, fold_key), "full_outer"
+            )
+            merged = joined.select(
+                *[
+                    F.coalesce(current[c], delta[c]).alias(c)
+                    for c in fold_key
+                ],
+                (
+                    F.coalesce(F.col("_n"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("_n"),
+            )
+        merged = merged.where(F.col("_n") > 0)
 
-    if n_buckets is not None:
-        return _commit_keyed(
-            merged, dst_dir, gcols, n_buckets, marker,
-            touched=touched, cur=cur, rel=rel,
-        )
-    return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+        if n_buckets is not None:
+            return _commit_keyed(
+                merged, dst_dir, gcols, n_buckets, marker,
+                touched=touched, cur=cur, rel=rel,
+            )
+        return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
+    finally:
+        if persisted:
+            delta.unpersist()
 
 
 def with_derived_stats(

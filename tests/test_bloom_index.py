@@ -316,3 +316,30 @@ def test_bloom_pruning_survives_vacuum_of_owner_versions(spark, tmp_path):
     assert info["skipped_bloom"] >= U.CHECKPOINT_EVERY, (
         "bloom sidecars died with the vacuumed owner versions"
     )
+
+
+def test_nullable_column_builds_and_null_probe_refuses(spark, tmp_path):
+    """A NULL in the indexed column contributes no bits (crc32(NULL) is
+    NULL — it used to crash the fold's int64 conversion and fail the
+    whole commit); non-NULL probes still prune and never lose rows, an
+    all-NULL file simply keeps no spec, and a NULL probe value refuses
+    loudly (col == NULL matches nothing)."""
+    tdir = str(tmp_path / "nulltbl")
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)],
+        "k long, name string",
+    )
+    all_null = spark.createDataFrame(
+        [(10, None), (11, None)], "k long, name string"
+    )
+    U.write_table(rows.repartition(2), tdir)
+    U.append_rows(spark, tdir, all_null.coalesce(1))
+    attach_blooms(spark, tdir, ["name"])  # used to crash here
+    got, stats = read_table_point(spark, tdir, "name", "c")
+    assert [tuple(r) for r in got.collect()] == [(3, "c")]
+    # IS NULL rows still readable through the ordinary scan
+    assert U.read_table(spark, tdir).where(
+        F.col("name").isNull()
+    ).count() == 4
+    with pytest.raises(ValueError, match="NULL"):
+        read_table_point(spark, tdir, "name", None)

@@ -293,3 +293,62 @@ def test_refresh_commits_are_manifest_deltas(spark, tmp_path):
     ) == sorted(
         B.bm25_index_topk(spark, idx2, QUERIES, k=3).collect(), key=key
     )
+
+
+def test_string_ids_survive_delete_fold(spark, tmp_path):
+    """The delete fold must keep the id's SOURCE type: postings() never
+    casts, so a string-keyed corpus stores string doc_ids — the old
+    cast(\"long\") NULLed every id, collapsed all deleted docs into one
+    row (corrupting the stats retraction) and wrote a deletion vector
+    that matched nothing, leaving deleted docs searchable forever."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    rows = [(f"d{k}", t) for k, t in DOCS]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    U.write_table(df, src)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    # delete two docs, incl. the top hit for "hash join"
+    import pyspark.sql.functions as F
+
+    U.delete_where(spark, src, F.col("doc_id").isin("d1", "d9"))
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    got = B.bm25_index_topk(spark, idx, QUERIES, k=3)
+    live = spark.createDataFrame(
+        [r for r in rows if r[0] not in ("d1", "d9")],
+        "doc_id string, text string",
+    )
+    exp = bm25_topk(live, QUERIES, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+    # stats retracted per-doc, not as one merged NULL row
+    assert B.index_stats(idx)["n_docs"] == len(rows) - 2
+
+
+def test_backlog_replay_metadata_reads_are_linear(spark, tmp_path, monkeypatch):
+    """Replaying a P-version backlog reads each source manifest O(1)
+    times, not O(P) (the per-call pre-pass spans the full post-watermark
+    range — without the shared meta_cache a 1,000-version backlog would
+    cost ~500k raw-manifest reads)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:2]), src)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    P = 8
+    for i in range(P):
+        U.append_rows(
+            spark, src,
+            _docs_df(spark, [(100 + i, f"backlog doc number {i} tokens")]),
+        )
+    calls = {"n": 0}
+    real = U._read_manifest_raw
+
+    def spy(table_dir, version):
+        if table_dir == src:
+            calls["n"] += 1
+        return real(table_dir, version)
+
+    monkeypatch.setattr(U, "_read_manifest_raw", spy)
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    # linear bound with headroom for non-replay readers (change_files,
+    # feed checks); the quadratic shape would exceed P*P/2 = 32 from the
+    # pre-pass alone
+    assert calls["n"] <= 3 * P + 12, calls["n"]
