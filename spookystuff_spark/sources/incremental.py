@@ -240,6 +240,53 @@ def _keyed_state(dst_dir: str) -> tuple[str, list[str], bool]:
     return cur, rel, ok
 
 
+def _keyed_slice(
+    spark: SparkSession,
+    dst_dir: str,
+    delta: DataFrame,
+    gcols: Sequence[str],
+    n_buckets: int | None,
+    keyed_layout: bool,
+) -> tuple[DataFrame | None, list[str] | None, str | None, list | None]:
+    """(current state, touched buckets, cur version, manifest entries)
+    for a derived-table fold — the read half every keyed refresh shares
+    (plain aggregate, distinct support, join aggregate). With a valid
+    keyed layout: ONLY the buckets the delta's groups hash into are read
+    (manifest pruning — untouched buckets cost zero IO and carry through
+    the commit's base reference), ``touched`` naming them for the
+    manifest-delta commit; the bucket collect is bounded by n_buckets,
+    never by group count. A flattened layout (plain ``compact``) or dv/
+    rename-carrying state heals via one full read + bucketed re-seed
+    (``touched=None``). A table that doesn't exist yet returns
+    ``(None, None, None, None)`` — the delta seeds it."""
+    touched: list[str] | None = None
+    cur = rel = None
+    if keyed_layout:
+        cur, rel, layout_ok = _keyed_state(dst_dir)
+        if layout_ok:
+            from spookystuff_spark.sources.partitioned_table import (
+                read_table_partitions,
+            )
+
+            touched = sorted({
+                r[0]
+                for r in delta.select(
+                    _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+                )
+                .distinct()
+                .collect()
+            })
+            return (
+                read_table_partitions(spark, dst_dir, touched),
+                touched, cur, rel,
+            )
+        return U.read_table(spark, dst_dir), None, cur, rel
+    try:
+        return U.read_table(spark, dst_dir), None, None, None
+    except FileNotFoundError:
+        return None, None, None, None
+
+
 def _commit_keyed(
     merged: DataFrame,
     dst_dir: str,
@@ -622,38 +669,9 @@ def refresh_aggregate(
                 return advance_watermark(dst_dir, marker)
             return None
 
-        touched: list[str] | None = None
-        cur = rel = None
-        if keyed_layout:
-            cur, rel, layout_ok = _keyed_state(dst_dir)
-            if layout_ok:
-                # keyed fold: read ONLY the buckets the delta touches (manifest
-                # pruning — untouched buckets cost zero IO and carry through
-                # the commit's base reference); the full-outer fold below then
-                # passes the slice's un-deltaed groups through unchanged, so
-                # the rewrite is the touched buckets, nothing else
-                from spookystuff_spark.sources.partitioned_table import (
-                    read_table_partitions,
-                )
-
-                touched = sorted({
-                    r[0]
-                    for r in delta.select(
-                        _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
-                    )
-                    .distinct()
-                    .collect()  # bounded by n_buckets, never by group count
-                })
-                current = read_table_partitions(spark, dst_dir, touched)
-            else:
-                # a maintenance commit flattened the layout: heal with one
-                # full fold + bucketed re-seed
-                current = U.read_table(spark, dst_dir)
-        else:
-            try:
-                current = U.read_table(spark, dst_dir)
-            except FileNotFoundError:
-                current = None
+        current, touched, cur, rel = _keyed_slice(
+            spark, dst_dir, delta, gcols, n_buckets, keyed_layout
+        )
 
         if current is None:
             merged = delta
@@ -848,34 +866,9 @@ def refresh_distinct(
         # delta DAG (one full feed read each) - pin it once
         delta = delta.persist()
     try:
-        touched: list[str] | None = None
-        cur = rel = None
-        if keyed_layout:
-            cur, rel, layout_ok = _keyed_state(dst_dir)
-            if layout_ok:
-                # keyed fold: only the buckets the delta's GROUPS hash into
-                # are read and rewritten (all of a group's support rows live
-                # in its bucket, so the slice is self-contained)
-                from spookystuff_spark.sources.partitioned_table import (
-                    read_table_partitions,
-                )
-
-                touched = sorted({
-                    r[0]
-                    for r in delta.select(
-                        _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
-                    )
-                    .distinct()
-                    .collect()  # bounded by n_buckets, never by pair count
-                })
-                current = read_table_partitions(spark, dst_dir, touched)
-            else:
-                current = U.read_table(spark, dst_dir)  # heal: full re-seed
-        else:
-            try:
-                current = U.read_table(spark, dst_dir)
-            except FileNotFoundError:
-                current = None
+        current, touched, cur, rel = _keyed_slice(
+            spark, dst_dir, delta, gcols, n_buckets, keyed_layout
+        )
 
         if current is None:
             merged = delta.select(*fold_key, F.col("_dn").alias("_n"))

@@ -568,30 +568,11 @@ def refresh_join_aggregate(
     )
     touched = cur = rel = None
     if exists:
-        current = None
-        if keyed_layout:
-            cur, rel, layout_ok = _keyed_state(dst_dir)
-            if layout_ok:
-                from spookystuff_spark.sources.incremental import (
-                    _bucket_expr,
-                )
-                from spookystuff_spark.sources.partitioned_table import (
-                    read_table_partitions,
-                )
+        from spookystuff_spark.sources.incremental import _keyed_slice
 
-                touched = sorted({
-                    r[0]
-                    for r in delta_agg.select(
-                        _bucket_expr(gcols, n_buckets)
-                        .cast("string")
-                        .alias("_b")
-                    )
-                    .distinct()
-                    .collect()  # bounded by n_buckets
-                })
-                current = read_table_partitions(spark, dst_dir, touched)
-        if current is None:  # legacy layout, or healing a flattened one
-            current = U.read_table(spark, dst_dir)
+        current, touched, cur, rel = _keyed_slice(
+            spark, dst_dir, delta_agg, gcols, n_buckets, keyed_layout
+        )
         # union-then-groupBy fold: groupBy treats NULL group keys as one
         # group (a full-outer equi-join would NOT match NULL = NULL, so a
         # NULL-keyed group's retraction would silently never meet its
