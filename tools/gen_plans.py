@@ -43,7 +43,9 @@ COMMENTARY = {
     "q_cdc_upsert": "The visible plan reads the eagerly-checkpointed diff (the temp versioned table is already reclaimed). Upstream: two scan-shaped snapshot writes, a MERGE (anti-join on broadcast update keys + union), and one full-outer key join between two immutable snapshots — the diff output is bounded by changed rows, never table size.",
     "q_dv_delete": "Checkpointed aggregate over a DV table read twice (native manifest scan + spooky_versioned Arrow reader). Upstream cost: the delete wrote ONLY the deleted keys' vector (O(deleted), zero data files); each reader applies the vector as one broadcast-able anti-join. At 100 TB deletes stay metadata-sized until a compaction materializes them.",
     "q_partitioned_merge": "Checkpointed per-language aggregates through two readers of the merged table. Upstream: the MERGE read only the touched partitions' files (manifest pruning), applied the deletion vector to that slice during its rewrite, and carried untouched partitions + the shrunken vector by reference — O(touched + deleted), never O(table).",
-    "q_ivm_refresh": "Checkpointed read of the derived table. Upstream: three incremental folds, each reading ONLY that commit's change feed (insert/postimage +, preimage/delete −) joined full-outer against the group-cardinality derived table — the source is never rescanned, which is the property that keeps refresh O(changed rows) at 100 TB.",
+    "q_ivm_refresh": "Checkpointed read of the derived table. Upstream: three incremental folds, each reading ONLY that commit's change feed (insert/postimage +, preimage/delete −) joined full-outer against the TOUCHED BUCKETS of the hash-bucketed derived table (untouched buckets carry through the manifest delta by reference) — the source is never rescanned and the rewrite is O(touched buckets), the two properties that keep refresh O(changed rows) at 100 TB. The table also folds SUM(c²) in exact decimal; read-time avg/variance derive from the accumulators.",
+    "q_distinct_ivm": "Checkpointed read of the COUNT(DISTINCT) support Z-set: one row per live (group, value) pair with its multiplicity, bucket-laid-out by the group key. Each fold groupBys the change feed to signed pair deltas and full-outer folds them into ONLY the touched buckets; a pair leaves the support set at multiplicity zero, so deletes never rescan the source — the construction that keeps exact distinct counts incremental for any feed mix. The read is one O(support) groupBy (count of non-NULL support rows per group).",
+    "q_lsh_index": "Checkpointed probe of the persistent MinHash-LSH index: band rows live in band-hash buckets, signatures in id-hash buckets — a probe joins its own band hashes against only the buckets they hash into (manifest-pruned), verifies candidates with zip_with/aggregate Jaccard JVM-side, and the standing corpus's rows outside those buckets are never listed or opened. Maintenance folds each source version's change feed as one O(batch) signature pass + O(batch) partitioned appends; deletes fold as key vectors on both tables.",
     "q_stream_ingest": "Checkpointed read of the IVM-derived table after a real Structured Streaming run: three file-trigger micro-batches through the exactly-once upsert sink, refresh riding each batch's feed. Per batch: one anti-join + union snapshot write and one feed-sized fold — the stream never rescans the table it builds.",
     "q_image_phash": "The synth→decode→pHash Arrow stages sit behind the eager (id, hash) checkpoint (Scan ExistingRDD — they run exactly once for the four consumers). The candidate search is a band-equality ShuffledHashJoin/SortMergeJoin over 8-per-image band rows with the oversized-bucket list arriving via a broadcast LEFT-ANTI join; verification is codegen bit_count(XOR). No CartesianProduct anywhere — plan-asserted.",
     "q_audio_fingerprint": "Identical join shape to q_image_phash (the banded Hamming join is hash-agnostic); upstream the WAV synth + PCM decode + 9x9 FFT fingerprint run as one narrow Arrow stage per partition, pinned once by the checkpoint.",
@@ -62,7 +64,7 @@ COMMENTARY = {
     "q_table_profile": "The profile is ONE wide aggregate job collapsing map-side into a single row (the visible plan is the local result frame): null counts and min/max/mean are plain partial aggregates; the exact distinct counts add Spark's EXPAND rewrite — the documented, deliberate cost of exact ANALYZE, with the KMV/HLL sketches as the wide-table alternative.",
     "q_scd2_dim": "Checkpointed melt of the SCD-2 history + as-of labels. Upstream: each batch folds via the versioned MERGE keyed on (k, valid_from) with the tiny delta side broadcast (attr-identical updates hash-compare to a no-op and commit NOTHING); the as-of label join is an equi-join on the dimension key followed by the [valid_from, valid_to) validity filter — per-key version counts are small, so no inequality-only plan and no skew.",
     "q_join_view": "Checkpointed aggregate over the counted (Z-set) join view's consolidation. Upstream: the seed joined the pinned snapshots once; every later fold read ONLY the two change feeds, probed each snapshot side at the delta's keys (manifest-pruned read_table_partitions when laid out by the key, capped driver pull, semi-join scan above the cap), multiplied signed multiplicities, and appended an O(delta) consolidated batch with an O(batch) delta manifest — the sources are never re-joined, and the dim-side DV delete folds as -1 rows that cancel in the consolidation groupBy.",
-    "q_join_agg": "Checkpointed read of the composed view gamma(A JOIN B) — maintained with the SAME delta machinery as q_join_view but never materializing the join: the seed aggregates the raw join directly (no full-width counted groupBy), each fold aggregates the signed join delta to (group, sum, count) partials, and the merge is a union-then-groupBy against the group-cardinality table (NULL-safe by construction). Per refresh: O(delta + groups); the fact and dim tables are touched only at the probed slices.",
+    "q_join_agg": "Checkpointed read of the composed view gamma(A JOIN B) — maintained with the SAME delta machinery as q_join_view but never materializing the join: the seed aggregates the raw join directly (no full-width counted groupBy), each fold aggregates the signed join delta to (group, sum, sumsq, min/max, count) partials, and the merge is a union-then-groupBy against ONLY the touched buckets of the keyed table (untouched buckets carry by reference). Per refresh: O(delta + touched buckets); the fact and dim tables are touched only at the probed slices; retracted groups' extremes re-derive from the pinned snapshots.",
 }
 
 
