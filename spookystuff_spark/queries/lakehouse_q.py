@@ -636,7 +636,8 @@ ORACLE_JOIN_VIEW = """
              CAST(SUM(pc * pc) AS DOUBLE) / COUNT(*)
                - (CAST(SUM(pc) AS DOUBLE) / COUNT(*))
                  * (CAST(SUM(pc) AS DOUBLE) / COUNT(*)),
-             0.0) AS var_price_c
+             0.0) AS var_price_c,
+           CAST(COUNT(DISTINCT pc) AS BIGINT) AS distinct_price_c
     FROM customer
     JOIN (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
           FROM orders) o ON o_custkey = c_custkey
@@ -720,6 +721,81 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(
                     F.sum(F.col("price") * F.col("_n")) + F.lit(1e-6), 2
                 ).alias("sum_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@bench_only("q_join_distinct")
+def q_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) over A⋈B, gate-pinned end-to-end
+    (sources/join_view.py::refresh_join_distinct): distinct price points
+    per segment over customer⋈orders maintained as a counted (seg,
+    price_c) support Z-set fed by the signed join delta — the join is
+    never materialized and deletes need NO rescan (a pair leaves the
+    support set at multiplicity zero). Same fold schedule as
+    ``q_join_view`` (seed from partial slices, three interleaved append
+    batches, a dim-side DV delete), keyed bucket layout, closed-form
+    COUNT(DISTINCT) full-join oracle. Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.incremental import read_distinct_aggregate
+    from spookystuff_spark.sources.join_view import refresh_join_distinct
+    from spookystuff_spark.sources.upsert import (
+        append_rows,
+        delete_where_dv,
+        write_table,
+    )
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "price_c"
+        ),
+    )
+    base = tempfile.mkdtemp(prefix="spooky-jvd-")
+    a_dir, b_dir, dst = (os.path.join(base, n) for n in ("a", "b", "g"))
+
+    def refresh():
+        refresh_join_distinct(
+            spark, a_dir, b_dir, dst, ["custkey"], ["seg"], "price_c",
+            dst_buckets=8,
+        )
+
+    try:
+        write_table(cust.where(F.col("custkey") % 2 == 0), a_dir)
+        write_table(orders.where(F.col("o_orderkey") % 3 == 0), b_dir)
+        refresh()  # seed
+        append_rows(spark, a_dir, cust.where(F.col("custkey") % 2 == 1))
+        refresh()
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 1))
+        refresh()
+        append_rows(
+            spark, a_dir,
+            cust.select(
+                (-(F.col("custkey") + F.lit(1))).alias("custkey"),
+                F.concat(F.lit("X-"), F.col("seg")).alias("seg"),
+            ),
+        )
+        append_rows(spark, b_dir, orders.where(F.col("o_orderkey") % 3 == 2))
+        refresh()
+        delete_where_dv(
+            spark, a_dir, "custkey >= 0 AND custkey % 10 = 3", ["custkey"]
+        )
+        refresh()
+        return (
+            read_distinct_aggregate(spark, dst, ["seg"], "price_c")
+            .select(
+                "seg",
+                F.col("n_rows").alias("n_pairs"),
+                F.col("price_c_distinct").cast("long").alias(
+                    "distinct_price_c"
+                ),
             )
             .localCheckpoint(eager=True)
         )

@@ -93,6 +93,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_dv_delete,
     q_ivm_refresh,
     q_join_agg,
+    q_join_distinct,
     q_join_view,
     q_partitioned_merge,
     q_rename_table,
@@ -218,6 +219,9 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql(
     "jv", "q_join_agg", ["seg"],
     ["n_pairs", "sum_price", "min_price", "max_price", "var_price_c"],
+)}
+UNION ALL {_melt_sql(
+    "jv", "q_join_distinct", ["seg"], ["n_pairs", "distinct_price_c"],
 )}"""
 
 
@@ -373,6 +377,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["seg"],
             ["n_pairs", "sum_price", "min_price", "max_price",
              "var_price_c"],
+        ),
+        _melt(
+            q_join_distinct(spark, sf_dir),
+            "q_join_distinct",
+            ["seg"],
+            ["n_pairs", "distinct_price_c"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -569,6 +579,7 @@ register_suite(
         "q_rename_table": "q_rename_table",
         "q_join_view": "q_join_view",
         "q_join_agg": "q_join_agg",
+        "q_join_distinct": "q_join_distinct",
     },
 )
 register_suite(

@@ -607,6 +607,114 @@ def refresh_join_aggregate(
             delta_v.unpersist()
 
 
+def refresh_join_distinct(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    dst_dir: str,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    value_col: str,
+    dst_buckets: int | None = None,
+) -> str | None:
+    """COUNT(DISTINCT ``value_col``) over A ⋈ B, maintained incrementally
+    WITHOUT materializing the join — the composition of the counted join
+    delta (:func:`_join_delta`) with the distinct support Z-set
+    (``incremental.refresh_distinct``): the derived table holds one row
+    per live (group, value) pair of the join with its multiplicity
+    ``_n`` (how many joined rows currently carry that value in that
+    group). Each refresh aggregates the signed delta to per-pair counts
+    and folds them into ONLY the touched group buckets; a pair leaves
+    the support set at multiplicity zero — so updates and deletes on
+    EITHER source fold exactly with no rescan and no retraction special
+    case (the property sums share and min/max lack). Read the aggregate
+    with ``incremental.read_distinct_aggregate`` (one O(support)
+    groupBy: NULL-excluding distinct count + total live joined rows).
+    Exactly-once via the dual ``_SRCJ_`` watermark; feed-less source
+    versions advance O(1).
+
+    The classic shape: distinct products per segment from a 100 TB
+    fact ⋈ dim pair, exact under takedown deletes, never re-joined."""
+    from spookystuff_spark.sources.incremental import (
+        _commit_keyed,
+        _keyed_slice,
+        _null_safe_key_cond,
+        _resolve_buckets,
+        advance_watermark,
+    )
+
+    gcols = list(group_cols)
+    if value_col in gcols:
+        raise ValueError(
+            f"value_col {value_col!r} is also a group column — a distinct "
+            "count over the group key is constant 1 per group"
+        )
+    fold_key = [*gcols, value_col]
+    n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
+    delta_v, marker, ordered, exists, _pins = _join_delta(
+        spark, a_dir, b_dir, dst_dir, on, consolidate=False
+    )
+    if marker is None:
+        return None  # nothing new on either side
+    if delta_v is None:
+        if not exists:
+            return None
+        return advance_watermark(dst_dir, marker)
+    missing = [c for c in fold_key if c not in ordered]
+    if missing:
+        raise ValueError(
+            f"join distinct {dst_dir}: columns {missing} not in the "
+            f"join's output {ordered}"
+        )
+    delta = (
+        delta_v.groupBy(*fold_key)
+        .agg(F.sum("_n").alias("_dn"))
+        .where(F.col("_dn") != 0)
+    )
+    persisted = exists and keyed_layout
+    if persisted:
+        # the touched-bucket collect and the fold both evaluate the
+        # delta-join DAG — pin it once
+        delta = delta.persist()
+    try:
+        if exists:
+            current, touched, cur, rel = _keyed_slice(
+                spark, dst_dir, delta, gcols, n_buckets, keyed_layout
+            )
+        else:
+            current, touched, cur, rel = None, None, None, None
+        if current is None:
+            merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
+        else:
+            joined = current.join(
+                delta,
+                _null_safe_key_cond(current, delta, fold_key),
+                "full_outer",
+            )
+            merged = joined.select(
+                *[
+                    F.coalesce(current[c], delta[c]).alias(c)
+                    for c in fold_key
+                ],
+                (
+                    F.coalesce(F.col("_n"), F.lit(0))
+                    + F.coalesce(F.col("_dn"), F.lit(0))
+                ).alias("_n"),
+            )
+        merged = merged.where(F.col("_n") > 0)
+        if n_buckets is not None:
+            return _commit_keyed(
+                merged, dst_dir, gcols, n_buckets, marker,
+                touched=touched, cur=cur, rel=rel,
+            )
+        return U.write_table(
+            merged, dst_dir, marker=marker, change_feed=False
+        )
+    finally:
+        if persisted:
+            delta.unpersist()
+
+
 def read_join_view(
     spark: SparkSession, dst_dir: str, version: str | None = None
 ) -> DataFrame:

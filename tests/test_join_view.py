@@ -800,3 +800,70 @@ def test_join_aggregate_sumsq_through_retractions(spark, tmp_path):
     U.upsert(spark, a, _dim(spark, [(1, "y")]), ["k"], feed_preimages=True)
     assert refresh()
     assert got() == expected()
+
+
+def test_join_distinct_tracks_recompute(spark, tmp_path):
+    """COUNT(DISTINCT) over A⋈B from the counted join delta alone: the
+    support Z-set equals a full-join COUNT(DISTINCT) recompute through
+    appends on both sides, a fact-side delete, a group-moving dim update
+    and a replay — no rescan, no retraction special case."""
+    from spookystuff_spark.sources.incremental import (
+        read_distinct_aggregate,
+    )
+    from spookystuff_spark.sources.join_view import refresh_join_distinct
+
+    a, b, dst = (str(tmp_path / n) for n in ("a", "b", "g"))
+    U.write_table(_dim(spark, [(1, "x"), (2, "y"), (3, "x")]), a)
+    U.write_table(
+        _fact(spark, [(1, 10, 100), (2, 20, 200), (3, 30, 100), (1, 11, 100)]),
+        b,
+    )
+
+    def refresh():
+        return refresh_join_distinct(
+            spark, a, b, dst, ["k"], ["dname"], "amt", dst_buckets=4
+        )
+
+    def got():
+        return {
+            (r["dname"], r["amt_distinct"], r["n_rows"])
+            for r in read_distinct_aggregate(
+                spark, dst, ["dname"], "amt"
+            ).collect()
+        }
+
+    def expected():
+        return {
+            (r["dname"], r["d"], r["n"])
+            for r in U.read_table(spark, a)
+            .join(U.read_table(spark, b), ["k"], "inner")
+            .groupBy("dname")
+            .agg(
+                F.countDistinct("amt").alias("d"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    assert refresh()  # seed
+    assert got() == expected() == {("x", 1, 3), ("y", 1, 1)}
+    U.append_rows(spark, a, _dim(spark, [(4, "y")]))
+    U.append_rows(spark, b, _fact(spark, [(4, 40, 400), (2, 21, 100)]))
+    assert refresh()
+    assert got() == expected()
+    # delete ONE of the two amt=100 carriers in group x: distinct holds
+    U.delete_where_dv(spark, b, "fid = 10", ["k", "fid"])
+    assert refresh()
+    assert got() == expected()
+    # keyed commit shape: the fold landed as a manifest delta
+    assert "files_base" in U._read_manifest_raw(
+        dst, U.committed_versions(dst)[-1]
+    )
+    # dim update MOVES rows between groups: support counts migrate
+    U.upsert(spark, a, _dim(spark, [(1, "y")]), ["k"], feed_preimages=True)
+    assert refresh()
+    assert got() == expected()
+    # replay: exactly-once
+    before = got()
+    assert refresh() is None
+    assert got() == before
