@@ -510,6 +510,16 @@ def _changes_since(
             # it, so the fold continues
         files, kind = U.change_files(src_dir, v)
         if not files:
+            if m.get("kind") == "restore":
+                # a rollback IS a logical change; skipping it like a
+                # compaction would freeze every consumer at the
+                # pre-restore state forever — silent permanent drift
+                raise ValueError(
+                    f"{src_dir}/{v}: restore commit without a change feed "
+                    "— the fold cannot see the rollback; use "
+                    "restore(..., spark=, key_cols=) to emit the diff "
+                    "feed, or rebuild derived views/indexes"
+                )
             continue  # compaction / no-feed commit: no logical change
         df = spark.read.parquet(*files)
         if "_change" not in df.columns:

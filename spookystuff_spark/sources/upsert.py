@@ -2823,20 +2823,101 @@ def _apply_deletion_vectors(
     return df.join(keys, list(m["dv_keys"]), "left_anti")
 
 
-def restore(table_dir: str, version: str) -> str:
+def restore(
+    table_dir: str,
+    version: str,
+    spark: SparkSession | None = None,
+    key_cols: Sequence[str] | None = None,
+) -> str:
     """Roll the table back to an earlier committed ``version`` — as a NEW
     commit (Delta RESTORE): the new manifest simply references the target
     snapshot's immutable files (and deletion vectors), so the rollback is
     metadata-only and itself time-travelable/undoable. History is never
-    rewritten; the mistaken versions stay on the chain until vacuum."""
+    rewritten; the mistaken versions stay on the chain until vacuum.
+
+    Change feed: a rollback IS a logical change, and a restore commit
+    with no feed is INVISIBLE to every incremental consumer (IVM folds,
+    index refreshes, the CDC stream) — they would silently keep the
+    pre-restore state forever. Pass ``spark`` to emit the diff feed
+    (rows in tip-but-not-target as deletes, target-but-not-tip as
+    inserts; with ``key_cols``, key-matched changed rows additionally
+    fold as preimage+postimage pairs) so consumers FOLD THROUGH the
+    rollback; both the batch fold (``_changes_since``) and the CDC
+    stream refuse a feed-less restore loudly instead of drifting. A
+    feed-less restore (no ``spark``) is for tables with no incremental
+    consumers — or rebuild them after. Requires the tip and target
+    column sets to match (restore across a schema change has no
+    union-able diff — rebuild consumers instead)."""
     cur = _latest(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     if version not in committed_versions(table_dir):
         raise FileNotFoundError(f"version {version} not committed in {table_dir}")
+    import pyspark.sql.functions as F
+
+    feed_df = None
+    preimaged = False
+    if spark is not None:
+        a = read_table(spark, table_dir, cur)  # pre-restore tip
+        b = read_table(spark, table_dir, version)  # target
+        if set(a.columns) != set(b.columns):
+            raise ValueError(
+                f"{table_dir}: restore from {cur} to {version} crosses a "
+                "schema change — no union-able diff feed exists; restore "
+                "without spark= and rebuild derived views/indexes"
+            )
+        b = b.select(*a.columns)
+        if key_cols is None:
+            feed_df = (
+                b.exceptAll(a)
+                .withColumn("_change", F.lit("insert"))
+                .unionByName(
+                    a.exceptAll(b).withColumn("_change", F.lit("delete"))
+                )
+            )
+        else:
+            val_cols = [c for c in a.columns if c not in key_cols]
+            oa = a.select(*key_cols, F.struct(*val_cols).alias("_old"))
+            ob = b.select(*key_cols, F.struct(*val_cols).alias("_new"))
+            j = oa.join(ob, list(key_cols), "full_outer")
+            dels = j.where(F.col("_new").isNull()).select(
+                *key_cols,
+                *[F.col("_old")[c].alias(c) for c in val_cols],
+                F.lit("delete").alias("_change"),
+            )
+            ins = j.where(F.col("_old").isNull()).select(
+                *key_cols,
+                *[F.col("_new")[c].alias(c) for c in val_cols],
+                F.lit("insert").alias("_change"),
+            )
+            chg = j.where(
+                F.col("_old").isNotNull()
+                & F.col("_new").isNotNull()
+                & (F.col("_old") != F.col("_new"))
+            )
+            pre = chg.select(
+                *key_cols,
+                *[F.col("_old")[c].alias(c) for c in val_cols],
+                F.lit("update_preimage").alias("_change"),
+            )
+            post = chg.select(
+                *key_cols,
+                *[F.col("_new")[c].alias(c) for c in val_cols],
+                F.lit("upsert").alias("_change"),
+            )
+            feed_df = dels.unionByName(ins).unionByName(pre).unionByName(
+                post
+            )
+            preimaged = True
     m = _read_manifest_raw(table_dir, version) or {}
     v = _next_version(table_dir)
     fsio.mkdirs(fsio.join(table_dir, v))
+    if feed_df is not None:
+        feed_df.select(*[c for c in feed_df.columns]).write.mode(
+            "errorifexists"
+        ).parquet(fsio.join(table_dir, v, _CHANGES))
+        if preimaged:
+            fsio.touch(fsio.join(table_dir, v, _CHANGES, _PREIMAGED))
     extra = {}
     if m.get("dv"):
         extra = {"dv": m["dv"], "dv_keys": m["dv_keys"]}

@@ -374,12 +374,15 @@ class _ChangeFeedReader(DataSourceStreamReader):
         # no events and the extra-column fail-fast stays the honest guard.
         events: list[dict] = []
         drops: list[str] = []
+        restores: set[str] = set()
         for v in committed:
             if int(v[1:]) <= start["version"]:
                 continue
             m = U._read_manifest_raw(self.table_dir, v) or {}
             if m.get("kind") == "rename" and m.get("rename_log"):
                 events.append(m["rename_log"][-1])
+            if m.get("kind") == "restore":
+                restores.add(v)
             for d in m.get("drops") or ():
                 if d not in drops:
                     drops.append(d)
@@ -389,6 +392,16 @@ class _ChangeFeedReader(DataSourceStreamReader):
             n = int(v[1:])
             if start["version"] < n <= end["version"]:
                 files, kind = U.change_files(self.table_dir, v)
+                if not files and v in restores:
+                    # a feed-less rollback is a logical change the stream
+                    # cannot see — refuse instead of silently skipping it
+                    # like a compaction (permanent downstream drift)
+                    raise ValueError(
+                        f"{self.table_dir}/{v}: restore commit without a "
+                        "change feed in the CDC stream — use "
+                        "restore(..., spark=, key_cols=) so consumers "
+                        "fold through the rollback, or rebuild them"
+                    )
                 cm = {
                     ln: p
                     for ln in lnames

@@ -536,3 +536,110 @@ def test_expire_rows_ttl(spark, tmp_path):
     assert U.read_table(spark, tdir).count() == 5
     d = U.table_detail(tdir)
     assert d["dv_files"] == 0 and d["renames"] is None
+
+
+def test_restore_with_feed_folds_through_ivm(spark, tmp_path):
+    """restore(spark=, key_cols=) emits a diff change feed (deletes +
+    inserts + preimage/postimage pairs), so an incremental aggregate
+    folds THROUGH the rollback and lands exactly on the target's
+    recompute — the rollback is never invisible to consumers."""
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    U.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)],
+            "k int, grp string, val long",
+        ),
+        src,
+    )
+    v1 = U.committed_versions(src)[-1]
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"], dst_buckets=4)
+    # the mistake: an update, an insert and a delete
+    U.upsert(
+        spark, src,
+        spark.createDataFrame(
+            [(1, "a", 999), (9, "c", 1)], "k int, grp string, val long"
+        ),
+        ["k"], feed_preimages=True,
+    )
+    U.delete_where(spark, src, F.col("k") == 3)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    # roll back WITH the keyed diff feed, fold again
+    U.restore(src, v1, spark=spark, key_cols=["k"])
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    got = {
+        (r["grp"], r["val_sum"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("a", 30, 2), ("b", 5, 1)}
+    # set-based feed (no key_cols) folds sums/counts too
+    U.delete_where(spark, src, F.col("k") == 2)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    v_now = U.committed_versions(src)[-1]
+    U.restore(src, v1, spark=spark)
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    assert {
+        (r["grp"], r["val_sum"], r["n_rows"])
+        for r in U.read_table(spark, dst).collect()
+    } == {("a", 30, 2), ("b", 5, 1)}
+    assert v_now != U.committed_versions(src)[-1]
+
+
+def test_feedless_restore_refuses_in_fold_and_stream(spark, tmp_path):
+    """A restore WITHOUT a feed is a logical change no consumer can see:
+    the batch fold and the CDC stream both refuse loudly instead of
+    silently skipping it like a compaction (permanent drift)."""
+    import pytest as _pytest
+
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    U.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, grp string, val long"
+        ),
+        src,
+    )
+    v1 = U.committed_versions(src)[-1]
+    refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    U.append_rows(
+        spark, src,
+        spark.createDataFrame([(3, "a", 7)], "k int, grp string, val long"),
+    )
+    U.restore(src, v1)  # no spark: no feed
+    with _pytest.raises(ValueError, match="restore commit without a change feed"):
+        refresh_aggregate(spark, src, dst, ["grp"], ["val"])
+    # the CDC stream's planner refuses the same window (drive the stream
+    # reader directly — a full readStream run adds nothing to the pin)
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from spookystuff_spark.sources.versioned_source import _ChangeFeedReader
+
+    sch = StructType([
+        StructField("k", IntegerType()),
+        StructField("grp", StringType()),
+        StructField("val", LongType()),
+        StructField("_change", StringType()),
+    ])
+    r = _ChangeFeedReader(src, int(v1[1:]), sch, None)
+    tip = int(U.committed_versions(src)[-1][1:])
+    with _pytest.raises(ValueError, match="restore commit without a"):
+        r.partitions({"version": int(v1[1:])}, {"version": tip})
+
+
+def test_restore_across_schema_change_refuses_feed(spark, tmp_path):
+    src = str(tmp_path / "src")
+    U.write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), src
+    )
+    v1 = U.committed_versions(src)[-1]
+    U.drop_column(src, "v")
+    with pytest.raises(ValueError, match="schema change"):
+        U.restore(src, v1, spark=spark, key_cols=["k"])
