@@ -966,6 +966,33 @@ def read_distinct_aggregate(
     )
 
 
+def read_topk_values(
+    spark: SparkSession,
+    dst_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """EXACT top-k most frequent values per group from a
+    :func:`refresh_distinct` support table — heavy hitters maintained
+    incrementally as a byproduct of the distinct Z-set (each support row
+    already carries the value's live multiplicity, folded exactly under
+    deletes), where the sketch path (operators/heavy.py Misra-Gries) is
+    approximate and batch-only. One rank window over the support table
+    (O(support), no corpus scan); ties break by value for a total order;
+    NULL values are excluded (no frequency semantics). Output: group
+    cols, the value, ``_n`` (its live count), ``rank``."""
+    from pyspark.sql.window import Window
+
+    sup = U.read_table(spark, dst_dir).where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_n").desc(), F.col(value_col).asc()
+    )
+    return sup.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= int(k)
+    )
+
+
 def streaming_refresh_sink(
     src_dir: str,
     dst_dir: str,

@@ -761,3 +761,49 @@ def streaming_join_view_sink(
         refresh_join_view(batch_df.sparkSession, a_dir, b_dir, dst_dir, on)
 
     return sink
+
+
+def streaming_join_aggregate_sink(
+    a_dir: str,
+    b_dir: str,
+    dst_dir: str,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    **refresh_kwargs,
+):
+    """``foreachBatch`` body keeping the composed view γ(A ⋈ B)
+    continuously fresh from either source's CDC stream — the
+    :func:`streaming_join_view_sink` contract applied to
+    :func:`refresh_join_aggregate` (kwargs pass min/max/sumsq/buckets)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_join_aggregate(
+            batch_df.sparkSession, a_dir, b_dir, dst_dir, on,
+            group_cols, sum_cols, **refresh_kwargs,
+        )
+
+    return sink
+
+
+def streaming_join_distinct_sink(
+    a_dir: str,
+    b_dir: str,
+    dst_dir: str,
+    on: Sequence[str],
+    group_cols: Sequence[str],
+    value_col: str,
+    **refresh_kwargs,
+):
+    """``foreachBatch`` body keeping the COUNT(DISTINCT)-over-join
+    support Z-set continuously fresh from either source's CDC stream —
+    the :func:`streaming_join_view_sink` contract applied to
+    :func:`refresh_join_distinct`."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        refresh_join_distinct(
+            batch_df.sparkSession, a_dir, b_dir, dst_dir, on,
+            group_cols, value_col, **refresh_kwargs,
+        )
+
+    return sink

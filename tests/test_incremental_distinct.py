@@ -217,3 +217,31 @@ def test_randomized_schedule_matches_multiset_model(spark, tmp_path):
         for g, c in per_group.items()
     }
     assert _got(spark, dst) == expected == _expected(spark, src)
+
+
+def test_topk_values_exact_under_deletes(spark, tmp_path):
+    """read_topk_values: exact per-group heavy hitters off the support
+    Z-set — counts fold under deletes, ties break by value, NULLs
+    excluded."""
+    from spookystuff_spark.sources.incremental import read_topk_values
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dd")
+    rows = [(i, "g", v) for i, v in enumerate(
+        ["x", "x", "x", "y", "y", "z", None]
+    )]
+    U.write_table(_rows(spark, rows), src)
+    refresh_distinct(spark, src, dst, ["grp"], "val", dst_buckets=4)
+
+    def top(k):
+        return [
+            (r["val"], r["_n"], r["rank"])
+            for r in read_topk_values(spark, dst, ["grp"], "val", k=k)
+            .orderBy("rank")
+            .collect()
+        ]
+
+    assert top(2) == [("x", 3, 1), ("y", 2, 2)]
+    # delete two x carriers: y takes the lead, x ties z (value-ordered)
+    U.delete_where(spark, src, F.col("k").isin(0, 1))
+    refresh_distinct(spark, src, dst, ["grp"], "val")
+    assert top(3) == [("y", 2, 1), ("x", 1, 2), ("z", 1, 3)]
