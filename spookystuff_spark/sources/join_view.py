@@ -506,7 +506,6 @@ def refresh_join_aggregate(
     from spookystuff_spark.sources.incremental import (
         _apply_rescan,
         _commit_keyed,
-        _keyed_state,
         _resolve_buckets,
         advance_watermark,
     )

@@ -2868,14 +2868,32 @@ def restore(
             )
         b = b.select(*a.columns)
         if key_cols is None:
-            feed_df = (
-                b.exceptAll(a)
-                .withColumn("_change", F.lit("insert"))
-                .unionByName(
-                    a.exceptAll(b).withColumn("_change", F.lit("delete"))
-                )
-            )
+            # the multiset diff — exact under duplicate rows; frame_diff's
+            # keyless branch IS this feed's semantics
+            feed_df = frame_diff(a, b)
         else:
+            # refuse non-unique keys: the full-outer join below would pair
+            # each duplicate with the one opposite row, compare equal and
+            # emit NOTHING (or emit the postimage once per duplicate) —
+            # a silently wrong feed, the exact drift this feature exists
+            # to prevent; the set-based diff (key_cols=None) is exact
+            dup = (
+                a.groupBy(*key_cols).count()
+                .unionByName(b.groupBy(*key_cols).count())
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"{table_dir}: key_cols {list(key_cols)} are not "
+                    "unique per row on the tip or the target — the keyed "
+                    "diff would be wrong; restore with key_cols=None "
+                    "(set-based diff) instead"
+                )
+            # frame_diff's keyed skeleton, diverging only to emit the
+            # UPDATE rows as preimage/postimage pairs (frame_diff returns
+            # the new side only, which an IVM fold cannot retract)
             val_cols = [c for c in a.columns if c not in key_cols]
             oa = a.select(*key_cols, F.struct(*val_cols).alias("_old"))
             ob = b.select(*key_cols, F.struct(*val_cols).alias("_new"))
@@ -2913,9 +2931,9 @@ def restore(
     v = _next_version(table_dir)
     fsio.mkdirs(fsio.join(table_dir, v))
     if feed_df is not None:
-        feed_df.select(*[c for c in feed_df.columns]).write.mode(
-            "errorifexists"
-        ).parquet(fsio.join(table_dir, v, _CHANGES))
+        feed_df.write.mode("errorifexists").parquet(
+            fsio.join(table_dir, v, _CHANGES)
+        )
         if preimaged:
             fsio.touch(fsio.join(table_dir, v, _CHANGES, _PREIMAGED))
     extra = {}

@@ -867,3 +867,45 @@ def test_join_distinct_tracks_recompute(spark, tmp_path):
     before = got()
     assert refresh() is None
     assert got() == before
+
+
+def test_streaming_join_sinks_drive_their_refreshes(spark, tmp_path):
+    """The foreachBatch wrappers for the join-aggregate and join-distinct
+    IVMs call through with the right signatures and land the watermarked
+    fold (the batch frame is only the trigger)."""
+    from spookystuff_spark.sources.incremental import (
+        read_distinct_aggregate,
+    )
+    from spookystuff_spark.sources.join_view import (
+        streaming_join_aggregate_sink,
+        streaming_join_distinct_sink,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    g1, g2 = str(tmp_path / "g1"), str(tmp_path / "g2")
+    U.write_table(_dim(spark, [(1, "x"), (2, "y")]), a)
+    U.write_table(_fact(spark, [(1, 10, 100), (2, 20, 200)]), b)
+    trigger = spark.range(1)  # the batch frame is only the trigger
+    agg_sink = streaming_join_aggregate_sink(
+        a, b, g1, ["k"], ["dname"], ["amt"], dst_buckets=4
+    )
+    dd_sink = streaming_join_distinct_sink(
+        a, b, g2, ["k"], ["dname"], "amt", dst_buckets=4
+    )
+    agg_sink(trigger, 0)
+    dd_sink(trigger, 0)
+    U.append_rows(spark, b, _fact(spark, [(1, 11, 100)]))
+    agg_sink(trigger, 1)
+    dd_sink(trigger, 1)
+    got_agg = {
+        (r["dname"], r["amt_sum"], r["n_rows"])
+        for r in U.read_table(spark, g1).collect()
+    }
+    assert got_agg == {("x", 200, 2), ("y", 200, 1)}
+    got_dd = {
+        (r["dname"], r["amt_distinct"], r["n_rows"])
+        for r in read_distinct_aggregate(
+            spark, g2, ["dname"], "amt"
+        ).collect()
+    }
+    assert got_dd == {("x", 1, 2), ("y", 1, 1)}

@@ -590,8 +590,6 @@ def test_feedless_restore_refuses_in_fold_and_stream(spark, tmp_path):
     """A restore WITHOUT a feed is a logical change no consumer can see:
     the batch fold and the CDC stream both refuse loudly instead of
     silently skipping it like a compaction (permanent drift)."""
-    import pytest as _pytest
-
     from spookystuff_spark.sources.incremental import refresh_aggregate
 
     src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
@@ -608,7 +606,7 @@ def test_feedless_restore_refuses_in_fold_and_stream(spark, tmp_path):
         spark.createDataFrame([(3, "a", 7)], "k int, grp string, val long"),
     )
     U.restore(src, v1)  # no spark: no feed
-    with _pytest.raises(ValueError, match="restore commit without a change feed"):
+    with pytest.raises(ValueError, match="restore commit without a change feed"):
         refresh_aggregate(spark, src, dst, ["grp"], ["val"])
     # the CDC stream's planner refuses the same window (drive the stream
     # reader directly — a full readStream run adds nothing to the pin)
@@ -630,7 +628,7 @@ def test_feedless_restore_refuses_in_fold_and_stream(spark, tmp_path):
     ])
     r = _ChangeFeedReader(src, int(v1[1:]), sch, None)
     tip = int(U.committed_versions(src)[-1][1:])
-    with _pytest.raises(ValueError, match="restore commit without a"):
+    with pytest.raises(ValueError, match="restore commit without a"):
         r.partitions({"version": int(v1[1:])}, {"version": tip})
 
 
@@ -643,3 +641,31 @@ def test_restore_across_schema_change_refuses_feed(spark, tmp_path):
     U.drop_column(src, "v")
     with pytest.raises(ValueError, match="schema change"):
         U.restore(src, v1, spark=spark, key_cols=["k"])
+
+
+def test_restore_keyed_feed_refuses_duplicate_keys(spark, tmp_path):
+    """Non-unique key_cols make the keyed diff WRONG (duplicates pair
+    against the one opposite row and the change collapses) — refuse and
+    point at the set-based diff, which is exact under duplicates."""
+    src = str(tmp_path / "src")
+    U.write_table(
+        spark.createDataFrame([(1, "a")], "k int, v string"), src
+    )
+    v1 = U.committed_versions(src)[-1]
+    U.append_rows(
+        spark, src,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+    )
+    with pytest.raises(ValueError, match="not.*unique"):
+        U.restore(src, v1, spark=spark, key_cols=["k"])
+    # the set-based diff handles the duplicate exactly
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+
+    dst = str(tmp_path / "agg")
+    refresh_aggregate(spark, src, dst, ["v"], [])
+    U.restore(src, v1, spark=spark)
+    refresh_aggregate(spark, src, dst, ["v"], [])
+    got = {
+        (r["v"], r["n_rows"]) for r in U.read_table(spark, dst).collect()
+    }
+    assert got == {("a", 1)}
