@@ -107,6 +107,65 @@ ORACLE_IVM = """
 """
 
 
+ORACLE_RESTORE_IVM = """
+    SELECT lang,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+           COUNT(*) AS n_rows
+    FROM documents GROUP BY lang
+"""
+
+
+@bench_only("q_restore_ivm")
+def q_restore_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE folds through incremental consumers, gate-pinned: seed a
+    versioned source, refresh a derived aggregate, commit a mistake
+    (preimage-logged MERGE + delete) and fold it in, then ROLL BACK to
+    the seed with ``restore(..., spark=, key_cols=)`` — the rollback's
+    diff change feed (deletes + inserts + preimage/postimage pairs) is
+    folded like any other commit, so the derived table must land exactly
+    on the ORIGINAL corpus aggregate (the oracle recomputes it closed
+    form). A feed-less restore would instead freeze consumers at the
+    pre-restore state — the drift this gate proves dead. Rides
+    ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.incremental import refresh_aggregate
+    from spookystuff_spark.sources.upsert import (
+        delete_where,
+        read_table,
+        restore,
+        upsert,
+        write_table,
+    )
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = base.where(F.col("doc_id") % 11 == 0).withColumn(
+        "n_chars", F.col("n_chars") * 2 + 1
+    )
+    src = tempfile.mkdtemp(prefix="spooky-rst-src-")
+    dst = tempfile.mkdtemp(prefix="spooky-rst-dst-")
+    try:
+        write_table(base, src)
+        from spookystuff_spark.sources.upsert import committed_versions
+
+        v_seed = committed_versions(src)[-1]
+        refresh_aggregate(
+            spark, src, dst, ["lang"], ["n_chars"], dst_buckets=8
+        )
+        upsert(spark, src, updates, ["doc_id"], feed_preimages=True)
+        delete_where(spark, src, F.col("lang") == "fr")
+        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        restore(src, v_seed, spark=spark, key_cols=["doc_id"])
+        refresh_aggregate(spark, src, dst, ["lang"], ["n_chars"])
+        out = read_table(spark, dst).select(
+            "lang",
+            F.col("n_chars_sum").cast("long").alias("n_chars_sum"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dirs
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 ORACLE_DISTINCT_IVM = """
     WITH base AS (
       SELECT doc_id, lang,

@@ -85,6 +85,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_PMERGE,
     ORACLE_JOIN_VIEW,
     ORACLE_RENAME,
+    ORACLE_RESTORE_IVM,
     ORACLE_SCD2,
     ORACLE_STREAM_INGEST,
     q_bloom_lookup,
@@ -97,6 +98,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_join_view,
     q_partitioned_merge,
     q_rename_table,
+    q_restore_ivm,
     q_scd2_dim,
     q_stream_ingest,
 )
@@ -126,7 +128,7 @@ WITH {PAGERANK_CTES},
      ws AS ({ORACLE_WEIGHTED_SAMPLE}), tg AS ({ORACLE_TRIANGLES}),
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
-     div AS ({ORACLE_DISTINCT_IVM}),
+     div AS ({ORACLE_DISTINCT_IVM}), rst AS ({ORACLE_RESTORE_IVM}),
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
@@ -178,6 +180,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "div", "q_distinct_ivm", ["lang"], ["n_chars_distinct", "n_rows"],
+)}
+UNION ALL {_melt_sql(
+    "rst", "q_restore_ivm", ["lang"], ["n_chars_sum", "n_rows"],
 )}
 UNION ALL {_melt_sql(
     "pmg", "q_partitioned_merge", ["reader", "lang"],
@@ -319,6 +324,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_distinct_ivm",
             ["lang"],
             ["n_chars_distinct", "n_rows"],
+        ),
+        _melt(
+            q_restore_ivm(spark, sf_dir),
+            "q_restore_ivm",
+            ["lang"],
+            ["n_chars_sum", "n_rows"],
         ),
         _melt(
             q_partitioned_merge(spark, sf_dir),
@@ -556,7 +567,7 @@ register_suite(
                 "q_weighted_sample", "q_pagerank_purchases",
                 "q_triangle_stats", "q_zorder_key", "q_cdc_upsert",
                 "q_kmv_overlap", "q_ivm_refresh", "q_distinct_ivm",
-                "q_partitioned_merge",
+                "q_restore_ivm", "q_partitioned_merge",
                 "q_dv_delete", "q_stream_ingest",
             ]
         },
