@@ -10,7 +10,10 @@ numbers measure the plans, not JIT warmup.
 
 The JSON also carries ``suites`` (suite query → constituent list): suite
 timings grow when constituents are ADDED, and the lists make that
-distinguishable from a regression across rounds.
+distinguishable from a regression across rounds. The headline ``value``
+DE-DUPLICATES melted constituents (a bench_only query whose suite is timed
+in the same run contributes only through the suite); the naive overlapping
+sum rides along as ``value_overlap_included`` (r9's headline semantics).
 
 Isolated retime mode (the r4 lesson: batch-mode timings on sub-second
 queries carry up to ~2-3x noise from neighbors' block-store/GC pressure):
@@ -126,7 +129,24 @@ def main() -> None:
             release_persistent_rdds()  # outside the timed region
         timings[name] = round(best, 3)
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # r9 judge punch #2: a bench_only query MELTED into a timed suite is
+    # double-counted by a naive sum (the suite re-runs the same work), so
+    # every operator added melt-style inflated the headline twice. The
+    # headline `value` now excludes the standalone timings of constituents
+    # whose suite is itself timed in this run (they stay in `queries` and
+    # the isolated retime policy); the overlapping sum is published as
+    # `value_overlap_included` for round-over-round continuity.
+    melted = {
+        b
+        for s, cons in SUITE_CONSTITUENTS.items()
+        if timings.get(s, -1.0) >= 0
+        for b in cons.values()
+        if b is not None and b != s and b in timings
+    }
+    total = round(
+        sum(t for q, t in timings.items() if t >= 0 and q not in melted), 3
+    )
+    total_overlap = round(sum(t for t in timings.values() if t >= 0), 3)
 
     # --isolated-top N (r6 judge punch #8): after the in-run pass, re-time
     # the N slowest SINGLE queries (non-suites) each in its OWN fresh
@@ -250,6 +270,8 @@ def main() -> None:
         },
         "isolated": isolated,
         "repeats": repeats,
+        "value_overlap_included": total_overlap,
+        "dedup_excluded": sorted(melted),
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),

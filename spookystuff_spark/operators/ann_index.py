@@ -47,6 +47,8 @@ from spookystuff_spark.sources import upsert as U
 from spookystuff_spark.sources.incremental import (
     _SRC_MARK,
     _changes_since,
+    feed_has_duplicate_ids,
+    insert_only_runs,
     last_processed_version,
 )
 from spookystuff_spark.sources.upsert import delete_by_keys
@@ -284,7 +286,14 @@ def refresh_ann_index(
     O(touched-cells) partitioned upsert, DV-deletes its removed ids, and
     lands its ``_SRC_`` watermark before the next version starts — so a
     crash heals by skipping covered versions and a delete followed by a
-    later re-insert is two separate folds. Returns the new index
+    later re-insert is two separate folds. CONTIGUOUS ``append``-kind
+    versions (pure insert feeds) batch into ONE fold
+    (``insert_only_runs``): K embedding batches between refreshes cost
+    one assignment pass and one atomic MERGE commit, not K — exact
+    because inserts commute, except when one id repeats across the
+    run's versions (the keyed MERGE would pick an arbitrary one where
+    per-version replay lands the newest) — that run falls back to
+    per-version (``feed_has_duplicate_ids``). Returns the new index
     version, or None when the source has nothing the index can see.
     Refusals: update-shaped feeds (rebuild) and re-insert of a DV-hidden
     id (``compact_ann_index(..., force_dv=True)`` heals)."""
@@ -299,18 +308,40 @@ def refresh_ann_index(
     requested, src_vec = _ann_feed_cols(src_dir, index_dir, id_col)
     prev_v, committed = wm, False
     meta_cache: dict = {}  # O(pending) metadata reads across the replay
-    for v in pending:
+
+    def _fold_one(after: str | None, v: str) -> None:
+        nonlocal committed
         changes, _ = _changes_since(
-            spark, src_dir, prev_v, requested_cols=requested, until=v,
+            spark, src_dir, after, requested_cols=requested, until=v,
             meta_cache=meta_cache,
         )
-        prev_v = v
         if changes is None:
-            continue  # feed-less version: the next fold's marker covers it
+            return  # feed-less version: the next fold's marker covers it
         _fold_ann_version(
             spark, src_dir, index_dir, changes, v, id_col, src_vec
         )
         committed = True
+
+    for run in insert_only_runs(src_dir, pending, meta_cache):
+        if len(run) == 1:
+            _fold_one(prev_v, run[0])
+            prev_v = run[0]
+            continue
+        changes, _ = _changes_since(
+            spark, src_dir, prev_v, requested_cols=requested,
+            until=run[-1], meta_cache=meta_cache,
+        )
+        if changes is not None and feed_has_duplicate_ids(changes, id_col):
+            sub_prev = prev_v
+            for v in run:  # per-version fallback: exact under duplicates
+                _fold_one(sub_prev, v)
+                sub_prev = v
+        elif changes is not None:
+            _fold_ann_version(
+                spark, src_dir, index_dir, changes, run[-1], id_col, src_vec
+            )
+            committed = True
+        prev_v = run[-1]
     return U.committed_versions(index_dir)[-1] if committed else None
 
 

@@ -50,6 +50,8 @@ from spookystuff_spark.sources import upsert as U
 from spookystuff_spark.sources.incremental import (
     _SRC_MARK,
     _changes_since,
+    feed_has_duplicate_ids,
+    insert_only_runs,
     last_processed_version,
     newest_marker,
 )
@@ -263,10 +265,17 @@ def refresh_bm25_index(
     lands before the next version starts — so a crash heals by skipping
     covered versions, never by re-folding a batch whose extent grew
     under it, and a doc deleted in one version and re-anything'd later
-    is two separate folds. Returns the new index version, or None when
-    the source has nothing the index can see. Refusals: update-shaped
-    feeds (rebuild) and re-insert of a DV-hidden doc
-    (``compact_bm25_index(..., force_dv=True)`` heals)."""
+    is two separate folds. CONTIGUOUS ``append``-kind versions (pure
+    insert feeds) batch into ONE fold (``insert_only_runs``): K crawl
+    batches between refreshes cost one tokenize pass and one atomic
+    index commit, not K — value-identical to the per-version replay
+    because inserts commute, except when one doc id repeats across the
+    run's versions (its postings would collapse in the batched tokenize
+    where per-version appends both) — that run falls back to
+    per-version (``feed_has_duplicate_ids``). Returns the new index
+    version, or None when the source has nothing the index can see.
+    Refusals: update-shaped feeds (rebuild) and re-insert of a
+    DV-hidden doc (``compact_bm25_index(..., force_dv=True)`` heals)."""
     wm = last_processed_version(index_dir)
     pending = [
         v
@@ -277,21 +286,88 @@ def refresh_bm25_index(
         return None
     prev_v, committed = wm, False
     meta_cache: dict = {}  # O(pending) metadata reads across the replay
-    for v in pending:
+
+    def _fold_one(after: str | None, v: str) -> None:
+        nonlocal committed
         # the fold consumes only (id_col, text_col): a drop of any other
         # source column must not stall the refresh (column-pruned walk)
         changes, _ = _changes_since(
-            spark, src_dir, prev_v, requested_cols=[id_col, text_col],
+            spark, src_dir, after, requested_cols=[id_col, text_col],
             until=v, meta_cache=meta_cache,
         )
-        prev_v = v
         if changes is None:
-            continue  # feed-less version: the next fold's marker covers it
+            return  # feed-less version: the next fold's marker covers it
         _fold_bm25_version(
             spark, src_dir, index_dir, changes, v, id_col, text_col
         )
         committed = True
+
+    for run in insert_only_runs(src_dir, pending, meta_cache):
+        if len(run) == 1:
+            _fold_one(prev_v, run[0])
+            prev_v = run[0]
+            continue
+        changes, _ = _changes_since(
+            spark, src_dir, prev_v, requested_cols=[id_col, text_col],
+            until=run[-1], meta_cache=meta_cache,
+        )
+        if changes is not None and feed_has_duplicate_ids(changes, id_col):
+            sub_prev = prev_v
+            for v in run:  # per-version fallback: exact under duplicates
+                _fold_one(sub_prev, v)
+                sub_prev = v
+        elif changes is not None:
+            _fold_bm25_version(
+                spark, src_dir, index_dir, changes, run[-1], id_col, text_col
+            )
+            committed = True
+        prev_v = run[-1]
     return U.committed_versions(index_dir)[-1] if committed else None
+
+
+def _score_slice(
+    slice_df: DataFrame,
+    qterms: DataFrame,
+    stats: dict,
+    k: int,
+    hint_small_queries: bool,
+) -> DataFrame:
+    """Okapi BM25 scoring of a probed postings slice against distinct
+    (query_id, term) pairs: df(term) exact within the slice (a term's
+    postings all share its bucket), (n_docs, avgdl) from the manifest
+    stats, bounded window-rank top-k. ``hint_small_queries`` broadcast-
+    hints the query side (the list entry point's small-by-contract case);
+    the DataFrame entry point leaves strategy to AQE."""
+    from pyspark.sql.window import Window
+
+    maybe_b = F.broadcast if hint_small_queries else (lambda df: df)
+    tf_q = slice_df.join(
+        maybe_b(qterms.select("term").distinct()), "term", "leftsemi"
+    )
+    df_term = tf_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(stats["n_docs"]) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = float(stats["total_dl"]) / stats["n_docs"]
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        tf_q.join(maybe_b(qterms), "term")
+        .join(maybe_b(df_term), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(round_stable(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
 
 
 def bm25_index_topk(
@@ -308,8 +384,6 @@ def bm25_index_topk(
     come from the manifest — no corpus scan anywhere. Output
     (query_id, rank, doc_id, score) is bit-identical to
     ``bm25_topk(corpus, queries, k)``."""
-    from pyspark.sql.window import Window
-
     cur = U.committed_versions(index_dir)[-1]
     m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
     stats, n_buckets = m[_STATS], m["n_buckets"]
@@ -323,33 +397,68 @@ def bm25_index_topk(
     qterms = spark.createDataFrame(
         sorted(qpairs), "query_id int, term string"
     )
-    tf_q = slice_df.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "leftsemi"
+    return _score_slice(slice_df, qterms, stats, k, hint_small_queries=True)
+
+
+def bm25_index_topk_df(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "query_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bm25_index_topk` for a DataFrame-sized query batch (the
+    standing-corpus retrieval shape where the queries are themselves a
+    table — e.g. scoring every document of tonight's crawl against the
+    indexed corpus). Same output ``(query_id, rank, doc_id, score)``,
+    bit-identical to the list path on the same queries — but with zero
+    driver tokenization and no query collect:
+
+    * query terms tokenize JVM-side with the index's own expression
+      (``operators.retrieval.terms`` semantics — identical token set to
+      the driver-side ``re.findall``);
+    * the bucket collect gathers only DISTINCT BUCKET IDS (bounded by the
+      index's ``n_buckets``, never by query count), so a small batch
+      still reads only its terms' buckets through the manifest-pruned
+      reader while a vocabulary-covering batch degrades gracefully to
+      reading them all;
+    * no broadcast hints — AQE picks strategies from actual sizes (a
+      skewed ultra-common term is handled by AQE skew-join like any
+      other hot key).
+
+    The window top-k shuffles on ``query_id``, which is the output's own
+    cardinality — the unavoidable term."""
+    cur = U.committed_versions(index_dir)[-1]
+    m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
+    stats, n_buckets = m[_STATS], m["n_buckets"]
+    qterms = (
+        queries_df.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(WORD_RE), 1
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the bucket collect + scoring
     )
-    df_term = tf_q.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.lit(stats["n_docs"]) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
+    buckets = sorted(
+        r[0]
+        for r in qterms.select(
+            F.concat(
+                F.lit("b"),
+                (F.crc32(F.col("term")) % n_buckets).cast("string"),
+            ).alias("_b")
+        )
+        .distinct()
+        .collect()
     )
-    avgdl = float(stats["total_dl"]) / stats["n_docs"]
-    tf_part = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.lit(avgdl))
-    )
-    scored = (
-        tf_q.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_term), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(round_stable(F.sum(idf * tf_part), 4).alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    # an all-empty query batch reads zero files and scores an empty slice
+    # (read_table_partitions falls back to the manifest schema)
+    slice_df = read_table_partitions(spark, index_dir, buckets)
+    return _score_slice(slice_df, qterms, stats, k, hint_small_queries=False)
 
 
 def streaming_refresh_sink(

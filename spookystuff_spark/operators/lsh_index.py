@@ -62,6 +62,7 @@ from spookystuff_spark.sources import upsert as U
 from spookystuff_spark.sources.incremental import (
     _SRC_MARK,
     _changes_since,
+    insert_only_runs,
     last_processed_version,
     newest_marker,
 )
@@ -407,6 +408,19 @@ def refresh_lsh_index(
     single-version feed. Returns the newest bands version committed, or
     None when the source has nothing the index can see.
 
+    CONTIGUOUS ``append``-kind versions (pure insert feeds) batch into
+    ONE fold (``insert_only_runs``): K crawl batches between refreshes
+    cost one signature pass and one append per table, not K — exact
+    because inserts commute and the signature pass is row-per-row (a
+    doc appended twice yields the same duplicated band/sig rows either
+    way, so no duplicate-id fallback is needed here, unlike BM25's
+    collapsing stats pass). Crash consistency across a batched run:
+    when ``sigs/`` is ahead of ``bands/`` (the crash window between the
+    two commits), the FIRST run is pinned to exactly the versions the
+    sigs watermark covers — bands catches up with the identical extent
+    while sigs skips via its watermark, so source commits landing after
+    the crash can still never widen the batch under the heal.
+
     Refusals (each raises with the heal path named): update-shaped
     feeds (an update's old and new band rows share the doc id, which a
     table-level key vector can't tell apart — rebuild); re-inserting a
@@ -424,7 +438,19 @@ def refresh_lsh_index(
     params = index_params(index_dir)
     prev, committed = wm, False
     meta_cache: dict = {}  # O(pending) metadata reads across the replay
-    for v in pending:
+    sig_wm = last_processed_version(_sigs_dir(index_dir))
+    if sig_wm is not None and (wm is None or U._vnum(sig_wm) > U._vnum(wm)):
+        # crash heal: re-fold EXACTLY the extent the sigs watermark
+        # proves the crashed fold had, as one run
+        head = [v for v in pending if U._vnum(v) <= U._vnum(sig_wm)]
+        tail = [v for v in pending if U._vnum(v) > U._vnum(sig_wm)]
+        runs = ([head] if head else []) + insert_only_runs(
+            src_dir, tail, meta_cache
+        )
+    else:
+        runs = insert_only_runs(src_dir, pending, meta_cache)
+    for run in runs:
+        v = run[-1]
         changes, _ = _changes_since(
             spark, src_dir, prev, requested_cols=[id_col, text_col],
             until=v, meta_cache=meta_cache,
@@ -436,6 +462,54 @@ def refresh_lsh_index(
             spark, src_dir, index_dir, changes, v, params, id_col, text_col
         ) or committed
     return U.committed_versions(bands_dir)[-1] if committed else None
+
+
+def _candidate_pairs(matched: DataFrame, max_bucket: int) -> DataFrame:
+    """Distinct (probe_id, id) candidates from band-hash matches, with
+    degenerate (band, band_hash) groups larger than ``max_bucket`` INDEX
+    members dropped, not exploded (the batch pipeline's boilerplate
+    policy — the cap counts the full index-side group, BEFORE the
+    self-filter), and self-pairs removed."""
+    sizes = matched.groupBy("band", "band_hash").agg(
+        F.countDistinct("id").alias("__n_members")
+    )
+    return (
+        matched.join(sizes, ["band", "band_hash"])
+        .where(F.col("__n_members") <= max_bucket)
+        .where(F.col("id") != F.col("probe_id"))
+        .select("probe_id", "id")
+        .distinct()
+    )
+
+
+def _verified_pairs(
+    cands: DataFrame,
+    sig_slice: DataFrame,
+    psigs: DataFrame,
+    n_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """JVM-side MinHash verification: matching-component fraction of the
+    candidate's stored sig vs the probe's (``zip_with`` + ``aggregate`` —
+    the standard estimator), thresholded. ``psigs``: (probe_id, psig) —
+    pre-hint ``F.broadcast`` when small by contract."""
+    est = (
+        F.aggregate(
+            F.zip_with(
+                "sig", "psig",
+                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(float(n_hashes))
+    )
+    return (
+        cands.join(sig_slice, "id")
+        .join(psigs, "probe_id")
+        .select("probe_id", "id", round_stable(est, 4).alias("est_sim"))
+        .where(F.col("est_sim") >= threshold)
+    )
 
 
 def lsh_index_query(
@@ -479,18 +553,9 @@ def lsh_index_query(
         ),
     )
     matched = slice_df.join(F.broadcast(pb), ["band", "band_hash"])
-    # cap BEFORE the self-filter: the cap counts the full index-side group
-    sizes = matched.groupBy("band", "band_hash").agg(
-        F.countDistinct("id").alias("__n_members")
-    )
-    cands = (
-        matched.join(sizes, ["band", "band_hash"])
-        .where(F.col("__n_members") <= max_bucket)
-        .where(F.col("id") != F.col("probe_id"))
-        .select("probe_id", "id")
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds the id collect AND the join
-    )
+    cands = _candidate_pairs(matched, max_bucket).localCheckpoint(
+        eager=True
+    )  # feeds the id collect AND the join
     id_rows = cands.select("id").distinct().limit(CAND_IDS_MAX + 1).collect()
     if len(id_rows) <= CAND_IDS_MAX:
         if not id_rows:
@@ -520,25 +585,94 @@ def lsh_index_query(
             ]
         ),
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                "sig", "psig",
-                lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).cast("double")
-        / F.lit(float(n_hashes))
+    return _verified_pairs(
+        cands, sig_slice, F.broadcast(psigs), n_hashes, threshold
     )
-    return (
-        cands.join(sig_slice, "id")
-        .join(F.broadcast(psigs), "probe_id")
-        .select(
-            "probe_id", "id", round_stable(est, 4).alias("est_sim")
+
+
+def lsh_index_query_df(
+    spark: SparkSession,
+    index_dir: str,
+    probe_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """:func:`lsh_index_query` for a DataFrame-sized probe batch — the
+    module's own motivating case is "check tonight's crawl batch against
+    the standing corpus", and that batch is itself a table, not a Python
+    list. Same output (``probe_id, id, est_sim`` at the MinHash estimate
+    ≥ ``threshold``), same candidate policy (``max_bucket`` cap before
+    the self-filter), value-identical to the list path on the same docs —
+    but with ZERO driver involvement in the data plane:
+
+    * probe signatures come from the same :func:`_signatures`
+      ``mapInPandas`` pass the index build/refresh uses (one Arrow pass
+      over the batch — the driver never sees a signature);
+    * the band-bucket and sig-bucket collects gather only DISTINCT BUCKET
+      IDS (bounded by the index's ``n_buckets``, never by probe or
+      candidate count), so manifest pruning still skips unprobed buckets
+      — a small batch touches few band buckets and reads only those,
+      while a corpus-sized batch degrades gracefully to reading all of
+      them (which it must);
+    * candidates stay distributed end-to-end (no ``CAND_IDS_MAX`` driver
+      enumeration — the sig read prunes by the candidates' OWN buckets
+      and semi-joins the exact id set executor-side);
+    * no broadcast hints on the probe side — AQE picks the join strategy
+      from actual sizes, so the same code serves a 100-row smoke probe
+      and a 100-GB nightly batch.
+
+    Probe rows whose shingle set is empty are skipped (no signature
+    exists — the :func:`_signatures` rule); a probe doc already in the
+    index never pairs with itself."""
+    params = index_params(index_dir)
+    n_buckets, n_hashes = params["n_buckets"], params["n_hashes"]
+    empty = spark.createDataFrame(
+        [], "probe_id long, id long, est_sim double"
+    )
+    wide = _signatures(
+        probe_df.select(id_col, text_col), id_col, text_col,
+        params["n_hashes"], params["bands"], params["shingle_k"],
+        params["seed"],
+    ).localCheckpoint(eager=True)  # one signature pass feeds bands + sigs
+    band_rows = wide.select(
+        F.col("id").alias("probe_id"),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
+    )
+    # bounded collect: DISTINCT BUCKETS only (≤ n_buckets rows, whatever
+    # the probe cardinality) — keeps the manifest-pruned read for small
+    # batches without ever enumerating probe rows on the driver
+    buckets = sorted(
+        r[0]
+        for r in band_rows.select(
+            _band_bucket_expr(n_buckets).alias("_b")
         )
-        .where(F.col("est_sim") >= threshold)
+        .distinct()
+        .collect()
     )
+    if not buckets:
+        return empty  # every probe doc was shingle-empty
+    slice_df = read_table_partitions(spark, _bands_dir(index_dir), buckets)
+    matched = slice_df.join(band_rows, ["band", "band_hash"])
+    cands = _candidate_pairs(matched, max_bucket).localCheckpoint(
+        eager=True
+    )  # feeds the bucket collect AND the verify join
+    cand_buckets = sorted(
+        r[0]
+        for r in cands.select(_sig_bucket_expr(n_buckets).alias("_b"))
+        .distinct()
+        .collect()
+    )
+    if not cand_buckets:
+        return empty
+    sig_slice = read_table_partitions(
+        spark, _sigs_dir(index_dir), cand_buckets
+    ).join(cands.select("id").distinct(), "id", "leftsemi")
+    psigs = wide.select(
+        F.col("id").alias("probe_id"), F.col("sig").alias("psig")
+    )
+    return _verified_pairs(cands, sig_slice, psigs, n_hashes, threshold)
 
 
 def compact_lsh_index(

@@ -182,6 +182,29 @@ ORACLE_DISTINCT_IVM = """
     FROM base WHERE lang <> 'de' GROUP BY lang
 """
 
+# closed-form recompute of read_topk_values over q_distinct_ivm's final
+# state: exact per-group top-3 most frequent values, ROW_NUMBER ties broken
+# by value ascending (the support Z-set's own total order)
+ORACLE_TOPK_VALUES = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT lang, n_chars, _n, rank FROM (
+      SELECT lang, n_chars, COUNT(*) AS _n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY COUNT(*) DESC, n_chars ASC
+             ) AS rank
+      FROM base WHERE lang <> 'de' AND n_chars IS NOT NULL
+      GROUP BY lang, n_chars
+    ) WHERE rank <= 3
+"""
+
 
 @bench_only("q_distinct_ivm")
 def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,9 +218,17 @@ def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``COUNT(DISTINCT)`` recompute passing means three successive deltas —
     including updates that MOVE values between support rows — composed
     exactly. Keyed layout (``dst_buckets=8``) so each refresh rewrites
-    only touched buckets. Rides ``q_scalar_suite``'s melt."""
+    only touched buckets.
+
+    Returns MELT-SHAPED rows under two aliases: ``q_distinct_ivm`` (the
+    distinct aggregate) and ``q_topk_values`` (exact per-group top-3 most
+    frequent values via ``read_topk_values`` — the heavy-hitter surface
+    the support Z-set maintains as a byproduct, r10 gate addition against
+    a closed-form ``ROW_NUMBER`` oracle). Rides ``q_scalar_suite``."""
+    from spookystuff_spark.queries.tpch_suites import _melt
     from spookystuff_spark.sources.incremental import (
         read_distinct_aggregate,
+        read_topk_values,
         refresh_distinct,
     )
     from spookystuff_spark.sources.upsert import delete_where, upsert, write_table
@@ -223,10 +254,12 @@ def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_distinct(spark, src, dst, ["lang"], "n_chars")
         delete_where(spark, src, F.col("lang") == "de")
         refresh_distinct(spark, src, dst, ["lang"], "n_chars")
-        out = read_distinct_aggregate(spark, dst, ["lang"], "n_chars").select(
-            "lang",
-            F.col("n_chars_distinct").cast("long").alias("n_chars_distinct"),
-            F.col("n_rows").cast("long").alias("n_rows"),
+        agg = read_distinct_aggregate(spark, dst, ["lang"], "n_chars")
+        topk = read_topk_values(spark, dst, ["lang"], "n_chars", k=3)
+        out = _melt(
+            agg, "q_distinct_ivm", ["lang"], ["n_chars_distinct", "n_rows"]
+        ).unionByName(
+            _melt(topk, "q_topk_values", ["lang", "rank"], ["n_chars", "_n"])
         )
         return out.localCheckpoint(eager=True)  # outlive the temp dirs
     finally:

@@ -203,8 +203,10 @@ def q_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     FEED (O(batch) signature pass + O(batch) partitioned appends —
     never a rebuild), DELETE two docs that partner probe near-dups
     (447, 290 — the fold becomes an O(deleted) key deletion vector,
-    zero index rewrite), then probe the %7 docs against the index
-    through the manifest-pruned band-bucket reader. Returns melted
+    zero index rewrite), then probe the %7 docs AS A DATAFRAME against
+    the index (``lsh_index_query_df`` — signatures in mapInPandas,
+    bucket-pruned band join, no driver collect anywhere in the probe
+    plane; the r9 verdict's one remaining scale term). Returns melted
     rows: every doc's final VISIBLE band rows (``lshbands`` — pins the
     incremental fold and the DV retraction bit-exactly) and every
     probe's estimate-verified near-dups (``lshprobe`` — pins the probe
@@ -243,11 +245,10 @@ def q_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("member").alias("measure"),
             F.lit(1.0).alias("v_num"),
         )
-        probes = [
-            (r["doc_id"], r["text"])
-            for r in docs.where(F.col("doc_id") % 7 == 0).collect()
-        ]
-        pairs = L.lsh_index_query(spark, idx, probes, threshold=0.35).select(
+        pairs = L.lsh_index_query_df(
+            spark, idx, docs.where(F.col("doc_id") % 7 == 0),
+            "doc_id", "text", threshold=0.35,
+        ).select(
             F.lit("lshprobe").alias("q"),
             F.concat_ws("|", "probe_id", "id").alias("row_key"),
             F.lit("est_sim").alias("measure"),

@@ -76,7 +76,9 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings table on the doc_id%4!=0 base corpus, fold the %4==0 batch in
     FROM THE CHANGE FEED (one O(batch) tokenize + one O(batch) partitioned
     append — never an index rewrite), then answer the standard BM25_QUERIES
-    through the manifest-pruned bucket reader. The oracle is the SAME
+    AS A DATAFRAME through the manifest-pruned bucket reader
+    (``bm25_index_topk_df`` — JVM-side tokenization, no query collect;
+    the r10 DataFrame-probe surface, gated here). The oracle is the SAME
     full-corpus SQL as q_retrieval_bm25 — the index must be score-for-score
     indistinguishable from a corpus scan."""
     import shutil
@@ -93,7 +95,8 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         BX.build_bm25_index(spark, src, idx, n_buckets=8)
         append_rows(spark, src, docs.where(F.col("doc_id") % 4 == 0))
         BX.refresh_bm25_index(spark, src, idx)
-        res = BX.bm25_index_topk(spark, idx, BM25_QUERIES, k=10)
+        qdf = spark.createDataFrame(BM25_QUERIES, "query_id int, text string")
+        res = BX.bm25_index_topk_df(spark, idx, qdf, k=10)
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -35,12 +35,15 @@ rebuild-native lakehouse surface in the spirit of Delta CDF consumers
 
 from __future__ import annotations
 
+import logging
 from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark.sources import upsert as U
+
+_log = logging.getLogger(__name__)
 
 _SRC_MARK = "_SRC_"
 
@@ -117,6 +120,32 @@ def _null_safe_key_cond(left: DataFrame, right: DataFrame, cols):
         e = left[g].eqNullSafe(right[g])
         cond = e if cond is None else cond & e
     return cond
+
+
+def _fold_support(
+    current: DataFrame | None, delta: DataFrame, fold_key: Sequence[str]
+) -> DataFrame:
+    """Fold a signed per-pair delta (``_dn``) into a counted-support Z-set
+    (``_n`` per live ``fold_key`` row), dropping pairs whose multiplicity
+    reaches zero — the one construction behind :func:`refresh_distinct`
+    and the join view's ``refresh_join_distinct``. NULL-SAFE full-outer
+    merge: a NULL value is an ordinary support row (read-time COUNT
+    excludes it, SQL-style) and a NULL-keyed group must not split
+    (``refresh_aggregate``'s r8 review catch, same class here)."""
+    if current is None:
+        merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
+    else:
+        joined = current.join(
+            delta, _null_safe_key_cond(current, delta, fold_key), "full_outer"
+        )
+        merged = joined.select(
+            *[F.coalesce(current[c], delta[c]).alias(c) for c in fold_key],
+            (
+                F.coalesce(F.col("_n"), F.lit(0))
+                + F.coalesce(F.col("_dn"), F.lit(0))
+            ).alias("_n"),
+        )
+    return merged.where(F.col("_n") > 0)
 
 
 def _resolve_buckets(
@@ -276,6 +305,16 @@ def _keyed_slice(
                 .distinct()
                 .collect()
             })
+            if n_buckets >= 4 and 2 * len(touched) > n_buckets:
+                # the layout-too-coarse signal: a delta that keeps hitting
+                # most buckets pays near-full rewrites anyway — either the
+                # deltas are backfill-sized (expected) or dst_buckets is
+                # too small for the group cardinality (rebucket())
+                _log.warning(
+                    "%s: refresh touches %d of %d buckets — if routine, "
+                    "the keyed layout is too coarse; see rebucket()",
+                    dst_dir, len(touched), n_buckets,
+                )
             return (
                 read_table_partitions(spark, dst_dir, touched),
                 touched, cur, rel,
@@ -336,6 +375,54 @@ def _commit_keyed(
     return v
 
 
+def rebucket(spark: SparkSession, dst_dir: str, n_buckets: int) -> str | None:
+    """Re-seed a KEYED derived table (aggregate, distinct support, or the
+    join-view composites — anything committed through :func:`_commit_keyed`)
+    at a new bucket count: one full read through the current snapshot
+    (deletion vectors and schema maps materialize away, the heal path's
+    contract) + one bucketed rewrite + a fresh full manifest recording the
+    new layout, with the current ``_SRC_``-family watermark RE-STAMPED so
+    exactly-once refresh survives. Keyed folds resume at the new count on
+    the next refresh — without this, a table seeded at 8 buckets that
+    grew 1000× could only rebuild by hand (:func:`_resolve_buckets`
+    correctly refuses a mismatched ``dst_buckets`` parameter).
+
+    Sizing rule of thumb (see :func:`refresh_aggregate`): buckets ≈
+    group-cardinality rows / (a few hundred MB of aggregate rows), so a
+    trickle delta rewrites a bounded slice. No-op (returns None) when the
+    table already has the requested count. Refreshes are single atomic
+    commits, so there is no mid-refresh state to race: a concurrent
+    refresh and a rebucket serialize on the version slot like any two
+    writers."""
+    rec_buckets, gcols = agg_layout(dst_dir)
+    if gcols is None:
+        raise ValueError(
+            f"{dst_dir}: not a keyed derived table (no recorded bucket "
+            "layout) — seed one by passing dst_buckets to its refresh"
+        )
+    if rec_buckets is not None and int(rec_buckets) == int(n_buckets):
+        return None
+    # the marker prefix-matches the whole _SRC_ family (_SRC_/_SRCJ_), so
+    # re-stamping the newest one verbatim preserves whichever watermark
+    # kind this table's refresher reads
+    marker = None
+    for v, raw in U.chain_desc(dst_dir):
+        for name in U.version_markers(dst_dir, v, raw=raw):
+            if name.startswith(_SRC_MARK.rstrip("_")):
+                marker = name
+                break
+        if marker:
+            break
+    if marker is None:
+        raise ValueError(
+            f"{dst_dir}: no _SRC watermark marker found to re-stamp — "
+            "refusing to rebucket (a follow-up refresh could not prove "
+            "exactly-once); refresh once first"
+        )
+    merged = U.read_table(spark, dst_dir)
+    return _commit_keyed(merged, dst_dir, list(gcols), int(n_buckets), marker)
+
+
 def advance_watermark(dst_dir: str, marker: str) -> str:
     """O(1) watermark-only commit: feed-less source versions (compactions,
     maintenance) advance the ``_SRC_``-family marker with an EMPTY manifest
@@ -368,6 +455,55 @@ def advance_watermark(dst_dir: str, marker: str) -> str:
     U._stamp_marker(dst_dir, v, marker)
     U._finalize_commit(dst_dir, v, cur)
     return v
+
+
+def insert_only_runs(
+    src_dir: str, pending: Sequence[str], meta_cache: dict
+) -> list[list[str]]:
+    """Group a pending-version backlog into per-fold RUNS for the index
+    refreshes' replay loops (ANN/BM25/LSH): contiguous ``append``-kind
+    commits — pure insert feeds by the writer's contract — batch into ONE
+    fold, so a source that committed K crawl batches between refreshes
+    pays one signature/tokenize pass and one index commit instead of K
+    Spark jobs (the r9 verdict's per-version replay cost). Every other
+    kind (upsert, delete, rename, drop, restore, compact, ...) stays a
+    single-version run, keeping the per-version soundness checks and the
+    delete/mixed crash healing exactly as before. Kind comes from the
+    RAW manifest via the replay's shared ``meta_cache`` memo — zero
+    extra metadata reads."""
+    raws = meta_cache.setdefault("raws", {})
+    runs: list[list[str]] = []
+    cur: list[str] = []
+    for v in pending:
+        if v not in raws:
+            raws[v] = U._read_manifest_raw(src_dir, v) or {}
+        if raws[v].get("kind") == "append":
+            cur.append(v)
+        else:
+            if cur:
+                runs.append(cur)
+                cur = []
+            runs.append([v])
+    if cur:
+        runs.append(cur)
+    return runs
+
+
+def feed_has_duplicate_ids(changes: DataFrame, id_col: str) -> bool:
+    """True when any id appears more than once in a (batched) insert
+    feed. A batched fold of K append versions is only guaranteed
+    value-identical to the per-version replay when no id repeats across
+    them (duplicate appends of one doc would collapse in a batched
+    tokenize/stats pass where per-version replay appends both) — the
+    refresh loops fall back to per-version on a hit. One cheap
+    aggregation over the batch."""
+    return bool(
+        changes.groupBy(F.col(id_col).alias("__id"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") > 1)
+        .limit(1)
+        .count()
+    )
 
 
 def newest_marker(dst_dir: str, prefix: str) -> str | None:
@@ -438,6 +574,17 @@ def _changes_since(
     Committed manifests are immutable, so the memo is always current."""
     frames = []
     newest = None
+    if meta_cache is not None:
+        # the memo keys are version strings only — a dict accidentally
+        # shared across two sources would serve the other table's
+        # manifests with no error; bind the cache to its source on first
+        # use and refuse any other
+        owner = meta_cache.setdefault("_src_dir", src_dir)
+        if owner != src_dir:
+            raise ValueError(
+                f"meta_cache is bound to {owner!r} but was passed for "
+                f"{src_dir!r} — use one cache dict per source table"
+            )
     if meta_cache is not None and "committed" in meta_cache:
         committed = meta_cache["committed"]
     else:
@@ -618,7 +765,22 @@ def refresh_aggregate(
     drift). A maintenance commit that flattened the layout (plain
     ``compact``) HEALS on the next refresh with one full bucketed
     rewrite. Feed-less source versions advance the watermark with an
-    empty O(1) commit in either mode."""
+    empty O(1) commit in either mode.
+
+    Choosing ``dst_buckets`` (each refresh rewrites every touched bucket
+    whole, so size buckets to a comfortable rewrite unit, ~100-500 MB of
+    aggregate rows)::
+
+        group cardinality     dst_buckets
+        ------------------    -----------
+        < ~1M groups          None (full rewrite is the cheaper plan)
+        ~1M - 100M            8 - 64
+        ~100M - 10B           256 - 4096
+        > 10B                 8192+
+
+    A warning is logged when a refresh keeps touching more than half the
+    buckets — the signal the layout is too coarse for the delta shape;
+    :func:`rebucket` re-seeds an existing table at a new count."""
     after = last_processed_version(dst_dir)
     changes, newest = _changes_since(
         spark, src_dir, after,
@@ -683,6 +845,30 @@ def refresh_aggregate(
             spark, dst_dir, delta, gcols, n_buckets, keyed_layout
         )
 
+        if current is not None:
+            # a refresh that silently NARROWS the maintained column set
+            # (a later call omitting sumsq_cols, or any agg-col family)
+            # would rewrite touched buckets without the column — in keyed
+            # layout that leaves mixed bucket schemas and a manifest
+            # claiming the narrower one, losing the statistic; a WIDENED
+            # set can't backfill history from a delta either — both must
+            # rebuild, so any mismatch refuses
+            expected = {
+                *gcols,
+                *(f"{c}_sum" for c in sum_cols),
+                *(f"{c}_sumsq" for c in sumsq_cols),
+                *(f"{c}_min" for c in min_cols),
+                *(f"{c}_max" for c in max_cols),
+                "n_rows",
+            }
+            have = set(current.columns)
+            if have != expected:
+                raise ValueError(
+                    f"{dst_dir}: maintained columns {sorted(have)} don't "
+                    f"match this refresh's aggregate set {sorted(expected)}"
+                    " — changing the maintained statistics requires "
+                    "rebuilding the derived table"
+                )
         if current is None:
             merged = delta
         else:
@@ -880,27 +1066,7 @@ def refresh_distinct(
             spark, dst_dir, delta, gcols, n_buckets, keyed_layout
         )
 
-        if current is None:
-            merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
-        else:
-            # NULL-SAFE full-outer fold on (group, value) — a NULL value is an
-            # ordinary support row (read-time COUNT excludes it, SQL-style),
-            # and a NULL-keyed group must not split (refresh_aggregate's r8
-            # review catch, same class here)
-            joined = current.join(
-                delta, _null_safe_key_cond(current, delta, fold_key), "full_outer"
-            )
-            merged = joined.select(
-                *[
-                    F.coalesce(current[c], delta[c]).alias(c)
-                    for c in fold_key
-                ],
-                (
-                    F.coalesce(F.col("_n"), F.lit(0))
-                    + F.coalesce(F.col("_dn"), F.lit(0))
-                ).alias("_n"),
-            )
-        merged = merged.where(F.col("_n") > 0)
+        merged = _fold_support(current, delta, fold_key)
 
         if n_buckets is not None:
             return _commit_keyed(

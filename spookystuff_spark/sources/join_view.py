@@ -572,6 +572,18 @@ def refresh_join_aggregate(
         current, touched, cur, rel = _keyed_slice(
             spark, dst_dir, delta_agg, gcols, n_buckets, keyed_layout
         )
+        # a refresh that changes the maintained column set (e.g. omits
+        # sumsq_cols on a table maintained with them) cannot fold — the
+        # unionByName below would raise anyway, but cryptically; refuse
+        # with the rebuild named (incremental.refresh_aggregate's guard,
+        # join-lifted)
+        if set(current.columns) != set(delta_agg.columns):
+            raise ValueError(
+                f"{dst_dir}: maintained columns {sorted(current.columns)} "
+                "don't match this refresh's aggregate set "
+                f"{sorted(delta_agg.columns)} — changing the maintained "
+                "statistics requires rebuilding the derived table"
+            )
         # union-then-groupBy fold: groupBy treats NULL group keys as one
         # group (a full-outer equi-join would NOT match NULL = NULL, so a
         # NULL-keyed group's retraction would silently never meet its
@@ -636,8 +648,8 @@ def refresh_join_distinct(
     fact ⋈ dim pair, exact under takedown deletes, never re-joined."""
     from spookystuff_spark.sources.incremental import (
         _commit_keyed,
+        _fold_support,
         _keyed_slice,
-        _null_safe_key_cond,
         _resolve_buckets,
         advance_watermark,
     )
@@ -682,25 +694,7 @@ def refresh_join_distinct(
             )
         else:
             current, touched, cur, rel = None, None, None, None
-        if current is None:
-            merged = delta.select(*fold_key, F.col("_dn").alias("_n"))
-        else:
-            joined = current.join(
-                delta,
-                _null_safe_key_cond(current, delta, fold_key),
-                "full_outer",
-            )
-            merged = joined.select(
-                *[
-                    F.coalesce(current[c], delta[c]).alias(c)
-                    for c in fold_key
-                ],
-                (
-                    F.coalesce(F.col("_n"), F.lit(0))
-                    + F.coalesce(F.col("_dn"), F.lit(0))
-                ).alias("_n"),
-            )
-        merged = merged.where(F.col("_n") > 0)
+        merged = _fold_support(current, delta, fold_key)
         if n_buckets is not None:
             return _commit_keyed(
                 merged, dst_dir, gcols, n_buckets, marker,

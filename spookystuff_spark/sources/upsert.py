@@ -2877,10 +2877,13 @@ def restore(
             # emit NOTHING (or emit the postimage once per duplicate) —
             # a silently wrong feed, the exact drift this feature exists
             # to prevent; the set-based diff (key_cols=None) is exact
+            # collision-free alias (a key column literally named "count"
+            # would make F.col("count") ambiguous and fail confusingly)
+            dup_n = F.count(F.lit(1)).alias("__dup_cnt")
             dup = (
-                a.groupBy(*key_cols).count()
-                .unionByName(b.groupBy(*key_cols).count())
-                .where(F.col("count") > 1)
+                a.groupBy(*key_cols).agg(dup_n)
+                .unionByName(b.groupBy(*key_cols).agg(dup_n))
+                .where(F.col("__dup_cnt") > 1)
                 .limit(1)
                 .count()
             )

@@ -233,3 +233,21 @@ def test_streaming_refresh_follows_cdc(spark, tmp_path, built):
     )
     write_table_partitioned(assigned, idx2, "cell", change_feed=False)
     assert got == _index_state(spark, idx2)
+
+
+def test_contiguous_appends_fold_as_one_commit(spark, built):
+    """K contiguous append-kind source versions batch into ONE assignment
+    pass + ONE MERGE commit (r9 punch #5), with the same final cell
+    assignments as assigning the full corpus under the same centroids."""
+    src, idx = built
+    for ids in (range(100, 110), range(110, 120), range(200, 210)):
+        U.append_rows(spark, src, _emb(spark, ids))
+    n0 = len(U.committed_versions(idx))
+    assert A.refresh_ann_index(spark, src, idx) is not None
+    assert len(U.committed_versions(idx)) == n0 + 1, "3 appends != 1 fold"
+    assigned = A._assign_cells(
+        U.read_table(spark, src), "vec_id", "embedding",
+        A.load_centroids(idx),
+    )
+    want = {(r["vec_id"], r["cell"]) for r in assigned.collect()}
+    assert _index_state(spark, idx) == want

@@ -352,3 +352,96 @@ def test_backlog_replay_metadata_reads_are_linear(spark, tmp_path, monkeypatch):
     # feed checks); the quadratic shape would exceed P*P/2 = 32 from the
     # pre-pass alone
     assert calls["n"] <= 3 * P + 12, calls["n"]
+
+
+def test_topk_df_matches_list_path(spark, built):
+    """The DataFrame query entry point (JVM-side tokenization, no query
+    collect) is bit-identical to the list path — which itself equals the
+    full-corpus bm25_topk."""
+    _, idx = built
+    want = B.bm25_index_topk(spark, idx, QUERIES, k=5)
+    got = B.bm25_index_topk_df(
+        spark, idx,
+        _docs_df(spark, []).sparkSession.createDataFrame(
+            QUERIES, "query_id int, text string"
+        ),
+        k=5,
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    grows = sorted(got.collect(), key=key)
+    assert grows == sorted(want.collect(), key=key)
+    assert grows  # non-vacuous
+
+
+def test_topk_df_reads_only_probed_buckets(spark, built):
+    _, idx = built
+    import re
+    import zlib
+
+    qdf = _docs_df(spark, []).sparkSession.createDataFrame(
+        [(3, "scan filter")], "query_id int, text string"
+    )
+    terms = {t for t in re.findall("([a-z0-9]+)", "scan filter")}
+    probed = {f"__part=b{zlib.crc32(t.encode()) % 4}" for t in terms}
+    assert len(probed) < 4
+    res = B.bm25_index_topk_df(spark, idx, qdf, k=5)
+    files = res.inputFiles()
+    assert files
+    assert all(any(p in f for p in probed) for f in files)
+
+
+def test_topk_df_empty_queries(spark, built):
+    _, idx = built
+    qdf = _docs_df(spark, []).sparkSession.createDataFrame(
+        [], "query_id int, text string"
+    )
+    assert B.bm25_index_topk_df(spark, idx, qdf, k=5).count() == 0
+
+
+def test_contiguous_appends_fold_as_one_commit(spark, tmp_path):
+    """K contiguous append-kind source versions batch into ONE index
+    commit (r9 punch #5: the per-version replay paid one Spark job per
+    tiny version) — and the result equals a from-scratch rebuild."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:4]), src)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    for lo, hi in ((4, 6), (6, 8), (8, 10)):  # 3 appends, no refresh between
+        U.append_rows(spark, src, _docs_df(spark, DOCS[lo:hi]))
+    n0 = len(U.committed_versions(idx))
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    assert len(U.committed_versions(idx)) == n0 + 1, "3 appends != 1 fold"
+
+    full, idx2 = str(tmp_path / "full"), str(tmp_path / "idx2")
+    U.write_table(_docs_df(spark, DOCS), full)
+    B.build_bm25_index(spark, full, idx2, n_buckets=4)
+    key = lambda r: (r["doc_id"], r["term"])
+    assert sorted(U.read_table(spark, idx).collect(), key=key) == sorted(
+        U.read_table(spark, idx2).collect(), key=key
+    )
+    assert B.index_stats(idx) == B.index_stats(idx2)
+
+
+def test_duplicate_id_across_appends_falls_back_per_version(spark, tmp_path):
+    """A doc id repeated across a batched run's versions must fold
+    per-version (batched tokenize would collapse the duplicate's stats)
+    — pinned by comparing against an index refreshed version-by-version."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    src2, idx2 = str(tmp_path / "src2"), str(tmp_path / "idx2")
+    for s in (src, src2):
+        U.write_table(_docs_df(spark, DOCS[:4]), s)
+    B.build_bm25_index(spark, src, idx, n_buckets=4)
+    B.build_bm25_index(spark, src2, idx2, n_buckets=4)
+    batches = [DOCS[4:6], [DOCS[4]], DOCS[6:8]]  # doc 5 appended twice
+    for b in batches:
+        U.append_rows(spark, src, _docs_df(spark, b))
+    assert B.refresh_bm25_index(spark, src, idx) is not None
+    for b in batches:  # reference: strict per-version replay
+        U.append_rows(spark, src2, _docs_df(spark, b))
+        assert B.refresh_bm25_index(spark, src2, idx2) is not None
+    key = lambda r: (r["doc_id"], r["term"], r["tf"])
+    assert sorted(U.read_table(spark, idx).collect(), key=key) == sorted(
+        U.read_table(spark, idx2).collect(), key=key
+    )
+    assert B.index_stats(idx) == B.index_stats(idx2)
+    # and the fallback really split the fold: one commit per feed version
+    assert len(U.committed_versions(idx)) == len(U.committed_versions(idx2))

@@ -427,3 +427,159 @@ def test_compaction_preserves_answers(spark, tmp_path):
     assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.3)) == before
     # watermark survives compaction: still exactly-once
     assert L.refresh_lsh_index(spark, src, idx) is None
+
+
+def test_query_df_matches_list_path(spark, built):
+    """The DataFrame probe entry point (zero driver signature work, no
+    candidate collect) returns exactly the list path's pairs — including
+    self-pair exclusion and shingle-empty probe skipping."""
+    _, idx = built
+    probe_rows = [(d, t) for d, t in DOCS]  # includes the empty doc 6
+    for thr in (0.2, 0.6):
+        want = _rows(L.lsh_index_query(spark, idx, probe_rows, threshold=thr))
+        got = _rows(
+            L.lsh_index_query_df(
+                spark, idx, _docs_df(spark, probe_rows), "doc_id", "text",
+                threshold=thr,
+            )
+        )
+        assert got == want
+    assert want  # non-vacuous
+
+
+def test_query_df_prunes_small_probe_batches(spark, built, monkeypatch):
+    """A small probe batch must reach the partitioned reader with ONLY its
+    own band buckets (and only the candidates' sig buckets) — the
+    DataFrame path keeps manifest pruning even though no probe row ever
+    reaches the driver."""
+    _, idx = built
+    calls = []
+    real = L.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, **kw):
+        calls.append((table_dir, sorted(partition_values)))
+        return real(spark_, table_dir, partition_values, **kw)
+
+    monkeypatch.setattr(L, "read_table_partitions", spy)
+    got = _rows(
+        L.lsh_index_query_df(
+            spark, idx, _docs_df(spark, [(1, DOCS[0][1])]), "doc_id",
+            "text", threshold=0.3,
+        )
+    )
+    assert got == _numpy_estimates([(1, DOCS[0][1])], DOCS, 0.3)
+    p = L.index_params(idx)
+    brows, _ = L._probe_rows([(1, DOCS[0][1])], p)
+    want = sorted(
+        {L._band_bucket_py(bi, bh, p["n_buckets"]) for _, bi, bh in brows}
+    )
+    band_calls = [c for c in calls if c[0] == L._bands_dir(idx)]
+    assert band_calls == [(L._bands_dir(idx), want)]
+    # sig read pruned to the CANDIDATES' buckets, not all of them
+    cand_ids = {b for _, b, _ in got}
+    sig_want = sorted(
+        {L._sig_bucket_py(i, p["n_buckets"]) for i in cand_ids}
+    )
+    sig_calls = [c for c in calls if c[0] == L._sigs_dir(idx)]
+    assert sig_calls == [(L._sigs_dir(idx), sig_want)]
+
+
+def test_query_df_sees_deletes(spark, built):
+    """A DV-deleted doc's band AND sig rows are invisible to the DataFrame
+    probe path (merge-on-read applies to pruned partition reads)."""
+    src, idx = built
+    U.delete_where(spark, src, F.col("doc_id") == 2)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    got = _rows(
+        L.lsh_index_query_df(
+            spark, idx, _docs_df(spark, [(1, DOCS[0][1])]), "doc_id",
+            "text", threshold=0.2,
+        )
+    )
+    assert got == [
+        t for t in _numpy_estimates([(1, DOCS[0][1])], DOCS, 0.2)
+        if t[1] != 2
+    ]
+    assert all(i != 2 for _, i, _ in got)
+
+
+def test_query_df_empty_probe_batches(spark, built):
+    _, idx = built
+    assert (
+        L.lsh_index_query_df(
+            spark, idx, _docs_df(spark, [(6, "")]), "doc_id", "text"
+        ).count()
+        == 0
+    )
+    assert (
+        L.lsh_index_query_df(
+            spark, idx, _docs_df(spark, []), "doc_id", "text"
+        ).count()
+        == 0
+    )
+
+
+def test_contiguous_appends_fold_as_one_commit(spark, tmp_path):
+    """K contiguous append-kind source versions batch into ONE signature
+    pass + ONE append per table (r9 punch #5) — equal to a rebuild."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:2]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    for lo, hi in ((2, 4), (4, 6), (6, 8)):
+        U.append_rows(spark, src, _docs_df(spark, DOCS[lo:hi]))
+    nb = len(U.committed_versions(L._bands_dir(idx)))
+    ns = len(U.committed_versions(L._sigs_dir(idx)))
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    assert len(U.committed_versions(L._bands_dir(idx))) == nb + 1
+    assert len(U.committed_versions(L._sigs_dir(idx))) == ns + 1
+
+    full, idx2 = str(tmp_path / "full"), str(tmp_path / "idx2")
+    U.write_table(_docs_df(spark, DOCS), full)
+    L.build_lsh_index(spark, full, idx2, **PARAMS)
+    probes = [(d, t) for d, t in DOCS]
+    assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2)) == _rows(
+        L.lsh_index_query(spark, idx2, probes, threshold=0.2)
+    )
+
+
+def test_batched_run_crash_does_not_widen_under_new_commits(spark, tmp_path, monkeypatch):
+    """Crash mid-BATCHED-run (sigs committed for [v2,v3], bands not), then
+    a NEW source commit lands before the heal: the heal's first run must
+    be pinned to exactly [v2,v3] (the sigs watermark's extent) — bands
+    catches up, sigs skips — and only then fold v4; no duplicated rows."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, DOCS[:2]), src)
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, DOCS[2:4]))
+    U.append_rows(spark, src, _docs_df(spark, DOCS[4:6]))
+
+    real = L.append_partitioned
+
+    def crash_on_bands(spark_, table_dir, *a, **kw):
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the bands commit")
+        return real(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "append_partitioned", crash_on_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.refresh_lsh_index(spark, src, idx)
+    U.append_rows(spark, src, _docs_df(spark, DOCS[6:8]))  # lands post-crash
+    monkeypatch.setattr(L, "append_partitioned", real)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+
+    from spookystuff_spark.sources.partitioned_table import read_table_partitions
+
+    bks = [f"b{i}" for i in range(PARAMS["n_buckets"])]
+    sig_ids = [
+        r["id"]
+        for r in read_table_partitions(spark, L._sigs_dir(idx), bks)
+        .select("id")
+        .collect()
+    ]
+    assert len(sig_ids) == len(set(sig_ids))  # no duplicated sig rows
+    band_rows = _rows(read_table_partitions(spark, L._bands_dir(idx), bks))
+    assert len(band_rows) == len(set(band_rows))
+    probes = [(d, t) for d, t in DOCS]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.3)
+    ) == _numpy_estimates(probes, DOCS, 0.3)
