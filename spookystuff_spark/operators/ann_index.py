@@ -420,6 +420,102 @@ def ann_query(
     )
 
 
+def ann_query_df(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    vec_col: str = "qvec",
+) -> DataFrame:
+    """:func:`ann_query` for a DataFrame-sized query batch (the crawl-scale
+    shape: embed tonight's documents, find each one's neighbors in the
+    standing corpus) — same output ``(query_id, vec_id, cosine, rn)``,
+    value-identical to the list path, with zero driver work in the data
+    plane: probe-cell resolution runs in the same vectorized Arrow pass
+    the index fold uses (centroids ride the UDF closure — k·d floats),
+    and the only collect is the DISTINCT PROBED CELLS (bounded by the
+    index's cell count, never by query count), so the manifest-pruned
+    read still skips unprobed cells for small batches and degrades
+    gracefully to a full-cell read for corpus-sized ones. No broadcast
+    hints — AQE sizes the scoring joins (a small batch broadcasts, a
+    100-GB batch shuffle-joins on ``cell`` like any fact-fact join)."""
+    import numpy as np
+    import pandas as pd
+
+    c = load_centroids(index_dir)
+    c_sq = (c * c).sum(axis=1)
+    out_schema = (
+        f"{query_id_col} long, cell string, qvec array<double>"
+    )
+
+    def assign_nprobe(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + c_sq[None, :]
+            )
+            order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col]
+                    .astype("int64")
+                    .values.repeat(nprobe),
+                    "cell": [
+                        f"c{int(cell)}" for row in order for cell in row
+                    ],
+                    "qvec": list(pdf[vec_col].values.repeat(nprobe)),
+                }
+            )
+
+    probes = (
+        queries_df.select(query_id_col, vec_col)
+        .mapInPandas(assign_nprobe, out_schema)
+        .localCheckpoint(eager=True)  # feeds the cell collect + the join
+    )
+    # bounded collect: distinct probed cells only (≤ n_cells rows)
+    cells = sorted(
+        r[0] for r in probes.select("cell").distinct().collect()
+    )
+    if not cells:
+        return spark.createDataFrame(
+            [], f"query_id long, {id_col} long, cosine double, rn int"
+        )
+    slice_df = read_table_partitions(spark, index_dir, cells)
+    from pyspark.sql.window import Window
+
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    scored = slice_df.join(
+        probes.withColumnRenamed(query_id_col, "query_id"), "cell"
+    ).withColumn(
+        "cosine",
+        F.round(dot / (norm(F.col("qvec")) * norm(F.col("vec"))) + 1e-6, 4),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
 def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):
     """``foreachBatch`` body keeping the ANN index CONTINUOUSLY fresh from
     the ``spooky_versioned`` CDC stream: every micro-batch triggers

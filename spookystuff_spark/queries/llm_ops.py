@@ -150,7 +150,10 @@ def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id%4!=0 base corpus, fold the %4==0 batch in FROM THE CHANGE FEED
     (O(batch) assignment + O(touched-cells) partitioned MERGE — never a
     rebuild), then answer nprobe=2 top-5 queries for the %97 ids through
-    the manifest-pruned partition reader. Returns melted rows: every
+    the manifest-pruned partition reader — the queries probe AS A
+    DATAFRAME (``ann_query_df``: probe cells assigned executor-side,
+    bounded distinct-cell collect, no query collect; the r10
+    DataFrame-probe surface, gated here). Returns melted rows: every
     vector's final cell assignment (``anncells`` — pins the incremental
     fold) and every query's ranked neighbors (``annidx`` — pins the probe
     path), compared against an independent numpy replica golden
@@ -176,11 +179,11 @@ def q_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("cell_num").alias("measure"),
             F.substring("cell", 2, 10).cast("double").alias("v_num"),
         )
-        queries = [
-            (r["vec_id"], r["embedding"])
-            for r in emb.where(F.col("vec_id") % 97 == 0).collect()
-        ]
-        res = A.ann_query(spark, idx, queries, k=5, nprobe=2)
+        qdf = emb.where(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        res = A.ann_query_df(spark, idx, qdf, k=5, nprobe=2)
         annidx = res.select(
             F.lit("annidx").alias("q"),
             F.concat_ws(

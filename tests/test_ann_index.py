@@ -251,3 +251,52 @@ def test_contiguous_appends_fold_as_one_commit(spark, built):
     )
     want = {(r["vec_id"], r["cell"]) for r in assigned.collect()}
     assert _index_state(spark, idx) == want
+
+
+def test_query_df_matches_list_path(spark, built, monkeypatch):
+    """ann_query_df (executor-side probe-cell assignment, bounded
+    distinct-cell collect) returns exactly the list path's neighbors,
+    and still prunes the read to the probed cells."""
+    src, idx = built
+    queries = [(int(i), _vec(i)) for i in (1, 2, 7, 30)]
+    key = lambda r: (r["query_id"], r["rn"])
+    want = sorted(
+        A.ann_query(spark, idx, queries, k=3, nprobe=2).collect(), key=key
+    )
+
+    calls = []
+    from spookystuff_spark.sources import partitioned_table as PT
+
+    real = PT.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, **kw):
+        calls.append(sorted(partition_values))
+        return real(spark_, table_dir, partition_values, **kw)
+
+    import spookystuff_spark.operators.ann_index as A2
+
+    monkeypatch.setattr(A2, "read_table_partitions", spy)
+    qdf = spark.createDataFrame(
+        queries, "query_id long, qvec array<double>"
+    )
+    got = sorted(
+        A2.ann_query_df(spark, idx, qdf, k=3, nprobe=2).collect(), key=key
+    )
+    assert got == want
+    assert want  # non-vacuous
+    # the probed-cell list matches the list path's driver-side resolution
+    import numpy as np
+
+    c = A.load_centroids(idx)
+    qv = np.array([q[1] for q in queries])
+    d2 = (qv * qv).sum(1)[:, None] - 2 * (qv @ c.T) + (c * c).sum(1)[None, :]
+    probe = sorted(
+        {f"c{int(i)}" for row in np.argsort(d2, 1, kind="stable")[:, :2] for i in row}
+    )
+    assert calls == [probe]
+
+
+def test_query_df_empty_batch(spark, built):
+    src, idx = built
+    qdf = spark.createDataFrame([], "query_id long, qvec array<double>")
+    assert A.ann_query_df(spark, idx, qdf, k=3).count() == 0
