@@ -136,3 +136,80 @@ def q_dupspan_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return remove_dup_spans(docs, "doc_id", "text", n=15).orderBy("doc_id")
+
+
+# Oracle for the INCREMENTAL decontamination index gate: the closed-form
+# recompute over the benchmark's FINAL state (after the append, the
+# preimage-logged ' zz' update of %50 docs and the lang='de' delete) —
+# passing means three feed shapes composed exactly in the signed gram fold.
+ORACLE_DECONTAM_INDEX = """
+    WITH bench AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0 THEN text || ' zz' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 10 = 0 AND lang <> 'de'),
+    btoks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM bench),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+      FROM btoks, UNNEST(range(1, len(t)-11)) AS r(i)
+      WHERE len(t) >= 13),
+    ctoks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+      FROM documents WHERE doc_id % 10 <> 0),
+    cgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+12], ' ') AS g
+      FROM ctoks, UNNEST(range(1, len(t)-11)) AS r(i)
+      WHERE len(t) >= 13)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS contaminated_grams
+    FROM cgrams WHERE g IN (SELECT g FROM bgrams)
+    GROUP BY doc_id
+"""
+
+
+@bench_only("q_decontam_index")
+def q_decontam_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental decontamination index, gate-pinned end-to-end
+    (operators/decontam_index.py): build the bucket-laid gram support
+    Z-set on the %10==0-and-%40!=0 benchmark slice, fold the %40==0
+    batch in FROM THE CHANGE FEED, then fold a preimage-logged UPDATE
+    (%50 docs gain a ' zz' token — old grams retracted, new grams added
+    in one signed delta) AND a lang='de' DELETE as one backlog fold —
+    the feed-shape coverage the BM25/LSH indexes must refuse — and
+    check the %10!=0 corpus against the standing index
+    (``decontam_check_df``: the benchmark is never re-tokenized).
+    Rides ``q_scalar_suite``'s melt vs the closed-form recompute."""
+    import shutil
+    import tempfile
+
+    import spookystuff_spark.operators.decontam_index as D
+    from spookystuff_spark.sources.upsert import (
+        append_rows,
+        delete_where,
+        upsert,
+        write_table,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    src = tempfile.mkdtemp(prefix="spooky-dcxsrc-")
+    idx = tempfile.mkdtemp(prefix="spooky-dcxidx-")
+    try:
+        write_table(bench.where(F.col("doc_id") % 40 != 0), src)
+        D.build_decontam_index(spark, src, idx, n=13, n_buckets=8)
+        append_rows(spark, src, bench.where(F.col("doc_id") % 40 == 0))
+        D.refresh_decontam_index(spark, src, idx)
+        upd = bench.where(F.col("doc_id") % 50 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" zz"))
+        )
+        upsert(spark, src, upd, ["doc_id"], feed_preimages=True)
+        delete_where(spark, src, F.col("lang") == "de")
+        D.refresh_decontam_index(spark, src, idx)
+        out = D.decontam_check_df(
+            spark, idx, docs.where(F.col("doc_id") % 10 != 0)
+        )
+        return out.localCheckpoint(eager=True)  # outlive the temp dirs
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)

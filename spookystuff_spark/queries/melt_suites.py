@@ -103,6 +103,10 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_scd2_dim,
     q_stream_ingest,
 )
+from spookystuff_spark.queries.hygiene import (
+    ORACLE_DECONTAM_INDEX,
+    q_decontam_index,
+)
 from spookystuff_spark.queries.events import (
     ORACLE_FUNNEL,
     ORACLE_ROLLING_Z,
@@ -139,7 +143,7 @@ WITH {PAGERANK_CTES},
      scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE}),
      trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
      rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME}),
-     jv AS ({ORACLE_JOIN_VIEW})
+     jv AS ({ORACLE_JOIN_VIEW}), dcx AS ({ORACLE_DECONTAM_INDEX})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -232,6 +236,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "jv", "q_join_distinct", ["seg"], ["n_pairs", "distinct_price_c"],
+)}
+UNION ALL {_melt_sql(
+    "dcx", "q_decontam_index", ["doc_id"], ["contaminated_grams"],
 )}"""
 
 
@@ -396,6 +403,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_join_distinct",
             ["seg"],
             ["n_pairs", "distinct_price_c"],
+        ),
+        _melt(
+            q_decontam_index(spark, sf_dir),
+            "q_decontam_index",
+            ["doc_id"],
+            ["contaminated_grams"],
         ),
     ]
     return reduce(DataFrame.unionByName, parts)
@@ -596,6 +609,7 @@ register_suite(
         "q_join_view": "q_join_view",
         "q_join_agg": "q_join_agg",
         "q_join_distinct": "q_join_distinct",
+        "q_decontam_index": "q_decontam_index",
     },
 )
 register_suite(

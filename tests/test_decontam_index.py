@@ -1,0 +1,139 @@
+"""Incremental decontamination index (operators/decontam_index.py): the
+standing gram index folded through insert/update/delete feeds answers
+checks identically to the batch ``decontaminate`` over the final benchmark
+state; folds are keyed manifest deltas; pruned checks read only the probed
+buckets; preimage-less updates refuse."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import spookystuff_spark.operators.decontam_index as D
+from spookystuff_spark.operators.ngram import decontaminate
+from spookystuff_spark.sources import upsert as U
+
+_S = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+BENCH = [
+    (10, _S),
+    (20, _S.replace("echo", "ECHO-X")),
+    (30, "one two three four five six seven eight nine ten eleven twelve"),
+    (40, "unrelated benchmark text with its own distinct running tokens "
+         "stretching well past the thirteen token minimum for a gram"),
+]
+CORPUS = [
+    (1, _S + " extra trailing corpus tokens beyond the shared prefix"),
+    (2, "one two three four five six seven eight nine ten eleven twelve "
+        "thirteen fourteen"),
+    (3, "completely clean document with no overlap whatsoever against any "
+        "benchmark entry of the standing evaluation suite index"),
+    (4, _S.replace("echo", "ECHO-X") + " tail"),
+]
+N = 13
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _check(spark, idx, **kw):
+    return sorted(
+        tuple(r)
+        for r in D.decontam_check_df(
+            spark, idx, _df(spark, CORPUS), **kw
+        ).collect()
+    )
+
+
+def _batch_expect(spark, bench_rows):
+    return sorted(
+        tuple(r)
+        for r in decontaminate(
+            _df(spark, CORPUS), _df(spark, bench_rows), "doc_id", "text", n=N
+        ).collect()
+    )
+
+
+def test_fold_through_all_feed_shapes_matches_batch(spark, tmp_path):
+    """build → append → preimage-logged UPDATE → delete: after each fold
+    the check equals the batch operator over the then-current benchmark —
+    updates retract old grams and contribute new ones in one commit (the
+    signed-delta property BM25/LSH can't have)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH[:2]), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=4)
+    assert _check(spark, idx) == _batch_expect(spark, BENCH[:2])
+
+    U.append_rows(spark, src, _df(spark, BENCH[2:]))
+    assert D.refresh_decontam_index(spark, src, idx) is not None
+    assert _check(spark, idx) == _batch_expect(spark, BENCH)
+
+    upd = (20, "twenty rewritten benchmark tokens that no longer resemble "
+               "the original corpus prefix in any thirteen gram window")
+    U.upsert(spark, src, _df(spark, [upd]), ["doc_id"], feed_preimages=True)
+    assert D.refresh_decontam_index(spark, src, idx) is not None
+    cur = [b for b in BENCH if b[0] != 20] + [upd]
+    assert _check(spark, idx) == _batch_expect(spark, cur)
+
+    U.delete_where(spark, src, F.col("doc_id") == 10)
+    assert D.refresh_decontam_index(spark, src, idx) is not None
+    cur = [b for b in cur if b[0] != 10]
+    assert _check(spark, idx) == _batch_expect(spark, cur)
+    # exactly-once: nothing new → no-op
+    n = len(U.committed_versions(idx))
+    assert D.refresh_decontam_index(spark, src, idx) is None
+    assert len(U.committed_versions(idx)) == n
+
+
+def test_fold_is_a_keyed_manifest_delta(spark, tmp_path):
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=4)
+    U.append_rows(
+        spark, src,
+        _df(spark, [(50, "a fresh benchmark sentence of exactly thirteen "
+                         "running tokens here now")]),
+    )
+    v = D.refresh_decontam_index(spark, src, idx)
+    raw = U._read_manifest_raw(idx, v)
+    assert "files_base" in raw, "decontam fold must commit a manifest delta"
+
+
+def test_pruned_check_reads_only_probed_buckets(spark, tmp_path, monkeypatch):
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=16)
+    want = _check(spark, idx)
+
+    calls = []
+    from spookystuff_spark.sources import partitioned_table as PT
+
+    real = PT.read_table_partitions
+
+    def spy(spark_, table_dir, partition_values, **kw):
+        calls.append(sorted(partition_values))
+        return real(spark_, table_dir, partition_values, **kw)
+
+    monkeypatch.setattr(
+        "spookystuff_spark.sources.partitioned_table.read_table_partitions",
+        spy,
+    )
+    one = _df(spark, CORPUS[1:2])  # a single probe doc
+    got = sorted(
+        tuple(r)
+        for r in D.decontam_check_df(spark, idx, one, prune=True).collect()
+    )
+    assert got == [t for t in want if t[0] == 2]
+    assert calls and len(calls[0]) < 16  # pruned, not the whole index
+
+
+def test_preimageless_update_refuses(spark, tmp_path):
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=4)
+    U.upsert(spark, src, _df(spark, [(10, "rewritten " + _S)]), ["doc_id"])
+    with pytest.raises(ValueError, match="preimage"):
+        D.refresh_decontam_index(spark, src, idx)
