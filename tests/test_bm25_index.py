@@ -445,3 +445,14 @@ def test_duplicate_id_across_appends_falls_back_per_version(spark, tmp_path):
     assert B.index_stats(idx) == B.index_stats(idx2)
     # and the fallback really split the fold: one commit per feed version
     assert len(U.committed_versions(idx)) == len(U.committed_versions(idx2))
+
+
+def test_topk_df_plan_has_no_cartesian(spark, built):
+    _, idx = built
+    qdf = _docs_df(spark, []).sparkSession.createDataFrame(
+        QUERIES, "query_id int, text string"
+    )
+    df = B.bm25_index_topk_df(spark, idx, qdf, k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -583,3 +583,16 @@ def test_batched_run_crash_does_not_widen_under_new_commits(spark, tmp_path, mon
     assert _rows(
         L.lsh_index_query(spark, idx, probes, threshold=0.3)
     ) == _numpy_estimates(probes, DOCS, 0.3)
+
+
+def test_query_df_plan_has_no_cartesian(spark, built):
+    """The DataFrame probe path must stay on equi-joins end-to-end — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere in the plan (the
+    repo-wide plan-quality contract, applied to the r10 probe surface)."""
+    _, idx = built
+    df = L.lsh_index_query_df(
+        spark, idx, _docs_df(spark, DOCS), "doc_id", "text", threshold=0.3
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
