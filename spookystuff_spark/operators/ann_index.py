@@ -59,6 +59,12 @@ from spookystuff_spark.sources.partitioned_table import (
 )
 
 _CENTROIDS = "_CENTROIDS.json"
+# retrain staging protocol (see retrain_ann_index): a staged sidecar is
+# promoted only when a COMMITTED table version carries its sha, so a crash
+# anywhere inside a retrain leaves a self-consistent (centroids, layout)
+# pair recoverable by the next loader
+_STAGING = "_CENTROIDS.staging.json"
+_CSHA = "ann_csha"
 
 
 def _assign_cells(
@@ -101,17 +107,44 @@ def _save_centroids(index_dir: str, centroids, vec_col: str) -> None:
     refresh must select the feed column BY NAME, never positionally)."""
     fsio.mkdirs(index_dir)
     fsio.write_bytes(
-        fsio.join(index_dir, _CENTROIDS),
-        json.dumps(
-            {
-                "vec_col": vec_col,
-                "centroids": [list(map(float, row)) for row in centroids],
-            }
-        ).encode(),
+        fsio.join(index_dir, _CENTROIDS), _payload_bytes(vec_col, centroids)
     )
 
 
+def _payload_bytes(vec_col: str | None, centroids) -> bytes:
+    return json.dumps(
+        {
+            "vec_col": vec_col,
+            "centroids": [list(map(float, row)) for row in centroids],
+        }
+    ).encode()
+
+
+def _heal_staging(index_dir: str) -> None:
+    """An interrupted retrain leaves ``_CENTROIDS.staging.json``: promote
+    it iff some COMMITTED table version carries its sha (the retrain's
+    table rewrite landed — the layout matches the staged centroids),
+    discard it otherwise (the crash predated the commit — the table is
+    still laid out by the old centroids). Walked only when the staging
+    file exists, so the steady-state loader pays one ``exists`` probe."""
+    import hashlib
+
+    staging = fsio.join(index_dir, _STAGING)
+    data = fsio.read_bytes(staging)
+    sha = hashlib.sha256(data).hexdigest()
+    committed = None
+    for _, raw in U.chain_desc(index_dir):
+        if (raw or {}).get(_CSHA):
+            committed = raw[_CSHA]
+            break
+    if committed == sha:
+        fsio.write_bytes(fsio.join(index_dir, _CENTROIDS), data)
+    fsio.delete_file(staging)
+
+
 def _centroids_payload(index_dir: str) -> dict:
+    if fsio.exists(fsio.join(index_dir, _STAGING)):
+        _heal_staging(index_dir)  # crash aftermath only — see retrain
     raw = json.loads(fsio.read_bytes(fsio.join(index_dir, _CENTROIDS)))
     if isinstance(raw, list):  # pre-r8 sidecar: centroids only
         return {"vec_col": None, "centroids": raw}
@@ -514,6 +547,66 @@ def ann_query_df(
         .where(F.col("rn") <= k)
         .select("query_id", id_col, "cosine", "rn")
     )
+
+
+def retrain_ann_index(
+    spark: SparkSession,
+    index_dir: str,
+    id_col: str = "vec_id",
+    n_cells: int | None = None,
+    n_iters: int = 5,
+    sample_cap: int = 10_000,
+) -> str:
+    """Re-train the coarse quantizer on the index's CURRENT vectors and
+    re-lay the table by the new cells — the maintenance op a standing IVF
+    index needs when the corpus has drifted from the build-time sample
+    (recall decays as vectors land far from frozen centroids) or when it
+    outgrew its cell count (``n_cells=None`` keeps the current count).
+    Reads the index itself, never the source (deletion vectors
+    materialize away); the ``_SRC_`` watermark is re-stamped so
+    exactly-once refresh survives.
+
+    Crash safety (the two-artifact problem — a sidecar and a table that
+    must agree): new centroids are STAGED first, the re-laid table
+    commits atomically carrying their sha, and only then is the sidecar
+    promoted. A crash anywhere leaves a loader-healable state
+    (:func:`_heal_staging`): staged-but-uncommitted centroids are
+    discarded (the table is still the old layout), committed-but-
+    unpromoted ones are promoted — probes can never see a layout
+    assigned by centroids other than the ones they resolve cells with."""
+    import hashlib
+
+    from spookystuff_spark.operators.similarity import ivf_assign
+
+    wm = last_processed_version(index_dir)
+    if wm is None:
+        raise ValueError(
+            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
+            "retrain (a follow-up refresh could not prove exactly-once)"
+        )
+    rows = U.read_table(spark, index_dir).select(id_col, "vec")
+    first = rows.first()
+    if first is None:
+        raise ValueError(f"{index_dir}: empty index — nothing to retrain on")
+    dim = len(first["vec"])
+    if n_cells is None:
+        n_cells = len(load_centroids(index_dir))
+    _, centroids = ivf_assign(
+        rows, id_col, "vec", dim,
+        n_cells=int(n_cells), n_iters=n_iters, sample_cap=sample_cap,
+    )
+    data = _payload_bytes(index_vec_col(index_dir), centroids)
+    sha = hashlib.sha256(data).hexdigest()
+    fsio.write_bytes(fsio.join(index_dir, _STAGING), data)  # 1. stage
+    assigned = _assign_cells(rows, id_col, "vec", centroids)
+    write_table_partitioned(  # 2. the atomic commit carries the sha
+        assigned, index_dir, "cell",
+        marker=f"{_SRC_MARK}{wm}", change_feed=False,
+        extra_fields={_CSHA: sha},
+    )
+    fsio.write_bytes(fsio.join(index_dir, _CENTROIDS), data)  # 3. promote
+    fsio.delete_file(fsio.join(index_dir, _STAGING))
+    return U.committed_versions(index_dir)[-1]
 
 
 def streaming_refresh_sink(src_dir: str, index_dir: str, **refresh_kwargs):

@@ -489,6 +489,42 @@ def streaming_refresh_sink(
     return sink
 
 
+def rebucket_bm25_index(
+    spark: SparkSession, index_dir: str, n_buckets: int
+) -> str | None:
+    """Re-seed the postings table at a new term-bucket count: one read
+    through the current snapshot (deletion vectors materialize away) +
+    one bucket-relaid snapshot rewrite, stats carried and the ``_SRC_``
+    watermark re-stamped so exactly-once refresh survives — the
+    ``incremental.rebucket`` counterpart for the inverted index (an
+    index seeded at 8 buckets that grew 1000× otherwise rebuilds by
+    hand; probes resolve ≤ |query terms| buckets either way, but bucket
+    count bounds the per-bucket file slice a probe must open). No-op
+    (None) at the current count."""
+    cur = U.committed_versions(index_dir)[-1]
+    m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
+    if int(m["n_buckets"]) == int(n_buckets):
+        return None
+    wm = last_processed_version(index_dir)
+    if wm is None:
+        raise ValueError(
+            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
+            "rebucket (a follow-up refresh could not prove exactly-once)"
+        )
+    rows = U.read_table(spark, index_dir).withColumn(
+        "bucket",
+        F.concat(
+            F.lit("b"), (F.crc32(F.col("term")) % int(n_buckets)).cast("string")
+        ),
+    )
+    write_table_partitioned(
+        rows, index_dir, "bucket",
+        marker=f"{_SRC_MARK}{wm}", change_feed=False,
+        extra_fields={_STATS: dict(m[_STATS]), "n_buckets": int(n_buckets)},
+    )
+    return U.committed_versions(index_dir)[-1]
+
+
 def compact_bm25_index(
     spark: SparkSession,
     index_dir: str,

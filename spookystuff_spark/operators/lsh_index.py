@@ -230,6 +230,22 @@ def index_params(index_dir: str) -> dict:
     return m[_PARAMS]
 
 
+def _sigs_n_buckets(index_dir: str) -> int:
+    """The SIG table's own bucket count: its tip manifest's ``_PARAMS``
+    when present (a :func:`rebucket_lsh_index` stamped it — including a
+    rebucket that crashed between the two table rewrites, which leaves
+    the sides at DIFFERENT counts), else the bands-side params (ordinary
+    appends/deletes don't re-stamp sig params; pre-r10 indexes never
+    had them). Each side resolving its own count keeps every read
+    self-consistent across the rebucket crash window."""
+    sd = _sigs_dir(index_dir)
+    raw = U._read_manifest_raw(sd, U.committed_versions(sd)[-1]) or {}
+    p = raw.get(_PARAMS)
+    if p is not None:
+        return int(p["n_buckets"])
+    return int(index_params(index_dir)["n_buckets"])
+
+
 def build_lsh_index(
     spark: SparkSession,
     src_dir: str,
@@ -436,6 +452,12 @@ def refresh_lsh_index(
     if not pending:
         return None
     params = index_params(index_dir)
+    if _sigs_n_buckets(index_dir) != int(params["n_buckets"]):
+        raise ValueError(
+            f"{index_dir}: the two index tables are at different bucket "
+            "counts (a rebucket_lsh_index crashed between its rewrites) — "
+            "re-run rebucket_lsh_index to finish before refreshing"
+        )
     prev, committed = wm, False
     meta_cache: dict = {}  # O(pending) metadata reads across the replay
     sig_wm = last_processed_version(_sigs_dir(index_dir))
@@ -561,7 +583,8 @@ def lsh_index_query(
         if not id_rows:
             return empty
         cand_ids = sorted({r["id"] for r in id_rows})
-        sig_buckets = sorted({_sig_bucket_py(i, n_buckets) for i in cand_ids})
+        sig_nb = _sigs_n_buckets(index_dir)
+        sig_buckets = sorted({_sig_bucket_py(i, sig_nb) for i in cand_ids})
         sig_slice = read_table_partitions(
             spark, _sigs_dir(index_dir), sig_buckets
         ).join(
@@ -572,7 +595,7 @@ def lsh_index_query(
     else:
         # candidate set too large to enumerate on the driver: read every
         # sig bucket and let the (unhinted — AQE sizes it) semi-join prune
-        all_buckets = [f"b{i}" for i in range(n_buckets)]
+        all_buckets = [f"b{i}" for i in range(_sigs_n_buckets(index_dir))]
         sig_slice = read_table_partitions(
             spark, _sigs_dir(index_dir), all_buckets
         ).join(cands.select("id").distinct(), "id", "leftsemi")
@@ -660,7 +683,9 @@ def lsh_index_query_df(
     )  # feeds the bucket collect AND the verify join
     cand_buckets = sorted(
         r[0]
-        for r in cands.select(_sig_bucket_expr(n_buckets).alias("_b"))
+        for r in cands.select(
+            _sig_bucket_expr(_sigs_n_buckets(index_dir)).alias("_b")
+        )
         .distinct()
         .collect()
     )
@@ -707,6 +732,60 @@ def compact_lsh_index(
             )
         )
     return out[0], out[1]
+
+
+def rebucket_lsh_index(
+    spark: SparkSession, index_dir: str, n_buckets: int
+) -> tuple[str, str] | None:
+    """Re-seed BOTH index tables at a new bucket count: band rows re-lay
+    by the band-bucket hash, signatures by the id-hash bucket — one read
+    through each current snapshot (deletion vectors materialize away),
+    params updated in the bands manifest, each table's ``_SRC_``
+    watermark re-stamped (sigs first, bands authoritative last — the
+    build's commit order). The signature math is untouched, so probes
+    answer identically at any bucket count; what changes is the pruning
+    granularity a probe's manifest read gets. No-op (None) at the
+    current count."""
+    params = dict(index_params(index_dir))
+    if int(params["n_buckets"]) == int(n_buckets):
+        return None
+    bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
+    wm = last_processed_version(bands_dir)
+    if wm is None:
+        raise ValueError(
+            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
+            "rebucket (a follow-up refresh could not prove exactly-once)"
+        )
+    params["n_buckets"] = int(n_buckets)
+    marker = f"{_SRC_MARK}{wm}"
+    if _sigs_n_buckets(index_dir) != int(n_buckets):
+        sig_rows = (
+            U.read_table(spark, sigs_dir)
+            .drop("bucket")
+            .withColumn("bucket", _sig_bucket_expr(int(n_buckets)))
+        )
+        # the sigs rewrite stamps the NEW params on ITS OWN manifest: a
+        # crash before the bands rewrite leaves the sides at different
+        # counts, and each read resolving its own count
+        # (_sigs_n_buckets) is what keeps that window self-consistent;
+        # the re-run skips the side that already landed
+        write_table_partitioned(
+            sig_rows, sigs_dir, "bucket",
+            marker=marker, change_feed=False, extra_fields={_PARAMS: params},
+        )
+    band_rows = (
+        U.read_table(spark, bands_dir)
+        .drop("bucket")
+        .withColumn("bucket", _band_bucket_expr(int(n_buckets)))
+    )
+    write_table_partitioned(
+        band_rows, bands_dir, "bucket",
+        marker=marker, change_feed=False, extra_fields={_PARAMS: params},
+    )
+    return (
+        U.committed_versions(bands_dir)[-1],
+        U.committed_versions(sigs_dir)[-1],
+    )
 
 
 def streaming_refresh_sink(

@@ -300,3 +300,71 @@ def test_query_df_empty_batch(spark, built):
     src, idx = built
     qdf = spark.createDataFrame([], "query_id long, qvec array<double>")
     assert A.ann_query_df(spark, idx, qdf, k=3).count() == 0
+
+
+def test_retrain_preserves_corpus_and_heals_crashes(spark, built, monkeypatch):
+    """Retrain on the index's own vectors: same live id set, exhaustive
+    queries equal brute force under the NEW centroids; a crash before the
+    table commit discards the staged centroids, a crash before the
+    sidecar promote gets healed by the next loader — probes can never mix
+    a layout with foreign centroids."""
+    import numpy as np
+
+    from spookystuff_spark import fsio
+
+    src, idx = built
+    ids_before = {i for i, _ in _index_state(spark, idx)}
+
+    # crash BEFORE the table commit: staging discarded, old state intact
+    real = A.write_table_partitioned
+    monkeypatch.setattr(
+        A, "write_table_partitioned",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    old_centroids = A.load_centroids(idx)
+    with pytest.raises(RuntimeError, match="boom"):
+        A.retrain_ann_index(spark, idx, n_cells=2)
+    monkeypatch.setattr(A, "write_table_partitioned", real)
+    assert fsio.exists(fsio.join(idx, A._STAGING))
+    assert np.array_equal(A.load_centroids(idx), old_centroids)  # healed
+    assert not fsio.exists(fsio.join(idx, A._STAGING))
+
+    # crash AFTER the commit, BEFORE the promote: loader promotes
+    real_write = fsio.write_bytes
+    def crash_promote(path, data):
+        if path.endswith(A._CENTROIDS) and fsio.exists(
+            fsio.join(idx, A._STAGING)
+        ):
+            raise RuntimeError("promote crash")
+        return real_write(path, data)
+
+    monkeypatch.setattr(A.fsio, "write_bytes", crash_promote)
+    with pytest.raises(RuntimeError, match="promote crash"):
+        A.retrain_ann_index(spark, idx, n_cells=2)
+    monkeypatch.setattr(A.fsio, "write_bytes", real_write)
+    healed = A.load_centroids(idx)  # triggers _heal_staging
+    assert len(healed) == 2 and not np.array_equal(healed, old_centroids[:2])
+    assert {i for i, _ in _index_state(spark, idx)} == ids_before
+
+    # post-retrain: exhaustive probe equals brute force over the corpus
+    queries = [(0, _vec(3)), (1, _vec(10))]
+    got = {
+        (r["query_id"], r["rn"]): r["vec_id"]
+        for r in A.ann_query(spark, idx, queries, k=3, nprobe=2).collect()
+    }
+    emb = {r["vec_id"]: r["embedding"] for r in U.read_table(spark, src).collect()}
+    for qid, qv in queries:
+        q = np.array(qv)
+        scores = sorted(
+            (
+                (round(float(q @ np.array(v)) / (np.linalg.norm(q) * np.linalg.norm(v)) + 1e-6, 4), i)
+                for i, v in emb.items()
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, i) in enumerate(scores[:3], start=1):
+            assert got[(qid, rank)] == i
+    # and the refresh still works after the retrain
+    U.append_rows(spark, src, _emb(spark, range(500, 505)))
+    assert A.refresh_ann_index(spark, src, idx) is not None
+    assert {i for i, _ in _index_state(spark, idx)} == ids_before | set(range(500, 505))

@@ -456,3 +456,25 @@ def test_topk_df_plan_has_no_cartesian(spark, built):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_rebucket_preserves_answers_and_folds_resume(spark, built, tmp_path):
+    _, idx = built
+    key = lambda r: (r["query_id"], r["rank"])
+    want = sorted(B.bm25_index_topk(spark, idx, QUERIES, k=5).collect(), key=key)
+    stats = B.index_stats(idx)
+    assert B.rebucket_bm25_index(spark, idx, 4) is None  # same count: no-op
+    assert B.rebucket_bm25_index(spark, idx, 8) is not None
+    assert B.index_stats(idx) == stats
+    assert sorted(
+        B.bm25_index_topk(spark, idx, QUERIES, k=5).collect(), key=key
+    ) == want
+    # probes still prune under the new layout
+    import re
+    import zlib
+
+    one = [(3, "scan filter")]
+    terms = {t for _, q in one for t in re.findall("([a-z0-9]+)", q.lower())}
+    probed = {f"__part=b{zlib.crc32(t.encode()) % 8}" for t in terms}
+    files = B.bm25_index_topk(spark, idx, one, k=5).inputFiles()
+    assert files and all(any(p in f for p in probed) for f in files)

@@ -137,3 +137,78 @@ def test_preimageless_update_refuses(spark, tmp_path):
     U.upsert(spark, src, _df(spark, [(10, "rewritten " + _S)]), ["doc_id"])
     with pytest.raises(ValueError, match="preimage"):
         D.refresh_decontam_index(spark, src, idx)
+
+
+def test_randomized_schedule_matches_python_model(spark, tmp_path):
+    """Seeded random schedule of appends, deletes and preimage-logged
+    updates of benchmark docs (overlapping texts, short docs below the
+    gram width, empty batches, refreshes at random points): the standing
+    index's check always equals a pure-Python gram recompute over the
+    live benchmark state."""
+    import random
+
+    N_T = 4  # 4-gram index: small docs exercise boundaries
+    rng = random.Random(20260816)
+    words = ["red", "blue", "green", "gold", "iron", "salt", "wolf", "moon"]
+
+    def text(n_tokens):
+        return " ".join(rng.choice(words) for _ in range(n_tokens))
+
+    live: dict[int, str] = {}
+
+    def batch(n, start):
+        out = []
+        for j in range(n):
+            k = start + j
+            t = text(rng.randrange(2, 10))  # some below the gram width
+            live[k] = t
+            out.append((k, t))
+        return out
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, batch(5, 0)), src)
+    D.build_decontam_index(spark, src, idx, n=N_T, n_buckets=4)
+    next_k = 100
+    for step in range(10):
+        action = rng.choice(["append", "delete", "update", "refresh"])
+        if action == "append":
+            n = rng.randrange(0, 3)
+            if n:
+                U.append_rows(spark, src, _df(spark, batch(n, next_k)))
+                next_k += n
+        elif action == "delete" and live:
+            k = rng.choice(sorted(live))
+            del live[k]
+            U.delete_where(spark, src, F.col("doc_id") == k)
+        elif action == "update" and live:
+            k = rng.choice(sorted(live))
+            t = text(rng.randrange(2, 10))
+            live[k] = t
+            U.upsert(
+                spark, src, _df(spark, [(k, t)]), ["doc_id"],
+                feed_preimages=True,
+            )
+        if action == "refresh" or rng.random() < 0.4:
+            D.refresh_decontam_index(spark, src, idx)
+    D.refresh_decontam_index(spark, src, idx)
+
+    # pure-Python model: live benchmark grams, then per-probe-doc overlap
+    def grams(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + N_T])
+            for i in range(len(toks) - N_T + 1)
+        }
+
+    bench_grams = set().union(*(grams(t) for t in live.values())) if live else set()
+    probe = [(900 + j, text(rng.randrange(2, 12))) for j in range(8)]
+    want = sorted(
+        (pid, len(grams(t) & bench_grams))
+        for pid, t in probe
+        if grams(t) & bench_grams
+    )
+    got = sorted(
+        tuple(r)
+        for r in D.decontam_check_df(spark, idx, _df(spark, probe)).collect()
+    )
+    assert got == want

@@ -596,3 +596,47 @@ def test_query_df_plan_has_no_cartesian(spark, built):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_rebucket_preserves_answers_and_crash_heals(spark, built, monkeypatch):
+    """Rebucket both tables 4→8: answers identical; a crash between the
+    two rewrites leaves each side self-consistent (per-side bucket-count
+    resolution), the refresh refuses until the re-run finishes."""
+    src, idx = built
+    probes = [(d, t) for d, t in DOCS]
+    want = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
+    assert L.rebucket_lsh_index(spark, idx, 4) is None  # same count: no-op
+
+    real = L.write_table_partitioned
+    calls = {"n": 0}
+
+    def crash_on_bands(df, table_dir, *a, **kw):
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the bands rewrite")
+        return real(df, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "write_table_partitioned", crash_on_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.rebucket_lsh_index(spark, idx, 8)
+    # sides now disagree (sigs at 8, bands at 4): queries stay CORRECT
+    # (each side resolves its own count)...
+    assert L._sigs_n_buckets(idx) == 8
+    assert L.index_params(idx)["n_buckets"] == 4
+    assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2)) == want
+    assert _rows(
+        L.lsh_index_query_df(
+            spark, idx, _docs_df(spark, DOCS), "doc_id", "text", threshold=0.2
+        )
+    ) == want
+    # ...and the refresh refuses until the rebucket is re-run
+    U.append_rows(spark, src, _docs_df(spark, [(30, _BASE + " thirty")]))
+    with pytest.raises(ValueError, match="rebucket_lsh_index"):
+        L.refresh_lsh_index(spark, src, idx)
+    monkeypatch.setattr(L, "write_table_partitioned", real)
+    assert L.rebucket_lsh_index(spark, idx, 8) is not None
+    assert L.index_params(idx)["n_buckets"] == 8
+    assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2)) == want
+    # folds resume at the new count
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
+    assert got == _numpy_estimates(probes, DOCS + [(30, _BASE + " thirty")], 0.2)
