@@ -212,3 +212,38 @@ def test_randomized_schedule_matches_python_model(spark, tmp_path):
         for r in D.decontam_check_df(spark, idx, _df(spark, probe)).collect()
     )
     assert got == want
+
+
+def test_streaming_refresh_follows_cdc(spark, tmp_path):
+    """CDC stream → foreachBatch decontam refresh: the streamed index
+    answers checks identically to the batch operator over the final
+    benchmark state, across insert AND delete micro-batches."""
+    from spookystuff_spark.sources.versioned_source import register as _reg
+
+    _reg(spark)
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH[:2]), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=4)
+    stream = (
+        spark.readStream.format("spooky_versioned")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("startingVersion", "0")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(D.streaming_refresh_sink(src, idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        U.append_rows(spark, src, _df(spark, BENCH[2:]))
+        q.processAllAvailable()
+        U.delete_where(spark, src, F.col("doc_id") == 10)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _check(spark, idx) == _batch_expect(
+        spark, [b for b in BENCH if b[0] != 10]
+    )
