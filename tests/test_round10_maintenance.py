@@ -178,3 +178,70 @@ def test_restore_keyed_diff_with_count_key_column(spark, tmp_path):
     U.restore(t, v0, spark=spark, key_cols=["count"])
     got = sorted(tuple(r) for r in U.read_table(spark, t).collect())
     assert got == [(1, 5), (2, 6)]
+
+
+def test_rebucket_works_on_decontam_index(spark, tmp_path):
+    """The decontam gram index commits through the same keyed machinery —
+    incremental.rebucket re-seeds it and refreshes resume at the new
+    count with identical check answers."""
+    import spookystuff_spark.operators.decontam_index as D
+
+    docs = [
+        (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+        (2, "one two three four five six seven eight nine"),
+    ]
+    probe = [(9, "alpha bravo charlie delta echo foxtrot golf hotel tail")]
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(
+        spark.createDataFrame(docs, "doc_id long, text string"), src
+    )
+    D.build_decontam_index(spark, src, idx, n=4, n_buckets=4)
+    pdf = spark.createDataFrame(probe, "doc_id long, text string")
+    want = sorted(
+        tuple(r) for r in D.decontam_check_df(spark, idx, pdf).collect()
+    )
+    assert want  # non-vacuous
+    assert rebucket(spark, idx, 16) is not None
+    assert sorted(
+        tuple(r) for r in D.decontam_check_df(spark, idx, pdf).collect()
+    ) == want
+    U.delete_where(spark, src, F.col("doc_id") == 1)
+    assert D.refresh_decontam_index(spark, src, idx) is not None
+    assert (
+        D.decontam_check_df(spark, idx, pdf).count() == 0
+    )  # overlap source deleted
+
+
+def test_rebucket_works_on_join_distinct_view(spark, tmp_path):
+    """rebucket re-stamps the dual _SRCJ_ watermark verbatim, so the
+    join-distinct support Z-set keeps folding exactly after a re-seed."""
+    from spookystuff_spark.sources.incremental import read_distinct_aggregate
+    from spookystuff_spark.sources.join_view import refresh_join_distinct
+
+    a, b, dst = str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "j")
+    U.write_table(
+        spark.createDataFrame(
+            [(1, "s1", 10), (2, "s1", 20)], "id int, seg string, price long"
+        ),
+        a,
+    )
+    U.write_table(
+        spark.createDataFrame([(1, "x"), (2, "y")], "id int, tag string"), b
+    )
+    refresh_join_distinct(
+        spark, a, b, dst, ["id"], ["seg"], "price", dst_buckets=4
+    )
+    assert rebucket(spark, dst, 8) is not None
+    U.append_rows(
+        spark, a,
+        spark.createDataFrame([(3, "s1", 20)], "id int, seg string, price long"),
+    )
+    U.append_rows(spark, b, spark.createDataFrame([(3, "z")], "id int, tag string"))
+    assert refresh_join_distinct(
+        spark, a, b, dst, ["id"], ["seg"], "price"
+    ) is not None
+    got = {
+        (r["seg"], r["price_distinct"], r["n_rows"])
+        for r in read_distinct_aggregate(spark, dst, ["seg"], "price").collect()
+    }
+    assert got == {("s1", 2, 3)}
