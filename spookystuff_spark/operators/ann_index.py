@@ -387,69 +387,18 @@ def ann_query(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector, probing only ``nprobe``
-    cells per query: probe cells resolve driver-side against the local
-    centroids (queries are small by contract), the probed cells' files
-    come through the manifest-pruned partition reader (zero IO on every
-    other cell), and the scoring join is query-broadcast — the index is
-    never shuffled. ``queries``: [(query_id, vector), ...]."""
-    import numpy as np
-
-    c = load_centroids(index_dir)
-    qids = [q[0] for q in queries]
-    qvecs = np.array([q[1] for q in queries], dtype=np.float64)
-    d2 = (
-        (qvecs * qvecs).sum(axis=1)[:, None]
-        - 2.0 * (qvecs @ c.T)
-        + (c * c).sum(axis=1)[None, :]
-    )
-    order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-    probe_cells = sorted({f"c{int(i)}" for row in order for i in row})
-    pairs = [
-        (qid, f"c{int(cell)}")
-        for qid, row in zip(qids, order)
-        for cell in row
-    ]
-    slice_df = read_table_partitions(spark, index_dir, probe_cells)
+    cells per query — thin list-shaped wrapper over :func:`ann_query_df`,
+    the ONE probe pipeline (r10 punch #1: the driver-side numpy
+    cell-assignment + scoring copy is gone; the DataFrame path assigns
+    cells in its vectorized Arrow pass and was test-pinned
+    value-identical). ``queries``: [(query_id, vector), ...]."""
     qdf = spark.createDataFrame(
-        [
-            (qid, [float(x) for x in vec])
-            for qid, vec in zip(qids, qvecs)
-        ],
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
         "query_id long, qvec array<double>",
     )
-    probe_df = spark.createDataFrame(pairs, "query_id long, cell string")
-    from pyspark.sql.window import Window
-
-    dot = F.aggregate(
-        F.zip_with("qvec", "vec", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    scored = (
-        slice_df.join(F.broadcast(probe_df), "cell")
-        .join(F.broadcast(qdf), "query_id")
-        # rounded (repo-wide cross-engine recipe): ranking on the rounded
-        # value with the id tiebreak makes the top-k reproducible against
-        # any independent replica of the arithmetic
-        .withColumn(
-            "cosine",
-            F.round(
-                dot / (norm(F.col("qvec")) * norm(F.col("vec"))) + 1e-6, 4
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .select("query_id", id_col, "cosine", "rn")
+    return ann_query_df(
+        spark, index_dir, qdf, k=k, nprobe=nprobe, id_col=id_col,
+        query_id_col="query_id", vec_col="qvec",
     )
 
 

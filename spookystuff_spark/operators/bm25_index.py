@@ -37,8 +37,6 @@ own BM25 scorer with its lakehouse — public Lucene/Delta ideas only.
 
 from __future__ import annotations
 
-import re
-import zlib
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -62,11 +60,6 @@ from spookystuff_spark.sources.partitioned_table import (
 )
 
 _STATS = "bm25_stats"
-
-
-def _bucket_py(term: str, n_buckets: int) -> str:
-    """zlib.crc32 == Spark's crc32 (both CRC-32/ISO-HDLC over utf-8)."""
-    return f"b{zlib.crc32(term.encode('utf-8')) % n_buckets}"
 
 
 def _bucketed_postings(
@@ -376,28 +369,19 @@ def bm25_index_topk(
     queries: Sequence[tuple[int, str]],
     k: int = 10,
 ) -> DataFrame:
-    """Okapi BM25 top-k per query, answered FROM THE INDEX: query terms
-    resolve to their buckets driver-side (queries are small by contract),
-    the probed buckets' files come through the manifest-pruned partition
-    reader (zero IO on every other bucket), df(term) is exact within the
-    slice (a term's postings all share its bucket), and (n_docs, avgdl)
-    come from the manifest — no corpus scan anywhere. Output
-    (query_id, rank, doc_id, score) is bit-identical to
-    ``bm25_topk(corpus, queries, k)``."""
-    cur = U.committed_versions(index_dir)[-1]
-    m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
-    stats, n_buckets = m[_STATS], m["n_buckets"]
-    qpairs = {
-        (qid, t)
-        for qid, qtext in queries
-        for t in set(re.findall(WORD_RE, qtext.lower()))
-    }
-    buckets = sorted({_bucket_py(t, n_buckets) for _, t in qpairs})
-    slice_df = read_table_partitions(spark, index_dir, buckets)
-    qterms = spark.createDataFrame(
-        sorted(qpairs), "query_id int, term string"
+    """Okapi BM25 top-k per query, answered FROM THE INDEX — thin
+    list-shaped wrapper over :func:`bm25_index_topk_df`, the ONE probe
+    pipeline (r10 punch #1: the driver-side ``re.findall`` tokenizer copy
+    is gone, so both entry points tokenize with the index's own Spark
+    expression by construction). Output (query_id, rank, doc_id, score)
+    is bit-identical to ``bm25_topk(corpus, queries, k)``."""
+    qdf = spark.createDataFrame(
+        [(int(qid), str(qtext)) for qid, qtext in queries],
+        "query_id int, text string",
     )
-    return _score_slice(slice_df, qterms, stats, k, hint_small_queries=True)
+    return bm25_index_topk_df(
+        spark, index_dir, qdf, k=k, id_col="query_id", text_col="text"
+    )
 
 
 def bm25_index_topk_df(
@@ -408,16 +392,19 @@ def bm25_index_topk_df(
     id_col: str = "query_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """:func:`bm25_index_topk` for a DataFrame-sized query batch (the
-    standing-corpus retrieval shape where the queries are themselves a
-    table — e.g. scoring every document of tonight's crawl against the
-    indexed corpus). Same output ``(query_id, rank, doc_id, score)``,
-    bit-identical to the list path on the same queries — but with zero
-    driver tokenization and no query collect:
+    """THE BM25 probe pipeline (``bm25_index_topk`` is a thin list-shaped
+    wrapper over it), shaped for the standing-corpus retrieval case where
+    the queries are themselves a table — e.g. scoring every document of
+    tonight's crawl against the indexed corpus. Output
+    ``(query_id, rank, doc_id, score)``, with zero driver tokenization
+    and no query collect:
 
-    * query terms tokenize JVM-side with the index's own expression
-      (``operators.retrieval.terms`` semantics — identical token set to
-      the driver-side ``re.findall``);
+    * query terms tokenize JVM-side with the SAME Spark expression the
+      index build uses (``operators.retrieval.terms`` semantics) — probe
+      and index tokenization can never disagree, whatever the locale's
+      case-folding rules do (the r10 guarantee was "identical to Python
+      ``re.findall`` on ASCII"; index-side consistency is the one that
+      actually matters and now holds by construction);
     * the bucket collect gathers only DISTINCT BUCKET IDS (bounded by the
       index's ``n_buckets``, never by query count), so a small batch
       still reads only its terms' buckets through the manifest-pruned

@@ -50,7 +50,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     ArrayType,
-    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -77,13 +76,6 @@ _PARAMS = "lsh_params"
 # append-step marker: deliberately NOT a `_SRC_` prefix (newest_marker
 # prefix-matches, and the real watermark parse must never see step suffixes)
 _STEP_MARK = "_SRCSTEP_"
-# probe-path driver cap: above this many distinct candidate ids the sig
-# lookup stops collecting and falls back to an all-bucket semi-join
-# (same idiom as join_view.PROBE_KEYS_MAX — the driver never holds an
-# unbounded id list)
-CAND_IDS_MAX = 10_000
-
-
 def _bands_dir(index_dir: str) -> str:
     return f"{index_dir.rstrip('/')}/bands"
 
@@ -122,10 +114,11 @@ def _sig_bucket_py(doc_id: int, n_buckets: int) -> str:
 def _probe_rows(
     probes: Sequence[tuple[int, str]], params: dict
 ) -> tuple[list[tuple[int, int, int]], list[tuple[int, list[int]]]]:
-    """Driver-side signature pass for a (small by contract) probe batch:
-    [(probe_id, band, band_hash)], [(probe_id, sig)] — same math as
-    :func:`_signatures`, so a probe doc already in the index matches its
-    own band rows exactly."""
+    """Driver-side numpy signature pass: [(probe_id, band, band_hash)],
+    [(probe_id, sig)] — same math as :func:`_signatures`. Production
+    probes all run through :func:`lsh_index_query_df` now; this replica
+    survives as the INDEPENDENT oracle the tests recompute expected band
+    hashes and bucket lists with."""
     a, b = _perm_params(params["n_hashes"], params["seed"])
     rows_per_band = params["n_hashes"] // params["bands"]
     band_rows: list[tuple[int, int, int]] = []
@@ -544,72 +537,21 @@ def lsh_index_query(
     """Near-duplicates of a probe batch against the indexed corpus →
     ``(probe_id, id, est_sim)`` with the MinHash estimate ≥ ``threshold``.
 
-    The probe batch signs driver-side (small by contract, like
-    ``bm25_index_topk``'s queries); candidates come from joining its band
-    hashes against ONLY their buckets' files (manifest-pruned read);
-    degenerate (band, band_hash) groups larger than ``max_bucket``
-    index members are dropped, not exploded (the batch pipeline's
-    boilerplate policy); verification reads only the candidates' sig
-    buckets and computes the matching-component fraction JVM-side. A doc
-    probed against an index that contains it never pairs with itself."""
-    params = index_params(index_dir)
-    n_buckets, n_hashes = params["n_buckets"], params["n_hashes"]
-    band_rows, sig_rows = _probe_rows(probes, params)
-    empty = spark.createDataFrame(
-        [], "probe_id long, id long, est_sim double"
+    Thin list-shaped wrapper over :func:`lsh_index_query_df` — the ONE
+    probe pipeline (r10 kept a parallel driver-enumerated copy; the two
+    were test-pinned value-identical, so the list path now just lifts its
+    probes into a two-column frame and delegates). All probe semantics —
+    candidate policy, ``max_bucket`` cap, self-pair suppression,
+    manifest-pruned bucket reads — are documented on the DataFrame
+    entry point."""
+    probe_df = spark.createDataFrame(
+        [(int(pid), str(text)) for pid, text in probes],
+        "doc_id long, text string",
     )
-    if not band_rows:
-        return empty
-    buckets = sorted(
-        {_band_bucket_py(bi, bh, n_buckets) for _, bi, bh in band_rows}
-    )
-    slice_df = read_table_partitions(spark, _bands_dir(index_dir), buckets)
-    pb = spark.createDataFrame(
-        band_rows,
-        StructType(
-            [
-                StructField("probe_id", LongType()),
-                StructField("band", IntegerType()),
-                StructField("band_hash", LongType()),
-            ]
-        ),
-    )
-    matched = slice_df.join(F.broadcast(pb), ["band", "band_hash"])
-    cands = _candidate_pairs(matched, max_bucket).localCheckpoint(
-        eager=True
-    )  # feeds the id collect AND the join
-    id_rows = cands.select("id").distinct().limit(CAND_IDS_MAX + 1).collect()
-    if len(id_rows) <= CAND_IDS_MAX:
-        if not id_rows:
-            return empty
-        cand_ids = sorted({r["id"] for r in id_rows})
-        sig_nb = _sigs_n_buckets(index_dir)
-        sig_buckets = sorted({_sig_bucket_py(i, sig_nb) for i in cand_ids})
-        sig_slice = read_table_partitions(
-            spark, _sigs_dir(index_dir), sig_buckets
-        ).join(
-            F.broadcast(spark.createDataFrame([(i,) for i in cand_ids], "id long")),
-            "id",
-            "leftsemi",
-        )
-    else:
-        # candidate set too large to enumerate on the driver: read every
-        # sig bucket and let the (unhinted — AQE sizes it) semi-join prune
-        all_buckets = [f"b{i}" for i in range(_sigs_n_buckets(index_dir))]
-        sig_slice = read_table_partitions(
-            spark, _sigs_dir(index_dir), all_buckets
-        ).join(cands.select("id").distinct(), "id", "leftsemi")
-    psigs = spark.createDataFrame(
-        sig_rows,
-        StructType(
-            [
-                StructField("probe_id", LongType()),
-                StructField("psig", ArrayType(LongType())),
-            ]
-        ),
-    )
-    return _verified_pairs(
-        cands, sig_slice, F.broadcast(psigs), n_hashes, threshold
+    return lsh_index_query_df(
+        spark, index_dir, probe_df,
+        id_col="doc_id", text_col="text",
+        threshold=threshold, max_bucket=max_bucket,
     )
 
 
@@ -639,8 +581,8 @@ def lsh_index_query_df(
       — a small batch touches few band buckets and reads only those,
       while a corpus-sized batch degrades gracefully to reading all of
       them (which it must);
-    * candidates stay distributed end-to-end (no ``CAND_IDS_MAX`` driver
-      enumeration — the sig read prunes by the candidates' OWN buckets
+    * candidates stay distributed end-to-end (no driver enumeration of
+      candidate ids — the sig read prunes by the candidates' OWN buckets
       and semi-joins the exact id set executor-side);
     * no broadcast hints on the probe side — AQE picks the join strategy
       from actual sizes, so the same code serves a 100-row smoke probe
@@ -744,10 +686,17 @@ def rebucket_lsh_index(
     watermark re-stamped (sigs first, bands authoritative last — the
     build's commit order). The signature math is untouched, so probes
     answer identically at any bucket count; what changes is the pruning
-    granularity a probe's manifest read gets. No-op (None) at the
-    current count."""
+    granularity a probe's manifest read gets. No-op (None) only when BOTH
+    tables are already at the requested count — a rebucket that crashed
+    between the two rewrites leaves sigs at the new count and bands at
+    the old, and a re-run requesting the ORIGINAL (bands) count must
+    rewrite the sigs side back rather than no-op into a permanently
+    mismatched pair (r10 advice)."""
     params = dict(index_params(index_dir))
-    if int(params["n_buckets"]) == int(n_buckets):
+    if (
+        int(params["n_buckets"]) == int(n_buckets)
+        and int(_sigs_n_buckets(index_dir)) == int(n_buckets)
+    ):
         return None
     bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
     wm = last_processed_version(bands_dir)

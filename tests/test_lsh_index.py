@@ -155,27 +155,23 @@ def test_probe_reads_only_its_buckets(spark, built, monkeypatch):
     assert len(sig_calls) == 1  # candidates' id-buckets only
 
 
-def test_candidate_cap_fallback_identical(spark, built, monkeypatch):
-    """Above CAND_IDS_MAX the sig lookup must switch to the all-bucket
-    semi-join and return the same rows."""
+def test_list_path_delegates_to_df_pipeline(spark, built, monkeypatch):
+    """The list-shaped probe entry is a thin wrapper over the DataFrame
+    pipeline (r10 punch #1: ONE probe implementation) — same rows, and
+    the wrapper actually routes through lsh_index_query_df."""
     _, idx = built
-    probes = [(d, t) for d, t in DOCS]
-    want = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
-    monkeypatch.setattr(L, "CAND_IDS_MAX", 1)
-    calls = []
-    real = L.read_table_partitions
+    probes = [(d, t) for d, t in DOCS if d in (1, 3, 5)]
+    want = _numpy_estimates(probes, DOCS, 0.3)
+    called = {}
+    real = L.lsh_index_query_df
 
-    def spy(spark_, table_dir, partition_values, **kw):
-        calls.append((table_dir, sorted(partition_values)))
-        return real(spark_, table_dir, partition_values, **kw)
+    def spy(*a, **kw):
+        called["yes"] = True
+        return real(*a, **kw)
 
-    monkeypatch.setattr(L, "read_table_partitions", spy)
-    got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
-    assert got == want
-    sig_calls = [c for c in calls if c[0] == L._sigs_dir(idx)]
-    assert sig_calls and sig_calls[0][1] == [
-        f"b{i}" for i in range(PARAMS["n_buckets"])
-    ]
+    monkeypatch.setattr(L, "lsh_index_query_df", spy)
+    got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.3))
+    assert got == want and called
 
 
 def test_refresh_is_exactly_once(spark, built):
@@ -640,3 +636,38 @@ def test_rebucket_preserves_answers_and_crash_heals(spark, built, monkeypatch):
     assert L.refresh_lsh_index(spark, src, idx) is not None
     got = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
     assert got == _numpy_estimates(probes, DOCS + [(30, _BASE + " thirty")], 0.2)
+
+
+def test_rebucket_back_to_original_count_reconverges(
+    spark, built, monkeypatch
+):
+    """r10 advice: after a crashed rebucket (sigs at the NEW count, bands
+    still at the old), a re-run requesting the ORIGINAL count must not
+    no-op on the bands-side count alone — it rewrites the sigs side back
+    and the pair reconverges (previously it returned None and left the
+    tables permanently mismatched, with refresh refusing forever)."""
+    src, idx = built
+    probes = [(d, t) for d, t in DOCS]
+    want = _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2))
+    orig = L.index_params(idx)["n_buckets"]
+
+    real = L.write_table_partitioned
+
+    def crash_on_bands(df, table_dir, *a, **kw):
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the bands rewrite")
+        return real(df, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "write_table_partitioned", crash_on_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.rebucket_lsh_index(spark, idx, orig * 2)
+    monkeypatch.setattr(L, "write_table_partitioned", real)
+    assert L._sigs_n_buckets(idx) == orig * 2  # mid-crash window
+    # rebucket BACK to the original count: must rewrite, not no-op
+    assert L.rebucket_lsh_index(spark, idx, orig) is not None
+    assert L._sigs_n_buckets(idx) == orig
+    assert L.index_params(idx)["n_buckets"] == orig
+    assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2)) == want
+    # and the refresh path is unblocked again
+    U.append_rows(spark, src, _docs_df(spark, [(31, _BASE + " thirtyone")]))
+    assert L.refresh_lsh_index(spark, src, idx) is not None
