@@ -25,8 +25,8 @@ The check is one join: the probe docs' gram stream (pure Catalyst —
 ``token_ngram_keys``, zero Python) against the index's live keys. The
 index side is eval-set-sized (MBs against a TB corpus), so AQE broadcasts
 it; for SMALL probe batches ``prune=True`` reads only the probed grams'
-buckets through the manifest (at the price of tokenizing the probe side
-twice — leave it off for corpus-sized checks).
+buckets through the manifest (one checkpointed tokenize pass feeds both
+the bucket collect and the join).
 
 Reference scope: the reference has no hygiene surface; this composes the
 rebuild's own n-gram stack (Lee et al. exact-substring dedup semantics)
@@ -36,12 +36,17 @@ with its lakehouse — public ideas only.
 from __future__ import annotations
 
 import json
+from typing import Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from spookystuff_spark import fsio
-from spookystuff_spark.operators.ngram import doc_grams, token_ngram_keys
+from spookystuff_spark.operators.ngram import (
+    doc_grams,
+    token_ngram_keys,
+    token_ngram_keys_salted,
+)
 from spookystuff_spark.sources import upsert as U
 from spookystuff_spark.sources.incremental import (
     _POS,
@@ -58,14 +63,51 @@ from spookystuff_spark.sources.incremental import (
 
 _PARAMS = "_DECONTAM_PARAMS.json"
 _KEY = ["gram_key"]
+_KEY128 = ["gram_key", "gram_key2"]
+# constant salt of the second 64-bit key plane (token_ngram_keys_salted) —
+# part of the index's on-disk contract, never change it under live indexes
+_SALT2 = "spooky-gram-k2"
 
 
 def index_params(index_dir: str) -> dict:
-    return json.loads(fsio.read_bytes(fsio.join(index_dir, _PARAMS)))
+    p = json.loads(fsio.read_bytes(fsio.join(index_dir, _PARAMS)))
+    p.setdefault("key_bits", 64)  # pre-r11 indexes are 64-bit keyed
+    return p
+
+
+def _key_cols(key_bits: int) -> list[str]:
+    return _KEY128 if int(key_bits) == 128 else _KEY
+
+
+def _gram_pairs(text_col: str, n: int):
+    """array<struct<gram_key, gram_key2>> — the doc's DISTINCT grams under
+    the 128-bit key (two independent xxhash64 planes zipped positionally;
+    distinctness over the PAIR, so the two planes never drift apart)."""
+    k1 = token_ngram_keys(F.col(text_col), n).alias("gram_key")
+    k2 = token_ngram_keys_salted(F.col(text_col), n, _SALT2).alias(
+        "gram_key2"
+    )
+    return F.array_distinct(F.arrays_zip(k1, k2))
+
+
+def _doc_gram_keys(
+    docs: DataFrame, id_col: str, text_col: str, n: int, key_bits: int
+) -> DataFrame:
+    """Distinct (id, gram key) rows at either key width — the probe/build
+    gram stream. 64-bit delegates to the shared :func:`doc_grams`."""
+    if int(key_bits) != 128:
+        return doc_grams(docs, id_col, text_col, n)
+    from spookystuff_spark.operators.layout import spread_small_input
+
+    return (
+        spread_small_input(docs)
+        .select(F.col(id_col), F.explode(_gram_pairs(text_col, n)).alias("g"))
+        .select(id_col, "g.gram_key", "g.gram_key2")
+    )
 
 
 def _signed_gram_delta(
-    changes: DataFrame, id_col: str, text_col: str, n: int
+    changes: DataFrame, text_col: str, n: int, key_cols: Sequence[str]
 ) -> DataFrame:
     """Per-gram signed count delta of a change-feed batch: each feed row
     contributes its DISTINCT grams (``array_distinct`` inside codegen —
@@ -76,14 +118,19 @@ def _signed_gram_delta(
     sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
         F.lit(-1)
     )
-    g = changes.select(
-        sign.alias("_s"),
-        F.explode(
-            F.array_distinct(token_ngram_keys(F.col(text_col), n))
-        ).alias("gram_key"),
-    )
+    if len(key_cols) == 2:
+        g = changes.select(
+            sign.alias("_s"), F.explode(_gram_pairs(text_col, n)).alias("g")
+        ).select("_s", "g.gram_key", "g.gram_key2")
+    else:
+        g = changes.select(
+            sign.alias("_s"),
+            F.explode(
+                F.array_distinct(token_ngram_keys(F.col(text_col), n))
+            ).alias("gram_key"),
+        )
     return (
-        g.groupBy("gram_key")
+        g.groupBy(*key_cols)
         .agg(F.sum("_s").alias("_dn"))
         .where(F.col("_dn") != 0)
     )
@@ -97,27 +144,42 @@ def build_decontam_index(
     text_col: str = "text",
     n: int = 13,
     n_buckets: int = 8,
+    key_bits: int = 64,
 ) -> str:
     """Tokenize the current benchmark snapshot into the bucket-laid gram
     support table. Returns the index version; the source watermark rides
     the commit so a follow-up :func:`refresh_decontam_index` starts
-    exactly after this snapshot."""
+    exactly after this snapshot.
+
+    ``key_bits=128`` keys grams by a PAIR of independent ``xxhash64``
+    planes instead of one — for extreme-scale eval sets (>~10⁹ distinct
+    grams) where 64-bit birthday collisions would start conflating grams
+    (false contamination hits); the layout, fold and check all carry the
+    composite key through the same keyed machinery. Default unchanged."""
+    if int(key_bits) not in (64, 128):
+        raise ValueError(f"key_bits must be 64 or 128, got {key_bits}")
+    key_cols = _key_cols(key_bits)
     src_v = U.committed_versions(src_dir)[-1]
     docs = U.read_table(spark, src_dir)
     merged = (
-        doc_grams(docs, id_col, text_col, n)
-        .groupBy("gram_key")
+        _doc_gram_keys(docs, id_col, text_col, n, key_bits)
+        .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     fsio.mkdirs(index_dir)
     fsio.write_bytes(
         fsio.join(index_dir, _PARAMS),
         json.dumps(
-            {"n": n, "id_col": id_col, "text_col": text_col}
+            {
+                "n": n,
+                "id_col": id_col,
+                "text_col": text_col,
+                "key_bits": int(key_bits),
+            }
         ).encode(),
     )
     return _commit_keyed(
-        merged, index_dir, _KEY, n_buckets, f"{_SRC_MARK}{src_v}"
+        merged, index_dir, key_cols, n_buckets, f"{_SRC_MARK}{src_v}"
     )
 
 
@@ -132,6 +194,7 @@ def refresh_decontam_index(
     the source has nothing new. Preimage-less upsert feeds refuse inside
     the feed walk (the old grams could not be retracted)."""
     p = index_params(index_dir)
+    key_cols = _key_cols(p["key_bits"])
     after = last_processed_version(index_dir)
     changes, newest = _changes_since(
         spark, src_dir, after, requested_cols=[p["id_col"], p["text_col"]]
@@ -149,17 +212,17 @@ def refresh_decontam_index(
             "build_decontam_index"
         )
     delta = _signed_gram_delta(
-        changes, p["id_col"], p["text_col"], p["n"]
+        changes, p["text_col"], p["n"], key_cols
     ).persist()  # the touched-bucket collect and the fold both read it
     try:
         current, touched, cur, rel = _keyed_slice(
-            spark, index_dir, delta, _KEY, n_buckets, keyed_layout=True
+            spark, index_dir, delta, key_cols, n_buckets, keyed_layout=True
         )
         merged = _fold_support(
-            current, delta.select("gram_key", "_dn"), _KEY
+            current, delta.select(*key_cols, "_dn"), key_cols
         )
         return _commit_keyed(
-            merged, index_dir, _KEY, n_buckets, marker,
+            merged, index_dir, key_cols, n_buckets, marker,
             touched=touched, cur=cur, rel=rel,
         )
     finally:
@@ -182,20 +245,32 @@ def decontam_check_df(
     AQE-sized (the index is the eval-set-sized small side — broadcast
     for a corpus check). ``prune=True``: additionally restrict the index
     read to the probe grams' own buckets via the manifest (a bounded
-    ≤ n_buckets collect) — right for small batches, wasteful for
-    corpus-sized ones (it evaluates the probe tokenization twice)."""
+    ≤ n_buckets collect) — right for small batches; the gram stream is
+    eagerly checkpointed so the probe tokenization runs ONCE and feeds
+    both the bucket collect and the join (the ``lsh_index_query_df``
+    recipe; pre-r11 it evaluated twice)."""
     p = index_params(index_dir)
-    grams = doc_grams(docs, id_col, text_col, p["n"])
+    key_cols = _key_cols(p["key_bits"])
+    grams = _doc_gram_keys(docs, id_col, text_col, p["n"], p["key_bits"])
     if prune:
         from spookystuff_spark.sources.partitioned_table import (
             read_table_partitions,
         )
 
         n_buckets, _ = agg_layout(index_dir)
+        if n_buckets is None:
+            # same explicit refusal refresh_decontam_index raises for this
+            # state — not a cryptic TypeError out of _bucket_expr
+            raise ValueError(
+                f"{index_dir}: keyed layout record missing (not a decontam "
+                "index, or a maintenance commit dropped it) — rebuild with "
+                "build_decontam_index"
+            )
+        grams = grams.localCheckpoint(eager=True)
         buckets = sorted(
             r[0]
             for r in grams.select(
-                _bucket_expr(_KEY, n_buckets).cast("string").alias("_b")
+                _bucket_expr(key_cols, n_buckets).cast("string").alias("_b")
             )
             .distinct()
             .collect()
@@ -204,7 +279,7 @@ def decontam_check_df(
     else:
         idx = U.read_table(spark, index_dir)
     return (
-        grams.join(idx.select("gram_key"), "gram_key", "leftsemi")
+        grams.join(idx.select(*key_cols), list(key_cols), "leftsemi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("contaminated_grams"))
     )

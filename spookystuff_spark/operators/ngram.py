@@ -60,6 +60,24 @@ def token_ngram_keys(text: Column, n: int) -> Column:
     return F.when(k >= 1, window).otherwise(F.array().cast("array<bigint>"))
 
 
+def token_ngram_keys_salted(text: Column, n: int, salt: str) -> Column:
+    """Second (or Nth) independent 64-bit key plane for the same gram
+    stream: ``xxhash64`` over the token slice with a constant ``salt``
+    element prepended, so ``(token_ngram_keys, token_ngram_keys_salted)``
+    pairs form an effectively 128-bit key — the extreme-scale option for
+    standing gram indexes where >~10⁹ distinct eval grams would push
+    64-bit birthday collisions (false contamination hits) past comfort.
+    Aligned index-for-index with :func:`token_ngram_keys` (same window,
+    same empty-doc rule), so the two arrays zip positionally."""
+    toks = _TOKENS(text)
+    k = F.size(toks) - F.lit(n - 1)
+    window = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.xxhash64(F.lit(salt), F.slice(toks, i, n)),
+    )
+    return F.when(k >= 1, window).otherwise(F.array().cast("array<bigint>"))
+
+
 def doc_grams(
     df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
 ) -> DataFrame:

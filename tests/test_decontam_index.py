@@ -121,13 +121,52 @@ def test_pruned_check_reads_only_probed_buckets(spark, tmp_path, monkeypatch):
         "spookystuff_spark.sources.partitioned_table.read_table_partitions",
         spy,
     )
-    one = _df(spark, CORPUS[1:2])  # a single probe doc
-    got = sorted(
-        tuple(r)
-        for r in D.decontam_check_df(spark, idx, one, prune=True).collect()
-    )
+    # probe docs from parquet so the one-pass claim is plan-checkable
+    probe_dir = str(tmp_path / "probe")
+    _df(spark, CORPUS[1:2]).write.parquet(probe_dir)
+    one = spark.read.parquet(probe_dir)
+    checked = D.decontam_check_df(spark, idx, one, prune=True)
+    got = sorted(tuple(r) for r in checked.collect())
     assert got == [t for t in want if t[0] == 2]
     assert calls and len(calls[0]) < 16  # pruned, not the whole index
+    # one-pass tokenization (r10 punch #3): the gram stream is eagerly
+    # checkpointed before the bucket collect, so the CHECK plan reads the
+    # checkpoint RDD — the probe parquet never appears in its scan set
+    # (pre-r11 the join side re-scanned + re-tokenized the probe source)
+    assert not any("probe" in f for f in checked.inputFiles())
+
+
+def test_pruned_check_refuses_without_keyed_layout(spark, tmp_path):
+    """r10 advice: a maintenance commit that stripped the keyed-layout
+    record must surface as the SAME explicit rebuild error the refresh
+    raises — not a TypeError out of _bucket_expr."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    U.write_table(_df(spark, BENCH), src)
+    D.build_decontam_index(spark, src, idx, n=N, n_buckets=4)
+    # simulate the stripped-layout state: rewrite the tip manifest without
+    # the agg_buckets/agg_group_cols keys
+    cur = U.committed_versions(idx)[-1]
+    raw = U._read_manifest_raw(idx, cur)
+    from spookystuff_spark.sources.incremental import agg_layout
+
+    import json as _json
+
+    from spookystuff_spark import fsio
+
+    stripped = {
+        k: v
+        for k, v in raw.items()
+        if k not in ("agg_buckets", "agg_group_cols")
+    }
+    fsio.write_bytes(
+        fsio.join(idx, cur, "_MANIFEST.json"),
+        _json.dumps(stripped).encode(),
+    )
+    assert agg_layout(idx) == (None, None)
+    with pytest.raises(ValueError, match="build_decontam_index"):
+        D.decontam_check_df(
+            spark, idx, _df(spark, CORPUS), prune=True
+        ).collect()
 
 
 def test_preimageless_update_refuses(spark, tmp_path):
@@ -139,12 +178,14 @@ def test_preimageless_update_refuses(spark, tmp_path):
         D.refresh_decontam_index(spark, src, idx)
 
 
-def test_randomized_schedule_matches_python_model(spark, tmp_path):
+@pytest.mark.parametrize("key_bits", [64, 128])
+def test_randomized_schedule_matches_python_model(spark, tmp_path, key_bits):
     """Seeded random schedule of appends, deletes and preimage-logged
     updates of benchmark docs (overlapping texts, short docs below the
     gram width, empty batches, refreshes at random points): the standing
     index's check always equals a pure-Python gram recompute over the
-    live benchmark state."""
+    live benchmark state. Runs at BOTH key widths (r10 punch #6: the
+    128-bit composite key must carry through build, fold and check)."""
     import random
 
     N_T = 4  # 4-gram index: small docs exercise boundaries
@@ -167,7 +208,10 @@ def test_randomized_schedule_matches_python_model(spark, tmp_path):
 
     src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
     U.write_table(_df(spark, batch(5, 0)), src)
-    D.build_decontam_index(spark, src, idx, n=N_T, n_buckets=4)
+    D.build_decontam_index(
+        spark, src, idx, n=N_T, n_buckets=4, key_bits=key_bits
+    )
+    assert D.index_params(idx)["key_bits"] == key_bits  # round-trips
     next_k = 100
     for step in range(10):
         action = rng.choice(["append", "delete", "update", "refresh"])
@@ -212,6 +256,14 @@ def test_randomized_schedule_matches_python_model(spark, tmp_path):
         for r in D.decontam_check_df(spark, idx, _df(spark, probe)).collect()
     )
     assert got == want
+    # the pruned path carries the composite key through _bucket_expr too
+    pruned = sorted(
+        tuple(r)
+        for r in D.decontam_check_df(
+            spark, idx, _df(spark, probe), prune=True
+        ).collect()
+    )
+    assert pruned == want
 
 
 def test_streaming_refresh_follows_cdc(spark, tmp_path):
