@@ -37,6 +37,7 @@ Delta-CDF ideas only).
 from __future__ import annotations
 
 import json
+import logging
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -58,6 +59,8 @@ from spookystuff_spark.sources.partitioned_table import (
     write_table_partitioned,
 )
 
+_log = logging.getLogger(__name__)
+
 _CENTROIDS = "_CENTROIDS.json"
 # retrain staging protocol (see retrain_ann_index): a staged sidecar is
 # promoted only when a COMMITTED table version carries its sha, so a crash
@@ -65,6 +68,16 @@ _CENTROIDS = "_CENTROIDS.json"
 # pair recoverable by the next loader
 _STAGING = "_CENTROIDS.staging.json"
 _CSHA = "ann_csha"
+# advisory drift record (ann_drift) — the latest refresh batch's assign
+# quality vs the quantizer's build-time stats; NOT part of the
+# exactly-once contract (a crash between fold and drift write loses only
+# the advisory record, never index state)
+_DRIFT = "_DRIFT.json"
+#: default refresh-time warning threshold: batch mean assign-d2 more than
+#: this multiple of the build-time mean says the corpus has drifted away
+#: from the frozen centroids (recall decays silently otherwise — the
+#: operational signal retrain_ann_index exists for)
+DRIFT_WARN_RATIO = 2.0
 
 
 def _assign_cells(
@@ -101,21 +114,82 @@ def _assign_cells(
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
-def _save_centroids(index_dir: str, centroids, vec_col: str) -> None:
+def _assign_stats(df: DataFrame, vec_col: str, centroids) -> dict:
+    """Assign-quality stats of ``df``'s vectors under ``centroids`` —
+    ``{'n', 'mean_d2', 'skew'}`` where ``mean_d2`` is the mean squared
+    distance to the assigned (nearest) centroid and ``skew`` the
+    hottest-cell load factor (max cell share × n_cells; 1.0 = perfectly
+    balanced). One vectorized Arrow pass emitting per-cell partials; the
+    final collect is ≤ n_cells rows, bounded by the quantizer, never by
+    data volume."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = (
+                (x * x).sum(axis=1)[:, None]
+                - 2.0 * (x @ c.T)
+                + c_sq[None, :]
+            )
+            cells = d2.argmin(axis=1)
+            best = np.maximum(d2[np.arange(len(x)), cells], 0.0)
+            agg = pd.DataFrame({"cell": cells, "d2": best}).groupby(
+                "cell", as_index=False
+            ).agg(n=("d2", "size"), sum_d2=("d2", "sum"))
+            yield pd.DataFrame(
+                {
+                    "cell": agg["cell"].astype("int32"),
+                    "n": agg["n"].astype("int64"),
+                    "sum_d2": agg["sum_d2"].astype("float64"),
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(run, "cell int, n long, sum_d2 double")
+        .groupBy("cell")
+        .agg(F.sum("n").alias("n"), F.sum("sum_d2").alias("s"))
+        .collect()
+    )
+    n = int(sum(r["n"] for r in rows))
+    if n == 0:
+        return {"n": 0, "mean_d2": None, "skew": None}
+    return {
+        "n": n,
+        "mean_d2": float(sum(r["s"] for r in rows) / n),
+        "skew": float(max(r["n"] for r in rows) * len(c) / n),
+    }
+
+
+def _save_centroids(
+    index_dir: str, centroids, vec_col: str, train_stats: dict | None = None
+) -> None:
     """Centroids + the SOURCE's embedding column name (the index table
     renames it to ``vec``, so the index schema cannot recover it — and the
-    refresh must select the feed column BY NAME, never positionally)."""
+    refresh must select the feed column BY NAME, never positionally) +
+    the build-time assign stats the refresh drift check compares against."""
     fsio.mkdirs(index_dir)
     fsio.write_bytes(
-        fsio.join(index_dir, _CENTROIDS), _payload_bytes(vec_col, centroids)
+        fsio.join(index_dir, _CENTROIDS),
+        _payload_bytes(vec_col, centroids, train_stats),
     )
 
 
-def _payload_bytes(vec_col: str | None, centroids) -> bytes:
+def _payload_bytes(
+    vec_col: str | None, centroids, train_stats: dict | None = None
+) -> bytes:
     return json.dumps(
         {
             "vec_col": vec_col,
             "centroids": [list(map(float, row)) for row in centroids],
+            "train_stats": train_stats,
         }
     ).encode()
 
@@ -157,6 +231,59 @@ def load_centroids(index_dir: str):
     return np.array(_centroids_payload(index_dir)["centroids"], dtype=np.float64)
 
 
+def ann_drift(index_dir: str) -> dict | None:
+    """The latest refresh batch's drift record, or None before any
+    insert fold (or on a pre-r11 index): ``{'src_version', 'batch':
+    {n, mean_d2, skew}, 'train': {...}, 'ratio'}`` where ``ratio`` =
+    batch mean assign-d2 / build-time mean. A ratio persistently past
+    :data:`DRIFT_WARN_RATIO` (each such fold also logs a warning) is the
+    operational trigger for :func:`retrain_ann_index` — recall decays
+    silently as new vectors land far from the frozen centroids."""
+    p = fsio.join(index_dir, _DRIFT)
+    if not fsio.exists(p):
+        return None
+    return json.loads(fsio.read_bytes(p))
+
+
+def _record_drift(
+    index_dir: str,
+    batch: DataFrame,
+    emb_col: str,
+    centroids,
+    src_v: str,
+    warn_ratio: float,
+) -> None:
+    """Advisory per-fold drift record + past-threshold warning. Skipped
+    (no-op) when the sidecar predates build-time stats."""
+    train = _centroids_payload(index_dir).get("train_stats")
+    if not train or not train.get("mean_d2"):
+        return
+    stats = _assign_stats(batch, emb_col, centroids)
+    if not stats["n"]:
+        return
+    ratio = (
+        stats["mean_d2"] / train["mean_d2"] if train["mean_d2"] > 0 else 1.0
+    )
+    fsio.write_bytes(
+        fsio.join(index_dir, _DRIFT),
+        json.dumps(
+            {
+                "src_version": src_v,
+                "batch": stats,
+                "train": train,
+                "ratio": ratio,
+            }
+        ).encode(),
+    )
+    if ratio > warn_ratio:
+        _log.warning(
+            "%s: refresh batch mean assign-d2 is %.2fx the build-time mean "
+            "(skew %.2f) — the corpus has drifted from the frozen "
+            "quantizer; recall decays silently, see retrain_ann_index()",
+            index_dir, ratio, stats["skew"],
+        )
+
+
 def index_vec_col(index_dir: str) -> str | None:
     """The source embedding column this index folds — None on a pre-r8
     sidecar (callers fall back to the positional guess)."""
@@ -187,7 +314,12 @@ def build_ann_index(
         emb, id_col, vec_col, dim,
         n_cells=n_cells, n_iters=n_iters, sample_cap=sample_cap,
     )
-    _save_centroids(index_dir, centroids, vec_col)
+    # build-time assign stats ride the sidecar: every later refresh
+    # compares its batch against them (the drift signal retrain needs)
+    _save_centroids(
+        index_dir, centroids, vec_col,
+        train_stats=_assign_stats(emb, vec_col, centroids),
+    )
     assigned = _assign_cells(emb, id_col, vec_col, centroids)
     write_table_partitioned(
         assigned, index_dir, "cell",
@@ -223,6 +355,7 @@ def _fold_ann_version(
     src_v: str,
     id_col: str,
     src_vec: str | None,
+    drift_warn_ratio: float = DRIFT_WARN_RATIO,
 ) -> None:
     """Apply one source version's feed to the cell-partitioned index:
     assign + MERGE the new vectors, DV-delete the removed ids
@@ -295,6 +428,9 @@ def _fold_ann_version(
         emb_col = src_vec
     else:  # pre-r8 sidecar: the historical positional guess
         emb_col = [c for c in src_schema_cols if c != id_col][0]
+    _record_drift(
+        index_dir, changes, emb_col, centroids, src_v, drift_warn_ratio
+    )
     assigned = _assign_cells(
         changes.select(id_col, emb_col), id_col, emb_col, centroids
     )
@@ -311,6 +447,7 @@ def refresh_ann_index(
     src_dir: str,
     index_dir: str,
     id_col: str = "vec_id",
+    drift_warn_ratio: float = DRIFT_WARN_RATIO,
 ) -> str | None:
     """Fold source changes since the watermark into the index — a
     PER-VERSION replay (same discipline as the LSH/BM25 indexes): each
@@ -329,7 +466,15 @@ def refresh_ann_index(
     per-version (``feed_has_duplicate_ids``). Returns the new index
     version, or None when the source has nothing the index can see.
     Refusals: update-shaped feeds (rebuild) and re-insert of a DV-hidden
-    id (``compact_ann_index(..., force_dv=True)`` heals)."""
+    id (``compact_ann_index(..., force_dv=True)`` heals).
+
+    Each insert fold also records an ADVISORY drift signal
+    (:func:`ann_drift`): the batch's mean assign-distance and cell skew
+    vs the quantizer's build-time stats, warning past
+    ``drift_warn_ratio`` — the operational trigger for
+    :func:`retrain_ann_index` (a frozen quantizer loses recall silently
+    as the corpus drifts; same spirit as the keyed-layout too-coarse
+    warning in ``sources/incremental.py``)."""
     wm = last_processed_version(index_dir)
     pending = [
         v
@@ -351,7 +496,8 @@ def refresh_ann_index(
         if changes is None:
             return  # feed-less version: the next fold's marker covers it
         _fold_ann_version(
-            spark, src_dir, index_dir, changes, v, id_col, src_vec
+            spark, src_dir, index_dir, changes, v, id_col, src_vec,
+            drift_warn_ratio,
         )
         committed = True
 
@@ -371,7 +517,8 @@ def refresh_ann_index(
                 sub_prev = v
         elif changes is not None:
             _fold_ann_version(
-                spark, src_dir, index_dir, changes, run[-1], id_col, src_vec
+                spark, src_dir, index_dir, changes, run[-1], id_col,
+                src_vec, drift_warn_ratio,
             )
             committed = True
         prev_v = run[-1]
@@ -527,12 +674,9 @@ def retrain_ann_index(
 
     from spookystuff_spark.operators.similarity import ivf_assign
 
-    wm = last_processed_version(index_dir)
-    if wm is None:
-        raise ValueError(
-            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
-            "retrain (a follow-up refresh could not prove exactly-once)"
-        )
+    from spookystuff_spark.sources.incremental import resolve_restamp_marker
+
+    marker = resolve_restamp_marker(index_dir, "retrain")
     rows = U.read_table(spark, index_dir).select(id_col, "vec")
     first = rows.first()
     if first is None:
@@ -544,17 +688,27 @@ def retrain_ann_index(
         rows, id_col, "vec", dim,
         n_cells=int(n_cells), n_iters=n_iters, sample_cap=sample_cap,
     )
-    data = _payload_bytes(index_vec_col(index_dir), centroids)
+    # fresh build-time stats under the NEW centroids: the drift baseline
+    # resets with the quantizer (ratios go back to ~1 until the corpus
+    # drifts again)
+    data = _payload_bytes(
+        index_vec_col(index_dir), centroids,
+        train_stats=_assign_stats(rows, "vec", centroids),
+    )
     sha = hashlib.sha256(data).hexdigest()
     fsio.write_bytes(fsio.join(index_dir, _STAGING), data)  # 1. stage
     assigned = _assign_cells(rows, id_col, "vec", centroids)
     write_table_partitioned(  # 2. the atomic commit carries the sha
         assigned, index_dir, "cell",
-        marker=f"{_SRC_MARK}{wm}", change_feed=False,
+        marker=marker, change_feed=False,
         extra_fields={_CSHA: sha},
     )
     fsio.write_bytes(fsio.join(index_dir, _CENTROIDS), data)  # 3. promote
     fsio.delete_file(fsio.join(index_dir, _STAGING))
+    if fsio.exists(fsio.join(index_dir, _DRIFT)):
+        # the drift record measured the OLD quantizer — advisory only,
+        # so a plain delete (not part of the staged protocol) is fine
+        fsio.delete_file(fsio.join(index_dir, _DRIFT))
     return U.committed_versions(index_dir)[-1]
 
 

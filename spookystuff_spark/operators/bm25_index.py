@@ -492,12 +492,9 @@ def rebucket_bm25_index(
     m = U._read_manifest_raw(index_dir, cur)  # raw keys only: no fold
     if int(m["n_buckets"]) == int(n_buckets):
         return None
-    wm = last_processed_version(index_dir)
-    if wm is None:
-        raise ValueError(
-            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
-            "rebucket (a follow-up refresh could not prove exactly-once)"
-        )
+    from spookystuff_spark.sources.incremental import resolve_restamp_marker
+
+    marker = resolve_restamp_marker(index_dir, "rebucket")
     rows = U.read_table(spark, index_dir).withColumn(
         "bucket",
         F.concat(
@@ -506,7 +503,7 @@ def rebucket_bm25_index(
     )
     write_table_partitioned(
         rows, index_dir, "bucket",
-        marker=f"{_SRC_MARK}{wm}", change_feed=False,
+        marker=marker, change_feed=False,
         extra_fields={_STATS: dict(m[_STATS]), "n_buckets": int(n_buckets)},
     )
     return U.committed_versions(index_dir)[-1]

@@ -698,15 +698,11 @@ def rebucket_lsh_index(
         and int(_sigs_n_buckets(index_dir)) == int(n_buckets)
     ):
         return None
+    from spookystuff_spark.sources.incremental import resolve_restamp_marker
+
     bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
-    wm = last_processed_version(bands_dir)
-    if wm is None:
-        raise ValueError(
-            f"{index_dir}: no _SRC watermark to re-stamp — refusing to "
-            "rebucket (a follow-up refresh could not prove exactly-once)"
-        )
+    marker = resolve_restamp_marker(bands_dir, "rebucket")
     params["n_buckets"] = int(n_buckets)
-    marker = f"{_SRC_MARK}{wm}"
     if _sigs_n_buckets(index_dir) != int(n_buckets):
         sig_rows = (
             U.read_table(spark, sigs_dir)

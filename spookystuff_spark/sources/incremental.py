@@ -375,6 +375,32 @@ def _commit_keyed(
     return v
 
 
+def resolve_restamp_marker(dst_dir: str, op: str) -> str:
+    """Full name of the newest ``_SRC_``-family watermark marker on
+    ``dst_dir`` — the value every maintenance REWRITE (:func:`rebucket`,
+    the index rebuckets, ANN retrain) must re-stamp verbatim on its own
+    commit so a later vacuum of the marker's original version can't break
+    the exactly-once refresh contract. The prefix match covers the whole
+    family (``_SRC_`` and the join view's dual ``_SRCJ_``), so whichever
+    watermark kind this table's refresher reads is the one preserved.
+    Raises (naming the refusing ``op``) when no marker exists: a rewrite
+    without a watermark to carry would leave the next refresh unable to
+    prove which source versions are already folded in."""
+    fam = _SRC_MARK.rstrip("_")
+    try:
+        for v, raw in U.chain_desc(dst_dir):
+            for name in U.version_markers(dst_dir, v, raw=raw):
+                if name.startswith(fam):
+                    return name
+    except FileNotFoundError:
+        pass
+    raise ValueError(
+        f"{dst_dir}: no _SRC watermark marker found to re-stamp — "
+        f"refusing to {op} (a follow-up refresh could not prove "
+        "exactly-once); refresh once first"
+    )
+
+
 def rebucket(spark: SparkSession, dst_dir: str, n_buckets: int) -> str | None:
     """Re-seed a KEYED derived table (aggregate, distinct support, or the
     join-view composites — anything committed through :func:`_commit_keyed`)
@@ -402,23 +428,7 @@ def rebucket(spark: SparkSession, dst_dir: str, n_buckets: int) -> str | None:
         )
     if rec_buckets is not None and int(rec_buckets) == int(n_buckets):
         return None
-    # the marker prefix-matches the whole _SRC_ family (_SRC_/_SRCJ_), so
-    # re-stamping the newest one verbatim preserves whichever watermark
-    # kind this table's refresher reads
-    marker = None
-    for v, raw in U.chain_desc(dst_dir):
-        for name in U.version_markers(dst_dir, v, raw=raw):
-            if name.startswith(_SRC_MARK.rstrip("_")):
-                marker = name
-                break
-        if marker:
-            break
-    if marker is None:
-        raise ValueError(
-            f"{dst_dir}: no _SRC watermark marker found to re-stamp — "
-            "refusing to rebucket (a follow-up refresh could not prove "
-            "exactly-once); refresh once first"
-        )
+    marker = resolve_restamp_marker(dst_dir, "rebucket")
     merged = U.read_table(spark, dst_dir)
     return _commit_keyed(merged, dst_dir, list(gcols), int(n_buckets), marker)
 

@@ -368,3 +368,97 @@ def test_retrain_preserves_corpus_and_heals_crashes(spark, built, monkeypatch):
     U.append_rows(spark, src, _emb(spark, range(500, 505)))
     assert A.refresh_ann_index(spark, src, idx) is not None
     assert {i for i, _ in _index_state(spark, idx)} == ids_before | set(range(500, 505))
+
+
+def test_drift_signal_trips_and_retrain_recovers_recall(
+    spark, tmp_path, caplog
+):
+    """r10 punch #4: a deliberately drifted feed trips the refresh-time
+    drift warning (batch mean assign-d2 vs the build-time stats the
+    sidecar carries), ann_drift() exposes the record, and the
+    recall-vs-bruteforce audit improves after retrain_ann_index — the
+    operational loop that makes a standing IVF index trustworthy."""
+    import logging
+
+    import numpy as np
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    # two tight build clusters on distinct axes
+    rows = [
+        (i, [10.0 + 0.01 * (i % 5), 0.0, 0.0, 0.0]) for i in range(20)
+    ] + [
+        (100 + i, [0.0, 10.0 + 0.01 * (i % 5), 0.0, 0.0]) for i in range(20)
+    ]
+    sch = "vec_id long, embedding array<double>"
+    U.write_table(spark.createDataFrame(rows, sch), src)
+    A.build_ann_index(spark, src, idx, n_cells=2)
+    assert A.ann_drift(idx) is None  # no insert fold yet
+    c = A.load_centroids(idx)
+    assert len(c) == 2
+
+    # drifted batch: tight far-away cluster sitting ON the old Voronoi
+    # boundary (orthogonal lift from the centroid midpoint), members
+    # nudged alternately toward each centroid — the frozen layout splits
+    # them across both cells, so an nprobe=1 probe can only ever see half
+    m = (c[0] + c[1]) / 2.0
+    d = c[0] - c[1]
+    d = d / np.linalg.norm(d)
+    lift = np.array([0.0, 0.0, 50.0, 0.0])
+    drift_rows = []
+    for j in range(16):
+        eps = 0.05 if j % 2 == 0 else -0.05
+        v = m + lift + eps * d + 0.001 * j * np.array([0.0, 0.0, 0.0, 1.0])
+        drift_rows.append((500 + j, [float(x) for x in v]))
+    U.append_rows(spark, src, spark.createDataFrame(drift_rows, sch))
+    with caplog.at_level(
+        logging.WARNING, logger="spookystuff_spark.operators.ann_index"
+    ):
+        assert A.refresh_ann_index(spark, src, idx) is not None
+    assert any("drifted" in r.message for r in caplog.records)
+    rec = A.ann_drift(idx)
+    assert rec is not None and rec["ratio"] > A.DRIFT_WARN_RATIO
+    assert rec["batch"]["n"] == 16
+
+    def recall_at(k, q):
+        emb = {
+            r["vec_id"]: r["embedding"]
+            for r in U.read_table(spark, src).collect()
+        }
+        qv = np.array(q)
+        exact = [
+            i
+            for _, i in sorted(
+                (
+                    (
+                        round(
+                            float(qv @ np.array(v))
+                            / (np.linalg.norm(qv) * np.linalg.norm(v))
+                            + 1e-6,
+                            4,
+                        ),
+                        i,
+                    )
+                    for i, v in emb.items()
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+        ]
+        got = {
+            r["vec_id"]
+            for r in A.ann_query(
+                spark, idx, [(0, q)], k=k, nprobe=1
+            ).collect()
+        }
+        return len(got & set(exact)) / k
+
+    q = [float(x) for x in (m + lift)]  # the drifted cluster's own center
+    before = recall_at(8, q)
+    assert before < 1.0  # the split layout can't serve the cluster
+
+    # retrain with a cell for the new cluster: recall audit recovers
+    A.retrain_ann_index(spark, idx, n_cells=3)
+    assert A.ann_drift(idx) is None  # stale record cleared with the
+    # old quantizer; the baseline reset rides the promoted sidecar
+    after = recall_at(8, q)
+    assert after > before
+    assert after == 1.0
