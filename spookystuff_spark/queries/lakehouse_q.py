@@ -205,6 +205,40 @@ ORACLE_TOPK_VALUES = """
     ) WHERE rank <= 3
 """
 
+# closed-form recompute of read_percentiles over q_distinct_ivm's final
+# state: exact PERCENTILE_DISC via the same integer (parts-per-million)
+# cumulative cut the incremental reader uses — the smallest value whose
+# cumulative live-row share reaches p, decided by cross-multiplication so
+# both engines pick the identical row at exact quantile boundaries
+ORACLE_PCTL_VALUES = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1 ELSE n_chars END
+               AS n_chars
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, n_chars
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    vals AS (
+      SELECT lang, n_chars, COUNT(*) AS _n
+      FROM base WHERE lang <> 'de' AND n_chars IS NOT NULL
+      GROUP BY lang, n_chars
+    ),
+    cum AS (
+      SELECT lang, n_chars,
+             SUM(_n) OVER (PARTITION BY lang ORDER BY n_chars) AS _cum,
+             SUM(_n) OVER (PARTITION BY lang) AS _tot
+      FROM vals
+    ),
+    px AS (SELECT * FROM (VALUES (250000), (500000), (900000)) t(p_ppm))
+    SELECT lang, CAST(p_ppm AS DOUBLE) / 1000000 AS p,
+           MIN(n_chars) AS value
+    FROM cum, px
+    WHERE _cum * 1000000 >= p_ppm * _tot
+    GROUP BY lang, p_ppm
+"""
+
 
 @bench_only("q_distinct_ivm")
 def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,14 +254,19 @@ def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly. Keyed layout (``dst_buckets=8``) so each refresh rewrites
     only touched buckets.
 
-    Returns MELT-SHAPED rows under two aliases: ``q_distinct_ivm`` (the
-    distinct aggregate) and ``q_topk_values`` (exact per-group top-3 most
+    Returns MELT-SHAPED rows under three aliases: ``q_distinct_ivm`` (the
+    distinct aggregate), ``q_topk_values`` (exact per-group top-3 most
     frequent values via ``read_topk_values`` — the heavy-hitter surface
     the support Z-set maintains as a byproduct, r10 gate addition against
-    a closed-form ``ROW_NUMBER`` oracle). Rides ``q_scalar_suite``."""
+    a closed-form ``ROW_NUMBER`` oracle) and ``q_pctl_values`` (exact
+    per-group PERCENTILE_DISC at p ∈ {.25, .5, .9} via
+    ``read_percentiles`` — quantiles from the same incrementally-folded
+    multiplicities, r11 gate addition against a closed-form integer-cut
+    cumulative oracle). Rides ``q_scalar_suite``."""
     from spookystuff_spark.queries.tpch_suites import _melt
     from spookystuff_spark.sources.incremental import (
         read_distinct_aggregate,
+        read_percentiles,
         read_topk_values,
         refresh_distinct,
     )
@@ -256,10 +295,22 @@ def q_distinct_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         refresh_distinct(spark, src, dst, ["lang"], "n_chars")
         agg = read_distinct_aggregate(spark, dst, ["lang"], "n_chars")
         topk = read_topk_values(spark, dst, ["lang"], "n_chars", k=3)
-        out = _melt(
-            agg, "q_distinct_ivm", ["lang"], ["n_chars_distinct", "n_rows"]
-        ).unionByName(
-            _melt(topk, "q_topk_values", ["lang", "rank"], ["n_chars", "_n"])
+        pctl = read_percentiles(
+            spark, dst, ["lang"], "n_chars", ps=(0.25, 0.5, 0.9)
+        )
+        out = (
+            _melt(
+                agg, "q_distinct_ivm", ["lang"],
+                ["n_chars_distinct", "n_rows"],
+            )
+            .unionByName(
+                _melt(
+                    topk, "q_topk_values", ["lang", "rank"], ["n_chars", "_n"]
+                )
+            )
+            .unionByName(
+                _melt(pctl, "q_pctl_values", ["lang", "p"], ["value"])
+            )
         )
         return out.localCheckpoint(eager=True)  # outlive the temp dirs
     finally:

@@ -84,6 +84,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_IVM,
     ORACLE_PMERGE,
     ORACLE_JOIN_VIEW,
+    ORACLE_PCTL_VALUES,
     ORACLE_RENAME,
     ORACLE_RESTORE_IVM,
     ORACLE_TOPK_VALUES,
@@ -134,7 +135,7 @@ WITH {PAGERANK_CTES},
      zo AS ({ORACLE_ZORDER}), cdc AS ({ORACLE_CDC}),
      kvo AS ({ORACLE_KMV_OVERLAP}), ivm AS ({ORACLE_IVM}),
      div AS ({ORACLE_DISTINCT_IVM}), tkv AS ({ORACLE_TOPK_VALUES}),
-     rst AS ({ORACLE_RESTORE_IVM}),
+     pcv AS ({ORACLE_PCTL_VALUES}), rst AS ({ORACLE_RESTORE_IVM}),
      pmg AS ({ORACLE_PMERGE}), dvd AS ({ORACLE_DV}),
      sti AS ({ORACLE_STREAM_INGEST}),
      gfl AS ({ORACLE_GAPFILL_LOCF}), gfi AS ({ORACLE_GAPFILL_LINEAR}),
@@ -190,6 +191,7 @@ UNION ALL {_melt_sql(
 UNION ALL {_melt_sql(
     "tkv", "q_topk_values", ["lang", "rank"], ["n_chars", "_n"],
 )}
+UNION ALL {_melt_sql("pcv", "q_pctl_values", ["lang", "p"], ["value"])}
 UNION ALL {_melt_sql(
     "rst", "q_restore_ivm", ["lang"], ["n_chars_sum", "n_rows"],
 )}
@@ -586,9 +588,10 @@ register_suite(
                 "q_dv_delete", "q_stream_ingest",
             ]
         },
-        # exact top-k heavy hitters ride the distinct support table,
-        # timed by the single q_distinct_ivm bench entry
+        # exact top-k heavy hitters + exact percentiles ride the distinct
+        # support table, timed by the single q_distinct_ivm bench entry
         "q_topk_values": "q_distinct_ivm",
+        "q_pctl_values": "q_distinct_ivm",
         # resample + gap-fill rides under one melt row per fill method,
         # both timed by the single q_gapfill bench entry
         "gapfill_locf": "q_gapfill",

@@ -1169,6 +1169,59 @@ def read_topk_values(
     )
 
 
+def read_percentiles(
+    spark: SparkSession,
+    dst_dir: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group percentiles from a :func:`refresh_distinct` support
+    table — ``PERCENTILE_DISC`` maintained incrementally as ANOTHER read
+    of the same counted Z-set (like :func:`read_topk_values`): the support
+    rows already carry every live value's multiplicity folded exactly
+    under deletes, so quantiles — which sketches only approximate and
+    min/max-style IVM can't survive deletes for — come from one
+    cumulative window over the support set, O(support), no corpus scan.
+
+    Semantics: for each ``p``, the smallest live value whose cumulative
+    live-row share reaches ``p`` (``percentile_disc(p) WITHIN GROUP
+    (ORDER BY value)``, NULLs excluded). The cut ``cum/total ≥ p`` is
+    decided in exact integer arithmetic (p as parts-per-million, cross-
+    multiplied), so the chosen value is bit-reproducible against any
+    independent replica — no float-boundary flakes at exact quantile
+    positions. Long-range note: ``cum × 10⁶`` stays inside int64 up to
+    ~9×10¹² live rows per group. Output: group cols, ``p`` (double),
+    ``value``."""
+    from pyspark.sql.window import Window
+
+    sup = U.read_table(spark, dst_dir).where(F.col(value_col).isNotNull())
+    wcum = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    wtot = Window.partitionBy(*group_cols)
+    aug = sup.select(
+        *group_cols,
+        value_col,
+        F.sum("_n").over(wcum).alias("_cum"),
+        F.sum("_n").over(wtot).alias("_tot"),
+    )
+    ppms = F.explode(
+        F.array(
+            *[F.lit(int(round(p * 1_000_000))).cast("long") for p in ps]
+        )
+    ).alias("_ppm")
+    return (
+        aug.select(*group_cols, value_col, "_cum", "_tot", ppms)
+        .where(F.col("_cum") * F.lit(1_000_000) >= F.col("_ppm") * F.col("_tot"))
+        .groupBy(*group_cols, "_ppm")
+        .agg(F.min(value_col).alias("value"))
+        .select(
+            *group_cols,
+            (F.col("_ppm").cast("double") / 1e6).alias("p"),
+            "value",
+        )
+    )
+
+
 def streaming_refresh_sink(
     src_dir: str,
     dst_dir: str,

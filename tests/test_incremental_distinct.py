@@ -245,3 +245,55 @@ def test_topk_values_exact_under_deletes(spark, tmp_path):
     U.delete_where(spark, src, F.col("k").isin(0, 1))
     refresh_distinct(spark, src, dst, ["grp"], "val")
     assert top(3) == [("y", 2, 1), ("x", 1, 2), ("z", 1, 3)]
+
+
+def test_percentiles_exact_under_deletes(spark, tmp_path):
+    """read_percentiles: exact PERCENTILE_DISC off the support Z-set —
+    the smallest live value whose cumulative live-row share reaches p,
+    folded exactly under deletes, NULLs excluded, integer-cut semantics
+    (no float-boundary ambiguity at exact quantile positions)."""
+    from spookystuff_spark.sources.incremental import read_percentiles
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dp")
+    # g: multiset {a:1, b:4, c:5} → n=10; cum a=1 b=5 c=10
+    rows = [(i, "g", v) for i, v in enumerate(
+        ["a"] + ["b"] * 4 + ["c"] * 5 + [None]
+    )]
+    U.write_table(_rows(spark, rows), src)
+    refresh_distinct(spark, src, dst, ["grp"], "val", dst_buckets=4)
+
+    def pct(ps):
+        return {
+            (r["grp"], r["p"]): r["value"]
+            for r in read_percentiles(
+                spark, dst, ["grp"], "val", ps=ps
+            ).collect()
+        }
+
+    got = pct((0.1, 0.5, 0.51, 0.9, 1.0))
+    # p=0.1 → cum/n >= .1 first at a (1/10); p=0.5 → b (5/10 exactly —
+    # the integer cut keeps the boundary row); p=0.51 → c; p=1.0 → c
+    assert got == {
+        ("g", 0.1): "a",
+        ("g", 0.5): "b",
+        ("g", 0.51): "c",
+        ("g", 0.9): "c",
+        ("g", 1.0): "c",
+    }
+    # DuckDB parity on the same multiset: percentile_disc agrees
+    import duckdb
+
+    con = duckdb.connect()
+    for p in (0.1, 0.5, 0.51, 0.9, 1.0):
+        want = con.execute(
+            "SELECT percentile_disc(?) WITHIN GROUP (ORDER BY v) FROM ("
+            "SELECT unnest(['a','b','b','b','b','c','c','c','c','c']) AS v)",
+            [p],
+        ).fetchone()[0]
+        assert got[("g", p)] == want, p
+    # delete all b carriers: {a:1, c:5}, n=6; cum a=1 c=6
+    U.delete_where(spark, src, F.col("val") == "b")
+    refresh_distinct(spark, src, dst, ["grp"], "val")
+    got = pct((0.5, 0.9))
+    # p=.5 → 3/6 cut lands inside c; p=.9 → c
+    assert got == {("g", 0.5): "c", ("g", 0.9): "c"}
