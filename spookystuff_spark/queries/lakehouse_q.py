@@ -205,6 +205,86 @@ ORACLE_TOPK_VALUES = """
     ) WHERE rank <= 3
 """
 
+# closed-form recompute of read_hll_view over q_hll_view's final source
+# state (baseline events + one disjoint-user append batch): the exact
+# md5 register/rank replay of ORACLE_HLL_USERS (operators/sketch.py
+# docstring) over the unioned rows — the standing register view must
+# answer bit-identically to a batch recompute because max-merge is
+# associative/commutative/idempotent
+ORACLE_HLL_VIEW = """
+    WITH src AS (
+      SELECT event_type, user_id FROM events
+      UNION ALL
+      SELECT event_type, user_id + 5000000 FROM events
+      WHERE user_id % 13 = 0
+    ), h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 3))::BIGINT AS reg,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 4, 13))::BIGINT AS w
+      FROM src
+    ), r AS (
+      SELECT event_type, reg,
+             max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS cnt,
+             sum(1::BIGINT << (53 - rho)) AS s_present
+      FROM r GROUP BY 1
+    ), e AS (
+      SELECT event_type, cnt,
+             (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+               * 9007199254740992.0
+               / (CAST(s_present AS DOUBLE)
+                  + (4096 - cnt) * 9007199254740992.0) AS raw
+      FROM g
+    )
+    SELECT event_type,
+           round(1e-6 + CASE WHEN raw <= 2.5 * 4096 AND (4096 - cnt) > 0
+                             THEN 4096.0 * ln(4096.0 / (4096 - cnt))
+                             ELSE raw END, 2) AS est_distinct,
+           CAST(4096 - cnt AS BIGINT) AS zero_regs
+    FROM e
+"""
+
+
+@bench_only("q_hll_view")
+def q_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental HLL register view, gate-pinned end-to-end: seed the
+    per-event_type register table from the events corpus
+    (``sources/sketch_view.py``), append a disjoint-user batch, refresh
+    (ONE keyed max-merge fold touching only the delta's buckets — no
+    per-version replay, the lattice is idempotent), and read the
+    estimate. The oracle's closed-form register replay over the unioned
+    rows passing means the standing view is bit-identical to a batch
+    ``hll_estimate`` over the live corpus — the monotone-merge
+    counterpart of ``q_distinct_ivm``'s exact-under-deletes Z-set.
+    Rides ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.sketch_view import (
+        build_hll_view,
+        read_hll_view,
+        refresh_hll_view,
+    )
+    from spookystuff_spark.sources.upsert import append_rows, write_table
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    batch2 = ev.where(F.col("user_id") % 13 == 0).withColumn(
+        "user_id", F.col("user_id") + 5_000_000
+    )
+    src = tempfile.mkdtemp(prefix="spooky-hllv-src-")
+    dst = tempfile.mkdtemp(prefix="spooky-hllv-dst-")
+    try:
+        write_table(ev, src)
+        build_hll_view(
+            spark, src, dst, ["event_type"], "user_id", p=12, dst_buckets=8
+        )
+        append_rows(spark, src, batch2)
+        refresh_hll_view(spark, src, dst)
+        return read_hll_view(spark, dst).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 # closed-form recompute of read_percentiles over q_distinct_ivm's final
 # state: exact PERCENTILE_DISC via the same integer (parts-per-million)
 # cumulative cut the incremental reader uses — the smallest value whose

@@ -81,6 +81,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_CDC,
     ORACLE_DISTINCT_IVM,
     ORACLE_DV,
+    ORACLE_HLL_VIEW,
     ORACLE_IVM,
     ORACLE_PMERGE,
     ORACLE_JOIN_VIEW,
@@ -94,6 +95,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     q_cdc_upsert,
     q_distinct_ivm,
     q_dv_delete,
+    q_hll_view,
     q_ivm_refresh,
     q_join_agg,
     q_join_distinct,
@@ -144,7 +146,8 @@ WITH {PAGERANK_CTES},
      scd AS ({ORACLE_SCD2}), tpr AS ({ORACLE_TABLE_PROFILE}),
      trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
      rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME}),
-     jv AS ({ORACLE_JOIN_VIEW}), dcx AS ({ORACLE_DECONTAM_INDEX})
+     jv AS ({ORACLE_JOIN_VIEW}), dcx AS ({ORACLE_DECONTAM_INDEX}),
+     hlv AS ({ORACLE_HLL_VIEW})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -241,6 +244,9 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "dcx", "q_decontam_index", ["doc_id"], ["contaminated_grams"],
+)}
+UNION ALL {_melt_sql(
+    "hlv", "q_hll_view", ["event_type"], ["est_distinct", "zero_regs"],
 )}"""
 
 
@@ -405,6 +411,12 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_join_distinct",
             ["seg"],
             ["n_pairs", "distinct_price_c"],
+        ),
+        _melt(
+            q_hll_view(spark, sf_dir),
+            "q_hll_view",
+            ["event_type"],
+            ["est_distinct", "zero_regs"],
         ),
         _melt(
             q_decontam_index(spark, sf_dir),
@@ -613,6 +625,7 @@ register_suite(
         "q_join_agg": "q_join_agg",
         "q_join_distinct": "q_join_distinct",
         "q_decontam_index": "q_decontam_index",
+        "q_hll_view": "q_hll_view",
     },
 )
 register_suite(

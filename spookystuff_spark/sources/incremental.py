@@ -148,6 +148,31 @@ def _fold_support(
     return merged.where(F.col("_n") > 0)
 
 
+def _fold_max(
+    current: DataFrame | None,
+    delta: DataFrame,
+    fold_key: Sequence[str],
+    val_col: str,
+) -> DataFrame:
+    """Fold a delta into a MONOTONE max-lattice table (one live row per
+    ``fold_key``, value = the max ever seen) — the merge behind the HLL
+    register view (``sources/sketch_view.py``): rho registers only ever
+    grow, so inserts compose as a per-key ``greatest`` with no
+    multiplicity to track (and, unlike :func:`_fold_support`, no row ever
+    leaves — which is exactly why delete feeds must refuse upstream).
+    NULL-safe on the key for the same split-group reason as the support
+    fold; ``greatest`` skips the NULL side of a one-sided match."""
+    if current is None:
+        return delta
+    joined = current.join(
+        delta, _null_safe_key_cond(current, delta, fold_key), "full_outer"
+    )
+    return joined.select(
+        *[F.coalesce(current[c], delta[c]).alias(c) for c in fold_key],
+        F.greatest(current[val_col], delta[val_col]).alias(val_col),
+    )
+
+
 def _resolve_buckets(
     dst_dir: str, gcols: Sequence[str], dst_buckets: int | None
 ) -> tuple[int | None, bool]:
