@@ -285,6 +285,101 @@ def q_hll_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(dst, ignore_errors=True)
 
 
+_CMSV_TERMS = ["spark", "table", "query", "join", "the", "zebra"]
+_CMSV_DEPTH, _CMSV_WIDTH = 4, 1024
+_CMSV_TERM_VALUES = ", ".join(f"('{t}')" for t in _CMSV_TERMS)
+
+# closed-form recompute of cms_view_query over q_cms_view's final source
+# state (baseline → ' extratok' preimage updates + disjoint inserts →
+# 'de' delete): the md5 bucket/counter replay of ORACLE_CMS_TOKENS over
+# the live rows — the standing counter table must equal a from-scratch
+# sketch because counters are linear (every feed shape is a signed sum)
+ORACLE_CMS_VIEW = f"""
+    WITH final AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' extratok' ELSE text
+             END AS text
+      FROM documents WHERE lang <> 'de'
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 97 = 0 AND lang <> 'de'
+    ), toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '(\\S+)', 1)) AS tok
+      FROM final
+    ), tj AS (
+      SELECT r.j, tok FROM toks CROSS JOIN range({_CMSV_DEPTH}) AS r(j)
+    ), sk AS (
+      SELECT j,
+             ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 12))::BIGINT
+               % {_CMSV_WIDTH} AS bucket,
+             count(*) AS c
+      FROM tj GROUP BY 1, 2
+    ), probes AS (
+      SELECT t.term, r.j,
+             ('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':' || t.term), 1, 12))::BIGINT
+               % {_CMSV_WIDTH} AS bucket
+      FROM (VALUES {_CMSV_TERM_VALUES}) AS t(term)
+      CROSS JOIN range({_CMSV_DEPTH}) AS r(j)
+    )
+    SELECT term, min(coalesce(sk.c, 0)) AS est
+    FROM probes LEFT JOIN sk USING (j, bucket)
+    GROUP BY term
+"""
+
+
+@bench_only("q_cms_view")
+def q_cms_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CMS token-frequency view, gate-pinned end-to-end: seed
+    the counter table from the documents corpus
+    (``sources/sketch_view.py``), apply the standard IVM schedule
+    (preimage-logged ' extratok' updates + disjoint inserts in one
+    MERGE, then a language delete), refresh — ONE signed fold composes
+    all three feed shapes (counters are linear; the coverage the
+    monotone HLL view must refuse) — and point-query a fixed term list
+    ('zebra' is absent: its row is pure collision mass, pinned
+    identically by both engines). The oracle's from-scratch sketch
+    replay over the live rows passing means the standing counter table
+    is exactly the sketch of the final corpus state. Rides
+    ``q_scalar_suite``'s melt."""
+    from spookystuff_spark.sources.sketch_view import (
+        build_cms_token_view,
+        cms_view_query,
+        refresh_cms_token_view,
+    )
+    from spookystuff_spark.sources.upsert import (
+        delete_where,
+        upsert,
+        write_table,
+    )
+
+    base = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    updates = base.where(F.col("doc_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extratok"))
+    )
+    inserts = base.where(F.col("doc_id") % 97 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    src = tempfile.mkdtemp(prefix="spooky-cmsv-src-")
+    dst = tempfile.mkdtemp(prefix="spooky-cmsv-dst-")
+    try:
+        write_table(base, src)
+        build_cms_token_view(
+            spark, src, dst,
+            depth=_CMSV_DEPTH, width=_CMSV_WIDTH, dst_buckets=2,
+        )
+        upsert(
+            spark, src, updates.unionByName(inserts), ["doc_id"],
+            feed_preimages=True,
+        )
+        refresh_cms_token_view(spark, src, dst)
+        delete_where(spark, src, F.col("lang") == "de")
+        refresh_cms_token_view(spark, src, dst)
+        return cms_view_query(spark, dst, _CMSV_TERMS).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+
+
 # closed-form recompute of read_percentiles over q_distinct_ivm's final
 # state: exact PERCENTILE_DISC via the same integer (parts-per-million)
 # cumulative cut the incremental reader uses — the smallest value whose

@@ -79,6 +79,7 @@ from spookystuff_spark.queries.graph_ops import (
 from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_BLOOM_LOOKUP,
     ORACLE_CDC,
+    ORACLE_CMS_VIEW,
     ORACLE_DISTINCT_IVM,
     ORACLE_DV,
     ORACLE_HLL_VIEW,
@@ -93,6 +94,7 @@ from spookystuff_spark.queries.lakehouse_q import (
     ORACLE_STREAM_INGEST,
     q_bloom_lookup,
     q_cdc_upsert,
+    q_cms_view,
     q_distinct_ivm,
     q_dv_delete,
     q_hll_view,
@@ -147,7 +149,7 @@ WITH {PAGERANK_CTES},
      trn AS ({ORACLE_TRANSITIONS}), tpp AS ({ORACLE_TOPPATHS}),
      rz AS ({ORACLE_ROLLING_Z}), ren AS ({ORACLE_RENAME}),
      jv AS ({ORACLE_JOIN_VIEW}), dcx AS ({ORACLE_DECONTAM_INDEX}),
-     hlv AS ({ORACLE_HLL_VIEW})
+     hlv AS ({ORACLE_HLL_VIEW}), cmv AS ({ORACLE_CMS_VIEW})
 {_melt_sql(
     "sf",
     "q_string_functions",
@@ -247,7 +249,8 @@ UNION ALL {_melt_sql(
 )}
 UNION ALL {_melt_sql(
     "hlv", "q_hll_view", ["event_type"], ["est_distinct", "zero_regs"],
-)}"""
+)}
+UNION ALL {_melt_sql("cmv", "q_cms_view", ["term"], ["est"])}"""
 
 
 @query("q_scalar_suite", oracle=_SCALAR_SQL)
@@ -418,6 +421,7 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["event_type"],
             ["est_distinct", "zero_regs"],
         ),
+        _melt(q_cms_view(spark, sf_dir), "q_cms_view", ["term"], ["est"]),
         _melt(
             q_decontam_index(spark, sf_dir),
             "q_decontam_index",
@@ -626,6 +630,7 @@ register_suite(
         "q_join_distinct": "q_join_distinct",
         "q_decontam_index": "q_decontam_index",
         "q_hll_view": "q_hll_view",
+        "q_cms_view": "q_cms_view",
     },
 )
 register_suite(
