@@ -197,9 +197,9 @@ def streaming_refresh_sink(src_dir: str, dst_dir: str):
 
 # --- CMS token-frequency view (linear counters: deletes compose) --------
 
-_TOKENS = lambda text: F.regexp_extract_all(  # noqa: E731 — the corpus
-    F.lower(text), F.lit(r"(\S+)"), 1
-)  # tokenizer cms_sketch callers use (queries/sketches.py) — must match
+# the repo's one whitespace tokenizer (operators/ngram.py) — the same
+# expression cms_sketch callers use, so view and batch sketches agree
+from spookystuff_spark.operators.ngram import _TOKENS  # noqa: E402
 
 
 def cms_view_params(dst_dir: str) -> dict:
