@@ -559,10 +559,10 @@ def ann_query_df(
     query_id_col: str = "query_id",
     vec_col: str = "qvec",
 ) -> DataFrame:
-    """:func:`ann_query` for a DataFrame-sized query batch (the crawl-scale
-    shape: embed tonight's documents, find each one's neighbors in the
-    standing corpus) — same output ``(query_id, vec_id, cosine, rn)``,
-    value-identical to the list path, with zero driver work in the data
+    """THE ANN probe pipeline (``ann_query`` is a thin list-shaped wrapper
+    over it), shaped for the crawl-scale case: embed tonight's documents,
+    find each one's neighbors in the standing corpus. Output
+    ``(query_id, vec_id, cosine, rn)`` with zero driver work in the data
     plane: probe-cell resolution runs in the same vectorized Arrow pass
     the index fold uses (centroids ride the UDF closure — k·d floats),
     and the only collect is the DISTINCT PROBED CELLS (bounded by the

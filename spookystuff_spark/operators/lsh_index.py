@@ -564,13 +564,13 @@ def lsh_index_query_df(
     threshold: float = 0.5,
     max_bucket: int = 64,
 ) -> DataFrame:
-    """:func:`lsh_index_query` for a DataFrame-sized probe batch — the
-    module's own motivating case is "check tonight's crawl batch against
-    the standing corpus", and that batch is itself a table, not a Python
-    list. Same output (``probe_id, id, est_sim`` at the MinHash estimate
-    ≥ ``threshold``), same candidate policy (``max_bucket`` cap before
-    the self-filter), value-identical to the list path on the same docs —
-    but with ZERO driver involvement in the data plane:
+    """THE LSH probe pipeline (``lsh_index_query`` is a thin list-shaped
+    wrapper over it) — the module's own motivating case is "check
+    tonight's crawl batch against the standing corpus", and that batch is
+    itself a table, not a Python list. Output (``probe_id, id, est_sim``
+    at the MinHash estimate ≥ ``threshold``), candidates capped by
+    ``max_bucket`` before the self-filter, with ZERO driver involvement
+    in the data plane:
 
     * probe signatures come from the same :func:`_signatures`
       ``mapInPandas`` pass the index build/refresh uses (one Arrow pass
