@@ -165,7 +165,11 @@ def main() -> None:
     sc_budget = float(
         os.environ.get("SPARK_GRAFT_SUITE_CONSTITUENT_BUDGET_S", "300")
     )
-    if not isolated and sc_budget > 0:
+    # r11 verdict #3: the pass now ALSO runs in isolated mode, so an
+    # isolated suite re-run (the only measurement this box admits as
+    # regression evidence) carries its own __build__/constituent
+    # decomposition — the parent retime pass copies it into BENCH_DETAIL
+    if sc_budget > 0:
         from pyspark.sql import functions as SF
 
         t_start = time.monotonic()
@@ -206,7 +210,9 @@ def main() -> None:
     # in-run numbers so round-over-round adjudication needs no judge
     # re-runs. Disable with SPARK_GRAFT_ISOLATED_TOP=0.
     isolated_top: dict[str, float] = {}
+    isolated_constituents: dict[str, dict[str, float]] = {}
     isolated_skipped: list[str] = []
+    explicit_retimed: list[str] = []
     n_top = int(os.environ.get("SPARK_GRAFT_ISOLATED_TOP", "10"))
     for a in sys.argv[1:]:
         if a.startswith("--isolated-top"):
@@ -255,6 +261,12 @@ def main() -> None:
                         d = json.loads(ln)
                         if "queries" in d:
                             isolated_top[q] = d["queries"][q]
+                            # isolated suite re-runs decompose themselves
+                            # (r11 verdict #3): copy the subprocess's own
+                            # __build__/constituent timings up
+                            sc = d.get("suite_constituent_sec") or {}
+                            if q in sc:
+                                isolated_constituents[q] = sc[q]
                             break
                     else:
                         isolated_top[q] = -1.0
@@ -291,9 +303,15 @@ def main() -> None:
         # r8 q_bloom_lookup case) is otherwise invisible to slowest-N and
         # needs a judge re-run to adjudicate. The builder sets this from
         # the round's diff; results land in BENCH_DETAIL like the rest.
+        # default = this round's changed-path queries (r11 verdict #1: the
+        # r11 isolated-growth trio must retime explicitly; the suites among
+        # them are already covered by the isolated-suites pass above)
         explicit = [
             q.strip()
-            for q in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
+            for q in os.environ.get(
+                "SPARK_GRAFT_RETIME",
+                "q_restore_ivm,q_ann_index,q_hll_view,q_ivm_refresh",
+            ).split(",")
             if q.strip()
         ]
         explicit = [
@@ -304,16 +322,14 @@ def main() -> None:
             3,
             float(os.environ.get("SPARK_GRAFT_RETIME_BUDGET_S", "300")),
         )
+        explicit_retimed = [q for q in explicit if q in isolated_top]
 
     payload = {
         "queries": timings,
         "isolated_top": isolated_top,
+        "isolated_suite_constituent_sec": isolated_constituents,
         "isolated_top_skipped": isolated_skipped,
-        "retimed_explicit": [
-            q.strip()
-            for q in os.environ.get("SPARK_GRAFT_RETIME", "").split(",")
-            if q.strip() and q.strip() in isolated_top
-        ],
+        "retimed_explicit": explicit_retimed,
         "suites": {
             s: c for s, c in sorted(SUITE_CONSTITUENTS.items())
             if s in timings

@@ -81,16 +81,23 @@ DRIFT_WARN_RATIO = 2.0
 
 
 def _assign_cells(
-    df: DataFrame, id_col: str, vec_col: str, centroids
+    df: DataFrame, id_col: str, vec_col: str, centroids,
+    with_d2: bool = False,
 ) -> DataFrame:
-    """(id, cell, vec): nearest centroid per vector — one vectorized Arrow
-    stage, centroids broadcast via the UDF closure (k·d floats)."""
+    """(id, cell, vec[, _d2]): nearest centroid per vector — one vectorized
+    Arrow stage, centroids broadcast via the UDF closure (k·d floats).
+    ``with_d2`` additionally emits the squared distance to the assigned
+    centroid, so drift stats derive from the SAME pass as the assignment
+    (pre-r12 the fold ran the full distance computation twice — once for
+    ``_assign_stats``, once here)."""
     import numpy as np
     import pandas as pd
 
     c = np.asarray(centroids, dtype=np.float64)
     c_sq = (c * c).sum(axis=1)
     out_schema = f"{id_col} long, cell string, vec array<double>"
+    if with_d2:
+        out_schema += ", _d2 double"
 
     def run(batches):
         for pdf in batches:
@@ -103,59 +110,31 @@ def _assign_cells(
                 + c_sq[None, :]
             )
             cells = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "cell": [f"c{int(i)}" for i in cells],
-                    "vec": pdf[vec_col].values,
-                }
-            )
+            out = {
+                id_col: pdf[id_col].values,
+                "cell": [f"c{int(i)}" for i in cells],
+                "vec": pdf[vec_col].values,
+            }
+            if with_d2:
+                out["_d2"] = np.maximum(
+                    d2[np.arange(len(x)), cells], 0.0
+                )
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(run, out_schema)
 
 
-def _assign_stats(df: DataFrame, vec_col: str, centroids) -> dict:
-    """Assign-quality stats of ``df``'s vectors under ``centroids`` —
-    ``{'n', 'mean_d2', 'skew'}`` where ``mean_d2`` is the mean squared
-    distance to the assigned (nearest) centroid and ``skew`` the
+def _stats_from_assigned(assigned: DataFrame, n_cells: int) -> dict:
+    """Assign-quality stats from an ``_assign_cells(..., with_d2=True)``
+    output — ``{'n', 'mean_d2', 'skew'}`` where ``mean_d2`` is the mean
+    squared distance to the assigned (nearest) centroid and ``skew`` the
     hottest-cell load factor (max cell share × n_cells; 1.0 = perfectly
-    balanced). One vectorized Arrow pass emitting per-cell partials; the
-    final collect is ≤ n_cells rows, bounded by the quantizer, never by
-    data volume."""
-    import numpy as np
-    import pandas as pd
-
-    c = np.asarray(centroids, dtype=np.float64)
-    c_sq = (c * c).sum(axis=1)
-
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = (
-                (x * x).sum(axis=1)[:, None]
-                - 2.0 * (x @ c.T)
-                + c_sq[None, :]
-            )
-            cells = d2.argmin(axis=1)
-            best = np.maximum(d2[np.arange(len(x)), cells], 0.0)
-            agg = pd.DataFrame({"cell": cells, "d2": best}).groupby(
-                "cell", as_index=False
-            ).agg(n=("d2", "size"), sum_d2=("d2", "sum"))
-            yield pd.DataFrame(
-                {
-                    "cell": agg["cell"].astype("int32"),
-                    "n": agg["n"].astype("int64"),
-                    "sum_d2": agg["sum_d2"].astype("float64"),
-                }
-            )
-
+    balanced). A JVM-side per-cell aggregation over the already-computed
+    assignment; the collect is ≤ n_cells rows, bounded by the quantizer,
+    never by data volume."""
     rows = (
-        df.select(vec_col)
-        .mapInPandas(run, "cell int, n long, sum_d2 double")
-        .groupBy("cell")
-        .agg(F.sum("n").alias("n"), F.sum("sum_d2").alias("s"))
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("s"))
         .collect()
     )
     n = int(sum(r["n"] for r in rows))
@@ -164,7 +143,7 @@ def _assign_stats(df: DataFrame, vec_col: str, centroids) -> dict:
     return {
         "n": n,
         "mean_d2": float(sum(r["s"] for r in rows) / n),
-        "skew": float(max(r["n"] for r in rows) * len(c) / n),
+        "skew": float(max(r["n"] for r in rows) * n_cells / n),
     }
 
 
@@ -247,18 +226,14 @@ def ann_drift(index_dir: str) -> dict | None:
 
 def _record_drift(
     index_dir: str,
-    batch: DataFrame,
-    emb_col: str,
-    centroids,
+    stats: dict,
+    train: dict,
     src_v: str,
     warn_ratio: float,
 ) -> None:
-    """Advisory per-fold drift record + past-threshold warning. Skipped
-    (no-op) when the sidecar predates build-time stats."""
-    train = _centroids_payload(index_dir).get("train_stats")
-    if not train or not train.get("mean_d2"):
-        return
-    stats = _assign_stats(batch, emb_col, centroids)
+    """Advisory per-fold drift record + past-threshold warning, from
+    stats ALREADY derived out of the fold's single assignment pass
+    (``_stats_from_assigned``)."""
     if not stats["n"]:
         return
     ratio = (
@@ -314,15 +289,19 @@ def build_ann_index(
         emb, id_col, vec_col, dim,
         n_cells=n_cells, n_iters=n_iters, sample_cap=sample_cap,
     )
-    # build-time assign stats ride the sidecar: every later refresh
-    # compares its batch against them (the drift signal retrain needs)
+    # ONE distance pass: the assignment carries _d2, the build-time
+    # assign stats (the drift baseline every later refresh compares
+    # against) aggregate from it JVM-side — materialized once rather
+    # than computing the full distance matrix twice
+    assigned = _assign_cells(
+        emb, id_col, vec_col, centroids, with_d2=True
+    ).localCheckpoint(eager=True)
     _save_centroids(
         index_dir, centroids, vec_col,
-        train_stats=_assign_stats(emb, vec_col, centroids),
+        train_stats=_stats_from_assigned(assigned, len(centroids)),
     )
-    assigned = _assign_cells(emb, id_col, vec_col, centroids)
     write_table_partitioned(
-        assigned, index_dir, "cell",
+        assigned.drop("_d2"), index_dir, "cell",
         marker=f"{_SRC_MARK}{src_v}", change_feed=False,
     )
     return U.committed_versions(index_dir)[-1]
@@ -428,12 +407,25 @@ def _fold_ann_version(
         emb_col = src_vec
     else:  # pre-r8 sidecar: the historical positional guess
         emb_col = [c for c in src_schema_cols if c != id_col][0]
-    _record_drift(
-        index_dir, changes, emb_col, centroids, src_v, drift_warn_ratio
-    )
+    # ONE distance pass per fold (r11 verdict #1: the drift record used
+    # to re-run the full distance computation): assign with _d2 when a
+    # drift baseline exists, checkpoint so the stats aggregation and the
+    # MERGE both read the materialized assignment, and derive the drift
+    # partials JVM-side from the same pass
+    train = _centroids_payload(index_dir).get("train_stats")
+    want_drift = bool(train and train.get("mean_d2"))
     assigned = _assign_cells(
-        changes.select(id_col, emb_col), id_col, emb_col, centroids
+        changes.select(id_col, emb_col), id_col, emb_col, centroids,
+        with_d2=want_drift,
     )
+    if want_drift:
+        assigned = assigned.localCheckpoint(eager=True)
+        _record_drift(
+            index_dir,
+            _stats_from_assigned(assigned, len(centroids)),
+            train, src_v, drift_warn_ratio,
+        )
+        assigned = assigned.drop("_d2")
     upsert_partitioned(
         spark, index_dir, assigned, [id_col], "cell",
         marker=(None if del_ids is not None else marker),
@@ -688,18 +680,21 @@ def retrain_ann_index(
         rows, id_col, "vec", dim,
         n_cells=int(n_cells), n_iters=n_iters, sample_cap=sample_cap,
     )
-    # fresh build-time stats under the NEW centroids: the drift baseline
-    # resets with the quantizer (ratios go back to ~1 until the corpus
-    # drifts again)
+    # ONE distance pass: fresh build-time stats under the NEW centroids
+    # (the drift baseline resets with the quantizer — ratios go back to
+    # ~1 until the corpus drifts again) derive from the same assignment
+    # that re-lays the table
+    assigned = _assign_cells(
+        rows, id_col, "vec", centroids, with_d2=True
+    ).localCheckpoint(eager=True)
     data = _payload_bytes(
         index_vec_col(index_dir), centroids,
-        train_stats=_assign_stats(rows, "vec", centroids),
+        train_stats=_stats_from_assigned(assigned, len(centroids)),
     )
     sha = hashlib.sha256(data).hexdigest()
     fsio.write_bytes(fsio.join(index_dir, _STAGING), data)  # 1. stage
-    assigned = _assign_cells(rows, id_col, "vec", centroids)
     write_table_partitioned(  # 2. the atomic commit carries the sha
-        assigned, index_dir, "cell",
+        assigned.drop("_d2"), index_dir, "cell",
         marker=marker, change_feed=False,
         extra_fields={_CSHA: sha},
     )

@@ -693,17 +693,16 @@ def rebucket_lsh_index(
     rewrite the sigs side back rather than no-op into a permanently
     mismatched pair (r10 advice)."""
     params = dict(index_params(index_dir))
-    if (
-        int(params["n_buckets"]) == int(n_buckets)
-        and int(_sigs_n_buckets(index_dir)) == int(n_buckets)
-    ):
+    bands_count = int(params["n_buckets"])
+    sigs_count = int(_sigs_n_buckets(index_dir))
+    if bands_count == int(n_buckets) and sigs_count == int(n_buckets):
         return None
     from spookystuff_spark.sources.incremental import resolve_restamp_marker
 
     bands_dir, sigs_dir = _bands_dir(index_dir), _sigs_dir(index_dir)
     marker = resolve_restamp_marker(bands_dir, "rebucket")
     params["n_buckets"] = int(n_buckets)
-    if _sigs_n_buckets(index_dir) != int(n_buckets):
+    if sigs_count != int(n_buckets):
         sig_rows = (
             U.read_table(spark, sigs_dir)
             .drop("bucket")
@@ -718,15 +717,20 @@ def rebucket_lsh_index(
             sig_rows, sigs_dir, "bucket",
             marker=marker, change_feed=False, extra_fields={_PARAMS: params},
         )
-    band_rows = (
-        U.read_table(spark, bands_dir)
-        .drop("bucket")
-        .withColumn("bucket", _band_bucket_expr(int(n_buckets)))
-    )
-    write_table_partitioned(
-        band_rows, bands_dir, "bucket",
-        marker=marker, change_feed=False, extra_fields={_PARAMS: params},
-    )
+    if bands_count != int(n_buckets):
+        # mirror of the sigs-side guard (r11 verdict #2): in the
+        # crash-recovery rebucket back to the bands' own count, only the
+        # sigs side needs rewriting — re-laying an already-correct bands
+        # table would be a full wasted rewrite
+        band_rows = (
+            U.read_table(spark, bands_dir)
+            .drop("bucket")
+            .withColumn("bucket", _band_bucket_expr(int(n_buckets)))
+        )
+        write_table_partitioned(
+            band_rows, bands_dir, "bucket",
+            marker=marker, change_feed=False, extra_fields={_PARAMS: params},
+        )
     return (
         U.committed_versions(bands_dir)[-1],
         U.committed_versions(sigs_dir)[-1],

@@ -86,6 +86,57 @@ def register_suite(
         SUITE_CONSTITUENTS[name] = {c: c for c in sorted(constituents)}
 
 
+def build_concurrently(
+    makers, spark: SparkSession | None = None, max_workers: int | None = None
+) -> list:
+    """Overlap INDEPENDENT suite-constituent builds (optimization guide
+    §2.6: actions are only sequential because driver code calls them
+    sequentially). Several melted-suite constituents construct eagerly —
+    index builds, IVM fold schedules, localCheckpointed results — through
+    many small Spark jobs interleaved with driver-side commit-protocol
+    work, leaving most executor cores idle; submitting the builders from
+    a small thread pool back-fills those cores with the next
+    constituent's jobs. Results return in SUBMISSION order, so the
+    suite's union shape (and therefore its rows) is exactly the serial
+    build's. Constituents are independent by construction (each owns its
+    temp dirs; base scans are shared read-only via ``shared_scans``).
+
+    ``spark`` (when given) is re-activated on each worker thread: the
+    JVM active session is a thread-local, and a fresh py4j thread has
+    none — Python-DataSource writes then fail DATA_SOURCE_NOT_FOUND
+    because the JVM-side lookup resolves the registry through the active
+    session (reads resolve through the DataFrame's own session and never
+    hit this).
+
+    ``SPARK_GRAFT_SUITE_BUILD_THREADS=1`` restores the serial build;
+    the default is deliberately modest — enough in-flight jobs to fill
+    scheduler gaps without thrashing a low-core run (the driver also
+    benches at reduced core counts)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if max_workers is None:
+        max_workers = int(
+            os.environ.get("SPARK_GRAFT_SUITE_BUILD_THREADS", "16")
+        )
+    makers = list(makers)
+    if max_workers <= 1 or len(makers) <= 1:
+        return [m() for m in makers]
+
+    def run(m):
+        if spark is not None:
+            try:
+                spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+                    spark._jsparkSession
+                )
+            except Exception:  # noqa: BLE001 — best-effort thread setup
+                pass
+        return m()
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return [f.result() for f in [pool.submit(run, m) for m in makers]]
+
+
 def load_all_query_modules() -> None:
     # import for side effect: each module registers its queries
     from spookystuff_spark.queries import (  # noqa: F401

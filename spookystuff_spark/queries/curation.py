@@ -430,75 +430,80 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spookystuff_spark.queries import build_concurrently
+
     kb_rows, leak_rows = _kb_leakage_shared(spark, sf_dir)
-    parts = [
-        _melt(
+    # thunks: the ANN/LSH index constituents BUILD eagerly (temp index
+    # tables + fold schedules) — overlap them with the lazy constituents'
+    # plan construction (guide §2.6); submission order == serial order
+    makers = [
+        lambda: _melt(
             q_semdedup_prune(spark, sf_dir),
             "semdedup",
             ["vec_id", "cell", "dup_of"],
             ["cos_sim"],
         ),
-        _melt(
+        lambda: _melt(
             q_mixture_sample(spark, sf_dir).withColumn("sampled", F.lit(1.0)),
             "mixture",
             ["doc_id", "lang"],
             ["sampled"],
         ),
-        _melt(
+        lambda: _melt(
             q_pii_scrub(spark, sf_dir),
             "pii",
             ["doc_id", "redacted_md5"],
             ["n_emails", "n_ips", "n_phones"],
         ),
-        _melt(
+        lambda: _melt(
             kb_rows,
             "keepbest",
             ["cluster", "kept_id"],
             ["kept_score", "n_members"],
         ),
-        _melt(
+        lambda: _melt(
             q_embedding_norms(spark, sf_dir),
             "embnorms",
             ["label"],
             ["n_vecs", "avg_norm"],
         ),
-        _melt(
+        lambda: _melt(
             q_longest_dup_span(spark, sf_dir),
             "dupspan",
             ["doc_id"],
             ["longest_span_tokens"],
         ),
-        _melt(
+        lambda: _melt(
             q_cap_per_source(spark, sf_dir).withColumn("kept", F.lit(1.0)),
             "capstratum",
             ["doc_id", "source"],
             ["kept"],
         ),
-        _melt(
+        lambda: _melt(
             q_bloom_dedup_new(spark, sf_dir).withColumn("is_new", F.lit(1.0)),
             "bloomnew",
             ["doc_id"],
             ["is_new"],
         ),
-        _melt(
+        lambda: _melt(
             _pq_topk_rows(spark, sf_dir),
             "pq",
             ["query_id", "rank"],
             ["vec_id", "adc_d2"],
         ),
-        _melt(
+        lambda: _melt(
             leak_rows,
             "leakage",
             ["doc_id", "orig_split", "split"],
             ["moved"],
         ),
-        _melt(
+        lambda: _melt(
             _dupspan_removal_rows(spark, sf_dir),
             "dupremoval",
             ["doc_id", "cleaned_md5"],
             ["kept_tokens", "removed_tokens"],
         ),
-        _melt(
+        lambda: _melt(
             q_cluster_balanced_sample(spark, sf_dir).withColumn(
                 "kept", F.lit(1.0)
             ),
@@ -506,10 +511,13 @@ def _curation_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["vec_id", "cluster"],
             ["kept"],
         ),
-        _melt(q_fuzzy_join(spark, sf_dir), "fuzzy", ["id_a", "id_b"], ["dist"]),
-        _ann_index_melted(spark, sf_dir),
-        _lsh_index_melted(spark, sf_dir),
+        lambda: _melt(
+            q_fuzzy_join(spark, sf_dir), "fuzzy", ["id_a", "id_b"], ["dist"],
+        ),
+        lambda: _ann_index_melted(spark, sf_dir),
+        lambda: _lsh_index_melted(spark, sf_dir),
     ]
+    parts = build_concurrently(makers, spark)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 

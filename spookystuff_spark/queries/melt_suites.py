@@ -16,6 +16,7 @@ from spookystuff_spark.queries import (
     GOLDEN_QUERIES,
     GOLDEN_SF,
     bench_only,
+    build_concurrently,
     query,
 )
 from spookystuff_spark.tables import shared_scans, table
@@ -266,77 +267,85 @@ def q_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        _melt(
+    # thunks, not DataFrames: many constituents BUILD eagerly (index /
+    # IVM fold schedules, localCheckpointed results) through sequential
+    # small jobs — build_concurrently overlaps those builds (guide §2.6)
+    # while the result list (and so the union, and so the rows) keeps
+    # the exact serial order
+    makers = [
+        lambda: _melt(
             q_string_functions(spark, sf_dir),
             "q_string_functions",
             ["c_custkey", "name_upper", "name_prefix", "seg_nation",
              "name_short", "key_padded"],
             ["name_len", "seg_dist"],
         ),
-        _melt(
+        lambda: _melt(
             q_date_dimensions(spark, sf_dir),
             "q_date_dimensions",
             ["o_year", "o_quarter", "o_month"],
             ["n_orders", "revenue"],
         ),
-        _melt(
+        lambda: _melt(
             q_hll_distinct_users(spark, sf_dir),
             "q_hll_distinct_users",
             ["event_type"],
             ["est_distinct", "zero_regs"],
         ),
-        _melt(q_cms_token_freq(spark, sf_dir), "q_cms_token_freq", ["term"], ["est"]),
-        _melt(
+        lambda: _melt(
+            q_cms_token_freq(spark, sf_dir), "q_cms_token_freq",
+            ["term"], ["est"],
+        ),
+        lambda: _melt(
             q_kmv_distinct_vocab(spark, sf_dir),
             "q_kmv_distinct_vocab",
             ["lang"],
             ["est_distinct"],
         ),
-        _melt(
+        lambda: _melt(
             q_sample_quantiles(spark, sf_dir),
             "q_sample_quantiles",
             ["grp", "q"],
             ["value"],
         ),
-        _melt(
+        lambda: _melt(
             q_weighted_sample(spark, sf_dir),
             "q_weighted_sample",
             ["lang", "doc_id"],
             ["rn"],
         ),
-        _melt(
+        lambda: _melt(
             q_pagerank_purchases(spark, sf_dir),
             "q_pagerank_purchases",
             ["node"],
             ["rank_nano"],
         ),
-        _melt(
+        lambda: _melt(
             q_triangle_stats(spark, sf_dir),
             "q_triangle_stats",
             [],
             ["n_nodes", "n_edges", "n_triangles", "n_wedges", "gcc"],
         ),
-        _melt(
+        lambda: _melt(
             q_zorder_key(spark, sf_dir),
             "q_zorder_key",
             ["bucket"],
             ["n", "min_z", "max_z"],
         ),
-        _melt(
+        lambda: _melt(
             q_cdc_upsert(spark, sf_dir),
             "q_cdc_upsert",
             ["doc_id", "lang", "source", "_change"],
             ["n_chars"],
         ),
-        _melt(
+        lambda: _melt(
             q_kmv_overlap(spark, sf_dir),
             "q_kmv_overlap",
             ["group_a", "group_b"],
             ["est_a", "est_b", "est_union", "est_intersection", "jaccard",
              "containment_a_in_b"],
         ),
-        _melt(
+        lambda: _melt(
             q_ivm_refresh(spark, sf_dir),
             "q_ivm_refresh",
             ["lang"],
@@ -344,92 +353,94 @@ def _scalar_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         # q_distinct_ivm returns melt-shaped rows (distinct agg +
         # exact top-k heavy hitters from the same support Z-set)
-        q_distinct_ivm(spark, sf_dir),
-        _melt(
+        lambda: q_distinct_ivm(spark, sf_dir),
+        lambda: _melt(
             q_restore_ivm(spark, sf_dir),
             "q_restore_ivm",
             ["lang"],
             ["n_chars_sum", "n_rows"],
         ),
-        _melt(
+        lambda: _melt(
             q_partitioned_merge(spark, sf_dir),
             "q_partitioned_merge",
             ["reader", "lang"],
             ["n_chars_sum", "n_rows"],
         ),
-        _melt(
+        lambda: _melt(
             q_dv_delete(spark, sf_dir),
             "q_dv_delete",
             ["reader", "lang"],
             ["n_chars_sum", "n_rows"],
         ),
-        _melt(
+        lambda: _melt(
             q_stream_ingest(spark, sf_dir),
             "q_stream_ingest",
             ["event_type"],
             ["value_sum", "n_rows"],
         ),
         # q_gapfill / q_funnel_retention already return melt-shaped rows
-        q_gapfill(spark, sf_dir),
-        q_funnel_retention(spark, sf_dir),
-        _melt(
+        lambda: q_gapfill(spark, sf_dir),
+        lambda: q_funnel_retention(spark, sf_dir),
+        lambda: _melt(
             q_bloom_lookup(spark, sf_dir),
             "q_bloom_lookup",
             ["doc_id", "lang"],
             ["n_chars"],
         ),
-        _melt(
+        lambda: _melt(
             q_interval_join(spark, sf_dir),
             "q_interval_join",
             ["err_id", "pur_id"],
             ["gap_s"],
         ),
         # q_scd2_dim already returns melt-shaped rows (scd2dim + scd2asof)
-        q_scd2_dim(spark, sf_dir),
-        q_table_profile(spark, sf_dir),
-        _melt(
+        lambda: q_scd2_dim(spark, sf_dir),
+        lambda: q_table_profile(spark, sf_dir),
+        lambda: _melt(
             q_rename_table(spark, sf_dir),
             "q_rename_table",
             ["reader", "lang"],
             ["chars_sum", "n_rows"],
         ),
         # q_event_flow / q_rolling_zscore return melt-shaped rows
-        q_event_flow(spark, sf_dir),
-        q_rolling_zscore(spark, sf_dir),
-        _melt(
+        lambda: q_event_flow(spark, sf_dir),
+        lambda: q_rolling_zscore(spark, sf_dir),
+        lambda: _melt(
             q_join_view(spark, sf_dir),
             "q_join_view",
             ["seg"],
             ["n_pairs", "sum_price"],
         ),
-        _melt(
+        lambda: _melt(
             q_join_agg(spark, sf_dir),
             "q_join_agg",
             ["seg"],
             ["n_pairs", "sum_price", "min_price", "max_price",
              "var_price_c"],
         ),
-        _melt(
+        lambda: _melt(
             q_join_distinct(spark, sf_dir),
             "q_join_distinct",
             ["seg"],
             ["n_pairs", "distinct_price_c"],
         ),
-        _melt(
+        lambda: _melt(
             q_hll_view(spark, sf_dir),
             "q_hll_view",
             ["event_type"],
             ["est_distinct", "zero_regs"],
         ),
-        _melt(q_cms_view(spark, sf_dir), "q_cms_view", ["term"], ["est"]),
-        _melt(
+        lambda: _melt(
+            q_cms_view(spark, sf_dir), "q_cms_view", ["term"], ["est"],
+        ),
+        lambda: _melt(
             q_decontam_index(spark, sf_dir),
             "q_decontam_index",
             ["doc_id"],
             ["contaminated_grams"],
         ),
     ]
-    return reduce(DataFrame.unionByName, parts)
+    return reduce(DataFrame.unionByName, build_concurrently(makers, spark))
 
 
 @bench_only("q_bpe_tokens")
@@ -506,8 +517,11 @@ def q_text_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        _melt(
+    # thunks: BPE training and the media fingerprints build eagerly —
+    # overlap them with the lazy constituents' plan construction
+    # (guide §2.6); submission order == the serial union order
+    makers = [
+        lambda: _melt(
             q_doc_profile(spark, sf_dir),
             "q_doc_profile",
             ["doc_id"],
@@ -515,54 +529,60 @@ def _text_suite_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              "mean_word_len", "alpha_word_frac", "dup_line_frac",
              "gopher_pass"],
         ),
-        _melt(
+        lambda: _melt(
             q_lang_distribution(spark, sf_dir),
             "q_lang_distribution",
             ["lang", "source"],
             ["n_docs", "avg_chars", "max_chars", "n_trigrams"],
         ),
-        _melt(
+        lambda: _melt(
             q_lang_id_heuristic(spark, sf_dir),
             "q_lang_id_heuristic",
             ["labeled_lang", "detected_lang"],
             ["n_docs"],
         ),
-        _melt(q_token_freq_topk(spark, sf_dir), "q_token_freq_topk", ["tok"], ["n"]),
-        _melt(
+        lambda: _melt(
+            q_token_freq_topk(spark, sf_dir), "q_token_freq_topk",
+            ["tok"], ["n"],
+        ),
+        lambda: _melt(
             q_heavy_hitters_bigrams(spark, sf_dir),
             "q_heavy_hitters_bigrams",
             ["tok"],
             ["n", "rank"],
         ),
-        _melt(
+        lambda: _melt(
             q_ccnet_buckets(spark, sf_dir),
             "q_ccnet_buckets",
             ["doc_id", "lang", "bucket"],
             ["score"],
         ),
-        _melt(q_dsir_select(spark, sf_dir), "q_dsir_select", ["doc_id"], ["logw"]),
-        _melt(
+        lambda: _melt(
+            q_dsir_select(spark, sf_dir), "q_dsir_select",
+            ["doc_id"], ["logw"],
+        ),
+        lambda: _melt(
             q_line_dedup(spark, sf_dir),
             "q_line_dedup",
             ["doc_id", "clean_md5"],
             ["n_lines", "n_kept", "n_dropped"],
         ),
-        _melt(
+        lambda: _melt(
             q_text_classifier(spark, sf_dir),
             "q_text_classifier",
             ["doc_id"],
             ["prob", "pred"],
         ),
-        _melt(
+        lambda: _melt(
             q_textrank_keywords(spark, sf_dir),
             "q_textrank_keywords",
             ["tok"],
             ["rank", "rank_pos"],
         ),
-        _bpe_melted(spark, sf_dir),
-        _media_melted_rows(spark, sf_dir),
+        lambda: _bpe_melted(spark, sf_dir),
+        lambda: _media_melted_rows(spark, sf_dir),
     ]
-    return reduce(DataFrame.unionByName, parts)
+    return reduce(DataFrame.unionByName, build_concurrently(makers, spark))
 
 
 def _media_melted_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

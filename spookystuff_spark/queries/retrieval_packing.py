@@ -131,27 +131,31 @@ def q_pack_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pack_split_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    parts = [
-        _melt(
+    from spookystuff_spark.queries import build_concurrently
+
+    # thunks: q_bm25_index builds a temp index eagerly — overlap it with
+    # the lazy pack/split plan construction (guide §2.6)
+    makers = [
+        lambda: _melt(
             q_pack_sequences(spark, sf_dir),
             "q_pack_sequences",
             ["shard", "seq_id", "doc_id"],
             ["seq_off", "tok_start", "tok_end", "n_tok"],
         ),
-        _melt(
+        lambda: _melt(
             q_train_split(spark, sf_dir),
             "q_train_split",
             ["split", "lang"],
             ["n_docs", "n_tokens"],
         ),
-        _melt(
+        lambda: _melt(
             q_bm25_index(spark, sf_dir),
             "q_bm25_index",
             ["query_id", "rank", "doc_id"],
             ["score"],
         ),
     ]
-    return reduce(DataFrame.unionByName, parts)
+    return reduce(DataFrame.unionByName, build_concurrently(makers, spark))
 
 
 from spookystuff_spark.queries import register_suite  # noqa: E402

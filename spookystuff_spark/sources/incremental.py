@@ -410,12 +410,18 @@ def resolve_restamp_marker(dst_dir: str, op: str) -> str:
     watermark kind this table's refresher reads is the one preserved.
     Raises (naming the refusing ``op``) when no marker exists: a rewrite
     without a watermark to carry would leave the next refresh unable to
-    prove which source versions are already folded in."""
-    fam = _SRC_MARK.rstrip("_")
+    prove which source versions are already folded in.
+
+    Only the REAL watermark families match — ``_SRC_`` and ``_SRCJ_`` —
+    never the ``_SRCSTEP_`` append-step markers the LSH/BM25 folds stamp
+    mid-refresh (deliberately named to NOT be watermarks): re-stamping a
+    step marker instead of a watermark would leave the rewrite commit
+    with no ``_SRC_`` entry, and after a vacuum of the older versions
+    the next refresh would re-fold every source version (r11 advice)."""
     try:
         for v, raw in U.chain_desc(dst_dir):
             for name in U.version_markers(dst_dir, v, raw=raw):
-                if name.startswith(fam):
+                if name.startswith(_SRC_MARK) or name.startswith("_SRCJ_"):
                     return name
     except FileNotFoundError:
         pass

@@ -142,6 +142,10 @@ def refresh_hll_view(
     marker = f"{_SRC_MARK}{newest}"
     if changes is None:
         return advance_watermark(dst_dir, marker)
+    # the refusal-kinds collect and hll_registers both read the feed:
+    # materialize it once instead of two complete source-delta scans
+    # (mirrors _fold_ann_version's checkpoint; r11 advice)
+    changes = changes.localCheckpoint(eager=True)
     kinds = {r[0] for r in changes.select("_change").distinct().collect()}
     if kinds & {"update_preimage", "delete"}:
         raise ValueError(

@@ -30,6 +30,7 @@ the file name rather than silently dropping data.
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -653,18 +654,30 @@ class _VersionedStreamArrowWriter(_VersionedArrowWriter, DataSourceStreamArrowWr
         self._cleanup()
 
 
+_REGISTER_LOCK = threading.Lock()
+
+
 def register(spark) -> None:
     """Register ``spooky_versioned`` AND enable Python-DataSource filter
     pushdown (runtime SQL conf): the batch reader implements
     ``pushFilters`` for manifest-stats / partition file skipping, and
     Spark refuses to silently ignore an implemented ``pushFilters`` while
     the conf is off — registering through this helper keeps the two in
-    lockstep."""
+    lockstep.
+
+    Serialized under a module lock: concurrent registration of the same
+    name from suite-constituent builder threads (queries.build_concurrently)
+    can leave the session's Python data-source registry WITHOUT the entry
+    — a later ``.save()`` in the very thread that just "registered" then
+    fails with DATA_SOURCE_NOT_FOUND. Each caller registers-then-uses in
+    its own thread, so completing the registration under the lock before
+    returning is sufficient ordering."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(VersionedTableDataSource)
-    except Exception:
-        pass  # already registered in this session
+    with _REGISTER_LOCK:
+        try:
+            spark.dataSource.register(VersionedTableDataSource)
+        except Exception:
+            pass  # already registered in this session
 
 
 class VersionedTableDataSource(DataSource):

@@ -663,11 +663,80 @@ def test_rebucket_back_to_original_count_reconverges(
         L.rebucket_lsh_index(spark, idx, orig * 2)
     monkeypatch.setattr(L, "write_table_partitioned", real)
     assert L._sigs_n_buckets(idx) == orig * 2  # mid-crash window
-    # rebucket BACK to the original count: must rewrite, not no-op
+    # rebucket BACK to the original count: must rewrite the sigs side —
+    # and ONLY the sigs side (r11 verdict #2: the bands table is already
+    # at the requested count, so its version must not move)
+    bands_tip = U.committed_versions(L._bands_dir(idx))[-1]
     assert L.rebucket_lsh_index(spark, idx, orig) is not None
+    assert U.committed_versions(L._bands_dir(idx))[-1] == bands_tip
     assert L._sigs_n_buckets(idx) == orig
     assert L.index_params(idx)["n_buckets"] == orig
     assert _rows(L.lsh_index_query(spark, idx, probes, threshold=0.2)) == want
     # and the refresh path is unblocked again
     U.append_rows(spark, src, _docs_df(spark, [(31, _BASE + " thirtyone")]))
     assert L.refresh_lsh_index(spark, src, idx) is not None
+
+
+def test_rebucket_restamps_watermark_not_step_marker(
+    spark, tmp_path, monkeypatch
+):
+    """r11 advice: a refresh that crashed between the step-marked append
+    and the ``_SRC_``-bearing delete commit of a mixed insert+delete
+    version leaves ``_SRCSTEP_<v>`` as the newest marker on the bands
+    table. A rebucket in that window must re-stamp the newest REAL
+    ``_SRC_`` watermark — re-stamping the step marker instead would leave
+    the rewrite commit with no watermark, and after a vacuum the next
+    refresh would re-fold every source version."""
+    from spookystuff_spark.sources.incremental import (
+        last_processed_version,
+        resolve_restamp_marker,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    U.write_table(_docs_df(spark, [d for d in DOCS if d[0] % 2 == 1]), src)
+    v_seed = U.committed_versions(src)[-1]
+    L.build_lsh_index(spark, src, idx, **PARAMS)
+    U.append_rows(spark, src, _docs_df(spark, [(2, DOCS[1][1]), (4, DOCS[3][1])]))
+    U.delete_where(spark, src, F.col("doc_id") == 3)
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    # materialize doc 3's deletion vector so the rollback's re-insert of
+    # it folds (the DV-hidden re-insert refusal is by design)
+    L.compact_lsh_index(spark, idx, max_files_per_bucket=1, force_dv=True)
+    wm_before = last_processed_version(L._bands_dir(idx))
+    # the ROLLBACK diff is the one public writer producing a mixed
+    # insert+delete version: delete {2,4} + re-insert {3} in ONE commit
+    U.restore(src, v_seed, spark=spark, key_cols=["doc_id"])
+
+    real = L.delete_by_keys
+
+    def crash(spark_, table_dir, *a, **kw):
+        # crash only the BANDS-side delete: the sigs side completes, the
+        # bands append lands step-marked — the exact window the advice
+        # names (newest marker on the bands table is _SRCSTEP_<v>)
+        if table_dir == L._bands_dir(idx):
+            raise RuntimeError("simulated crash before the delete leg")
+        return real(spark_, table_dir, *a, **kw)
+
+    monkeypatch.setattr(L, "delete_by_keys", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        L.refresh_lsh_index(spark, src, idx)
+    monkeypatch.setattr(L, "delete_by_keys", real)
+    # the crash window: newest marker on the bands table is the step marker
+    from spookystuff_spark.operators.lsh_index import _STEP_MARK
+    step = L.newest_marker(L._bands_dir(idx), _STEP_MARK)
+    assert step is not None and U._vnum(step) > U._vnum(wm_before)
+    # the resolver must answer the REAL watermark, never the step marker
+    got = resolve_restamp_marker(L._bands_dir(idx), "rebucket")
+    assert got == f"_SRC_{wm_before}" and not got.startswith(_STEP_MARK)
+    # a rebucket in the window re-stamps that watermark verbatim
+    orig = L.index_params(idx)["n_buckets"]
+    assert L.rebucket_lsh_index(spark, idx, orig * 2) is not None
+    assert last_processed_version(L._bands_dir(idx)) == wm_before
+    # and the interrupted mixed fold still heals to the restored corpus
+    assert L.refresh_lsh_index(spark, src, idx) is not None
+    probes = [(d, t) for d, t in DOCS]
+    alive = [(d, t) for d, t in DOCS if d % 2 == 1]
+    assert _rows(
+        L.lsh_index_query(spark, idx, probes, threshold=0.2)
+    ) == _numpy_estimates(probes, alive, 0.2)
