@@ -237,7 +237,7 @@ def main() -> None:
         )[:n_top]
         me = os.path.abspath(__file__)
 
-        def retime(names, repeats_n, budget):
+        def retime(names, repeats_n, budget, proc_timeout=600):
             t0 = time.monotonic()
             for q in names:
                 if time.monotonic() - t0 > budget:
@@ -254,7 +254,7 @@ def main() -> None:
                         env=env,
                         capture_output=True,
                         text=True,
-                        timeout=600,
+                        timeout=proc_timeout,
                     ).stdout.strip().splitlines()
                     # the short tail line has no "queries"; the full one does
                     for ln in reversed(out):
@@ -292,10 +292,15 @@ def main() -> None:
             ),
             reverse=True,
         )[:n_suites]
+        # an isolated suite subprocess runs 2 full builds PLUS its own
+        # constituent-decomposition pass (r11 verdict #3) — at reduced core
+        # counts that legitimately exceeds the singles' 600 s cap, and a
+        # timeout here loses exactly the retime this pass exists to capture
         retime(
             [q for _, q in suites_by_cost],
             2,
             float(os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")),
+            proc_timeout=1200,
         )
         # SPARK_GRAFT_RETIME=q_a,q_b (r8 judge punch #7): explicitly-named
         # CHANGED-PATH queries retime regardless of the slowest-N policy —

@@ -87,13 +87,25 @@ def _write_bucketed(df: DataFrame, gcols, n_buckets: int, vdir: str) -> None:
     ``__part`` is computed for layout only and never stored inside the
     files, so readers see the aggregate schema exactly (no bucket-column
     pollution) while manifest entries carry ``__part=<bucket>`` paths the
-    pruned reader matches by string."""
+    pruned reader matches by string.
+
+    REBALANCE(__part) before the write (guide §6): without it every
+    keyed commit wrote one file per (shuffle task × touched bucket); the
+    AQE-sized shuffle coalesces to ~one file per touched bucket on small
+    folds and advisory-size files at scale."""
     (
-        df.withColumn("__part", _bucket_expr(gcols, n_buckets).cast("string"))
+        _staged_bucketed(df, gcols, n_buckets)
         .write.partitionBy("__part")
         .mode("errorifexists")
         .parquet(vdir)
     )
+
+
+def _staged_bucketed(df: DataFrame, gcols, n_buckets: int) -> DataFrame:
+    """The frame ``_write_bucketed`` writes (see its docstring)."""
+    return df.withColumn(
+        "__part", _bucket_expr(gcols, n_buckets).cast("string")
+    ).hint("rebalance", "__part")
 
 
 def agg_layout(dst_dir: str) -> tuple[int | None, list[str] | None]:

@@ -60,13 +60,36 @@ def _part_of(entry: str) -> str | None:
     return U._entry_part(entry)
 
 
-def _write_partitioned(df: DataFrame, pcol: str, vdir: str) -> None:
-    (
-        df.withColumn("__part", F.col(pcol).cast("string"))
-        .write.partitionBy("__part")
-        .mode("errorifexists")
-        .parquet(vdir)
+def _staged_partitioned(df: DataFrame, pcol: str) -> DataFrame:
+    """The frame ``_write_partitioned`` writes: the ``__part`` layout copy
+    plus a REBALANCE(__part) before the write (optimization guide §6). A
+    partitionBy write emits one file per (task × partition value), so an
+    upstream stage at default parallelism times 8 layout buckets wrote
+    100s of tiny files per commit — every later manifest walk, footer
+    profile and pruned read paid that count. The AQE-sized shuffle keyed
+    by the layout value coalesces small partitions to one file and still
+    splits big ones at advisoryPartitionSizeInBytes, so file sizing stays
+    scale-adaptive rather than tuned to this box."""
+    return df.withColumn("__part", F.col(pcol).cast("string")).hint(
+        "rebalance", "__part"
     )
+
+
+def _write_partitioned(
+    df: DataFrame, pcol: str, vdir: str, preserve_layout: bool = False
+) -> None:
+    """``preserve_layout=True`` skips the rebalance: callers that
+    deliberately clustered the frame (z-order compaction, stats-profiled
+    tables whose per-file min/max tightness IS the feature) must keep
+    their row→file mapping — the rebalance shuffle would merge disjoint
+    clustered ranges into wide-footprint files and disable stats
+    skipping."""
+    staged = (
+        df.withColumn("__part", F.col(pcol).cast("string"))
+        if preserve_layout
+        else _staged_partitioned(df, pcol)
+    )
+    staged.write.partitionBy("__part").mode("errorifexists").parquet(vdir)
 
 
 def _own_entries_recursive(table_dir: str, version: str) -> list[str]:
@@ -125,7 +148,10 @@ def write_table_partitioned(
     fsio.mkdirs(table_dir)
     parent = U._latest(table_dir)
     v = U._next_version(table_dir)
-    _write_partitioned(df, partition_col, fsio.join(table_dir, v))
+    _write_partitioned(
+        df, partition_col, fsio.join(table_dir, v),
+        preserve_layout=bool(stats_cols),
+    )
     own = _own_entries_recursive(table_dir, v)
     if change_feed:
         U._write_change_feed_refs(table_dir, v, own, "insert")
@@ -219,7 +245,10 @@ def append_partitioned(
     if raw and raw.get("schema"):
         schema_json = U._union_schema_json(raw["schema"], rows.schema)
     v = U._next_version(table_dir)
-    _write_partitioned(rows, partition_col, fsio.join(table_dir, v))
+    _write_partitioned(
+        rows, partition_col, fsio.join(table_dir, v),
+        preserve_layout=bool(stats_cols),
+    )
     own = _own_entries_recursive(table_dir, v)
     if change_feed:
         U._write_change_feed_refs(table_dir, v, own, "insert")
@@ -346,7 +375,10 @@ def upsert_partitioned(
         merged_slice = updates
 
     v = U._next_version(table_dir)
-    _write_partitioned(merged_slice, partition_col, fsio.join(table_dir, v))
+    _write_partitioned(
+        merged_slice, partition_col, fsio.join(table_dir, v),
+        preserve_layout=bool(stats_cols),
+    )
     # a REAL change feed: the rewritten slice contains kept rows too, so a
     # reference feed over the new files would overreport — log exactly the
     # update rows (semi-join on the update keys against the fresh slice).
@@ -520,7 +552,11 @@ def compact_partitioned(
     else:
         df = current.repartition(F.col(partition_col))
     v = U._next_version(table_dir)
-    _write_partitioned(df, partition_col, fsio.join(table_dir, v))
+    # compaction sets its own layout (one task per partition value, or
+    # range-clustered on (partition, z-key)) — always preserve it
+    _write_partitioned(
+        df, partition_col, fsio.join(table_dir, v), preserve_layout=True
+    )
     own = _own_entries_recursive(table_dir, v)
     U.write_manifest(
         table_dir,
