@@ -270,12 +270,17 @@ def remove_dup_spans(
     corpus; callers wanting the text itself use the same plan minus the md5.
 
     Plan, all Catalyst: one window exchange on gram_key annotates anchor
-    occurrence counts (identical to longest_dup_span); covered token indices
-    come from ``sequence(pos, pos+n-1)`` + explode with an in-doc distinct
-    (groupBy (id, idx) — shuffle bounded by Σ covered tokens); one left-anti
-    join removes them from the posexploded token stream; one ordered
-    aggregation rebuilds the text. No pair explosion anywhere — cost is
-    O(corpus tokens + dup-anchor coverage), never O(dup pairs²)."""
+    occurrence counts (identical to longest_dup_span); the surviving anchor
+    POSITIONS aggregate per doc (one O(anchors) shuffle of 8-byte ints) and
+    join back to the affected docs' text; the rebuild is then a single
+    per-doc projection — covered indices from ``flatten(transform(anchors,
+    p → sequence(p, p+n-1)))``, kept indices via ``array_except`` (hash-set
+    subtraction, order-preserving), tokens re-sliced by index. The token
+    stream itself is NEVER exploded or shuffled (the previous plan
+    exchanged every corpus token twice — an anti-join and an ordered
+    re-aggregation — to decide what one doc-local expression decides here).
+    No pair explosion anywhere — cost is O(corpus grams) for the window +
+    O(affected docs' text) for the rebuild, never O(dup pairs²)."""
     from pyspark.sql import Window
 
     from spookystuff_spark.operators.layout import spread_small_input
@@ -291,59 +296,49 @@ def remove_dup_spans(
         F.posexplode(gram_col(F.col(text_col), n)).alias("pos", "gram_key"),
     )
     occ = F.count(F.lit(1)).over(Window.partitionBy("gram_key"))
-    dup_anchor = (
+    anchors = (
         pos_grams.withColumn("occ", occ)
         .filter(F.col("occ") >= 2)
-        .select(F.col(id_col), "pos")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_anchors"))
     )
-    covered = (
-        dup_anchor.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
-                "ti"
-            ),
-        )
-        .groupBy(id_col, "ti")
-        .agg(F.lit(1).alias("__c"))
-        .select(id_col, "ti")
-    )
-    tok_stream = spread.select(
-        F.col(id_col),
-        F.size(_TOKENS(F.col(text_col))).alias("__total"),
-        F.posexplode(_TOKENS(F.col(text_col))).alias("ti", "tok"),
-    )
-    kept = tok_stream.join(covered, [id_col, "ti"], "left_anti")
-    rebuilt = kept.groupBy(id_col, "__total").agg(
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("ti"), F.col("tok")))
-                    ),
-                    lambda s: s["tok"],
-                ),
+    toks = _TOKENS(F.col(text_col))
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_anchors"),
+                lambda p: F.sequence(p, p + F.lit(n - 1)),
             )
-        ).alias("cleaned_md5"),
-        F.count(F.lit(1)).alias("kept_tokens"),
+        )
     )
-    # docs whose tokens were ALL removed have no kept rows: recover them from
-    # the dup-anchor doc set so the output is total over affected docs
-    affected = dup_anchor.select(id_col).distinct().join(
-        spread.select(
-            F.col(id_col), F.size(_TOKENS(F.col(text_col))).alias("__total")
-        ),
-        id_col,
-    )
+    # doc-local rebuild: total token count, covered-index subtraction
+    # (array_except preserves the first array's order, so kept indices
+    # stay ascending), tokens re-sliced by index, md5 of the re-joined
+    # text — an all-removed doc keeps zero indices and digests md5("")
     return (
-        affected.join(rebuilt.drop("__total"), id_col, "left")
+        spread.join(anchors, id_col)
         .select(
             F.col(id_col),
-            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
-                "kept_tokens"
-            ),
-            (F.col("__total") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            F.size(toks).alias("__total"),
+            F.array_except(
+                F.sequence(F.lit(0), F.size(toks) - F.lit(1)),
+                covered,
+            ).alias("_kept_idx"),
+            toks.alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.col("_kept_idx"),
+                        lambda i: F.element_at(F.col("_toks"), i + F.lit(1)),
+                    ),
+                )
+            ).alias("cleaned_md5"),
+            F.size("_kept_idx").cast("long").alias("kept_tokens"),
+            (F.col("__total") - F.size("_kept_idx"))
             .cast("long")
             .alias("removed_tokens"),
         )

@@ -68,8 +68,6 @@ def scd2_upsert(
     out-of-order history needs a rebuild, not a silent overlap."""
     keys = list(key_cols)
     dup = updates.groupBy(*keys).count().where(F.col("count") > 1)
-    if dup.limit(1).count():
-        raise ValueError("scd2_upsert: one row per key per batch")
     attrs = _attr_cols(updates, keys, effective_col)
     new_rows = updates.select(
         *keys,
@@ -78,6 +76,8 @@ def scd2_upsert(
         F.lit(None).cast("long").alias(VALID_TO),
     )
     if U._latest(dim_dir) is None:
+        if dup.limit(1).count():
+            raise ValueError("scd2_upsert: one row per key per batch")
         U.write_table(new_rows, dim_dir, change_feed=False)
         return U.committed_versions(dim_dir)[-1]
 
@@ -96,11 +96,6 @@ def scd2_upsert(
         F.broadcast(upd), keys, "inner"
     )
     stale = matched.where(F.col("_eff") <= F.col(VALID_FROM))
-    if stale.limit(1).count():
-        raise ValueError(
-            "scd2_upsert: an update's effective timestamp does not exceed "
-            "the current row's valid_from — out-of-order history"
-        )
     changed = matched.where(F.col("_c_hash") != F.col("_u_hash"))
     # close the current row of every CHANGED key...
     closed = changed.select(
@@ -116,7 +111,24 @@ def scd2_upsert(
     # brand-new keys open their first version
     fresh = new_rows.join(F.broadcast(current.select(*keys)), keys, "left_anti")
     delta = closed.unionByName(opened).unionByName(fresh)
-    if delta.limit(1).count() == 0:
+    # ONE probe job answers all three existence questions (duplicate keys,
+    # out-of-order history, whole-batch no-op) — the three first-row
+    # branches union under a tag instead of running three separate jobs
+    # over the same dim ⋈ updates subtree
+    probe = (
+        dup.select(F.lit("dup").alias("_p")).limit(1)
+        .unionAll(stale.select(F.lit("stale").alias("_p")).limit(1))
+        .unionAll(delta.select(F.lit("delta").alias("_p")).limit(1))
+    )
+    flags = {r[0] for r in probe.collect()}
+    if "dup" in flags:
+        raise ValueError("scd2_upsert: one row per key per batch")
+    if "stale" in flags:
+        raise ValueError(
+            "scd2_upsert: an update's effective timestamp does not exceed "
+            "the current row's valid_from — out-of-order history"
+        )
+    if "delta" not in flags:
         return None  # whole batch attr-identical: nothing to commit
     return U.upsert(
         spark, dim_dir, delta, [*keys, VALID_FROM], change_feed=False

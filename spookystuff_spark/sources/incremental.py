@@ -722,16 +722,28 @@ def _changes_since(
                 )
             continue  # compaction / no-feed commit: no logical change
         df = spark.read.parquet(*files)
+        filled_kind = None
         if "_change" not in df.columns:
-            df = df.withColumn("_change", F.lit(kind or "insert"))
+            filled_kind = kind or "insert"
+            df = df.withColumn("_change", F.lit(filled_kind))
         # translate pre-rename feeds to the current column names
         for ev in events:
             if U._vnum(ev["v"]) > U._vnum(v) and ev["old"] in df.columns:
                 df = df.withColumnRenamed(ev["old"], ev["new"])
         if v != first:
-            kinds = {
-                r[0] for r in df.select("_change").distinct().collect()
-            }
+            # kinds from metadata where possible — a reference feed's
+            # column is the literal we just filled, and sidecar-bearing
+            # feeds record their writer's exact kind set — so the
+            # soundness check costs zero Spark jobs per version; only a
+            # pre-sidecar feed still derives kinds by scanning its rows
+            if filled_kind is not None:
+                kinds = {filled_kind}
+            else:
+                kinds = U.feed_kinds(src_dir, v)
+            if kinds is None:
+                kinds = {
+                    r[0] for r in df.select("_change").distinct().collect()
+                }
             unknown = kinds - set(_POS) - set(_NEG)
             if unknown:
                 raise ValueError(
@@ -846,27 +858,23 @@ def refresh_aggregate(
 
     gcols = list(group_cols)
     n_buckets, keyed_layout = _resolve_buckets(dst_dir, gcols, dst_buckets)
+    want_minmax = bool(min_cols or max_cols)
     persisted = changes is not None and bool(
-        min_cols or max_cols or n_buckets is not None
+        want_minmax or n_buckets is not None
     )
-    if persisted:
-        # the neg probe, affected distinct, touched-bucket collect,
-        # rescan and final commit each re-evaluate the feed DAG - pin
-        # it once (the join-aggregate's persist idiom)
-        changes = changes.persist()
+    pinned = None
     try:
         affected = None
         if changes is not None:
             is_neg = F.col("_change").isin(*_NEG)
-            if min_cols or max_cols:
-                neg = changes.where(is_neg).limit(1).count()
-                if neg:
-                    affected = changes.where(is_neg).select(*gcols).distinct()
             sign = F.when(F.col("_change").isin(*_POS), F.lit(1)).otherwise(
                 F.lit(-1)
             )
             # min/max fold over INSERT-side rows only: negative rows are
-            # handled by the targeted re-derivation below
+            # handled by the targeted re-derivation below. The retraction
+            # probe rides the SAME aggregation as a per-group `_has_neg`
+            # flag (no separate feed-DAG job): affected groups read off
+            # the aggregated — and persisted — delta.
             pos_val = lambda c: F.when(~is_neg, F.col(c))  # noqa: E731
             delta = changes.groupBy(*gcols).agg(
                 *[
@@ -880,7 +888,23 @@ def refresh_aggregate(
                 *[F.min(pos_val(c)).alias(f"{c}_min") for c in min_cols],
                 *[F.max(pos_val(c)).alias(f"{c}_max") for c in max_cols],
                 F.sum(sign).alias("n_rows"),
+                *(
+                    [F.max(is_neg).alias("_has_neg")]
+                    if want_minmax
+                    else []
+                ),
             )
+            if persisted:
+                # the affected probe, touched-bucket collect, rescan and
+                # final commit each re-evaluate the delta — pin the
+                # AGGREGATED frame (O(touched groups) rows, not the feed)
+                pinned = delta = delta.persist()
+            if want_minmax:
+                aff = delta.where(F.col("_has_neg")).select(*gcols)
+                if aff.limit(1).count():
+                    affected = aff
+            if "_has_neg" in delta.columns:
+                delta = delta.drop("_has_neg")
         else:
             delta = None  # only feed-less versions: watermark-only advance
 
@@ -1039,8 +1063,8 @@ def refresh_aggregate(
             )
         return U.write_table(merged, dst_dir, marker=marker, change_feed=False)
     finally:
-        if persisted:
-            changes.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
 
 
 def refresh_distinct(

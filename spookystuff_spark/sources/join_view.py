@@ -537,18 +537,14 @@ def refresh_join_aggregate(
         )
     neg = F.col("_n") < 0
     affected = None
-    persisted = False
-    if exists and (mins or maxs or keyed_layout):
-        # the retraction probe, the touched-bucket collect and the rescan
-        # each evaluate the delta DAG again — pin it once; released after
-        # the commit below
-        delta_v = delta_v.persist()
-        persisted = True
-    if (mins or maxs) and exists:
-        if delta_v.where(neg).limit(1).count():
-            affected = delta_v.where(neg).select(*gcols).distinct()
+    pinned = None
+    want_minmax = bool(mins or maxs) and exists
     # min/max fold over INSERT-side pairs only; retracted groups are
-    # re-derived below (the refresh_aggregate contract, join-lifted)
+    # re-derived below (the refresh_aggregate contract, join-lifted).
+    # The retraction probe rides the SAME aggregation as a per-group
+    # `_has_neg` flag — no separate delta-DAG job — and the AGGREGATED
+    # frame (O(touched groups) rows, not the joined delta) is what gets
+    # pinned for the probe/collect/rescan/commit re-evaluations.
     pos_val = lambda c: F.when(~neg, F.col(c))  # noqa: E731
     from spookystuff_spark.sources.incremental import _sq_expr
 
@@ -564,7 +560,16 @@ def refresh_join_aggregate(
         *[F.min(pos_val(c)).alias(f"{c}_min") for c in mins],
         *[F.max(pos_val(c)).alias(f"{c}_max") for c in maxs],
         F.sum("_n").alias("n_rows"),
+        *([F.max(neg).alias("_has_neg")] if want_minmax else []),
     )
+    if exists and (mins or maxs or keyed_layout):
+        pinned = delta_agg = delta_agg.persist()
+    if want_minmax:
+        aff = delta_agg.where(F.col("_has_neg")).select(*gcols)
+        if aff.limit(1).count():
+            affected = aff
+    if "_has_neg" in delta_agg.columns:
+        delta_agg = delta_agg.drop("_has_neg")
     touched = cur = rel = None
     if exists:
         from spookystuff_spark.sources.incremental import _keyed_slice
@@ -614,8 +619,8 @@ def refresh_join_aggregate(
             merged, dst_dir, marker=marker, change_feed=False
         )
     finally:
-        if persisted:
-            delta_v.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
 
 
 def refresh_join_distinct(

@@ -387,19 +387,29 @@ def upsert_partitioned(
     # extra column the changefeed stream reader (versioned_source._read_arrow)
     # refuses.
     snap = spark.read.parquet(fsio.join(table_dir, v)).drop("__part")
-    U._write_change_feed(
-        snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
+    feed = snap.join(keys, list(key_cols), "leftsemi").withColumn(
+        "_change", F.lit("upsert")
     )
     if feed_preimages and touched_files:
+        # preimages union into the same feed write — one job, one schema
         pre = current_slice.join(keys, list(key_cols), "leftsemi")
-        pre.withColumn("_change", F.lit("update_preimage")).write.mode(
-            "append"
-        ).parquet(fsio.join(table_dir, v, U._CHANGES))
+        feed = feed.unionByName(
+            pre.withColumn("_change", F.lit("update_preimage")),
+            allowMissingColumns=True,
+        )
+    feed.write.mode("errorifexists").parquet(
+        fsio.join(table_dir, v, U._CHANGES)
+    )
+    if feed_preimages and touched_files:
         fsio.touch(fsio.join(table_dir, v, U._CHANGES, U._PREIMAGED))
+        U._write_feed_kinds(table_dir, v, ["upsert", "update_preimage"])
     elif feed_preimages:
         # all-new partitions: zero preimages by construction, but the
         # sidecar still marks the feed complete for IVM consumers
         fsio.touch(fsio.join(table_dir, v, U._CHANGES, U._PREIMAGED))
+        U._write_feed_kinds(table_dir, v, ["upsert", "update_preimage"])
+    else:
+        U._write_feed_kinds(table_dir, v, ["upsert"])
     dv_fields = None
     if dv_keys_df is not None:
         # vectors carried forward MINUS the update keys: an upserted key is

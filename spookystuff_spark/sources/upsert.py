@@ -60,6 +60,7 @@ _CHANGES = "_changes"
 _COMMITS = "_commits"
 _KIND = "_kind"
 _PREIMAGED = "_PREIMAGED"  # feed sidecar: update preimages were logged
+_FEED_KINDS = "_KINDS"  # feed sidecar: JSON list of the _change kinds present
 
 _UNCHECKED = object()  # sentinel: commit without a conflict check
 
@@ -1097,6 +1098,33 @@ def _write_change_feed(df: DataFrame, table_dir: str, version: str, kind: str) -
     df.withColumn("_change", F.lit(kind)).write.mode("errorifexists").parquet(
         fsio.join(table_dir, version, _CHANGES)
     )
+    _write_feed_kinds(table_dir, version, [kind])
+
+
+def _write_feed_kinds(
+    table_dir: str, version: str, kinds: Sequence[str]
+) -> None:
+    """Writer-authored ``_KINDS`` sidecar: the exact set of ``_change``
+    values this version's feed files carry. Incremental consumers
+    (sources/incremental.py::_changes_since) answer their per-version
+    feed-kind soundness check from it instead of running a
+    ``distinct()`` Spark job over the feed rows — one fixed job per
+    folded version, across every IVM/index refresh. Underscore-named,
+    so snapshot and feed parquet scans never see it."""
+    fsio.write_bytes(
+        fsio.join(table_dir, version, _CHANGES, _FEED_KINDS),
+        json.dumps(sorted(set(kinds))).encode(),
+    )
+
+
+def feed_kinds(table_dir: str, version: str) -> Optional[set]:
+    """The distinct ``_change`` kinds recorded for the version's feed by
+    its writer (the ``_KINDS`` sidecar), or None for a pre-sidecar feed —
+    the reader must then derive them by scanning the rows."""
+    p = fsio.join(table_dir, version, _CHANGES, _FEED_KINDS)
+    if fsio.exists(p):
+        return set(json.loads(fsio.read_bytes(p).decode()))
+    return None
 
 
 def _write_change_feed_refs(
@@ -1528,11 +1556,15 @@ def write_table(
     v = _next_version(table_dir)
     df.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     if change_feed:
-        _write_change_feed(
-            df.sparkSession.read.parquet(fsio.join(table_dir, v)),
-            table_dir,
-            v,
-            "upsert",
+        # the change set IS the new snapshot, so the feed is a METADATA
+        # reference over the just-written files (the append_rows trick) —
+        # the previous real feed re-read and re-wrote every snapshot byte
+        # a second time. Consumers are unchanged: readers fill
+        # ``_change='upsert'`` from the _KIND sidecar, and a non-first
+        # 'upsert' version still refuses incremental folds exactly as the
+        # row feed did (a snapshot REPLACE has no preimages to retract).
+        _write_change_feed_refs(
+            table_dir, v, _own_entries(table_dir, v), "upsert"
         )
     _commit_snapshot(
         df.schema.json(), table_dir, v, (), "upsert", marker,
@@ -1574,25 +1606,36 @@ def upsert(
     v = _next_version(table_dir)
     merged.write.mode("errorifexists").parquet(fsio.join(table_dir, v))
     if change_feed:
+        import pyspark.sql.functions as F
+
         # the change set IS the updates frame — re-read it from the freshly
         # written snapshot (semi-join on the update keys) so the feed write
-        # doesn't recompute the caller's arbitrary lineage
+        # doesn't recompute the caller's arbitrary lineage; preimage rows
+        # union into the SAME write (one feed job, one uniform schema —
+        # the old second mode("append") write paid a separate job and
+        # could leave a mixed-schema feed dir under schema evolution)
         snap = spark.read.parquet(fsio.join(table_dir, v))
-        _write_change_feed(
-            snap.join(keys, list(key_cols), "leftsemi"), table_dir, v, "upsert"
+        feed = snap.join(keys, list(key_cols), "leftsemi").withColumn(
+            "_change", F.lit("upsert")
         )
         if feed_preimages:
-            import pyspark.sql.functions as F
-
             pre = current.join(keys, list(key_cols), "leftsemi")
-            pre.withColumn("_change", F.lit("update_preimage")).write.mode(
-                "append"
-            ).parquet(fsio.join(table_dir, v, _CHANGES))
+            feed = feed.unionByName(
+                pre.withColumn("_change", F.lit("update_preimage")),
+                allowMissingColumns=True,
+            )
+        feed.write.mode("errorifexists").parquet(
+            fsio.join(table_dir, v, _CHANGES)
+        )
+        if feed_preimages:
             # an insert-only batch logs ZERO preimage rows, which is
             # indistinguishable from "preimages never logged" by row
             # inspection — the sidecar tells IVM consumers the feed is
             # complete (sources/incremental.py accepts it)
             fsio.touch(fsio.join(table_dir, v, _CHANGES, _PREIMAGED))
+            _write_feed_kinds(table_dir, v, ["upsert", "update_preimage"])
+        else:
+            _write_feed_kinds(table_dir, v, ["upsert"])
     _commit_snapshot(
         merged.schema.json(), table_dir, v, (), "upsert", marker,
         expected_parent=cur_v,
@@ -2939,6 +2982,15 @@ def restore(
         )
         if preimaged:
             fsio.touch(fsio.join(table_dir, v, _CHANGES, _PREIMAGED))
+            # the keyed diff's four legs (some possibly empty — listing an
+            # absent kind never changes a consumer's refusal outcome)
+            _write_feed_kinds(
+                table_dir, v,
+                ["delete", "insert", "update_preimage", "upsert"],
+            )
+        else:
+            # frame_diff's keyless multiset diff: insert/delete rows only
+            _write_feed_kinds(table_dir, v, ["insert", "delete"])
     extra = {}
     if m.get("dv"):
         extra = {"dv": m["dv"], "dv_keys": m["dv_keys"]}

@@ -32,14 +32,22 @@ def _mk_table(spark, tdir: str) -> None:
 def test_change_feed_written_at_commit(spark, tmp_path):
     tdir = str(tmp_path / "t")
     _mk_table(spark, tdir)
-    feed1 = spark.read.parquet(os.path.join(tdir, "v00001", "_changes"))
-    feed2 = spark.read.parquet(os.path.join(tdir, "v00002", "_changes"))
-    assert {(r["k"], r["_change"]) for r in feed1.collect()} == {
-        (1, "upsert"), (2, "upsert")
-    }
-    assert {(r["k"], r["_change"]) for r in feed2.collect()} == {
-        (2, "upsert"), (3, "upsert")
-    }
+
+    # read each version's feed the way every consumer does: change_files
+    # + the fill kind (write_table's feed is a metadata reference over
+    # the snapshot files, upsert's is a real row log — both spell the
+    # same logical change set)
+    def feed_rows(v):
+        import pyspark.sql.functions as F
+
+        files, kind = U.change_files(tdir, v)
+        df = spark.read.parquet(*files)
+        if "_change" not in df.columns:
+            df = df.withColumn("_change", F.lit(kind))
+        return {(r["k"], r["_change"]) for r in df.collect()}
+
+    assert feed_rows("v00001") == {(1, "upsert"), (2, "upsert")}
+    assert feed_rows("v00002") == {(2, "upsert"), (3, "upsert")}
     # snapshot reads must NOT see the hidden _changes dir
     assert U.read_table(spark, tdir).count() == 3
 
