@@ -2,7 +2,7 @@
 """Dump `.explain("formatted")` for every query the r12 optimization round
 touched into plans/r12/<query>_<tag>.txt (tag = before|after).
 
-Usage: python tools/gen_r12_plans.py <tag> [repo_root]
+Usage: python tools/gen_r12_plans.py <tag> [repo_root] [only_query,...]
 
 Run with repo_root = a git worktree of the pre-round commit for the
 "before" set, and the live checkout for "after". Eager lakehouse queries
@@ -40,6 +40,9 @@ TOUCHED = [
     "q_restore_ivm",
     "q_partitioned_merge",
     "q_stream_ingest",
+    # batch-1 (fixed-cost fold work): the dup-span rebuild lost both
+    # full-token exchanges — the one all-Catalyst plan diff of that batch
+    "q_dupspan_removal",
 ]
 
 
@@ -51,6 +54,7 @@ def _clean(plan: str) -> str:
 def main() -> None:
     tag = sys.argv[1]
     root = sys.argv[2] if len(sys.argv) > 2 else "/root/repo"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     out_dir = "/root/repo/plans/r12"
     os.makedirs(out_dir, exist_ok=True)
     sys.path.insert(0, root)
@@ -84,12 +88,17 @@ def main() -> None:
         print(f"wrote {name}_{tag}.txt")
 
     for name in TOUCHED:
+        if only is not None and name not in only:
+            continue
         try:
             dump(name, ALL[name](spark, "/root/testdata/sf0.01"))
         except Exception as ex:  # noqa: BLE001 — dump what we can
             print(f"# {name}: {type(ex).__name__}: {ex}")
 
     # ---- supplemental: the internal stages the round's claims are about ---
+    if only is not None:
+        spark.stop()
+        return
     import tempfile
 
     import pyspark.sql.functions as F
