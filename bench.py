@@ -299,7 +299,12 @@ def main() -> None:
         retime(
             [q for _, q in suites_by_cost],
             2,
-            float(os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "300")),
+            # 900 s: change 5 made each isolated-suite subprocess run two
+            # full builds PLUS its own constituent pass, so the old 300 s
+            # cumulative budget was exhausted by the first (slowest) suite
+            # and always skipped the second — exactly the retime the r11
+            # verdict asked this pass to capture for q_curation_suite
+            float(os.environ.get("SPARK_GRAFT_ISOLATED_SUITE_BUDGET_S", "900")),
             proc_timeout=1200,
         )
         # SPARK_GRAFT_RETIME=q_a,q_b (r8 judge punch #7): explicitly-named
