@@ -114,7 +114,19 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for name in sorted(ALL):
+    # r12 verdict "what's wrong #3": the eager melted suites churn the
+    # block store / GC badly enough that singles timed AFTER them read up
+    # to 30x their isolated retime in-run (q_decontaminate_13gram 44.3 s
+    # in-run vs 1.36 s isolated in the SAME artifact). Ordering is not
+    # methodology: each query is still warmed, min-of-N, noop-forced,
+    # release-between — so run every non-suite single FIRST (alphabetical
+    # among themselves, as before) and the suites LAST (alphabetical among
+    # themselves). Suite self-contamination is already adjudicated by the
+    # isolated-suites pass.
+    run_order = sorted(
+        ALL, key=lambda q: (q in SUITE_CONSTITUENTS, q)
+    )
+    for name in run_order:
         best = None
         for _ in range(repeats):  # min-of-N — damps scheduler/GC noise
             t0 = time.monotonic()
@@ -313,14 +325,17 @@ def main() -> None:
         # r8 q_bloom_lookup case) is otherwise invisible to slowest-N and
         # needs a judge re-run to adjudicate. The builder sets this from
         # the round's diff; results land in BENCH_DETAIL like the rest.
-        # default = this round's changed-path queries (r11 verdict #1: the
-        # r11 isolated-growth trio must retime explicitly; the suites among
-        # them are already covered by the isolated-suites pass above)
+        # default = this round's changed-path queries plus the r12 verdict's
+        # open watch pair (#6: q_dedup_clusters_star and q_bloom_lookup must
+        # retime explicitly until two rounds of isolated numbers exist)
         explicit = [
             q.strip()
             for q in os.environ.get(
                 "SPARK_GRAFT_RETIME",
-                "q_restore_ivm,q_ann_index,q_hll_view,q_ivm_refresh",
+                "q_dedup_clusters_star,q_bloom_lookup,"
+                "q_join_agg,q_join_distinct,q_join_view,"
+                "q_ivm_refresh,q_distinct_ivm,q_stream_ingest,"
+                "q_text_classifier,q_decontaminate_13gram",
             ).split(",")
             if q.strip()
         ]
@@ -363,14 +378,21 @@ def main() -> None:
     # makes cross-round analysis possible from the repo alone (git history
     # keeps every round's copy).
     if not isolated:
-        detail = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
-        try:
-            with open(detail, "w") as f:
-                json.dump(payload, f, indent=1, sort_keys=True)
-        except OSError as ex:  # read-only checkout: still print the line
-            print(f"# bench detail not written: {ex}", file=sys.stderr)
+        here = os.path.dirname(os.path.abspath(__file__))
+        # r12 verdict "what's wrong #2": the driver's 8-core pass OVERWROTE
+        # the 32-core per-query map (one shared path), so no driver 32-core
+        # per-query data survived the round. Write a per-cpus copy so every
+        # driver pass keeps its own map; BENCH_DETAIL.json stays as the
+        # last-run view for continuity.
+        for detail in (
+            os.path.join(here, "BENCH_DETAIL.json"),
+            os.path.join(here, f"BENCH_DETAIL_c{cpus}.json"),
+        ):
+            try:
+                with open(detail, "w") as f:
+                    json.dump(payload, f, indent=1, sort_keys=True)
+            except OSError as ex:  # read-only checkout: still print the line
+                print(f"# bench detail not written: {ex}", file=sys.stderr)
     # headline fields LAST: the driver keeps the tail of the output, so a
     # front-truncated line must still carry metric/value/sf (BENCH_r03 lost
     # its total to the old field order) — plus a short all-totals line after,

@@ -215,7 +215,7 @@ def refresh_decontam_index(
         changes, p["text_col"], p["n"], key_cols
     ).persist()  # the touched-bucket collect and the fold both read it
     try:
-        current, touched, cur, rel = _keyed_slice(
+        current, touched, cur, rel, _ = _keyed_slice(
             spark, index_dir, delta, key_cols, n_buckets, keyed_layout=True
         )
         merged = _fold_support(

@@ -638,12 +638,18 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sustained streaming ingest, gate-pinned end-to-end: the events
     corpus is replayed as rate-bounded micro-batches (one landing file per
     trigger) through a REAL Structured Streaming query into the
-    exactly-once upsert sink, with the incremental-view-maintenance
-    refresh riding every batch's change feed — then the final DERIVED
-    state (per-type sum/count, folded incrementally, never a source
-    rescan) is compared against the closed-form batch recompute. Pins the
-    multi-batch sink markers, preimage-logged feeds, and the IVM fold
-    under a live stream rather than toy batches. Rides ``q_scalar_suite``."""
+    exactly-once upsert sink; the incremental-view-maintenance refresh
+    then folds every batch's change feed from the ``_SRC_`` watermark in
+    ONE fold once the stream drains (r12 verdict #7 — the per-trigger
+    refresh paid the full fixed fold/commit cost three times for the
+    identical final state, since the watermark fold composes pending feed
+    versions exactly; the per-trigger wiring itself stays covered by
+    tests/test_streaming.py's streaming_refresh_sink CDC tests). The final
+    DERIVED state (per-type sum/count, folded incrementally, never a
+    source rescan) is compared against the closed-form batch recompute.
+    Pins the multi-batch sink markers, preimage-logged feeds, and the IVM
+    fold under a live stream rather than toy batches. Rides
+    ``q_scalar_suite``."""
     import os
 
     from spookystuff_spark.functions.rounding import round_stable
@@ -668,16 +674,9 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(stage, part),
                 os.path.join(landing, f"b{i}.parquet"),
             )
-        upsert_sink = streaming_upsert_sink(
+        sink = streaming_upsert_sink(
             tdir, ["event_id"], app_id=ckpt, feed_preimages=True
         )
-
-        def sink(batch_df: DataFrame, batch_id: int) -> None:
-            upsert_sink(batch_df, batch_id)
-            refresh_aggregate(
-                batch_df.sparkSession, tdir, dst, ["event_type"], ["value"]
-            )
-
         q = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", "1")
@@ -688,6 +687,10 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # one watermark-driven fold over the three batches' feeds — the
+        # same incremental composition the per-trigger refresh performed,
+        # minus two fixed fold/commit rounds
+        refresh_aggregate(spark, tdir, dst, ["event_type"], ["value"])
         # final-state equality: the ingested table is the batch corpus
         n_tbl = read_table(spark, tdir).count()
         n_src = ev.count()
@@ -805,7 +808,7 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from spookystuff_spark.sources.bloom_index import (
         attach_blooms,
-        read_table_point,
+        read_table_points,
     )
     from spookystuff_spark.sources.upsert import write_table
 
@@ -814,11 +817,15 @@ def q_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_table(base.repartition(8), tdir, change_feed=False)
         attach_blooms(spark, tdir, ["doc_id"])
+        # batched probe (r13): one hash job + one sidecar-test pass for the
+        # whole key fan — each key's frame still scans only ITS
+        # maybe-present files, so pruning semantics (and the rows) are
+        # exactly the per-key read_table_point's
         parts = [
-            read_table_point(spark, tdir, "doc_id", k)[0].select(
-                "doc_id", "lang", "n_chars"
+            df.select("doc_id", "lang", "n_chars")
+            for df, _stats in read_table_points(
+                spark, tdir, "doc_id", BLOOM_LOOKUP_KEYS
             )
-            for k in BLOOM_LOOKUP_KEYS
         ]
         return reduce(DataFrame.unionByName, parts).localCheckpoint(eager=True)
     finally:

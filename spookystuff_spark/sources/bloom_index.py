@@ -130,7 +130,8 @@ def build_bloom_specs(
         return {}, {}
     full = [fsio.join(table_dir, e) for e in entries]
     by_suffix = {f: e for f, e in zip(full, entries)}
-    df = spark.read.parquet(*full)
+    # footer-resolved schema: skips the per-attach inference job (§1.2)
+    df = U.read_parquet_pinned(spark, full)
     fsio.mkdirs(fsio.join(table_dir, version, _DIR))
     specs: dict = {}
     agg: dict = {}
@@ -184,19 +185,9 @@ def build_bloom_specs(
                 {"_file": [fname], "m": [mm], "k": [kk], "name": [name]}
             )
 
-        built = hashed.groupBy("_file").applyInPandas(
+        built_df = hashed.groupBy("_file").applyInPandas(
             fold, "_file string, m long, k long, name string"
-        ).collect()  # spec rows only: O(files), no bitsets on the driver
-        for r in built:
-            # input_file_name returns a URI; match on the path suffix
-            entry = next(
-                e for f, e in by_suffix.items() if r["_file"].endswith(f)
-            )
-            specs.setdefault(entry, {})[col] = {
-                "m": int(r["m"]),
-                "k": int(r["k"]),
-                "path": f"{version}/{_DIR}/{r['name']}",
-            }
+        )  # spec rows only: O(files), no bitsets on the driver
         # commit-level aggregate: the k bit positions under the FIXED
         # (m, k) are computed JVM-side (the pmod chain keeps every
         # intermediate below 2^23 — no ANSI long overflow; power-of-two m
@@ -236,13 +227,31 @@ def build_bloom_specs(
             xfs.write_bytes(agg_dest, bits.tobytes())
             yield pd.DataFrame({"npos": pd.array([n], dtype="int64")})
 
-        folded_rows = (
+        agg_df = (
             hashed.select(F.explode(pos_arr).alias("p"))
             .distinct()
             .repartition(1)  # ONE task owns the whole bitset fold
             .mapInPandas(agg_fold, "npos long")
-            .collect()
         )
+        # ONE action per column: the per-file spec branch and the aggregate
+        # fold branch union into a single tagged collect (guide §1.2 — the
+        # two separate collects paid a second action's fixed cost; the scan
+        # count is unchanged, each branch reads the files once either way)
+        rows = built_df.unionByName(
+            agg_df, allowMissingColumns=True
+        ).collect()
+        built = [r for r in rows if r["_file"] is not None]
+        folded_rows = [r for r in rows if r["_file"] is None]
+        for r in built:
+            # input_file_name returns a URI; match on the path suffix
+            entry = next(
+                e for f, e in by_suffix.items() if r["_file"].endswith(f)
+            )
+            specs.setdefault(entry, {})[col] = {
+                "m": int(r["m"]),
+                "k": int(r["k"]),
+                "path": f"{version}/{_DIR}/{r['name']}",
+            }
         agg[col] = [
             {
                 "m": AGG_M_BITS,
@@ -616,26 +625,30 @@ def _plan_probe(
     plan: DataFrame,
     log: list,
     col: str,
-    h1: int,
-    h2: int,
-    definitive_miss: bool = False,
-) -> tuple[list, int]:
-    """(surviving entries, skipped count) from a DISTRIBUTED pass over the
-    parquet entry table: each task parses its slice's ``blooms`` JSON,
-    resolves the probe column's physical name per entry (rename epochs,
-    same logic as the driver path) and tests the k bits against the
-    sidecars it can read. Entries without a usable spec — never attached,
-    vacuumed sidecar, foreign/absolute path — survive (scan
-    conservatively), exactly like the driver fast path."""
+    probes: Sequence[tuple[int, int, bool]],
+) -> list[tuple[list, int]]:
+    """Per-probe (surviving entries, skipped count) from ONE DISTRIBUTED
+    pass over the parquet entry table: each task parses its slice's
+    ``blooms`` JSON, resolves the probe column's physical name per entry
+    (rename epochs, same logic as the driver path) and tests every
+    probe's k bits against the sidecars it can read — a sidecar is read
+    ONCE per entry regardless of probe count (the batch form
+    :func:`read_table_points` shares this pass across a lookup fan that
+    previously paid it per value). ``probes``: (h1, h2,
+    definitive_miss) per probe value. Entries without a usable spec —
+    never attached, vacuumed sidecar, foreign/absolute path — survive
+    (scan conservatively), exactly like the driver fast path."""
     import json as _json
 
     import pandas as pd
 
-    def probe(batches):
+    n_probes = len(probes)
+
+    def probe_fn(batches):
         from spookystuff_spark import fsio as xfs
 
         for pdf in batches:
-            keeps = []
+            keeps: list[tuple[int, str]] = []
             n_batch = len(pdf)
             for entry, bj in zip(pdf["entry"], pdf["blooms"]):
                 spec = None
@@ -650,45 +663,58 @@ def _plan_probe(
                         U.physical_name_for_entry(log, owner, col)
                     )
                 if not spec:
-                    keeps.append(entry)
+                    keeps.extend((i, entry) for i in range(n_probes))
                     continue
-                if definitive_miss:
-                    # the chain's aggregate blooms already proved the
-                    # value absent from every spec-covered file — drop
-                    # without touching the per-file sidecar
-                    continue
+                bits = None
+                usable = True
                 try:
                     raw_bits = xfs.read_bytes(
                         xfs.join(table_dir, spec["path"])
                     )
+                    bits = np.frombuffer(raw_bits, dtype=np.uint8)
+                    if len(bits) * 8 != int(spec["m"]):
+                        usable = False
                 except (FileNotFoundError, OSError):
-                    keeps.append(entry)
-                    continue
-                bits = np.frombuffer(raw_bits, dtype=np.uint8)
-                if len(bits) * 8 != int(spec["m"]):
-                    keeps.append(entry)
-                    continue
-                pos = _positions(h1, h2, int(spec["m"]), int(spec["k"]))
-                if bool(
-                    np.all(
-                        bits[pos // 8] & (1 << (pos % 8).astype(np.uint8))
+                    usable = False
+                for i, (h1, h2, definitive_miss) in enumerate(probes):
+                    if definitive_miss:
+                        # the chain's aggregate blooms already proved the
+                        # value absent from every spec-covered file — drop
+                        # without touching the per-file sidecar
+                        continue
+                    if not usable:
+                        keeps.append((i, entry))
+                        continue
+                    pos = _positions(
+                        h1, h2, int(spec["m"]), int(spec["k"])
                     )
-                ):
-                    keeps.append(entry)
+                    if bool(
+                        np.all(
+                            bits[pos // 8]
+                            & (1 << (pos % 8).astype(np.uint8))
+                        )
+                    ):
+                        keeps.append((i, entry))
             # the skip count rides the same pass (entry=None sentinel row
             # per batch) — a second count() would re-scan the entry table
             yield pd.DataFrame(
                 {
-                    "entry": keeps + [None],
+                    "pi": [i for i, _ in keeps] + [-1],
+                    "entry": [e for _, e in keeps] + [None],
                     "seen": [0] * len(keeps) + [n_batch],
                 }
             )
 
     src = plan.select("entry", "blooms")
-    rows = src.mapInPandas(probe, "entry string, seen long").collect()
-    kept = [r["entry"] for r in rows if r["entry"] is not None]
-    total = sum(r["seen"] for r in rows)
-    return kept, total - len(kept)
+    rows = src.mapInPandas(
+        probe_fn, "pi long, entry string, seen long"
+    ).collect()
+    total = sum(r["seen"] for r in rows if r["entry"] is None)
+    out = []
+    for i in range(n_probes):
+        kept = [r["entry"] for r in rows if r["entry"] is not None and r["pi"] == i]
+        out.append((kept, total - len(kept)))
+    return out
 
 
 def read_table_point(
@@ -711,11 +737,36 @@ def read_table_point(
     mismatch would make every bloom answer "definitely absent" and
     silently EMPTY the result, turning the advertised false-positive-only
     contract into false negatives."""
+    return read_table_points(
+        spark, table_dir, col, [value], version=version,
+        driver_max=driver_max,
+    )[0]
+
+
+def read_table_points(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values: Sequence,
+    version: str | None = None,
+    driver_max: int | None = None,
+) -> list[tuple[DataFrame, dict]]:
+    """Batched point lookups: one (frame, stats) pair PER VALUE, each
+    exactly what :func:`read_table_point` returns — but the fixed costs
+    are paid ONCE for the whole batch (guide §1.2): one 1-row Spark job
+    hashes every probe value, one distributed entry-table pass tests all
+    probes (each sidecar read once), one manifest resolution. A k-key
+    lookup fan (q_bloom_lookup's shape) previously paid ~4 fixed jobs
+    per key; the batch pays ~2 total. Per-key file pruning is unchanged:
+    each value's frame scans only ITS maybe-present files."""
     import json
 
     from pyspark.sql.types import StructType
 
-    if value is None:
+    values = list(values)
+    if not values:
+        return []
+    if any(value is None for value in values):
         # NULL equals nothing: the residual `col == NULL` filter below
         # would return zero rows anyway, and crc32(NULL) has no hash to
         # probe — refuse loudly instead of int(None) crashing
@@ -730,53 +781,71 @@ def read_table_point(
     v = version or cur
     U._check_readable(table_dir, v, cur)
     h1, h2 = _base_hash_cols(col)
-    probe = spark.createDataFrame([(value,)], ["_v"])
+    probe = spark.createDataFrame(
+        [(i, value) for i, value in enumerate(values)], ["_i", "_v"]
+    )
     schema_json0 = U.snapshot_schema_json(table_dir, v)
     col_type = None
     if schema_json0:
         sch = StructType.fromJson(json.loads(schema_json0))
         if col in sch.fieldNames():
             col_type = sch[col].dataType
-    probe = (
-        probe.select(F.col("_v").cast(col_type).alias(col))
-        if col_type is not None
-        else probe.select(F.col("_v").alias(col))
+    probe = probe.select(
+        "_i",
+        (
+            F.col("_v").cast(col_type)
+            if col_type is not None
+            else F.col("_v")
+        ).alias(col),
     )
-    hr = probe.select(h1.alias("h1"), h2.alias("h2")).first()
+    # ONE hash job for the whole batch — the same JVM expressions the
+    # build used, so there is no Python xxhash64 reimplementation to drift
+    hrows = {
+        r["_i"]: (int(r["h1"]), int(r["h2"]))
+        for r in probe.select("_i", h1.alias("h1"), h2.alias("h2")).collect()
+    }
+    hashes = [hrows[i] for i in range(len(values))]
     # commit-level aggregate fast path: on a consolidated chain, ≤ one
-    # small read per chain manifest can prove the value absent from EVERY
+    # small read per chain manifest can prove a value absent from EVERY
     # spec-covered file — a miss probe then never touches per-file
     # sidecars at all (1 + chain-length small objects total)
-    definitive_miss = _agg_definitive_miss(
-        table_dir, v, col, int(hr["h1"]), int(hr["h2"])
-    )
+    misses = [
+        _agg_definitive_miss(table_dir, v, col, ha, hb)
+        for ha, hb in hashes
+    ]
     plan = U.entries_plan(spark, table_dir, v)
+    results: list[tuple[DataFrame, dict]] = []
     if plan is not None:
         # DISTRIBUTED candidate assembly + probe in one pass: the parquet
         # entry table scans as a DataFrame and each task parses its
         # slice's bloom specs, translates the probe column per entry
-        # (rename epochs) and tests the k bits against its sidecars —
-        # the driver never loops the file list, never folds the manifest,
-        # and collects only the SURVIVORS the scan needs anyway. A miss
-        # probe on a fully-indexed million-file table returns ~0 rows.
+        # (rename epochs) and tests every probe's k bits against its
+        # sidecars — the driver never loops the file list, never folds
+        # the manifest, and collects only the SURVIVORS the scans need
+        # anyway. A miss probe on a fully-indexed million-file table
+        # returns ~0 rows.
         raw = U._read_manifest_raw(table_dir, v) or {"files": []}
         log = U.rename_log_of(raw)
-        keep_rel, skipped = _plan_probe(
-            spark, table_dir, plan, log, col, int(hr["h1"]), int(hr["h2"]),
-            definitive_miss=definitive_miss,
+        per_probe = _plan_probe(
+            spark, table_dir, plan, log, col,
+            [(ha, hb, miss) for (ha, hb), miss in zip(hashes, misses)],
         )
-        keep_full = [
-            e if U._is_abs_entry(e) else fsio.join(table_dir, e)
-            for e in keep_rel
-        ]
-        if not keep_full and not raw.get("schema"):
-            raise FileNotFoundError(f"no candidate files in {table_dir}")
-        df = U.scan_entries(spark, table_dir, raw, keep_rel, keep_full)
-        df = U._apply_deletion_vectors(spark, table_dir, v, df)
-        return (
-            df.where(F.col(col) == F.lit(value)),
-            {"scanned": len(keep_full), "skipped_bloom": skipped},
-        )
+        for value, (keep_rel, skipped) in zip(values, per_probe):
+            keep_full = [
+                e if U._is_abs_entry(e) else fsio.join(table_dir, e)
+                for e in keep_rel
+            ]
+            if not keep_full and not raw.get("schema"):
+                raise FileNotFoundError(f"no candidate files in {table_dir}")
+            df = U.scan_entries(spark, table_dir, raw, keep_rel, keep_full)
+            df = U._apply_deletion_vectors(spark, table_dir, v, df)
+            results.append(
+                (
+                    df.where(F.col(col) == F.lit(value)),
+                    {"scanned": len(keep_full), "skipped_bloom": skipped},
+                )
+            )
+        return results
     blooms = entry_blooms(table_dir, v)
     manifest = U.read_manifest(table_dir, v) or {"files": []}
     # bloom specs are recorded under the attach-time name — translate the
@@ -795,37 +864,41 @@ def read_table_point(
         if spec:
             cand.append((i, spec))
     limit = PROBE_DRIVER_MAX if driver_max is None else driver_max
-    if definitive_miss:
-        # the aggregate blooms already proved absence from every
-        # spec-covered file — zero per-file sidecar reads
-        drop = {i for i, _spec in cand}
-    elif len(cand) <= limit:
-        drop = {
-            i
-            for i, spec in cand
-            if not _maybe_contains(table_dir, spec, hr["h1"], hr["h2"])
-        }
-    else:
-        rows = [
-            (i, spec["path"], int(spec["m"]), int(spec["k"]))
-            for i, spec in cand
-        ]
-        surv = _surviving_specs_distributed(
-            spark, table_dir, rows, int(hr["h1"]), int(hr["h2"])
+    for (ha, hb), definitive_miss, value in zip(hashes, misses, values):
+        if definitive_miss:
+            # the aggregate blooms already proved absence from every
+            # spec-covered file — zero per-file sidecar reads
+            drop = {i for i, _spec in cand}
+        elif len(cand) <= limit:
+            drop = {
+                i
+                for i, spec in cand
+                if not _maybe_contains(table_dir, spec, ha, hb)
+            }
+        else:
+            rows = [
+                (i, spec["path"], int(spec["m"]), int(spec["k"]))
+                for i, spec in cand
+            ]
+            surv = _surviving_specs_distributed(
+                spark, table_dir, rows, ha, hb
+            )
+            drop = {i for i, _ in cand} - surv
+        keep_rel, keep_full, skipped = [], [], 0
+        for i, (e, full) in enumerate(zip(rel_all, full_all)):
+            if i in drop:
+                skipped += 1
+                continue
+            keep_rel.append(e)
+            keep_full.append(full)
+        if not keep_full and not manifest.get("schema"):
+            raise FileNotFoundError(f"no candidate files in {table_dir}")
+        df = U.scan_entries(spark, table_dir, manifest, keep_rel, keep_full)
+        df = U._apply_deletion_vectors(spark, table_dir, v, df)
+        results.append(
+            (
+                df.where(F.col(col) == F.lit(value)),
+                {"scanned": len(keep_full), "skipped_bloom": skipped},
+            )
         )
-        drop = {i for i, _ in cand} - surv
-    keep_rel, keep_full, skipped = [], [], 0
-    for i, (e, full) in enumerate(zip(rel_all, full_all)):
-        if i in drop:
-            skipped += 1
-            continue
-        keep_rel.append(e)
-        keep_full.append(full)
-    if not keep_full and not manifest.get("schema"):
-        raise FileNotFoundError(f"no candidate files in {table_dir}")
-    df = U.scan_entries(spark, table_dir, manifest, keep_rel, keep_full)
-    df = U._apply_deletion_vectors(spark, table_dir, v, df)
-    return (
-        df.where(F.col(col) == F.lit(value)),
-        {"scanned": len(keep_full), "skipped_bloom": skipped},
-    )
+    return results

@@ -313,20 +313,31 @@ def _keyed_slice(
     gcols: Sequence[str],
     n_buckets: int | None,
     keyed_layout: bool,
-) -> tuple[DataFrame | None, list[str] | None, str | None, list | None]:
-    """(current state, touched buckets, cur version, manifest entries)
-    for a derived-table fold — the read half every keyed refresh shares
-    (plain aggregate, distinct support, join aggregate). With a valid
-    keyed layout: ONLY the buckets the delta's groups hash into are read
-    (manifest pruning — untouched buckets cost zero IO and carry through
-    the commit's base reference), ``touched`` naming them for the
-    manifest-delta commit; the bucket collect is bounded by n_buckets,
-    never by group count. A flattened layout (plain ``compact``) or dv/
-    rename-carrying state heals via one full read + bucketed re-seed
-    (``touched=None``). A table that doesn't exist yet returns
-    ``(None, None, None, None)`` — the delta seeds it."""
+    neg_col: str | None = None,
+) -> tuple[
+    DataFrame | None, list[str] | None, str | None, list | None, bool | None
+]:
+    """(current state, touched buckets, cur version, manifest entries,
+    any-negative flag) for a derived-table fold — the read half every
+    keyed refresh shares (plain aggregate, distinct support, join
+    aggregate). With a valid keyed layout: ONLY the buckets the delta's
+    groups hash into are read (manifest pruning — untouched buckets cost
+    zero IO and carry through the commit's base reference), ``touched``
+    naming them for the manifest-delta commit; the bucket collect is
+    bounded by n_buckets, never by group count. ``neg_col`` (a boolean
+    per-group column riding the delta, e.g. the min/max refreshes'
+    ``_has_neg``) FUSES the retraction probe into the same bucket
+    collect — one job answers both "which buckets" and "any retraction?"
+    instead of a separate ``limit(1).count()`` probe per refresh (r12
+    verdict #4); the last slot is that answer, or None when the fused
+    path didn't run (caller probes separately). A flattened layout
+    (plain ``compact``) or dv/rename-carrying state heals via one full
+    read + bucketed re-seed (``touched=None``). A table that doesn't
+    exist yet returns ``(None, None, None, None, None)`` — the delta
+    seeds it."""
     touched: list[str] | None = None
     cur = rel = None
+    has_neg: bool | None = None
     if keyed_layout:
         cur, rel, layout_ok = _keyed_state(dst_dir)
         if layout_ok:
@@ -334,14 +345,19 @@ def _keyed_slice(
                 read_table_partitions,
             )
 
-            touched = sorted({
-                r[0]
-                for r in delta.select(
-                    _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+            b = _bucket_expr(gcols, n_buckets).cast("string").alias("_b")
+            if neg_col is not None and neg_col in delta.columns:
+                rows = (
+                    delta.groupBy(b)
+                    .agg(F.max(F.col(neg_col)).alias("_neg"))
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            })
+                touched = sorted(r[0] for r in rows)
+                has_neg = any(bool(r[1]) for r in rows)
+            else:
+                touched = sorted({
+                    r[0] for r in delta.select(b).distinct().collect()
+                })
             if n_buckets >= 4 and 2 * len(touched) > n_buckets:
                 # the layout-too-coarse signal: a delta that keeps hitting
                 # most buckets pays near-full rewrites anyway — either the
@@ -354,13 +370,13 @@ def _keyed_slice(
                 )
             return (
                 read_table_partitions(spark, dst_dir, touched),
-                touched, cur, rel,
+                touched, cur, rel, has_neg,
             )
-        return U.read_table(spark, dst_dir), None, cur, rel
+        return U.read_table(spark, dst_dir), None, cur, rel, None
     try:
-        return U.read_table(spark, dst_dir), None, None, None
+        return U.read_table(spark, dst_dir), None, None, None, None
     except FileNotFoundError:
-        return None, None, None, None
+        return None, None, None, None, None
 
 
 def _commit_keyed(
@@ -721,7 +737,10 @@ def _changes_since(
                     "feed, or rebuild derived views/indexes"
                 )
             continue  # compaction / no-feed commit: no logical change
-        df = spark.read.parquet(*files)
+        # schema resolved driver-side from the footers when possible —
+        # the schema-inference job otherwise paid here is a fixed cost on
+        # EVERY refresh of every IVM/index consumer (guide §1.2)
+        df = U.read_parquet_pinned(spark, files)
         filled_kind = None
         if "_change" not in df.columns:
             filled_kind = kind or "insert"
@@ -899,12 +918,6 @@ def refresh_aggregate(
                 # final commit each re-evaluate the delta — pin the
                 # AGGREGATED frame (O(touched groups) rows, not the feed)
                 pinned = delta = delta.persist()
-            if want_minmax:
-                aff = delta.where(F.col("_has_neg")).select(*gcols)
-                if aff.limit(1).count():
-                    affected = aff
-            if "_has_neg" in delta.columns:
-                delta = delta.drop("_has_neg")
         else:
             delta = None  # only feed-less versions: watermark-only advance
 
@@ -918,9 +931,22 @@ def refresh_aggregate(
                 return advance_watermark(dst_dir, marker)
             return None
 
-        current, touched, cur, rel = _keyed_slice(
-            spark, dst_dir, delta, gcols, n_buckets, keyed_layout
+        # the retraction probe rides the touched-bucket collect when the
+        # keyed path runs (ONE job answers both — r12 verdict #4); only
+        # the non-keyed min/max path still pays a separate probe job
+        current, touched, cur, rel, fused_neg = _keyed_slice(
+            spark, dst_dir, delta, gcols, n_buckets, keyed_layout,
+            neg_col="_has_neg" if want_minmax else None,
         )
+        if want_minmax:
+            if fused_neg is None:
+                aff = delta.where(F.col("_has_neg")).select(*gcols)
+                if aff.limit(1).count():
+                    affected = aff
+            elif fused_neg:
+                affected = delta.where(F.col("_has_neg")).select(*gcols)
+        if "_has_neg" in delta.columns:
+            delta = delta.drop("_has_neg")
 
         if current is not None:
             # a refresh that silently NARROWS the maintained column set
@@ -1139,7 +1165,7 @@ def refresh_distinct(
         # delta DAG (one full feed read each) - pin it once
         delta = delta.persist()
     try:
-        current, touched, cur, rel = _keyed_slice(
+        current, touched, cur, rel, _ = _keyed_slice(
             spark, dst_dir, delta, gcols, n_buckets, keyed_layout
         )
 

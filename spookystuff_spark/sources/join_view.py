@@ -564,19 +564,27 @@ def refresh_join_aggregate(
     )
     if exists and (mins or maxs or keyed_layout):
         pinned = delta_agg = delta_agg.persist()
-    if want_minmax:
-        aff = delta_agg.where(F.col("_has_neg")).select(*gcols)
-        if aff.limit(1).count():
-            affected = aff
-    if "_has_neg" in delta_agg.columns:
-        delta_agg = delta_agg.drop("_has_neg")
     touched = cur = rel = None
     if exists:
         from spookystuff_spark.sources.incremental import _keyed_slice
 
-        current, touched, cur, rel = _keyed_slice(
-            spark, dst_dir, delta_agg, gcols, n_buckets, keyed_layout
+        # the retraction probe rides the touched-bucket collect when the
+        # keyed path runs (ONE job answers both — r12 verdict #4); only a
+        # non-keyed min/max refresh still pays a separate probe job
+        current, touched, cur, rel, fused_neg = _keyed_slice(
+            spark, dst_dir, delta_agg, gcols, n_buckets, keyed_layout,
+            neg_col="_has_neg" if want_minmax else None,
         )
+        if want_minmax:
+            if fused_neg is None:
+                aff = delta_agg.where(F.col("_has_neg")).select(*gcols)
+                if aff.limit(1).count():
+                    affected = aff
+            elif fused_neg:
+                affected = delta_agg.where(F.col("_has_neg")).select(*gcols)
+    if "_has_neg" in delta_agg.columns:
+        delta_agg = delta_agg.drop("_has_neg")
+    if exists:
         # a refresh that changes the maintained column set (e.g. omits
         # sumsq_cols on a table maintained with them) cannot fold — the
         # unionByName below would raise anyway, but cryptically; refuse
@@ -694,7 +702,7 @@ def refresh_join_distinct(
         delta = delta.persist()
     try:
         if exists:
-            current, touched, cur, rel = _keyed_slice(
+            current, touched, cur, rel, _ = _keyed_slice(
                 spark, dst_dir, delta, gcols, n_buckets, keyed_layout
             )
         else:

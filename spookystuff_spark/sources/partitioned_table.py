@@ -355,7 +355,9 @@ def upsert_partitioned(
 
     keys = updates.select(*key_cols).distinct()
     dv_keys_df = (
-        spark.read.parquet(*[fsio.join(table_dir, e) for e in dv]).distinct()
+        U.read_parquet_pinned(
+            spark, [fsio.join(table_dir, e) for e in dv]
+        ).distinct()
         if dv
         else None
     )
@@ -382,11 +384,15 @@ def upsert_partitioned(
     # a REAL change feed: the rewritten slice contains kept rows too, so a
     # reference feed over the new files would overreport — log exactly the
     # update rows (semi-join on the update keys against the fresh slice).
-    # Reading the __part=-laid-out dir triggers partition discovery, which
-    # re-adds __part as a column — drop it, or the feed files would carry an
-    # extra column the changefeed stream reader (versioned_source._read_arrow)
-    # refuses.
-    snap = spark.read.parquet(fsio.join(table_dir, v)).drop("__part")
+    # The files are enumerated EXPLICITLY with the just-written slice's
+    # schema pinned: reading the version dir would pay a partition-discovery
+    # listing plus a schema-inference job per merge (guide §1.2), and the
+    # discovery would re-add __part as a column (the changefeed stream
+    # reader refuses the extra column).
+    own_data = _own_entries_recursive(table_dir, v)
+    snap = spark.read.schema(merged_slice.schema).parquet(
+        *[fsio.join(table_dir, e) for e in own_data]
+    )
     feed = snap.join(keys, list(key_cols), "leftsemi").withColumn(
         "_change", F.lit("upsert")
     )
@@ -419,15 +425,26 @@ def upsert_partitioned(
         # upserted stay in the vector (still needed for untouched
         # partitions; a no-op against the rewritten ones).
         remaining = dv_keys_df.join(keys, list(key_cols), "left_anti")
-        if remaining.limit(1).count():  # DVs are small by contract
-            remaining.write.mode("errorifexists").parquet(
-                fsio.join(table_dir, v, "_dv")
-            )
+        # ONE job: write the surviving keys and decide emptiness from the
+        # written footers driver-side — the old ``limit(1).count()`` probe
+        # paid a second evaluation of the anti-join per merge (§1.2). An
+        # all-upserted vector leaves only empty part files; the fields are
+        # then dropped and the debris dir stays hidden (underscore path).
+        remaining.write.mode("errorifexists").parquet(
+            fsio.join(table_dir, v, "_dv")
+        )
+        dv_names = U._parquet_names(fsio.join(table_dir, v, "_dv"))
+        import pyarrow.parquet as _pq
+
+        n_remaining = sum(
+            _pq.ParquetFile(
+                fsio.join(table_dir, v, "_dv", n)
+            ).metadata.num_rows
+            for n in dv_names
+        )
+        if n_remaining:
             dv_fields = {
-                "dv": [
-                    f"{v}/_dv/{n}"
-                    for n in U._parquet_names(fsio.join(table_dir, v, "_dv"))
-                ],
+                "dv": [f"{v}/_dv/{n}" for n in dv_names],
                 "dv_keys": list(key_cols),
             }
     own = _own_entries_recursive(table_dir, v)

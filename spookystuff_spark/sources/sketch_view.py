@@ -162,7 +162,7 @@ def refresh_hll_view(
         )
     delta = hll_registers(changes, gcols, vcol, p).persist()
     try:  # the touched-bucket collect and the fold both read the delta
-        current, touched, cur, rel = _keyed_slice(
+        current, touched, cur, rel, _ = _keyed_slice(
             spark, dst_dir, delta, gcols, n_buckets, keyed_layout=True
         )
         merged = _fold_max(current, delta, [*gcols, "reg"], "rho")
@@ -306,7 +306,7 @@ def refresh_cms_token_view(
         changes, prm["text_col"], prm["depth"], prm["width"]
     ).persist()  # the touched-bucket collect and the fold both read it
     try:
-        current, touched, cur, rel = _keyed_slice(
+        current, touched, cur, rel, _ = _keyed_slice(
             spark, dst_dir, delta, ["j", "bucket"], n_buckets,
             keyed_layout=True,
         )

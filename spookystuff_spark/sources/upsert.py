@@ -765,7 +765,7 @@ def entries_plan(spark: SparkSession, table_dir: str, version: str):
         raw = _read_manifest_raw(table_dir, raw["files_base"])
     if raw is None or _ENTRIES_REF not in raw:
         return None
-    df = spark.read.parquet(fsio.join(table_dir, raw[_ENTRIES_REF]))
+    df = read_parquet_pinned(spark, [fsio.join(table_dir, raw[_ENTRIES_REF])])
     adds: list[tuple] = []
     removed: set[str] = set()
     for d in reversed(chain):  # oldest first — later removes hit earlier adds
@@ -1141,6 +1141,72 @@ def _write_change_feed_refs(
         json.dumps({"files": list(entries)}, separators=(",", ":")).encode(),
     )
     fsio.write_bytes(fsio.join(feed, _KIND), kind.encode())
+
+
+#: Arrow type categories parquet_schema_of trusts for driver-side schema
+#: resolution — flat, zone-free types whose arrow→Spark mapping is exact.
+#: Timestamps are deliberately EXCLUDED: Spark's TIMESTAMP vs TIMESTAMP_NTZ
+#: round-trip depends on reader config, and a silently flipped zone
+#: semantics would corrupt values, not just types. Anything outside the
+#: list falls back to Spark's own inference job.
+def _arrow_type_ok(t) -> bool:
+    import pyarrow as pa
+
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_decimal(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+        or pa.types.is_date(t)
+    )
+
+
+def parquet_schema_of(paths: Sequence[str]):
+    """Unified Spark ``StructType`` of a parquet file set, resolved
+    DRIVER-SIDE from the footers (pyarrow) — ``spark.read.parquet``
+    without an explicit schema runs a schema-inference JOB per call, a
+    pure fixed cost paid by every feed / deletion-vector / snapshot
+    re-read on every refresh (guide §1.2: don't compute what you can
+    read off metadata). Returns None when any footer is unreadable, the
+    footers disagree beyond arrow's unification, or a column's type is
+    outside the trusted flat-type list — callers then fall back to the
+    inference job, so this is an optimization with no behavior change."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        flat: list[str] = []
+        for p in paths:
+            if fsio.is_dir(p):
+                flat.extend(fsio.join(p, n) for n in _parquet_names(p))
+            else:
+                flat.append(p)
+        schema = None
+        for p in flat:
+            s = pq.read_schema(p)
+            schema = s if schema is None else pa.unify_schemas([schema, s])
+        if schema is None:
+            return None
+        if not all(_arrow_type_ok(f.type) for f in schema):
+            return None
+        return from_arrow_schema(schema)
+    except Exception:  # noqa: BLE001 — any doubt → Spark's own inference
+        return None
+
+
+def read_parquet_pinned(spark: SparkSession, paths: Sequence[str]):
+    """``spark.read.parquet`` with the schema pre-resolved driver-side
+    when possible (see :func:`parquet_schema_of`) — skips the per-call
+    schema-inference job."""
+    schema = parquet_schema_of(paths)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def change_files(table_dir: str, version: str) -> tuple[list[str], str | None]:
@@ -1613,8 +1679,12 @@ def upsert(
         # doesn't recompute the caller's arbitrary lineage; preimage rows
         # union into the SAME write (one feed job, one uniform schema —
         # the old second mode("append") write paid a separate job and
-        # could leave a mixed-schema feed dir under schema evolution)
-        snap = spark.read.parquet(fsio.join(table_dir, v))
+        # could leave a mixed-schema feed dir under schema evolution).
+        # Schema PINNED to what was just written — inference would pay a
+        # footer-scan job per upsert (guide §1.2 fixed-cost rule)
+        snap = spark.read.schema(merged.schema).parquet(
+            fsio.join(table_dir, v)
+        )
         feed = snap.join(keys, list(key_cols), "leftsemi").withColumn(
             "_change", F.lit("upsert")
         )
@@ -2809,7 +2879,7 @@ def dv_contains_keys(
     dv = m.get("dv") or []
     if not dv:
         return False
-    keys = spark.read.parquet(*[fsio.join(table_dir, e) for e in dv])
+    keys = read_parquet_pinned(spark, [fsio.join(table_dir, e) for e in dv])
     return bool(
         keys_df.join(keys, list(m["dv_keys"]), "leftsemi").limit(1).count()
     )
@@ -2830,8 +2900,8 @@ def compact_dv(spark: SparkSession, table_dir: str) -> str | None:
     dv = m.get("dv") or []
     if len(dv) <= 1:
         return None
-    keys = spark.read.parquet(
-        *[fsio.join(table_dir, e) for e in dv]
+    keys = read_parquet_pinned(
+        spark, [fsio.join(table_dir, e) for e in dv]
     ).distinct()
     v = _next_version(table_dir)
     keys.coalesce(1).write.mode("errorifexists").parquet(
@@ -2862,7 +2932,7 @@ def _apply_deletion_vectors(
     if not dv:
         return df
     paths = [fsio.join(table_dir, e) for e in dv]
-    keys = spark.read.parquet(*paths).distinct()
+    keys = read_parquet_pinned(spark, paths).distinct()
     return df.join(keys, list(m["dv_keys"]), "left_anti")
 
 
