@@ -18,7 +18,9 @@ def spark():
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_TEST_MASTER", "local[8]")
+        )
         .appName("spookystuff-spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
